@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the semantic core of the reference
+  * (SessionizationBuiltIn.scala:68–113, SURVEY.md §2.6 W1–W4).
+  *
+  * Semantics preserved exactly from the reference:
+  *  - a session breaks when the gap from the previous event of the same
+  *    user is STRICTLY greater than `gapSec` (gap == gapSec continues the
+  *    session — SessionizationBuiltIn.scala:89);
+  *  - the session id is derived from the session's FIRST event
+  *    (SessionizationBuiltIn.scala:76–77, 97–107).
+  *
+  * Implementation differs from the reference deliberately (SURVEY.md §7.2):
+  * instead of the null-seed + `last(ignoreNulls)` forward fill, we mark
+  * boundaries with lag() and assign a per-user ordinal with a running sum
+  * over ROWS UNBOUNDED PRECEDING. This is the same single-shuffle plan
+  * shape (one hash exchange on the user key + one sort) but deterministic
+  * under ties because we always order by (ts, tieCols...).
+  *
+  * Scale posture: exactly one shuffle (hash exchange on `userCol`), one
+  * sort per partition, no driver-side state. Skewed users are bounded by
+  * per-user event counts, not table size, so the plan survives 100 TB as
+  * long as no single user exceeds a partition (true for clickstreams).
+  */
+object Sessionize {
+  val DefaultGapSec = 1800L
+
+  private def userWindow(userCol: String, tsCol: String, tieCols: Seq[String]) =
+    Window.partitionBy(userCol).orderBy(col(tsCol) +: tieCols.map(col): _*)
+
+  /** Adds `session_no`: 1-based ordinal of the session within each user's
+    * timeline. Gap rule: strict `> gapSec` starts a new session (W1+W2).
+    */
+  def withSessionNo(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCols: Seq[String] = Seq("event_id"),
+      gapSec: Long = DefaultGapSec): DataFrame = {
+    val w = userWindow(userCol, tsCol, tieCols)
+    val gapUs = gapSec * 1000000L
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
+      .withColumn(
+        "__boundary",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn(
+        "session_no",
+        sum(col("__boundary")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev_us", "__boundary")
+  }
+
+  /** Adds `session_id`: sha2-256 of "<user>-<epoch_us of session's first
+    * event>" — the reference's id scheme (SessionizationBuiltIn.scala:76–77)
+    * with the hash input standardized to epoch micros (SURVEY.md §8 W2: the
+    * reference has two incompatible formats; we pick one explicit one).
+    * No extra shuffle: min(ts) over (user, session_no) reuses the same
+    * hash partitioning as session_no's window.
+    */
+  def withSessionId(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCols: Seq[String] = Seq("event_id"),
+      gapSec: Long = DefaultGapSec): DataFrame = {
+    val withNo = withSessionNo(df, userCol, tsCol, tieCols, gapSec)
+    val wSess = Window.partitionBy(userCol, "session_no")
+    withNo
+      .withColumn("__start_us", min(unix_micros(col(tsCol))).over(wSess))
+      .withColumn(
+        "session_id",
+        sha2(concat_ws("-", col(userCol).cast("string"),
+          col("__start_us").cast("string")), 256))
+      .drop("__start_us")
+  }
+
+  /** Latest row per session that is still active at `boundaryUs − gap`
+    * (reference loadPrevActiveSessions, SessionizationBuiltIn.scala:117–134;
+    * SURVEY.md W5+P5+P4). Boundary edge is INCLUSIVE (>=, SBI:129).
+    */
+  def activeLatestPerSession(
+      df: DataFrame,
+      boundaryUs: Long,
+      sessionCol: String = "session_id",
+      tsCol: String = "ts",
+      tieCols: Seq[String] = Seq("event_id"),
+      gapSec: Long = DefaultGapSec): DataFrame = {
+    val cutoff = boundaryUs - gapSec * 1000000L
+    val w = Window.partitionBy(sessionCol)
+      .orderBy(col(tsCol).desc +: tieCols.map(col(_).desc): _*)
+    df.filter(unix_micros(col(tsCol)) >= cutoff)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") === 1)
+      .drop("__rank")
+  }
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Sessionize
+
+/** Sessionization query surface (SURVEY.md §2.6 W1–W5, §2.2 P4–P6) over the
+  * `events` testdata table, each with a DuckDB oracle.
+  *
+  * Portability rules used throughout the oracle pairs (SURVEY.md §7.5):
+  *  - timestamps are compared as epoch microseconds (both engines read the
+  *    ns parquet column truncated to µs);
+  *  - money/values are converted to integer cents BEFORE aggregation so
+  *    sums are exact integers in both engines (per-row IEEE-754 scalar
+  *    math is engine-independent; only aggregation order is not);
+  *  - every result has a deterministic total ORDER BY including a unique
+  *    tie-breaker.
+  */
+object SessionQueries {
+
+  private val GapUs = 1800L * 1000000L
+
+  /** Events up to the fixed mid-range boundary used by active-session tests. */
+  private val BoundaryUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sessionize_counts" -> { (spark, dir) =>
+      import spark.implicits._
+      val s = Sessionize.withSessionNo(Tables.events(spark, dir))
+      s.groupBy($"user_id", $"session_no")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros($"ts")).as("start_us"),
+          max(unix_micros($"ts")).as("end_us"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .orderBy("user_id", "session_no")
+    },
+
+    "sessionize_ids" -> { (spark, dir) =>
+      import spark.implicits._
+      Sessionize.withSessionId(Tables.events(spark, dir))
+        .select($"event_id", $"user_id", $"session_no", $"session_id")
+        .orderBy("event_id")
+    },
+
+    "active_sessions" -> { (spark, dir) =>
+      import spark.implicits._
+      val upToBoundary = Tables.events(spark, dir)
+        .filter(unix_micros($"ts") <= BoundaryUs)
+      val sessions = Sessionize.withSessionId(upToBoundary)
+      Sessionize.activeLatestPerSession(sessions, BoundaryUs)
+        .select($"session_id", $"user_id", $"event_id",
+          unix_micros($"ts").as("ts_us"))
+        .orderBy("session_id")
+    },
+
+    "session_gaps" -> { (spark, dir) =>
+      // W1 surface in isolation: per-event lag + gap, first event NULL.
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+        .select($"event_id", $"user_id", $"gap_us")
+        .orderBy("event_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "sessionize_counts" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts, value,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d)
+        |SELECT user_id, session_no::BIGINT AS session_no, count(*) AS n_events,
+        |       min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |       SUM(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+
+    "sessionize_ids" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d),
+        |t AS (
+        |  SELECT *, min(epoch_us(ts)) OVER (PARTITION BY user_id, session_no) AS start_us
+        |  FROM s)
+        |SELECT event_id, user_id, session_no::BIGINT AS session_no,
+        |       sha256(user_id::VARCHAR || '-' || start_us::VARCHAR) AS session_id
+        |FROM t ORDER BY event_id""".stripMargin,
+
+    "active_sessions" ->
+      """WITH e AS (SELECT * FROM events WHERE epoch_us(ts) <= 1705276800000000),
+        |d AS (
+        |  SELECT event_id, user_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d),
+        |t AS (
+        |  SELECT *, sha256(user_id::VARCHAR || '-' ||
+        |            (min(epoch_us(ts)) OVER (PARTITION BY user_id, session_no))::VARCHAR) AS session_id
+        |  FROM s)
+        |SELECT session_id, user_id, event_id, epoch_us(ts) AS ts_us
+        |FROM t
+        |WHERE epoch_us(ts) >= 1705276800000000 - 1800000000
+        |QUALIFY row_number() OVER (PARTITION BY session_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY session_id""".stripMargin,
+
+    "session_gaps" ->
+      """SELECT event_id, user_id,
+        |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin)
+}
