@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SessionQueries.queries ++
+      EventQueries.queries ++
       RelationalQueries.queries
 
   def oracleSql: Map[String, String] =
     SessionQueries.oracles ++
+      EventQueries.oracles ++
       RelationalQueries.oracles
 }

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Sessionize
+
+/** Event-stream operator surface beyond core sessionization: the union
+  * carry (SURVEY §2.4 U1), ingest partition derivation (§2.1 S6 / DFD
+  * parity), conditional projection (§2.2 P10), JSON props extraction and
+  * as-of forward fill (§2.6 W4 analog).
+  */
+object EventQueries {
+
+  /** 2024-01-15 00:00:00 UTC — same boundary as active_sessions. */
+  private val BoundaryUs = 1705276800000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "union_carry" -> { (spark, dir) =>
+      // U1: unionByName(allowMissingColumns) — prev rows carry session_id,
+      // current rows get NULL injected. The reference's state-carry move
+      // (SessionizationBuiltIn.scala:54–55).
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val prev = Sessionize.withSessionId(ev.filter(unix_micros($"ts") <= BoundaryUs))
+        .drop("session_no")
+      val cur = ev.filter(unix_micros($"ts") > BoundaryUs)
+      val unioned = prev.unionByName(cur, allowMissingColumns = true)
+      unioned
+        .groupBy($"session_id".isNull.as("is_current"))
+        .agg(count(lit(1)).as("n_rows"),
+          min($"event_id").as("min_event"), max($"event_id").as("max_event"))
+        .orderBy("is_current")
+    },
+
+    "hour_partitions" -> { (spark, dir) =>
+      // DailyFileDivider parity (DFD:26–45): derive Hive partition columns
+      // event_date/event_hour from ts; count per partition. At 100 TB this
+      // is the repartition(date,hour)+partitionBy write layout.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+        .withColumn("event_hour", date_format($"ts", "HH"))
+        .groupBy($"event_date", $"event_hour")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .orderBy("event_date", "event_hour")
+    },
+
+    "eventtype_when" -> { (spark, dir) =>
+      // P10: 3-branch when/otherwise (CaseWhen), null-producing branch.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("kind",
+          when($"event_type" === "purchase", lit("money"))
+            .when($"event_type" === "error", lit(null).cast("string"))
+            .otherwise(lit("engagement")))
+        .groupBy($"kind")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .orderBy(asc_nulls_first("kind"))
+    },
+
+    "json_props" -> { (spark, dir) =>
+      // JSON-in-string extraction; regexp-based so both engines agree
+      // without JSON-extension semantics differences. get_json_object is
+      // the Spark-native route; regexp keeps the oracle portable.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(($"k" % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_k"))
+        .orderBy("k_mod")
+    },
+
+    "asof_prior_signup" -> { (spark, dir) =>
+      // As-of forward fill: for every event, the user's most recent
+      // signup at-or-before it (W4 last(ignoreNulls) analog, expressed as
+      // max-over-frame which is deterministic and portable).
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(spark, dir)
+        .withColumn("prior_signup_us",
+          max(when($"event_type" === "signup", unix_micros($"ts"))).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"prior_signup_us")
+        .orderBy("event_id")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "union_carry" ->
+      """WITH e AS (SELECT * FROM events),
+        |prev AS (
+        |  SELECT event_id,
+        |         sha256(user_id::VARCHAR || '-' || start_us::VARCHAR) AS session_id
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |           min(epoch_us(ts)) OVER (PARTITION BY user_id, session_no) AS start_us
+        |    FROM (
+        |      SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM (
+        |        SELECT event_id, user_id, ts,
+        |               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |        FROM e WHERE epoch_us(ts) <= 1705276800000000)))),
+        |unioned AS (
+        |  SELECT e.event_id, prev.session_id FROM e JOIN prev USING (event_id)
+        |  UNION ALL
+        |  SELECT event_id, NULL AS session_id FROM e WHERE epoch_us(ts) > 1705276800000000)
+        |SELECT session_id IS NULL AS is_current, count(*) AS n_rows,
+        |       min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM unioned GROUP BY 1 ORDER BY is_current""".stripMargin,
+
+    "hour_partitions" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, strftime(ts, '%H') AS event_hour,
+        |       count(*) AS n_rows,
+        |       SUM(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_date, event_hour""".stripMargin,
+
+    "eventtype_when" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN 'money'
+        |            WHEN event_type = 'error' THEN NULL
+        |            ELSE 'engagement' END AS kind,
+        |       count(*) AS n_rows,
+        |       SUM(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM events GROUP BY 1 ORDER BY kind NULLS FIRST""".stripMargin,
+
+    "json_props" ->
+      """SELECT (k % 10) AS k_mod, count(*) AS n_rows, SUM(k)::BIGINT AS sum_k
+        |FROM (SELECT regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k FROM events)
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "asof_prior_signup" ->
+      """SELECT event_id, user_id, prior_signup_us FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_signup_us
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+}

@@ -1,21 +1,27 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Relational operator surface over the TPC-H-ish tables (SURVEY.md §2.3
-  * joins, §2.5 aggregations, §2.7 sorts/limits). The reference's pipeline
-  * never joins (SURVEY.md §2.3) but the engine must expose the full join
-  * surface; these queries exercise it against the DuckDB oracle.
+  * joins, §2.4 set ops, §2.5 aggregations, §2.6 windows, §2.7 sorts/limits).
+  * The reference's pipeline never joins (SURVEY.md §2.3) but the engine must
+  * expose the full join surface; these queries exercise it against DuckDB.
+  *
+  * Scale notes per query are in the scaladoc of each entry: the intent is
+  * that every plan here survives a 1000-executor / 100 TB run — dimension
+  * tables broadcast, fact-fact joins shuffle on their join keys only, and
+  * aggregates are partial+final (map-side combine).
   *
   * Money → integer cents before SUM (exact in both engines); see
-  * SessionQueries for the portability rules.
+  * SessionQueries for the full portability rules.
   */
 object RelationalQueries {
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+  private def cents(c: Column): Column = round(c * 100).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (spark, dir) =>
@@ -30,6 +36,192 @@ object RelationalQueries {
           sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("sum_disc_cents"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_top_orders" -> { (spark, dir) =>
+      // TPC-H Q3 shape: small filtered dim (customer) broadcast into
+      // orders, then one shuffle join with lineitem on the order key.
+      import spark.implicits._
+      val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+      val ord = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(li, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy($"revenue_cents".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    "q5_region_revenue" -> { (spark, dir) =>
+      // Star join: region→nation→customer broadcast chain (all tiny),
+      // single shuffle join orders⋈lineitem carries the weight at scale.
+      import spark.implicits._
+      val reg = Tables.region(spark, dir).filter($"r_name" === "EUROPE")
+      val nat = Tables.nation(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      val ord = Tables.orders(spark, dir)
+      val li = Tables.lineitem(spark, dir)
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("n_name")
+    },
+
+    "brand_join" -> { (spark, dir) =>
+      // Broadcast dim join: part is always small relative to lineitem.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("p_brand")
+    },
+
+    "semi_join_parts" -> { (spark, dir) =>
+      // left_semi = EXISTS; no fact columns flow, so only the key shuffles.
+      import spark.implicits._
+      val recent = Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      Tables.part(spark, dir)
+        .join(recent, $"p_partkey" === $"l_partkey", "left_semi")
+        .select($"p_partkey", $"p_name")
+        .orderBy("p_partkey")
+    },
+
+    "anti_join_customers" -> { (spark, dir) =>
+      // left_anti = NOT EXISTS (customers with no urgent orders — filtered
+      // right side so the result is non-trivial at every scale factor).
+      import spark.implicits._
+      val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+      Tables.customer(spark, dir)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy("c_custkey")
+    },
+
+    "set_ops_custkeys" -> { (spark, dir) =>
+      // INTERSECT / EXCEPT surface (SURVEY §2.4 — engine exposes beyond U1).
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir)
+      def keys(status: String) = ord.filter($"o_orderstatus" === status).select($"o_custkey")
+      keys("O").intersect(keys("F")).except(keys("P"))
+        .orderBy("o_custkey")
+    },
+
+    "distinct_counts" -> { (spark, dir) =>
+      // count(DISTINCT) forces the expand+two-phase agg plan; exact.
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("n_custs"),
+          count(lit(1)).as("n_orders"),
+          sum(cents($"o_totalprice")).as("total_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    "rollup_lineitem" -> { (spark, dir) =>
+      // ROLLUP grouping sets; NULL group labels coalesced for portability.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum($"l_quantity".cast("long")).as("sum_qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+          coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+          $"n_rows", $"sum_qty")
+        .orderBy("returnflag", "linestatus")
+    },
+
+    "range_join_ship" -> { (spark, dir) =>
+      // Equi-key + range predicate: the equi key (orderkey) drives the
+      // shuffle; the range condition is a post-join filter — no O(n²).
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir),
+          $"l_orderkey" === $"o_orderkey" &&
+            $"l_shipdate" >= $"o_orderdate" &&
+            $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    "topk_per_group" -> { (spark, dir) =>
+      // Per-group top-k via row_number; at scale this is the rank-pushdown
+      // pattern (WindowGroupLimit kicks in on Spark 3.5+/4.x).
+      import spark.implicits._
+      val w = Window.partitionBy($"p_type").orderBy($"p_retailprice".desc, $"p_partkey")
+      Tables.part(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"p_type", $"rk", $"p_partkey", cents($"p_retailprice").as("price_cents"))
+        .orderBy("p_type", "rk")
+    },
+
+    "window_funcs" -> { (spark, dir) =>
+      // rank/dense_rank/ntile/lag/lead in one pass over one window spec.
+      import spark.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(spark, dir)
+        .select($"c_mktsegment", $"c_custkey",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lag($"c_custkey", 1).over(w).as("prev_cust"),
+          lead($"c_custkey", 1).over(w).as("next_cust"))
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    },
+
+    "rolling_sum" -> { (spark, dir) =>
+      // Bounded ROWS frame (sliding window) per supplier timeline.
+      import spark.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.lineitem(spark, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+          sum(cents($"l_extendedprice")).over(w).as("rolling_cents"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    "global_sort_limit" -> { (spark, dir) =>
+      // Global order-by + limit → TakeOrderedAndProject (no full sort).
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", cents($"l_extendedprice").as("price_cents"))
+        .orderBy($"price_cents".desc, $"l_orderkey", $"l_linenumber")
+        .limit(100)
+    },
+
+    "latest_order_per_cust" -> { (spark, dir) =>
+      // Latest-row-per-group (reference W5+P5 pattern on business data).
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables.orders(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" === 1)
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
+        .orderBy("o_custkey")
+    },
+
+    "approx_distinct_parts" -> { (spark, dir) =>
+      // HLL sketch — approximate by design, so no DuckDB oracle (driver
+      // records a rows-only check). The 100 TB answer to COUNT(DISTINCT).
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
     })
 
   val oracles: Map[String, String] = Map(
@@ -40,5 +232,112 @@ object RelationalQueries {
         |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS sum_disc_cents,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents,
+        |       count(*) AS n_items
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, order_date
+        |ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "brand_join" ->
+      """SELECT p_brand,
+        |       SUM(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        |       SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "semi_join_parts" ->
+      """SELECT p_partkey, p_name FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2000-01-01')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_ops_custkeys" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "distinct_counts" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(*) AS n_orders,
+        |       SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rollup_lineitem" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n_rows, SUM(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "range_join_ship" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |       SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_cents
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "topk_per_group" ->
+      """SELECT p_type, rk, p_partkey, price_cents FROM (
+        |  SELECT p_type, p_partkey, round(p_retailprice * 100)::BIGINT AS price_cents,
+        |         row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) WHERE rk <= 3
+        |ORDER BY p_type, rk""".stripMargin,
+
+    "window_funcs" ->
+      """SELECT c_mktsegment, c_custkey,
+        |       rank() OVER w AS rnk,
+        |       dense_rank() OVER w AS drnk,
+        |       ntile(4) OVER w AS quartile,
+        |       lag(c_custkey, 1) OVER w AS prev_cust,
+        |       lead(c_custkey, 1) OVER w AS next_cust
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
+    "rolling_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       (SUM(round(l_extendedprice * 100)::BIGINT) OVER (
+        |         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::BIGINT AS rolling_cents
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "global_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 100)::BIGINT AS price_cents
+        |FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "latest_order_per_cust" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin)
 }
