@@ -19,10 +19,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     SessionQueries.queries ++
       EventQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++
+      DedupQueries.queries ++
+      SimilarityQueries.queries ++
+      TextQueries.queries
 
   def oracleSql: Map[String, String] =
     SessionQueries.oracles ++
       EventQueries.oracles ++
-      RelationalQueries.oracles
+      RelationalQueries.oracles ++
+      DedupQueries.oracles ++
+      SimilarityQueries.oracles ++
+      TextQueries.oracles
 }

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (Array[Float]).
+  *
+  * Numeric portability: embeddings are cast to Array[Double] BEFORE any
+  * arithmetic, and cosine is always the same expression shape
+  * dot(a,b)/sqrt(dot(a,a)*dot(b,b)) — float64 scalar chains are
+  * bit-identical across engines; only the candidate ORDER matters, and
+  * ties are broken by vec_id.
+  *
+  * Scale posture: brute force is a broadcast of the (small) query set over
+  * a partition-parallel scan of the corpus — linear, no shuffle until the
+  * per-query top-k (tiny). The IVF variant buckets the corpus by nearest
+  * centroid so each query probes one bucket: the 100 TB path, where the
+  * corpus shuffle is on cluster id and per-bucket fan-in is corpus/K.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two Array[Double] columns — the same
+    * left-to-right summation order DuckDB's list_dot_product uses.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  private def asDouble(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn(embCol, col(embCol).cast("array<double>"))
+
+  /** Brute-force top-k neighbors for each query vector (queries broadcast,
+    * corpus scanned once). Output: (query_id, rk, neighbor_id).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = asDouble(corpus, embCol)
+    val q = asDouble(queries, embCol)
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+    val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col(embCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"))
+  }
+
+  /** Assign every vector to its nearest centroid (IVF coarse quantizer).
+    * Centroids are broadcast; ties broken by centroid id.
+    */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = asDouble(corpus, embCol)
+    val cent = asDouble(centroids, embCol)
+      .select(col(idCol).as("centroid_id"), col(embCol).as("cv"))
+    val scored = c.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("cv"), col(embCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
+    scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col(idCol), col(embCol), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF top-k: each query searches only its own cluster's bucket —
+    * deterministic approximate recall, centroids = caller-chosen vectors.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+    val q = assigned.join(
+        queries.select(col(idCol)).withColumnRenamed(idCol, "query_id"),
+        col(idCol) === col("query_id"))
+      .select(col("query_id"), col(embCol).as("qv"), col("cluster").as("qcluster"))
+    val scored = assigned.join(broadcast(q),
+        col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col(embCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token statistics, heuristic language ID, and document fingerprinting.
+  * All built from codegen'd built-ins (split/regexp/HOFs) — no UDFs — and
+  * all per-row scalar math, so they parallelize embarrassingly and oracle
+  * exactly.
+  */
+object TextOps {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Per-document quality metrics: token counts, distinct ratio, stopword
+    * ratio, punctuation count and a simple keep/drop flag. Ratios are
+    * int/int double divisions (bit-identical across engines).
+    */
+  def qualityMetrics(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nToks = size(toks)
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+    val nPunct = size(regexp_extract_all(col(textCol), lit("[^a-z0-9 ]"), lit(0)))
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      nToks.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      (size(array_distinct(toks)).cast("double") / nToks).as("distinct_ratio"),
+      (nStop.cast("double") / nToks).as("stopword_ratio"),
+      (nToks >= 10 && nStop * 20 < nToks * 7).as("keep"))
+  }
+
+  /** Global token frequency: explode + hash aggregate (partial+final, so
+    * the shuffle carries one row per distinct token per partition).
+    */
+  def tokenCounts(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** Heuristic language ID: score = marker-token hit count per language;
+    * prediction = argmax score with lexicographic tie-break. Markers are
+    * n-gram-style surface cues; deterministic and engine-portable.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht"),
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "que"),
+    "fr" -> Seq("le", "la", "et"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def languageId(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+      val arr = array(markers.map(lit): _*)
+      acc.withColumn(s"score_$lang", size(filter(toks, t => array_contains(arr, t))))
+    }
+    // argmax over the scores; iterating in alphabetical lang order with a
+    // STRICT > keeps the earliest lang on ties — matched in the oracle by
+    // a CASE … >= greatest(rest) chain.
+    val predicted = LangMarkers.map(_._1)
+      .foldLeft((lit(""), lit(-1))) { case ((bestLang, bestScore), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, lit(lang)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+      }._1
+    scored.select(col(idCol) +: col("lang").as("label") +: predicted.as("predicted") +:
+      LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+  }
+
+  /** Document fingerprint from character k-gram md5s: the min (a 1-hash
+    * MinHash), max, and distinct-gram count — a rolling-hash style content
+    * signature that is stable under document reordering of duplicates.
+    */
+  def fingerprint(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 8): DataFrame = {
+    val n = length(col(textCol))
+    val grams = transform(sequence(lit(1), n - (k - 1)),
+      i => md5(col(textCol).substr(i, lit(k))))
+    df.select(
+      col(idCol),
+      when(n >= k, array_min(grams)).otherwise(lit(null)).as("fp_min"),
+      when(n >= k, array_max(grams)).otherwise(lit(null)).as("fp_max"),
+      when(n >= k, size(array_distinct(grams))).otherwise(lit(0)).as("n_grams"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Deduplication surface over `documents`: exact, MinHash+LSH, SimHash,
+  * and blocked n-gram Jaccard. Oracles avoid floating point entirely —
+  * Jaccard thresholds compare as integer cross-products, and all hashes
+  * are md5-derived (bit-identical across engines).
+  *
+  * The MinHash oracle is brute-force all-pairs: with 16 bands × 2 rows the
+  * probability LSH misses a pair at the 0.5 threshold is (1−j²)^16 ≤ 1%,
+  * and the planted near-dups in this corpus sit at j ≥ 0.95 (miss prob
+  * ~1e-16), so LSH output == exact output.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: distinct 3-token shingle lists per document. */
+  private val ShinglesCte =
+    """d AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks,
+      |             len(string_split(text, ' ')) AS nt FROM documents),
+      |sh AS (SELECT doc_id, lang, n_chars,
+      |              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                             for i in range(1, nt - 1)]) AS s
+      |       FROM d)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (spark, dir) =>
+      import spark.implicits._
+      Dedup.exact(Tables.documents(spark, dir))
+        .orderBy("keeper_id")
+    },
+
+    "dedup_minhash" -> { (spark, dir) =>
+      import spark.implicits._
+      Dedup.minhashPairs(Tables.documents(spark, dir))
+        .select($"doc_a", $"doc_b", $"inter".cast("long").as("inter"),
+          $"uni".cast("long").as("uni"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_simhash" -> { (spark, dir) =>
+      import spark.implicits._
+      Dedup.simhash(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
+    "dedup_ngram_jaccard" -> { (spark, dir) =>
+      // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32 — the
+      // cheap predicates run as join filters BEFORE any array math, so the
+      // expensive intersect only touches plausible pairs.
+      import spark.implicits._
+      val sh = Dedup.withShingles(Tables.documents(spark, dir))
+        .select($"doc_id", $"lang", $"n_chars", $"shingles")
+      val a = sh.select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("nc_a"), $"shingles".as("sh_a"))
+      val b = sh.select($"doc_id".as("doc_b"), $"lang", $"n_chars".as("nc_b"), $"shingles".as("sh_b"))
+      a.join(b, Seq("lang"))
+        .filter($"doc_a" < $"doc_b" && abs($"nc_a" - $"nc_b") <= 32)
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("long"))
+        .filter($"inter" * 10 > $"uni" * 3)
+        .select($"doc_a", $"doc_b", $"lang", $"inter", $"uni")
+        .orderBy("doc_a", "doc_b")
+    })
+
+  private def simhashOracleBits: String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN SUM((((h >> $j) & 1) * 2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s))::BIGINT AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s)))::BIGINT AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, uni FROM p
+         |WHERE inter * 2 > uni ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |        FROM documents))
+         |SELECT doc_id, ($simhashOracleBits)::BIGINT AS simhash
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+         |             len(list_intersect(a.s, b.s))::BIGINT AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s)))::BIGINT AS uni
+         |      FROM sh a JOIN sh b
+         |        ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |       AND abs(a.n_chars - b.n_chars) <= 32)
+         |SELECT doc_a, doc_b, lang, inter, uni FROM p
+         |WHERE inter * 10 > uni * 3 ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -162,7 +162,8 @@ object RelationalQueries {
       Tables.part(spark, dir)
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 3)
-        .select($"p_type", $"rk", $"p_partkey", cents($"p_retailprice").as("price_cents"))
+        .select($"p_type", $"rk".cast("long").as("rk"), $"p_partkey",
+          cents($"p_retailprice").as("price_cents"))
         .orderBy("p_type", "rk")
     },
 
@@ -172,9 +173,11 @@ object RelationalQueries {
       val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
       Tables.customer(spark, dir)
         .select($"c_mktsegment", $"c_custkey",
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"),
+          // rank family returns int32 in Spark but int64 in DuckDB — cast
+          // so the driver's hash compare sees identical physical types.
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
           lag($"c_custkey", 1).over(w).as("prev_cust"),
           lead($"c_custkey", 1).over(w).as("next_cust"))
         .orderBy("c_mktsegment", "rnk", "c_custkey")

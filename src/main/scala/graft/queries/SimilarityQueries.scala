@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** Similarity-search surface over `embeddings` (Array[Float], dim 64).
+  * Outputs are (query_id, rk, neighbor_id) ONLY — scores stay internal so
+  * the oracle compares orderings, not floats; vectors are cast to double
+  * before any arithmetic and ties break on vec_id.
+  */
+object SimilarityQueries {
+
+  private val CosSql =
+    "list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cosine_topk" -> { (spark, dir) =>
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter($"vec_id" < 10)
+      Similarity.bruteForceTopK(emb, q, k = 5)
+        .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id")
+        .orderBy("query_id", "rk")
+    },
+
+    "ivf_topk" -> { (spark, dir) =>
+      // Deterministic IVF: centroids are the vectors with vec_id < 8;
+      // every vector is assigned to its nearest centroid and each query
+      // searches only its own bucket — the corpus-partitioned ANN path.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = emb.filter($"vec_id" < 8)
+      val q = emb.filter($"vec_id" < 10)
+      Similarity.ivfTopK(emb, q, centroids, k = 3)
+        .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id")
+        .orderBy("query_id", "rk")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT query_id, vec_id, $CosSql AS cos
+         |      FROM q, e WHERE vec_id <> query_id)
+         |SELECT query_id, rk, vec_id AS neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s) WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, centroid_id,
+         |         list_dot_product(cv, v) / sqrt(list_dot_product(cv, cv) * list_dot_product(v, v)) AS ccos
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, v, centroid_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
+         |    FROM scored) WHERE crk = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qcluster
+         |      FROM assigned WHERE vec_id < 10),
+         |s AS (SELECT query_id, a.vec_id, $CosSql AS cos
+         |      FROM q JOIN assigned a ON a.cluster = qcluster AND a.vec_id <> query_id)
+         |SELECT query_id, rk, vec_id AS neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s) WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextOps
+
+/** Text-analysis surface over `documents`: quality metrics, global token
+  * stats, heuristic language ID, char-n-gram fingerprints, and the binary
+  * (multimodal) column plumbing. Ratios are int/int double divisions —
+  * bit-identical across engines, safe to compare exactly.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.qualityMetrics(Tables.documents(spark, dir))
+        .select($"doc_id", $"n_chars".cast("long").as("n_chars"),
+          $"n_tokens".cast("long").as("n_tokens"),
+          $"n_distinct".cast("long").as("n_distinct"),
+          $"n_stopwords".cast("long").as("n_stopwords"),
+          $"n_punct".cast("long").as("n_punct"),
+          $"distinct_ratio", $"stopword_ratio", $"keep")
+        .orderBy("doc_id")
+    },
+
+    "token_counts" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.tokenCounts(Tables.documents(spark, dir))
+        .orderBy($"n_occurrences".desc, $"token")
+        .limit(50)
+    },
+
+    "lang_id" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.languageId(Tables.documents(spark, dir))
+        .select($"doc_id", $"label", $"predicted",
+          $"score_de".cast("long").as("score_de"),
+          $"score_en".cast("long").as("score_en"),
+          $"score_es".cast("long").as("score_es"),
+          $"score_fr".cast("long").as("score_fr"),
+          $"score_zh".cast("long").as("score_zh"))
+        .orderBy("doc_id")
+    },
+
+    "doc_fingerprint" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.fingerprint(Tables.documents(spark, dir))
+        .select($"doc_id", $"fp_min", $"fp_max", $"n_grams".cast("long").as("n_grams"))
+        .orderBy("doc_id")
+    },
+
+    "binary_meta" -> { (spark, dir) =>
+      // Multimodal plumbing: treat content as an opaque binary column with
+      // typed metadata; here the binary is the utf-8 encoding of text and
+      // the "decode" is a byte-level feature extraction (sizes + frame
+      // count at 64-byte frames). Real media decode is stubbed at the
+      // library layer (graft.ops.Multimodal) — the Spark-side schema,
+      // partitioning and batch shape are what this query locks in.
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          octet_length($"text").cast("long").as("n_bytes"),
+          md5($"text").as("content_md5"),
+          ceil(octet_length($"text") / lit(64.0)).cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    })
+
+  private def markerSql(lang: String, markers: Seq[String]): String = {
+    val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($arr, t)))::BIGINT AS score_$lang"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+        |         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       len(toks)::BIGINT AS n_tokens,
+        |       len(list_distinct(toks))::BIGINT AS n_distinct,
+        |       len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t)))::BIGINT AS n_stopwords,
+        |       n_punct::BIGINT AS n_punct,
+        |       len(list_distinct(toks))::DOUBLE / len(toks) AS distinct_ratio,
+        |       len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t)))::DOUBLE / len(toks) AS stopword_ratio,
+        |       (len(toks) >= 10 AND
+        |        len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) * 20 < len(toks) * 7) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "token_counts" ->
+      """SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextOps.LangMarkers.map { case (l, ms) => markerSql(l, ms) }.mkString(",\n       ")
+      // argmax with earliest-lang tie-break = CASE … >= greatest(remaining)
+      """WITH t AS (SELECT doc_id, lang AS label, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, label,
+        |       SCORES
+        |FROM t)
+        |SELECT doc_id, label,
+        |       CASE WHEN score_de >= greatest(score_en, score_es, score_fr, score_zh) THEN 'de'
+        |            WHEN score_en >= greatest(score_es, score_fr, score_zh) THEN 'en'
+        |            WHEN score_es >= greatest(score_fr, score_zh) THEN 'es'
+        |            WHEN score_fr >= score_zh THEN 'fr'
+        |            ELSE 'zh' END AS predicted,
+        |       score_de, score_en, score_es, score_fr, score_zh
+        |FROM s ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+    },
+
+    "doc_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(text) >= 8
+        |              THEN [md5(substr(text, i, 8)) for i in range(1, len(text) - 6)]
+        |              ELSE NULL END AS grams
+        |  FROM documents)
+        |SELECT doc_id, list_min(grams) AS fp_min, list_max(grams) AS fp_max,
+        |       coalesce(len(list_distinct(grams)), 0)::BIGINT AS n_grams
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "binary_meta" ->
+      """SELECT doc_id, source,
+        |       octet_length(encode(text))::BIGINT AS n_bytes,
+        |       md5(text) AS content_md5,
+        |       ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

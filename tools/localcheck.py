@@ -46,6 +46,9 @@ def main():
         if list(got.columns) != list(want.columns):
             print(f"[COLS] {name}: spark={list(got.columns)} oracle={list(want.columns)}")
             n_bad += 1; continue
+        if [str(t) for t in got.dtypes] != [str(t) for t in want.dtypes]:
+            print(f"[TYPE] {name}: spark={dict(got.dtypes.astype(str))} oracle={dict(want.dtypes.astype(str))}")
+            n_bad += 1; continue
         if len(got) != len(want):
             print(f"[ROWS] {name}: spark={len(got)} oracle={len(want)}")
             n_bad += 1; continue
