@@ -1,0 +1,50 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Schemas
+
+/** Monthly-CSV → hour-partitioned parquet ingest (reference
+  * DailyFileDivider.scala:18–51 parity).
+  *
+  * Scale posture: deriving the partition columns is a codegen'd
+  * projection; `repartition(event_date, event_hour)` hash-exchanges once
+  * so each output partition is written by one task (one-file-per-
+  * partition-ish layout, DFD:43); dynamic partition overwrite makes
+  * re-ingesting a month idempotent (DFD:13).
+  */
+object Ingest {
+
+  def derivePartitions(df: DataFrame): DataFrame = {
+    val ts = to_timestamp(col("event_time"), Schemas.EventTimeFormat)
+    df.withColumn("event_date", date_format(ts, "yyyy-MM-dd"))
+      .withColumn("event_hour", date_format(ts, "HH"))
+  }
+
+  def run(spark: SparkSession, csvPath: String, outPath: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val raw = spark.read
+      .option("header", "true")
+      .schema(Schemas.behavior)
+      .csv(csvPath)
+      // CSV carries no partition columns yet; they are derived below.
+      .drop("event_date", "event_hour")
+    derivePartitions(raw)
+      .repartition(col("event_date"), col("event_hour"))
+      .write
+      .partitionBy("event_date", "event_hour")
+      .mode("overwrite")
+      .parquet(outPath)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(csvPath, outPath) = args
+    val spark = SparkSession.builder()
+      .appName("graft-ingest")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    run(spark, csvPath, outPath)
+    spark.stop()
+  }
+}

@@ -79,6 +79,33 @@ object Sessionize {
       .drop("__start_us")
   }
 
+  /** Like [[withSessionId]] but honors ids carried in from a previous
+    * batch (reference W3 3-way seeding, SessionizationBuiltIn.scala:97–103):
+    * rows arriving with a non-null `carryCol` keep that id for their whole
+    * session; sessions with no carried row mint the sha2 id. At most one
+    * carried row can exist per (user, session): `activeLatestPerSession`
+    * keeps one row per session, and two sessions of the same user are
+    * >gap apart so only the newest fits the lookback window.
+    */
+  def withCarriedSessionId(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      tieCols: Seq[String] = Seq("event_id"),
+      gapSec: Long = DefaultGapSec,
+      carryCol: String = "session_id"): DataFrame = {
+    val withNo = withSessionNo(
+      df.withColumnRenamed(carryCol, "__carried"), userCol, tsCol, tieCols, gapSec)
+    val wSess = Window.partitionBy(userCol, "session_no")
+    withNo
+      .withColumn("__start_us", min(unix_micros(col(tsCol))).over(wSess))
+      .withColumn("__carry", max(col("__carried")).over(wSess))
+      .withColumn(carryCol, coalesce(col("__carry"),
+        sha2(concat_ws("-", col(userCol).cast("string"),
+          col("__start_us").cast("string")), 256)))
+      .drop("__carried", "__carry", "__start_us")
+  }
+
   /** Latest row per session that is still active at `boundaryUs − gap`
     * (reference loadPrevActiveSessions, SessionizationBuiltIn.scala:117–134;
     * SURVEY.md W5+P5+P4). Boundary edge is INCLUSIVE (>=, SBI:129).

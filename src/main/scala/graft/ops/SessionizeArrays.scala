@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Array/higher-order-function sessionization — covers the operator
+  * surface of the reference's deprecated first-cut implementation
+  * (SessionizationUdf.scala:46–108: groupBy + collect_list(struct) +
+  * array_sort + zip_with + explode), re-expressed WITHOUT the Scala
+  * closure UDF (SessionizationUdf.scala:58–74): the per-user sequential
+  * fold becomes Catalyst HOFs (transform/aggregate/slice), which stay
+  * inside codegen.
+  *
+  * Session numbering within an array is O(n²) per user (Spark has no scan
+  * HOF); bounded by per-user event counts, not table size. The window
+  * formulation in [[Sessionize]] is the production path — the reference
+  * itself deprecated the array path for it (SessionizationUdf.scala:10–13)
+  * — but the engine keeps both because the aggregation/nested-array/
+  * generator surface (SURVEY.md §2 A1, F10–F15) must exist.
+  */
+object SessionizeArrays {
+
+  /** Returns (user, event_id, session_no) computed entirely via the
+    * collect_list → HOF → explode path. Equivalent to
+    * [[Sessionize.withSessionNo]] output projected to these columns.
+    */
+  def sessionNumbers(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      gapSec: Long = Sessionize.DefaultGapSec): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val grouped = df
+      .select(col(userCol), struct(col(tsCol).as("ts"), col(idCol).as("event_id")).as("ev"))
+      .groupBy(col(userCol))
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+
+    val n = size(col("evs"))
+    val ts = (i: org.apache.spark.sql.Column) =>
+      unix_micros(element_at(col("evs"), i).getField("ts"))
+    val flags = transform(sequence(lit(1), n), i =>
+      when(i === 1 || ts(i) - ts(i - 1) > gapUs, 1L).otherwise(0L))
+
+    grouped
+      .withColumn("__flags", flags)
+      .withColumn("__labeled", transform(sequence(lit(1), n), i =>
+        struct(
+          element_at(col("evs"), i).getField("event_id").as("event_id"),
+          aggregate(slice(col("__flags"), lit(1), i), lit(0L), _ + _).as("session_no"))))
+      .select(col(userCol), explode(col("__labeled")).as("e"))
+      .select(col(userCol), col("e.event_id"), col("e.session_no"))
+  }
+}

@@ -57,6 +57,16 @@ object SessionQueries {
         .orderBy("session_id")
     },
 
+    "sessionize_hof" -> { (spark, dir) =>
+      // The reference's deprecated array path (SUDF surface): groupBy +
+      // collect_list(struct) + array_sort + HOFs + explode, no UDF.
+      // Must produce the same session numbering as the window path.
+      import spark.implicits._
+      graft.ops.SessionizeArrays.sessionNumbers(Tables.events(spark, dir))
+        .select($"event_id", $"user_id", $"session_no")
+        .orderBy("event_id")
+    },
+
     "session_gaps" -> { (spark, dir) =>
       // W1 surface in isolation: per-event lag + gap, first event NULL.
       import spark.implicits._
@@ -117,6 +127,16 @@ object SessionQueries {
         |WHERE epoch_us(ts) >= 1705276800000000 - 1800000000
         |QUALIFY row_number() OVER (PARTITION BY session_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY session_id""".stripMargin,
+
+    "sessionize_hof" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |       (SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
+        |FROM d ORDER BY event_id""".stripMargin,
 
     "session_gaps" ->
       """SELECT event_id, user_id,

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.jobs.{Ingest, SessionizeHour}
+import graft.ops.DataQuality
+import graft.schema.Schemas
+
+/** End-to-end job tests: CSV ingest → partitioned logs → two hourly
+  * sessionization runs with cross-hour carry → data-quality checks →
+  * idempotent re-run (reference DAG semantics, SURVEY.md §2.9/§2.11).
+  */
+class JobsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeCsv(dir: String): String = {
+    val rows = Seq(
+      "event_time,event_type,product_id,category_id,category_code,brand,price,user_id",
+      "2019-10-01 09:45:00 UTC,view,1,1,code1,brand1,10.0,2",
+      "2019-10-01 10:06:00 UTC,view,2,1,code1,brand1,10.0,1",
+      "2019-10-01 10:10:00 UTC,cart,3,1,code1,brand1,20.0,2",
+      "2019-10-01 10:55:00 UTC,purchase,4,1,code1,brand1,20.0,2",
+      "2019-10-01 11:20:00 UTC,view,5,1,code1,brand1,5.0,2",
+      "2019-10-01 11:59:00 UTC,view,6,1,code1,brand1,5.0,1")
+    val p = java.nio.file.Paths.get(dir, "month.csv")
+    Files.write(p, rows.mkString("\n").getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("ingest + two hourly runs: carry across hours, parity, idempotence") {
+    val base = Files.createTempDirectory("graft-jobs").toString
+    val logs = s"$base/logs"; val sessions = s"$base/sessions"
+
+    Ingest.run(spark, writeCsv(base), logs)
+    val logDf = spark.read.schema(Schemas.behavior).parquet(logs)
+    assert(logDf.count() == 6)
+    assert(logDf.select("event_hour").distinct().count() == 3) // 09,10,11
+
+    // hour 10: user2's 09:45 event carries into 10:10 (25-min gap).
+    SessionizeHour.run(spark, logs, sessions, "2019-10-01", "10")
+    val h10 = spark.read.schema(Schemas.session).parquet(sessions)
+      .filter($"event_hour" === "10")
+    assert(h10.count() == 3)
+    assert(DataQuality.nullCount(h10, "session_id") == 0)
+    val u2h10 = h10.filter($"user_id" === 2).select("product_id", "session_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 10:10 continues the 09:45 session of the PREVIOUS hour, but since
+    // hour 09 was never sessionized there is nothing to carry — it mints.
+    // 10:55 is 45 min after 10:10 → separate session.
+    assert(u2h10(3L) != u2h10(4L))
+
+    // hour 11: user2 10:55 → 11:20 is 25 min → same session (carried id);
+    // user1 10:06 → 11:59 is far apart → new id.
+    SessionizeHour.run(spark, logs, sessions, "2019-10-01", "11")
+    val h11 = spark.read.schema(Schemas.session).parquet(sessions)
+      .filter($"event_hour" === "11")
+    assert(h11.count() == 2)
+    val h10After = spark.read.schema(Schemas.session).parquet(sessions)
+      .filter($"event_hour" === "10")
+    val u2h11 = h11.filter($"user_id" === 2).select("session_id")
+      .head.getString(0)
+    val u2h10Late = h10After.filter($"user_id" === 2 && $"product_id" === 4)
+      .select("session_id").head.getString(0)
+    assert(u2h11 == u2h10Late)                       // cross-hour carry
+    val u1h11 = h11.filter($"user_id" === 1).select("session_id").head.getString(0)
+    val u1h10 = h10After.filter($"user_id" === 1).select("session_id").head.getString(0)
+    assert(u1h11 != u1h10)                           // expired → new id
+
+    // parity check: hour-11 logs vs hour-11 sessions.
+    val (a, b, ok) = DataQuality.rowCountParity(
+      logDf.filter($"event_hour" === "11"), h11)
+    assert(ok && a == 2 && b == 2)
+
+    // idempotence: re-running hour 11 leaves identical output.
+    val before = h11.orderBy("product_id").collect().toSeq
+    SessionizeHour.run(spark, logs, sessions, "2019-10-01", "11")
+    val after = spark.read.schema(Schemas.session).parquet(sessions)
+      .filter($"event_hour" === "11").orderBy("product_id").collect().toSeq
+    assert(before == after)
+    // and hour 10 was NOT touched by the hour-11 dynamic overwrite.
+    assert(spark.read.schema(Schemas.session).parquet(sessions)
+      .filter($"event_hour" === "10").count() == 3)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit specs for the training-pipeline extension operators. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: guard for short texts, distinct 3-grams") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x x")).toDF("doc_id", "text")
+    val out = Dedup.withShingles(df).select("doc_id", "shingles")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c", "b c d"))
+    assert(out(2L) == Seq())                 // shorter than n → empty, not reversed sequence
+    assert(out(3L) == Seq("x x x"))          // distinct
+  }
+
+  test("exact dedup counts copies") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df).select("keeper_id", "n_copies")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash finds planted near-dup and skips unrelated") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: near-dup hamming distance is small, unrelated is large") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => if (i % 20 == 0) s"chg$i" else s"tok$i").mkString(" ")
+    val far = (200 to 260).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val h = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) < ham(h(1L), h(3L)))
+    assert(ham(h(1L), h(2L)) <= 8)
+  }
+
+  test("cosine top-k: self-similar vector ranks first") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSeq.sorted == Seq((0L, 1, 1L), (0L, 2, 2L)))
+  }
+
+  test("ivf assigns to nearest centroid and searches within bucket") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),          // centroids
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.assignClusters(emb, emb.filter($"vec_id" < 2))
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned(2L) == 0L && assigned(4L) == 0L && assigned(3L) == 1L)
+    val out = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 2), emb.filter($"vec_id" < 2), k = 2)
+      .select("rk", "neighbor_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(out == Set((1, 0L), (2, 4L)))   // bucket 0 members only, no 1L/3L
+  }
+
+  test("quality metrics and language id are deterministic") {
+    val df = Seq((1L, "the quick brown fox the end", "en")).toDF("doc_id", "text", "lang")
+    val q = TextOps.qualityMetrics(df).head
+    assert(q.getAs[Int]("n_tokens") == 6)
+    assert(q.getAs[Int]("n_stopwords") == 2)
+    val l = TextOps.languageId(df).select("predicted").head.getString(0)
+    assert(l == "en")
+  }
+
+  test("multimodal: decode stub and frame sampling preserve contract") {
+    val docs = Tables.documents(spark, Sf0001).limit(10)
+    val media = Multimodal.fromText(docs)
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
+    import spark.implicits._
+    val feats = Multimodal.decodeStub(media.as[Multimodal.MediaRow]).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(f => f.n_bytes > 0 && f.n_frames == (f.n_bytes + 63) / 64))
+    val sampled = Multimodal.sampleFrames(media)
+    val row = sampled.select($"media_id", size($"frames").as("n")).head
+    assert(row.getInt(1) > 0)
+  }
+
+  test("fingerprint stable across duplicate content") {
+    val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "qrstuvwxyz012345"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df).select("doc_id", "fp_min")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+}

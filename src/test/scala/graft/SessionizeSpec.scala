@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sessionize, SessionizeArrays}
+
+/** Re-expression of the reference's unit-test semantics
+  * (SessionizationBuiltInTest.scala t1–t4, FIXTURES.md §A) on (user_id,
+  * ts, event_id) fixtures, plus equivalence and property checks.
+  */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def fixture(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp($"ts_s"))
+      .drop("ts_s")
+
+  // t1 — gap rule: 31-min gap splits, ≤30-min keeps; per user.
+  test("t1: 30-minute gap rule splits sessions per user") {
+    val df = fixture(
+      (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:10:00", 2L),
+      (1L, "2019-10-01 10:41:00", 3L), (1L, "2019-10-01 10:50:00", 4L),
+      (2L, "2019-10-01 10:00:00", 5L), (2L, "2019-10-01 10:20:00", 6L),
+      (2L, "2019-10-01 10:55:00", 7L))
+    val out = Sessionize.withSessionNo(df)
+      .select($"user_id", $"event_id", $"session_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1L)) == out((1L, 2L)))          // 10-min gap keeps
+    assert(out((1L, 2L)) != out((1L, 3L)))          // 31-min gap splits
+    assert(out((1L, 3L)) == out((1L, 4L)))
+    assert(out((2L, 5L)) == out((2L, 6L)))
+    assert(out((2L, 6L)) != out((2L, 7L)))          // 35-min gap splits
+  }
+
+  test("t1b: gap of exactly 1800s continues the session (strict >)") {
+    val df = fixture(
+      (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:30:00", 2L),
+      (1L, "2019-10-01 11:00:01", 3L))  // 1801s after event 2
+    val out = Sessionize.withSessionNo(df)
+      .select($"event_id", $"session_no")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))   // exactly 30:00 → same session
+    assert(out(2L) != out(3L))   // 30:01 → split
+  }
+
+  // t2 — out-of-order input sessionizes by event time, not input order.
+  test("t2: input order does not matter") {
+    val ordered = fixture(
+      (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:15:00", 2L),
+      (1L, "2019-10-01 10:55:00", 3L))
+    val shuffled = fixture(
+      (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:55:00", 3L),
+      (1L, "2019-10-01 10:15:00", 2L))
+    val a = Sessionize.withSessionId(ordered)
+      .select("event_id", "session_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Sessionize.withSessionId(shuffled)
+      .select("event_id", "session_id").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a.map(_._2).size == 2) // 40-min gap between events 2 and 3
+  }
+
+  // t3 — cross-batch carry: active carried id kept, expired re-minted.
+  test("t3: carried session ids survive for active sessions only") {
+    val boundaryUs = java.time.Instant.parse("2019-10-01T10:00:00Z").toEpochMilli * 1000L
+    val prev = Seq(
+      (1L, "2019-10-01 09:35:00", 10L, "sessionExpired"), // 31 min before first hour-10 event
+      (2L, "2019-10-01 09:45:00", 11L, "session2"))       // 25 min before → active
+      .toDF("user_id", "ts_s", "event_id", "session_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val cur = fixture(
+      (1L, "2019-10-01 10:06:00", 20L),
+      (2L, "2019-10-01 10:10:00", 21L))
+      .withColumn("session_id", lit(null).cast("string"))
+    val unioned = prev.unionByName(cur)
+    val out = Sessionize.withCarriedSessionId(unioned)
+      .select($"event_id", $"session_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(21L) == "session2")      // within 25 min → carried id kept
+    assert(out(20L) != "sessionExpired") // 31-min gap → new sha2 id minted
+    assert(out(20L).length == 64)
+  }
+
+  // t4 — active-session state load: stale dropped, latest row per session.
+  test("t4: activeLatestPerSession keeps only the latest row of live sessions") {
+    val boundaryUs = java.time.Instant.parse("2019-10-01T01:00:00Z").toEpochMilli * 1000L
+    val sessions = Seq(
+      (1L, "2019-10-01 00:29:00", 1L, "stale"),   // 31 min before boundary
+      (2L, "2019-10-01 00:40:00", 2L, "live1"),
+      (2L, "2019-10-01 00:45:00", 3L, "live1"),   // same session, later row
+      (3L, "2019-10-01 00:50:00", 4L, "live2"),
+      (4L, "2019-10-01 00:30:00", 5L, "edge"))    // exactly −30:00 → kept (>=)
+      .toDF("user_id", "ts_s", "event_id", "session_id")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val out = Sessionize.activeLatestPerSession(sessions, boundaryUs)
+      .select($"session_id", $"event_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("live1" -> 3L, "live2" -> 4L, "edge" -> 5L))
+  }
+
+  test("window path and HOF/array path agree on real data") {
+    val ev = Tables.events(spark, Sf0001)
+    val a = Sessionize.withSessionNo(ev)
+      .select("event_id", "session_no").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = SessionizeArrays.sessionNumbers(ev)
+      .select("event_id", "session_no").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("properties: within-session gaps <= 1800s, session starts > 1800s, ids non-null") {
+    val ev = Tables.events(spark, Sf0001)
+    val s = Sessionize.withSessionId(ev).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = s.withColumn("gap", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("same", $"session_no" === lag($"session_no", 1).over(w))
+    assert(gaps.filter($"same" && $"gap" > 1800000000L).count() == 0)
+    assert(gaps.filter(!$"same" && $"gap" <= 1800000000L).count() == 0)
+    assert(s.filter($"session_id".isNull).count() == 0)
+    assert(s.count() == ev.count())                      // row preservation
+    assert(s.select("session_id").distinct().count() ==
+      s.select("user_id", "session_no").distinct().count()) // id uniqueness
+    s.unpersist()
+  }
+}
