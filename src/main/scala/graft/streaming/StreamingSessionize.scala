@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming equivalents of the batch sessionization core
+  * (SURVEY.md §2.9/§7.6). The reference achieves streaming semantics by
+  * orchestrated hourly micro-batches; Spark-natively the same 30-minute
+  * session-gap semantics are `session_window` (for per-session
+  * aggregation) and `flatMapGroupsWithState` (for per-event labeling,
+  * where every event must leave with its session id).
+  *
+  * Watermark subsumes the reference's 30-minute lookback
+  * (loadPrevActiveSessions): state for a session closes only when the
+  * watermark passes its last event + gap. Late data beyond the watermark
+  * is dropped — a semantic the batch reference simply never handles
+  * (SURVEY.md §2.9 "late data: not handled").
+  */
+object StreamingSessionize {
+
+  val GapSeconds = 1800L
+
+  /** Per-session aggregation via the native session window: one row per
+    * (user, session) with count/min/max — works identically on batch
+    * DataFrames (used by tests as the oracle) and streams.
+    */
+  def sessionWindowAgg(events: DataFrame, withWatermarkCol: Option[String] = Some("ts")): DataFrame = {
+    val src = withWatermarkCol.fold(events)(c => events.withWatermark(c, "30 minutes"))
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), s"$GapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("first_event"), col("last_event"))
+  }
+
+  case class Ev(user_id: Long, ts: Timestamp, event_id: Long)
+  case class Labeled(user_id: Long, event_id: Long, session_id: String)
+  case class UserState(lastTsUs: Long, sessionStartUs: Long, buffered: List[(Long, Long)])
+
+  /** Per-event session labeling with explicit state: events buffer in
+    * state until the event-time timeout (watermark past last event + gap)
+    * closes the session, then every buffered event is emitted with the
+    * session id minted from the session's FIRST event — the same id
+    * scheme as the batch core. Append-mode safe: nothing is emitted until
+    * a session can no longer change.
+    */
+  def labelSessions(events: Dataset[Ev]): Dataset[Labeled] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[UserState], Labeled](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[List[UserState]]) =>
+          val sessions = state.getOption.getOrElse(Nil)
+          if (state.hasTimedOut) {
+            // Close every session whose last event + gap is at or behind
+            // the watermark; keep the rest in state.
+            val wmMs = state.getCurrentWatermarkMs()
+            val (closed, open) =
+              sessions.partition(s => s.lastTsUs / 1000L + GapSeconds * 1000L <= wmMs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp(open.map(_.lastTsUs / 1000L + GapSeconds * 1000L).min)
+            }
+            closed.iterator.flatMap(s => s.buffered.reverse.map { case (_, id) =>
+              Labeled(user, id, sessionId(user, s.sessionStartUs))
+            })
+          } else {
+            // Merge the new micro-batch's events into per-user sessions.
+            val evs = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = sessions
+            evs.foreach { e =>
+              // full µs precision: getTime is ms-truncated, getNanos holds
+              // the fractional second — must match the batch core's
+              // unix_micros exactly or the sha2 ids diverge.
+              val tsUs = e.ts.getTime / 1000L * 1000000L + e.ts.getNanos / 1000L
+              open = open match {
+                case head :: tail if tsUs - head.lastTsUs <= GapSeconds * 1000000L =>
+                  head.copy(lastTsUs = math.max(head.lastTsUs, tsUs),
+                    buffered = (tsUs, e.event_id) :: head.buffered) :: tail
+                case _ =>
+                  UserState(tsUs, tsUs, List((tsUs, e.event_id))) :: open
+              }
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.lastTsUs / 1000L + GapSeconds * 1000L).min)
+            Iterator.empty
+          }
+      }
+  }
+
+  def sessionId(user: Long, startUs: Long): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s"$user-$startUs".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+}
