@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines:
@@ -32,6 +33,36 @@ object Dedup {
     df.withColumn(out, when(nToks >= n, array_distinct(mk)).otherwise(array().cast("array<string>")))
   }
 
+  /** Scale path for shingling: one (id, shingle) ROW per distinct
+    * n-token shingle, built with codegen'd primitives only — split runs
+    * once per document (posexplode), shingle assembly is a window lead
+    * chain. The HOF/array variant [[withShingles]] is interpreted by
+    * Catalyst (lambda functions don't codegen) and re-evaluates split per
+    * element — fine for tests, wrong at scale.
+    */
+  def shingleRows(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val tokens = df.select(col(idCol),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val withLeads = (1 until n).foldLeft(tokens) { (acc, k) =>
+      acc.withColumn(s"__t$k", lead(col("__tok"), k).over(w))
+    }
+    withLeads
+      .filter(col(s"__t${n - 1}").isNotNull)  // drop ragged tail shingles
+      .select(col(idCol), concat_ws(" ",
+        col("__tok") +: (1 until n).map(k => col(s"__t$k")): _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Distinct-shingle ARRAYS per doc, built from [[shingleRows]] (one
+    * groupBy). Docs with fewer than n tokens are absent (no shingles).
+    */
+  def shingleArrays(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, out: String = "shingles"): DataFrame =
+    shingleRows(df, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(out))
+
   /** Exact dedup: keep the lowest id per identical text (hash-groupBy —
     * one shuffle on the text hash; at 100 TB group on md5(text) instead of
     * the full text to keep shuffle rows narrow).
@@ -40,23 +71,46 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature columns h0..h{numHashes-1}: per permutation i, the
-    * minimum md5("i|shingle") over the doc's shingle set.
+  /** Prime modulus for the universal-hash family (fits 31 bits so
+    * a*x+b stays well inside int64 — no ANSI overflow at any scale).
+    */
+  val MinhashP = 999999937L
+
+  /** MinHash signature columns h0..h{numHashes-1}. One md5 per shingle
+    * provides the random base x; permutation i is the universal hash
+    * (a_i·x + b_i) mod p. 32× cheaper than hashing per permutation —
+    * at 100 TB the md5 is the dominant cost and runs exactly once per
+    * (doc, shingle).
     */
   def minhashSignature(shingled: DataFrame, idCol: String = "doc_id",
-      shinglesCol: String = "shingles", numHashes: Int = 32): DataFrame = {
-    val exploded = shingled.select(col(idCol), explode(col(shinglesCol)).as("__sh"))
-    val aggs = (0 until numHashes).map(i =>
-      min(md5(concat_ws("|", lit(i), col("__sh")))).as(s"h$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      shinglesCol: String = "shingles", numHashes: Int = 24): DataFrame =
+    minhashSignatureRows(
+      shingled.select(col(idCol), explode(col(shinglesCol)).as("shingle")),
+      idCol, "shingle", numHashes)
+
+  /** Signature from (id, shingle) rows — the scale path, all codegen'd. */
+  def minhashSignatureRows(rows: DataFrame, idCol: String = "doc_id",
+      shingleCol: String = "shingle", numHashes: Int = 24): DataFrame = {
+    val x = (conv(substring(md5(col(shingleCol)), 1, 15), 16, 10).cast("long") % MinhashP).as("__x")
+    val withX = rows.select(col(idCol), x)
+    val aggs = (0 until numHashes).map { i =>
+      val a = 2L * i + 1; val b = 7919L * (i + 1)
+      min((col("__x") * a + b) % MinhashP).as(s"h$i")
+    }
+    withX.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: band key = md5(band_index | its r signature
     * mins); docs sharing any band key become candidates. Returns
     * (doc_a, doc_b) with doc_a < doc_b, distinct.
     */
+  /** Band shape r=3, b=8: catch probability at jaccard j is
+    * 1−(1−j³)^8 — ≥ 1−2e-7 at j=0.95, while a background pair at j≈0.1
+    * collides with P ≈ 8e-6, keeping false candidates (and therefore the
+    * quadratic verify work) near zero even on low-entropy corpora.
+    */
   def lshCandidates(sig: DataFrame, idCol: String = "doc_id",
-      bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val ins = lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       md5(concat_ws("|", ins: _*))
@@ -81,19 +135,34 @@ object Dedup {
     val withB = withA.join(s.withColumnRenamed(idCol, "doc_b")
       .withColumnRenamed(shinglesCol, "sh_b"), "doc_b")
     withB
+      // necessary condition on sizes alone (i ≤ min, uni ≥ max):
+      // skips the expensive intersect for size-mismatched candidates.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
+        greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
-  /** Full MinHash+LSH near-dup pipeline. */
+  /** Full MinHash+LSH near-dup pipeline. The input is spread across all
+    * cores first: a single parquet file otherwise pins the whole
+    * explode+hash stage to one task (at 100 TB the scan is many splits
+    * and this repartition is a no-op cost-wise, the hash work dominates).
+    */
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val shingled = withShingles(df, textCol)
-    val sig = minhashSignature(shingled, idCol)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val rows = shingleRows(spread, idCol, textCol)
+    val sig = minhashSignatureRows(rows, idCol)
     val cand = lshCandidates(sig, idCol)
-    verifyJaccard(cand, shingled, idCol)
+    // Build shingle ARRAYS only for docs that appear in a candidate pair —
+    // the verify join then touches |candidates| docs, not the corpus.
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val arrays = rows.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
+    verifyJaccard(cand, arrays, idCol)
   }
 
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 md5
@@ -102,7 +171,8 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bits: Int = 32): DataFrame = {
-    val toks = df.select(col(idCol),
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val toks = spread.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("__tok"))
     val h = conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long")
     val bitSums = (0 until bits).map(j =>

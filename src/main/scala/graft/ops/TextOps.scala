@@ -84,12 +84,21 @@ object TextOps {
   def fingerprint(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 8): DataFrame = {
     val n = length(col(textCol))
-    val grams = transform(sequence(lit(1), n - (k - 1)),
-      i => md5(col(textCol).substr(i, lit(k))))
-    df.select(
-      col(idCol),
-      when(n >= k, array_min(grams)).otherwise(lit(null)).as("fp_min"),
-      when(n >= k, array_max(grams)).otherwise(lit(null)).as("fp_max"),
-      when(n >= k, size(array_distinct(grams))).otherwise(lit(0)).as("n_grams"))
+    // explode gram POSITIONS, then md5(substr) per row: every step stays
+    // in whole-stage codegen (a `transform` HOF building the gram array
+    // would be interpreted per element), each md5 runs exactly once, and
+    // the groupBy partial-aggregates before its shuffle — scales to any
+    // corpus. Docs shorter than k chars are restored with a left join.
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val agg = spread
+      .select(col(idCol), col(textCol),
+        // `when` guard: sequence(1, x<1) counts DOWN in Spark; null → dropped
+        explode(when(n >= k, sequence(lit(1), n - (k - 1)))).as("__i"))
+      .select(col(idCol), md5(col(textCol).substr(col("__i"), lit(k))).as("__g"))
+      .groupBy(col(idCol))
+      .agg(min(col("__g")).as("fp_min"), max(col("__g")).as("fp_max"),
+        countDistinct(col("__g")).as("n_grams"))
+    spread.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)).cast("int"))
   }
 }

@@ -49,15 +49,29 @@ object DedupQueries {
     },
 
     "dedup_ngram_jaccard" -> { (spark, dir) =>
-      // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32 — the
-      // cheap predicates run as join filters BEFORE any array math, so the
-      // expensive intersect only touches plausible pairs.
+      // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32.
+      // Band join on (lang, 64-char length bucket): side B carries its
+      // bucket, side A explodes to {b−1, b, b+1}, so every |Δ| ≤ 32 pair
+      // matches exactly once and the join key has lang×bucket cardinality
+      // (not just 5 langs — that would serialize the probe). A is
+      // broadcast; B is spread across all cores so the expensive
+      // array_intersect runs fully parallel.
       import spark.implicits._
-      val sh = Dedup.withShingles(Tables.documents(spark, dir))
-        .select($"doc_id", $"lang", $"n_chars", $"shingles")
-      val a = sh.select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("nc_a"), $"shingles".as("sh_a"))
-      val b = sh.select($"doc_id".as("doc_b"), $"lang", $"n_chars".as("nc_b"), $"shingles".as("sh_b"))
-      a.join(b, Seq("lang"))
+      val docs = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      // cached: both join sides read it — without the cache the whole
+      // shingle pipeline (explode + window + collect_set) runs twice.
+      val sh = Dedup.shingleArrays(docs)
+        .join(docs.select($"doc_id", $"lang", $"n_chars"), Seq("doc_id"))
+        .cache()
+      val a = sh.select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("nc_a"),
+          $"shingles".as("sh_a"),
+          explode(array(floor($"n_chars" / 64) - 1, floor($"n_chars" / 64),
+            floor($"n_chars" / 64) + 1)).as("bucket"))
+      val b = sh.select($"doc_id".as("doc_b"), $"lang", $"n_chars".as("nc_b"),
+          $"shingles".as("sh_b"), floor($"n_chars" / 64).as("bucket"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      b.join(broadcast(a), Seq("lang", "bucket"))
         .filter($"doc_a" < $"doc_b" && abs($"nc_a" - $"nc_b") <= 32)
         .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
         .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("long"))

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Dev utility: stage-by-stage timing of the heavy pipelines. */
+object Probe {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, sfDir)
+    val spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    // warm the JVM/codegen once
+    time("warmup")(spread.count())
+
+    val rows = Dedup.shingleRows(spread)
+    time("shingleRows count")(println(rows.count()))
+    val sig = Dedup.minhashSignatureRows(rows)
+    time("signature count")(println(sig.count()))
+    time("minhash full")(println(Dedup.minhashPairs(docs).count()))
+
+    time("fingerprint op")(println(graft.ops.TextOps.fingerprint(docs).count()))
+    time("fingerprint query")(println(
+      graft.queries.TextQueries.queries("doc_fingerprint")(spark, sfDir).count()))
+    time("fingerprint query 2nd")(println(
+      graft.queries.TextQueries.queries("doc_fingerprint")(spark, sfDir).count()))
+    time("ngram query")(println(
+      graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sfDir).count()))
+    time("active_sessions")(println(
+      graft.queries.SessionQueries.queries("active_sessions")(spark, sfDir).count()))
+    spark.stop()
+  }
+}
