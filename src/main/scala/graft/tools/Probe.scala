@@ -12,7 +12,11 @@ object Probe {
     println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
   }
 
+  /** `runMain graft.tools.Probe explain <query> [sfDir]` prints the
+    * formatted physical plan; default mode times the heavy pipelines.
+    */
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("explain")) return explainMain(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -40,6 +44,18 @@ object Probe {
       graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sfDir).count()))
     time("active_sessions")(println(
       graft.queries.SessionQueries.queries("active_sessions")(spark, sfDir).count()))
+    spark.stop()
+  }
+
+  def explainMain(args: Array[String]): Unit = {
+    val q = args.head
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }

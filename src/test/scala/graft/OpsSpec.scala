@@ -91,6 +91,23 @@ class OpsSpec extends SparkSpec {
     assert(row.getInt(1) > 0)
   }
 
+  test("TopK aggregator equals window row_number top-k") {
+    import graft.ops.TopK
+    val li = Tables.lineitem(spark, Sf0001)
+    val viaAgg = li.groupBy($"l_returnflag")
+      .agg(TopK.topKUdaf(3)($"l_extendedprice", $"l_orderkey").as("topk"))
+      .select($"l_returnflag", explode($"topk").as("t"))
+      .select($"l_returnflag", $"t._1".as("score"), $"t._2".as("key"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_extendedprice".desc, $"l_orderkey")
+    val viaWindow = li
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"l_returnflag", $"l_extendedprice", $"l_orderkey")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("fingerprint stable across duplicate content") {
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "qrstuvwxyz012345"))
       .toDF("doc_id", "text")
