@@ -1,0 +1,32 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salted two-phase aggregation. When one group key
+  * dominates (a bot user at 100 TB), a plain groupBy sends the whole hot
+  * key to one reducer. Salting splits each key across `saltBuckets`
+  * partial aggregates, then re-aggregates the partials — bounded reducer
+  * fan-in at the cost of one extra (tiny) shuffle.
+  *
+  * AQE's skew-join handling covers JOINS automatically; this covers
+  * aggregation skew, which AQE does not rebalance.
+  */
+object Skew {
+
+  /** Two-phase sum/count aggregation over `keys`, salted. Supported
+    * mergeable aggregates: count / sum / min / max expressed by callers
+    * via `partials` and `merged` — provided helpers below cover the
+    * common case.
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash((col(valueCol) +: keys.map(col)): _*), lit(saltBuckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("sum_value"))
+  }
+}

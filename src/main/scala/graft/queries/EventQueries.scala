@@ -75,6 +75,45 @@ object EventQueries {
         .orderBy("k_mod")
     },
 
+    "json_native" -> { (spark, dir) =>
+      // Spark-native JSON extraction (get_json_object); DuckDB oracles it
+      // with json_extract_string. Complements json_props' regexp route.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+        .orderBy("event_type")
+    },
+
+    "hash_sample" -> { (spark, dir) =>
+      // Deterministic hash sampling — the scalable way to sample training
+      // data (reproducible across runs/engines, no RNG state): keep rows
+      // whose md5(event_id) starts below a threshold ≈ 10%.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter(conv(substring(md5($"event_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") < lit(6554))  // 6554/65536 ≈ 10%
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy("event_id")
+    },
+
+    "stratified_sample" -> { (spark, dir) =>
+      // Per-stratum deterministic sampling at different rates per
+      // event_type (balancing a training mix): rate depends on stratum.
+      import spark.implicits._
+      val rate = when($"event_type" === "purchase", 52429)   // ~80%
+        .when($"event_type" === "view", 6554)                // ~10%
+        .otherwise(lit(19661))                               // ~30%
+      Tables.events(spark, dir)
+        .filter(conv(substring(md5($"event_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") < rate)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_sampled"), min($"event_id").as("min_id"))
+        .orderBy("event_type")
+    },
+
     "asof_prior_signup" -> { (spark, dir) =>
       // As-of forward fill: for every event, the user's most recent
       // signup at-or-before it (W4 last(ignoreNulls) analog, expressed as
@@ -132,6 +171,26 @@ object EventQueries {
       """SELECT (k % 10) AS k_mod, count(*) AS n_rows, SUM(k)::BIGINT AS sum_k
         |FROM (SELECT regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "json_native" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |       SUM(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "hash_sample" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT < 6554
+        |ORDER BY event_id""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT event_type, count(*) AS n_sampled, min(event_id) AS min_id
+        |FROM events
+        |WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 4))::BIGINT <
+        |      CASE WHEN event_type = 'purchase' THEN 52429
+        |           WHEN event_type = 'view' THEN 6554
+        |           ELSE 19661 END
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "asof_prior_signup" ->
       """SELECT event_id, user_id, prior_signup_us FROM (
