@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** User-facing facade — the API a reference user switches to. Every
+  * operator is a pure `DataFrame => DataFrame` (or Dataset) transform;
+  * nothing touches the driver, everything composes with plain Spark.
+  *
+  * {{{
+  * import graft.Graft
+  * val sessions  = Graft.sessionize(events)                  // + session_id
+  * val active    = Graft.activeSessions(sessions, boundaryUs)
+  * val nearDups  = Graft.nearDuplicates(documents)           // MinHash+LSH
+  * val neighbors = Graft.nearestNeighbors(embeddings, queries, k = 10)
+  * }}}
+  */
+object Graft {
+
+  /** Recommended session settings for this engine (local or cluster). */
+  def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    master.fold(b)(b.master(_)).getOrCreate()
+  }
+
+  // sessionization
+  def sessionize(events: DataFrame, gapSec: Long = Sessionize.DefaultGapSec): DataFrame =
+    Sessionize.withSessionId(events, gapSec = gapSec)
+  def sessionizeIncremental(unioned: DataFrame, gapSec: Long = Sessionize.DefaultGapSec): DataFrame =
+    Sessionize.withCarriedSessionId(unioned, gapSec = gapSec)
+  def activeSessions(sessions: DataFrame, boundaryUs: Long): DataFrame =
+    Sessionize.activeLatestPerSession(sessions, boundaryUs)
+
+  // dedup
+  def exactDuplicates(docs: DataFrame): DataFrame = Dedup.exact(docs)
+  def nearDuplicates(docs: DataFrame): DataFrame = Dedup.minhashPairs(docs)
+  def simhashSignatures(docs: DataFrame): DataFrame = Dedup.simhash(docs)
+
+  // similarity
+  def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceTopK(corpus, queries, k)
+  def nearestNeighborsIVF(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int): DataFrame =
+    Similarity.ivfTopK(corpus, queries, centroids, k)
+
+  // text
+  def quality(docs: DataFrame): DataFrame = TextOps.qualityMetrics(docs)
+  def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenCounts(docs)
+  def languageId(docs: DataFrame): DataFrame = TextOps.languageId(docs)
+  def fingerprints(docs: DataFrame): DataFrame = TextOps.fingerprint(docs)
+}

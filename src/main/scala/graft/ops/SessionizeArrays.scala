@@ -49,6 +49,7 @@ object SessionizeArrays {
           element_at(col("evs"), i).getField("event_id").as("event_id"),
           aggregate(slice(col("__flags"), lit(1), i), lit(0L), _ + _).as("session_no"))))
       .select(col(userCol), explode(col("__labeled")).as("e"))
-      .select(col(userCol), col("e.event_id"), col("e.session_no"))
+      // star-expansion flattens the struct (reference P9, SUDF:103–107)
+      .select(col(userCol), col("e.*"))
   }
 }

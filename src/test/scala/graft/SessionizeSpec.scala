@@ -100,6 +100,28 @@ class SessionizeSpec extends SparkSpec {
     assert(out == Map("live1" -> 3L, "live2" -> 4L, "edge" -> 5L))
   }
 
+  test("reference-exact last(ignoreNulls) forward fill equals running-sum formulation") {
+    // The reference propagates session ids with last(_, ignoreNulls=true)
+    // over ROWS UNBOUNDED PRECEDING (SBI:104–108, W4). Our core uses the
+    // boundary running sum; this pins their equivalence on real data.
+    val ev = Tables.events(spark, Sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val seeded = ev
+      .withColumn("gap", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("seed",
+        when($"gap".isNull || $"gap" > 1800000000L,
+          sha2(concat_ws("-", $"user_id", unix_micros($"ts")), 256)))
+      .withColumn("sid", last($"seed", ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val viaLast = seeded.select("event_id", "sid")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCore = graft.ops.Sessionize.withSessionId(ev)
+      .select("event_id", "session_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaLast == viaCore)
+  }
+
   test("window path and HOF/array path agree on real data") {
     val ev = Tables.events(spark, Sf0001)
     val a = Sessionize.withSessionNo(ev)
