@@ -52,7 +52,9 @@ object Dedup {
       .filter(col(s"__t${n - 1}").isNotNull)  // drop ragged tail shingles
       .select(col(idCol), concat_ws(" ",
         col("__tok") +: (1 until n).map(k => col(s"__t$k")): _*).as("shingle"))
-      .distinct()
+    // NOTE: rows may repeat (no distinct): min-hash is duplicate-
+    // insensitive and downstream collect_set dedups — skipping the
+    // distinct saves a whole (id, shingle) shuffle.
   }
 
   /** Distinct-shingle ARRAYS per doc, built from [[shingleRows]] (one

@@ -67,16 +67,38 @@ object Sessionize {
       userCol: String = "user_id",
       tsCol: String = "ts",
       tieCols: Seq[String] = Seq("event_id"),
-      gapSec: Long = DefaultGapSec): DataFrame = {
-    val withNo = withSessionNo(df, userCol, tsCol, tieCols, gapSec)
-    val wSess = Window.partitionBy(userCol, "session_no")
-    withNo
-      .withColumn("__start_us", min(unix_micros(col(tsCol))).over(wSess))
+      gapSec: Long = DefaultGapSec): DataFrame =
+    assignIds(df, userCol, tsCol, tieCols, gapSec, carried = None)
+
+  /** Shared W1–W4 chain, ONE exchange total: lag → boundary flag →
+    * running-sum session_no → boundary-row id (carried if present, else
+    * minted sha2 of "<user>-<epoch µs of the boundary event>") →
+    * last(ignoreNulls) forward fill — the reference's own propagation
+    * pattern (SBI:104–108), deterministic here because the window always
+    * orders by (ts, tieCols). Every window sits on the same partitioning
+    * and ordering, so Spark plans a single Exchange + Sort with chained
+    * WindowExecs.
+    */
+  private def assignIds(df: DataFrame, userCol: String, tsCol: String,
+      tieCols: Seq[String], gapSec: Long, carried: Option[String]): DataFrame = {
+    val w = userWindow(userCol, tsCol, tieCols)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapSec * 1000000L
+    val minted = sha2(concat_ws("-", col(userCol).cast("string"),
+      unix_micros(col(tsCol)).cast("string")), 256)
+    val boundaryId = carried match {
+      case Some(c) => coalesce(col(c), minted)
+      case None => minted
+    }
+    df.withColumn("__prev_us", lag(unix_micros(col(tsCol)), 1).over(w))
       .withColumn(
-        "session_id",
-        sha2(concat_ws("-", col(userCol).cast("string"),
-          col("__start_us").cast("string")), 256))
-      .drop("__start_us")
+        "__boundary",
+        when(col("__prev_us").isNull ||
+          unix_micros(col(tsCol)) - col("__prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("__boundary")).over(wRun))
+      .withColumn("__seed", when(col("__boundary") === 1L, boundaryId))
+      .withColumn("session_id", last(col("__seed"), ignoreNulls = true).over(wRun))
+      .drop("__prev_us", "__boundary", "__seed")
   }
 
   /** Like [[withSessionId]] but honors ids carried in from a previous
@@ -93,18 +115,11 @@ object Sessionize {
       tsCol: String = "ts",
       tieCols: Seq[String] = Seq("event_id"),
       gapSec: Long = DefaultGapSec,
-      carryCol: String = "session_id"): DataFrame = {
-    val withNo = withSessionNo(
-      df.withColumnRenamed(carryCol, "__carried"), userCol, tsCol, tieCols, gapSec)
-    val wSess = Window.partitionBy(userCol, "session_no")
-    withNo
-      .withColumn("__start_us", min(unix_micros(col(tsCol))).over(wSess))
-      .withColumn("__carry", max(col("__carried")).over(wSess))
-      .withColumn(carryCol, coalesce(col("__carry"),
-        sha2(concat_ws("-", col(userCol).cast("string"),
-          col("__start_us").cast("string")), 256)))
-      .drop("__carried", "__carry", "__start_us")
-  }
+      carryCol: String = "session_id"): DataFrame =
+    assignIds(df.withColumnRenamed(carryCol, "__carried"),
+      userCol, tsCol, tieCols, gapSec, carried = Some("__carried"))
+      .drop("__carried")
+      .withColumnRenamed("session_id", carryCol)
 
   /** Latest row per session that is still active at `boundaryUs − gap`
     * (reference loadPrevActiveSessions, SessionizationBuiltIn.scala:117–134;
