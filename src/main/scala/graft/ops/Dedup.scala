@@ -42,16 +42,16 @@ object Dedup {
     */
   def shingleRows(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val tokens = df.select(col(idCol),
-      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
-    val withLeads = (1 until n).foldLeft(tokens) { (acc, k) =>
-      acc.withColumn(s"__t$k", lead(col("__tok"), k).over(w))
-    }
-    withLeads
-      .filter(col(s"__t${n - 1}").isNotNull)  // drop ragged tail shingles
-      .select(col(idCol), concat_ws(" ",
-        col("__tok") +: (1 until n).map(k => col(s"__t$k")): _*).as("shingle"))
+    // explode(array(split(...))) is a Generate BARRIER: the token array
+    // materializes once per doc (CollapseProject cannot re-inline the
+    // split into every element_at below), and no shuffle is needed at
+    // all — shingle assembly is map-side only.
+    val toksed = df.select(col(idCol), explode(array(split(col(textCol), " "))).as("__toks"))
+    val nToks = size(col("__toks"))
+    val mk = transform(sequence(lit(1), nToks - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(col("__toks"), i + k)): _*))
+    toksed.select(col(idCol),
+      explode(when(nToks >= n, mk)).as("shingle"))  // when-guard: short docs drop
     // NOTE: rows may repeat (no distinct): min-hash is duplicate-
     // insensitive and downstream collect_set dedups — skipping the
     // distinct saves a whole (id, shingle) shuffle.
@@ -155,7 +155,9 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val rows = shingleRows(spread, idCol, textCol)
+    // cached: consumed twice (signatures now, candidate-doc arrays later)
+    // — without it the whole scan+shingle pass re-executes per consumer.
+    val rows = shingleRows(spread, idCol, textCol).cache()
     val sig = minhashSignatureRows(rows, idCol)
     val cand = lshCandidates(sig, idCol)
     // Build shingle ARRAYS only for docs that appear in a candidate pair —
