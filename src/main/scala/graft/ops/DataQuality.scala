@@ -21,5 +21,5 @@ object DataQuality {
     * (DAGT:69–71 invariant).
     */
   def nullCount(df: DataFrame, column: String): Long =
-    df.agg(sum(col(column).isNull.cast("long"))).head.getLong(0)
+    df.agg(sum(col(column).isNull.cast("long"))).head().getLong(0)
 }

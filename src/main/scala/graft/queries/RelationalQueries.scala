@@ -216,6 +216,19 @@ object RelationalQueries {
         .orderBy("o_custkey")
     },
 
+    "pivot_events" -> { (spark, dir) =>
+      // Pivot (columnarize a categorical): per user, one count column per
+      // event_type. Values enumerated explicitly so the plan is a single
+      // pass (no collect-distinct pre-query) — the 100 TB-safe form.
+      import spark.implicits._
+      graft.Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
     "approx_distinct_parts" -> { (spark, dir) =>
       // HLL sketch — approximate by design, so no DuckDB oracle (driver
       // records a rows-only check). The 100 TB answer to COUNT(DISTINCT).
@@ -337,6 +350,15 @@ object RelationalQueries {
     "global_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 100)::BIGINT AS price_cents
         |FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id,
+        |       count(*) FILTER (event_type = 'view') AS view,
+        |       count(*) FILTER (event_type = 'click') AS click,
+        |       count(*) FILTER (event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (event_type = 'signup') AS signup,
+        |       count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "latest_order_per_cust" ->
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date

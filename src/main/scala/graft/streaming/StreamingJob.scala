@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** End-to-end streaming sessionization job: parquet file source →
+  * 30-min session-window aggregation → append-mode parquet sink with
+  * checkpointing. The streaming twin of jobs/SessionizeHour: the
+  * watermark replaces the explicit previous-hour state load, the
+  * checkpoint replaces the re-read of the last written partition, and
+  * append mode guarantees a session is written exactly once, only after
+  * it can no longer change.
+  *
+  * Trigger.AvailableNow drains whatever files exist and stops — the
+  * batch-orchestrated cadence of the reference (hourly Airflow runs)
+  * maps to periodically re-launching with the same checkpoint.
+  */
+object StreamingJob {
+
+  def run(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val agg = StreamingSessionize.sessionWindowAgg(in)
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inPath, outPath, checkpointPath) = args
+    val spark = graft.Graft.session("graft-streaming")
+    val schema = spark.read.parquet(inPath).schema
+    run(spark, schema, inPath, outPath, checkpointPath)
+    spark.stop()
+  }
+}

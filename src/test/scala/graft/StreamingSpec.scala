@@ -50,6 +50,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq.map(_(2).asInstanceOf[Long]).sum == core)
   }
 
+  test("file-source streaming job writes exactly the finalized sessions") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, Sf0001).select($"user_id", $"ts", $"event_id")
+    ev.write.parquet(in)
+    graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toSeq).toSet
+
+    // append mode emits only sessions already closed by the final
+    // watermark (max ts − 30 min); everything it emits must match the
+    // batch result, and all clearly-old sessions must be present.
+    val batch = graft.streaming.StreamingSessionize
+      .sessionWindowAgg(ev, withWatermarkCol = None)
+    val batchAll = batch.select("user_id", "session_start", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(got.subsetOf(batchAll))
+    val maxTs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+    val surelyClosed = batch
+      .filter(unix_micros($"session_end") + 1800000000L < maxTs - 1800000000L)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(surelyClosed.subsetOf(got))
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState labeler matches batch session ids for closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
