@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sessionize
+
+/** Plan-shape regression tests: the scale properties claimed in README
+  * (single exchange sessionization, column pruning, broadcast dims) are
+  * asserted against the actual physical plans so a refactor cannot
+  * silently regress them.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("sessionization core plans exactly one exchange") {
+    val plan = planOf(Sessionize.withSessionId(Tables.events(spark, Sf0001)))
+    val exchanges = "(?m)^\\s*[+:]?-?\\s*Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 Exchange, plan:\n$plan")
+    // and all three window computations chain without re-sorting
+    assert("Window".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q1 scan reads only the referenced columns") {
+    val q = SparkEntry.queries("q1_agg")(spark, Sf0001)
+    val scan = planOf(q).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("l_returnflag") && scan.contains("l_quantity"))
+    assert(!scan.contains("l_shipdate") && !scan.contains("l_suppkey"),
+      s"unpruned scan: $scan")
+  }
+
+  test("dimension joins broadcast") {
+    val plan = planOf(SparkEntry.queries("q5_region_revenue")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("global sort with limit avoids a full sort") {
+    val plan = planOf(SparkEntry.queries("global_sort_limit")(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
