@@ -65,6 +65,25 @@ object Similarity {
       .select(col(idCol), col(embCol), col("centroid_id").as("cluster"))
   }
 
+  /** Embedding near-duplicate pairs, IVF-cluster-blocked: the quadratic
+    * compare is confined to vectors sharing a nearest centroid (corpus/K
+    * per bucket), the deterministic-approximate scale path for
+    * embedding-cosine dedup. Threshold compares identically across
+    * engines because the cosine expression shape is fixed.
+    */
+  def nearDupPairs(corpus: DataFrame, centroids: DataFrame,
+      thresholdPct: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+    val a = assigned.select(col(idCol).as("vec_a"), col(embCol).as("va"), col("cluster"))
+    val b = assigned.select(col(idCol).as("vec_b"), col(embCol).as("vb"), col("cluster"))
+    a.join(b, Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") * 100 > thresholdPct)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
+  }
+
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.
     */

@@ -26,6 +26,16 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "embed_near_dup" -> { (spark, dir) =>
+      // Embedding-cosine near-dup (the 5th dedup modality): pairs above
+      // cos 0.42 within the same IVF bucket.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.nearDupPairs(emb, emb.filter($"vec_id" < 8), thresholdPct = 42)
+        .select($"vec_a", $"vec_b", $"cluster")
+        .orderBy("vec_a", "vec_b")
+    },
+
     "ivf_topk" -> { (spark, dir) =>
       // Deterministic IVF: centroids are the vectors with vec_id < 8;
       // every vector is assigned to its nearest centroid and each query
@@ -49,6 +59,22 @@ object SimilarityQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM s) WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
+
+    "embed_near_dup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, centroid_id,
+         |         list_dot_product(cv, v) / sqrt(list_dot_product(cv, cv) * list_dot_product(v, v)) AS ccos
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, v, centroid_id AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
+         |    FROM scored) WHERE crk = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster
+         |FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |WHERE (list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) * 100 > 42
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
