@@ -9,15 +9,20 @@ import org.apache.spark.sql.functions._
   *
   * Numeric portability: embeddings are cast to Array[Double] BEFORE any
   * arithmetic, and cosine is always the same expression shape
-  * dot(a,b)/sqrt(dot(a,a)*dot(b,b)) — float64 scalar chains are
-  * bit-identical across engines; only the candidate ORDER matters, and
-  * ties are broken by vec_id.
+  * dot(a,b) / (sqrt(dot(a,a)) · sqrt(dot(b,b))) — float64 scalar chains
+  * are bit-identical across engines; only the candidate ORDER matters,
+  * and ties break on vec_id. The oracle SQL mirrors the shape exactly.
   *
-  * Scale posture: brute force is a broadcast of the (small) query set over
-  * a partition-parallel scan of the corpus — linear, no shuffle until the
-  * per-query top-k (tiny). The IVF variant buckets the corpus by nearest
-  * centroid so each query probes one bucket: the 100 TB path, where the
-  * corpus shuffle is on cluster id and per-bucket fan-in is corpus/K.
+  * Norms are precomputed once per vector (a projection below the join,
+  * which Catalyst cannot re-inline across the join barrier): pairwise
+  * work is one dot product, not three — the dominant cost since Catalyst
+  * HOF lambdas are interpreted.
+  *
+  * Scale posture: brute force is a broadcast of the (small) query set
+  * over a partition-parallel corpus scan — linear, no shuffle until the
+  * per-query top-k (tiny). The IVF variants bucket the corpus by nearest
+  * centroid so each query/pair probes one bucket: the 100 TB path, where
+  * the corpus shuffles on cluster id and per-bucket fan-in is corpus/K.
   */
 object Similarity {
 
@@ -28,21 +33,24 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def asDouble(df: DataFrame, embCol: String): DataFrame =
-    df.withColumn(embCol, col(embCol).cast("array<double>"))
+  /** Cast to double + precompute the L2 norm once per vector. */
+  private def withNorm(df: DataFrame, embCol: String, normName: String): DataFrame = {
+    val d = df.withColumn(embCol, col(embCol).cast("array<double>"))
+    d.withColumn(normName, sqrt(dot(col(embCol), col(embCol))))
+  }
 
   /** Brute-force top-k neighbors for each query vector (queries broadcast,
     * corpus scanned once). Output: (query_id, rk, neighbor_id).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val c = asDouble(corpus, embCol)
-    val q = asDouble(queries, embCol)
-      .select(col(idCol).as("query_id"), col(embCol).as("qv"))
+    val c = withNorm(corpus, embCol, "__norm")
+    val q = withNorm(queries, embCol, "__qnorm")
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"), col("__qnorm"))
     val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col(embCol)))
+      .withColumn("cos", dot(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -50,19 +58,20 @@ object Similarity {
   }
 
   /** Assign every vector to its nearest centroid (IVF coarse quantizer).
-    * Centroids are broadcast; ties broken by centroid id.
+    * Centroids are broadcast; ties broken by centroid id. Output keeps
+    * the double-cast embedding and its precomputed `__norm`.
     */
   def assignClusters(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val c = asDouble(corpus, embCol)
-    val cent = asDouble(centroids, embCol)
-      .select(col(idCol).as("centroid_id"), col(embCol).as("cv"))
+    val c = withNorm(corpus, embCol, "__norm")
+    val cent = withNorm(centroids, embCol, "__cnorm")
+      .select(col(idCol).as("centroid_id"), col(embCol).as("cv"), col("__cnorm"))
     val scored = c.crossJoin(broadcast(cent))
-      .withColumn("ccos", cosine(col("cv"), col(embCol)))
+      .withColumn("ccos", dot(col("cv"), col(embCol)) / (col("__cnorm") * col("__norm")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
-      .select(col(idCol), col(embCol), col("centroid_id").as("cluster"))
+      .select(col(idCol), col(embCol), col("__norm"), col("centroid_id").as("cluster"))
   }
 
   /** Embedding near-duplicate pairs, IVF-cluster-blocked: the quadratic
@@ -75,11 +84,13 @@ object Similarity {
       thresholdPct: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     val assigned = assignClusters(corpus, centroids, idCol, embCol)
-    val a = assigned.select(col(idCol).as("vec_a"), col(embCol).as("va"), col("cluster"))
-    val b = assigned.select(col(idCol).as("vec_b"), col(embCol).as("vb"), col("cluster"))
+    val a = assigned.select(col(idCol).as("vec_a"), col(embCol).as("va"),
+      col("__norm").as("__na"), col("cluster"))
+    val b = assigned.select(col(idCol).as("vec_b"), col(embCol).as("vb"),
+      col("__norm").as("__nb"), col("cluster"))
     a.join(b, Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") * 100 > thresholdPct)
       .select(col("vec_a"), col("vec_b"), col("cluster"))
   }
@@ -93,10 +104,11 @@ object Similarity {
     val q = assigned.join(
         queries.select(col(idCol)).withColumnRenamed(idCol, "query_id"),
         col(idCol) === col("query_id"))
-      .select(col("query_id"), col(embCol).as("qv"), col("cluster").as("qcluster"))
+      .select(col("query_id"), col(embCol).as("qv"), col("__norm").as("__qnorm"),
+        col("cluster").as("qcluster"))
     val scored = assigned.join(broadcast(q),
         col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col(embCol)))
+      .withColumn("cos", dot(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

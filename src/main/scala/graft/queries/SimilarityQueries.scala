@@ -7,14 +7,19 @@ import graft.Tables
 import graft.ops.Similarity
 
 /** Similarity-search surface over `embeddings` (Array[Float], dim 64).
-  * Outputs are (query_id, rk, neighbor_id) ONLY — scores stay internal so
-  * the oracle compares orderings, not floats; vectors are cast to double
+  * Outputs are (query/pair ids, rank) ONLY — scores stay internal so the
+  * oracle compares orderings, not floats; vectors are cast to double
   * before any arithmetic and ties break on vec_id.
+  *
+  * The oracle mirrors the engine's exact expression shape — norms
+  * precomputed per vector, cos = dot / (norm_a * norm_b) — so float64
+  * results are bit-identical across engines.
   */
 object SimilarityQueries {
 
-  private val CosSql =
-    "list_dot_product(qv, v) / sqrt(list_dot_product(qv, qv) * list_dot_product(v, v))"
+  /** Shared oracle CTE: double-cast vectors with precomputed norms. */
+  private val NormCte =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk" -> { (spark, dir) =>
@@ -49,11 +54,22 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     })
 
+  private val AssignedCte =
+    s"""cent AS (SELECT vec_id AS centroid_id, v AS cv, nrm AS cnrm FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, e.nrm, centroid_id,
+       |         list_dot_product(cv, v) / (cnrm * e.nrm) AS ccos
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, centroid_id AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
+       |    FROM scored) WHERE crk = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "cosine_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         |s AS (SELECT query_id, vec_id, $CosSql AS cos
+      s"""WITH $NormCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),
+         |s AS (SELECT query_id, vec_id, list_dot_product(qv, v) / (qnrm * nrm) AS cos
          |      FROM q, e WHERE vec_id <> query_id)
          |SELECT query_id, rk, vec_id AS neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
@@ -61,35 +77,19 @@ object SimilarityQueries {
          |ORDER BY query_id, rk""".stripMargin,
 
     "embed_near_dup" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT e.vec_id, e.v, centroid_id,
-         |         list_dot_product(cv, v) / sqrt(list_dot_product(cv, cv) * list_dot_product(v, v)) AS ccos
-         |  FROM e CROSS JOIN cent),
-         |assigned AS (
-         |  SELECT vec_id, v, centroid_id AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
-         |    FROM scored) WHERE crk = 1)
+      s"""WITH $NormCte,
+         |$AssignedCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster
          |FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |WHERE (list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))) * 100 > 42
+         |WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100 > 42
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT e.vec_id, e.v, centroid_id,
-         |         list_dot_product(cv, v) / sqrt(list_dot_product(cv, cv) * list_dot_product(v, v)) AS ccos
-         |  FROM e CROSS JOIN cent),
-         |assigned AS (
-         |  SELECT vec_id, v, centroid_id AS cluster FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
-         |    FROM scored) WHERE crk = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv, cluster AS qcluster
+      s"""WITH $NormCte,
+         |$AssignedCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cluster AS qcluster
          |      FROM assigned WHERE vec_id < 10),
-         |s AS (SELECT query_id, a.vec_id, $CosSql AS cos
+         |s AS (SELECT query_id, a.vec_id, list_dot_product(qv, a.v) / (qnrm * a.nrm) AS cos
          |      FROM q JOIN assigned a ON a.cluster = qcluster AND a.vec_id <> query_id)
          |SELECT query_id, rk, vec_id AS neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
