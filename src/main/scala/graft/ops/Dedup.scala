@@ -159,7 +159,8 @@ object Dedup {
     // — without it the whole scan+shingle pass re-executes per consumer.
     val rows = shingleRows(spread, idCol, textCol).cache()
     val sig = minhashSignatureRows(rows, idCol)
-    val cand = lshCandidates(sig, idCol)
+    // cached: consumed by the candidate-doc semi-join AND the verify join.
+    val cand = lshCandidates(sig, idCol).cache()
     // Build shingle ARRAYS only for docs that appear in a candidate pair —
     // the verify join then touches |candidates| docs, not the corpus.
     val candDocs = cand.select(col("doc_a").as(idCol))

@@ -229,6 +229,35 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    "sql_correlated" -> { (spark, dir) =>
+      // The SQL entry surface: spark.sql over registered views, with a
+      // correlated scalar subquery (Catalyst decorrelates it into an
+      // aggregate + join — no per-row re-execution).
+      Tables.part(spark, dir).createOrReplaceTempView("part_v")
+      spark.sql(
+        """SELECT p_type, p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+          |FROM part_v p
+          |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part_v p2
+          |                       WHERE p2.p_type = p.p_type)
+          |ORDER BY p_type, p_partkey""".stripMargin)
+    },
+
+    "session_duration_histogram" -> { (spark, dir) =>
+      // Analytic rollup of the sessionization core: distribution of
+      // session durations in 10-minute buckets.
+      import spark.implicits._
+      graft.ops.Sessionize.withSessionNo(Tables.events(spark, dir))
+        .groupBy($"user_id", $"session_no")
+        .agg(((max(unix_micros($"ts")) - min(unix_micros($"ts"))) / 1000000L).as("dur_sec"))
+        .groupBy(floor($"dur_sec" / 600).as("bucket_10min"))
+        .agg(count(lit(1)).as("n_sessions"),
+          // floor THEN cast: DuckDB's double→int cast rounds while
+          // Spark's truncates; floor makes both exact.
+          floor(min($"dur_sec")).cast("long").as("min_sec"),
+          floor(max($"dur_sec")).cast("long").as("max_sec"))
+        .orderBy("bucket_10min")
+    },
+
     "approx_distinct_parts" -> { (spark, dir) =>
       // HLL sketch — approximate by design, so no DuckDB oracle (driver
       // records a rows-only check). The 100 TB answer to COUNT(DISTINCT).
@@ -350,6 +379,30 @@ object RelationalQueries {
     "global_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 100)::BIGINT AS price_cents
         |FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "sql_correlated" ->
+      """SELECT p_type, p_partkey, round(p_retailprice * 100)::BIGINT AS price_cents
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+        |                       WHERE p2.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+
+    "session_duration_histogram" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d),
+        |dur AS (
+        |  SELECT user_id, session_no,
+        |         (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000 AS dur_sec
+        |  FROM s GROUP BY user_id, session_no)
+        |SELECT floor(dur_sec / 600)::BIGINT AS bucket_10min, count(*) AS n_sessions,
+        |       floor(min(dur_sec))::BIGINT AS min_sec, floor(max(dur_sec))::BIGINT AS max_sec
+        |FROM dur GROUP BY 1 ORDER BY bucket_10min""".stripMargin,
 
     "pivot_events" ->
       """SELECT user_id,
