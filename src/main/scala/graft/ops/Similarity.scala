@@ -32,6 +32,14 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Pairwise hot path: the custom codegen Expression (bit-identical to
+    * [[dot]], ~an order of magnitude less per-element overhead since HOF
+    * lambdas are interpreted). Norms keep the HOF form — once per vector
+    * it is cheap, and it keeps the zip_with surface exercised.
+    */
+  def dotFast(a: Column, b: Column): Column =
+    graft.expressions.DotProduct.dotNative(a, b)
+
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -50,7 +58,7 @@ object Similarity {
     val q = withNorm(queries, embCol, "__qnorm")
       .select(col(idCol).as("query_id"), col(embCol).as("qv"), col("__qnorm"))
     val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
+      .withColumn("cos", dotFast(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -67,7 +75,7 @@ object Similarity {
     val cent = withNorm(centroids, embCol, "__cnorm")
       .select(col(idCol).as("centroid_id"), col(embCol).as("cv"), col("__cnorm"))
     val scored = c.crossJoin(broadcast(cent))
-      .withColumn("ccos", dot(col("cv"), col(embCol)) / (col("__cnorm") * col("__norm")))
+      .withColumn("ccos", dotFast(col("cv"), col(embCol)) / (col("__cnorm") * col("__norm")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
@@ -90,7 +98,7 @@ object Similarity {
       col("__norm").as("__nb"), col("cluster"))
     a.join(b, Seq("cluster"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .withColumn("cos", dotFast(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") * 100 > thresholdPct)
       .select(col("vec_a"), col("vec_b"), col("cluster"))
   }
@@ -108,7 +116,7 @@ object Similarity {
         col("cluster").as("qcluster"))
     val scored = assigned.join(broadcast(q),
         col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
-      .withColumn("cos", dot(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
+      .withColumn("cos", dotFast(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -108,6 +108,23 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("native DotProduct expression equals HOF dot product bit-for-bit") {
+    import graft.expressions.DotProduct.dotNative
+    val emb = Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val both = emb.select($"vec_id",
+        dotNative($"v", $"v").as("native"),
+        graft.ops.Similarity.dot($"v", $"v").as("hof"))
+      .withColumn("eq", $"native" === $"hof")
+    assert(both.filter(!$"eq").count() == 0)
+    // and alone it stays inside a codegen stage (starred project), unlike
+    // the HOF version whose lambda forces an interpreted projection
+    val nativeOnly = emb.select(dotNative($"v", $"v").as("d"))
+    val planLine = nativeOnly.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("dotproduct")).getOrElse("")
+    assert(planLine.trim.startsWith("*"), planLine)
+  }
+
   test("fingerprint stable across duplicate content") {
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "qrstuvwxyz012345"))
       .toDF("doc_id", "text")
