@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.expressions.DotProduct
+
+/** SQL-surface registration: exposes the engine's custom expression(s)
+  * to `spark.sql` so the SQL entry point is as complete as the Column
+  * API. Idempotent.
+  */
+object Functions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_native", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  }
+}

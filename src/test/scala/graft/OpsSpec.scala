@@ -125,6 +125,17 @@ class OpsSpec extends SparkSpec {
     assert(planLine.trim.startsWith("*"), planLine)
   }
 
+  test("dot_native is callable from spark.sql after registration") {
+    graft.Functions.register(spark)
+    Tables.embeddings(spark, Sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT vec_id, dot_native(v, v) AS d FROM emb_v ORDER BY vec_id LIMIT 5")
+      .collect()
+    assert(r.length == 5 && r.forall(_.getDouble(1) > 0))
+  }
+
   test("fingerprint stable across duplicate content") {
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "qrstuvwxyz012345"))
       .toDF("doc_id", "text")
