@@ -77,6 +77,34 @@ object TextOps {
       LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
   }
 
+  /** Data-driven language ID: learn a top-N token profile per language
+    * from the labeled corpus (one aggregation), score every document
+    * against every profile (broadcast join + aggregation), predict the
+    * argmax with deterministic tie-breaks. Two shuffles total, profile
+    * broadcast — scales as corpus × avg_tokens. A real (if simple)
+    * trainable classifier, versus the fixed-marker heuristic above.
+    */
+  def languageIdTrained(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "lang",
+      profileSize: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), col(labelCol),
+      explode(split(col(textCol), " ")).as("token"))
+    val wProf = Window.partitionBy(col(labelCol)).orderBy(col("cnt").desc, col("token"))
+    val profile = toks.groupBy(col(labelCol), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wProf))
+      .filter(col("rk") <= profileSize)
+      .select(col(labelCol).as("plang"), col("token"))
+    val scores = toks.join(broadcast(profile), Seq("token"))
+      .groupBy(col(idCol), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    val wBest = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("plang"))
+    val best = scores.withColumn("brk", row_number().over(wBest)).filter(col("brk") === 1)
+    df.select(col(idCol), col(labelCol).as("label"))
+      .join(best.select(col(idCol), col("plang").as("predicted"), col("score")), Seq(idCol), "left")
+  }
+
   /** Document fingerprint from character k-gram md5s: the min (a 1-hash
     * MinHash), max, and distinct-gram count — a rolling-hash style content
     * signature that is stable under document reordering of duplicates.

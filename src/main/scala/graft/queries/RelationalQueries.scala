@@ -229,6 +229,38 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    "q7_nation_volume" -> { (spark, dir) =>
+      // TPC-H Q7 shape: 4-table join with a cross-pair nation predicate
+      // and a year rollup — supplier/customer nation dims broadcast.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val sup = Tables.supplier(spark, dir).filter($"s_nationkey".isin(0, 1))
+      val ord = Tables.orders(spark, dir)
+      val cust = Tables.customer(spark, dir).filter($"c_nationkey".isin(0, 1))
+      li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .filter(($"s_nationkey" === 0 && $"c_nationkey" === 1) ||
+          ($"s_nationkey" === 1 && $"c_nationkey" === 0))
+        .groupBy($"s_nationkey".cast("long").as("supp_nation"),
+          $"c_nationkey".cast("long").as("cust_nation"),
+          year($"l_shipdate").cast("long").as("ship_year"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("volume_cents"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    },
+
+    "monthly_revenue" -> { (spark, dir) =>
+      // Calendar rollup over a fact-fact join: revenue by order month.
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue_cents"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy("order_month")
+    },
+
     "sql_correlated" -> { (spark, dir) =>
       // The SQL entry surface: spark.sql over registered views, with a
       // correlated scalar subquery (Catalyst decorrelates it into an
@@ -379,6 +411,25 @@ object RelationalQueries {
     "global_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 100)::BIGINT AS price_cents
         |FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT s_nationkey::BIGINT AS supp_nation, c_nationkey::BIGINT AS cust_nation,
+        |       year(l_shipdate)::BIGINT AS ship_year,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS volume_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |              JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |WHERE (s_nationkey = 0 AND c_nationkey = 1)
+        |   OR (s_nationkey = 1 AND c_nationkey = 0)
+        |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+
+    "monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents,
+        |       count(DISTINCT o_orderkey) AS n_orders
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY order_month""".stripMargin,
 
     "sql_correlated" ->
       """SELECT p_type, p_partkey, round(p_retailprice * 100)::BIGINT AS price_cents

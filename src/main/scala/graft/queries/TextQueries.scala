@@ -45,6 +45,13 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "lang_id_trained" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.languageIdTrained(Tables.documents(spark, dir))
+        .select($"doc_id", $"label", $"predicted", $"score")
+        .orderBy("doc_id")
+    },
+
     "doc_fingerprint" -> { (spark, dir) =>
       import spark.implicits._
       TextOps.fingerprint(Tables.documents(spark, dir))
@@ -111,6 +118,25 @@ object TextQueries {
         |       score_de, score_en, score_es, score_fr, score_zh
         |FROM s ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
     },
+
+    "lang_id_trained" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |prof AS (
+        |  SELECT lang AS plang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, token) AS rk
+        |    FROM toks GROUP BY lang, token) WHERE rk <= 20),
+        |scores AS (
+        |  SELECT doc_id, plang, count(*) AS score
+        |  FROM toks JOIN prof USING (token) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, plang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS brk
+        |  FROM scores)
+        |SELECT d.doc_id, d.lang AS label, b.plang AS predicted, b.score::BIGINT AS score
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE brk = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH g AS (

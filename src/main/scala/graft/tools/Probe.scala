@@ -29,10 +29,17 @@ object Probe {
     // warm the JVM/codegen once
     time("warmup")(spread.count())
 
-    val rows = Dedup.shingleRows(spread)
+    val rows = Dedup.shingleRows(spread).cache()
     time("shingleRows count")(println(rows.count()))
-    val sig = Dedup.minhashSignatureRows(rows)
+    val sig = Dedup.minhashSignatureRows(rows).cache()
     time("signature count")(println(sig.count()))
+    val cand = Dedup.lshCandidates(sig).cache()
+    time("candidates count")(println(cand.count()))
+    val candDocs = cand.select(org.apache.spark.sql.functions.col("doc_a").as("doc_id"))
+      .union(cand.select(org.apache.spark.sql.functions.col("doc_b").as("doc_id"))).distinct()
+    val arrays = rows.join(org.apache.spark.sql.functions.broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.collect_set("shingle").as("shingles"))
+    time("verify")(println(Dedup.verifyJaccard(cand, arrays).count()))
     time("minhash full")(println(Dedup.minhashPairs(docs).count()))
 
     time("fingerprint op")(println(graft.ops.TextOps.fingerprint(docs).count()))
