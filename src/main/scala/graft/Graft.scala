@@ -52,5 +52,12 @@ object Graft {
   def quality(docs: DataFrame): DataFrame = TextOps.qualityMetrics(docs)
   def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenCounts(docs)
   def languageId(docs: DataFrame): DataFrame = TextOps.languageId(docs)
+  def languageIdTrained(docs: DataFrame): DataFrame = TextOps.languageIdTrained(docs)
   def fingerprints(docs: DataFrame): DataFrame = TextOps.fingerprint(docs)
+  def winnowFingerprints(docs: DataFrame): DataFrame = TextOps.winnow(docs)
+
+  // embedding dedup
+  def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
+      thresholdPct: Int): DataFrame =
+    Similarity.nearDupPairs(corpus, centroids, thresholdPct)
 }

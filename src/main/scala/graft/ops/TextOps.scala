@@ -77,6 +77,37 @@ object TextOps {
       LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): k-gram hashes →
+    * sliding window of w → keep each window's minimum → the distinct set
+    * of selected hashes fingerprints the document, robust to local edits.
+    * The per-gram hash is md5-derived (engine-portable) rather than a
+    * sequential Rabin-Karp rolling hash: same output contract, but every
+    * gram hashes independently so the operator parallelizes by position
+    * instead of forcing a per-document sequential scan.
+    *
+    * One explode + one window + one aggregate; shuffles on doc_id only.
+    */
+  def winnow(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col(textCol))
+    val grams = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(textCol),
+        explode(when(n >= k, sequence(lit(1), n - (k - 1)))).as("__i"))
+      .select(col(idCol), col("__i"),
+        (conv(substring(md5(col(textCol).substr(col("__i"), lit(k))), 1, 15), 16, 10)
+          .cast("long") % 999999937L).as("__h"))
+    val wWin = Window.partitionBy(col(idCol)).orderBy(col("__i"))
+      .rowsBetween(0, w - 1)
+    grams
+      .withColumn("__winmin", min(col("__h")).over(wWin))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__winmin")).as("n_fingerprints"),
+        min(col("__winmin")).as("fp_min"),
+        max(col("__winmin")).as("fp_max"))
+  }
+
   /** Data-driven language ID: learn a top-N token profile per language
     * from the labeled corpus (one aggregation), score every document
     * against every profile (broadcast join + aggregation), predict the

@@ -59,6 +59,13 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "winnow_fingerprint" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.winnow(Tables.documents(spark, dir))
+        .select($"doc_id", $"n_fingerprints", $"fp_min", $"fp_max")
+        .orderBy("doc_id")
+    },
+
     "binary_meta" -> { (spark, dir) =>
       // Multimodal plumbing: treat content as an opaque binary column with
       // typed metadata; here the binary is the utf-8 encoding of text and
@@ -148,6 +155,21 @@ object TextQueries {
         |SELECT doc_id, list_min(grams) AS fp_min, list_max(grams) AS fp_max,
         |       coalesce(len(list_distinct(grams)), 0)::BIGINT AS n_grams
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |         ('0x' || substr(md5(substr(text, i::INT, 8)), 1, 15))::BIGINT % 999999937 AS h
+        |  FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS i
+        |        FROM documents WHERE len(text) >= 8)),
+        |wm AS (
+        |  SELECT doc_id,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winmin
+        |  FROM g)
+        |SELECT doc_id, count(DISTINCT winmin) AS n_fingerprints,
+        |       min(winmin) AS fp_min, max(winmin) AS fp_max
+        |FROM wm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "binary_meta" ->
       """SELECT doc_id, source,
