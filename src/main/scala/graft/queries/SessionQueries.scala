@@ -67,6 +67,45 @@ object SessionQueries {
         .orderBy("event_id")
     },
 
+    "session_funnel" -> { (spark, dir) =>
+      // Ordered conversion funnel within sessions: view → click →
+      // purchase, each stage requiring the previous stage to have
+      // happened EARLIER in the same session (compared on first
+      // occurrence). The commerce-analytics read on the session core.
+      import spark.implicits._
+      val s = Sessionize.withSessionNo(Tables.events(spark, dir))
+      val per = s.groupBy($"user_id", $"session_no").agg(
+        min(when($"event_type" === "view", unix_micros($"ts"))).as("t_view"),
+        min(when($"event_type" === "click", unix_micros($"ts"))).as("t_click"),
+        min(when($"event_type" === "purchase", unix_micros($"ts"))).as("t_buy"))
+      per.select(
+          ($"t_view".isNotNull).as("s1"),
+          ($"t_view".isNotNull && $"t_click" > $"t_view").as("s2"),
+          ($"t_view".isNotNull && $"t_click" > $"t_view" && $"t_buy" > $"t_click").as("s3"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum($"s1".cast("long")).as("reached_view"),
+          sum($"s2".cast("long")).as("reached_click"),
+          sum($"s3".cast("long")).as("reached_purchase"))
+    },
+
+    "weekly_cohorts" -> { (spark, dir) =>
+      // Cohort retention: users grouped by first-seen week, counted
+      // distinct per (cohort, weeks-since) — day arithmetic on epoch
+      // micros so both engines bucket identically.
+      import spark.implicits._
+      // floor, not cast: Spark's double→long cast truncates while
+      // DuckDB's rounds — floor is identical in both.
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", floor(unix_micros($"ts") / lit(86400000000L)).as("day"))
+      val firstDay = ev.groupBy($"user_id").agg(min($"day").as("first_day"))
+      ev.join(firstDay, "user_id")
+        .select($"user_id", floor($"first_day" / 7).as("cohort_week"),
+          floor(($"day" - $"first_day") / 7).as("week_offset"))
+        .groupBy($"cohort_week", $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     "session_gaps" -> { (spark, dir) =>
       // W1 surface in isolation: per-event lag + gap, first event NULL.
       import spark.implicits._
@@ -137,6 +176,37 @@ object SessionQueries {
         |       (SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
         |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
         |FROM d ORDER BY event_id""".stripMargin,
+
+    "session_funnel" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d),
+        |per AS (
+        |  SELECT user_id, session_no,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        |  FROM s GROUP BY user_id, session_no)
+        |SELECT count(*) AS n_sessions,
+        |       SUM((t_view IS NOT NULL)::BIGINT)::BIGINT AS reached_view,
+        |       SUM((t_view IS NOT NULL AND t_click > t_view)::BIGINT)::BIGINT AS reached_click,
+        |       SUM((t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click)::BIGINT)::BIGINT AS reached_purchase
+        |FROM per""".stripMargin,
+
+    "weekly_cohorts" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(epoch_us(ts) / 86400000000)::BIGINT AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id)
+        |SELECT floor(first_day / 7)::BIGINT AS cohort_week,
+        |       floor((day - first_day) / 7)::BIGINT AS week_offset,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN fd USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "session_gaps" ->
       """SELECT event_id, user_id,
