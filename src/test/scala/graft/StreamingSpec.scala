@@ -77,6 +77,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("re-running the streaming job on the same checkpoint emits nothing new") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream2").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, Sf0001).select($"user_id", $"ts", $"event_id")
+    ev.write.parquet(in)
+    graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    // second launch, same checkpoint, no new files → exactly-once: no
+    // duplicate sessions are appended
+    graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+    val n2 = spark.read.parquet(out).count()
+    assert(n1 == n2 && n1 > 0)
+  }
+
+  test("labeler drops events older than the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingSessionize.labelSessions(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    val t0 = 1700000000000L // ms
+    input.addData(Ev(1L, new Timestamp(t0), 1L))
+    q.processAllAvailable()
+    // push the watermark hours ahead
+    input.addData(Ev(2L, new Timestamp(t0 + 10 * 3600 * 1000L), 2L))
+    q.processAllAvailable()
+    // now a VERY late event for user 1, hours behind the watermark
+    input.addData(Ev(1L, new Timestamp(t0 + 60 * 1000L), 3L))
+    q.processAllAvailable()
+    // close everything
+    input.addData(Ev(3L, new Timestamp(t0 + 20 * 3600 * 1000L), 4L))
+    q.processAllAvailable()
+    input.addData(Ev(3L, new Timestamp(t0 + 30 * 3600 * 1000L), 5L))
+    q.processAllAvailable()
+    val got = spark.table("late_out").as[Labeled].collect().map(_.event_id).toSet
+    q.stop()
+    assert(got.contains(1L))
+    assert(!got.contains(3L), s"late event should have been dropped, got $got")
+  }
+
   test("flatMapGroupsWithState labeler matches batch session ids for closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
