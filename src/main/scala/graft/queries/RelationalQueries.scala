@@ -229,6 +229,34 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    "unpivot_events" -> { (spark, dir) =>
+      // Unpivot (melt): the inverse of pivot_events, via the same
+      // single-pass plan — kind/count pairs exploded back to rows.
+      import spark.implicits._
+      val p = graft.Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("view", "click", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      p.unpivot(Array($"user_id"), Array($"view", $"click", $"purchase"),
+          "kind", "n_events")
+        .orderBy("user_id", "kind")
+    },
+
+    "percentiles" -> { (spark, dir) =>
+      // Exact interpolated percentiles over integer cents — both engines
+      // interpolate lower + f·(upper−lower) on exact ints, so the float
+      // results are identical.
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("percentile(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)").as("p50"),
+          expr("percentile(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)").as("p90"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_orderpriority")
+    },
+
     "q7_nation_volume" -> { (spark, dir) =>
       // TPC-H Q7 shape: 4-table join with a cross-pair nation predicate
       // and a year rollup — supplier/customer nation dims broadcast.
@@ -411,6 +439,26 @@ object RelationalQueries {
     "global_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice * 100)::BIGINT AS price_cents
         |FROM lineitem ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "unpivot_events" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         count(*) FILTER (event_type = 'view') AS view,
+        |         count(*) FILTER (event_type = 'click') AS click,
+        |         count(*) FILTER (event_type = 'purchase') AS purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, kind, n_events FROM (
+        |  SELECT user_id, 'view' AS kind, view AS n_events FROM p
+        |  UNION ALL SELECT user_id, 'click', click FROM p
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM p)
+        |ORDER BY user_id, kind""".stripMargin,
+
+    "percentiles" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(round(o_totalprice * 100)::BIGINT, 0.5) AS p50,
+        |       quantile_cont(round(o_totalprice * 100)::BIGINT, 0.9) AS p90,
+        |       count(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT s_nationkey::BIGINT AS supp_nation, c_nationkey::BIGINT AS cust_nation,
