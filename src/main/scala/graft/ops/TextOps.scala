@@ -88,7 +88,7 @@ object TextOps {
     * One explode + one window + one aggregate; shuffles on doc_id only.
     */
   def winnow(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      k: Int = 8, w: Int = 4): DataFrame = {
+      k: Int = 8, w: Int = 4, withSet: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = length(col(textCol))
     val grams = df
@@ -100,12 +100,18 @@ object TextOps {
           .cast("long") % 999999937L).as("__h"))
     val wWin = Window.partitionBy(col(idCol)).orderBy(col("__i"))
       .rowsBetween(0, w - 1)
-    grams
-      .withColumn("__winmin", min(col("__h")).over(wWin))
-      .groupBy(col(idCol))
-      .agg(countDistinct(col("__winmin")).as("n_fingerprints"),
-        min(col("__winmin")).as("fp_min"),
-        max(col("__winmin")).as("fp_max"))
+    val winmins = grams.withColumn("__winmin", min(col("__h")).over(wWin))
+    if (withSet)
+      winmins.groupBy(col(idCol))
+        .agg(countDistinct(col("__winmin")).as("n_fingerprints"),
+          min(col("__winmin")).as("fp_min"),
+          max(col("__winmin")).as("fp_max"),
+          collect_set(col("__winmin")).as("fingerprints"))
+    else
+      winmins.groupBy(col(idCol))
+        .agg(countDistinct(col("__winmin")).as("n_fingerprints"),
+          min(col("__winmin")).as("fp_min"),
+          max(col("__winmin")).as("fp_max"))
   }
 
   /** Data-driven language ID: learn a top-N token profile per language

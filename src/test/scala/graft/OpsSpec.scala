@@ -136,6 +136,22 @@ class OpsSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_.getDouble(1) > 0))
   }
 
+  test("winnowing fingerprints are robust to a local edit") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val edited = base.replaceFirst("lazy dog", "LAZY cat") // ONE local change
+    val far = ("completely different content with other words entirely " * 8).trim
+    val df = Seq((1L, base), (2L, edited), (3L, far)).toDF("doc_id", "text")
+    val fp = graft.ops.TextOps.winnow(df, withSet = true)
+      .select("doc_id", "fingerprints")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    def jac(a: Set[Long], b: Set[Long]) =
+      a.intersect(b).size.toDouble / a.union(b).size
+    // a local edit preserves most selected fingerprints; unrelated
+    // content shares essentially none
+    assert(jac(fp(1L), fp(2L)) > 0.5, jac(fp(1L), fp(2L)))
+    assert(jac(fp(1L), fp(3L)) < 0.2, jac(fp(1L), fp(3L)))
+  }
+
   test("fingerprint stable across duplicate content") {
     val df = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop"), (3L, "qrstuvwxyz012345"))
       .toDF("doc_id", "text")
