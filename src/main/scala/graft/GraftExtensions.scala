@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.DotProduct
+
+/** SparkSessionExtensions entry point — the deployment route for the
+  * engine's custom expressions on an unmodified cluster:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  *
+  * Injected functions are then available to every session created from
+  * that context, SQL and Column API alike. For an already-running
+  * session, [[graft.Functions.register]] does the same per-session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction(GraftExtensions.dotNativeDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val dotNativeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_native"),
+    new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_native"),
+    (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+}

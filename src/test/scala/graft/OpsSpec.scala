@@ -125,6 +125,16 @@ class OpsSpec extends SparkSpec {
     assert(planLine.trim.startsWith("*"), planLine)
   }
 
+  test("GraftExtensions injects dot_native into a session-extensions set") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    // building the injected registry must expose the function
+    val base = org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone()
+    org.apache.spark.sql.graftbridge.Bridge.registerFunctions(ext, base)
+    assert(base.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_native")))
+  }
+
   test("dot_native is callable from spark.sql after registration") {
     graft.Functions.register(spark)
     Tables.embeddings(spark, Sf0001)
