@@ -9,21 +9,31 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is TIMESTAMP(NANOS) parquet; without this the scan
+      // throws PARQUET_TYPE_ILLEGAL (Tables.events sets it too, but the
+      // warmup pass below reads the raw files first).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: any task-retry noise would interleave with the one
+    // JSON line below and break the driver's parse of it.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session once (codegen paths, parquet footers, JIT) so the
-    // first timed query doesn't absorb startup cost; then time in sorted
-    // order for run-to-run comparability.
+    // first timed query doesn't absorb startup cost.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def timeAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    // Two passes, min per query: this box runs other tenants and a single
+    // pass can triple under load (observed 43s vs 140s for identical code).
+    val r1 = timeAll().toMap
+    val results = timeAll().map { case (k, v) => k -> math.min(v, r1(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
