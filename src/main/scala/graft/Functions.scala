@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, HammingDist}
 
 /** SQL-surface registration: exposes the engine's custom expression(s)
   * to `spark.sql` so the SQL entry point is as complete as the Column
@@ -12,5 +12,7 @@ object Functions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_native", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hamming_native", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, HammingDist}
 
 /** SparkSessionExtensions entry point — the deployment route for the
   * engine's custom expressions on an unmodified cluster:
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftExtensions.dotNativeDescriptor)
+    extensions.injectFunction(GraftExtensions.hammingNativeDescriptor)
   }
 }
 
@@ -30,4 +31,9 @@ object GraftExtensions {
     FunctionIdentifier("dot_native"),
     new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_native"),
     (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1)))
+
+  val hammingNativeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hamming_native"),
+    new ExpressionInfo(classOf[HammingDist].getCanonicalName, "hamming_native"),
+    (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1)))
 }

@@ -170,6 +170,105 @@ object Dedup {
     verifyJaccard(cand, arrays, idCol)
   }
 
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist`, found
+    * without any all-pairs stage via pigeonhole blocking: the 32-bit
+    * fingerprint is split into `maxDist + 1` chunks, and two fingerprints
+    * within distance `maxDist` MUST agree exactly on at least one chunk
+    * (at most `maxDist` chunks can contain a differing bit). Candidates
+    * come from a self-join on (chunk_index, chunk_value) — cardinality
+    * ~2^8 per chunk, so the join key space is wide and the probe spreads —
+    * then the exact popcount filter ([[graft.expressions.HammingDist]],
+    * a codegen'd `Long.bitCount(a ^ b)`) verifies each candidate once.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 32 / chunks // 4 chunks × 8 bits for the default
+    val sig = simhash(df, idCol, textCol).cache()
+    val chunked = sig.select(col(idCol), col("simhash"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("simhash"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk_idx", "chunk_val")))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    val cand = a.join(b,
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct() // a close pair can share several chunks; verify once
+    cand
+      .withColumn("hamming",
+        graft.expressions.HammingDist.hammingNative(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Connected components over an undirected edge list — dedup clustering:
+    * every document in a near-dup component gets the component's minimum
+    * doc id as `cluster_id`. Iterative min-label propagation (the
+    * large-scale pattern: each round is one shuffle-join + aggregate, the
+    * driver only checks a converged count), bounded by the component
+    * diameter which for near-dup graphs is tiny. Returns (id, cluster_id)
+    * for every node appearing in `edges`.
+    */
+  /** Materialize `df` and return a lineage-free copy (fresh relation over
+    * the cached row RDD). Iterative algorithms need this: each round's
+    * plan here references the previous round twice (self-join), so with
+    * lazy lineage the logical plan DOUBLES per round and by round k
+    * Catalyst re-analyzes 2^k copies of the upstream pipeline — planning,
+    * not execution, dominates. (`localCheckpoint` would be the idiomatic
+    * cut, but its LogicalRDD carries origin constraints from join lineage
+    * that Spark 4.1 fails to rewrite on self-join re-instancing —
+    * `NoSuchElementException: key not found` in the optimizer — so we
+    * round-trip through the row RDD, which carries no origin metadata.)
+    */
+  private def rebase(df: DataFrame): DataFrame = {
+    val rdd = df.rdd.cache()
+    rdd.count() // materialize eagerly: later rounds must not re-run lineage
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
+
+  def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
+      dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
+    // Undirected: propagate both ways each round. No distinct — the
+    // min-aggregate below is duplicate-insensitive, so deduping the edge
+    // list would buy nothing and cost a shuffle.
+    val und = rebase(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
+    var labels = rebase(und.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")))
+    // Labels only ever DECREASE (min of self and neighbours), so the
+    // label sum strictly decreases iff any node changed — convergence is
+    // one tiny aggregate per round, no join against the previous state.
+    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // 1-hop: each node takes min(own label, neighbours' labels).
+      val fromNeighbours = und
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+      val hop = labels.select(col("id"), col("cluster_id"))
+        .union(fromNeighbours)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // Pointer jump (path doubling): follow the label one more step —
+      // label(x) ← label(label(x)) — so a chain of diameter d converges
+      // in O(log d) rounds instead of O(d).
+      val next = rebase(hop.as("x").join(
+          hop.select(col("id").as("__pid"), col("cluster_id").as("__plbl")),
+          col("x.cluster_id") === col("__pid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("__plbl"), col("x.cluster_id")).as("cluster_id")))
+      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 md5
     * hex digits as an integer; bit j of the simhash is 1 iff a strict
     * majority of token hashes have bit j set. One explode + one aggregate.

@@ -48,6 +48,29 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "simhash_near_dup" -> { (spark, dir) =>
+      // Pigeonhole-blocked SimHash pairs at Hamming ≤ 3, verified by the
+      // native codegen popcount expression. The oracle is brute-force
+      // all-pairs — blocking is exact (not probabilistic), so outputs
+      // must be identical.
+      import spark.implicits._
+      Dedup.simhashNearDup(Tables.documents(spark, dir))
+        .withColumn("hamming", $"hamming".cast("long"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "dedup_clusters" -> { (spark, dir) =>
+      // Near-dup graph → connected components: each doc in a MinHash
+      // near-dup pair gets min(component) as its cluster id. Iterative
+      // label propagation on Spark; recursive CTE in the oracle.
+      import spark.implicits._
+      val pairs = Dedup.minhashPairs(Tables.documents(spark, dir))
+        .select($"doc_a", $"doc_b")
+      Dedup.connectedComponents(pairs)
+        .select($"id", $"cluster_id")
+        .orderBy("id")
+    },
+
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32.
       // Band join on (lang, 64-char length bucket): side B carries its
@@ -106,6 +129,36 @@ object DedupQueries {
          |        FROM documents))
          |SELECT doc_id, ($simhashOracleBits)::BIGINT AS simhash
          |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "simhash_near_dup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |        FROM documents)),
+         |sh AS (SELECT doc_id, ($simhashOracleBits)::BIGINT AS simhash
+         |       FROM tok GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s)) AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s))) AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a, doc_b FROM p WHERE inter * 2 > uni),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |       UNION SELECT doc_b, doc_a FROM e),
+         |n AS (SELECT DISTINCT src AS node FROM ed),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node)
+         |SELECT node AS id, min(lbl) AS cluster_id
+         |FROM reach GROUP BY node ORDER BY id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,

@@ -13,10 +13,14 @@ object Probe {
   }
 
   /** `runMain graft.tools.Probe explain <query> [sfDir]` prints the
-    * formatted physical plan; default mode times the heavy pipelines.
+    * formatted physical plan; `Probe time <sfDir> <query>...` times the
+    * named SparkEntry queries (2 runs each, both reported); default mode
+    * times the heavy pipelines stage by stage.
     */
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("explain")) return explainMain(args.drop(1))
+    if (args.headOption.contains("time")) return timeMain(args.drop(1))
+    if (args.headOption.contains("cc")) return ccMain()
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,6 +55,39 @@ object Probe {
       graft.queries.DedupQueries.queries("dedup_ngram_jaccard")(spark, sfDir).count()))
     time("active_sessions")(println(
       graft.queries.SessionQueries.queries("active_sessions")(spark, sfDir).count()))
+    spark.stop()
+  }
+
+  def ccMain(): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    // 100 chains of length 10 → diameter 10, 990 edges
+    val edges = spark.range(1000).filter(col("id") % 10 =!= 9)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    time("cc synthetic")(println(Dedup.connectedComponents(edges).count()))
+    time("cc synthetic 2nd")(println(Dedup.connectedComponents(edges).count()))
+    spark.stop()
+  }
+
+  def timeMain(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val names = args.tail
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    time("warmup")(spark.range(1000000L).selectExpr("sum(id)").collect())
+    names.foreach { q =>
+      (1 to 2).foreach { i =>
+        time(s"$q#$i")(println(graft.SparkEntry.queries(q)(spark, sfDir).count()))
+      }
+    }
     spark.stop()
   }
 

@@ -170,4 +170,55 @@ class OpsSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
   }
+
+  test("native HammingDist equals Long.bitCount(xor) and stays codegen'd") {
+    import graft.expressions.HammingDist.hammingNative
+    val df = Seq((0L, 0L), (13L, 9L), (-1L, 0L), (Long.MinValue, Long.MaxValue))
+      .toDF("a", "b")
+    val got = df.select(hammingNative($"a", $"b")).collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(0, 1, 64, 64))
+    // codegen check over a range scan (a local relation would fold the
+    // projection away; an exchange would leave an unfinalized AQE plan)
+    val ranged = spark.range(16).select(hammingNative($"id", lit(0L)).as("h"))
+    val planLine = ranged.queryExecution.executedPlan.toString
+      .linesIterator.find(_.toLowerCase.contains("hammingdist")).getOrElse("")
+    assert(planLine.trim.startsWith("*"), planLine)
+    assert(ranged.collect().map(_.getInt(0)).sum ==
+      (0 until 16).map(java.lang.Long.bitCount(_)).sum)
+    graft.Functions.register(spark)
+    val viaSql = spark.sql("SELECT hamming_native(13L, 9L)").head.getInt(0)
+    assert(viaSql == 1)
+  }
+
+  test("simhash pigeonhole blocking finds exactly the brute-force pairs") {
+    // 60 docs in 20 families of 3 mutated copies: blocking must return
+    // the same Hamming<=3 pair set as the all-pairs scan of simhashes.
+    val docs = (0 until 60).map { i =>
+      val fam = i / 3
+      val toks = (0 until 40).map(t =>
+        if (t == i % 3 * 5) s"mut${i}_$t" else s"fam${fam}_tok$t")
+      (i.toLong, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val blocked = Dedup.simhashNearDup(df)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sims = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty) // the fixture actually plants close pairs
+  }
+
+  test("connected components: chains, cliques and isolated pairs") {
+    // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping),
+    // triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }
