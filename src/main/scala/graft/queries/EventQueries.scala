@@ -114,6 +114,21 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "cube_events" -> { (spark, dir) =>
+      // Full CUBE over (event_type, day-of-week) with grouping_id —
+      // completes the grouping-sets surface next to rollup_lineitem.
+      // 2^2 grouping sets expand map-side (Expand operator), then one
+      // hash aggregate: at scale the cube costs one pass, not four.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select($"event_type", dayofweek($"ts").cast("long").as("dow"),
+          round($"value" * 100).cast("long").as("cents"))
+        .cube($"event_type", $"dow")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum($"cents").as("value_cents"))
+        .orderBy($"gid", $"event_type".asc_nulls_first, $"dow".asc_nulls_first)
+    },
+
     "asof_prior_signup" -> { (spark, dir) =>
       // As-of forward fill: for every event, the user's most recent
       // signup at-or-before it (W4 last(ignoreNulls) analog, expressed as
@@ -191,6 +206,14 @@ object EventQueries {
         |           WHEN event_type = 'view' THEN 6554
         |           ELSE 19661 END
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cube_events" ->
+      """WITH x AS (SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
+        |                  round(value * 100)::BIGINT AS cents FROM events)
+        |SELECT event_type, dow, GROUPING(event_type, dow)::BIGINT AS gid,
+        |       count(*) AS n, SUM(cents)::BIGINT AS value_cents
+        |FROM x GROUP BY CUBE(event_type, dow)
+        |ORDER BY gid, event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
 
     "asof_prior_signup" ->
       """SELECT event_id, user_id, prior_signup_us FROM (

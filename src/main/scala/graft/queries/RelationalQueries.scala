@@ -318,6 +318,66 @@ object RelationalQueries {
         .orderBy("bucket_10min")
     },
 
+    "q2_min_cost_supp" -> { (spark, dir) =>
+      // TPC-H Q2 shape (no partsupp table in this testdata, so lineitem
+      // is the part↔supplier cost link): cheapest supplier per small
+      // part. Per-(part,supp) min unit cost, then rank-1 per part with a
+      // deterministic tie-break, then broadcast-join the two dims back.
+      // unit cost as floor(1000·price/qty): per-row IEEE division is
+      // engine-identical and floor makes it an exact integer.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val smallParts = Tables.part(spark, dir).filter($"p_size" <= 10)
+      val perSupp = li
+        .join(broadcast(smallParts.select($"p_partkey")), $"l_partkey" === $"p_partkey", "left_semi")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(floor($"l_extendedprice" * 1000 / $"l_quantity").cast("long")).as("cost_milli"))
+      val w = Window.partitionBy($"l_partkey").orderBy($"cost_milli", $"l_suppkey")
+      perSupp.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+        .select($"p_partkey", $"p_name", $"s_name", $"cost_milli")
+        .orderBy("p_partkey")
+    },
+
+    "q8_share" -> { (spark, dir) =>
+      // TPC-H Q8 shape (market share): per order-year, NATION_0's share
+      // of ASIA-customer revenue — emitted as exact numerator/denominator
+      // cents (the division would be the only non-portable float here).
+      import spark.implicits._
+      val asia = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+      val nat = Tables.nation(spark, dir)
+      val cust = Tables.customer(spark, dir)
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(
+          sum(when($"n_name" === "NATION_0",
+            cents($"l_extendedprice" * (lit(1) - $"l_discount"))).otherwise(0L))
+            .as("nation0_cents"),
+          sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("total_cents"))
+        .orderBy("o_year")
+    },
+
+    "q10_returners" -> { (spark, dir) =>
+      // TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+      // Shuffle join lineitem⋈orders does the heavy lifting; customer and
+      // nation broadcast; TakeOrderedAndProject caps the result.
+      import spark.implicits._
+      Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"n_name")
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("lost_cents"),
+          count(lit(1)).as("n_returned"))
+        .orderBy($"lost_cents".desc, $"c_custkey")
+        .limit(20)
+    },
+
     "approx_distinct_parts" -> { (spark, dir) =>
       // HLL sketch — approximate by design, so no DuckDB oracle (driver
       // records a rows-only check). The 100 TB answer to COUNT(DISTINCT).
@@ -516,5 +576,44 @@ object RelationalQueries {
       """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         min(floor(l_extendedprice * 1000 / l_quantity)::BIGINT) AS cost_milli
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10
+        |  GROUP BY l_partkey, l_suppkey),
+        |best AS (
+        |  SELECT * FROM ps
+        |  QUALIFY row_number() OVER (PARTITION BY l_partkey ORDER BY cost_milli, l_suppkey) = 1)
+        |SELECT p_partkey, p_name, s_name, cost_milli
+        |FROM best JOIN supplier ON l_suppkey = s_suppkey
+        |          JOIN part ON l_partkey = p_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q8_share" ->
+      """SELECT year(o_orderdate)::BIGINT AS o_year,
+        |       SUM(CASE WHEN n_name = 'NATION_0'
+        |                THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |                ELSE 0 END)::BIGINT AS nation0_cents,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+
+    "q10_returners" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS lost_cents,
+        |       count(*) AS n_returned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin)
 }

@@ -106,6 +106,24 @@ object SessionQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    "session_window_agg" -> { (spark, dir) =>
+      // Spark's NATIVE session_window in batch mode — the declarative
+      // form of the gap rule that Catalyst plans without a window
+      // function (MergingSessions aggregation). NOTE the boundary
+      // semantics differ from the reference's lag-based rule: windows are
+      // half-open [first, last+gap), so a gap of EXACTLY 30 min starts a
+      // new session here (>=), while the reference's `time_diff > 1800`
+      // keeps it. The oracle encodes >= accordingly.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round($"value" * 100).cast("long")).as("value_cents"))
+        .select($"user_id", unix_micros($"sw.start").as("start_us"),
+          unix_micros($"sw.end").as("end_us"), $"n_events", $"value_cents")
+        .orderBy("user_id", "start_us")
+    },
+
     "session_gaps" -> { (spark, dir) =>
       // W1 surface in isolation: per-event lag + gap, first event NULL.
       import spark.implicits._
@@ -211,5 +229,20 @@ object SessionQueries {
     "session_gaps" ->
       """SELECT event_id, user_id,
         |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "session_window_agg" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sw_no
+        |  FROM d)
+        |SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |       max(epoch_us(ts)) + 1800000000 AS end_us,
+        |       count(*) AS n_events,
+        |       SUM(round(value * 100)::BIGINT)::BIGINT AS value_cents
+        |FROM s GROUP BY user_id, sw_no ORDER BY user_id, start_us""".stripMargin)
 }

@@ -52,6 +52,22 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb, q, centroids, k = 3)
         .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id")
         .orderBy("query_id", "rk")
+    },
+
+    "embedding_centroids" -> { (spark, dir) =>
+      // Per-label centroid accumulators: one explode (posexplode is a
+      // Generate, no shuffle) then a (label, dim) hash aggregate —
+      // partial+final, so at 100 TB each executor pre-sums its share of
+      // vectors and only 64·n_labels rows shuffle. Sums are exact
+      // integers (floor of per-element micros) so the mean is num/n with
+      // no cross-engine float aggregation order to worry about.
+      import spark.implicits._
+      Tables.embeddings(spark, dir)
+        .select($"label", posexplode($"embedding".cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy($"label".cast("long").as("label"), $"dim".cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"x" * 1000000).cast("long")).as("sum_micros"))
+        .orderBy("label", "dim")
     })
 
   private val AssignedCte =
@@ -94,5 +110,12 @@ object SimilarityQueries {
          |SELECT query_id, rk, vec_id AS neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM s) WHERE rk <= 3
-         |ORDER BY query_id, rk""".stripMargin)
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "embedding_centroids" ->
+      """WITH x AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+        |                  unnest(embedding) AS v FROM embeddings)
+        |SELECT label::BIGINT AS label, dim::BIGINT AS dim, count(*) AS n,
+        |       SUM(floor(v::DOUBLE * 1000000)::BIGINT)::BIGINT AS sum_micros
+        |FROM x GROUP BY 1, 2 ORDER BY label, dim""".stripMargin)
 }
