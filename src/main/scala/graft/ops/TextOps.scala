@@ -142,6 +142,40 @@ object TextOps {
       .join(best.select(col(idCol), col("plang").as("predicted"), col("score")), Seq(idCol), "left")
   }
 
+  /** Character-n-gram language ID: like [[languageIdTrained]] but the
+    * profile unit is a char k-gram, not a whitespace token — robust to
+    * languages without whitespace tokenization and to morphology (the
+    * standard n-gram text-categorization design). Grams come from the
+    * same explode-positions pattern as [[fingerprint]] (codegen'd substr
+    * per row, no interpreted HOF); the per-language profile is a
+    * two-level aggregate + window top-N; scoring is one broadcast join.
+    */
+  def languageIdChargram(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", labelCol: String = "lang",
+      k: Int = 3, profileSize: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col(textCol))
+    val grams = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), col(labelCol), col(textCol),
+        explode(when(n >= k, sequence(lit(1), n - (k - 1)))).as("__i"))
+      .select(col(idCol), col(labelCol),
+        col(textCol).substr(col("__i"), lit(k)).as("gram"))
+    val wProf = Window.partitionBy(col(labelCol)).orderBy(col("cnt").desc, col("gram"))
+    val profile = grams.groupBy(col(labelCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wProf))
+      .filter(col("rk") <= profileSize)
+      .select(col(labelCol).as("plang"), col("gram"))
+    val scores = grams.join(broadcast(profile), Seq("gram"))
+      .groupBy(col(idCol), col("plang"))
+      .agg(count(lit(1)).as("score"))
+    val wBest = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("plang"))
+    val best = scores.withColumn("brk", row_number().over(wBest)).filter(col("brk") === 1)
+    df.select(col(idCol), col(labelCol).as("label"))
+      .join(best.select(col(idCol), col("plang").as("predicted"), col("score")), Seq(idCol), "left")
+  }
+
   /** Document fingerprint from character k-gram md5s: the min (a 1-hash
     * MinHash), max, and distinct-gram count — a rolling-hash style content
     * signature that is stable under document reordering of duplicates.

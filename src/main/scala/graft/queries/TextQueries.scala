@@ -52,6 +52,13 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "lang_id_chargram" -> { (spark, dir) =>
+      import spark.implicits._
+      TextOps.languageIdChargram(Tables.documents(spark, dir))
+        .select($"doc_id", $"label", $"predicted", $"score")
+        .orderBy("doc_id")
+    },
+
     "doc_fingerprint" -> { (spark, dir) =>
       import spark.implicits._
       TextOps.fingerprint(Tables.documents(spark, dir))
@@ -80,6 +87,20 @@ object TextQueries {
           md5($"text").as("content_md5"),
           ceil(octet_length($"text") / lit(64.0)).cast("long").as("n_frames"))
         .orderBy("doc_id")
+    },
+
+    "frame_sample" -> { (spark, dir) =>
+      // Multimodal frame sampling: binary content sliced into 64-byte
+      // frames, every 4th kept (Multimodal.sampleFrames), emitted as
+      // (media_id, original frame index, frame md5). All inside
+      // Catalyst — the slice is substr on the binary column, no UDF.
+      import spark.implicits._
+      val media = graft.ops.Multimodal.fromText(Tables.documents(spark, dir))
+      graft.ops.Multimodal.sampleFrames(media)
+        .select($"media_id", posexplode($"frames").as(Seq("pos", "frame")))
+        .select($"media_id", ($"pos" * 4).cast("long").as("frame_idx"),
+          md5($"frame").as("frame_md5"))
+        .orderBy("media_id", "frame_idx")
     })
 
   private def markerSql(lang: String, markers: Seq[String]): String = {
@@ -145,6 +166,27 @@ object TextQueries {
         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE brk = 1) b USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "lang_id_chargram" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, substr(text, i::INT, 3) AS gram
+        |  FROM (SELECT doc_id, lang, text, unnest(range(1, len(text) - 1)) AS i
+        |        FROM documents WHERE len(text) >= 3)),
+        |prof AS (
+        |  SELECT lang AS plang, gram FROM (
+        |    SELECT lang, gram, count(*) AS cnt,
+        |           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rk
+        |    FROM g GROUP BY lang, gram) WHERE rk <= 30),
+        |scores AS (
+        |  SELECT doc_id, plang, count(*) AS score
+        |  FROM g JOIN prof USING (gram) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, plang, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS brk
+        |  FROM scores)
+        |SELECT d.doc_id, d.lang AS label, b.plang AS predicted, b.score::BIGINT AS score
+        |FROM documents d LEFT JOIN (SELECT * FROM best WHERE brk = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "doc_fingerprint" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -176,5 +218,18 @@ object TextQueries {
         |       octet_length(encode(text))::BIGINT AS n_bytes,
         |       md5(text) AS content_md5,
         |       ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte slicing == char slicing here: the corpus is pure ASCII
+    // (octet_length(encode(text)) == len(text) for every row)
+    "frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_idx,
+        |         substr(text, (i * 64 + 1)::INT, 64) AS frame
+        |  FROM (SELECT doc_id, text,
+        |               unnest(range(0, ceil(len(text) / 64.0)::BIGINT)) AS i
+        |        FROM documents)
+        |  WHERE i % 4 = 0)
+        |SELECT media_id, frame_idx::BIGINT AS frame_idx, md5(frame) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin)
 }
