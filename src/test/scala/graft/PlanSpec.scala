@@ -40,4 +40,27 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("global_sort_limit")(spark, Sf0001))
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("per-group top-k prunes via WindowGroupLimit before the shuffle") {
+    // rank<=k predicates must trigger Spark's window-group-limit pushdown
+    // (partial mode runs BEFORE the exchange) — the reason we express
+    // top-k as row_number + filter instead of a custom physical operator.
+    val plan = planOf(SparkEntry.queries("topk_per_group")(spark, Sf0001))
+    // two instances: Partial (map-side, before the exchange) + Final
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("Partial") && plan.contains("Final"), plan)
+  }
+
+  test("q1 aggregates partially before its shuffle (map-side combine)") {
+    val plan = planOf(SparkEntry.queries("q1_agg")(spark, Sf0001))
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("partial_sum")
+    assert(partialIdx > exchangeIdx && exchangeIdx >= 0,
+      s"expected partial aggregation below the exchange:\n$plan")
+  }
+
+  test("q2 pre-filters lineitem with a semi join before aggregating") {
+    val plan = planOf(SparkEntry.queries("q2_min_cost_supp")(spark, Sf0001))
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
