@@ -98,6 +98,18 @@ object StreamingSessionize {
       }
   }
 
+  /** Streaming exact dedup — the streaming form of `Dedup.exact` for
+    * at-least-once sources (replayed events, retried producers): a row
+    * whose key was already seen is dropped, with state bounded by the
+    * watermark horizon (a key's state expires once the watermark passes
+    * its event time + delay, so state size tracks the horizon, not the
+    * stream length).
+    */
+  def dedupStream(events: DataFrame, tsCol: String = "ts",
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events.withWatermark(tsCol, "30 minutes")
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   def sessionId(user: Long, startUs: Long): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s"$user-$startUs".getBytes("UTF-8"))

@@ -144,4 +144,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == batch.size)
     assert(got == batch)
   }
+
+  test("streaming dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingSessionize.dedupStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val data = evs(100)
+    input.addData(data.take(60)); q.processAllAvailable()
+    // replay an overlapping window (at-least-once source) + the tail
+    input.addData(data.slice(30, 100)); q.processAllAvailable()
+    // and replay the whole thing once more
+    input.addData(data); q.processAllAvailable()
+    val got = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(got == data.map(_.event_id).sorted.toSeq) // each id exactly once
+  }
 }
