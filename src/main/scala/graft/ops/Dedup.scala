@@ -269,6 +269,30 @@ object Dedup {
     labels
   }
 
+  /** Incremental MinHash dedup — the hourly-production shape: signatures
+    * are computed for the whole corpus, but candidate pairs are kept only
+    * when the pair's LATER doc is new (`doc_b >= newFromId`; since
+    * doc_a < doc_b this is exactly "at least one side is new", because a
+    * new doc_a forces a newer doc_b). Historical×historical pairs — the
+    * quadratic bulk that was already verified in previous runs — never
+    * reach the verify join. At steady state the per-batch cost is
+    * O(batch × collision rate), not O(corpus²).
+    */
+  def minhashPairsIncremental(df: DataFrame, newFromId: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val rows = shingleRows(spread, idCol, textCol).cache()
+    val sig = minhashSignatureRows(rows, idCol)
+    val cand = lshCandidates(sig, idCol)
+      .filter(col("doc_b") >= newFromId)
+      .cache()
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol))).distinct()
+    val arrays = rows.join(broadcast(candDocs), Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
+    verifyJaccard(cand, arrays, idCol)
+  }
+
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 md5
     * hex digits as an integer; bit j of the simhash is 1 iff a strict
     * majority of token hashes have bit j set. One explode + one aggregate.

@@ -71,6 +71,16 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    "dedup_incremental" -> { (spark, dir) =>
+      // Hourly-production incremental dedup: docs with id >= 400 are "the
+      // new batch"; only pairs whose later doc is new get verified.
+      import spark.implicits._
+      Dedup.minhashPairsIncremental(Tables.documents(spark, dir), newFromId = 400L)
+        .select($"doc_a", $"doc_b", $"inter".cast("long").as("inter"),
+          $"uni".cast("long").as("uni"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32.
       // Band join on (lang, 64-char length bucket): side B carries its
@@ -159,6 +169,15 @@ object DedupQueries {
          |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node)
          |SELECT node AS id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s))::BIGINT AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s)))::BIGINT AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id >= 400)
+         |SELECT doc_a, doc_b, inter, uni FROM p
+         |WHERE inter * 2 > uni ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,

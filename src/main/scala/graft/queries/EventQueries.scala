@@ -114,6 +114,19 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "reservoir_sample" -> { (spark, dir) =>
+      // Fixed-size deterministic sample: order by a keyed hash, keep k.
+      // Plans as TakeOrderedAndProject — each partition keeps its own
+      // top-k then the driver merges k·p rows, so no global sort ever
+      // materializes (the distributed reservoir-sampling equivalent).
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("rnd", md5($"event_id".cast("string")))
+        .orderBy("rnd").limit(200)
+        .select($"event_id", $"user_id", $"event_type")
+        .orderBy("event_id")
+    },
+
     "cube_events" -> { (spark, dir) =>
       // Full CUBE over (event_type, day-of-week) with grouping_id —
       // completes the grouping-sets surface next to rollup_lineitem.
@@ -206,6 +219,12 @@ object EventQueries {
         |           WHEN event_type = 'view' THEN 6554
         |           ELSE 19661 END
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "reservoir_sample" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type, md5(event_id::VARCHAR) AS rnd
+        |  FROM events ORDER BY rnd LIMIT 200)
+        |ORDER BY event_id""".stripMargin,
 
     "cube_events" ->
       """WITH x AS (SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS dow,
