@@ -318,6 +318,31 @@ object RelationalQueries {
         .orderBy("bucket_10min")
     },
 
+    "q6_scan_revenue" -> { (spark, dir) =>
+      // TPC-H Q6 shape: pure scan + conjunctive filter + one global agg.
+      // The predicates must reach the parquet reader (PushedFilters,
+      // asserted in PlanSpec) — at 100 TB this is the difference between
+      // reading row groups and skipping them on statistics.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter($"l_discount" >= 0.02 && $"l_discount" <= 0.06 && $"l_quantity" < 10)
+        .agg(sum(cents($"l_extendedprice" * $"l_discount")).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "window_dist_funcs" -> { (spark, dir) =>
+      // Distribution window functions: percent_rank/cume_dist are
+      // int/int doubles with a unique order key, so both engines compute
+      // bit-identical values.
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(spark, dir)
+        .select($"o_custkey", $"o_orderkey",
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     "q2_min_cost_supp" -> { (spark, dir) =>
       // TPC-H Q2 shape (no partsupp table in this testdata, so lineitem
       // is the part↔supplier cost link): cheapest supplier per small
@@ -577,6 +602,18 @@ object RelationalQueries {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "q6_scan_revenue" ->
+      """SELECT SUM(round(l_extendedprice * l_discount * 100)::BIGINT)::BIGINT AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 10""".stripMargin,
+
+    "window_dist_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pr,
+        |       cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS cd
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q2_min_cost_supp" ->
       """WITH ps AS (

@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation below the exchange:\n$plan")
   }
 
+  test("q6 pushes its filters into the parquet scan") {
+    val plan = planOf(SparkEntry.queries("q6_scan_revenue")(spark, Sf0001))
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("l_discount") && pushed.contains("l_quantity"),
+      s"filters not pushed: $pushed")
+  }
+
   test("q2 pre-filters lineitem with a semi join before aggregating") {
     val plan = planOf(SparkEntry.queries("q2_min_cost_supp")(spark, Sf0001))
     assert(plan.contains("LeftSemi"), plan)
