@@ -212,21 +212,34 @@ object Dedup {
     * diameter which for near-dup graphs is tiny. Returns (id, cluster_id)
     * for every node appearing in `edges`.
     */
-  /** Materialize `df` and return a lineage-free copy (fresh relation over
-    * the cached row RDD). Iterative algorithms need this: each round's
-    * plan here references the previous round twice (self-join), so with
-    * lazy lineage the logical plan DOUBLES per round and by round k
-    * Catalyst re-analyzes 2^k copies of the upstream pipeline — planning,
-    * not execution, dominates. (`localCheckpoint` would be the idiomatic
-    * cut, but its LogicalRDD carries origin constraints from join lineage
-    * that Spark 4.1 fails to rewrite on self-join re-instancing —
-    * `NoSuchElementException: key not found` in the optimizer — so we
-    * round-trip through the row RDD, which carries no origin metadata.)
+  /** Partition count for an iterative loop over `n` rows: near-dup graphs
+    * are usually minuscule next to the corpus, and a tiny loop shuffled
+    * across every core pays more scheduler overhead per round than
+    * compute. ~500k rows per partition, floored at 1, capped at the
+    * default parallelism so giant graphs still spread.
     */
-  private def rebase(df: DataFrame): DataFrame = {
-    val rdd = df.rdd.cache()
-    rdd.count() // materialize eagerly: later rounds must not re-run lineage
-    df.sparkSession.createDataFrame(rdd, df.schema)
+  private def loopPartitions(df: DataFrame, n: Long): Int =
+    math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism,
+      ((n + 499999L) / 500000L).toInt))
+
+  /** Materialize one loop round and return (lineage-free copy, sum of the
+    * label column) from a single Spark job. The lineage cut is essential:
+    * each round's plan references the previous round twice (self-join),
+    * so with lazy lineage the logical plan DOUBLES per round and by round
+    * k Catalyst re-analyzes 2^k copies of the upstream pipeline —
+    * planning, not execution, dominates. (`localCheckpoint` would be the
+    * idiomatic cut, but its LogicalRDD carries origin constraints from
+    * join lineage that Spark 4.1 fails to rewrite on self-join
+    * re-instancing — `NoSuchElementException: key not found` in the
+    * optimizer — so we round-trip through the row RDD, which carries no
+    * origin metadata.) Folding the convergence sum into the same
+    * materialization halves the job count per round — at tiny graph
+    * sizes scheduling, not compute, is the cost.
+    */
+  private def rebaseSum(df: DataFrame, parts: Int): (DataFrame, Long) = {
+    val rdd = df.rdd.coalesce(parts).cache()
+    val s = rdd.map(_.getLong(1)).fold(0L)(_ + _)
+    (df.sparkSession.createDataFrame(rdd, df.schema), s)
   }
 
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
@@ -234,14 +247,17 @@ object Dedup {
     // Undirected: propagate both ways each round. No distinct — the
     // min-aggregate below is duplicate-insensitive, so deduping the edge
     // list would buy nothing and cost a shuffle.
-    val und = rebase(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))))
-    var labels = rebase(und.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")))
+    val undPlan = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    val undRdd = undPlan.rdd.cache()
+    val p = loopPartitions(edges, undRdd.count())
+    val und = edges.sparkSession.createDataFrame(undRdd.coalesce(p), undPlan.schema)
     // Labels only ever DECREASE (min of self and neighbours), so the
     // label sum strictly decreases iff any node changed — convergence is
-    // one tiny aggregate per round, no join against the previous state.
-    var prevSum = labels.agg(sum(col("cluster_id"))).head.getLong(0)
+    // one tiny aggregate per round, no join against the previous state,
+    // computed inside the job that materializes the round.
+    var (labels, prevSum) = rebaseSum(und.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")), p)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -255,12 +271,11 @@ object Dedup {
       // Pointer jump (path doubling): follow the label one more step —
       // label(x) ← label(label(x)) — so a chain of diameter d converges
       // in O(log d) rounds instead of O(d).
-      val next = rebase(hop.as("x").join(
+      val (next, s) = rebaseSum(hop.as("x").join(
           hop.select(col("id").as("__pid"), col("cluster_id").as("__plbl")),
           col("x.cluster_id") === col("__pid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("__plbl"), col("x.cluster_id")).as("cluster_id")))
-      val s = next.agg(sum(col("cluster_id"))).head.getLong(0)
+          coalesce(col("__plbl"), col("x.cluster_id")).as("cluster_id")), p)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -106,6 +106,11 @@ object DedupQueries {
         .repartition(spark.sparkContext.defaultParallelism)
       b.join(broadcast(a), Seq("lang", "bucket"))
         .filter($"doc_a" < $"doc_b" && abs($"nc_a" - $"nc_b") <= 32)
+        // necessary condition on set sizes alone (inter <= min size,
+        // union >= max size): pairs that cannot reach the threshold are
+        // dropped BEFORE the quadratic array_intersect
+        .filter(least(size($"sh_a"), size($"sh_b")) * 10 >
+          greatest(size($"sh_a"), size($"sh_b")) * 3)
         .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
         .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("long"))
         .filter($"inter" * 10 > $"uni" * 3)
