@@ -71,6 +71,21 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    "minhash_signature" -> { (spark, dir) =>
+      // The signature math itself, oracled: per (doc, permutation) the
+      // min of (a_i·x + b_i) mod p over the doc's shingle hashes. The
+      // wide h0..h23 aggregate unpivots to rows so the oracle is a plain
+      // cross join against range(24).
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).filter($"doc_id" < 50)
+      val sig = Dedup.minhashSignatureRows(Dedup.shingleRows(docs))
+      val cols = (0 until 24).map(i =>
+        struct(lit(i).cast("long").as("perm"), col(s"h$i").as("h")))
+      sig.select($"doc_id", explode(array(cols: _*)).as("ph"))
+        .select($"doc_id", $"ph.perm".as("perm"), $"ph.h".as("h"))
+        .orderBy("doc_id", "perm")
+    },
+
     "dedup_incremental" -> { (spark, dir) =>
       // Hourly-production incremental dedup: docs with id >= 400 are "the
       // new batch"; only pairs whose later doc is new get verified.
@@ -174,6 +189,18 @@ object DedupQueries {
          |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node)
          |SELECT node AS id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+
+    "minhash_signature" ->
+      s"""WITH $ShinglesCte,
+         |r AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id < 50),
+         |x AS (SELECT doc_id,
+         |             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 999999937 AS x
+         |      FROM r),
+         |perms AS (SELECT unnest(range(24)) AS perm)
+         |SELECT doc_id, perm,
+         |       min((x * (2 * perm + 1) + 7919 * (perm + 1)) % 999999937) AS h
+         |FROM x CROSS JOIN perms
+         |GROUP BY 1, 2 ORDER BY doc_id, perm""".stripMargin,
 
     "dedup_incremental" ->
       s"""WITH $ShinglesCte,

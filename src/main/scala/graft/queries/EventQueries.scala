@@ -114,6 +114,21 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "first_last_touch" -> { (spark, dir) =>
+      // min_by/max_by attribution: first and last event type per user in
+      // one hash aggregate — no window, no self-join. Deterministic
+      // because (user_id, ts) is unique in this corpus.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy($"user_id")
+        .agg(
+          min_by($"event_type", unix_micros($"ts")).as("first_touch"),
+          max_by($"event_type", unix_micros($"ts")).as("last_touch"),
+          min(unix_micros($"ts")).as("first_us"),
+          max(unix_micros($"ts")).as("last_us"))
+        .orderBy("user_id")
+    },
+
     "reservoir_sample" -> { (spark, dir) =>
       // Fixed-size deterministic sample: order by a keyed hash, keep k.
       // Plans as TakeOrderedAndProject — each partition keeps its own
@@ -219,6 +234,13 @@ object EventQueries {
         |           WHEN event_type = 'view' THEN 6554
         |           ELSE 19661 END
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "first_last_touch" ->
+      """SELECT user_id,
+        |       arg_min(event_type, epoch_us(ts)) AS first_touch,
+        |       arg_max(event_type, epoch_us(ts)) AS last_touch,
+        |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "reservoir_sample" ->
       """SELECT event_id, user_id, event_type FROM (

@@ -318,6 +318,18 @@ object RelationalQueries {
         .orderBy("bucket_10min")
     },
 
+    "q4_priority" -> { (spark, dir) =>
+      // TPC-H Q4 shape: EXISTS decorrelates to a left_semi join; count
+      // orders with at least one returned line item, by priority.
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+          .select($"l_orderkey"), $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
     "q6_scan_revenue" -> { (spark, dir) =>
       // TPC-H Q6 shape: pure scan + conjunctive filter + one global agg.
       // The predicates must reach the parquet reader (PushedFilters,
@@ -602,6 +614,13 @@ object RelationalQueries {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q6_scan_revenue" ->
       """SELECT SUM(round(l_extendedprice * l_discount * 100)::BIGINT)::BIGINT AS revenue_cents,
