@@ -39,7 +39,13 @@ object Graft {
   // dedup
   def exactDuplicates(docs: DataFrame): DataFrame = Dedup.exact(docs)
   def nearDuplicates(docs: DataFrame): DataFrame = Dedup.minhashPairs(docs)
+  def nearDuplicatesIncremental(docs: DataFrame, newFromId: Long): DataFrame =
+    Dedup.minhashPairsIncremental(docs, newFromId)
   def simhashSignatures(docs: DataFrame): DataFrame = Dedup.simhash(docs)
+  def simhashNearDuplicates(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    Dedup.simhashNearDup(docs, maxDist = maxDist)
+  def duplicateClusters(pairs: DataFrame): DataFrame =
+    Dedup.connectedComponents(pairs)
 
   // similarity
   def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
@@ -53,6 +59,7 @@ object Graft {
   def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenCounts(docs)
   def languageId(docs: DataFrame): DataFrame = TextOps.languageId(docs)
   def languageIdTrained(docs: DataFrame): DataFrame = TextOps.languageIdTrained(docs)
+  def languageIdChargram(docs: DataFrame): DataFrame = TextOps.languageIdChargram(docs)
   def fingerprints(docs: DataFrame): DataFrame = TextOps.fingerprint(docs)
   def winnowFingerprints(docs: DataFrame): DataFrame = TextOps.winnow(docs)
 

@@ -151,21 +151,29 @@ object Dedup {
     * cores first: a single parquet file otherwise pins the whole
     * explode+hash stage to one task (at 100 TB the scan is many splits
     * and this repartition is a no-op cost-wise, the hash work dominates).
+    *
+    * Nothing corpus-sized is ever cached: the shingle pass runs once for
+    * the signatures, and the verify side RE-SHINGLES only the documents
+    * that appear in a candidate pair (a broadcast semi-join against the
+    * source) — at 100 TB a second pruned scan is cheap, a corpus-wide
+    * shingle cache is not. Only the candidate pair list (tiny: collision
+    * rate × corpus) is cached, since two consumers need it.
     */
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    // cached: consumed twice (signatures now, candidate-doc arrays later)
-    // — without it the whole scan+shingle pass re-executes per consumer.
-    val rows = shingleRows(spread, idCol, textCol).cache()
-    val sig = minhashSignatureRows(rows, idCol)
-    // cached: consumed by the candidate-doc semi-join AND the verify join.
+    val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
     val cand = lshCandidates(sig, idCol).cache()
-    // Build shingle ARRAYS only for docs that appear in a candidate pair —
-    // the verify join then touches |candidates| docs, not the corpus.
+    verifyAgainstSource(cand, spread, idCol, textCol)
+  }
+
+  /** Verify candidate pairs by re-shingling just the candidate docs. */
+  private def verifyAgainstSource(cand: DataFrame, source: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val arrays = rows.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val candSrc = source.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val arrays = shingleRows(candSrc, idCol, textCol)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
     verifyJaccard(cand, arrays, idCol)
   }
@@ -296,16 +304,11 @@ object Dedup {
   def minhashPairsIncremental(df: DataFrame, newFromId: Long,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val rows = shingleRows(spread, idCol, textCol).cache()
-    val sig = minhashSignatureRows(rows, idCol)
+    val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
     val cand = lshCandidates(sig, idCol)
       .filter(col("doc_b") >= newFromId)
       .cache()
-    val candDocs = cand.select(col("doc_a").as(idCol))
-      .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val arrays = rows.join(broadcast(candDocs), Seq(idCol), "left_semi")
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
-    verifyJaccard(cand, arrays, idCol)
+    verifyAgainstSource(cand, spread, idCol, textCol)
   }
 
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 md5
