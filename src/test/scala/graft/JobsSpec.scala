@@ -83,4 +83,24 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.schema(Schemas.session).parquet(sessions)
       .filter($"event_hour" === "10").count() == 3)
   }
+
+  test("json and orc sources round-trip events with an imposed schema") {
+    // Source-format coverage beyond parquet/CSV: the same imposed-schema
+    // discipline (never infer) applied to JSON lines and ORC.
+    val base = Files.createTempDirectory("graft-fmt").toString
+    val ev = Tables.events(spark, Sf0001)
+      .select($"event_id", $"user_id", $"event_type",
+        unix_micros($"ts").as("ts_us"), $"value")
+    val want = ev.orderBy("event_id").collect().toSeq
+
+    ev.write.mode("overwrite").json(s"$base/events_json")
+    val gotJson = spark.read.schema(ev.schema).json(s"$base/events_json")
+      .orderBy("event_id").collect().toSeq
+    assert(gotJson == want)
+
+    ev.write.mode("overwrite").orc(s"$base/events_orc")
+    val gotOrc = spark.read.schema(ev.schema).orc(s"$base/events_orc")
+      .orderBy("event_id").collect().toSeq
+    assert(gotOrc == want)
+  }
 }
