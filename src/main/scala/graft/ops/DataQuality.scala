@@ -22,4 +22,17 @@ object DataQuality {
     */
   def nullCount(df: DataFrame, column: String): Long =
     df.agg(sum(col(column).isNull.cast("long"))).head().getLong(0)
+
+  /** Attach free validation metrics to a job's existing action via
+    * `Dataset.observe`: row count and null count ride along with whatever
+    * the pipeline already executes (e.g. the write), so the audit costs
+    * ZERO extra scans — versus [[rowCountParity]]/[[nullCount]] which
+    * each run their own aggregate. Read results from `obs.get` after any
+    * action on the returned frame.
+    */
+  def observed(df: DataFrame, nullCheckCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    (df.observe(obs, count(lit(1)).as("n_rows"),
+      sum(col(nullCheckCol).isNull.cast("long")).as("n_nulls")), obs)
+  }
 }

@@ -424,6 +424,22 @@ object RelationalQueries {
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    },
+
+    "approx_percentiles" -> { (spark, dir) =>
+      // Quantile sketch (Greenwald-Khanna) — mergeable partial state, one
+      // pass, bounded memory: the 100 TB answer to exact `percentiles`.
+      // Approximate by design → rows-only check, like the HLL entry.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(percentile_approx($"l_extendedprice",
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pcts"),
+          count(lit(1)).as("n_rows"))
+        .select($"l_returnflag",
+          $"pcts".getItem(0).as("p50"), $"pcts".getItem(1).as("p95"),
+          $"pcts".getItem(2).as("p99"), $"n_rows")
+        .orderBy("l_returnflag")
     })
 
   val oracles: Map[String, String] = Map(

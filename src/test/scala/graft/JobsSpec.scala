@@ -84,6 +84,16 @@ class JobsSpec extends SparkSpec {
       .filter($"event_hour" === "10").count() == 3)
   }
 
+  test("observe rides audit metrics on an existing action, zero extra scans") {
+    val ev = Tables.events(spark, Sf0001)
+      .withColumn("maybe", when($"event_id" % 2 === 0, $"event_type"))
+    val (df, obs) = DataQuality.observed(ev, "maybe")
+    val n = df.count() // the job's own action; no separate audit scan
+    val metrics = obs.get
+    assert(metrics("n_rows") == n)
+    assert(metrics("n_nulls").asInstanceOf[Long] == n / 2)
+  }
+
   test("json and orc sources round-trip events with an imposed schema") {
     // Source-format coverage beyond parquet/CSV: the same imposed-schema
     // discipline (never infer) applied to JSON lines and ORC.
