@@ -27,6 +27,61 @@ class DedupPropertiesSpec extends SparkSpec {
     (docs :+ nearDup, victim)
   }
 
+  test("connected components equal a driver-side union-find on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] = for {
+      nNodes <- Gen.choose(4, 40)
+      nEdges <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0L, nNodes - 1L)
+        b <- Gen.choose(0L, nNodes - 1L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield edges
+    val samples = (1 to 6).flatMap(i => edgeGen.apply(Gen.Parameters.default, Seed(31L + i)))
+    assert(samples.size >= 4)
+    samples.foreach { edges =>
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonicalize both sides by component-minimum
+      val want = nodes.map(n => n -> n).toMap.map { case (n, _) => n -> find(n) }
+      val wantMin = want.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      assert(got == wantMin, s"edges=$edges")
+    }
+  }
+
+  test("simhash pigeonhole blocking never misses a brute-force pair") {
+    val corpus: Gen[List[String]] = for {
+      nDocs <- Gen.choose(8, 25)
+      vocab = (1 to 30).map(i => s"w$i")
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(25, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    } yield docs
+    val samples = (1 to 5).flatMap(i => corpus.apply(Gen.Parameters.default, Seed(101L + i)))
+    assert(samples.size >= 3)
+    samples.foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val blocked = Dedup.simhashNearDup(df)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sims = Dedup.simhash(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- sims.keys; b <- sims.keys if a < b
+        if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+      } yield (a, b)).toSet
+      assert(blocked == brute)
+    }
+  }
+
   test("minhash pipeline finds every planted near-dup and only those") {
     val samples = (1 to 8).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(7L + i)))
     assert(samples.size >= 6)
