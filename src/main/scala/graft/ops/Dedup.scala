@@ -311,6 +311,21 @@ object Dedup {
     verifyAgainstSource(cand, spread, idCol, textCol)
   }
 
+  /** End-to-end near-dup removal: keep one representative per near-dup
+    * cluster (the minimum doc id) plus every doc not in any pair. The
+    * "switch your corpus to deduped" one-liner: MinHash+LSH pairs →
+    * connected components → anti-join the non-representatives away.
+    * The dropped set (components minus their minima) is tiny, so the
+    * anti join broadcasts.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val clusters = connectedComponents(minhashPairs(df, idCol, textCol))
+    val toDrop = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(broadcast(toDrop), Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 md5
     * hex digits as an integer; bit j of the simhash is 1 iff a strict
     * majority of token hashes have bit j set. One explode + one aggregate.

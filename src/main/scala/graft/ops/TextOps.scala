@@ -142,6 +142,44 @@ object TextOps {
       .join(best.select(col(idCol), col("plang").as("predicted"), col("score")), Seq(idCol), "left")
   }
 
+  /** TF-IDF components per (doc, token): term frequency, document
+    * frequency, corpus size — two hash aggregates and one broadcast-able
+    * join, all exact integers (the caller multiplies tf · ln(N/df)
+    * itself; keeping floats out of the operator keeps it oracle-exact
+    * and lets users pick their idf flavour).
+    */
+  def tfidf(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.select(countDistinct(col(idCol)).as("n_docs"))
+    tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("n_docs"))
+  }
+
+  /** Text normalization for training corpora: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim. Pure per-row
+    * string ops (codegen'd, embarrassingly parallel).
+    */
+  def normalize(df: DataFrame, textCol: String = "text",
+      out: String = "text_norm"): DataFrame =
+    df.withColumn(out,
+      trim(regexp_replace(regexp_replace(lower(col(textCol)),
+        "[^a-z0-9 ]", " "), " +", " ")))
+
+  /** PII scrubbing: redact email-shaped and long-digit-run substrings.
+    * Patterns stay in the RE2-compatible subset so the same regex means
+    * the same thing in Spark (java.util.regex) and DuckDB (RE2).
+    */
+  def scrubPii(df: DataFrame, textCol: String = "text",
+      out: String = "text_clean"): DataFrame =
+    df.withColumn(out,
+      regexp_replace(
+        regexp_replace(col(textCol),
+          "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\\.[a-zA-Z]+", "<EMAIL>"),
+        "[0-9]{7,}", "<NUM>"))
+
   /** Character-n-gram language ID: like [[languageIdTrained]] but the
     * profile unit is a char k-gram, not a whitespace token — robust to
     * languages without whitespace tokenization and to morphology (the

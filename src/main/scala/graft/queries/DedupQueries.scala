@@ -71,6 +71,16 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    "dedup_corpus_keep" -> { (spark, dir) =>
+      // End-to-end removal: the deduplicated corpus (one representative
+      // per near-dup component) — the "switch your pipeline to this
+      // library" one-liner.
+      import spark.implicits._
+      Dedup.dropNearDuplicates(Tables.documents(spark, dir))
+        .select($"doc_id")
+        .orderBy("doc_id")
+    },
+
     "minhash_signature" -> { (spark, dir) =>
       // The signature math itself, oracled: per (doc, permutation) the
       // min of (a_i·x + b_i) mod p over the doc's shingle hashes. The
@@ -189,6 +199,25 @@ object DedupQueries {
          |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node)
          |SELECT node AS id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+
+    "dedup_corpus_keep" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s)) AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s))) AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a, doc_b FROM p WHERE inter * 2 > uni),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |       UNION SELECT doc_b, doc_a FROM e),
+         |nn AS (SELECT DISTINCT src AS node FROM ed),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM nn
+         |  UNION
+         |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node),
+         |lbls AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM lbls WHERE node != cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "minhash_signature" ->
       s"""WITH $ShinglesCte,

@@ -89,6 +89,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "tfidf_components" -> { (spark, dir) =>
+      // TF-IDF as exact integers (tf, df, N): the caller multiplies
+      // tf·ln(N/df) — floats stay out of the operator and the oracle.
+      import spark.implicits._
+      TextOps.tfidf(Tables.documents(spark, dir).filter($"doc_id" < 20))
+        .orderBy("doc_id", "token")
+    },
+
+    "text_normalize" -> { (spark, dir) =>
+      // Normalization + PII scrub over a constructed dirty column (the
+      // corpus itself is already clean, so PII is planted to exercise
+      // the redaction): md5s keep the compare narrow.
+      import spark.implicits._
+      val dirty = Tables.documents(spark, dir)
+        .withColumn("text_dirty",
+          concat($"text", lit(" Contact: user"), $"doc_id",
+            lit("@example.com id 123456789!")))
+      TextOps.normalize(TextOps.scrubPii(dirty, "text_dirty"), "text_clean")
+        .select($"doc_id", md5($"text_clean").as("scrubbed_md5"),
+          md5($"text_norm").as("norm_md5"),
+          length($"text_norm").cast("long").as("n_norm_chars"))
+        .orderBy("doc_id")
+    },
+
     "frame_sample" -> { (spark, dir) =>
       // Multimodal frame sampling: binary content sliced into 64-byte
       // frames, every 4th kept (Multimodal.sampleFrames), emitted as
@@ -219,6 +243,36 @@ object TextQueries {
         |       md5(text) AS content_md5,
         |       ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tfidf_components" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents WHERE doc_id < 20),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, token, tf, df, n_docs
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+
+    "text_normalize" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |         text || ' Contact: user' || doc_id || '@example.com id 123456789!' AS text_dirty
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(text_dirty,
+        |           '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+\.[a-zA-Z]+', '<EMAIL>', 'g'),
+        |           '[0-9]{7,}', '<NUM>', 'g') AS text_clean
+        |  FROM dirty),
+        |norm AS (
+        |  SELECT doc_id, text_clean,
+        |         trim(regexp_replace(regexp_replace(lower(text_clean),
+        |           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text_norm
+        |  FROM scrub)
+        |SELECT doc_id, md5(text_clean) AS scrubbed_md5, md5(text_norm) AS norm_md5,
+        |       len(text_norm)::BIGINT AS n_norm_chars
+        |FROM norm ORDER BY doc_id""".stripMargin,
 
     // byte slicing == char slicing here: the corpus is pure ASCII
     // (octet_length(encode(text)) == len(text) for every row)
