@@ -211,6 +211,38 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture actually plants close pairs
   }
 
+  test("normalize and scrubPii transform as specified") {
+    val df = Seq((1L, "Hello, WORLD!!  x"), (2L, "reach me: bob.jones@mail.example.com or 12345678"))
+      .toDF("doc_id", "text")
+    val norm = TextOps.normalize(df).select("doc_id", "text_norm")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "hello world x")
+    val scrub = TextOps.scrubPii(df).select("doc_id", "text_clean")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrub(2L) == "reach me: <EMAIL> or <NUM>")
+    assert(scrub(1L) == "Hello, WORLD!!  x") // untouched
+  }
+
+  test("tfidf components are exact and consistent") {
+    val df = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(df)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, "a")) == ((2L, 2L, 2L))) // tf=2, df=2, N=2
+    assert(out((1L, "b")) == ((1L, 1L, 2L)))
+    assert(out((2L, "c")) == ((1L, 1L, 2L)))
+  }
+
+  test("dropNearDuplicates keeps one representative per component") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(df)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // 2 is 1's near-dup; min id kept
+  }
+
   test("connected components: chains, cliques and isolated pairs") {
     // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping),
     // triangle 10-11-12, pair 20-21
