@@ -142,6 +142,33 @@ object TextOps {
       .join(best.select(col(idCol), col("plang").as("predicted"), col("score")), Seq(idCol), "left")
   }
 
+  /** BPE-style pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks as separate tokens (the shape GPT-2's pattern
+    * produces on ASCII), via one codegen'd regexp_extract_all. RE2-safe
+    * pattern so the oracle is the same regex in DuckDB.
+    */
+  val BpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def tokenizeRegex(df: DataFrame, textCol: String = "text",
+      out: String = "tokens"): DataFrame =
+    df.withColumn(out,
+      regexp_extract_all(col(textCol), lit(BpeTokenPattern), lit(0)))
+
+  /** Per-document token counts under the BPE-ish regex tokenizer:
+    * total tokens, distinct tokens, letter/digit/punct breakdown.
+    */
+  def tokenCountsRegex(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = col("tokens")
+    tokenizeRegex(df, textCol).select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      size(filter(toks, t => t.rlike("^[a-zA-Z]+$"))).as("n_word"),
+      size(filter(toks, t => t.rlike("^[0-9]+$"))).as("n_number"),
+      size(filter(toks, t => t.rlike("^[^a-zA-Z0-9]$"))).as("n_punct"))
+  }
+
   /** TF-IDF components per (doc, token): term frequency, document
     * frequency, corpus size — two hash aggregates and one broadcast-able
     * join, all exact integers (the caller multiplies tf · ln(N/df)

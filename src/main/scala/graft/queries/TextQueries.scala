@@ -89,6 +89,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "token_counts_bpe" -> { (spark, dir) =>
+      // BPE-ish regex tokenization over a constructed mixed column (the
+      // corpus alone is letters+spaces, so digits/punct are planted).
+      import spark.implicits._
+      val mixed = Tables.documents(spark, dir)
+        .withColumn("text_mixed",
+          concat($"text", lit(" v2.0, id=42; email bob@x.io!")))
+      TextOps.tokenCountsRegex(mixed, textCol = "text_mixed")
+        .select($"doc_id", $"n_tokens".cast("long").as("n_tokens"),
+          $"n_distinct".cast("long").as("n_distinct"),
+          $"n_word".cast("long").as("n_word"),
+          $"n_number".cast("long").as("n_number"),
+          $"n_punct".cast("long").as("n_punct"))
+        .orderBy("doc_id")
+    },
+
     "tfidf_components" -> { (spark, dir) =>
       // TF-IDF as exact integers (tf, df, N): the caller multiplies
       // tf·ln(N/df) — floats stay out of the operator and the oracle.
@@ -243,6 +259,20 @@ object TextQueries {
         |       md5(text) AS content_md5,
         |       ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_counts_bpe" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(text || ' v2.0, id=42; email bob@x.io!',
+        |                            '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(toks)::BIGINT AS n_tokens,
+        |       len(list_distinct(toks))::BIGINT AS n_distinct,
+        |       len(list_filter(toks, t -> regexp_matches(t, '^[a-zA-Z]+$')))::BIGINT AS n_word,
+        |       len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$')))::BIGINT AS n_number,
+        |       len(list_filter(toks, t -> regexp_matches(t, '^[^a-zA-Z0-9]$')))::BIGINT AS n_punct
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "tfidf_components" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

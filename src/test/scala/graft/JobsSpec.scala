@@ -94,6 +94,21 @@ class JobsSpec extends SparkSpec {
     assert(metrics("n_nulls").asInstanceOf[Long] == n / 2)
   }
 
+  test("schema evolution: mergeSchema unifies old and new partitions") {
+    // Real pipelines add columns over time; old partitions must stay
+    // readable next to new ones.
+    val base = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1")
+      .write.parquet(s"$base/t/day=1")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2_added")
+      .write.parquet(s"$base/t/day=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$base/t")
+    assert(merged.columns.toSet == Set("id", "v1", "v2_added", "day"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v2_added"))) // old partition → null
+    assert(rows(1).getLong(rows(1).fieldIndex("v2_added")) == 9L)
+  }
+
   test("json and orc sources round-trip events with an imposed schema") {
     // Source-format coverage beyond parquet/CSV: the same imposed-schema
     // discipline (never infer) applied to JSON lines and ORC.

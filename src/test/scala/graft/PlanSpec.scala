@@ -70,4 +70,13 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("q2_min_cost_supp")(spark, Sf0001))
     assert(plan.contains("LeftSemi"), plan)
   }
+
+  test("join strategy hints steer the planner") {
+    val li = Tables.lineitem(spark, Sf0001)
+    val ord = Tables.orders(spark, Sf0001)
+    val merged = li.join(ord.hint("merge"), $"l_orderkey" === $"o_orderkey")
+    assert(planOf(merged).contains("SortMergeJoin"), planOf(merged))
+    val hashed = li.join(ord.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
+    assert(planOf(hashed).contains("ShuffledHashJoin"), planOf(hashed))
+  }
 }
