@@ -318,6 +318,19 @@ object RelationalQueries {
         .orderBy("bucket_10min")
     },
 
+    "rolling_range_sum" -> { (spark, dir) =>
+      // RANGE frame over event-time micros: each event's trailing-hour
+      // spend per user. Complements rolling_sum's ROWS frame — RANGE
+      // bounds are value-based, so the frame is tie-safe by construction.
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600000000L, 0)
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id",
+          sum(round($"value" * 100).cast("long")).over(w).as("hour_cents"))
+        .orderBy("event_id")
+    },
+
     "q4_priority" -> { (spark, dir) =>
       // TPC-H Q4 shape: EXISTS decorrelates to a left_semi join; count
       // orders with at least one returned line item, by priority.
@@ -630,6 +643,13 @@ object RelationalQueries {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "rolling_range_sum" ->
+      """SELECT event_id, user_id,
+        |       SUM(round(value * 100)::BIGINT) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts)
+        |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT AS hour_cents
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
