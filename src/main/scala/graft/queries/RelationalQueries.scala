@@ -302,6 +302,21 @@ object RelationalQueries {
           |ORDER BY p_type, p_partkey""".stripMargin)
     },
 
+    "lateral_recent_orders" -> { (spark, dir) =>
+      // LATERAL correlated subquery in FROM (SQL surface): per customer,
+      // the two most recent orders. Catalyst rewrites the correlation
+      // into a join + per-group limit — no per-row re-execution.
+      Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+      spark.sql(
+        """SELECT c_custkey, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+          |FROM customer_v,
+          |LATERAL (SELECT o_orderkey, o_orderdate FROM orders_v
+          |         WHERE o_custkey = c_custkey
+          |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
     "session_duration_histogram" -> { (spark, dir) =>
       // Analytic rollup of the sessionization core: distribution of
       // session durations in 10-minute buckets.
@@ -611,6 +626,14 @@ object RelationalQueries {
         |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
         |                       WHERE p2.p_type = p.p_type)
         |ORDER BY p_type, p_partkey""".stripMargin,
+
+    "lateral_recent_orders" ->
+      """SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_orderdate FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 2) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "session_duration_histogram" ->
       """WITH d AS (
