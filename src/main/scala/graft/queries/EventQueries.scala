@@ -114,6 +114,23 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "date_spine_fill" -> { (spark, dir) =>
+      // Gap filling: a generated per-user day spine (sequence + explode,
+      // map-side) left-joined with actual daily spend so missing days
+      // surface as zeros — the standard time-series densification move.
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"user_id" < 20)
+        .select($"user_id", floor(unix_micros($"ts") / lit(86400000000L)).as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+      val daily = ev.groupBy($"user_id", $"day").agg(sum($"cents").as("day_cents"))
+      val spine = ev.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select($"user_id", $"day", coalesce($"day_cents", lit(0L)).as("day_cents"))
+        .orderBy("user_id", "day")
+    },
+
     "first_last_touch" -> { (spark, dir) =>
       // min_by/max_by attribution: first and last event type per user in
       // one hash aggregate — no window, no self-join. Deterministic
@@ -234,6 +251,20 @@ object EventQueries {
         |           WHEN event_type = 'view' THEN 6554
         |           ELSE 19661 END
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "date_spine_fill" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(epoch_us(ts) / 86400000000)::BIGINT AS day,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE user_id < 20),
+        |daily AS (SELECT user_id, day, SUM(cents)::BIGINT AS day_cents
+        |          FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |  FROM ev GROUP BY user_id)
+        |SELECT s.user_id, s.day, coalesce(d.day_cents, 0)::BIGINT AS day_cents
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
 
     "first_last_touch" ->
       """SELECT user_id,
