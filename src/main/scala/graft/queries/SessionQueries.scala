@@ -109,11 +109,10 @@ object SessionQueries {
     "session_window_agg" -> { (spark, dir) =>
       // Spark's NATIVE session_window in batch mode — the declarative
       // form of the gap rule that Catalyst plans without a window
-      // function (MergingSessions aggregation). NOTE the boundary
-      // semantics differ from the reference's lag-based rule: windows are
-      // half-open [first, last+gap), so a gap of EXACTLY 30 min starts a
-      // new session here (>=), while the reference's `time_diff > 1800`
-      // keeps it. The oracle encodes >= accordingly.
+      // function (MergingSessions aggregation). Boundary semantics MATCH
+      // the reference's lag-based `time_diff > 1800` rule: an event at
+      // exactly window end merges (verified by SessionizeSpec t1c), so
+      // the oracle splits strictly on gap > 30 min.
       import spark.implicits._
       Tables.events(spark, dir)
         .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
@@ -237,7 +236,7 @@ object SessionQueries {
         |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
         |  FROM events),
         |s AS (
-        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END)
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
         |            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sw_no
         |  FROM d)
         |SELECT user_id, min(epoch_us(ts)) AS start_us,

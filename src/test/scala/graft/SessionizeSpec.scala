@@ -47,6 +47,25 @@ class SessionizeSpec extends SparkSpec {
   }
 
   // t2 — out-of-order input sessionizes by event time, not input order.
+  test("t1c: session_window boundary agrees with the gap rule at exactly 1800s") {
+    // Pins the boundary semantics the session_window_agg oracle relies
+    // on: an event at exactly the previous window's end MERGES (Spark's
+    // merge condition is inclusive), matching the reference's strict
+    // `time_diff > 1800` rule; one second later it splits.
+    val atBoundary = fixture(
+      (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:30:00", 2L))
+    assert(Sessionize.withSessionNo(atBoundary)
+      .select(countDistinct($"session_no")).head.getLong(0) == 1)
+    assert(atBoundary.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count().count() == 1)
+    val pastBoundary = fixture(
+      (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:30:01", 2L))
+    assert(Sessionize.withSessionNo(pastBoundary)
+      .select(countDistinct($"session_no")).head.getLong(0) == 2)
+    assert(pastBoundary.groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .count().count() == 2)
+  }
+
   test("t2: input order does not matter") {
     val ordered = fixture(
       (1L, "2019-10-01 10:00:00", 1L), (1L, "2019-10-01 10:15:00", 2L),
