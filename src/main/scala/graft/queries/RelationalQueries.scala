@@ -346,6 +346,53 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    "q12_shipmode" -> { (spark, dir) =>
+      // TPC-H Q12 shape: shuffle join + conditional CASE aggregation —
+      // urgent/non-urgent order counts per return flag.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(
+          sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    "q18_large_orders" -> { (spark, dir) =>
+      // TPC-H Q18 shape: HAVING on an aggregate, then join the
+      // qualifying keys back to the dimension chain. The having filter
+      // runs on the aggregated (small) side, so the join-back broadcasts.
+      import spark.implicits._
+      val big = Tables.lineitem(spark, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
+        .filter($"sum_qty" > 150)
+      Tables.orders(spark, dir)
+        .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"sum_qty")
+        .orderBy($"sum_qty".desc, $"o_orderkey")
+    },
+
+    "q19_disjunctive" -> { (spark, dir) =>
+      // TPC-H Q19 shape: OR-of-ANDs predicate across a join — Catalyst
+      // pushes the common conjuncts (brand membership) into both scans
+      // while the residual disjunction evaluates post-join.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+      val part = Tables.part(spark, dir)
+      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity" < 20) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity" >= 20))
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    },
+
     "q4_priority" -> { (spark, dir) =>
       // TPC-H Q4 shape: EXISTS decorrelates to a left_semi join; count
       // orders with at least one returned line item, by priority.
@@ -673,6 +720,30 @@ object RelationalQueries {
         |         PARTITION BY user_id ORDER BY epoch_us(ts)
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT AS hour_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q12_shipmode" ->
+      """SELECT l_returnflag,
+        |       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity::BIGINT) > 150)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |            JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS revenue_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity < 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)""".stripMargin,
 
     "q4_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
