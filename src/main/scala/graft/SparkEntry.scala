@@ -22,7 +22,8 @@ object SparkEntry {
       RelationalQueries.queries ++
       DedupQueries.queries ++
       SimilarityQueries.queries ++
-      TextQueries.queries
+      TextQueries.queries ++
+      FunctionQueries.queries
 
   def oracleSql: Map[String, String] =
     SessionQueries.oracles ++
@@ -30,5 +31,6 @@ object SparkEntry {
       RelationalQueries.oracles ++
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
-      TextQueries.oracles
+      TextQueries.oracles ++
+      FunctionQueries.oracles
 }
