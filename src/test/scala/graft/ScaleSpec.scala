@@ -59,4 +59,30 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("range-partitioned sorted write produces non-overlapping sorted files") {
+    // The data-skipping layout: repartitionByRange gives files with
+    // disjoint key ranges, sortWithinPartitions orders rows inside each —
+    // parquet min/max stats then prune row groups on key predicates.
+    val base = Files.createTempDirectory("graft-range").toString
+    Tables.orders(spark, Sf0001)
+      .repartitionByRange(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(s"$base/orders_ranged")
+    val files = new java.io.File(s"$base/orders_ranged").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 2)
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f).select("o_custkey")
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"unsorted within $f")
+      (keys.min, keys.max)
+    }
+    // files' [min,max] ranges must not overlap pairwise
+    val sortedR = ranges.sortBy(_._1)
+    sortedR.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax <= bMin, sortedR.mkString(","))
+      case _ =>
+    }
+  }
 }

@@ -145,6 +145,23 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-static join enriches streaming events with a dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val weights = Seq(("view", 1L), ("click", 5L), ("purchase", 50L))
+      .toDF("event_type", "weight")
+    val input = MemoryStream[(Long, String)]
+    val enriched = input.toDF().toDF("event_id", "event_type")
+      .join(weights, Seq("event_type"), "left")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    input.addData((1L, "view"), (2L, "purchase"), (3L, "signup"))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out")
+      .collect().map(r => r.getLong(1) -> Option(r.get(2))).toMap
+    q.stop()
+    assert(got == Map(1L -> Some(1L), 2L -> Some(50L), 3L -> None))
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
