@@ -243,6 +243,23 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L)) // 2 is 1's near-dup; min id kept
   }
 
+  test("ops are safe on empty and null-text inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairs(empty).count() == 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0)
+    assert(Dedup.simhashNearDup(empty).count() == 0)
+    // null text: rows survive where defined, null-derived fields null out
+    val withNull = Seq((1L, "a b c d"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.exact(withNull).count() == 2) // null text is its own group
+    val shingled = Dedup.shingleRows(withNull).collect()
+    assert(shingled.forall(_.getLong(0) == 1L)) // null text → no shingles
+    val q = TextOps.qualityMetrics(withNull)
+      .filter($"doc_id" === 2L).select("n_chars").head
+    assert(q.isNullAt(0))
+  }
+
   test("connected components: chains, cliques and isolated pairs") {
     // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping),
     // triangle 10-11-12, pair 20-21
