@@ -346,6 +346,21 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    "salted_agg" -> { (spark, dir) =>
+      // Skew-mitigated aggregation: each key splits across 16 salted
+      // partial aggregates before the final merge (bounded reducer
+      // fan-in for hot keys — aggregation skew is the one case AQE does
+      // NOT rebalance). Values are integer cents, so the result is
+      // salt-invariant and exactly matches the plain GROUP BY oracle.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .withColumn("cents", cents($"l_extendedprice"))
+      graft.ops.Skew.saltedSumCount(li, Seq("l_returnflag"), "cents")
+        .select($"l_returnflag", $"n_rows",
+          $"sum_value".cast("long").as("sum_cents"))
+        .orderBy("l_returnflag")
+    },
+
     "q12_shipmode" -> { (spark, dir) =>
       // TPC-H Q12 shape: shuffle join + conditional CASE aggregation —
       // urgent/non-urgent order counts per return flag.
@@ -720,6 +735,11 @@ object RelationalQueries {
         |         PARTITION BY user_id ORDER BY epoch_us(ts)
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT AS hour_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_cents
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q12_shipmode" ->
       """SELECT l_returnflag,
