@@ -111,9 +111,12 @@ object DedupQueries {
       // Band join on (lang, 64-char length bucket): side B carries its
       // bucket, side A explodes to {b−1, b, b+1}, so every |Δ| ≤ 32 pair
       // matches exactly once and the join key has lang×bucket cardinality
-      // (not just 5 langs — that would serialize the probe). A is
-      // broadcast; B is spread across all cores so the expensive
-      // array_intersect runs fully parallel.
+      // (not just 5 langs — that would serialize the probe). SHUFFLE
+      // join, deliberately not broadcast: the exploded side carries the
+      // corpus's shingle arrays (O(corpus) bytes — a driver OOM at
+      // scale); parallelism is bounded by block-key cardinality, which
+      // grows with corpus length spread — salt the bucket key if one
+      // (lang, length) block ever dominates.
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
@@ -128,8 +131,7 @@ object DedupQueries {
             floor($"n_chars" / 64) + 1)).as("bucket"))
       val b = sh.select($"doc_id".as("doc_b"), $"lang", $"n_chars".as("nc_b"),
           $"shingles".as("sh_b"), floor($"n_chars" / 64).as("bucket"))
-        .repartition(spark.sparkContext.defaultParallelism)
-      b.join(broadcast(a), Seq("lang", "bucket"))
+      b.join(a, Seq("lang", "bucket"))
         .filter($"doc_a" < $"doc_b" && abs($"nc_a" - $"nc_b") <= 32)
         // necessary condition on set sizes alone (inter <= min size,
         // union >= max size): pairs that cannot reach the threshold are
