@@ -12,9 +12,14 @@ import graft.Tables
   * expose the full join surface; these queries exercise it against DuckDB.
   *
   * Scale notes per query are in the scaladoc of each entry: the intent is
-  * that every plan here survives a 1000-executor / 100 TB run — dimension
-  * tables broadcast, fact-fact joins shuffle on their join keys only, and
-  * aggregates are partial+final (map-side combine).
+  * that every plan here survives a 1000-executor / 100 TB run — fact-fact
+  * joins shuffle on their join keys only and aggregates are partial+final
+  * (map-side combine). Broadcast policy: only tables bounded BY
+  * CONSTRUCTION (nation=25, region=5, top-N profiles) carry explicit
+  * broadcast hints; customer/part/supplier GROW with scale factor, so
+  * their join strategy is left to statistics + AQE (locally they still
+  * broadcast — they sit under the threshold — but a hint would force a
+  * driver OOM at 100 TB).
   *
   * Money → integer cents before SUM (exact in both engines); see
   * SessionQueries for the full portability rules.
@@ -39,13 +44,13 @@ object RelationalQueries {
     },
 
     "q3_top_orders" -> { (spark, dir) =>
-      // TPC-H Q3 shape: small filtered dim (customer) broadcast into
-      // orders, then one shuffle join with lineitem on the order key.
+      // TPC-H Q3 shape: filtered customer joins orders (strategy left to
+      // stats/AQE), then one shuffle join with lineitem on the order key.
       import spark.implicits._
       val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
       val ord = Tables.orders(spark, dir)
       val li = Tables.lineitem(spark, dir)
-      ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      ord.join(cust, $"o_custkey" === $"c_custkey")
         .join(li, $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"))
         .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("revenue_cents"),
@@ -55,8 +60,9 @@ object RelationalQueries {
     },
 
     "q5_region_revenue" -> { (spark, dir) =>
-      // Star join: region→nation→customer broadcast chain (all tiny),
-      // single shuffle join orders⋈lineitem carries the weight at scale.
+      // Star join: nation/region are bounded enums (hinted broadcast);
+      // customer joins by stats/AQE; the single shuffle join
+      // orders⋈lineitem carries the weight at scale.
       import spark.implicits._
       val reg = Tables.region(spark, dir).filter($"r_name" === "EUROPE")
       val nat = Tables.nation(spark, dir)
@@ -64,7 +70,7 @@ object RelationalQueries {
       val ord = Tables.orders(spark, dir)
       val li = Tables.lineitem(spark, dir)
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
@@ -74,10 +80,11 @@ object RelationalQueries {
     },
 
     "brand_join" -> { (spark, dir) =>
-      // Broadcast dim join: part is always small relative to lineitem.
+      // Dim join: part is small relative to lineitem but grows with SF —
+      // stats/AQE pick broadcast when it fits.
       import spark.implicits._
       Tables.lineitem(spark, dir)
-        .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand")
         .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
           sum(cents($"l_extendedprice")).as("sum_base_cents"),
@@ -265,9 +272,9 @@ object RelationalQueries {
       val sup = Tables.supplier(spark, dir).filter($"s_nationkey".isin(0, 1))
       val ord = Tables.orders(spark, dir)
       val cust = Tables.customer(spark, dir).filter($"c_nationkey".isin(0, 1))
-      li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
         .join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .filter(($"s_nationkey" === 0 && $"c_nationkey" === 1) ||
           ($"s_nationkey" === 1 && $"c_nationkey" === 0))
         .groupBy($"s_nationkey".cast("long").as("supp_nation"),
@@ -386,8 +393,8 @@ object RelationalQueries {
         .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
         .filter($"sum_qty" > 150)
       Tables.orders(spark, dir)
-        .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
-        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
         .select($"c_custkey", $"c_name", $"o_orderkey",
           date_format($"o_orderdate", "yyyy-MM-dd").as("order_date"), $"sum_qty")
         .orderBy($"sum_qty".desc, $"o_orderkey")
@@ -400,7 +407,7 @@ object RelationalQueries {
       import spark.implicits._
       val li = Tables.lineitem(spark, dir)
       val part = Tables.part(spark, dir)
-      li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      li.join(part, $"l_partkey" === $"p_partkey")
         .filter(
           ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity" < 20) ||
           ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) && $"l_quantity" >= 20))
@@ -456,13 +463,13 @@ object RelationalQueries {
       val li = Tables.lineitem(spark, dir)
       val smallParts = Tables.part(spark, dir).filter($"p_size" <= 10)
       val perSupp = li
-        .join(broadcast(smallParts.select($"p_partkey")), $"l_partkey" === $"p_partkey", "left_semi")
+        .join(smallParts.select($"p_partkey"), $"l_partkey" === $"p_partkey", "left_semi")
         .groupBy($"l_partkey", $"l_suppkey")
         .agg(min(floor($"l_extendedprice" * 1000 / $"l_quantity").cast("long")).as("cost_milli"))
       val w = Window.partitionBy($"l_partkey").orderBy($"cost_milli", $"l_suppkey")
       perSupp.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-        .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+        .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+        .join(smallParts, $"l_partkey" === $"p_partkey")
         .select($"p_partkey", $"p_name", $"s_name", $"cost_milli")
         .orderBy("p_partkey")
     },
@@ -477,7 +484,7 @@ object RelationalQueries {
       val cust = Tables.customer(spark, dir)
       Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
         .groupBy(year($"o_orderdate").cast("long").as("o_year"))
@@ -496,7 +503,7 @@ object RelationalQueries {
       import spark.implicits._
       Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
         .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.customer(spark, dir)), $"o_custkey" === $"c_custkey")
+        .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
         .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"n_name")
         .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("lost_cents"),
