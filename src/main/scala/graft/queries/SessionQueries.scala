@@ -123,6 +123,33 @@ object SessionQueries {
         .orderBy("user_id", "start_us")
     },
 
+    "event_transitions" -> { (spark, dir) =>
+      // First-order Markov transition counts between consecutive event
+      // types per user timeline: one window pass + one hash aggregate.
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(spark, dir)
+        .withColumn("prev_type", lag($"event_type", 1).over(w))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "event_type")
+    },
+
+    "session_paths" -> { (spark, dir) =>
+      // Per-session ordered event-type path string. Ordering inside the
+      // aggregate is made deterministic by sorting collected
+      // (ts, event_id, type) structs — collect_list alone has no order.
+      import spark.implicits._
+      val s = Sessionize.withSessionNo(Tables.events(spark, dir))
+      s.groupBy($"user_id", $"session_no")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(unix_micros($"ts").as("t"),
+            $"event_id", $"event_type"))),
+          x => x.getField("event_type")), ">").as("path"))
+        .orderBy("user_id", "session_no")
+    },
+
     "session_gaps" -> { (spark, dir) =>
       // W1 surface in isolation: per-event lag + gap, first event NULL.
       import spark.implicits._
@@ -224,6 +251,28 @@ object SessionQueries {
         |       count(DISTINCT user_id) AS n_users
         |FROM ev JOIN fd USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "event_transitions" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n
+        |FROM d WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY prev_type, event_type""".stripMargin,
+
+    "session_paths" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d)
+        |SELECT user_id, session_no::BIGINT AS session_no,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
 
     "session_gaps" ->
       """SELECT event_id, user_id,
