@@ -82,6 +82,21 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the full pipeline filtered to new pairs") {
+    val samples = (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(211L + i)))
+    assert(samples.size >= 3)
+    samples.foreach { case (docs, _) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val split = docs.size / 2L
+      val full = Dedup.minhashPairs(df)
+        .filter($"doc_b" >= split)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val incr = Dedup.minhashPairsIncremental(df, split)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(incr == full, s"split=$split")
+    }
+  }
+
   test("minhash pipeline finds every planted near-dup and only those") {
     val samples = (1 to 8).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(7L + i)))
     assert(samples.size >= 6)
