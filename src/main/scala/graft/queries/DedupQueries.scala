@@ -120,8 +120,12 @@ object DedupQueries {
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
-      // cached: both join sides read it — without the cache the whole
-      // shingle pipeline (explode + window + collect_set) runs twice.
+      // cached: both sides of the self-join read it — without the cache
+      // the whole shingle pipeline (explode + groupBy) runs twice. This
+      // cache is O(corpus); at 100 TB use persist(DISK_ONLY) or accept
+      // the recompute (2x the shingle pass), whichever the cluster's
+      // memory:compute ratio favours — unlike a broadcast, a partitioned
+      // cache never concentrates the corpus on one node.
       val sh = Dedup.shingleArrays(docs)
         .join(docs.select($"doc_id", $"lang", $"n_chars"), Seq("doc_id"))
         .cache()
