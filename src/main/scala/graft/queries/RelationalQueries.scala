@@ -353,6 +353,35 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    "window_value_funcs" -> { (spark, dir) =>
+      // first_value/last_value/nth_value over an explicit full-partition
+      // frame (the default frame stops at CURRENT ROW, which makes
+      // last_value a no-op — a classic window-function trap both engines
+      // share).
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(spark, dir).select(
+        $"o_custkey", $"o_orderkey",
+        first($"o_orderkey").over(w).as("first_order"),
+        last($"o_orderkey").over(w).as("last_order"),
+        nth_value($"o_orderkey", 2).over(w).as("second_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "grouping_sets_explicit" -> { (spark, dir) =>
+      // Explicit GROUPING SETS — the general form rollup/cube desugar to,
+      // here with two non-hierarchical sets (by flag, by status).
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_v")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
     "salted_agg" -> { (spark, dir) =>
       // Skew-mitigated aggregation: each key splits across 16 salted
       // partial aggregates before the final merge (bounded reducer
@@ -742,6 +771,23 @@ object RelationalQueries {
         |         PARTITION BY user_id ORDER BY epoch_us(ts)
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT AS hour_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "window_value_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_orderkey) OVER w AS first_order,
+        |       last_value(o_orderkey) OVER w AS last_order,
+        |       nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "grouping_sets_explicit" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       SUM(l_quantity::BIGINT)::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "salted_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
