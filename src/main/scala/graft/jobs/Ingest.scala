@@ -22,7 +22,14 @@ object Ingest {
       .withColumn("event_hour", date_format(ts, "HH"))
   }
 
-  def run(spark: SparkSession, csvPath: String, outPath: String): Unit = {
+  /** `filesPerPartition` = 1 reproduces the reference's one-file-per-hour
+    * layout (one writer task per hour — fine at 55k events/hour). For a
+    * hot hour at real scale, raise it: the repartition key gains a
+    * user-hash salt so N tasks share the hour's write, still landing in
+    * the same Hive partition.
+    */
+  def run(spark: SparkSession, csvPath: String, outPath: String,
+      filesPerPartition: Int = 1): Unit = {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val raw = spark.read
       .option("header", "true")
@@ -30,9 +37,14 @@ object Ingest {
       .csv(csvPath)
       // CSV carries no partition columns yet; they are derived below.
       .drop("event_date", "event_hour")
-    derivePartitions(raw)
-      .repartition(col("event_date"), col("event_hour"))
-      .write
+    val derived = derivePartitions(raw)
+    val parted =
+      if (filesPerPartition <= 1)
+        derived.repartition(col("event_date"), col("event_hour"))
+      else
+        derived.repartition(col("event_date"), col("event_hour"),
+          pmod(hash(col("user_id")), lit(filesPerPartition)))
+    parted.write
       .partitionBy("event_date", "event_hour")
       .mode("overwrite")
       .parquet(outPath)

@@ -84,6 +84,18 @@ class JobsSpec extends SparkSpec {
       .filter($"event_hour" === "10").count() == 3)
   }
 
+  test("salted ingest writes identical rows into the same partitions") {
+    val base = Files.createTempDirectory("graft-salted").toString
+    val csv = writeCsv(base)
+    Ingest.run(spark, csv, s"$base/plain")
+    Ingest.run(spark, csv, s"$base/salted", filesPerPartition = 4)
+    val a = spark.read.schema(Schemas.behavior).parquet(s"$base/plain")
+      .orderBy("product_id").collect().toSeq
+    val b = spark.read.schema(Schemas.behavior).parquet(s"$base/salted")
+      .orderBy("product_id").collect().toSeq
+    assert(a == b) // the salt changes file layout only, never content
+  }
+
   test("observe rides audit metrics on an existing action, zero extra scans") {
     val ev = Tables.events(spark, Sf0001)
       .withColumn("maybe", when($"event_id" % 2 === 0, $"event_type"))
