@@ -83,6 +83,16 @@ object SessionizeHour {
       .parquet(sessionsPath)
   }
 
+  /** Strictly ordered catch-up over a list of (date, hour) pairs — the
+    * engine-side equivalent of the reference DAG's `catchup=True` +
+    * `depends_on_past=True` + `max_active_runs=1` contract
+    * (sessionization_batch.py:12,38,39): hour H+1 must not start before
+    * hour H has committed, because it reads H's output as carry state.
+    */
+  def backfill(spark: SparkSession, logsPath: String, sessionsPath: String,
+      hours: Seq[(String, String)]): Unit =
+    hours.foreach { case (d, h) => run(spark, logsPath, sessionsPath, d, h) }
+
   def main(args: Array[String]): Unit = {
     val Array(logsPath, sessionsPath, eventDate, eventHour) = args
     val spark = SparkSession.builder()

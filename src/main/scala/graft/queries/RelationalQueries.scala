@@ -353,6 +353,17 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    "bool_aggs" -> { (spark, dir) =>
+      // Boolean aggregates: count_if / bool_and / bool_or per group.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(count_if($"l_quantity" > 25).as("n_bulk"),
+          bool_and($"l_discount" >= 0).as("all_nonneg_disc"),
+          bool_or($"l_tax" > 0.07).as("any_high_tax"))
+        .orderBy("l_returnflag")
+    },
+
     "window_value_funcs" -> { (spark, dir) =>
       // first_value/last_value/nth_value over an explicit full-partition
       // frame (the default frame stops at CURRENT ROW, which makes
@@ -771,6 +782,13 @@ object RelationalQueries {
         |         PARTITION BY user_id ORDER BY epoch_us(ts)
         |         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)::BIGINT AS hour_cents
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "bool_aggs" ->
+      """SELECT l_returnflag,
+        |       count(*) FILTER (l_quantity > 25) AS n_bulk,
+        |       bool_and(l_discount >= 0) AS all_nonneg_disc,
+        |       bool_or(l_tax > 0.07) AS any_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "window_value_funcs" ->
       """SELECT o_custkey, o_orderkey,

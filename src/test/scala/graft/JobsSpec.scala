@@ -84,6 +84,23 @@ class JobsSpec extends SparkSpec {
       .filter($"event_hour" === "10").count() == 3)
   }
 
+  test("backfill runs hours in order and matches the manual two-run flow") {
+    val base = Files.createTempDirectory("graft-backfill").toString
+    val csv = writeCsv(base)
+    Ingest.run(spark, csv, s"$base/logs")
+    SessionizeHour.backfill(spark, s"$base/logs", s"$base/sessions",
+      Seq(("2019-10-01", "10"), ("2019-10-01", "11")))
+    val out = spark.read.schema(Schemas.session).parquet(s"$base/sessions")
+    assert(out.count() == 5)
+    assert(DataQuality.nullCount(out, "session_id") == 0)
+    // cross-hour carry must hold exactly as in the manual flow
+    val u2h11 = out.filter($"event_hour" === "11" && $"user_id" === 2)
+      .select("session_id").head.getString(0)
+    val u2h10 = out.filter($"event_hour" === "10" && $"user_id" === 2 && $"product_id" === 4)
+      .select("session_id").head.getString(0)
+    assert(u2h11 == u2h10)
+  }
+
   test("salted ingest writes identical rows into the same partitions") {
     val base = Files.createTempDirectory("graft-salted").toString
     val csv = writeCsv(base)
