@@ -89,6 +89,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "explode_outer_tokens" -> { (spark, dir) =>
+      // Generator null-preservation semantics: explode_outer keeps a
+      // NULL row for documents whose filtered token array is empty —
+      // the outer-generate variant a plain explode would silently drop.
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id",
+          explode_outer(filter(split($"text", " "), t => length(t) > 8)).as("long_tok"))
+        .orderBy($"doc_id", $"long_tok".asc_nulls_first)
+    },
+
     "token_counts_bpe" -> { (spark, dir) =>
       // BPE-ish regex tokenization over a constructed mixed column (the
       // corpus alone is letters+spaces, so digits/punct are planted).
@@ -259,6 +270,15 @@ object TextQueries {
         |       md5(text) AS content_md5,
         |       ceil(octet_length(encode(text)) / 64.0)::BIGINT AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "explode_outer_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 8) AS l
+        |  FROM documents)
+        |SELECT doc_id, unnest(l) AS long_tok FROM t WHERE len(l) > 0
+        |UNION ALL
+        |SELECT doc_id, NULL AS long_tok FROM t WHERE len(l) = 0
+        |ORDER BY doc_id, long_tok NULLS FIRST""".stripMargin,
 
     "token_counts_bpe" ->
       """WITH m AS (
