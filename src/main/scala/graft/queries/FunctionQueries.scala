@@ -32,16 +32,19 @@ object FunctionQueries {
 
     "map_lookup" -> { (spark, dir) =>
       // MapType surface: per-user event_type→count map built with
-      // map_from_entries, then key lookups (missing key → NULL) and
-      // map cardinality. Scalars out, so the oracle needs no map type.
+      // map_from_entries, then key lookups and map cardinality. Scalars
+      // out, so the oracle needs no map type. try_element_at, NOT
+      // element_at: under ANSI mode (Spark 4's default) element_at
+      // THROWS on a missing map key — try_element_at returns the NULL
+      // the oracle's NULLIF encodes, whatever the data distribution.
       import spark.implicits._
       Tables.events(spark, dir)
         .groupBy($"user_id", $"event_type").count()
         .groupBy($"user_id")
         .agg(map_from_entries(collect_list(struct($"event_type", $"count"))).as("m"))
         .select($"user_id",
-          element_at($"m", "view").as("n_view"),
-          element_at($"m", "purchase").as("n_purchase"),
+          try_element_at($"m", lit("view")).as("n_view"),
+          try_element_at($"m", lit("purchase")).as("n_purchase"),
           size($"m").cast("long").as("n_types"))
         .orderBy("user_id")
     },
