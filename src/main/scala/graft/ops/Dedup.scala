@@ -263,9 +263,13 @@ object Dedup {
     // Labels only ever DECREASE (min of self and neighbours), so the
     // label sum strictly decreases iff any node changed — convergence is
     // one tiny aggregate per round, no join against the previous state,
-    // computed inside the job that materializes the round.
-    var (labels, prevSum) = rebaseSum(und.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")), p)
+    // computed inside the job that materializes the round. Seed labels
+    // directly with the 1-hop minimum — min(least(src, dst)) grouped by
+    // src IS min(self, neighbours) — which is what round one of the loop
+    // would otherwise spend a join computing.
+    var (labels, prevSum) = rebaseSum(und
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("cluster_id")), p)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
