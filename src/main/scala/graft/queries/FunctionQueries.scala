@@ -64,6 +64,39 @@ object FunctionQueries {
         .orderBy("o_orderkey")
     },
 
+    "try_cast_safety" -> { (spark, dir) =>
+      // ANSI-mode-safe parsing: try_cast yields NULL for malformed input
+      // where a plain cast would throw (Spark 4 runs ANSI by default).
+      // A third of the constructed strings are valid numbers, a third
+      // carry a junk prefix, a third are empty.
+      import spark.implicits._
+      val k = get_json_object($"props", "$.k").cast("long")
+      Tables.events(spark, dir)
+        .withColumn("raw",
+          when(k % 3 === 0, k.cast("string"))
+            .when(k % 3 === 1, concat(lit("x"), k.cast("string")))
+            .otherwise(lit("")))
+        .select($"event_id", expr("try_cast(raw AS BIGINT)").as("parsed"))
+        .agg(count(lit(1)).as("n_rows"),
+          count($"parsed").as("n_parsed"),
+          sum($"parsed").as("sum_parsed"))
+    },
+
+    "edit_distance_pairs" -> { (spark, dir) =>
+      // Exact Levenshtein between consecutive documents — the fuzzy-match
+      // primitive (identical DP algorithm in both engines). Bounded to
+      // 99 pairs; at scale this would sit behind a blocking stage like
+      // the other dedup verifiers.
+      import spark.implicits._
+      val d = Tables.documents(spark, dir).filter($"doc_id" < 100)
+        .select($"doc_id", $"text")
+      val a = d.select($"doc_id".as("id_a"), $"text".as("ta"))
+      val b = d.select(($"doc_id" - 1).as("id_a"), $"doc_id".as("id_b"), $"text".as("tb"))
+      a.join(b, "id_a")
+        .select($"id_a", $"id_b", levenshtein($"ta", $"tb").cast("long").as("lev"))
+        .orderBy("id_a")
+    },
+
     "string_funcs" -> { (spark, dir) =>
       import spark.implicits._
       Tables.part(spark, dir).select(
@@ -105,6 +138,25 @@ object FunctionQueries {
         |       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
         |       strftime(o_orderdate::DATE + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "try_cast_safety" ->
+      """WITH x AS (
+        |  SELECT event_id,
+        |         CASE WHEN k % 3 = 0 THEN k::VARCHAR
+        |              WHEN k % 3 = 1 THEN 'x' || k::VARCHAR
+        |              ELSE '' END AS raw
+        |  FROM (SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events))
+        |SELECT count(*) AS n_rows,
+        |       count(TRY_CAST(raw AS BIGINT)) AS n_parsed,
+        |       SUM(TRY_CAST(raw AS BIGINT))::BIGINT AS sum_parsed
+        |FROM x""".stripMargin,
+
+    "edit_distance_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.text, b.text)::BIGINT AS lev
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
 
     "string_funcs" ->
       """SELECT p_partkey,
