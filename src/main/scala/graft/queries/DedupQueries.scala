@@ -71,6 +71,22 @@ object DedupQueries {
         .orderBy("id")
     },
 
+    "bit_aggregates" -> { (spark, dir) =>
+      // Bitwise aggregate surface (bit_or/bit_and/bit_xor) over the
+      // per-document simhash fingerprints, grouped by language — e.g.
+      // bit_or is the "any document sets this bit" mask per group.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      Dedup.simhash(docs)
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang")
+        .agg(bit_or($"simhash").as("bits_any"),
+          bit_and($"simhash").as("bits_all"),
+          bit_xor($"simhash").as("bits_parity"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+
     "dedup_corpus_keep" -> { (spark, dir) =>
       // End-to-end removal: the deduplicated corpus (one representative
       // per near-dup component) — the "switch your pipeline to this
@@ -205,6 +221,20 @@ object DedupQueries {
          |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node)
          |SELECT node AS id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+
+    "bit_aggregates" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+         |        FROM documents)),
+         |sh AS (SELECT doc_id, ($simhashOracleBits)::BIGINT AS simhash
+         |       FROM tok GROUP BY doc_id)
+         |SELECT lang, bit_or(simhash)::BIGINT AS bits_any,
+         |       bit_and(simhash)::BIGINT AS bits_all,
+         |       bit_xor(simhash)::BIGINT AS bits_parity,
+         |       count(*) AS n_docs
+         |FROM sh JOIN documents USING (doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "dedup_corpus_keep" ->
       s"""WITH RECURSIVE $ShinglesCte,
