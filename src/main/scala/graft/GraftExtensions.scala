@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftExtensions.dotNativeDescriptor)
     extensions.injectFunction(GraftExtensions.hammingNativeDescriptor)
+    extensions.injectOptimizerRule(_ =>
+      graft.expressions.DotProductStrengthReduction)
   }
 }
 

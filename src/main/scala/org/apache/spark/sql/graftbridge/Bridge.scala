@@ -19,4 +19,13 @@ object Bridge {
   def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** DataFrame over an arbitrary logical plan (Dataset.ofRows is
+    * private[sql]; exposed so optimizer-rule tests can execute the plan
+    * a rule produced).
+    */
+  def dataFrame(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

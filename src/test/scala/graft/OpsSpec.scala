@@ -125,6 +125,28 @@ class OpsSpec extends SparkSpec {
     assert(planLine.trim.startsWith("*"), planLine)
   }
 
+  test("strength-reduction rule rewrites the HOF dot product to DotProduct") {
+    import graft.expressions.DotProductStrengthReduction
+    val emb = Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val hof = emb.select($"vec_id", graft.ops.Similarity.dot($"v", $"v").as("d"))
+    val analyzed = hof.queryExecution.analyzed
+    val rewritten = DotProductStrengthReduction(analyzed)
+    assert(rewritten.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.DotProduct])), rewritten.toString)
+    // the rewritten plan computes bit-identical values
+    val before = hof.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val after = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark, rewritten)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(before == after)
+    // and a non-dot aggregate is left untouched
+    val other = emb.select(aggregate(transform($"v", x => x), lit(0.0),
+      (acc, x) => acc + x).as("s"))
+    val untouched = DotProductStrengthReduction(other.queryExecution.analyzed)
+    assert(!untouched.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.DotProduct])))
+  }
+
   test("GraftExtensions injects dot_native into a session-extensions set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
