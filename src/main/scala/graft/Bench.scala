@@ -14,6 +14,7 @@ object Bench {
       // warmup pass below reads the raw files first).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     // ERROR, not WARN: any task-retry noise would interleave with the one
     // JSON line below and break the driver's parse of it.

@@ -18,13 +18,17 @@ import graft.ops._
   */
 object Graft {
 
-  /** Recommended session settings for this engine (local or cluster). */
+  /** Recommended session settings for this engine (local or cluster),
+    * with the engine's extensions (custom expressions + optimizer rule)
+    * installed.
+    */
   def session(appName: String = "graft", master: Option[String] = None): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .withExtensions(new GraftExtensions)
     master.fold(b)(b.master(_)).getOrCreate()
   }
 
