@@ -80,7 +80,8 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     time("warmup")(spark.range(1000000L).selectExpr("sum(id)").collect())
     names.foreach { q =>
