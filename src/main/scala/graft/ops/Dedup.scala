@@ -191,7 +191,12 @@ object Dedup {
   def simhashNearDup(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
+    require(maxDist >= 0 && chunks <= 32,
+      s"maxDist must be in [0, 31] (needs ${chunks} non-empty chunks of a 32-bit hash)")
     val bitsPer = 32 / chunks // 4 chunks × 8 bits for the default
+    // (when 32 % chunks != 0 the top bits belong to no chunk — still
+    // sound: diffs there leave every chunk equal, so such pairs remain
+    // candidates and the exact popcount filter decides)
     val sig = simhash(df, idCol, textCol).cache()
     val chunked = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
