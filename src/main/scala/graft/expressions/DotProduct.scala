@@ -13,13 +13,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * generates a tight primitive loop inside whole-stage codegen: no
   * boxing, no per-element closure dispatch.
   *
-  * Same left-to-right summation order as the HOF route and DuckDB's
-  * list_dot_product, so results are bit-identical to both (oracle-safe).
+  * Semantics are EXACTLY those of the portable HOF fold
+  * `aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)`:
+  *   - either array NULL → NULL (null-intolerant binary expression);
+  *   - unequal lengths → NULL (zip_with pads the shorter array with
+  *     nulls, the null propagates through multiply/add);
+  *   - any NULL element → NULL (same propagation);
+  *   - otherwise the same left-to-right summation order as the HOF fold
+  *     and DuckDB's list_dot_product, so results are bit-identical.
+  * The per-element null branch is compiled out entirely when both input
+  * array types carry containsNull=false, so the hot path (embeddings read
+  * from parquet with a non-null element schema) stays a pure primitive
+  * loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL on length mismatch / null element, even for non-nullable inputs.
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -36,10 +55,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -48,13 +73,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (elementsNullable) {
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      } else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

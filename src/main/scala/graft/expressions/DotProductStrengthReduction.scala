@@ -13,9 +13,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * SQL) keep writing the declarative HOF form; sessions carrying
   * [[graft.GraftExtensions]] execute the tight primitive loop instead of
   * an interpreted lambda per element. Safe because [[DotProduct]] is
-  * bit-identical to the sequential HOF fold (same left-to-right order —
-  * proven in OpsSpec), and double multiply/add cannot raise under ANSI,
-  * so the eval-mode flags on the lambda arithmetic are irrelevant.
+  * bit-identical to the sequential HOF fold for EVERY input — same
+  * left-to-right order, NULL on unequal lengths (zip_with's null
+  * padding), NULL on null elements (proven in OpsSpec) — and double
+  * multiply/add cannot raise under ANSI, so the eval-mode flags on the
+  * lambda arithmetic are irrelevant.
   *
   * The match is deliberately conservative: exact zero literal, both
   * inputs ARRAY<DOUBLE>, lambda bodies that are a single commutative
@@ -35,7 +37,11 @@ object DotProductStrengthReduction extends Rule[LogicalPlan] {
   private def isIdentity(f: Expression): Boolean = f match {
     case LambdaFunction(body: NamedLambdaVariable,
         Seq(v: NamedLambdaVariable), _) => body.exprId == v.exprId
-    case _ => true // aggregate() without finish analyzes to identity anyway
+    // Any other lambda is a REAL finish transform (e.g. acc -> acc / 10):
+    // rewriting would silently drop it. Only the no-lambda case (an
+    // aggregate() without finish, which analyzes to identity) may pass.
+    case _: LambdaFunction => false
+    case _ => true
   }
 
   private def arrDouble(e: Expression): Boolean = e.dataType match {

@@ -147,6 +147,54 @@ class OpsSpec extends SparkSpec {
       _.exists(_.isInstanceOf[graft.expressions.DotProduct])))
   }
 
+  test("strength-reduction leaves a real finish lambda untouched") {
+    import graft.expressions.DotProductStrengthReduction
+    val emb = Tables.embeddings(spark, Sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    // same zip_with/merge shape but a NON-identity finish: acc -> acc / 10
+    val withFinish = emb.select($"vec_id",
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x, acc => acc / 10).as("d"))
+    val after = DotProductStrengthReduction(withFinish.queryExecution.analyzed)
+    assert(!after.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.DotProduct])), after.toString)
+    // and the rewritten-session values still carry the /10 finish
+    val viaRule = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark, after)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = withFinish.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaRule == plain)
+  }
+
+  test("DotProduct matches HOF fold on null / unequal-length arrays") {
+    import graft.expressions.DotProduct.dotNative
+    // Built from spark.range so nothing constant-folds: the codegen path
+    // (null branch included) actually executes.
+    val df = spark.range(4).select($"id",
+      when($"id" === 3, lit(null).cast("array<double>"))
+        .when($"id" === 2, array(lit(1.0), lit(null).cast("double")))
+        .when($"id" === 1, array(lit(1.0), lit(2.0), lit(5.0)))
+        .otherwise(array(lit(1.0), lit(2.0))).as("a"),
+      array(lit(3.0), lit(4.0)).as("b"))
+    val rows = df.select($"id",
+        dotNative($"a", $"b").as("n"),
+        graft.ops.Similarity.dot($"a", $"b").as("h"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    rows.foreach { case (id, n, h) => assert(n == h, s"id=$id native=$n hof=$h") }
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    assert(byId(0L) == Some(11.0))  // 1*3 + 2*4
+    assert(byId(1L).isEmpty)        // unequal length → NULL (zip_with padding)
+    assert(byId(2L).isEmpty)        // null element → NULL
+    assert(byId(3L).isEmpty)        // null array → NULL
+    // non-nullable-element arrays with unequal lengths: the fast loop
+    // (no per-element checks compiled in) must still yield NULL
+    val nn = spark.range(2).select(
+      array(lit(1.0), lit(2.0)).as("a"),
+      when($"id" === 0, array(lit(3.0), lit(4.0))).otherwise(array(lit(3.0))).as("b"))
+    val out = nn.select(dotNative($"a", $"b").as("n"), graft.ops.Similarity.dot($"a", $"b").as("h"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(out.toSet == Set((Some(11.0), Some(11.0)), (None, None)))
+  }
+
   test("GraftExtensions injects dot_native into a session-extensions set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
