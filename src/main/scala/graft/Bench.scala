@@ -29,7 +29,9 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
+        name -> dt
       }
     // Two passes, min per query: this box runs other tenants and a single
     // pass can triple under load (observed 43s vs 140s for identical code).

@@ -20,6 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Caches whose consumers are LAZY (a returned DataFrame still reads
+    * them after the op returns): the LSH candidate list, the simhash
+    * signature table, and the final connected-components round. They
+    * cannot be unpersisted inside the op without either recomputing the
+    * pipeline per consumer or re-running the whole iterative loop on
+    * first consumption — so each is registered here and freed by
+    * [[releaseCaches]], which `Verify`/`Bench` call between queries. A
+    * long-lived 100 TB session stays bounded: at most one op's worth of
+    * (tiny: candidates/signatures/graph-labels, never corpus-sized)
+    * cache is alive at a time. Eagerly-materialized intermediates (each
+    * loop round, the undirected edge RDD) are unpersisted inline and
+    * never reach this registry.
+    */
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): rdd.type =
+    synchronized { liveCaches += (() => { rdd.unpersist(blocking = false); () }); rdd }
+
+  private def registerDf(df: DataFrame): df.type =
+    synchronized { liveCaches += (() => { df.unpersist(blocking = false); () }); df }
+
+  /** Free every cache registered by dedup ops since the last release.
+    * Call once the op's result has been consumed (written / collected).
+    */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(_.apply())
+    liveCaches.clear()
+  }
+
   /** `shingles`: distinct n-token shingles of a whitespace-tokenized text.
     * Guarded so texts shorter than n tokens get an empty array (Spark's
     * `sequence(1,0)` would count DOWN, not return empty).
@@ -126,7 +155,9 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * sets; keeps pairs with jaccard > threshold using the integer form
-    * `inter * den > num * union` (no floating point).
+    * `inter * den > num * union` (no floating point). Any extra columns
+    * the candidate list carries (e.g. a blocking key like `lang`) are
+    * preserved in the output ahead of `inter`/`uni`.
     */
   def verifyJaccard(candidates: DataFrame, shingled: DataFrame,
       idCol: String = "doc_id", shinglesCol: String = "shingles",
@@ -144,7 +175,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
-      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .select(candidates.columns.map(col) :+ col("inter") :+ col("uni"): _*)
   }
 
   /** Full MinHash+LSH near-dup pipeline. The input is spread across all
@@ -163,19 +194,88 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
-    val cand = lshCandidates(sig, idCol).cache()
+    val cand = registerDf(lshCandidates(sig, idCol).cache())
     verifyAgainstSource(cand, spread, idCol, textCol)
   }
 
-  /** Verify candidate pairs by re-shingling just the candidate docs. */
-  private def verifyAgainstSource(cand: DataFrame, source: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+  /** Verify candidate pairs by re-shingling just the candidate docs — the
+    * scale-safe verify default: a broadcast semi-join prunes the source
+    * scan to docs that appear in some pair, so no corpus-sized shingle
+    * state is ever cached or shuffled.
+    */
+  def verifyAgainstSource(cand: DataFrame, source: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
     val candSrc = source.join(broadcast(candDocs), Seq(idCol), "left_semi")
     val arrays = shingleRows(candSrc, idCol, textCol)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
-    verifyJaccard(cand, arrays, idCol)
+    verifyJaccard(cand, arrays, idCol, "shingles", thresholdNum, thresholdDen)
+  }
+
+  /** Blocked n-gram Jaccard near-dup pairs: same language, |Δlen| ≤
+    * `maxLenDiff` chars, Jaccard > thresholdNum/thresholdDen over distinct
+    * 3-token shingles. Output: (doc_a, doc_b, lang, inter, uni).
+    *
+    * Candidates come from a METADATA-ONLY block self-join — (lang ×
+    * 2·maxLenDiff-char length bucket), side B carrying its bucket and
+    * side A exploding to {b−1, b, b+1} so every |Δlen| ≤ maxLenDiff pair
+    * matches exactly once, and the join key has lang×bucket cardinality
+    * (lang alone would serialize the probe). Shingles are then computed
+    * only for docs that appear in some candidate pair
+    * ([[verifyAgainstSource]]'s pruned re-scan), so — unlike carrying
+    * shingle arrays through the block join — nothing corpus-sized is
+    * cached, broadcast, or shuffled; the narrow metadata join is cheap
+    * enough to recompute for its two consumers. Candidate volume is
+    * Σ_blocks n_b²: refine the block key (narrower buckets, extra
+    * metadata) or salt if one (lang, length) block ever dominates.
+    *
+    * `cacheShingles = true` opts into the one-pass formulation that
+    * carries shingle arrays through the block join behind an O(corpus)
+    * cache — worth it only when memory is plentiful relative to a second
+    * pruned scan (the cache is partitioned, never driver-concentrated,
+    * and is freed by [[releaseCaches]]).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      lenCol: String = "n_chars", maxLenDiff: Int = 32,
+      thresholdNum: Int = 3, thresholdDen: Int = 10,
+      cacheShingles: Boolean = false): DataFrame = {
+    val bucketWidth = 2 * maxLenDiff
+    val bkt = floor(col(lenCol) / bucketWidth)
+    if (cacheShingles) {
+      val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      val sh = registerDf(shingleArrays(spread, idCol, textCol)
+        .join(spread.select(col(idCol), col(langCol), col(lenCol)), Seq(idCol))
+        .cache())
+      val a = sh.select(col(idCol).as("doc_a"), col(langCol),
+        col(lenCol).as("__nc_a"), col("shingles").as("sh_a"),
+        explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
+      val b = sh.select(col(idCol).as("doc_b"), col(langCol),
+        col(lenCol).as("__nc_b"), col("shingles").as("sh_b"), bkt.as("__bucket"))
+      b.join(a, Seq(langCol, "__bucket"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
+        .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
+          greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
+        .select(col("doc_a"), col("doc_b"), col(langCol), col("inter"), col("uni"))
+    } else {
+      val meta = df.select(col(idCol), col(langCol), col(lenCol))
+      val a = meta.select(col(idCol).as("doc_a"), col(langCol),
+        col(lenCol).as("__nc_a"), explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
+      val b = meta.select(col(idCol).as("doc_b"), col(langCol),
+        col(lenCol).as("__nc_b"), bkt.as("__bucket"))
+      val cand = b.join(a, Seq(langCol, "__bucket"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
+        .select(col("doc_a"), col("doc_b"), col(langCol))
+      val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      verifyAgainstSource(cand, spread, idCol, textCol, thresholdNum, thresholdDen)
+    }
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist`, found
@@ -197,7 +297,7 @@ object Dedup {
     // (when 32 % chunks != 0 the top bits belong to no chunk — still
     // sound: diffs there leave every chunk equal, so such pairs remain
     // candidates and the exact popcount filter decides)
-    val sig = simhash(df, idCol, textCol).cache()
+    val sig = registerDf(simhash(df, idCol, textCol).cache())
     val chunked = sig.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(c =>
         shiftright(col("simhash"), c * bitsPer)
@@ -249,10 +349,11 @@ object Dedup {
     * materialization halves the job count per round — at tiny graph
     * sizes scheduling, not compute, is the cost.
     */
-  private def rebaseSum(df: DataFrame, parts: Int): (DataFrame, Long) = {
+  private def rebaseSum(df: DataFrame,
+      parts: Int): (DataFrame, Long, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd.coalesce(parts).cache()
-    val s = rdd.map(_.getLong(1)).fold(0L)(_ + _)
-    (df.sparkSession.createDataFrame(rdd, df.schema), s)
+    val s = rdd.map(_.getLong(1)).fold(0L)(_ + _) // ← fully materializes the cache
+    (df.sparkSession.createDataFrame(rdd, df.schema), s, rdd)
   }
 
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
@@ -272,7 +373,7 @@ object Dedup {
     // directly with the 1-hop minimum — min(least(src, dst)) grouped by
     // src IS min(self, neighbours) — which is what round one of the loop
     // would otherwise spend a join computing.
-    var (labels, prevSum) = rebaseSum(und
+    var (labels, prevSum, labelsRdd) = rebaseSum(und
       .groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id")), p)
     var converged = false
@@ -288,16 +389,25 @@ object Dedup {
       // Pointer jump (path doubling): follow the label one more step —
       // label(x) ← label(label(x)) — so a chain of diameter d converges
       // in O(log d) rounds instead of O(d).
-      val (next, s) = rebaseSum(hop.as("x").join(
+      val (next, s, nextRdd) = rebaseSum(hop.as("x").join(
           hop.select(col("id").as("__pid"), col("cluster_id").as("__plbl")),
           col("x.cluster_id") === col("__pid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("__plbl"), col("x.cluster_id")).as("cluster_id")), p)
+      // Round k is fully cached (rebaseSum's fold ran), so round k−1's
+      // blocks are dead — free them NOW instead of leaking one cached
+      // RDD per round for the life of the session.
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    // The edge RDD fed its last join; only the final round's cache backs
+    // the returned DataFrame, and it is released with releaseCaches().
+    undRdd.unpersist(blocking = false)
+    registerRdd(labelsRdd)
     labels
   }
 
@@ -314,9 +424,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
-    val cand = lshCandidates(sig, idCol)
+    val cand = registerDf(lshCandidates(sig, idCol)
       .filter(col("doc_b") >= newFromId)
-      .cache()
+      .cache())
     verifyAgainstSource(cand, spread, idCol, textCol)
   }
 

@@ -123,45 +123,15 @@ object DedupQueries {
     },
 
     "dedup_ngram_jaccard" -> { (spark, dir) =>
-      // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32.
-      // Band join on (lang, 64-char length bucket): side B carries its
-      // bucket, side A explodes to {b−1, b, b+1}, so every |Δ| ≤ 32 pair
-      // matches exactly once and the join key has lang×bucket cardinality
-      // (not just 5 langs — that would serialize the probe). SHUFFLE
-      // join, deliberately not broadcast: the exploded side carries the
-      // corpus's shingle arrays (O(corpus) bytes — a driver OOM at
-      // scale); parallelism is bounded by block-key cardinality, which
-      // grows with corpus length spread — salt the bucket key if one
-      // (lang, length) block ever dominates.
+      // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32,
+      // Jaccard > 0.3. Default formulation is the pruned re-scan
+      // (metadata-only block join → candidate pairs → re-shingle only
+      // candidate docs): no corpus-sized cache anywhere in the plan —
+      // see Dedup.ngramJaccardPairs for the full scale rationale.
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-      // cached: both sides of the self-join read it — without the cache
-      // the whole shingle pipeline (explode + groupBy) runs twice. This
-      // cache is O(corpus); at 100 TB use persist(DISK_ONLY) or accept
-      // the recompute (2x the shingle pass), whichever the cluster's
-      // memory:compute ratio favours — unlike a broadcast, a partitioned
-      // cache never concentrates the corpus on one node.
-      val sh = Dedup.shingleArrays(docs)
-        .join(docs.select($"doc_id", $"lang", $"n_chars"), Seq("doc_id"))
-        .cache()
-      val a = sh.select($"doc_id".as("doc_a"), $"lang", $"n_chars".as("nc_a"),
-          $"shingles".as("sh_a"),
-          explode(array(floor($"n_chars" / 64) - 1, floor($"n_chars" / 64),
-            floor($"n_chars" / 64) + 1)).as("bucket"))
-      val b = sh.select($"doc_id".as("doc_b"), $"lang", $"n_chars".as("nc_b"),
-          $"shingles".as("sh_b"), floor($"n_chars" / 64).as("bucket"))
-      b.join(a, Seq("lang", "bucket"))
-        .filter($"doc_a" < $"doc_b" && abs($"nc_a" - $"nc_b") <= 32)
-        // necessary condition on set sizes alone (inter <= min size,
-        // union >= max size): pairs that cannot reach the threshold are
-        // dropped BEFORE the quadratic array_intersect
-        .filter(least(size($"sh_a"), size($"sh_b")) * 10 >
-          greatest(size($"sh_a"), size($"sh_b")) * 3)
-        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
-        .withColumn("uni", size(array_union($"sh_a", $"sh_b")).cast("long"))
-        .filter($"inter" * 10 > $"uni" * 3)
-        .select($"doc_a", $"doc_b", $"lang", $"inter", $"uni")
+      Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
+        .select($"doc_a", $"doc_b", $"lang", $"inter".cast("long").as("inter"),
+          $"uni".cast("long").as("uni"))
         .orderBy("doc_a", "doc_b")
     })
 

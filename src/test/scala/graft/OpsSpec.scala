@@ -330,6 +330,33 @@ class OpsSpec extends SparkSpec {
     assert(q.isNullAt(0))
   }
 
+  test("dedup ops leave no persistent RDDs once released") {
+    def extra(before: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    val docs = Tables.documents(spark, Sf0001)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    Dedup.minhashPairs(docs).count()
+    Dedup.releaseCaches()
+    assert(extra(before).isEmpty)
+    Dedup.simhashNearDup(docs).count()
+    Dedup.releaseCaches()
+    assert(extra(before).isEmpty)
+    Dedup.ngramJaccardPairs(docs).count()
+    Dedup.releaseCaches()
+    assert(extra(before).isEmpty, "pruned ngram path must cache nothing")
+    Dedup.ngramJaccardPairs(docs, cacheShingles = true).count()
+    Dedup.releaseCaches()
+    assert(extra(before).isEmpty)
+    // iterative CC over a chain (forces several rounds): every
+    // intermediate round and the edge RDD must be freed INLINE — only
+    // the final round's cache may be alive before release
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    Dedup.connectedComponents(edges).count()
+    assert(extra(before).size <= 1, s"loop leaked caches: ${extra(before)}")
+    Dedup.releaseCaches()
+    assert(extra(before).isEmpty)
+  }
+
   test("connected components: chains, cliques and isolated pairs") {
     // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping),
     // triangle 10-11-12, pair 20-21
