@@ -218,64 +218,60 @@ object Dedup {
     * `maxLenDiff` chars, Jaccard > thresholdNum/thresholdDen over distinct
     * 3-token shingles. Output: (doc_a, doc_b, lang, inter, uni).
     *
-    * Candidates come from a METADATA-ONLY block self-join — (lang ×
-    * 2·maxLenDiff-char length bucket), side B carrying its bucket and
-    * side A exploding to {b−1, b, b+1} so every |Δlen| ≤ maxLenDiff pair
-    * matches exactly once, and the join key has lang×bucket cardinality
-    * (lang alone would serialize the probe). Shingles are then computed
-    * only for docs that appear in some candidate pair
-    * ([[verifyAgainstSource]]'s pruned re-scan), so — unlike carrying
-    * shingle arrays through the block join — nothing corpus-sized is
-    * cached, broadcast, or shuffled; the narrow metadata join is cheap
-    * enough to recompute for its two consumers. Candidate volume is
-    * Σ_blocks n_b²: refine the block key (narrower buckets, extra
-    * metadata) or salt if one (lang, length) block ever dominates.
+    * The block self-join key is (lang × 2·maxLenDiff-char length
+    * bucket): side B carries its bucket, side A explodes to
+    * {b−1, b, b+1}, so every |Δlen| ≤ maxLenDiff pair matches exactly
+    * once and the key has lang×bucket cardinality (lang alone would
+    * serialize the probe). SHUFFLE join, deliberately not broadcast —
+    * the sides carry shingle arrays, O(corpus) bytes.
     *
-    * `cacheShingles = true` opts into the one-pass formulation that
-    * carries shingle arrays through the block join behind an O(corpus)
-    * cache — worth it only when memory is plentiful relative to a second
-    * pruned scan (the cache is partitioned, never driver-concentrated,
-    * and is freed by [[releaseCaches]]).
+    * The shingle-array table feeds both join sides and is CACHED by
+    * default — a deliberate, measured choice among three formulations at
+    * sf0.1 (local[32]):
+    *   - cached one-pass block join: 3.9 s;
+    *   - same plan uncached (`cacheShingles = false`): 34 s — the
+    *     explode+collect_set pipeline re-executes per side (the two
+    *     sides' pruned projections defeat exchange reuse);
+    *   - minhash-style pruned re-scan (metadata-only candidates, then
+    *     shingle only candidate docs): 13 s — length-blocking prunes no
+    *     DOCS (every doc has near-length neighbours, so the semi-join
+    *     keeps the whole corpus) while pair volume is Σ_blocks n_b² ≫
+    *     docs, so attaching arrays to pairs costs two pair-sized wide
+    *     shuffles instead of one block join. Re-scan pruning pays off
+    *     only when candidates are RARE (LSH collisions); block
+    *     candidates are dense by construction.
+    * The cache is partitioned (never driver-concentrated), spills under
+    * the default MEMORY_AND_DISK level, and is freed by
+    * [[releaseCaches]] as soon as the query completes — at 100 TB its
+    * footprint is one corpus of shingle arrays across the cluster's
+    * storage fraction, the price of not paying the shingle pipeline
+    * twice.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", langCol: String = "lang",
       lenCol: String = "n_chars", maxLenDiff: Int = 32,
       thresholdNum: Int = 3, thresholdDen: Int = 10,
-      cacheShingles: Boolean = false): DataFrame = {
+      cacheShingles: Boolean = true): DataFrame = {
     val bucketWidth = 2 * maxLenDiff
     val bkt = floor(col(lenCol) / bucketWidth)
-    if (cacheShingles) {
-      val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      val sh = registerDf(shingleArrays(spread, idCol, textCol)
-        .join(spread.select(col(idCol), col(langCol), col(lenCol)), Seq(idCol))
-        .cache())
-      val a = sh.select(col(idCol).as("doc_a"), col(langCol),
-        col(lenCol).as("__nc_a"), col("shingles").as("sh_a"),
-        explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
-      val b = sh.select(col(idCol).as("doc_b"), col(langCol),
-        col(lenCol).as("__nc_b"), col("shingles").as("sh_b"), bkt.as("__bucket"))
-      b.join(a, Seq(langCol, "__bucket"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
-        .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
-          greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
-        .select(col("doc_a"), col("doc_b"), col(langCol), col("inter"), col("uni"))
-    } else {
-      val meta = df.select(col(idCol), col(langCol), col(lenCol))
-      val a = meta.select(col(idCol).as("doc_a"), col(langCol),
-        col(lenCol).as("__nc_a"), explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
-      val b = meta.select(col(idCol).as("doc_b"), col(langCol),
-        col(lenCol).as("__nc_b"), bkt.as("__bucket"))
-      val cand = b.join(a, Seq(langCol, "__bucket"))
-        .filter(col("doc_a") < col("doc_b") &&
-          abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
-        .select(col("doc_a"), col("doc_b"), col(langCol))
-      val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      verifyAgainstSource(cand, spread, idCol, textCol, thresholdNum, thresholdDen)
-    }
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val shPlain = shingleArrays(spread, idCol, textCol)
+      .join(spread.select(col(idCol), col(langCol), col(lenCol)), Seq(idCol))
+    val sh = if (cacheShingles) registerDf(shPlain.cache()) else shPlain
+    val a = sh.select(col(idCol).as("doc_a"), col(langCol),
+      col(lenCol).as("__nc_a"), col("shingles").as("sh_a"),
+      explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
+    val b = sh.select(col(idCol).as("doc_b"), col(langCol),
+      col(lenCol).as("__nc_b"), col("shingles").as("sh_b"), bkt.as("__bucket"))
+    b.join(a, Seq(langCol, "__bucket"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
+        greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
+      .select(col("doc_a"), col("doc_b"), col(langCol), col("inter"), col("uni"))
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist`, found
@@ -319,11 +315,13 @@ object Dedup {
 
   /** Connected components over an undirected edge list — dedup clustering:
     * every document in a near-dup component gets the component's minimum
-    * doc id as `cluster_id`. Iterative min-label propagation (the
-    * large-scale pattern: each round is one shuffle-join + aggregate, the
-    * driver only checks a converged count), bounded by the component
-    * diameter which for near-dup graphs is tiny. Returns (id, cluster_id)
-    * for every node appearing in `edges`.
+    * doc id as `cluster_id`. Iterative min-label propagation with
+    * per-round edge CONTRACTION and pointer jumping (the large-scale
+    * pattern: each round is a couple of shuffle-joins + aggregates; the
+    * driver holds only an edge count and a label sum), converging in
+    * O(log d) rounds on both aligned and label-fragmented chains —
+    * pinned by DedupPropertiesSpec's shuffled long-path generator.
+    * Returns (id, cluster_id) for every node appearing in `edges`.
     */
   /** Partition count for an iterative loop over `n` rows: near-dup graphs
     * are usually minuscule next to the corpus, and a tiny loop shuffled
@@ -335,78 +333,111 @@ object Dedup {
     math.max(1, math.min(df.sparkSession.sparkContext.defaultParallelism,
       ((n + 499999L) / 500000L).toInt))
 
-  /** Materialize one loop round and return (lineage-free copy, sum of the
-    * label column) from a single Spark job. The lineage cut is essential:
-    * each round's plan references the previous round twice (self-join),
-    * so with lazy lineage the logical plan DOUBLES per round and by round
-    * k Catalyst re-analyzes 2^k copies of the upstream pipeline —
-    * planning, not execution, dominates. (`localCheckpoint` would be the
-    * idiomatic cut, but its LogicalRDD carries origin constraints from
-    * join lineage that Spark 4.1 fails to rewrite on self-join
-    * re-instancing — `NoSuchElementException: key not found` in the
-    * optimizer — so we round-trip through the row RDD, which carries no
-    * origin metadata.) Folding the convergence sum into the same
-    * materialization halves the job count per round — at tiny graph
-    * sizes scheduling, not compute, is the cost.
+  /** Materialize one loop round with its lineage cut, returning
+    * (lineage-free copy, row count, cached-RDD handle) from a single
+    * Spark job. The lineage cut is essential: each round's plan
+    * references the previous round twice (self-join), so with lazy
+    * lineage the logical plan DOUBLES per round and by round k Catalyst
+    * re-analyzes 2^k copies of the upstream pipeline — planning, not
+    * execution, dominates. (`localCheckpoint` would be the idiomatic
+    * cut, but its LogicalRDD carries origin constraints from join
+    * lineage that Spark 4.1 fails to rewrite on self-join re-instancing
+    * — `NoSuchElementException: key not found` in the optimizer — so we
+    * round-trip through the row RDD, which carries no origin metadata.)
     */
-  private def rebaseSum(df: DataFrame,
-      parts: Int): (DataFrame, Long, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+  private def rebase(df: DataFrame, parts: Int)
+      : (DataFrame, Long, Long, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd.coalesce(parts).cache()
-    val s = rdd.map(_.getLong(1)).fold(0L)(_ + _) // ← fully materializes the cache
-    (df.sparkSession.createDataFrame(rdd, df.schema), s, rdd)
+    val (n, s) = rdd.map(r => (1L, r.getLong(1))) // ← fully materializes the cache
+      .fold((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+    (df.sparkSession.createDataFrame(rdd, df.schema), n, s, rdd)
   }
+
+  /** Rewrite an edge list through the current labels — edge (u, v)
+    * becomes (label(u), label(v)) — dropping self-loops and duplicates.
+    */
+  private def contract(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels.withColumnRenamed("id", "src"), "src")
+      .withColumnRenamed("cluster_id", "__ls")
+      .join(labels.withColumnRenamed("id", "dst"), "dst")
+      .withColumnRenamed("cluster_id", "__ld")
+      .select(col("__ls").as("src"), col("__ld").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
 
   def connectedComponents(edges: DataFrame, srcCol: String = "doc_a",
       dstCol: String = "doc_b", maxIter: Int = 20): DataFrame = {
-    // Undirected: propagate both ways each round. No distinct — the
-    // min-aggregate below is duplicate-insensitive, so deduping the edge
-    // list would buy nothing and cost a shuffle.
+    // Undirected: both orientations, so one groupBy(src) sees the full
+    // neighbourhood of every node.
     val undPlan = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     val undRdd = undPlan.rdd.cache()
     val p = loopPartitions(edges, undRdd.count())
     val und = edges.sparkSession.createDataFrame(undRdd.coalesce(p), undPlan.schema)
-    // Labels only ever DECREASE (min of self and neighbours), so the
-    // label sum strictly decreases iff any node changed — convergence is
-    // one tiny aggregate per round, no join against the previous state,
-    // computed inside the job that materializes the round. Seed labels
-    // directly with the 1-hop minimum — min(least(src, dst)) grouped by
-    // src IS min(self, neighbours) — which is what round one of the loop
-    // would otherwise spend a join computing.
-    var (labels, prevSum, labelsRdd) = rebaseSum(und
+    // Seed labels directly with the 1-hop minimum — min(least(src, dst))
+    // grouped by src IS min(self, neighbours) — which is what round one
+    // of the loop would otherwise spend a join computing.
+    var (labels, _, prevSum, labelsRdd) = rebase(und
       .groupBy(col("src").as("id"))
       .agg(min(least(col("src"), col("dst"))).as("cluster_id")), p)
-    var converged = false
+    // The working edge list is CONTRACTED through the labels each round:
+    // plateau minima become directly adjacent, so the next round's 1-hop
+    // moves labels between whole plateaus, not single nodes. Without
+    // this, a chain with shuffled ids converges in O(#local minima)
+    // rounds — the static-edge pointer-jump formulation stalls at every
+    // label-plateau boundary (pinned by DedupPropertiesSpec's long-path
+    // test). Contraction + the pointer jump below converge in O(log d)
+    // rounds on both adversarial shapes (aligned chains: the jump
+    // doubles; fragmented labels: contraction collapses plateaus — each
+    // round the plateau path shrinks geometrically).
+    //
+    // Termination needs BOTH signals: an empty contracted edge list
+    // proves the component assignment is decided (every edge's endpoints
+    // share a label-chain), but labels may still be CHAINS (5→2→1) that
+    // the jump has not flattened; labels only ever decrease, so an
+    // unchanged label sum proves the jump hit its fixed point. While
+    // edges remain the sum strictly decreases (some plateau absorbs a
+    // smaller neighbour), so the pair (no edges, stable sum) is exact:
+    // every node carries its component minimum.
+    var (cu, ecnt, _, cuRdd) = rebase(contract(und, labels), p)
+    undRdd.unpersist(blocking = false) // seeding + initial contraction done
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // 1-hop: each node takes min(own label, neighbours' labels).
-      val fromNeighbours = und
+    var done = false
+    while (!done && iter < maxIter) {
+      // 1-hop at plateau level: each label-node takes the min of its
+      // contracted neighbours' labels.
+      val fromNeighbours = cu
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster_id"))
       val hop = labels.select(col("id"), col("cluster_id"))
         .union(fromNeighbours)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
       // Pointer jump (path doubling): follow the label one more step —
-      // label(x) ← label(label(x)) — so a chain of diameter d converges
-      // in O(log d) rounds instead of O(d).
-      val (next, s, nextRdd) = rebaseSum(hop.as("x").join(
+      // label(x) ← label(label(x)) — spreading a plateau-min's new label
+      // to every member in the same round.
+      val (next, _, s, nextRdd) = rebase(hop.as("x").join(
           hop.select(col("id").as("__pid"), col("cluster_id").as("__plbl")),
           col("x.cluster_id") === col("__pid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("__plbl"), col("x.cluster_id")).as("cluster_id")), p)
-      // Round k is fully cached (rebaseSum's fold ran), so round k−1's
+      // Round k is fully cached (rebase ran its job), so round k−1's
       // blocks are dead — free them NOW instead of leaking one cached
       // RDD per round for the life of the session.
       labelsRdd.unpersist(blocking = false)
       labels = next
       labelsRdd = nextRdd
-      converged = s == prevSum
+      val (ncu, n, _, ncuRdd) = rebase(contract(cu, labels), p)
+      cuRdd.unpersist(blocking = false)
+      cu = ncu
+      ecnt = n
+      cuRdd = ncuRdd
+      done = ecnt == 0 && s == prevSum
       prevSum = s
       iter += 1
     }
-    // The edge RDD fed its last join; only the final round's cache backs
-    // the returned DataFrame, and it is released with releaseCaches().
-    undRdd.unpersist(blocking = false)
+    // Only the final round's cache backs the returned DataFrame; it is
+    // released with releaseCaches().
+    cuRdd.unpersist(blocking = false)
     registerRdd(labelsRdd)
     labels
   }

@@ -124,10 +124,10 @@ object DedupQueries {
 
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32,
-      // Jaccard > 0.3. Default formulation is the pruned re-scan
-      // (metadata-only block join → candidate pairs → re-shingle only
-      // candidate docs): no corpus-sized cache anywhere in the plan —
-      // see Dedup.ngramJaccardPairs for the full scale rationale.
+      // Jaccard > 0.3, via the measured-fastest formulation (one block
+      // join over a cached-then-released shingle table — see
+      // Dedup.ngramJaccardPairs for the three-way measurement and the
+      // 100 TB cost rationale).
       import spark.implicits._
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir))
         .select($"doc_a", $"doc_b", $"lang", $"inter".cast("long").as("inter"),

@@ -61,6 +61,44 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("pointer jumping converges on long paths in O(log d) rounds") {
+    // Adversarial shape for label propagation: a single long chain whose
+    // ids are SHUFFLED (so min-label flow is not aligned with edge
+    // direction). maxIter is set near log2(diameter) + slack: path
+    // doubling covers ≥2^k distance after k rounds, while 1-hop-only
+    // propagation would need ~diameter rounds — if the pointer jump ever
+    // regresses, these labels cannot converge and the assert fails.
+    val chainGen: Gen[Vector[Long]] = for {
+      n <- Gen.choose(150, 300)
+      perm <- Gen.const(()).map(_ => new scala.util.Random(n).shuffle((1L to n).toVector))
+    } yield perm
+    val samples = (1 to 3).flatMap(i => chainGen.apply(Gen.Parameters.default, Seed(401L + i)))
+    assert(samples.size >= 2)
+    samples.foreach { ids =>
+      val edges = ids.sliding(2).map(p => (math.min(p(0), p(1)), math.max(p(0), p(1)))).toSeq
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"), maxIter = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      assert(got.length == ids.length)
+      assert(got.forall(_._2 == 1L),
+        s"n=${ids.length}: ${got.filter(_._2 != 1L).take(5).toSeq} not converged in 12 rounds")
+    }
+  }
+
+  test("disjoint components never merge") {
+    // Two interleaved chains over even/odd ids: the components' id
+    // ranges overlap completely, so any cross-component label bleed
+    // (e.g. a join key mixup) would merge them instantly.
+    val n = 60L
+    val evens = (0L until n by 2).toVector
+    val odds = (1L until n by 2).toVector
+    val edges = (evens.sliding(2) ++ odds.sliding(2)).map(p => (p(0), p(1))).toSeq
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.filter(_._1 % 2 == 0).values.toSet == Set(0L))
+    assert(got.filter(_._1 % 2 == 1).values.toSet == Set(1L))
+  }
+
   test("simhash pigeonhole blocking never misses a brute-force pair") {
     val corpus: Gen[List[String]] = for {
       nDocs <- Gen.choose(8, 25)

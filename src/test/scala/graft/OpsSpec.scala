@@ -330,6 +330,52 @@ class OpsSpec extends SparkSpec {
     assert(q.isNullAt(0))
   }
 
+  test("sketch estimates stay within documented error of exact answers") {
+    // The two rows-only CORRECTNESS entries (approx_distinct_parts,
+    // approx_percentiles) are correct to skip hash-match — but their
+    // sketches still carry contracts, asserted here against the exact
+    // answers the engine can also compute.
+    val li = Tables.lineitem(spark, Sf001)
+    // HLL++ (approx_count_distinct, default rsd 0.05): each group's
+    // estimate within 3 standard deviations (15%) of the exact count.
+    val exactD = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("ex")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxD = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("ap")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactD.keySet == approxD.keySet && exactD.nonEmpty)
+    exactD.foreach { case (k, ex) =>
+      assert(math.abs(approxD(k) - ex) <= 0.15 * ex,
+        s"$k: approx=${approxD(k)} exact=$ex exceeds 3*rsd")
+    }
+    // Quantile sketch (percentile_approx, accuracy 10000): the returned
+    // value is an actual element whose RANK is within n/accuracy of the
+    // target — assert it sits between the exact order statistics at
+    // rank ± (n/accuracy + 1).
+    val qs = Seq(0.5, 0.95, 0.99)
+    val apx = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice",
+        array(qs.map(lit): _*), lit(10000)).as("apx")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val byGroup = li.select($"l_returnflag", $"l_extendedprice").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+    assert(byGroup.keySet == apx.keySet)
+    byGroup.foreach { case (k, sorted) =>
+      val n = sorted.length
+      val slack = n.toDouble / 10000.0 + 1
+      qs.zipWithIndex.foreach { case (q, i) =>
+        val target = math.ceil(q * n)
+        val lo = sorted(math.max(0, (target - slack).toInt - 1))
+        val hi = sorted(math.min(n - 1, (target + slack).toInt - 1))
+        val got = apx(k)(i)
+        assert(got >= lo && got <= hi,
+          s"$k q=$q: approx=$got outside exact rank bounds [$lo, $hi] (n=$n)")
+      }
+    }
+  }
+
   test("dedup ops leave no persistent RDDs once released") {
     def extra(before: Set[Int]): Set[Int] =
       spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
@@ -343,10 +389,9 @@ class OpsSpec extends SparkSpec {
     assert(extra(before).isEmpty)
     Dedup.ngramJaccardPairs(docs).count()
     Dedup.releaseCaches()
-    assert(extra(before).isEmpty, "pruned ngram path must cache nothing")
-    Dedup.ngramJaccardPairs(docs, cacheShingles = true).count()
-    Dedup.releaseCaches()
-    assert(extra(before).isEmpty)
+    assert(extra(before).isEmpty, "ngram shingle cache must release")
+    Dedup.ngramJaccardPairs(docs, cacheShingles = false).count()
+    assert(extra(before).isEmpty, "uncached ngram path must cache nothing")
     // iterative CC over a chain (forces several rounds): every
     // intermediate round and the edge RDD must be freed INLINE — only
     // the final round's cache may be alive before release
