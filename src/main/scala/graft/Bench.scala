@@ -40,7 +40,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Full per-query detail goes to a FILE: with 90+ queries the single
+    // JSON line outgrew the driver's stdout tail window and truncated
+    // mid-object ("parsed": null in round 2). Stdout carries only the
+    // short, always-parseable total line, pointing at the file.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_out.json"}""")
     spark.stop()
   }
 }

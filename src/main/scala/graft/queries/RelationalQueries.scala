@@ -174,6 +174,22 @@ object RelationalQueries {
         .orderBy("p_type", "rk")
     },
 
+    "topk_per_group_agg" -> { (spark, dir) =>
+      // Same answer as topk_per_group, but via the typed TopK Aggregator:
+      // the k-bounded buffer lives on the MAP side, so the shuffle
+      // carries k rows per group instead of the whole table — the shape
+      // to prefer when top-k feeds further aggregation and
+      // WindowGroupLimit cannot apply. Oracle: the row_number form.
+      import spark.implicits._
+      Tables.part(spark, dir)
+        .groupBy($"p_type")
+        .agg(graft.ops.TopK.topKUdaf(3)($"p_retailprice", $"p_partkey").as("top"))
+        .select($"p_type", posexplode($"top").as(Seq("pos", "t")))
+        .select($"p_type", ($"pos" + 1).cast("long").as("rk"),
+          $"t._2".as("p_partkey"), cents($"t._1").as("price_cents"))
+        .orderBy("p_type", "rk")
+    },
+
     "window_funcs" -> { (spark, dir) =>
       // rank/dense_rank/ntile/lag/lead in one pass over one window spec.
       import spark.implicits._
@@ -662,6 +678,13 @@ object RelationalQueries {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "topk_per_group" ->
+      """SELECT p_type, rk, p_partkey, price_cents FROM (
+        |  SELECT p_type, p_partkey, round(p_retailprice * 100)::BIGINT AS price_cents,
+        |         row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) WHERE rk <= 3
+        |ORDER BY p_type, rk""".stripMargin,
+
+    "topk_per_group_agg" ->
       """SELECT p_type, rk, p_partkey, price_cents FROM (
         |  SELECT p_type, p_partkey, round(p_retailprice * 100)::BIGINT AS price_cents,
         |         row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) AS rk

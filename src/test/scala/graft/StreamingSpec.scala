@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("AvailableNow file source equals the oracled batch session_window at sf0.01") {
+    // The driver-gate-scale version of the file-source test, made EXACT:
+    // a sentinel event 2h past the corpus maximum pushes the final
+    // watermark beyond every real session's close, so append mode must
+    // emit ALL real sessions — the streaming engine path (file source,
+    // AvailableNow, checkpoint, no-data flush batch) then has to agree
+    // row-for-row with the batch session_window twin that the DuckDB
+    // oracle already hash-checks (session_window_agg).
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sf001").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, Sf001).select($"user_id", $"ts", $"event_id")
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    val sentinel = Seq((-999L, new Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
+      .toDF("user_id", "ts", "event_id")
+    ev.unionByName(sentinel).write.parquet(in)
+    graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+    val cols = Seq("user_id", "session_start", "session_end",
+      "n_events", "first_event", "last_event")
+    val got = spark.read.parquet(out).filter($"user_id" =!= -999L)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val batch = StreamingSessionize.sessionWindowAgg(ev, withWatermarkCol = None)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got == batch)
+    assert(got.size > 1000) // sf0.01 is non-trivial: thousands of sessions
+  }
+
   test("re-running the streaming job on the same checkpoint emits nothing new") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
