@@ -405,13 +405,18 @@ object Dedup {
     var done = false
     while (!done && iter < maxIter) {
       // 1-hop at plateau level: each label-node takes the min of its
-      // contracted neighbours' labels.
-      val fromNeighbours = cu
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("cluster_id"))
-      val hop = labels.select(col("id"), col("cluster_id"))
-        .union(fromNeighbours)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // contracted neighbours' labels. Once the contracted edge list is
+      // EMPTY the component assignment is decided and only label-chain
+      // flattening remains — those rounds skip the hop union/groupBy and
+      // the contraction job entirely (pure jump, one job per round).
+      val hop = if (ecnt == 0) labels else {
+        val fromNeighbours = cu
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("cluster_id"))
+        labels.select(col("id"), col("cluster_id"))
+          .union(fromNeighbours)
+          .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      }
       // Pointer jump (path doubling): follow the label one more step —
       // label(x) ← label(label(x)) — spreading a plateau-min's new label
       // to every member in the same round.
@@ -426,11 +431,13 @@ object Dedup {
       labelsRdd.unpersist(blocking = false)
       labels = next
       labelsRdd = nextRdd
-      val (ncu, n, _, ncuRdd) = rebase(contract(cu, labels), p)
-      cuRdd.unpersist(blocking = false)
-      cu = ncu
-      ecnt = n
-      cuRdd = ncuRdd
+      if (ecnt > 0) {
+        val (ncu, n, _, ncuRdd) = rebase(contract(cu, labels), p)
+        cuRdd.unpersist(blocking = false)
+        cu = ncu
+        ecnt = n
+        cuRdd = ncuRdd
+      }
       done = ecnt == 0 && s == prevSum
       prevSum = s
       iter += 1
