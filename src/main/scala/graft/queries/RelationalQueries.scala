@@ -593,6 +593,137 @@ object RelationalQueries {
           $"pcts".getItem(0).as("p50"), $"pcts".getItem(1).as("p95"),
           $"pcts".getItem(2).as("p99"), $"n_rows")
         .orderBy("l_returnflag")
+    },
+
+    "q9_profit" -> { (spark, dir) =>
+      // TPC-H Q9 shape (no partsupp at this SF): profit per supplier
+      // nation per order year over parts named '%red%' — a 5-table
+      // snowflake where the filtered dims shrink fast; join order is
+      // left to stats + AQE, nation broadcasts.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter($"p_name".contains("red")),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name".as("nation"),
+          year($"o_orderdate").cast("long").as("o_year"))
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("profit_cents"))
+        .orderBy($"nation", $"o_year".desc)
+    },
+
+    "q13_custdist" -> { (spark, dir) =>
+      // TPC-H Q13: orders-per-customer distribution INCLUDING the
+      // zero-order customers — left outer join, count(non-null), then a
+      // second aggregation over the counts.
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir).filter($"o_orderstatus" =!= "P"),
+          $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    "q14_promo" -> { (spark, dir) =>
+      // TPC-H Q14: conditional aggregation in one pass; the promo share
+      // is a single float division of two exact integer sums, so it
+      // compares bit-identically across engines.
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= "1998-01-01" && $"l_shipdate" < "1998-07-01")
+        .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .agg(
+          sum(when($"p_type".startsWith("PROMO"),
+            cents($"l_extendedprice" * (lit(1) - $"l_discount"))).otherwise(0L))
+            .as("promo_cents"),
+          sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("total_cents"))
+        .select($"promo_cents", $"total_cents",
+          ($"promo_cents".cast("double") / $"total_cents".cast("double")).as("promo_share"))
+    },
+
+    "q16_suppcnt" -> { (spark, dir) =>
+      // TPC-H Q16 shape: the (part, supplier) relation comes from
+      // lineitem distinct (no partsupp table at this SF); excludes one
+      // brand, a size list, and "complained" suppliers via anti join.
+      import spark.implicits._
+      val ps = Tables.lineitem(spark, dir)
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val bad = Tables.supplier(spark, dir)
+        .filter($"s_acctbal" < 0).select($"s_suppkey")
+      ps.join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+        .filter($"p_brand" =!= "Brand#9" &&
+          $"p_size".isin(1, 3, 9, 14, 23, 36, 45, 49))
+        .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size".cast("long").as("p_size"))
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+
+    "q17_small_qty" -> { (spark, dir) =>
+      // TPC-H Q17: per-part average-quantity threshold (correlated
+      // scalar subquery, expressed as an aggregate + re-join). The
+      // quantities are integer-valued doubles, so sum/avg are EXACT and
+      // the 5·qty < avg comparison is portable.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .join(Tables.part(spark, dir).filter($"p_brand" === "Brand#1"),
+          $"l_partkey" === $"p_partkey")
+      val avgq = li.groupBy($"l_partkey".as("ak"))
+        .agg(avg($"l_quantity").as("avg_qty"))
+      li.join(avgq, $"l_partkey" === $"ak")
+        .filter($"l_quantity" * 5 < $"avg_qty")
+        .agg(sum(cents($"l_extendedprice")).as("small_rev_cents"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q22_global" -> { (spark, dir) =>
+      // TPC-H Q22 shape: global scalar threshold (average positive
+      // balance, computed in exact cents) + anti join to customers with
+      // no RECENT orders (every customer has some order at this SF, so
+      // the lapsed-since-2000 variant keeps the result non-trivial).
+      // The one-row threshold broadcasts.
+      import spark.implicits._
+      val cust = Tables.customer(spark, dir)
+      val thr = cust.filter($"c_acctbal" > 0)
+        .agg(avg(cents($"c_acctbal")).as("thr"))
+      cust.join(broadcast(thr))
+        .filter(cents($"c_acctbal") > $"thr")
+        .join(Tables.orders(spark, dir)
+            .filter($"o_orderdate" >= "2000-01-01").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum(cents($"c_acctbal")).as("bal_cents"))
+        .orderBy("c_mktsegment")
+    },
+
+    "exact_moments" -> { (spark, dir) =>
+      // Second moments the PORTABLE way: variance/covariance from exact
+      // decimal sums (Spark decimal(38,0) ≡ DuckDB hugeint — both hold
+      // Σx² at any SF without overflow or float rounding), with the only
+      // float ops a final cast + divide in a fixed shape. The built-in
+      // one-pass var_samp/covar_samp accumulate doubles in partition
+      // order — not reproducible across engines or even across runs at
+      // scale; this formulation is exact until the last two operations.
+      import spark.implicits._
+      val x = cents($"l_extendedprice").cast("decimal(38,0)")
+      val q = $"l_quantity".cast("decimal(38,0)")
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(x).as("sx"), sum(x * x).as("sxx"),
+          sum(q).as("sq"), sum(x * q).as("sxq"))
+        .select($"l_returnflag",
+          $"n".cast("long").as("n_rows"),
+          ($"sx".cast("double") / $"n".cast("double")).as("mean_cents"),
+          (($"n" * $"sxx" - $"sx" * $"sx").cast("double") /
+            ($"n" * ($"n" - lit(1).cast("decimal(38,0)"))).cast("double")).as("var_cents2"),
+          (($"n" * $"sxq" - $"sx" * $"sq").cast("double") /
+            ($"n" * ($"n" - lit(1).cast("decimal(38,0)"))).cast("double")).as("covar_cents_qty"))
+        .orderBy("l_returnflag")
     })
 
   val oracles: Map[String, String] = Map(
@@ -915,5 +1046,80 @@ object RelationalQueries {
         |              JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3
-        |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin)
+        |ORDER BY lost_cents DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+        |       SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS profit_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |              JOIN supplier ON l_suppkey = s_suppkey
+        |              JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus != 'P'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT
+        |  SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |           THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |           ELSE 0 END)::BIGINT AS promo_cents,
+        |  SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_cents,
+        |  SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |           THEN round(l_extendedprice * (1 - l_discount) * 100)::BIGINT
+        |           ELSE 0 END)::DOUBLE
+        |    / SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::DOUBLE AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-07-01'""".stripMargin,
+
+    "q16_suppcnt" ->
+      """SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#9'
+        |  AND p_size IN (1, 3, 9, 14, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS small_rev_cents,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity * 5 < (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                        WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+
+    "q22_global" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       SUM(round(c_acctbal * 100)::BIGINT)::BIGINT AS bal_cents
+        |FROM customer
+        |WHERE round(c_acctbal * 100)::BIGINT >
+        |      (SELECT avg(round(c_acctbal * 100)::BIGINT) FROM customer WHERE c_acctbal > 0)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "exact_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*)::HUGEINT AS n,
+        |         sum(round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sx,
+        |         sum(round(l_extendedprice * 100)::BIGINT
+        |             * round(l_extendedprice * 100)::BIGINT)::HUGEINT AS sxx,
+        |         sum(l_quantity::BIGINT)::HUGEINT AS sq,
+        |         sum(round(l_extendedprice * 100)::BIGINT * l_quantity::BIGINT)::HUGEINT AS sxq
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n::BIGINT AS n_rows,
+        |       sx::DOUBLE / n::DOUBLE AS mean_cents,
+        |       (n * sxx - sx * sx)::DOUBLE / (n * (n - 1))::DOUBLE AS var_cents2,
+        |       (n * sxq - sx * sq)::DOUBLE / (n * (n - 1))::DOUBLE AS covar_cents_qty
+        |FROM s ORDER BY l_returnflag""".stripMargin)
 }
