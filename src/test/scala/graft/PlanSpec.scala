@@ -51,6 +51,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Partial") && plan.contains("Final"), plan)
   }
 
+  test("q9 snowflake broadcasts the filtered dims and prunes the fact scan") {
+    val q = SparkEntry.queries("q9_profit")(spark, Sf0001)
+    val plan = planOf(q)
+    assert(plan.contains("BroadcastHashJoin"), plan) // nation (and small dims)
+    val scan = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("l_partkey")).getOrElse("")
+    assert(!scan.contains("l_tax") && !scan.contains("l_returnflag"),
+      s"unpruned lineitem scan: $scan")
+  }
+
+  test("q22 anti-joins after a broadcast scalar threshold") {
+    val plan = planOf(SparkEntry.queries("q22_global")(spark, Sf0001))
+    assert(plan.contains("LeftAnti"), plan)
+    // the one-row threshold must never shuffle the customer side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("topk_per_group_agg keeps partial aggregation below the exchange") {
+    // the typed TopK aggregator must behave like any hash aggregate:
+    // k-bounded partial buffers on the map side, merge after the shuffle
+    val plan = planOf(SparkEntry.queries("topk_per_group_agg")(spark, Sf0001))
+    val idxAgg = plan.indexOf("ObjectHashAggregate")
+    assert(idxAgg >= 0, plan)
+    assert(plan.contains("partial_topkaggregator") ||
+      plan.toLowerCase.contains("partial_"), plan)
+  }
+
   test("q1 aggregates partially before its shuffle (map-side combine)") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, Sf0001))
     val exchangeIdx = plan.indexOf("Exchange")
