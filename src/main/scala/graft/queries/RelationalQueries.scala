@@ -700,6 +700,46 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    "q15_top_supplier" -> { (spark, dir) =>
+      // TPC-H Q15 shape: a revenue "view" (half-year per-supplier
+      // aggregate) consumed twice — once for the global max (one row,
+      // broadcast back), once for the detail — the classic
+      // aggregate-then-self-join-on-max pattern.
+      import spark.implicits._
+      val rev = Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= "1998-01-01" && $"l_shipdate" < "1998-07-01")
+        .groupBy($"l_suppkey")
+        .agg(sum(cents($"l_extendedprice" * (lit(1) - $"l_discount"))).as("total_rev_cents"))
+      val top = rev.agg(max($"total_rev_cents").as("max_rev"))
+      rev.join(broadcast(top), $"total_rev_cents" === $"max_rev")
+        .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev_cents")
+        .orderBy("s_suppkey")
+    },
+
+    "q20_excess_stock" -> { (spark, dir) =>
+      // TPC-H Q20 shape (no partsupp): suppliers who shipped more than
+      // half their lineitems of '%red%' parts in 1998+ — nested
+      // semi-join chain: parts filter → per-(supp, part) conditional
+      // volumes → qualifying pairs → semi join suppliers → nation join.
+      import spark.implicits._
+      val redParts = Tables.part(spark, dir)
+        .filter($"p_name".contains("red")).select($"p_partkey")
+      val vols = Tables.lineitem(spark, dir)
+        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey", $"l_partkey")
+        .agg(sum($"l_quantity").as("qty_total"),
+          sum(when($"l_shipdate" >= "1998-01-01", $"l_quantity")
+            .otherwise(0.0)).as("qty_recent"))
+      val qualifying = vols.filter($"qty_recent" * 2 > $"qty_total")
+        .select($"l_suppkey").distinct()
+      Tables.supplier(spark, dir)
+        .join(qualifying, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name", $"n_name")
+        .orderBy("s_suppkey")
+    },
+
     "exact_moments" -> { (spark, dir) =>
       // Second moments the PORTABLE way: variance/covariance from exact
       // decimal sums (Spark decimal(38,0) ≡ DuckDB hugeint — both hold
@@ -1107,6 +1147,31 @@ object RelationalQueries {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT AS total_rev_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= '1998-01-01' AND l_shipdate < '1998-07-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q20_excess_stock" ->
+      """WITH vols AS (
+        |  SELECT l_suppkey, l_partkey,
+        |         SUM(l_quantity) AS qty_total,
+        |         SUM(CASE WHEN l_shipdate >= '1998-01-01' THEN l_quantity ELSE 0 END) AS qty_recent
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM vols WHERE qty_recent * 2 > qty_total)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "exact_moments" ->
       """WITH s AS (

@@ -171,6 +171,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("stream-stream interval join equals the batch join") {
+    // Windowed stream-stream join — clicks attributed to the impression
+    // they followed within 10 minutes. Both sides carry watermarks so
+    // Spark can bound the join state; a far-future sentinel closes all
+    // state, after which append output must equal the batch join.
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val impData = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(20)), (1L, ts(30)))
+    val clkData = Seq((1L, ts(3)), (2L, ts(18)), (3L, ts(25)), (1L, ts(31)))
+    val cond = "imp_ad = clk_ad AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 10 minutes"
+    val imp = MemoryStream[(Long, Timestamp)]
+    val clk = MemoryStream[(Long, Timestamp)]
+    val joined = imp.toDS().toDF("imp_ad", "imp_ts").withWatermark("imp_ts", "10 seconds")
+      .join(clk.toDS().toDF("clk_ad", "clk_ts").withWatermark("clk_ts", "10 seconds"),
+        expr(cond))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    imp.addData(impData.take(2)); clk.addData(clkData.take(2)); q.processAllAvailable()
+    imp.addData(impData.drop(2)); clk.addData(clkData.drop(2)); q.processAllAvailable()
+    imp.addData(Seq((99L, ts(600)))); clk.addData(Seq((99L, ts(600)))); q.processAllAvailable()
+    val got = spark.table("ssj_out").filter($"imp_ad" =!= 99)
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    val batch = impData.toDF("imp_ad", "imp_ts")
+      .join(clkData.toDF("clk_ad", "clk_ts"), expr(cond))
+      .collect().map(_.toSeq).toSet
+    assert(got == batch, s"stream=$got batch=$batch")
+    assert(got.size == 3) // (1@0,1@3), (3@20,3@25), (1@30,1@31); 2@5->2@18 is 13min out
+  }
+
   test("stream-static join enriches streaming events with a dimension") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq(("view", 1L), ("click", 5L), ("purchase", 50L))
