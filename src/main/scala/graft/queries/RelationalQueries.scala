@@ -718,20 +718,21 @@ object RelationalQueries {
     },
 
     "q20_excess_stock" -> { (spark, dir) =>
-      // TPC-H Q20 shape (no partsupp): suppliers who shipped more than
-      // half their lineitems of '%red%' parts in 1998+ — nested
-      // semi-join chain: parts filter → per-(supp, part) conditional
-      // volumes → qualifying pairs → semi join suppliers → nation join.
+      // TPC-H Q20 shape (no partsupp): suppliers for whom 2000+
+      // shipments are over a third of their all-time '%red%'-part
+      // volume — nested semi-join chain: parts filter → per-supplier
+      // conditional volumes (integer-valued doubles, exact) →
+      // qualifying set → semi join suppliers → nation join.
       import spark.implicits._
       val redParts = Tables.part(spark, dir)
         .filter($"p_name".contains("red")).select($"p_partkey")
       val vols = Tables.lineitem(spark, dir)
         .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
-        .groupBy($"l_suppkey", $"l_partkey")
+        .groupBy($"l_suppkey")
         .agg(sum($"l_quantity").as("qty_total"),
-          sum(when($"l_shipdate" >= "1998-01-01", $"l_quantity")
+          sum(when($"l_shipdate" >= "2000-01-01", $"l_quantity")
             .otherwise(0.0)).as("qty_recent"))
-      val qualifying = vols.filter($"qty_recent" * 2 > $"qty_total")
+      val qualifying = vols.filter($"qty_recent" * 3 > $"qty_total")
         .select($"l_suppkey").distinct()
       Tables.supplier(spark, dir)
         .join(qualifying, $"s_suppkey" === $"l_suppkey", "left_semi")
@@ -1162,15 +1163,15 @@ object RelationalQueries {
 
     "q20_excess_stock" ->
       """WITH vols AS (
-        |  SELECT l_suppkey, l_partkey,
+        |  SELECT l_suppkey,
         |         SUM(l_quantity) AS qty_total,
-        |         SUM(CASE WHEN l_shipdate >= '1998-01-01' THEN l_quantity ELSE 0 END) AS qty_recent
+        |         SUM(CASE WHEN l_shipdate >= '2000-01-01' THEN l_quantity ELSE 0 END) AS qty_recent
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE p_name LIKE '%red%'
-        |  GROUP BY 1, 2)
+        |  GROUP BY 1)
         |SELECT s_suppkey, s_name, n_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |WHERE s_suppkey IN (SELECT l_suppkey FROM vols WHERE qty_recent * 2 > qty_total)
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM vols WHERE qty_recent * 3 > qty_total)
         |ORDER BY s_suppkey""".stripMargin,
 
     "exact_moments" ->
