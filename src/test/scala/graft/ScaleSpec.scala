@@ -60,6 +60,69 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // Spark's InjectRuntimeFilter: a selective filter on the dimension
+    // side materializes a bloom filter that is pushed into the fact
+    // scan — at 100 TB this skips most of the probe input before the
+    // shuffle. Thresholds are lowered so the tiny test tables qualify;
+    // on a real cluster the defaults (10MB creation side) do this
+    // automatically for exactly this plan shape.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // shuffle join, else no filter needed
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+      val ord = Tables.orders(spark, Sf0001).filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(sum($"l_quantity").as("qty"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(joined.collect().nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    // The runtime answer to key skew (complementing the static salting
+    // in Skew.saltedSumCount): AQE detects an oversized shuffle
+    // partition and splits it into parallel sub-joins. Thresholds are
+    // shrunk so the planted hot key qualifies on test data.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows on ONE key vs 500 spread over 100 keys; join to a
+      // per-key table — partition 0 is ~100x its siblings.
+      val hot = spark.range(50000).select(lit(0L).as("k"), $"id".as("v"))
+        .union(spark.range(500).select(($"id" % 100 + 1).as("k"), $"id".as("v")))
+      val dim = spark.range(101).select($"id".as("k"), ($"id" * 10).as("w"))
+      // NOTE: no groupBy on the join key downstream — that would make
+      // the aggregate reuse the join's hash partitioning, and AQE
+      // (rightly) refuses a skew split that would force a re-shuffle.
+      val joined = hot.join(dim, "k").agg(sum($"v" + $"w").as("s"))
+      joined.collect() // AQE final plan exists only after execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
