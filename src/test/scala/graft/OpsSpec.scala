@@ -167,6 +167,10 @@ class OpsSpec extends SparkSpec {
 
   test("DotProduct matches HOF fold on null / unequal-length arrays") {
     import graft.expressions.DotProduct.dotNative
+    // Forbid the silent interpreted fallback: if the generated
+    // null-branch code failed to compile this test must fail, not
+    // quietly pass on the interpreted path.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
     // Built from spark.range so nothing constant-folds: the codegen path
     // (null branch included) actually executes.
     val df = spark.range(4).select($"id",
@@ -193,6 +197,7 @@ class OpsSpec extends SparkSpec {
     val out = nn.select(dotNative($"a", $"b").as("n"), graft.ops.Similarity.dot($"a", $"b").as("h"))
       .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
     assert(out.toSet == Set((Some(11.0), Some(11.0)), (None, None)))
+    spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("GraftExtensions injects dot_native into a session-extensions set") {
