@@ -103,6 +103,37 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cluster"))
   }
 
+  /** Multi-probe IVF top-k: the corpus stays partitioned by nearest
+    * centroid, but each query searches its `nprobe` NEAREST buckets —
+    * the standard recall knob for IVF ANN (most true neighbors of a
+    * query near a Voronoi boundary live in the runner-up cell). Cost
+    * scales linearly in nprobe (nprobe·corpus/K candidates per query)
+    * while recall approaches brute force; corpus vectors live in exactly
+    * one bucket, so no candidate is scored twice.
+    */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+    val q0 = withNorm(queries, embCol, "__qnorm")
+    val cent = withNorm(centroids, embCol, "__cnorm")
+      .select(col(idCol).as("centroid_id"), col(embCol).as("cv"), col("__cnorm"))
+    val scored = q0.crossJoin(broadcast(cent))
+      .withColumn("ccos", dotFast(col("cv"), col(embCol)) / (col("__cnorm") * col("__qnorm")))
+    val wp = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("centroid_id"))
+    val qprobe = scored.withColumn("crk", row_number().over(wp))
+      .filter(col("crk") <= nprobe)
+      .select(col(idCol).as("query_id"), col(embCol).as("qv"),
+        col("__qnorm"), col("centroid_id").as("qcluster"))
+    val s = assigned.join(broadcast(qprobe),
+        col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
+      .withColumn("cos", dotFast(col("qv"), col(embCol)) / (col("__qnorm") * col("__norm")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(idCol))
+    s.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"))
+  }
+
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.
     */

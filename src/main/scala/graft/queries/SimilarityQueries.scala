@@ -54,6 +54,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "ivf_topk_probe2" -> { (spark, dir) =>
+      // Multi-probe IVF (nprobe=2): each query also searches its
+      // runner-up centroid's bucket — the recall knob that fixes the
+      // Voronoi-boundary misses of single-probe IVF at 2x probe cost.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = emb.filter($"vec_id" < 8)
+      val q = emb.filter($"vec_id" < 10)
+      Similarity.ivfTopKMultiProbe(emb, q, centroids, k = 3, nprobe = 2)
+        .select($"query_id", $"rk".cast("long").as("rk"), $"neighbor_id")
+        .orderBy("query_id", "rk")
+    },
+
     "embedding_centroids" -> { (spark, dir) =>
       // Per-label centroid accumulators: one explode (posexplode is a
       // Generate, no shuffle) then a (label, dim) hash aggregate —
@@ -107,6 +120,22 @@ object SimilarityQueries {
          |      FROM assigned WHERE vec_id < 10),
          |s AS (SELECT query_id, a.vec_id, list_dot_product(qv, a.v) / (qnrm * a.nrm) AS cos
          |      FROM q JOIN assigned a ON a.cluster = qcluster AND a.vec_id <> query_id)
+         |SELECT query_id, rk, vec_id AS neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s) WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "ivf_topk_probe2" ->
+      s"""WITH $NormCte,
+         |$AssignedCte,
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, centroid_id AS qcluster FROM (
+         |    SELECT e.vec_id, e.v, e.nrm, centroid_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_dot_product(cv, v) / (cnrm * e.nrm) DESC, centroid_id) AS crk
+         |    FROM e CROSS JOIN cent) WHERE crk <= 2 AND vec_id < 10),
+         |s AS (SELECT query_id, a.vec_id, list_dot_product(qv, a.v) / (qnrm * a.nrm) AS cos
+         |      FROM qprobe JOIN assigned a ON a.cluster = qcluster AND a.vec_id <> query_id)
          |SELECT query_id, rk, vec_id AS neighbor_id FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
          |  FROM s) WHERE rk <= 3

@@ -69,6 +69,22 @@ class OpsSpec extends SparkSpec {
     assert(out == Set((1, 0L), (2, 4L)))   // bucket 0 members only, no 1L/3L
   }
 
+  test("multi-probe IVF recall dominates single-probe") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val cent = emb.filter($"vec_id" < 8)
+    val q = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(emb, q, 3))
+    val p1 = pairs(Similarity.ivfTopK(emb, q, cent, 3))
+    val p2 = pairs(Similarity.ivfTopKMultiProbe(emb, q, cent, 3, nprobe = 2))
+    // a true top-3 hit found with one probe can never be lost by
+    // probing MORE buckets (only globally-closer vectors can displace
+    // it, and there are at most k-1 of those)
+    assert((p1 intersect brute).subsetOf(p2 intersect brute))
+    assert((p2 intersect brute).size >= (p1 intersect brute).size)
+  }
+
   test("quality metrics and language id are deterministic") {
     val df = Seq((1L, "the quick brown fox the end", "en")).toDF("doc_id", "text", "lang")
     val q = TextOps.qualityMetrics(df).head
