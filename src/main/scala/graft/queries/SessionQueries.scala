@@ -123,6 +123,37 @@ object SessionQueries {
         .orderBy("user_id", "start_us")
     },
 
+    "concurrent_sessions" -> { (spark, dir) =>
+      // Peak simultaneously-open sessions per day, by SWEEP LINE: each
+      // session (native session_window) becomes a +1 at its start and a
+      // -1 at its end, a per-day running sum counts the open intervals,
+      // and max(running) is the peak. Sessions are exploded onto the
+      // days they span and clipped at midnight, so the running-sum
+      // window partitions by DAY — fully parallel, no global ordering
+      // (the naive all-pairs interval self-join is quadratic; a single
+      // un-partitioned running sum would serialize). Tie rule: -1 sorts
+      // before +1 at the same microsecond, so back-to-back sessions
+      // never double-count (half-open intervals).
+      import spark.implicits._
+      val sess = Tables.events(spark, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros($"sw.start").as("s_us"), unix_micros($"sw.end").as("e_us"))
+      val days = sess.withColumn("day",
+        explode(sequence(to_date(timestamp_micros($"s_us")), to_date(timestamp_micros($"e_us")))))
+      val dayStart = unix_micros(to_timestamp($"day"))
+      val clipped = days.select($"day",
+        greatest($"s_us", dayStart).as("cs"),
+        least($"e_us", dayStart + 86400000000L).as("ce"))
+      val deltas = clipped.select($"day", $"cs".as("ts_us"), lit(1L).as("delta"))
+        .unionAll(clipped.select($"day", $"ce".as("ts_us"), lit(-1L).as("delta")))
+      val w = Window.partitionBy($"day").orderBy($"ts_us", $"delta")
+      deltas.withColumn("c", sum($"delta").over(w))
+        .groupBy($"day").agg(max($"c").as("peak_concurrency"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"peak_concurrency")
+        .orderBy("day")
+    },
+
     "event_transitions" -> { (spark, dir) =>
       // First-order Markov transition counts between consecutive event
       // types per user timeline: one window pass + one hash aggregate.
@@ -278,6 +309,32 @@ object SessionQueries {
       """SELECT event_id, user_id,
         |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "concurrent_sessions" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sw_no
+        |  FROM d),
+        |sess AS (SELECT min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) + 1800000000 AS e_us
+        |         FROM s GROUP BY user_id, sw_no),
+        |days AS (SELECT s_us, e_us,
+        |                unnest(generate_series(date_trunc('day', make_timestamp(s_us)),
+        |                                       date_trunc('day', make_timestamp(e_us)),
+        |                                       INTERVAL 1 DAY)) AS day
+        |         FROM sess),
+        |clip AS (SELECT day, greatest(s_us, epoch_us(day)) AS cs,
+        |                least(e_us, epoch_us(day) + 86400000000) AS ce
+        |         FROM days),
+        |deltas AS (SELECT day, cs AS ts_us, 1 AS delta FROM clip
+        |           UNION ALL SELECT day, ce, -1 FROM clip),
+        |run AS (SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY ts_us, delta) AS c
+        |        FROM deltas)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, max(c)::BIGINT AS peak_concurrency
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
 
     "session_window_agg" ->
       """WITH d AS (
