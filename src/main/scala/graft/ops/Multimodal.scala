@@ -57,6 +57,31 @@ object Multimodal {
     }
   }
 
+  /** Batched decode mirroring the Arrow / mapInPandas contract: the
+    * decoder sees an ITERATOR OF BATCHES — real codecs are vectorized
+    * and amortize per-call overhead (model load, GPU transfer, JNI
+    * crossing) across a batch, so the per-row shape above is the wrong
+    * plumbing for them. `grouped` keeps the iterator lazy: at most one
+    * batch of rows is resident per task, regardless of partition size.
+    * STUB: a real implementation hands the whole `batch` to the codec
+    * in one call; batch assembly, laziness, and output flattening stay.
+    */
+  def decodeStubBatched(media: Dataset[MediaRow],
+      batchSize: Int = 128): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    require(batchSize > 0)
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // STUB vectorized decode (same features as the per-row stub).
+        batch.map { r =>
+          val checksum = r.content.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+          MediaFeatures(r.media_id, r.content.length.toLong, checksum,
+            (r.content.length + FrameBytes - 1) / FrameBytes, r.meta.mimeType)
+        }
+      }
+    }
+  }
+
   val FrameBytes = 64
 
   /** Frame sampling without leaving Catalyst: slice the binary column

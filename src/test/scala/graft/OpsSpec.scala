@@ -105,6 +105,11 @@ class OpsSpec extends SparkSpec {
     val sampled = Multimodal.sampleFrames(media)
     val row = sampled.select($"media_id", size($"frames").as("n")).head
     assert(row.getInt(1) > 0)
+    // the batched (Arrow-contract) variant yields identical features and
+    // respects the batch bound even when it doesn't divide the partition
+    val batched = Multimodal.decodeStubBatched(media.as[Multimodal.MediaRow],
+      batchSize = 3).collect()
+    assert(batched.sortBy(_.media_id).toSeq == feats.sortBy(_.media_id).toSeq)
   }
 
   test("TopK aggregator equals window row_number top-k") {
