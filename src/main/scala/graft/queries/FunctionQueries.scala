@@ -14,6 +14,17 @@ import graft.Tables
 object FunctionQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_key" -> { (spark, dir) =>
+      // The Morton-interleave clustering key behind Layout.zOrderBy,
+      // oracled bit-for-bit: five shift/mask steps per dimension, all
+      // codegen'd integer ops (no UDF).
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+          graft.ops.Layout.zValue2($"l_partkey" % 256, $"l_suppkey" % 256).as("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     "hof_array_ops" -> { (spark, dir) =>
       // transform/filter/aggregate over the token array, all integer
       // outputs (HOF lambdas are interpreted — fine for scalar surface
@@ -114,6 +125,20 @@ object FunctionQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "zorder_key" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+        |                  l_partkey % 256 AS a, l_suppkey % 256 AS b FROM lineitem),
+        |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS xa,
+        |                 (b | (b << 8)) & 16711935 AS xb FROM t),
+        |s2 AS (SELECT * REPLACE (((xa | (xa << 4)) & 252645135) AS xa,
+        |                         ((xb | (xb << 4)) & 252645135) AS xb) FROM s1),
+        |s3 AS (SELECT * REPLACE (((xa | (xa << 2)) & 858993459) AS xa,
+        |                         ((xb | (xb << 2)) & 858993459) AS xb) FROM s2),
+        |s4 AS (SELECT * REPLACE (((xa | (xa << 1)) & 1431655765) AS xa,
+        |                         ((xb | (xb << 1)) & 1431655765) AS xb) FROM s3)
+        |SELECT l_orderkey, l_linenumber, (xa | (xb << 1))::BIGINT AS z
+        |FROM s4 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
     "hof_array_ops" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,

@@ -123,6 +123,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout bounds per-file spans on BOTH dimensions") {
+    // The data-skipping property itself: files written in z-order keep
+    // min/max ranges narrow for both clustering keys, so row-group
+    // statistics prune scans filtered on either; a single-column sort
+    // leaves the second key spanning its full domain in every file.
+    val li = Tables.lineitem(spark, Sf0001)
+      .select(($"l_partkey" % 256).as("a"), ($"l_orderkey" % 256).as("b"))
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    graft.ops.Layout.zOrderBy(li, $"a", $"b", 8).write.parquet(s"$dir/z")
+    li.repartitionByRange(8, $"a").sortWithinPartitions($"a")
+      .write.parquet(s"$dir/bya")
+    def spans(path: String): (Double, Double) = {
+      val r = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+        .agg(avg($"sa"), avg($"sb")).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (za, zb) = spans(s"$dir/z")
+    val (aa, ab) = spans(s"$dir/bya")
+    assert(aa < 64 && ab > 180, s"sort-by-a spans: a=$aa b=$ab")
+    assert(za < 180 && zb < 180, s"z-order spans: a=$za b=$zb")
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
