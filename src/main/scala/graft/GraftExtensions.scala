@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftExtensions.hammingNativeDescriptor)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.DotProductStrengthReduction)
+    extensions.injectOptimizerRule(_ =>
+      graft.expressions.OverlapStrengthReduction)
   }
 }
 

@@ -221,6 +221,47 @@ class OpsSpec extends SparkSpec {
     spark.conf.unset("spark.sql.codegen.fallback")
   }
 
+  test("overlap strength reduction rewrites the size(intersect) existence test") {
+    import graft.expressions.OverlapStrengthReduction
+    import org.apache.spark.sql.catalyst.expressions.ArraysOverlap
+    // NOTE: +/* preserve non-nullability; % does NOT (x % 0 is null in
+    // non-ANSI, so Remainder is always nullable and would — correctly —
+    // make the guard refuse the rewrite).
+    val df = spark.range(100).select(
+      array($"id", $"id" + 1).as("a"),
+      array($"id" * 2, lit(4L)).as("b"))
+    val q = df.select($"a", (size(array_intersect($"a", $"b")) > 0).as("p"))
+    val rewritten = OverlapStrengthReduction(q.queryExecution.analyzed)
+    assert(rewritten.expressions.exists(_.exists(_.isInstanceOf[ArraysOverlap])),
+      rewritten.toString)
+    val before = q.select($"p").collect().map(_.getBoolean(0)).toSeq
+    val after = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark, rewritten)
+      .select($"p").collect().map(_.getBoolean(0)).toSeq
+    assert(before == after)
+    // the reversed literal form rewrites too
+    val rev = df.select((lit(0) < size(array_intersect($"a", $"b"))).as("p"))
+    assert(OverlapStrengthReduction(rev.queryExecution.analyzed)
+      .expressions.exists(_.exists(_.isInstanceOf[ArraysOverlap])))
+    // nullable-element arrays are LEFT ALONE: the two forms disagree on
+    // null-element inputs (see the rule's scaladoc)
+    val nn = df.select(
+      (size(array_intersect(array(lit(1L), lit(null).cast("long")), $"a")) > 0).as("p"))
+    val untouched = OverlapStrengthReduction(nn.queryExecution.analyzed)
+    assert(!untouched.expressions.exists(_.exists(_.isInstanceOf[ArraysOverlap])))
+    // and a non-existence use of size(intersect) (e.g. >= 2) is untouched
+    val cnt = df.select((size(array_intersect($"a", $"b")) >= 2).as("p"))
+    assert(!OverlapStrengthReduction(cnt.queryExecution.analyzed)
+      .expressions.exists(_.exists(_.isInstanceOf[ArraysOverlap])))
+  }
+
+  test("every query has an oracle except the documented sketch exceptions") {
+    val rowsOnly = Set("approx_distinct_parts", "approx_percentiles")
+    val q = graft.SparkEntry.queries.keySet
+    val o = graft.SparkEntry.oracleSql.keySet
+    assert((q -- o) == rowsOnly, s"queries missing oracles: ${(q -- o) -- rowsOnly}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+  }
+
   test("GraftExtensions injects dot_native into a session-extensions set") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext)
