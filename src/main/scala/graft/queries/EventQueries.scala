@@ -131,6 +131,40 @@ object EventQueries {
         .orderBy("user_id", "day")
     },
 
+    "interpolate_gaps" -> { (spark, dir) =>
+      // Linear interpolation over the densified spine: missing days get
+      // prev + (next − prev) · Δ/span, where prev/next come from
+      // asymmetric-frame IGNORE NULLS window fills (no self-join, no
+      // per-gap loop). All inputs are exact integers (cents, day
+      // ordinals); the interpolation itself is a fixed-shape float
+      // chain, identical across engines.
+      import spark.implicits._
+      val ev = Tables.events(spark, dir).filter($"user_id" < 20)
+        .select($"user_id", floor(unix_micros($"ts") / lit(86400000000L)).as("day"),
+          round($"value" * 100).cast("long").as("cents"))
+      val daily = ev.groupBy($"user_id", $"day").agg(sum($"cents").as("cents"))
+      val spine = ev.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+      val wB = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wF = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(0, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("pc", last($"cents", ignoreNulls = true).over(wB))
+        .withColumn("pd", last(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wB))
+        .withColumn("nc", first($"cents", ignoreNulls = true).over(wF))
+        .withColumn("nd", first(when($"cents".isNotNull, $"day"), ignoreNulls = true).over(wF))
+        .select($"user_id", $"day",
+          when($"cents".isNotNull, $"cents".cast("double"))
+            .otherwise($"pc".cast("double") +
+              ($"nc".cast("double") - $"pc".cast("double")) *
+              (($"day" - $"pd").cast("double") / ($"nd" - $"pd").cast("double")))
+            .as("value_interp"),
+          $"cents".isNull.as("was_missing"))
+        .orderBy("user_id", "day")
+    },
+
     "first_last_touch" -> { (spark, dir) =>
       // min_by/max_by attribution: first and last event type per user in
       // one hash aggregate — no window, no self-join. Deterministic
@@ -266,8 +300,37 @@ object EventQueries {
         |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
         |ORDER BY s.user_id, s.day""".stripMargin,
 
+    "interpolate_gaps" ->
+      """WITH ev AS (
+        |  SELECT user_id, floor(epoch_us(ts) / 86400000000)::BIGINT AS day,
+        |         round(value * 100)::BIGINT AS cents
+        |  FROM events WHERE user_id < 20),
+        |daily AS (SELECT user_id, day, SUM(cents)::BIGINT AS cents
+        |          FROM ev GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(day), max(day))) AS day
+        |  FROM ev GROUP BY user_id),
+        |j AS (SELECT s.user_id, s.day, d.cents
+        |      FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |f AS (SELECT *,
+        |  last_value(cents IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |  last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        |  first_value(cents IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+        |  first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        |  FROM j)
+        |SELECT user_id, day,
+        |       CASE WHEN cents IS NOT NULL THEN cents::DOUBLE
+        |            ELSE pc::DOUBLE + (nc::DOUBLE - pc::DOUBLE)
+        |                 * ((day - pd)::DOUBLE / (nd - pd)::DOUBLE) END AS value_interp,
+        |       (cents IS NULL) AS was_missing
+        |FROM f ORDER BY user_id, day""".stripMargin,
+
     "first_last_touch" ->
-      """SELECT user_id,
+"""SELECT user_id,
         |       arg_min(event_type, epoch_us(ts)) AS first_touch,
         |       arg_max(event_type, epoch_us(ts)) AS last_touch,
         |       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
