@@ -82,6 +82,34 @@ object Multimodal {
     }
   }
 
+  /** "Resize" plumbing: normalize every media payload to exactly
+    * `targetBytes` via stride sampling (truncate/repeat for the stub) —
+    * the byte-level stand-in for image resize / audio resample, which
+    * is what embedding models need before batching (fixed input shape).
+    * STUB: a real implementation decodes, resamples, and re-encodes;
+    * the fixed-output-shape contract and per-partition batching stay.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int = 256): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(targetBytes > 0)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val src = r.content
+        val out = new Array[Byte](targetBytes)
+        if (src.nonEmpty) {
+          var i = 0
+          while (i < targetBytes) {
+            // stride-sample proportionally across the source payload
+            out(i) = src(((i.toLong * src.length) / targetBytes).toInt)
+            i += 1
+          }
+        }
+        r.copy(content = out,
+          meta = r.meta.copy(sizeBytes = targetBytes.toLong))
+      }
+    }
+  }
+
   val FrameBytes = 64
 
   /** Frame sampling without leaving Catalyst: slice the binary column

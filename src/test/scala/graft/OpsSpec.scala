@@ -110,6 +110,12 @@ class OpsSpec extends SparkSpec {
     val batched = Multimodal.decodeStubBatched(media.as[Multimodal.MediaRow],
       batchSize = 3).collect()
     assert(batched.sortBy(_.media_id).toSeq == feats.sortBy(_.media_id).toSeq)
+    // resize: every payload lands at exactly the target shape, metadata
+    // tracks it, ids survive
+    val resized = Multimodal.resizeStub(media.as[Multimodal.MediaRow], 128).collect()
+    assert(resized.length == 10)
+    assert(resized.forall(r => r.content.length == 128 && r.meta.sizeBytes == 128L))
+    assert(resized.map(_.media_id).sorted.toSeq == feats.map(_.media_id).sorted.toSeq)
   }
 
   test("TopK aggregator equals window row_number top-k") {
