@@ -75,6 +75,20 @@ object EventQueries {
         .orderBy("k_mod")
     },
 
+    "variant_json" -> { (spark, dir) =>
+      // Spark 4 VARIANT: parse the JSON string ONCE into the binary
+      // semi-structured type and extract with variant_get — unlike
+      // get_json_object, repeated accesses don't re-parse the string,
+      // and the format is the one columnar shredding reads at scale.
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .withColumn("v", parse_json($"props"))
+        .select(expr("variant_get(v, '$.k', 'long')").as("k"))
+        .groupBy(($"k" % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n_rows"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+        .orderBy("k_mod")
+    },
+
     "json_native" -> { (spark, dir) =>
       // Spark-native JSON extraction (get_json_object); DuckDB oracles it
       // with json_extract_string. Complements json_props' regexp route.
@@ -264,6 +278,12 @@ object EventQueries {
     "json_props" ->
       """SELECT (k % 10) AS k_mod, count(*) AS n_rows, SUM(k)::BIGINT AS sum_k
         |FROM (SELECT regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k FROM events)
+        |GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "variant_json" ->
+      """SELECT (k % 7) AS k_mod, count(*) AS n_rows,
+        |       SUM(k)::BIGINT AS sum_k, max(k) AS max_k
+        |FROM (SELECT json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |GROUP BY 1 ORDER BY k_mod""".stripMargin,
 
     "json_native" ->
