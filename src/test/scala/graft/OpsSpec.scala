@@ -449,6 +449,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketches built per day merge into correct weekly estimates") {
+    // The mergeable-sketch rollup pattern: persist one small sketch per
+    // (day) partition, answer ANY coarser distinct-count rollup by
+    // merging sketches — no rescan of the 100 TB base table. Weekly
+    // estimates from merged daily sketches must match direct exact
+    // counts within the sketch's error envelope.
+    val ev = Tables.events(spark, Sf001)
+      .select($"user_id", to_date($"ts").as("day"))
+    val weekly = ev.groupBy($"day").agg(hll_sketch_agg($"user_id").as("sk"))
+      .groupBy(weekofyear($"day").as("wk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+    val exact = ev.groupBy(weekofyear($"day").as("wk"))
+      .agg(countDistinct($"user_id").as("ex"))
+    val rows = weekly.join(exact, "wk").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, ex) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - ex) <= math.max(3, 0.15 * ex),
+        s"wk=${r.get(0)}: merged estimate $est vs exact $ex")
+    }
+  }
+
   test("dedup ops leave no persistent RDDs once released") {
     def extra(before: Set[Int]): Set[Int] =
       spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
