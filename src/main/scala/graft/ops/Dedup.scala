@@ -442,6 +442,16 @@ object Dedup {
       prevSum = s
       iter += 1
     }
+    // Fail LOUDLY rather than hand back partially-propagated labels: a
+    // graph needing more than maxIter contraction+jump rounds (diameter
+    // beyond ~2^(maxIter/2)) is a caller decision, not a silent result.
+    if (!done) {
+      cuRdd.unpersist(blocking = false)
+      labelsRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($ecnt contracted edges remain); raise maxIter")
+    }
     // Only the final round's cache backs the returned DataFrame; it is
     // released with releaseCaches().
     cuRdd.unpersist(blocking = false)

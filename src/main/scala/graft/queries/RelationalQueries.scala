@@ -743,12 +743,13 @@ object RelationalQueries {
 
     "exact_moments" -> { (spark, dir) =>
       // Second moments the PORTABLE way: variance/covariance from exact
-      // decimal sums (Spark decimal(38,0) ≡ DuckDB hugeint — both hold
-      // Σx² at any SF without overflow or float rounding), with the only
-      // float ops a final cast + divide in a fixed shape. The built-in
-      // one-pass var_samp/covar_samp accumulate doubles in partition
-      // order — not reproducible across engines or even across runs at
-      // scale; this formulation is exact until the last two operations.
+      // decimal sums (Spark decimal(38,0) ≡ DuckDB hugeint), with the
+      // only float ops a final cast + divide in a fixed shape. The
+      // built-in one-pass var_samp/covar_samp accumulate doubles in
+      // partition order — not reproducible across engines or even
+      // across runs at scale. Headroom: n·Σx² stays under 38 digits up
+      // to ~10^11 rows of 10^7-cent values PER GROUP; beyond that,
+      // pre-scale x or sum per sub-group and combine.
       import spark.implicits._
       val x = cents($"l_extendedprice").cast("decimal(38,0)")
       val q = $"l_quantity".cast("decimal(38,0)")

@@ -497,6 +497,15 @@ class OpsSpec extends SparkSpec {
     assert(extra(before).isEmpty)
   }
 
+  test("connected components refuses to return unconverged labels") {
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).count()
+    }
+    assert(e.getMessage.contains("maxIter"))
+    Dedup.releaseCaches()
+  }
+
   test("connected components: chains, cliques and isolated pairs") {
     // chain 1-2-3-4-5 (diameter 4, exercises pointer jumping),
     // triangle 10-11-12, pair 20-21
