@@ -79,6 +79,30 @@ class PlanSpec extends SparkSpec {
       plan.toLowerCase.contains("partial_"), plan)
   }
 
+  test("exchange budgets hold for representative queries") {
+    // Every Exchange is a full shuffle of its input; these budgets are
+    // the structural minimum for each query's shape (one per
+    // aggregation boundary, one for the final ORDER BY, one per
+    // non-broadcast join side). A failure here means a plan regression
+    // quietly added a shuffle.
+    val budgets = Map(
+      "q6_scan_revenue" -> 1,   // global agg only
+      "hash_sample" -> 1,       // filter + sort
+      "q1_agg" -> 2,            // agg + sort
+      "dedup_exact" -> 2,       // agg + sort
+      "hour_partitions" -> 2,   // agg + sort
+      "sessionize_counts" -> 2, // one session window chain + sort
+      "token_counts" -> 2,      // explode/agg + sort
+      "cosine_topk" -> 3,       // broadcast join, per-query window, sort
+      "monthly_revenue" -> 4,
+      "q5_region_revenue" -> 6) // 5-table snowflake + agg + sort
+    budgets.foreach { case (q, n) =>
+      val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
+      val ex = "(?m)Exchange".r.findAllIn(plan).size
+      assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n$plan")
+    }
+  }
+
   test("q1 aggregates partially before its shuffle (map-side combine)") {
     val plan = planOf(SparkEntry.queries("q1_agg")(spark, Sf0001))
     val exchangeIdx = plan.indexOf("Exchange")
