@@ -613,6 +613,25 @@ object RelationalQueries {
         .orderBy($"nation", $"o_year".desc)
     },
 
+    "full_outer_recon" -> { (spark, dir) =>
+      // FULL OUTER reconciliation — the audit-join shape: align two
+      // half-year per-customer aggregates and classify every key as
+      // both / h1_only / h2_only. Shuffle join on the grouped keys.
+      import spark.implicits._
+      val ord = Tables.orders(spark, dir)
+      def half(from: String, to: String, as: String) = ord
+        .filter($"o_orderdate" >= from && $"o_orderdate" < to)
+        .groupBy($"o_custkey").agg(count(lit(1)).as(as))
+      half("2000-01-01", "2000-07-01", "n_h1")
+        .join(half("2000-07-01", "2001-01-01", "n_h2"), Seq("o_custkey"), "full")
+        .select($"o_custkey",
+          coalesce($"n_h1", lit(0L)).as("n_h1"),
+          coalesce($"n_h2", lit(0L)).as("n_h2"),
+          when($"n_h1".isNotNull && $"n_h2".isNotNull, "both")
+            .when($"n_h1".isNotNull, "h1_only").otherwise("h2_only").as("presence"))
+        .orderBy("o_custkey")
+    },
+
     "q13_custdist" -> { (spark, dir) =>
       // TPC-H Q13: orders-per-customer distribution INCLUDING the
       // zero-order customers — left outer join, count(non-null), then a
@@ -1099,6 +1118,20 @@ object RelationalQueries {
         |              JOIN orders ON l_orderkey = o_orderkey
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "full_outer_recon" ->
+      """WITH h1 AS (SELECT o_custkey, count(*) AS n_h1 FROM orders
+        |            WHERE o_orderdate >= '2000-01-01' AND o_orderdate < '2000-07-01'
+        |            GROUP BY 1),
+        |h2 AS (SELECT o_custkey, count(*) AS n_h2 FROM orders
+        |       WHERE o_orderdate >= '2000-07-01' AND o_orderdate < '2001-01-01'
+        |       GROUP BY 1)
+        |SELECT coalesce(h1.o_custkey, h2.o_custkey) AS o_custkey,
+        |       coalesce(n_h1, 0)::BIGINT AS n_h1, coalesce(n_h2, 0)::BIGINT AS n_h2,
+        |       CASE WHEN n_h1 IS NOT NULL AND n_h2 IS NOT NULL THEN 'both'
+        |            WHEN n_h1 IS NOT NULL THEN 'h1_only' ELSE 'h2_only' END AS presence
+        |FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
 
     "q13_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
