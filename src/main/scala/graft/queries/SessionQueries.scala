@@ -146,7 +146,7 @@ object SessionQueries {
         greatest($"s_us", dayStart).as("cs"),
         least($"e_us", dayStart + 86400000000L).as("ce"))
       val deltas = clipped.select($"day", $"cs".as("ts_us"), lit(1L).as("delta"))
-        .unionAll(clipped.select($"day", $"ce".as("ts_us"), lit(-1L).as("delta")))
+        .union(clipped.select($"day", $"ce".as("ts_us"), lit(-1L).as("delta")))
       val w = Window.partitionBy($"day").orderBy($"ts_us", $"delta")
       deltas.withColumn("c", sum($"delta").over(w))
         .groupBy($"day").agg(max($"c").as("peak_concurrency"))
