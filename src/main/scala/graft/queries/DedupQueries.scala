@@ -122,6 +122,30 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    "decontaminate" -> { (spark, dir) =>
+      // Benchmark decontamination — the train/eval n-gram overlap check
+      // every LLM data pipeline runs before training: flag training
+      // docs sharing ≥3 distinct 3-token shingles with any eval doc.
+      // Scale shape: the eval set is tiny by construction, so its
+      // shingle rows BROADCAST and the training corpus streams through
+      // a map-side hash join on the shingle — no shuffle of the corpus,
+      // cost O(train shingles); countDistinct tolerates shingleRows'
+      // deliberate duplicates.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val bench = Dedup.shingleRows(docs.filter($"doc_id" < 20))
+        .select($"doc_id".as("bench_id"), $"shingle")
+      val train = Dedup.shingleRows(
+          docs.filter($"doc_id" >= 20)
+            .repartition(spark.sparkContext.defaultParallelism))
+        .select($"doc_id".as("train_id"), $"shingle")
+      train.join(broadcast(bench), "shingle")
+        .groupBy($"train_id", $"bench_id")
+        .agg(countDistinct($"shingle").as("n_shared"))
+        .filter($"n_shared" >= 3)
+        .orderBy("train_id", "bench_id")
+    },
+
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32,
       // Jaccard > 0.3, via the measured-fastest formulation (one block
@@ -245,6 +269,15 @@ object DedupQueries {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id >= 400)
          |SELECT doc_a, doc_b, inter, uni FROM p
          |WHERE inter * 2 > uni ORDER BY doc_a, doc_b""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH $ShinglesCte,
+         |b AS (SELECT doc_id AS bench_id, unnest(s) AS shingle FROM sh WHERE doc_id < 20),
+         |t AS (SELECT doc_id AS train_id, unnest(s) AS shingle FROM sh WHERE doc_id >= 20)
+         |SELECT train_id, bench_id, count(DISTINCT shingle) AS n_shared
+         |FROM t JOIN b USING (shingle)
+         |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,
