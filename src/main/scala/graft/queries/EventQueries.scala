@@ -145,6 +145,21 @@ object EventQueries {
         .orderBy("user_id", "day")
     },
 
+    "running_distinct_users" -> { (spark, dir) =>
+      // Cumulative distinct users per day. A windowed COUNT(DISTINCT) is
+      // not computable incrementally — the scalable form: each user
+      // contributes on their FIRST day only (one aggregate), then a
+      // running sum over the daily new-user counts (one tiny window).
+      import spark.implicits._
+      val firstDay = Tables.events(spark, dir)
+        .select($"user_id", floor(unix_micros($"ts") / lit(86400000000L)).as("day"))
+        .groupBy($"user_id").agg(min($"day").as("day"))
+      val daily = firstDay.groupBy($"day").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy($"day").rowsBetween(Window.unboundedPreceding, 0)
+      daily.withColumn("cum_users", sum($"new_users").over(w))
+        .orderBy("day")
+    },
+
     "interpolate_gaps" -> { (spark, dir) =>
       // Linear interpolation over the densified spine: missing days get
       // prev + (next − prev) · Δ/span, where prev/next come from
@@ -319,6 +334,15 @@ object EventQueries {
         |SELECT s.user_id, s.day, coalesce(d.day_cents, 0)::BIGINT AS day_cents
         |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
         |ORDER BY s.user_id, s.day""".stripMargin,
+
+    "running_distinct_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min(floor(epoch_us(ts) / 86400000000)::BIGINT) AS day
+        |  FROM events GROUP BY user_id),
+        |daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+        |SELECT day, new_users,
+        |       SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
 
     "interpolate_gaps" ->
       """WITH ev AS (

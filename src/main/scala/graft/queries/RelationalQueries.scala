@@ -760,6 +760,32 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     },
 
+    "orders_pareto" -> { (spark, dir) =>
+      // Pareto/ABC analysis: customers ranked by revenue with their
+      // cumulative share of the total — "what fraction of customers
+      // drive 80% of revenue". Cumulative sums are exact integer cents;
+      // the share is one float division per row (numerator and
+      // denominator both exact), so it compares bit-identically. The
+      // per-customer aggregate shrinks the window input to |customers|;
+      // the global ORDER BY window is the irreducible part of the ask.
+      import spark.implicits._
+      val per = Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(cents($"o_totalprice")).as("rev_cents"))
+      val w = Window.orderBy($"rev_cents".desc, $"o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      per
+        .withColumn("cum_cents", sum($"rev_cents").over(w))
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"rev_cents".desc, $"o_custkey")))
+        .withColumn("total_cents", sum($"rev_cents").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .filter($"rk" <= 100)
+        .select($"rk".cast("long").as("rk"), $"o_custkey", $"rev_cents",
+          ($"cum_cents".cast("double") / $"total_cents".cast("double")).as("cum_share"))
+        .orderBy("rk")
+    },
+
     "exact_moments" -> { (spark, dir) =>
       // Second moments the PORTABLE way: variance/covariance from exact
       // decimal sums (Spark decimal(38,0) ≡ DuckDB hugeint), with the
@@ -1207,6 +1233,21 @@ object RelationalQueries {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM vols WHERE qty_recent * 3 > qty_total)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "orders_pareto" ->
+      """WITH per AS (
+        |  SELECT o_custkey, SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT o_custkey, rev_cents,
+        |         row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS rk,
+        |         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+        |                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+        |         SUM(rev_cents) OVER () AS total_cents
+        |  FROM per)
+        |SELECT rk, o_custkey, rev_cents,
+        |       cum_cents::DOUBLE / total_cents::DOUBLE AS cum_share
+        |FROM ranked WHERE rk <= 100 ORDER BY rk""".stripMargin,
 
     "exact_moments" ->
       """WITH s AS (

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -14,6 +15,26 @@ import graft.ops.TextOps
 object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "top_ngrams_per_lang" -> { (spark, dir) =>
+      // Per-language top-5 trigrams by document frequency — corpus
+      // profiling for pipeline QA (boilerplate/template detection).
+      // shingleRows is map-side; doc frequency is one hash aggregate
+      // (countDistinct tolerates its duplicates); the top-k is
+      // rank-pushdown-friendly row_number (WindowGroupLimit).
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+      val df = graft.ops.Dedup.shingleRows(docs)
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+        .groupBy($"lang", $"shingle")
+        .agg(countDistinct($"doc_id").as("doc_freq"))
+      val w = Window.partitionBy($"lang").orderBy($"doc_freq".desc, $"shingle")
+      df.withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"lang", $"rk".cast("long").as("rk"), $"shingle", $"doc_freq")
+        .orderBy("lang", "rk")
+    },
+
     "text_quality" -> { (spark, dir) =>
       import spark.implicits._
       TextOps.qualityMetrics(Tables.documents(spark, dir))
@@ -160,6 +181,20 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "top_ngrams_per_lang" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS nt FROM documents),
+        |sh AS (SELECT doc_id, lang,
+        |              unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                    for i in range(1, nt - 1)])) AS shingle
+        |       FROM d),
+        |df AS (SELECT lang, shingle, count(DISTINCT doc_id) AS doc_freq
+        |       FROM sh GROUP BY 1, 2)
+        |SELECT lang, rk, shingle, doc_freq FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, shingle) AS rk
+        |  FROM df) WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin,
+
     "text_quality" ->
       """WITH t AS (
         |  SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
