@@ -175,7 +175,7 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
-      .select(candidates.columns.map(col) :+ col("inter") :+ col("uni"): _*)
+      .select(candidates.columns.toIndexedSeq.map(col) :+ col("inter") :+ col("uni"): _*)
   }
 
   /** Full MinHash+LSH near-dup pipeline. The input is spread across all

@@ -760,6 +760,55 @@ object RelationalQueries {
         .orderBy("s_suppkey")
     },
 
+    "q11_part_share" -> { (spark, dir) =>
+      // TPC-H Q11 shape (no partsupp — lineitem value is the stock
+      // proxy): per-part value HAVING-filtered against a FRACTION of
+      // the global total. The distinctive plan: the same aggregate is
+      // consumed twice — per-group detail and a one-row global sum that
+      // broadcasts back as the group-level threshold. The comparison is
+      // integer-only (value·1000 > total) so it ports exactly; at
+      // 100 TB the per-part aggregate is the only real shuffle and the
+      // threshold join is a broadcast of one row.
+      import spark.implicits._
+      val per = Tables.lineitem(spark, dir)
+        .groupBy($"l_partkey")
+        .agg(sum(cents($"l_extendedprice")).as("value_cents"))
+      val tot = per.agg(sum($"value_cents").as("total_cents"))
+      per.join(broadcast(tot))
+        .filter($"value_cents" * 1000 > $"total_cents")
+        .select($"l_partkey", $"value_cents")
+        .orderBy($"value_cents".desc, $"l_partkey")
+    },
+
+    "q21_waiting_supplier" -> { (spark, dir) =>
+      // TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+      // finished multi-supplier order — correlated EXISTS (another
+      // supplier in the order) AND NOT EXISTS (another LATE supplier in
+      // the order), both against the same fact. "Late" = shipped 90+
+      // days after the order date (no receipt/commit dates at this SF).
+      // Plan shape at scale: one orders⋈lineitem shuffle builds the
+      // flagged line set; the EXISTS/NOT EXISTS become a semi and an
+      // anti join co-partitioned on the SAME order key, so the three
+      // passes over `lines` share one exchange layout (no re-shuffle).
+      import spark.implicits._
+      val lines = Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey", $"l_suppkey",
+          ($"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 90 DAYS")).as("late"))
+      val others = lines.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
+      val lateOthers = lines.filter($"late")
+        .select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3"))
+      lines.filter($"late")
+        .join(others, $"l_orderkey" === $"ok2" && $"l_suppkey" =!= $"sk2", "left_semi")
+        .join(lateOthers, $"l_orderkey" === $"ok3" && $"l_suppkey" =!= $"sk3", "left_anti")
+        .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_suppkey", $"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_suppkey")
+    },
+
     "orders_pareto" -> { (spark, dir) =>
       // Pareto/ABC analysis: customers ranked by revenue with their
       // cumulative share of the total — "what fraction of customers
@@ -1233,6 +1282,35 @@ object RelationalQueries {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |WHERE s_suppkey IN (SELECT l_suppkey FROM vols WHERE qty_recent * 3 > qty_total)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q11_part_share" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |         SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS value_cents
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, value_cents
+        |FROM per
+        |WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM per)
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON l1.l_orderkey = o_orderkey
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey != l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey != l1.l_suppkey
+        |                    AND o3.o_orderstatus = 'F'
+        |                    AND l3.l_shipdate >= o3.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
 
     "orders_pareto" ->
       """WITH per AS (
