@@ -46,7 +46,11 @@ object Bench {
     // short, always-parseable total line, pointing at the file.
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_out.json"}""")
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_out.json"}"""
+    // The total line ALSO goes to a file: sbt prefixes stdout with
+    // [info], which broke the driver's JSON parse of it in rounds 1–3.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")
+    println(totalLine)
     spark.stop()
   }
 }

@@ -482,15 +482,17 @@ object Dedup {
     * cluster (the minimum doc id) plus every doc not in any pair. The
     * "switch your corpus to deduped" one-liner: MinHash+LSH pairs →
     * connected components → anti-join the non-representatives away.
-    * The dropped set (components minus their minima) is tiny, so the
-    * anti join broadcasts.
+    * The drop set is O(duplicate count) — web-scale corpora run 30–80%
+    * near-dup, so at 100 TB it is billions of ids and MUST be allowed
+    * to shuffle; no broadcast hint (stats/AQE still broadcast it when
+    * it happens to be small).
     */
   def dropNearDuplicates(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val clusters = connectedComponents(minhashPairs(df, idCol, textCol))
     val toDrop = clusters.filter(col("id") =!= col("cluster_id"))
       .select(col("id").as(idCol))
-    df.join(broadcast(toDrop), Seq(idCol), "left_anti")
+    df.join(toDrop, Seq(idCol), "left_anti")
   }
 
   /** 32-bit SimHash over the distinct-token set: token hash = first 8 md5

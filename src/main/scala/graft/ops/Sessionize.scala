@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
   * Scale posture: exactly one shuffle (hash exchange on `userCol`), one
   * sort per partition, no driver-side state. Skewed users are bounded by
   * per-user event counts, not table size, so the plan survives 100 TB as
-  * long as no single user exceeds a partition (true for clickstreams).
+  * long as no single user exceeds a partition (true for clickstreams) —
+  * MEASURED boundary: a single 10^6-event user (a bot, ~100× a heavy
+  * human) completes the whole W1–W4 chain in one window task in ~5 s
+  * (ScaleSpec "hot user" pins this). Low-cardinality rollups DOWNSTREAM
+  * of sessionization (histogram-style groupBys) must not re-serialize
+  * the hot key into one reducer: route them through the salted
+  * two-phase pre-aggregation ([[Skew.saltedSumCount]], equivalence
+  * proven in the same spec).
   */
 object Sessionize {
   val DefaultGapSec = 1800L

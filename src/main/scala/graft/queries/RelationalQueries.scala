@@ -743,10 +743,14 @@ object RelationalQueries {
       // conditional volumes (integer-valued doubles, exact) →
       // qualifying set → semi join suppliers → nation join.
       import spark.implicits._
+      // No broadcast hint on redParts: '%red%' keeps a constant FRACTION
+      // of part (SF-growing), not a bounded enum — per this file's
+      // broadcast policy the planner's stats/AQE decide (and do
+      // broadcast it at test SF, asserted in PlanSpec).
       val redParts = Tables.part(spark, dir)
         .filter($"p_name".contains("red")).select($"p_partkey")
       val vols = Tables.lineitem(spark, dir)
-        .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+        .join(redParts, $"l_partkey" === $"p_partkey")
         .groupBy($"l_suppkey")
         .agg(sum($"l_quantity").as("qty_total"),
           sum(when($"l_shipdate" >= "2000-01-01", $"l_quantity")
@@ -765,17 +769,24 @@ object RelationalQueries {
       // proxy): per-part value HAVING-filtered against a FRACTION of
       // the global total. The distinctive plan: the same aggregate is
       // consumed twice — per-group detail and a one-row global sum that
-      // broadcasts back as the group-level threshold. The comparison is
-      // integer-only (value·1000 > total) so it ports exactly; at
-      // 100 TB the per-part aggregate is the only real shuffle and the
-      // threshold join is a broadcast of one row.
+      // broadcasts back as the group-level threshold. The threshold is
+      // RELATIVE TO THE MEAN part value (keep parts above 1.5× mean):
+      // a fixed share-of-total cutoff goes vacuous as |part| grows with
+      // SF (TPC-H's own Q11 scales its fraction by 1/SF for the same
+      // reason) — this form is non-empty and selective at every SF
+      // (probed: 2 / 29 / 252 rows at sf0.001/0.01/0.1). The comparison
+      // is exact decimal(38,0) ≡ DuckDB hugeint (value·n_parts·2 can
+      // overflow int64 at 100 TB); at scale the per-part aggregate is
+      // the only real shuffle and the threshold join broadcasts one row.
       import spark.implicits._
       val per = Tables.lineitem(spark, dir)
         .groupBy($"l_partkey")
         .agg(sum(cents($"l_extendedprice")).as("value_cents"))
-      val tot = per.agg(sum($"value_cents").as("total_cents"))
+      val tot = per.agg(sum($"value_cents").as("total_cents"),
+        count(lit(1)).as("n_parts"))
       per.join(broadcast(tot))
-        .filter($"value_cents" * 1000 > $"total_cents")
+        .filter($"value_cents".cast("decimal(38,0)") * $"n_parts" * 2 >
+          $"total_cents".cast("decimal(38,0)") * 3)
         .select($"l_partkey", $"value_cents")
         .orderBy($"value_cents".desc, $"l_partkey")
     },
@@ -786,23 +797,27 @@ object RelationalQueries {
       // supplier in the order) AND NOT EXISTS (another LATE supplier in
       // the order), both against the same fact. "Late" = shipped 90+
       // days after the order date (no receipt/commit dates at this SF).
-      // Plan shape at scale: one orders⋈lineitem shuffle builds the
-      // flagged line set; the EXISTS/NOT EXISTS become a semi and an
-      // anti join co-partitioned on the SAME order key, so the three
-      // passes over `lines` share one exchange layout (no re-shuffle).
+      // The EXISTS/NOT EXISTS pair is computed in ONE pass over the
+      // order's lines with order-partitioned windows (distinct-supplier
+      // count, distinct-LATE-supplier count) instead of semi/anti
+      // self-joins: the previous three-pass formulation planned 9
+      // exchanges with no exchange reuse (renamed keys defeat
+      // ReuseExchange — measured, not assumed); the windows reuse the
+      // orders⋈lineitem join's hash partitioning on the order key, so
+      // the fact shuffles ONCE. Per-order supplier sets are bounded
+      // (~7 lines/order), so collect_set state is O(1) per row.
       import spark.implicits._
-      val lines = Tables.lineitem(spark, dir)
+      val w = Window.partitionBy($"l_orderkey")
+      Tables.lineitem(spark, dir)
         .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
             .select($"o_orderkey", $"o_orderdate"),
           $"l_orderkey" === $"o_orderkey")
         .select($"l_orderkey", $"l_suppkey",
           ($"l_shipdate" >= $"o_orderdate" + expr("INTERVAL 90 DAYS")).as("late"))
-      val others = lines.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
-      val lateOthers = lines.filter($"late")
-        .select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3"))
-      lines.filter($"late")
-        .join(others, $"l_orderkey" === $"ok2" && $"l_suppkey" =!= $"sk2", "left_semi")
-        .join(lateOthers, $"l_orderkey" === $"ok3" && $"l_suppkey" =!= $"sk3", "left_anti")
+        .withColumn("n_supp", size(collect_set($"l_suppkey").over(w)))
+        .withColumn("n_late_supp",
+          size(collect_set(when($"late", $"l_suppkey")).over(w)))
+        .filter($"late" && $"n_supp" > 1 && $"n_late_supp" === 1)
         .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
         .groupBy($"s_suppkey", $"s_name")
         .agg(count(lit(1)).as("numwait"))
@@ -814,22 +829,25 @@ object RelationalQueries {
       // cumulative share of the total — "what fraction of customers
       // drive 80% of revenue". Cumulative sums are exact integer cents;
       // the share is one float division per row (numerator and
-      // denominator both exact), so it compares bit-identically. The
-      // per-customer aggregate shrinks the window input to |customers|;
-      // the global ORDER BY window is the irreducible part of the ask.
+      // denominator both exact), so it compares bit-identically.
+      // Scale shape: the output is top-100, so the top-100 is taken
+      // DISTRIBUTIVELY first (orderBy+limit → TakeOrderedAndProject:
+      // per-partition heaps, driver merge of 100-row slices) and the
+      // single-partition ranking window then runs over exactly 100
+      // rows — never over the unbounded per-customer aggregate, which
+      // at 100 TB is billions of rows. The global total is a separate
+      // one-row aggregate broadcast back.
       import spark.implicits._
       val per = Tables.orders(spark, dir)
         .groupBy($"o_custkey")
         .agg(sum(cents($"o_totalprice")).as("rev_cents"))
+      val tot = per.agg(sum($"rev_cents").as("total_cents"))
+      val top = per.orderBy($"rev_cents".desc, $"o_custkey").limit(100)
       val w = Window.orderBy($"rev_cents".desc, $"o_custkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      per
-        .withColumn("cum_cents", sum($"rev_cents").over(w))
-        .withColumn("rk", row_number().over(
-          Window.orderBy($"rev_cents".desc, $"o_custkey")))
-        .withColumn("total_cents", sum($"rev_cents").over(
-          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .filter($"rk" <= 100)
+      top.join(broadcast(tot))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cum_cents",
+          sum($"rev_cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .select($"rk".cast("long").as("rk"), $"o_custkey", $"rev_cents",
           ($"cum_cents".cast("double") / $"total_cents".cast("double")).as("cum_share"))
         .orderBy("rk")
@@ -1287,10 +1305,12 @@ object RelationalQueries {
       """WITH per AS (
         |  SELECT l_partkey,
         |         SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS value_cents
-        |  FROM lineitem GROUP BY l_partkey)
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT SUM(value_cents)::HUGEINT AS total_cents,
+        |               COUNT(*)::HUGEINT AS n_parts FROM per)
         |SELECT l_partkey, value_cents
-        |FROM per
-        |WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM per)
+        |FROM per, tot
+        |WHERE value_cents::HUGEINT * n_parts * 2 > total_cents * 3
         |ORDER BY value_cents DESC, l_partkey""".stripMargin,
 
     "q21_waiting_supplier" ->

@@ -123,6 +123,32 @@ object SessionQueries {
         .orderBy("user_id", "start_us")
     },
 
+    "streaming_session_agg" -> { (spark, dir) =>
+      // The STREAMING ENGINE PATH, driven end-to-end through the
+      // driver's oracle gate: parquet file source → watermark →
+      // session_window aggregation → append-mode parquet sink with
+      // checkpoint (Trigger.AvailableNow). A sentinel event 2h past the
+      // corpus maximum pushes the final watermark beyond every real
+      // session's close, so append mode must emit ALL real sessions —
+      // making the streaming output row-for-row comparable to the
+      // batch gap-rule oracle (the StreamingSpec sf0.01 recipe).
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = Tables.events(spark, dir).select($"user_id", $"ts", $"event_id")
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      val sentinel = Seq((-999L, new java.sql.Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
+        .toDF("user_id", "ts", "event_id")
+      ev.unionByName(sentinel).write.parquet(in)
+      graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+      spark.read.parquet(out).filter($"user_id" =!= -999L)
+        .select($"user_id",
+          unix_micros($"session_start").as("start_us"),
+          unix_micros($"session_end").as("end_us"),
+          $"n_events", $"first_event", $"last_event")
+        .orderBy("user_id", "start_us")
+    },
+
     "concurrent_sessions" -> { (spark, dir) =>
       // Peak simultaneously-open sessions per day, by SWEEP LINE: each
       // session (native session_window) becomes a +1 at its start and a
@@ -335,6 +361,21 @@ object SessionQueries {
         |        FROM deltas)
         |SELECT strftime(day, '%Y-%m-%d') AS day, max(c)::BIGINT AS peak_concurrency
         |FROM run GROUP BY day ORDER BY day""".stripMargin,
+
+    "streaming_session_agg" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, event_id,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sw_no
+        |  FROM d)
+        |SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |       max(epoch_us(ts)) + 1800000000 AS end_us,
+        |       count(*) AS n_events,
+        |       min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s GROUP BY user_id, sw_no ORDER BY user_id, start_us""".stripMargin,
 
     "session_window_agg" ->
       """WITH d AS (

@@ -21,6 +21,7 @@ object Probe {
     if (args.headOption.contains("explain")) return explainMain(args.drop(1))
     if (args.headOption.contains("time")) return timeMain(args.drop(1))
     if (args.headOption.contains("cc")) return ccMain()
+    if (args.headOption.contains("exchanges")) return exchangesMain(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -88,6 +89,28 @@ object Probe {
       (1 to 2).foreach { i =>
         time(s"$q#$i")(println(graft.SparkEntry.queries(q)(spark, sfDir).count()))
       }
+    }
+    spark.stop()
+  }
+
+  /** `Probe exchanges <sfDir> <query>...` — prints the Exchange-substring
+    * count (PlanSpec's budget metric) and whether the plan reuses an
+    * exchange, per query.
+    */
+  def exchangesMain(args: Array[String]): Unit = {
+    val sfDir = args.head
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { q =>
+      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val n = "(?m)Exchange".r.findAllIn(plan).size
+      val reused = "ReusedExchange".r.findAllIn(plan).size
+      println(s"[probe] $q exchanges=$n reused=$reused")
     }
     spark.stop()
   }

@@ -94,28 +94,70 @@ class OpsSpec extends SparkSpec {
     assert(l == "en")
   }
 
-  test("multimodal: decode stub and frame sampling preserve contract") {
+  test("multimodal: decode and frame sampling preserve contract") {
     val docs = Tables.documents(spark, Sf0001).limit(10)
     val media = Multimodal.fromText(docs)
     assert(media.schema.fieldNames.toSeq == Seq("media_id", "content", "meta"))
     import spark.implicits._
-    val feats = Multimodal.decodeStub(media.as[Multimodal.MediaRow]).collect()
+    val feats = Multimodal.decode(media.as[Multimodal.MediaRow]).collect()
     assert(feats.length == 10)
     assert(feats.forall(f => f.n_bytes > 0 && f.n_frames == (f.n_bytes + 63) / 64))
+    // text/plain is not an image: pixel fields must read "no decode"
+    assert(feats.forall(f => f.width == -1 && f.luma_hist.isEmpty))
     val sampled = Multimodal.sampleFrames(media)
     val row = sampled.select($"media_id", size($"frames").as("n")).head
     assert(row.getInt(1) > 0)
     // the batched (Arrow-contract) variant yields identical features and
     // respects the batch bound even when it doesn't divide the partition
-    val batched = Multimodal.decodeStubBatched(media.as[Multimodal.MediaRow],
+    val batched = Multimodal.decodeBatched(media.as[Multimodal.MediaRow],
       batchSize = 3).collect()
-    assert(batched.sortBy(_.media_id).toSeq == feats.sortBy(_.media_id).toSeq)
+    // compare as tuples: the Array field inside the case class would
+    // otherwise compare by reference
+    def key(f: Multimodal.MediaFeatures) =
+      (f.media_id, f.n_bytes, f.checksum, f.n_frames, f.mime,
+        f.width, f.height, f.mean_r, f.mean_g, f.mean_b, f.luma_hist.toSeq)
+    assert(batched.sortBy(_.media_id).map(key).toSeq ==
+      feats.sortBy(_.media_id).map(key).toSeq)
     // resize: every payload lands at exactly the target shape, metadata
     // tracks it, ids survive
     val resized = Multimodal.resizeStub(media.as[Multimodal.MediaRow], 128).collect()
     assert(resized.length == 10)
     assert(resized.forall(r => r.content.length == 128 && r.meta.sizeBytes == 128L))
     assert(resized.map(_.media_id).sorted.toSeq == feats.map(_.media_id).sorted.toSeq)
+  }
+
+  test("multimodal: real PNG decode via javax.imageio yields pixel-derived features") {
+    import spark.implicits._
+    // A 4×2 PNG with known pixels: left half pure red, right half pure
+    // blue — generated in-test, decoded by the library on executors.
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0xff0000 else 0x0000ff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(4, 2), Multimodal.MediaMeta("image/png", 0L, "t")),
+      Multimodal.MediaRow(2L, "not an image".getBytes("UTF-8"),
+        Multimodal.MediaMeta("image/png", 0L, "t")), // corrupt payload
+      Multimodal.MediaRow(3L, png(16, 16), Multimodal.MediaMeta("image/png", 0L, "t")))
+    val out = Multimodal.decode(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    val a = out(1L)
+    assert(a.width == 4 && a.height == 2)
+    // half red half blue: mean_r = mean_b = 127.5, mean_g = 0
+    assert(a.mean_r == 127.5 && a.mean_g == 0.0 && a.mean_b == 127.5)
+    // luma: red=76 (bin 4), blue=29 (bin 1), 4 px each
+    assert(a.luma_hist.length == Multimodal.LumaBins)
+    assert(a.luma_hist(1) == 4L && a.luma_hist(4) == 4L && a.luma_hist.sum == 8L)
+    // corrupt bytes fall back to byte features instead of failing the task
+    val bad = out(2L)
+    assert(bad.width == -1 && bad.n_bytes == 12L)
+    val big = out(3L)
+    assert(big.width == 16 && big.height == 16 && big.luma_hist.sum == 256L)
   }
 
   test("TopK aggregator equals window row_number top-k") {

@@ -95,12 +95,61 @@ class PlanSpec extends SparkSpec {
       "token_counts" -> 2,      // explode/agg + sort
       "cosine_topk" -> 3,       // broadcast join, per-query window, sort
       "monthly_revenue" -> 4,
-      "q5_region_revenue" -> 6) // 5-table snowflake + agg + sort
+      "q5_region_revenue" -> 6, // 5-table snowflake + agg + sort
+      // the expensive tail (round-3 verdict item 6): structural minima
+      // measured from the current plans — a regression adding a shuffle
+      // fails here before it shows up in BENCH
+      "orders_pareto" -> 4,     // per-cust agg, top-100, 1-row total, sort
+      "q11_part_share" -> 5,    // per-part agg, 1-row threshold, sort
+      "q20_excess_stock" -> 5,  // vols agg + semi + dim joins + sort
+      "q9_profit" -> 6,
+      "q21_waiting_supplier" -> 5, // ONE fact shuffle (join+windows share
+                                   // the order-key layout) + supp join,
+                                   // agg, sort — was 9 as self-joins
+      "top_ngrams_per_lang" -> 7,
+      "dedup_minhash" -> 36)    // shingle→sig→band LSH→verify pipeline
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
       val ex = "(?m)Exchange".r.findAllIn(plan).size
       assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n$plan")
     }
+  }
+
+  test("orders_pareto takes its top-100 distributively (no unbounded global window)") {
+    // The ranking window must run over the LIMITed 100-row slice, never
+    // over the unbounded per-customer aggregate: the top-100 goes
+    // through TakeOrderedAndProject (per-partition heaps + driver merge
+    // of 100-row slices), which is the scale-safe shape at 100 TB.
+    val plan = planOf(SparkEntry.queries("orders_pareto")(spark, Sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("dedup_corpus_keep anti join has no mandatory broadcast") {
+    // Round-3 verdict item 1: the drop set is O(duplicate count) — at
+    // 100 TB it cannot be forced through a broadcast. With broadcasts
+    // disabled the plan must still be legal (shuffled anti join); a
+    // broadcast() hint on the drop set would ignore the threshold and
+    // fail this.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(SparkEntry.queries("dedup_corpus_keep")(spark, Sf0001))
+      val antiLines = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+      assert(antiLines.nonEmpty, plan)
+      assert(!antiLines.exists(_.contains("Broadcast")),
+        s"drop-set anti join is broadcast despite threshold=-1:\n${antiLines.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      graft.ops.Dedup.releaseCaches()
+    }
+  }
+
+  test("q20 still broadcasts the red-parts side by STATS at test scale") {
+    // The broadcast() hint was removed (SF-growing side must be allowed
+    // to shuffle at 100 TB); locally the planner's size stats should
+    // still pick a broadcast join on the tiny filtered part table.
+    val plan = planOf(SparkEntry.queries("q20_excess_stock")(spark, Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("q1 aggregates partially before its shuffle (map-side combine)") {

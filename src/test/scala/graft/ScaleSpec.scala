@@ -123,6 +123,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("sessionization core completes on a hot user (10^6 events in one task)") {
+    // The 100 TB assumption at Sessionize.scala is "no single user
+    // exceeds a partition" — this pins the boundary: one synthetic user
+    // with a million events (every 100th gap > 30 min → 10k sessions)
+    // must flow through the single-exchange W1–W4 chain in ONE window
+    // task without spilling the test into failure. The measured time is
+    // documented in the Sessionize scaladoc.
+    val n = 1000000L
+    val baseUs = 1700000000000000L
+    val hot = spark.range(n).select(
+      lit(7L).as("user_id"),
+      timestamp_micros(lit(baseUs) + $"id" * 1000000L +
+        expr("id DIV 100") * 2000000000L).as("ts"),
+      $"id".as("event_id"))
+    val t0 = System.nanoTime()
+    val sessions = graft.ops.Sessionize.withSessionNo(hot)
+    val agg = sessions.groupBy($"user_id")
+      .agg(max($"session_no").as("n_sessions"), count(lit(1)).as("n_events"))
+      .head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"hot-user 10^6-event chain: $secs%.1fs")
+    assert(agg.getLong(1) == 10000L, s"expected 10000 sessions, got $agg")
+    assert(agg.getLong(2) == n)
+
+    // Downstream LOW-CARDINALITY rollups (session_duration_histogram
+    // style) must not re-serialize the hot key into one reducer: the
+    // salted two-phase pre-aggregation gives the same result with the
+    // hot group split across tasks first.
+    val durations = sessions.groupBy($"user_id", $"session_no")
+      .agg(((max(unix_micros($"ts")) - min(unix_micros($"ts"))) / 60000000L)
+        .cast("long").as("minutes"))
+    val salted = Skew.saltedSumCount(durations, Seq("minutes"), "session_no")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val plain = durations.groupBy($"minutes").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(salted.keySet == plain.keySet)
+    plain.foreach { case (k, c) => assert(salted(k) == c, s"bucket $k") }
+  }
+
   test("z-order layout bounds per-file spans on BOTH dimensions") {
     // The data-skipping property itself: files written in z-order keep
     // min/max ranges narrow for both clustering keys, so row-group
