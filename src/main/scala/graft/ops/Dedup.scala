@@ -199,16 +199,20 @@ object Dedup {
   }
 
   /** Verify candidate pairs by re-shingling just the candidate docs — the
-    * scale-safe verify default: a broadcast semi-join prunes the source
-    * scan to docs that appear in some pair, so no corpus-sized shingle
-    * state is ever cached or shuffled.
+    * scale-safe verify default: a semi-join prunes the source scan to
+    * docs that appear in some pair, so no corpus-sized shingle state is
+    * ever cached or shuffled. No broadcast hint on the candidate-id set:
+    * like the dropNearDuplicates drop set, it is O(collision count) —
+    * small at sane thresholds but O(corpus) on a 30–80%-dup web crawl —
+    * so the join must be free to shuffle; AQE still picks a broadcast
+    * at runtime from the ACTUAL post-LSH size when it fits.
     */
   def verifyAgainstSource(cand: DataFrame, source: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
     val candDocs = cand.select(col("doc_a").as(idCol))
       .union(cand.select(col("doc_b").as(idCol))).distinct()
-    val candSrc = source.join(broadcast(candDocs), Seq(idCol), "left_semi")
+    val candSrc = source.join(candDocs, Seq(idCol), "left_semi")
     val arrays = shingleRows(candSrc, idCol, textCol)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("shingles"))
     verifyJaccard(cand, arrays, idCol, "shingles", thresholdNum, thresholdDen)

@@ -134,6 +134,109 @@ object Similarity {
       .select(col("query_id"), col("rk"), col(idCol).as("neighbor_id"))
   }
 
+  /** Signed-random-projection (random hyperplane) LSH bits — the third
+    * LSH family in the engine (MinHash: sets, SimHash: token multisets,
+    * SRP: dense embeddings). Bit i of a vector is the SIGN of its dot
+    * product with pseudo-random hyperplane i; two vectors agree on a bit
+    * with probability 1 − θ/π (Goemans–Williamson), so shared-band
+    * collisions concentrate on high-cosine pairs.
+    *
+    * Determinism across engines: the hyperplane entries are ±1 derived
+    * from integer bit-mixing of (bit, dim) — s(i,d) = bit 13 of
+    * (i·73856093 XOR d·19349663) — and the projection is summed over
+    * INTEGER micro-quantized components (floor(x·1e6)), so the sign is
+    * exact int64 arithmetic with no float-summation-order risk. Output:
+    * one row per (vector, bit) — the same rows-not-bitmask layout as
+    * `minhash_signature`, band-packable downstream.
+    *
+    * Scale: pure per-row projection work (explode of a 16-element
+    * array), no shuffle; nbits·dim multiplies per vector.
+    */
+  def srpBits(df: DataFrame, nbits: Int = 16, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = transform(col(embCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
+      val proj = aggregate(
+        zip_with(q, sequence(lit(0L), size(col(embCol)).cast("long") - 1L),
+          (x, d) => x * when(
+            shiftright((i * lit(73856093L)).bitwiseXOR(d * lit(19349663L)), 13)
+              .bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L))),
+        lit(0L), (a, x) => a + x)
+      struct(i.as("bit"),
+        when(proj >= 0L, lit(1L)).otherwise(lit(0L)).as("bit_val"))
+    })
+    df.select(col(idCol), explode(entries).as("__e"))
+      .select(col(idCol), col("__e.bit").as("bit"), col("__e.bit_val").as("bit_val"))
+  }
+
+  /** SRP-banded near-duplicate pairs: bits pack into `nbits/bandBits`
+    * band signatures, candidates share at least one full band, and only
+    * candidates pay a cosine check — banding confines the quadratic
+    * exactly like MinHash-LSH does for shingle sets, but over dense
+    * embeddings with no centroid training (the trade against IVF
+    * blocking: SRP needs no clustering pass and its collision
+    * probability has a closed form; IVF gives better bucket balance).
+    * Output: (vec_a, vec_b) with cosine·100 > thresholdPct.
+    *
+    * Caveat (measured on the testdata corpus): hyperplanes pass through
+    * the ORIGIN, so un-centered embeddings (all-positive components)
+    * produce biased bits and weak blocking (~50% of all pairs collide
+    * here vs the ~0.6^8 per-band rate centered data would give). Real
+    * deployments mean-center the corpus (one tiny per-dim aggregate)
+    * before SRP; kept un-centered here because the centering pass would
+    * make the signature depend on float summation order across engines.
+    */
+  def srpNearDupPairs(corpus: DataFrame, thresholdPct: Int,
+      nbits: Int = 16, bandBits: Int = 8,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(nbits % bandBits == 0)
+    // band signature = Σ bit_val · 2^(bit mod bandBits) — exact: pow on
+    // small integer exponents is representable (shiftleft takes only a
+    // literal shift in the Column API)
+    val bands = srpBits(corpus, nbits, idCol, embCol)
+      .groupBy(col(idCol), (col("bit") / lit(bandBits)).cast("long").as("band"))
+      .agg(sum(col("bit_val") *
+        pow(lit(2.0), col("bit") % lit(bandBits)).cast("long")).as("band_sig"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("vec_a"), col(s"b.$idCol").as("vec_b"))
+      .distinct()
+    val e = withNorm(corpus, embCol, "__norm")
+    val ea = e.select(col(idCol).as("vec_a"), col(embCol).as("va"), col("__norm").as("__na"))
+    val eb = e.select(col(idCol).as("vec_b"), col(embCol).as("vb"), col("__norm").as("__nb"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .filter(dotFast(col("va"), col("vb")) / (col("__na") * col("__nb")) * 100 > thresholdPct)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
+  /** Symmetric int8 quantization — the storage/serving form of an
+    * embedding corpus (4× smaller than float32, 8× than float64; dot
+    * products stay within int32 for dim ≤ 512). Per-vector scale
+    * m = max|x|, q = clamp(round(x/m·127)) — all arithmetic a fixed
+    * per-element double chain (divide, multiply, +0.5, floor), so the
+    * quantized values are bit-identical across engines. Output: one row
+    * per (vector, dim) + the micro-quantized scale for reconstruction.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val withM = df
+      .withColumn("__v", col(embCol).cast("array<double>"))
+      .withColumn("__m", array_max(transform(col("__v"), x => abs(x))))
+    withM.select(
+      col(idCol),
+      floor(col("__m") * 1000000.0).cast("long").as("scale_micros"),
+      posexplode(transform(col("__v"), x =>
+        when(col("__m") === 0.0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(x / col("__m") * lit(127.0) + lit(0.5)).cast("long"))))))
+        .as(Seq("dim", "q8")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        col("q8"), col("scale_micros"))
+  }
+
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.
     */

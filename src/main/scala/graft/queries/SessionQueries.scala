@@ -140,7 +140,17 @@ object SessionQueries {
       val sentinel = Seq((-999L, new java.sql.Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
         .toDF("user_id", "ts", "event_id")
       ev.unionByName(sentinel).write.parquet(in)
-      graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+      // State-store count (= shuffle partitions at the stream's first
+      // batch) is pinned into the checkpoint and is a PER-JOB sizing
+      // decision: each state partition costs snapshot/commit files per
+      // micro-batch, so a streaming job sizes it to its state volume —
+      // not to the interactive session's OLAP width. 8 fits this
+      // corpus; a 100 TB deployment would set hundreds, via the same
+      // knob, at job launch.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.read.parquet(out).filter($"user_id" =!= -999L)
         .select($"user_id",
           unix_micros($"session_start").as("start_us"),

@@ -67,6 +67,31 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "srp_signature" -> { (spark, dir) =>
+      // Signed-random-projection LSH bits (dense-embedding LSH family):
+      // integer-exact hyperplane signs, one row per (vector, bit).
+      import spark.implicits._
+      Similarity.srpBits(Tables.embeddings(spark, dir), nbits = 16)
+        .orderBy("vec_id", "bit")
+    },
+
+    "srp_near_dup" -> { (spark, dir) =>
+      // Banded SRP blocking + cosine verify: the no-training alternative
+      // to IVF blocking for embedding near-dup at scale.
+      import spark.implicits._
+      Similarity.srpNearDupPairs(Tables.embeddings(spark, dir),
+        thresholdPct = 42, nbits = 16, bandBits = 8)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    "embed_quantize" -> { (spark, dir) =>
+      // Symmetric int8 quantization of the embedding corpus (the
+      // serving/storage format); exact double chain → bit-identical q8.
+      import spark.implicits._
+      Similarity.quantizeInt8(Tables.embeddings(spark, dir))
+        .orderBy("vec_id", "dim")
+    },
+
     "embedding_centroids" -> { (spark, dir) =>
       // Per-label centroid accumulators: one explode (posexplode is a
       // Generate, no shuffle) then a (label, dim) hash aggregate —
@@ -94,7 +119,54 @@ object SimilarityQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
        |    FROM scored) WHERE crk = 1)""".stripMargin
 
+  /** SRP bits, integer-exact (mirrors Similarity.srpBits): hyperplane
+    * sign from bit-mixed (bit, dim), projection over micro-quantized
+    * int64 components.
+    */
+  private val SrpCte =
+    """qe AS (SELECT vec_id,
+      |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+      |      FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, bit,
+      |         CASE WHEN list_sum(list_transform(range(1, len(q) + 1), d ->
+      |                q[d] * (CASE WHEN (xor(bit * 73856093, (d - 1) * 19349663) >> 13) & 1 = 1
+      |                        THEN 1 ELSE -1 END)))::BIGINT >= 0
+      |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit_val
+      |  FROM (SELECT vec_id, q, unnest(range(0, 16)) AS bit FROM qe))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "srp_signature" ->
+      s"""WITH $SrpCte
+         |SELECT vec_id, bit, bit_val FROM bits ORDER BY vec_id, bit""".stripMargin,
+
+    "srp_near_dup" ->
+      s"""WITH $SrpCte,
+         |bands AS (
+         |  SELECT vec_id, bit // 8 AS band,
+         |         SUM(bit_val * (1 << (bit % 8)))::BIGINT AS band_sig
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id),
+         |$NormCte
+         |SELECT vec_a, vec_b
+         |FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
+         |          JOIN e eb ON eb.vec_id = cand.vec_b
+         |WHERE (list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)) * 100 > 42
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "embed_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |                  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS m
+        |           FROM embeddings),
+        |x AS (SELECT vec_id, m, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val FROM v)
+        |SELECT vec_id, dim::BIGINT AS dim,
+        |       CASE WHEN m = 0 THEN 0::BIGINT
+        |            ELSE greatest(-127, least(127, floor(val / m * 127 + 0.5)))::BIGINT END AS q8,
+        |       floor(m * 1000000)::BIGINT AS scale_micros
+        |FROM x ORDER BY vec_id, dim""".stripMargin,
+
     "cosine_topk" ->
       s"""WITH $NormCte,
          |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE vec_id < 10),

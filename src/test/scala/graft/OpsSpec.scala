@@ -160,6 +160,48 @@ class OpsSpec extends SparkSpec {
     assert(big.width == 16 && big.height == 16 && big.luma_hist.sum == 256L)
   }
 
+  test("int8 quantization: reconstruction error bounded by half a quantization step") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val q = Similarity.quantizeInt8(emb)
+    val orig = emb.select($"vec_id",
+      posexplode($"embedding".cast("array<double>")).as(Seq("dim", "x")))
+      .withColumn("dim", $"dim".cast("long"))
+    val m = orig.groupBy($"vec_id").agg(max(abs($"x")).as("m"))
+    val joined = q.join(orig, Seq("vec_id", "dim")).join(m, "vec_id")
+      .withColumn("err", abs($"x" - $"q8" * $"m" / 127.0))
+    // |x − q8·m/127| ≤ m/254 (round-half-up within ±0.5 step)
+    val bad = joined.filter($"err" > $"m" / 254.0 + 1e-12).count()
+    assert(bad == 0)
+    // the max-magnitude element of every non-zero vector hits ±127
+    val peaks = joined.filter(abs(abs($"x") - $"m") < 1e-15 && $"m" > 0)
+      .filter(abs($"q8") =!= 127).count()
+    assert(peaks == 0)
+  }
+
+  test("SRP bits: 16 bits per vector, values in {0,1}, deterministic") {
+    val emb = Tables.embeddings(spark, Sf0001).limit(50)
+    val bits = Similarity.srpBits(emb).collect()
+    assert(bits.length == 50 * 16)
+    assert(bits.forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
+    val again = Similarity.srpBits(emb).collect()
+    assert(bits.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("SRP near-dup pairs all verify above the cosine threshold") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val pairs = Similarity.srpNearDupPairs(emb, thresholdPct = 42)
+    val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val checked = pairs
+      .join(e.select($"vec_id".as("vec_a"), $"v".as("va")), "vec_a")
+      .join(e.select($"vec_id".as("vec_b"), $"v".as("vb")), "vec_b")
+      .withColumn("cos", Similarity.cosine($"va", $"vb"))
+      .collect()
+    assert(checked.nonEmpty) // sf0.001 embeddings contain near-dup pairs
+    assert(checked.forall(_.getAs[Double]("cos") * 100 > 42))
+    // canonical orientation, no self-pairs
+    assert(checked.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+
   test("TopK aggregator equals window row_number top-k") {
     import graft.ops.TopK
     val li = Tables.lineitem(spark, Sf0001)

@@ -69,6 +69,11 @@ def main():
             except Exception as e:
                 print(f"[DIFF] {name}: {e}")
         if eq:
+            if len(got) == 0:
+                # empty == empty proves nothing about the query logic —
+                # surface it so a threshold change that silently empties
+                # a result can't masquerade as a pass (cf. round-3 q11)
+                print(f"[WARN] {name}: 0 rows on BOTH sides — match is inconclusive")
             print(f"[ OK ] {name} ({len(got)} rows)"); n_ok += 1
         else:
             n_bad += 1
