@@ -141,13 +141,15 @@ object Similarity {
     * with probability 1 − θ/π (Goemans–Williamson), so shared-band
     * collisions concentrate on high-cosine pairs.
     *
-    * Determinism across engines: the hyperplane entries are ±1 derived
-    * from integer bit-mixing of (bit, dim) — s(i,d) = bit 13 of
-    * (i·73856093 XOR d·19349663) — and the projection is summed over
-    * INTEGER micro-quantized components (floor(x·1e6)), so the sign is
-    * exact int64 arithmetic with no float-summation-order risk. Output:
-    * one row per (vector, bit) — the same rows-not-bitmask layout as
-    * `minhash_signature`, band-packable downstream.
+    * Determinism across engines: the hyperplane entries are ±1 from an
+    * integer multiplicative-xorshift hash of the combined (bit, dim)
+    * index (see [[srpSign]] — every intermediate stays under int64, so
+    * DuckDB's checked multiply reproduces it), and the projection is
+    * summed over INTEGER micro-quantized components (floor(x·1e6)), so
+    * the sign is exact int64 arithmetic with no float-summation-order
+    * risk. Output: one row per (vector, bit) — the same
+    * rows-not-bitmask layout as `minhash_signature`, band-packable
+    * downstream.
     *
     * Scale: pure per-row projection work (explode of a 16-element
     * array), no shuffle; nbits·dim multiplies per vector.
@@ -159,9 +161,7 @@ object Similarity {
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
       val proj = aggregate(
         zip_with(q, sequence(lit(0L), size(col(embCol)).cast("long") - 1L),
-          (x, d) => x * when(
-            shiftright((i * lit(73856093L)).bitwiseXOR(d * lit(19349663L)), 13)
-              .bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L))),
+          (x, d) => when(srpSign(i, d), x).otherwise(-x)),
         lit(0L), (a, x) => a + x)
       struct(i.as("bit"),
         when(proj >= 0L, lit(1L)).otherwise(lit(0L)).as("bit_val"))
@@ -169,6 +169,80 @@ object Similarity {
     df.select(col(idCol), explode(entries).as("__e"))
       .select(col(idCol), col("__e.bit").as("bit"), col("__e.bit_val").as("bit_val"))
   }
+
+  /** Hyperplane sign for (bit i, dim d), as a boolean Column: a 32-bit
+    * multiplicative hash of the combined index with two xorshift
+    * rounds. Row balance ~32/64 and pairwise row agreement 18–40 (ideal
+    * binomial around 32) measured over 16×64 — a plain XOR of per-i and
+    * per-d products does NOT mix (every row degenerates to ±row₀; the
+    * measured collision disaster that motivated this shape). Multipliers
+    * are sized so no intermediate exceeds int64: the oracle's checked
+    * BIGINT arithmetic computes the identical value.
+    */
+  private def srpSign(i: Column, d: Column): Column = {
+    val mask = lit(4294967295L)
+    val h0 = ((i * lit(1000003L) + d) * lit(2654435761L)).bitwiseAND(mask)
+    val h1 = h0.bitwiseXOR(shiftright(h0, 13))
+    val h2 = (h1 * lit(40503L)).bitwiseAND(mask)
+    val h3 = h2.bitwiseXOR(shiftright(h2, 9))
+    shiftright(h3, 7).bitwiseAND(lit(1L)) === lit(1L)
+  }
+
+  /** Mean-centered SRP bits — the documented remedy for biased corpora:
+    * hyperplanes through the corpus CENTROID instead of the origin, so
+    * bits split the data ~evenly and bands block instead of colliding.
+    *
+    * Exactness across engines is preserved by never averaging floats:
+    * with q = floor(x·1e6) (int64), per-dim corpus sums S_d (exact
+    * integer, order-free) and corpus count n,
+    *   sign(Σ_d (q_d − S_d/n)·s(i,d)) = sign(n·Σ_d q_d·s(i,d) − Σ_d S_d·s(i,d))
+    * — all integer/decimal(38,0) arithmetic (the n· term can pass int64
+    * at 10^12 rows, hence decimal). The per-dim stats are a one-row
+    * aggregate broadcast back; the per-vector work stays a pure
+    * projection. Not oracled (the decimal CTE would dwarf the query);
+    * OpsSpec proves the blocking-rate win and bit balance instead.
+    */
+  def srpBitsCentered(df: DataFrame, nbits: Int = 16, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val q = transform(col(embCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    val dec = "decimal(38,0)"
+    // one row: S = per-dim sums (ordered by dim), n = corpus count
+    val stats = df.select(posexplode(q).as(Seq("__d", "__qd")))
+      .groupBy(col("__d")).agg(sum(col("__qd")).cast(dec).as("__s"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("__d"), col("__s")))),
+          e => e.getField("__s")).as("__S"),
+        count(lit(1)).cast(dec).as("__n_dims")) // sanity only
+    val n = df.agg(count(lit(1)).cast(dec).as("__n"))
+    val withStats = df.crossJoin(broadcast(stats)).crossJoin(broadcast(n))
+    val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
+      def sign(d: Column): Column = srpSign(i, d)
+      val dot1 = aggregate(
+        zip_with(q, sequence(lit(0L), size(col(embCol)).cast("long") - 1L),
+          (x, d) => when(sign(d), x).otherwise(-x)),
+        lit(0L), (a, x) => a + x)
+      val dot2 = aggregate(
+        zip_with(col("__S"), sequence(lit(0L), size(col("__S")).cast("long") - 1L),
+          (s, d) => when(sign(d), s).otherwise(-s)),
+        lit(0).cast(dec), (a, s) => a + s)
+      val proj = col("__n") * dot1 - dot2
+      struct(i.as("bit"),
+        when(proj >= 0, lit(1L)).otherwise(lit(0L)).as("bit_val"))
+    })
+    withStats.select(col(idCol), explode(entries).as("__e"))
+      .select(col(idCol), col("__e.bit").as("bit"), col("__e.bit_val").as("bit_val"))
+  }
+
+  /** Pack SRP bits into per-band signatures: band = bit div bandBits,
+    * signature = Σ bit_val · 2^(bit mod bandBits) — exact (pow on small
+    * integer exponents is representable; the Column API's shiftleft only
+    * takes a literal shift).
+    */
+  def srpBands(bits: DataFrame, bandBits: Int, idCol: String = "vec_id"): DataFrame =
+    bits.groupBy(col(idCol), (col("bit") / lit(bandBits)).cast("long").as("band"))
+      .agg(sum(col("bit_val") *
+        pow(lit(2.0), col("bit") % lit(bandBits)).cast("long")).as("band_sig"))
 
   /** SRP-banded near-duplicate pairs: bits pack into `nbits/bandBits`
     * band signatures, candidates share at least one full band, and only
@@ -179,25 +253,18 @@ object Similarity {
     * probability has a closed form; IVF gives better bucket balance).
     * Output: (vec_a, vec_b) with cosine·100 > thresholdPct.
     *
-    * Caveat (measured on the testdata corpus): hyperplanes pass through
-    * the ORIGIN, so un-centered embeddings (all-positive components)
-    * produce biased bits and weak blocking (~50% of all pairs collide
-    * here vs the ~0.6^8 per-band rate centered data would give). Real
-    * deployments mean-center the corpus (one tiny per-dim aggregate)
-    * before SRP; kept un-centered here because the centering pass would
-    * make the signature depend on float summation order across engines.
+    * Caveat: hyperplanes pass through the ORIGIN, so a corpus with a
+    * large mean vector (anisotropic embedding models) produces biased
+    * bits and weak blocking. For such corpora use [[srpBitsCentered]] +
+    * [[srpBands]] — OpsSpec measures the failure on a synthetically
+    * shifted corpus and the centered fix. On the (already centered)
+    * testdata, 2×8-bit bands block to ~1% of all pairs.
     */
   def srpNearDupPairs(corpus: DataFrame, thresholdPct: Int,
       nbits: Int = 16, bandBits: Int = 8,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(nbits % bandBits == 0)
-    // band signature = Σ bit_val · 2^(bit mod bandBits) — exact: pow on
-    // small integer exponents is representable (shiftleft takes only a
-    // literal shift in the Column API)
-    val bands = srpBits(corpus, nbits, idCol, embCol)
-      .groupBy(col(idCol), (col("bit") / lit(bandBits)).cast("long").as("band"))
-      .agg(sum(col("bit_val") *
-        pow(lit(2.0), col("bit") % lit(bandBits)).cast("long")).as("band_sig"))
+    val bands = srpBands(srpBits(corpus, nbits, idCol, embCol), bandBits, idCol)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&

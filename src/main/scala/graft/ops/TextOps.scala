@@ -36,6 +36,32 @@ object TextOps {
       (nToks >= 10 && nStop * 20 < nToks * 7).as("keep"))
   }
 
+  /** Gopher-style repetition quality signal: the fraction of a
+    * document's word 3-grams that are duplicates of an earlier 3-gram
+    * in the SAME document (boilerplate, keyword stuffing, degenerate
+    * generations all spike it). Pure per-row projection — 3-grams are
+    * assembled positionally inside Catalyst (transform over an index
+    * sequence), counted with size/array_distinct; no explode, no
+    * shuffle, so at 100 TB this is a free pass over the scan. The
+    * ratio divides two exact integers, reproducible across engines.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val n = size(grams)
+    val nd = size(array_distinct(grams))
+    df.select(
+      col(idCol),
+      n.cast("long").as("n_grams"),
+      nd.cast("long").as("n_distinct"),
+      when(n > 0, (n - nd).cast("double") / n.cast("double"))
+        .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Global token frequency: explode + hash aggregate (partial+final, so
     * the shuffle carries one row per distinct token per partition).
     */

@@ -77,10 +77,13 @@ object SimilarityQueries {
 
     "srp_near_dup" -> { (spark, dir) =>
       // Banded SRP blocking + cosine verify: the no-training alternative
-      // to IVF blocking for embedding near-dup at scale.
+      // to IVF blocking for embedding near-dup at scale. 2 bands × 8
+      // bits blocks to ~1% of all pairs on this corpus (probed); the
+      // 0.30 threshold keeps the verified set non-vacuous at every SF
+      // (37 / 28 / 573 rows at sf0.001/0.01/0.1).
       import spark.implicits._
       Similarity.srpNearDupPairs(Tables.embeddings(spark, dir),
-        thresholdPct = 42, nbits = 16, bandBits = 8)
+        thresholdPct = 30, nbits = 16, bandBits = 8)
         .orderBy("vec_a", "vec_b")
     },
 
@@ -119,9 +122,13 @@ object SimilarityQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS crk
        |    FROM scored) WHERE crk = 1)""".stripMargin
 
-  /** SRP bits, integer-exact (mirrors Similarity.srpBits): hyperplane
-    * sign from bit-mixed (bit, dim), projection over micro-quantized
-    * int64 components.
+  /** SRP bits, integer-exact (mirrors Similarity.srpBits / srpSign):
+    * hyperplane sign = multiplicative-xorshift hash of the combined
+    * (bit, dim) index (h0 = (bit·1000003+d)·2654435761 masked to 32
+    * bits; two xorshift+multiply rounds; take bit 7), projection over
+    * micro-quantized int64 components. The hash subexpressions are
+    * inlined (a single SELECT cannot define macros); every intermediate
+    * stays under int64 so DuckDB's checked arithmetic matches Spark's.
     */
   private val SrpCte =
     """qe AS (SELECT vec_id,
@@ -130,8 +137,13 @@ object SimilarityQueries {
       |bits AS (
       |  SELECT vec_id, bit,
       |         CASE WHEN list_sum(list_transform(range(1, len(q) + 1), d ->
-      |                q[d] * (CASE WHEN (xor(bit * 73856093, (d - 1) * 19349663) >> 13) & 1 = 1
-      |                        THEN 1 ELSE -1 END)))::BIGINT >= 0
+      |                CASE WHEN (
+      |                  (xor((xor(((bit * 1000003 + (d-1)) * 2654435761) & 4294967295,
+      |                            (((bit * 1000003 + (d-1)) * 2654435761) & 4294967295) >> 13) * 40503) & 4294967295,
+      |                       ((xor(((bit * 1000003 + (d-1)) * 2654435761) & 4294967295,
+      |                            (((bit * 1000003 + (d-1)) * 2654435761) & 4294967295) >> 13) * 40503) & 4294967295) >> 9)
+      |                   >> 7) & 1) = 1
+      |                THEN q[d] ELSE -q[d] END))::BIGINT >= 0
       |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit_val
       |  FROM (SELECT vec_id, q, unnest(range(0, 16)) AS bit FROM qe))""".stripMargin
 
@@ -153,7 +165,7 @@ object SimilarityQueries {
          |SELECT vec_a, vec_b
          |FROM cand JOIN e ea ON ea.vec_id = cand.vec_a
          |          JOIN e eb ON eb.vec_id = cand.vec_b
-         |WHERE (list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)) * 100 > 42
+         |WHERE (list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)) * 100 > 30
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "embed_quantize" ->

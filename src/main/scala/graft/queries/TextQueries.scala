@@ -47,6 +47,14 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "repetition_stats" -> { (spark, dir) =>
+      // Gopher-style within-document repetition (duplicate word-3-gram
+      // fraction) — all positional Catalyst expressions, zero shuffle.
+      import spark.implicits._
+      TextOps.repetitionStats(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "token_counts" -> { (spark, dir) =>
       import spark.implicits._
       TextOps.tokenCounts(Tables.documents(spark, dir))
@@ -210,6 +218,21 @@ object TextQueries {
         |       (len(toks) >= 10 AND
         |        len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) * 20 < len(toks) * 7) AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |             CASE WHEN len(toks) >= 3
+        |                  THEN list_transform(range(1, len(toks) - 1),
+        |                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |                  ELSE []::VARCHAR[] END AS grams
+        |      FROM t)
+        |SELECT doc_id, len(grams)::BIGINT AS n_grams,
+        |       len(list_distinct(grams))::BIGINT AS n_distinct,
+        |       CASE WHEN len(grams) > 0
+        |            THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)::DOUBLE
+        |            ELSE 0.0 END AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "token_counts" ->
       """SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs

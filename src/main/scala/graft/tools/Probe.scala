@@ -111,6 +111,10 @@ object Probe {
       val n = "(?m)Exchange".r.findAllIn(plan).size
       val reused = "ReusedExchange".r.findAllIn(plan).size
       println(s"[probe] $q exchanges=$n reused=$reused")
+      // cached plans from an earlier query print their whole subtree
+      // inside later InMemoryRelations and inflate the count — keep
+      // each query's reading cache-clean
+      graft.ops.Dedup.releaseCaches()
     }
     spark.stop()
   }

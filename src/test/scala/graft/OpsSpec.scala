@@ -187,17 +187,47 @@ class OpsSpec extends SparkSpec {
     assert(bits.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("centered SRP collapses the collision rate of a mean-shifted corpus") {
+    // Plant the failure mode: +1.0 on every component makes all vectors
+    // near-parallel to the mean, origin hyperplanes assign them nearly
+    // identical bits, and banding stops blocking. Centering must restore
+    // the blocking rate of the unshifted corpus.
+    val emb = Tables.embeddings(spark, Sf0001)
+    val biased = emb.withColumn("embedding",
+      transform($"embedding".cast("array<double>"), x => x + lit(1.0)))
+    val nVec = emb.count()
+    def candRate(bits: org.apache.spark.sql.DataFrame): Double = {
+      val bands = Similarity.srpBands(bits, bandBits = 8)
+      val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
+      cand.toDouble / (nVec * (nVec - 1) / 2)
+    }
+    val shiftedRaw = candRate(Similarity.srpBits(biased))
+    val shiftedCentered = candRate(Similarity.srpBitsCentered(biased))
+    val baseline = candRate(Similarity.srpBits(emb))
+    info(f"candidate rate: shifted=$shiftedRaw%.3f centered=$shiftedCentered%.3f baseline=$baseline%.3f")
+    assert(shiftedRaw > 0.5, s"bias should collapse blocking, got $shiftedRaw")
+    assert(shiftedCentered < shiftedRaw / 10,
+      s"centering should restore blocking: $shiftedCentered vs $shiftedRaw")
+    // centered bits are balanced even on the shifted corpus
+    val mean = Similarity.srpBitsCentered(biased)
+      .agg(avg(col("bit_val"))).head.getDouble(0)
+    assert(mean > 0.35 && mean < 0.65, s"bit mean $mean")
+  }
+
   test("SRP near-dup pairs all verify above the cosine threshold") {
     val emb = Tables.embeddings(spark, Sf0001)
-    val pairs = Similarity.srpNearDupPairs(emb, thresholdPct = 42)
+    val pairs = Similarity.srpNearDupPairs(emb, thresholdPct = 30)
     val e = emb.select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val checked = pairs
       .join(e.select($"vec_id".as("vec_a"), $"v".as("va")), "vec_a")
       .join(e.select($"vec_id".as("vec_b"), $"v".as("vb")), "vec_b")
       .withColumn("cos", Similarity.cosine($"va", $"vb"))
       .collect()
-    assert(checked.nonEmpty) // sf0.001 embeddings contain near-dup pairs
-    assert(checked.forall(_.getAs[Double]("cos") * 100 > 42))
+    assert(checked.nonEmpty) // probed: 37 verified pairs at sf0.001
+    assert(checked.forall(_.getAs[Double]("cos") * 100 > 30))
     // canonical orientation, no self-pairs
     assert(checked.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }

@@ -107,6 +107,8 @@ class PlanSpec extends SparkSpec {
                                    // the order-key layout) + supp join,
                                    // agg, sort — was 9 as self-joins
       "top_ngrams_per_lang" -> 7,
+      "srp_near_dup" -> 7,      // band agg + band self-join + verify re-join
+      "repetition_stats" -> 1,  // pure projection + final sort
       "dedup_minhash" -> 36)    // shingle→sig→band LSH→verify pipeline
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
