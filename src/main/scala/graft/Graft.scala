@@ -50,6 +50,7 @@ object Graft {
     Dedup.simhashNearDup(docs, maxDist = maxDist)
   def duplicateClusters(pairs: DataFrame): DataFrame =
     Dedup.connectedComponents(pairs)
+  def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
 
   // similarity
   def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
@@ -67,8 +68,20 @@ object Graft {
   def fingerprints(docs: DataFrame): DataFrame = TextOps.fingerprint(docs)
   def winnowFingerprints(docs: DataFrame): DataFrame = TextOps.winnow(docs)
 
-  // embedding dedup
+  def repetition(docs: DataFrame): DataFrame = TextOps.repetitionStats(docs)
+
+  // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int): DataFrame =
     Similarity.nearDupPairs(corpus, centroids, thresholdPct)
+  def srpSignatures(corpus: DataFrame, nbits: Int = 16): DataFrame =
+    Similarity.srpBits(corpus, nbits)
+  def srpNearDuplicates(corpus: DataFrame, thresholdPct: Int): DataFrame =
+    Similarity.srpNearDupPairs(corpus, thresholdPct)
+  def quantizeEmbeddings(corpus: DataFrame): DataFrame =
+    Similarity.quantizeInt8(corpus)
+
+  // multimodal
+  def decodeMedia(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.decode(media)
 }

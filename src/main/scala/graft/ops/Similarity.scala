@@ -210,10 +210,8 @@ object Similarity {
     // one row: S = per-dim sums (ordered by dim), n = corpus count
     val stats = df.select(posexplode(q).as(Seq("__d", "__qd")))
       .groupBy(col("__d")).agg(sum(col("__qd")).cast(dec).as("__s"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("__d"), col("__s")))),
-          e => e.getField("__s")).as("__S"),
-        count(lit(1)).cast(dec).as("__n_dims")) // sanity only
+      .agg(transform(array_sort(collect_list(struct(col("__d"), col("__s")))),
+        e => e.getField("__s")).as("__S"))
     val n = df.agg(count(lit(1)).cast(dec).as("__n"))
     val withStats = df.crossJoin(broadcast(stats)).crossJoin(broadcast(n))
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {

@@ -55,6 +55,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "pack_sequences" -> { (spark, dir) =>
+      // Sequence packing — the pretraining data layout: documents
+      // concatenate per source shard in doc_id order and each doc's bin
+      // is the 4096-token window its first token lands in (sequential
+      // fill, no doc splitting). ONE exchange: the running sum windows
+      // by source, and shards pack independently — at 100 TB every
+      // shard is its own parallel packing problem, no global state.
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(spark, dir)
+        .select($"doc_id", $"source",
+          size(split($"text", " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"doc_id", $"source", $"n_tokens",
+          (($"cum" - $"n_tokens") / 4096).cast("long").as("bin_no"),
+          ($"cum" - $"n_tokens").as("offset_tokens"))
+        .orderBy("source", "doc_id")
+    },
+
     "token_counts" -> { (spark, dir) =>
       import spark.implicits._
       TextOps.tokenCounts(Tables.documents(spark, dir))
@@ -233,6 +254,17 @@ object TextQueries {
         |            THEN (len(grams) - len(list_distinct(grams)))::DOUBLE / len(grams)::DOUBLE
         |            ELSE 0.0 END AS dup_frac
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source,
+        |                  len(string_split(text, ' '))::BIGINT AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, (off // 4096)::BIGINT AS bin_no,
+        |       off::BIGINT AS offset_tokens
+        |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "token_counts" ->
       """SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs

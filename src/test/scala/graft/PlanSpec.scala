@@ -109,6 +109,7 @@ class PlanSpec extends SparkSpec {
       "top_ngrams_per_lang" -> 7,
       "srp_near_dup" -> 7,      // band agg + band self-join + verify re-join
       "repetition_stats" -> 1,  // pure projection + final sort
+      "pack_sequences" -> 2,    // per-shard running-sum window + sort
       "dedup_minhash" -> 36)    // shingle→sig→band LSH→verify pipeline
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
