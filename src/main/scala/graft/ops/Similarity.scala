@@ -158,10 +158,12 @@ object Similarity {
       embCol: String = "embedding"): DataFrame = {
     val q = transform(col(embCol).cast("array<double>"),
       x => floor(x * lit(1000000.0)).cast("long"))
+    val m = signMatrix(nbits)
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
-      val proj = aggregate(
-        zip_with(q, sequence(lit(0L), size(col(embCol)).cast("long") - 1L),
-          (x, d) => when(srpSign(i, d), x).otherwise(-x)),
+      // slice the matrix row to the vector's length — zip_with pads the
+      // shorter side with nulls otherwise
+      val row = slice(element_at(m, (i + 1).cast("int")), lit(1), size(q))
+      val proj = aggregate(zip_with(q, row, (x, s) => x * s),
         lit(0L), (a, x) => a + x)
       struct(i.as("bit"),
         when(proj >= 0L, lit(1L)).otherwise(lit(0L)).as("bit_val"))
@@ -170,22 +172,38 @@ object Similarity {
       .select(col(idCol), col("__e.bit").as("bit"), col("__e.bit_val").as("bit_val"))
   }
 
-  /** Hyperplane sign for (bit i, dim d), as a boolean Column: a 32-bit
-    * multiplicative hash of the combined index with two xorshift
-    * rounds. Row balance ~32/64 and pairwise row agreement 18–40 (ideal
-    * binomial around 32) measured over 16×64 — a plain XOR of per-i and
-    * per-d products does NOT mix (every row degenerates to ±row₀; the
-    * measured collision disaster that motivated this shape). Multipliers
-    * are sized so no intermediate exceeds int64: the oracle's checked
-    * BIGINT arithmetic computes the identical value.
+  /** Dims covered by the precomputed hyperplane matrix; vectors longer
+    * than this would zip against nulls — raise it if a wider embedding
+    * model lands.
     */
-  private def srpSign(i: Column, d: Column): Column = {
-    val mask = lit(4294967295L)
-    val h0 = ((i * lit(1000003L) + d) * lit(2654435761L)).bitwiseAND(mask)
-    val h1 = h0.bitwiseXOR(shiftright(h0, 13))
-    val h2 = (h1 * lit(40503L)).bitwiseAND(mask)
-    val h3 = h2.bitwiseXOR(shiftright(h2, 9))
-    shiftright(h3, 7).bitwiseAND(lit(1L)) === lit(1L)
+  val SrpMaxDims = 256
+
+  /** The ±1 hyperplane matrix as ONE literal nested array: the sign is
+    * a pure function of (bit, dim), so it folds at plan time instead of
+    * re-hashing per element per row (measured: the inline hash spent
+    * ~10 interpreted ops × nbits × dim per vector; the literal matrix
+    * is one element_at). [[srpSignScala]] must stay formula-identical
+    * to the oracle SQL in SimilarityQueries.SrpCte.
+    */
+  private def signMatrix(nbits: Int): Column =
+    typedLit(Seq.tabulate(nbits, SrpMaxDims)((i, d) => srpSignScala(i, d)))
+
+  /** Hyperplane sign for (bit i, dim d): a 32-bit multiplicative hash
+    * of the combined index with two xorshift rounds. Row balance ~32/64
+    * and pairwise row agreement 18–40 (ideal binomial around 32)
+    * measured over 16×64 — a plain XOR of per-i and per-d products does
+    * NOT mix (every row degenerates to ±row₀; the measured collision
+    * disaster that motivated this shape). Multipliers are sized so no
+    * intermediate exceeds int64: the oracle's checked BIGINT arithmetic
+    * computes the identical value.
+    */
+  private def srpSignScala(i: Int, d: Int): Long = {
+    val mask = 4294967295L
+    val h0 = ((i.toLong * 1000003L + d.toLong) * 2654435761L) & mask
+    val h1 = h0 ^ (h0 >>> 13)
+    val h2 = (h1 * 40503L) & mask
+    val h3 = h2 ^ (h2 >>> 9)
+    if (((h3 >>> 7) & 1L) == 1L) 1L else -1L
   }
 
   /** Mean-centered SRP bits — the documented remedy for biased corpora:
@@ -214,15 +232,13 @@ object Similarity {
         e => e.getField("__s")).as("__S"))
     val n = df.agg(count(lit(1)).cast(dec).as("__n"))
     val withStats = df.crossJoin(broadcast(stats)).crossJoin(broadcast(n))
+    val m = signMatrix(nbits)
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
-      def sign(d: Column): Column = srpSign(i, d)
-      val dot1 = aggregate(
-        zip_with(q, sequence(lit(0L), size(col(embCol)).cast("long") - 1L),
-          (x, d) => when(sign(d), x).otherwise(-x)),
+      val rowQ = slice(element_at(m, (i + 1).cast("int")), lit(1), size(q))
+      val rowS = slice(element_at(m, (i + 1).cast("int")), lit(1), size(col("__S")))
+      val dot1 = aggregate(zip_with(q, rowQ, (x, s) => x * s),
         lit(0L), (a, x) => a + x)
-      val dot2 = aggregate(
-        zip_with(col("__S"), sequence(lit(0L), size(col("__S")).cast("long") - 1L),
-          (s, d) => when(sign(d), s).otherwise(-s)),
+      val dot2 = aggregate(zip_with(col("__S"), rowS, (s, sg) => s * sg),
         lit(0).cast(dec), (a, s) => a + s)
       val proj = col("__n") * dot1 - dot2
       struct(i.as("bit"),
