@@ -108,6 +108,8 @@ class PlanSpec extends SparkSpec {
                                    // agg, sort — was 9 as self-joins
       "top_ngrams_per_lang" -> 7,
       "srp_near_dup" -> 7,      // band agg + band self-join + verify re-join
+      "srp_signature" -> 1,     // pure projection + final sort
+      "embed_quantize" -> 1,    // pure projection + final sort
       "repetition_stats" -> 1,  // pure projection + final sort
       "pack_sequences" -> 2,    // per-shard running-sum window + sort
       "dedup_minhash" -> 36)    // shingle→sig→band LSH→verify pipeline
