@@ -48,16 +48,58 @@ object Multimodal {
 
   val LumaBins = 16
 
+  /** Decompression-bomb budget: the largest raster a single payload may
+    * allocate (64 MPx ≈ 256 MB of TYPE_INT_RGB). A web-crawl corpus WILL
+    * contain hostile images whose tiny compressed payload declares a
+    * gigapixel canvas; `ImageIO.read` would allocate the full raster and
+    * kill the executor with an OutOfMemoryError — an Error, which the
+    * one-bad-row catch below does not (and must not) swallow. So
+    * dimensions are read from the HEADER first and oversized images are
+    * rejected before any raster exists.
+    */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
+  /** Header-only dimensions — no raster allocation. None when no
+    * registered reader recognizes the payload.
+    */
+  private def headerDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      if (iis == null) None
+      else try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Guarded decode: header dims first, raster only within budget. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      headerDims(bytes) match {
+        case Some((w, h)) if w > 0 && h > 0 && w.toLong * h <= MaxPixels =>
+          Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+
   /** Pixel features via the JDK decoder: dimensions, per-channel means,
     * and a 16-bin luminance (BT.601 integer weights) histogram. Returns
     * None when the bytes don't decode (truncated file, unsupported
-    * format) — the caller falls back to byte-level features rather than
-    * failing the task, because at 100 TB some corrupt payloads are a
-    * certainty and one bad row must not kill a 10^6-row partition.
+    * format, or a raster past [[MaxPixels]]) — the caller falls back to
+    * byte-level features rather than failing the task, because at 100 TB
+    * some corrupt payloads are a certainty and one bad row must not kill
+    * a 10^6-row partition.
     */
   private def imageFeatures(bytes: Array[Byte]): Option[(Int, Int, Double, Double, Double, Array[Long])] =
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = decodeImage(bytes).orNull
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth
@@ -126,30 +168,68 @@ object Multimodal {
     media.mapPartitions(_.grouped(batchSize).flatMap(_.map(extract)))
   }
 
-  /** "Resize" plumbing: normalize every media payload to exactly
-    * `targetBytes` via stride sampling (truncate/repeat for the stub) —
-    * the byte-level stand-in for image resize / audio resample, which
-    * is what embedding models need before batching (fixed input shape).
-    * STUB: a real implementation decodes, resamples, and re-encodes;
-    * the fixed-output-shape contract and per-partition batching stay.
+  /** Byte-level shape normalization for NON-IMAGE payloads: exactly
+    * `targetBytes` out via proportional stride sampling — the honest
+    * stand-in for audio resample / video re-mux (no JDK codecs).
     */
-  def resizeStub(media: Dataset[MediaRow], targetBytes: Int = 256): Dataset[MediaRow] = {
+  private def strideSample(src: Array[Byte], targetBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](targetBytes)
+    if (src.nonEmpty) {
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = src(((i.toLong * src.length) / targetBytes).toInt)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** REAL image resize: decode (header-guarded, see [[decodeImage]]) →
+    * `Graphics2D.drawImage` bilinear scale to targetW×targetH →
+    * re-encode PNG. Every embedding model wants a fixed input shape
+    * before batching; this is the image leg. Payloads that aren't
+    * decodable images (wrong mime, corrupt bytes, raster past
+    * [[MaxPixels]]) fall back to [[strideSample]] at targetW·targetH
+    * bytes, so the fixed-output-shape contract holds for EVERY row and
+    * one bad payload never kills the partition.
+    *
+    * Scale posture: pure per-row work behind `mapPartitions` (the
+    * black-box-codec exception to functions-not-UDFs), no shuffle; the
+    * output schema/meta contract is identical to the input's.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int = 16, targetH: Int = 16): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    require(targetBytes > 0)
+    require(targetW > 0 && targetH > 0)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val src = r.content
-        val out = new Array[Byte](targetBytes)
-        if (src.nonEmpty) {
-          var i = 0
-          while (i < targetBytes) {
-            // stride-sample proportionally across the source payload
-            out(i) = src(((i.toLong * src.length) / targetBytes).toInt)
-            i += 1
-          }
+        val scaled: Option[Array[Byte]] =
+          if (r.meta.mimeType.startsWith("image/")) {
+            decodeImage(r.content).flatMap { img =>
+              try {
+                val dst = new java.awt.image.BufferedImage(targetW, targetH,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, targetW, targetH, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                ImageIO.write(dst, "png", bos)
+                Some(bos.toByteArray)
+              } catch { case _: Exception => None }
+            }
+          } else None
+        scaled match {
+          case Some(bytes) =>
+            r.copy(content = bytes,
+              meta = r.meta.copy(mimeType = "image/png", sizeBytes = bytes.length.toLong))
+          case None =>
+            val out = strideSample(r.content, targetW * targetH)
+            r.copy(content = out,
+              meta = r.meta.copy(sizeBytes = out.length.toLong))
         }
-        r.copy(content = out,
-          meta = r.meta.copy(sizeBytes = targetBytes.toLong))
       }
     }
   }

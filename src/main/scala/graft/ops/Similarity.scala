@@ -156,8 +156,8 @@ object Similarity {
     */
   def srpBits(df: DataFrame, nbits: Int = 16, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val q = transform(col(embCol).cast("array<double>"),
-      x => floor(x * lit(1000000.0)).cast("long"))
+    val base = df.withColumn("__q", quantizedGuarded(col(embCol)))
+    val q = col("__q")
     val m = signMatrix(nbits)
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
       // slice the matrix row to the vector's length — zip_with pads the
@@ -168,13 +168,30 @@ object Similarity {
       struct(i.as("bit"),
         when(proj >= 0L, lit(1L)).otherwise(lit(0L)).as("bit_val"))
     })
-    df.select(col(idCol), explode(entries).as("__e"))
+    base.select(col(idCol), explode(entries).as("__e"))
       .select(col(idCol), col("__e.bit").as("bit"), col("__e.bit_val").as("bit_val"))
   }
 
-  /** Dims covered by the precomputed hyperplane matrix; vectors longer
-    * than this would zip against nulls — raise it if a wider embedding
-    * model lands.
+  /** Micro-quantize an embedding to int64 components, FAILING LOUDLY on
+    * vectors wider than the hyperplane matrix. Without the guard a
+    * 384/768-dim embedding would slice against a 256-wide matrix row,
+    * zip_with would pad with nulls, the projection would fold to NULL,
+    * and every bit would silently emit 0 — garbage signatures and a
+    * banding step that degenerates toward all-pairs, with no error.
+    */
+  private def quantizedGuarded(emb: Column): Column = {
+    val q = transform(emb.cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    when(size(q) <= lit(SrpMaxDims), q).otherwise(raise_error(concat(
+      lit("SRP: embedding dim "), size(q).cast("string"),
+      lit(s" exceeds SrpMaxDims=$SrpMaxDims; raise SrpMaxDims so the" +
+        " hyperplane matrix covers every dimension"))))
+  }
+
+  /** Dims covered by the precomputed hyperplane matrix. Vectors longer
+    * than this raise at runtime (see [[quantizedGuarded]]) — raise the
+    * constant if a wider embedding model lands; the matrix literal grows
+    * linearly and still folds at plan time.
     */
   val SrpMaxDims = 256
 
@@ -222,16 +239,16 @@ object Similarity {
     */
   def srpBitsCentered(df: DataFrame, nbits: Int = 16, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val q = transform(col(embCol).cast("array<double>"),
-      x => floor(x * lit(1000000.0)).cast("long"))
+    val base = df.withColumn("__q", quantizedGuarded(col(embCol)))
+    val q = col("__q")
     val dec = "decimal(38,0)"
     // one row: S = per-dim sums (ordered by dim), n = corpus count
-    val stats = df.select(posexplode(q).as(Seq("__d", "__qd")))
+    val stats = base.select(posexplode(q).as(Seq("__d", "__qd")))
       .groupBy(col("__d")).agg(sum(col("__qd")).cast(dec).as("__s"))
       .agg(transform(array_sort(collect_list(struct(col("__d"), col("__s")))),
         e => e.getField("__s")).as("__S"))
-    val n = df.agg(count(lit(1)).cast(dec).as("__n"))
-    val withStats = df.crossJoin(broadcast(stats)).crossJoin(broadcast(n))
+    val n = base.agg(count(lit(1)).cast(dec).as("__n"))
+    val withStats = base.crossJoin(broadcast(stats)).crossJoin(broadcast(n))
     val m = signMatrix(nbits)
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
       val rowQ = slice(element_at(m, (i + 1).cast("int")), lit(1), size(q))

@@ -23,6 +23,97 @@ object SessionQueries {
 
   private val GapUs = 1800L * 1000000L
 
+  /** Serializes the shuffle-partitions mutation in `streaming_session_agg`
+    * (session-global conf; see the comment at the call site).
+    */
+  private object StreamConfLock
+
+  /** Staged (events + watermark sentinel) parquet input for the streaming
+    * query, created ONCE per sfDir per JVM. Round-4 scaffolding cost: a
+    * full corpus rewrite PLUS a separate `agg(max).head()` pass on every
+    * invocation — two extra corpus scans that measured the harness, not
+    * the engine. Here max(ts) is observed INSIDE the single staging write
+    * (`observe` rides the write job; no extra action), the sentinel row is
+    * a one-row append, and an empty events table fails loudly instead of
+    * NPE-ing on a null max.
+    */
+  private val stagedIn = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedStreamInput(spark: SparkSession, dir: String): String =
+    stagedIn.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      val ev = Tables.events(spark, dir).select($"user_id", $"ts", $"event_id")
+      val obs = org.apache.spark.sql.Observation()
+      ev.observe(obs, max($"ts").as("max_ts")).write.parquet(in)
+      val maxTs = obs.get("max_ts").asInstanceOf[java.sql.Timestamp]
+      require(maxTs != null,
+        s"streaming_session_agg: events at $dir is empty — cannot place a watermark sentinel")
+      Seq((-999L, new java.sql.Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
+        .toDF("user_id", "ts", "event_id")
+        .write.mode("append").parquet(in)
+      in
+    })
+
+  /** Two consecutive hours of the corpus picked for the production-job
+    * query: the fixed mid-range boundary (same instant as [[BoundaryUs]])
+    * guarantees data on both sides at every SF.
+    */
+  private val JobHourLoUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
+  private val JobHourHiUs = JobHourLoUs + 2L * 3600000000L
+
+  /** Hour-partitioned Hive `logs/` layout for [[graft.jobs.SessionizeHour]],
+    * staged once per sfDir per JVM: events in the two chosen hours are
+    * mapped onto the reference's behavior schema (event_time as the
+    * literal-UTC SECOND-granularity string, BS:4 — the oracle truncates
+    * to seconds to match) and written partitioned by (event_date,
+    * event_hour).
+    */
+  private val stagedLogs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedJobLogs(spark: SparkSession, dir: String): String =
+    stagedLogs.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-hour-logs")
+      deleteRecursivelyOnExit(base)
+      val logs = s"$base/logs"
+      val behaviors = Tables.events(spark, dir)
+        .filter(unix_micros($"ts") >= JobHourLoUs && unix_micros($"ts") < JobHourHiUs)
+        .select(
+          concat(date_format($"ts", "yyyy-MM-dd HH:mm:ss"), lit(" UTC")).as("event_time"),
+          $"event_type",
+          $"event_id".as("product_id"),
+          lit(0L).as("category_id"),
+          lit("c0").as("category_code"),
+          lit("b0").as("brand"),
+          $"value".as("price"),
+          $"user_id")
+      graft.jobs.Ingest.derivePartitions(behaviors)
+        .repartition(col("event_date"), col("event_hour"))
+        .write.partitionBy("event_date", "event_hour")
+        .mode("overwrite").parquet(logs)
+      logs
+    })
+
+  /** Best-effort recursive cleanup of a temp dir at JVM exit (the staged
+    * input and each run's out/ckpt dirs — bounded: one staging dir per
+    * sfDir plus one small dir per invocation, all reclaimed on exit).
+    */
+  private def deleteRecursivelyOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import scala.util.Try
+      Try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Try(Files.delete(f)); () })
+        finally walk.close()
+      }
+      ()
+    }))
+
   /** Events up to the fixed mid-range boundary used by active-session tests. */
   private val BoundaryUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
 
@@ -132,31 +223,66 @@ object SessionQueries {
       // session's close, so append mode must emit ALL real sessions —
       // making the streaming output row-for-row comparable to the
       // batch gap-rule oracle (the StreamingSpec sf0.01 recipe).
+      //
+      // The input is staged ONCE per sfDir per JVM (see
+      // [[stagedStreamInput]]); only the stream itself — the engine
+      // path under test — re-runs per invocation, into fresh out/ckpt
+      // dirs that are removed on JVM exit.
       import spark.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
-      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
-      val ev = Tables.events(spark, dir).select($"user_id", $"ts", $"event_id")
-      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
-      val sentinel = Seq((-999L, new java.sql.Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
-        .toDF("user_id", "ts", "event_id")
-      ev.unionByName(sentinel).write.parquet(in)
+      val in = stagedStreamInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id").schema
       // State-store count (= shuffle partitions at the stream's first
       // batch) is pinned into the checkpoint and is a PER-JOB sizing
       // decision: each state partition costs snapshot/commit files per
       // micro-batch, so a streaming job sizes it to its state volume —
       // not to the interactive session's OLAP width. 8 fits this
       // corpus; a 100 TB deployment would set hundreds, via the same
-      // knob, at job launch.
-      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // knob, at job launch. The mutation is session-global, so it is
+      // serialized under StreamConfLock and restore-guarded — safe as
+      // long as no OTHER thread runs queries concurrently on this
+      // shared session (the verify/bench harnesses are sequential).
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.run(spark, schema, in, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       spark.read.parquet(out).filter($"user_id" =!= -999L)
         .select($"user_id",
           unix_micros($"session_start").as("start_us"),
           unix_micros($"session_end").as("end_us"),
           $"n_events", $"first_event", $"last_event")
         .orderBy("user_id", "start_us")
+    },
+
+    "sessionize_hour_job" -> { (spark, dir) =>
+      // The reference's PRODUCTION JOB (SessionizationBuiltIn.scala:31-66
+      // parity) under the driver's DuckDB oracle — not just its operator
+      // pieces: events → hour-partitioned Hive logs (staged once per
+      // sfDir), then TWO consecutive hourly SessionizeHour runs via
+      // `backfill` (hour 01 reads hour 00's still-active sessions as
+      // carry state: S2→U1→W3), then the sessions table is read back
+      // through the imposed session schema. The oracle is the batch gap
+      // rule over the same two hours on second-truncated timestamps
+      // (the behavior schema's event_time carries second granularity) —
+      // incremental-with-carry must equal one batch pass.
+      import spark.implicits._
+      val logs = stagedJobLogs(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-hour-sess")
+      deleteRecursivelyOnExit(base)
+      val sessions = s"$base/sessions"
+      graft.jobs.SessionizeHour.backfill(spark, logs, sessions,
+        Seq(("2024-01-15", "00"), ("2024-01-15", "01")))
+      spark.read.schema(graft.schema.Schemas.session).parquet(sessions)
+        .select($"product_id".as("event_id"), $"user_id",
+          unix_micros(to_timestamp($"event_time",
+            graft.schema.Schemas.EventTimeFormat)).as("ts_us"),
+          $"session_id", $"event_hour")
+        .orderBy("event_id")
     },
 
     "concurrent_sessions" -> { (spark, dir) =>
@@ -345,6 +471,28 @@ object SessionQueries {
       """SELECT event_id, user_id,
         |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "sessionize_hour_job" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('second', ts) AS ts2
+        |  FROM events
+        |  WHERE epoch_us(ts) >= 1705276800000000
+        |    AND epoch_us(ts) <  1705276800000000 + 7200000000),
+        |d AS (
+        |  SELECT *, epoch_us(ts2) - lag(epoch_us(ts2))
+        |            OVER (PARTITION BY user_id ORDER BY ts2, event_id) AS gap_us
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts2, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d),
+        |t AS (
+        |  SELECT *, min(epoch_us(ts2)) OVER (PARTITION BY user_id, session_no) AS start_us
+        |  FROM s)
+        |SELECT event_id, user_id, epoch_us(ts2) AS ts_us,
+        |       sha256(user_id::VARCHAR || '-' || start_us::VARCHAR) AS session_id,
+        |       strftime(ts2, '%H') AS event_hour
+        |FROM t ORDER BY event_id""".stripMargin,
 
     "concurrent_sessions" ->
       """WITH d AS (

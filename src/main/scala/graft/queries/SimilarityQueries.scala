@@ -87,6 +87,17 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    "srp_signature_centered" -> { (spark, dir) =>
+      // Mean-centered SRP bits — rows-only under the driver (like the
+      // HLL/GK sketches): the exact decimal(38,0) oracle CTE would dwarf
+      // the query, so OpsSpec proves the semantics (blocking-rate win on
+      // a planted-bias corpus, bit balance) and the driver at least
+      // EXECUTES the full path each round.
+      import spark.implicits._
+      Similarity.srpBitsCentered(Tables.embeddings(spark, dir), nbits = 16)
+        .orderBy("vec_id", "bit")
+    },
+
     "embed_quantize" -> { (spark, dir) =>
       // Symmetric int8 quantization of the embedding corpus (the
       // serving/storage format); exact double chain → bit-identical q8.

@@ -62,6 +62,11 @@ object TextQueries {
       // fill, no doc splitting). ONE exchange: the running sum windows
       // by source, and shards pack independently — at 100 TB every
       // shard is its own parallel packing problem, no global state.
+      // Hot-shard boundary (ScaleSpec): a single 10^6-doc shard
+      // serializes into one window task and completes in ~0.7 s; a
+      // shard that outgrows a task falls back to two-phase packing
+      // (per-bucket offsets + a tiny prefix-sum merge of bucket
+      // totals — same output, one extra narrow pass).
       import spark.implicits._
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"source").orderBy($"doc_id")

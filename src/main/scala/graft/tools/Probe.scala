@@ -98,6 +98,10 @@ object Probe {
     * exchange, per query.
     */
   def exchangesMain(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Probe exchanges <sfDir> <query>...")
+      return
+    }
     val sfDir = args.head
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -108,7 +112,8 @@ object Probe {
     args.tail.foreach { q =>
       val plan = graft.SparkEntry.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
-      val n = "(?m)Exchange".r.findAllIn(plan).size
+      // negative lookbehind: "ReusedExchange" must not count as a shuffle
+      val n = "(?<!Reused)Exchange".r.findAllIn(plan).size
       val reused = "ReusedExchange".r.findAllIn(plan).size
       println(s"[probe] $q exchanges=$n reused=$reused")
       // cached plans from an earlier query print their whole subtree

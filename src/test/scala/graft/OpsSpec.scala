@@ -118,9 +118,9 @@ class OpsSpec extends SparkSpec {
         f.width, f.height, f.mean_r, f.mean_g, f.mean_b, f.luma_hist.toSeq)
     assert(batched.sortBy(_.media_id).map(key).toSeq ==
       feats.sortBy(_.media_id).map(key).toSeq)
-    // resize: every payload lands at exactly the target shape, metadata
-    // tracks it, ids survive
-    val resized = Multimodal.resizeStub(media.as[Multimodal.MediaRow], 128).collect()
+    // resize fallback: non-image payloads land at exactly targetW·targetH
+    // bytes via stride sampling, metadata tracks it, ids survive
+    val resized = Multimodal.resize(media.as[Multimodal.MediaRow], 16, 8).collect()
     assert(resized.length == 10)
     assert(resized.forall(r => r.content.length == 128 && r.meta.sizeBytes == 128L))
     assert(resized.map(_.media_id).sorted.toSeq == feats.map(_.media_id).sorted.toSeq)
@@ -160,6 +160,63 @@ class OpsSpec extends SparkSpec {
     assert(big.width == 16 && big.height == 16 && big.luma_hist.sum == 256L)
   }
 
+  test("multimodal: real image resize re-encodes at target dims with preserved color") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, png(8, 8, 0x00ff00), Multimodal.MediaMeta("image/png", 0L, "t")),
+      Multimodal.MediaRow(2L, "definitely not pixels".getBytes("UTF-8"),
+        Multimodal.MediaMeta("image/png", 0L, "t"))) // corrupt → stride fallback
+    val resized = Multimodal.resize(spark.createDataset(rows), 4, 4)
+    // decode the RESIZED payloads: the green image must come back as a
+    // real 4×4 PNG with its color intact (bilinear on a solid color is
+    // exact); the corrupt one falls back to 16 stride-sampled bytes
+    val feats = Multimodal.decode(resized).collect().map(f => f.media_id -> f).toMap
+    val g = feats(1L)
+    assert(g.width == 4 && g.height == 4)
+    assert(math.abs(g.mean_g - 255.0) < 1.0 && g.mean_r < 1.0 && g.mean_b < 1.0)
+    val bad = resized.collect().find(_.media_id == 2L).get
+    assert(bad.content.length == 16 && bad.meta.sizeBytes == 16L)
+  }
+
+  test("multimodal: decompression-bomb header is rejected before raster allocation") {
+    import spark.implicits._
+    // A syntactically valid PNG signature + IHDR declaring a 10-gigapixel
+    // canvas from a ~33-byte payload — the classic bomb shape. The header
+    // guard must reject it from dimensions alone; ImageIO.read would
+    // attempt a width*height raster (~40 GB) and kill the executor with
+    // an OutOfMemoryError no Exception-catch can stop.
+    def bombHeader(w: Int, h: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(bos)
+      dos.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      val ihdr = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(ihdr)
+      d.writeBytes("IHDR"); d.writeInt(w); d.writeInt(h)
+      d.write(8); d.write(2); d.write(0); d.write(0); d.write(0)
+      val body = ihdr.toByteArray
+      dos.writeInt(13)
+      dos.write(body)
+      val crc = new java.util.zip.CRC32(); crc.update(body)
+      dos.writeInt(crc.getValue.toInt)
+      bos.toByteArray
+    }
+    val rows = Seq(Multimodal.MediaRow(1L, bombHeader(100000, 100000),
+      Multimodal.MediaMeta("image/png", 0L, "t")))
+    val out = Multimodal.decode(spark.createDataset(rows)).collect()
+    // rejected before decode: byte-level fallback, not an OOM
+    assert(out.length == 1 && out.head.width == -1)
+    val resized = Multimodal.resize(spark.createDataset(rows), 4, 4).collect()
+    assert(resized.head.content.length == 16) // stride fallback, no raster
+  }
+
   test("int8 quantization: reconstruction error bounded by half a quantization step") {
     val emb = Tables.embeddings(spark, Sf0001)
     val q = Similarity.quantizeInt8(emb)
@@ -185,6 +242,25 @@ class OpsSpec extends SparkSpec {
     assert(bits.forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
     val again = Similarity.srpBits(emb).collect()
     assert(bits.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("SRP raises loudly on embeddings wider than SrpMaxDims") {
+    // Regression guard: before the raise_error guard, a >256-dim vector
+    // sliced against the 256-wide hyperplane matrix, zip_with padded with
+    // nulls, the projection folded to NULL, and EVERY bit silently came
+    // out 0 — garbage signatures with no error.
+    val wide = spark.range(3).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(299)), d => d.cast("double") / 300.0)
+        .as("embedding"))
+    val err = intercept[Exception] { Similarity.srpBits(wide).collect() }
+    assert(err.getMessage.contains("SrpMaxDims"), err.getMessage)
+    val errC = intercept[Exception] { Similarity.srpBitsCentered(wide).collect() }
+    assert(errC.getMessage.contains("SrpMaxDims"), errC.getMessage)
+    // exactly at the bound still works
+    val atBound = spark.range(3).select($"id".as("vec_id"),
+      transform(sequence(lit(0), lit(255)), d => d.cast("double") / 256.0 - 0.5)
+        .as("embedding"))
+    assert(Similarity.srpBits(atBound).count() == 3 * 16)
   }
 
   test("centered SRP collapses the collision rate of a mean-shifted corpus") {
@@ -375,7 +451,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("every query has an oracle except the documented sketch exceptions") {
-    val rowsOnly = Set("approx_distinct_parts", "approx_percentiles")
+    // the two sketches (error-band specs) + centered SRP (exact decimal
+    // oracle would dwarf the query; semantics proven in OpsSpec)
+    val rowsOnly = Set("approx_distinct_parts", "approx_percentiles",
+      "srp_signature_centered")
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert((q -- o) == rowsOnly, s"queries missing oracles: ${(q -- o) -- rowsOnly}")

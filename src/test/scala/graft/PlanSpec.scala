@@ -115,8 +115,10 @@ class PlanSpec extends SparkSpec {
       "dedup_minhash" -> 36)    // shingle→sig→band LSH→verify pipeline
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
-      val ex = "(?m)Exchange".r.findAllIn(plan).size
+      // a ReusedExchange is NOT a second shuffle — don't double-count it
+      val ex = "(?<!Reused)Exchange".r.findAllIn(plan).size
       assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n$plan")
+      graft.ops.Dedup.releaseCaches()
     }
   }
 

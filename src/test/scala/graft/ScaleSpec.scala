@@ -162,6 +162,42 @@ class ScaleSpec extends SparkSpec {
     plain.foreach { case (k, c) => assert(salted(k) == c, s"bucket $k") }
   }
 
+  test("sequence packing completes on a hot shard (10^6 docs in one window task)") {
+    // pack_sequences' 100 TB assumption is "shards pack independently and
+    // no shard exceeds a partition" — this pins the boundary, exactly
+    // like the hot-user test above: ONE source shard with a million docs
+    // serializes its running-sum window into a single task and must
+    // still complete. The measured time is documented at the
+    // pack_sequences query. ESCAPE HATCH for a shard that outgrows a
+    // task: two-phase packing — per-bucket token offsets (group docs
+    // into doc_id ranges, window within each bucket in parallel), then a
+    // tiny prefix-sum merge over the per-bucket totals broadcast back as
+    // per-bucket base offsets. Same output, one extra narrow pass.
+    val n = 1000000L
+    val docs = spark.range(n).select(
+      $"id".as("doc_id"), lit("shard0").as("source"),
+      (($"id" % 37L) + 1L).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val t0 = System.nanoTime()
+    val packed = docs.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", $"n_tokens",
+        (($"cum" - $"n_tokens") / 4096).cast("long").as("bin_no"),
+        $"cum")
+    val agg = packed.agg(count(lit(1)).as("n"), max($"cum").as("total"),
+      max($"bin_no").as("last_bin")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"hot-shard 10^6-doc packing: $secs%.1fs")
+    assert(agg.getLong(0) == n)
+    // exact totals: max(cum) must equal the independent sum, and the last
+    // bin is the window the final doc's first token lands in
+    val total = docs.agg(sum($"n_tokens")).head().getLong(0)
+    assert(agg.getLong(1) == total)
+    val lastTokens = (n - 1) % 37 + 1
+    assert(agg.getLong(2) == (total - lastTokens) / 4096)
+  }
+
   test("z-order layout bounds per-file spans on BOTH dimensions") {
     // The data-skipping property itself: files written in z-order keep
     // min/max ranges narrow for both clustering keys, so row-group
