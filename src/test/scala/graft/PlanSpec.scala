@@ -112,7 +112,13 @@ class PlanSpec extends SparkSpec {
       "embed_quantize" -> 1,    // pure projection + final sort
       "repetition_stats" -> 1,  // pure projection + final sort
       "pack_sequences" -> 2,    // per-shard running-sum window + sort
-      "dedup_minhash" -> 36)    // shingle→sig→band LSH→verify pipeline
+      "dedup_minhash" -> 36,    // shingle→sig→band LSH→verify pipeline
+      // the dedup/text heavy tail (round-4 verdict item 8): a shuffle
+      // regression in these pipelines fails here before it costs bench
+      "dedup_ngram_jaccard" -> 10, // (lang,len-bucket) block self-join + verify
+      "simhash_near_dup" -> 7,     // signature + pigeonhole band join + verify
+      "dedup_incremental" -> 36,   // batch-vs-historical LSH + pruned re-scan
+      "lang_id_chargram" -> 9)     // gram explode + profile top-N + score join
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
       // a ReusedExchange is NOT a second shuffle — don't double-count it
