@@ -79,10 +79,12 @@ object Bench {
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1.
     val benchRe = "BENCH_r(\\d+)\\.json".r
-    val round = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    val dirStream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+    val round = try dirStream
       .toArray.map(_.toString.replaceFirst("^\\./", ""))
       .collect { case benchRe(n) => n.toInt }
       .foldLeft(0)(math.max) + 1
+    finally dirStream.close()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_out.json"}"""

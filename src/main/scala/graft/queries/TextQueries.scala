@@ -81,6 +81,50 @@ object TextQueries {
         .orderBy("source", "doc_id")
     },
 
+    "doc_chunks" -> { (spark, dir) =>
+      // Sliding-window document chunking — the other half of the
+      // pretraining layout problem (pack_sequences packs SHORT docs;
+      // this splits LONG docs into fixed token windows with overlap so
+      // no content is lost at window boundaries). W=32, stride 24
+      // (8-token overlap); the last window is allowed to run short.
+      // Pure per-row explode — zero shuffle before the final sort; at
+      // 100 TB chunking is embarrassingly parallel.
+      import spark.implicits._
+      val W = 32; val S = 24
+      val toks = split($"text", " ")
+      val n = size(toks)
+      val nChunks = lit(1L) + greatest(lit(0L),
+        ceil((n.cast("double") - W) / S).cast("long"))
+      Tables.documents(spark, dir)
+        .select($"doc_id", toks.as("toks"), n.as("n"), nChunks.as("nc"))
+        .select($"doc_id", $"toks", $"n",
+          explode(sequence(lit(0L), $"nc" - 1)).as("chunk_no"))
+        .select($"doc_id", $"chunk_no",
+          ($"chunk_no" * S).as("start_tok"),
+          least(lit(W.toLong), $"n" - $"chunk_no" * S).as("n_chunk_tokens"),
+          array_join(slice($"toks", ($"chunk_no" * S + 1).cast("int"), lit(W)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_no")
+    },
+
+    "domain_quota" -> { (spark, dir) =>
+      // Per-domain frequency capping — crawl pipelines cap how many
+      // documents any single domain contributes (a handful of hosts
+      // otherwise dominate the corpus). Deterministic: keep the 10
+      // lowest md5(doc_id) per source, so the kept sample is stable
+      // across runs and engines. The rank<=k filter rides Spark's
+      // WindowGroupLimit pushdown (per-partition top-k heaps BEFORE
+      // the shuffle), the same scale shape as topk_per_group.
+      import spark.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      Tables.documents(spark, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 10)
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id")
+        .orderBy("source", "rk")
+    },
+
     "token_counts" -> { (spark, dir) =>
       import spark.implicits._
       TextOps.tokenCounts(Tables.documents(spark, dir))
@@ -215,6 +259,27 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(range(0, 1 + greatest(0, ceil((n - 32)::DOUBLE / 24)::BIGINT))) AS chunk_no
+        |      FROM n)
+        |SELECT doc_id, chunk_no::BIGINT AS chunk_no,
+        |       (chunk_no * 24)::BIGINT AS start_tok,
+        |       least(32, n - chunk_no * 24)::BIGINT AS n_chunk_tokens,
+        |       array_to_string(list_slice(toks, chunk_no * 24 + 1, chunk_no * 24 + 32), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "domain_quota" ->
+      """SELECT source,
+        |       row_number() OVER (PARTITION BY source
+        |                          ORDER BY md5(doc_id::VARCHAR), doc_id)::BIGINT AS rk,
+        |       doc_id
+        |FROM documents
+        |QUALIFY rk <= 10
+        |ORDER BY source, rk""".stripMargin,
+
     "top_ngrams_per_lang" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
         |                  len(string_split(text, ' ')) AS nt FROM documents),

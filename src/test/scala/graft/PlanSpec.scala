@@ -118,7 +118,9 @@ class PlanSpec extends SparkSpec {
       "dedup_ngram_jaccard" -> 10, // (lang,len-bucket) block self-join + verify
       "simhash_near_dup" -> 7,     // signature + pigeonhole band join + verify
       "dedup_incremental" -> 36,   // batch-vs-historical LSH + pruned re-scan
-      "lang_id_chargram" -> 9)     // gram explode + profile top-N + score join
+      "lang_id_chargram" -> 9,     // gram explode + profile top-N + score join
+      "doc_chunks" -> 1,           // pure per-row explode + final sort
+      "domain_quota" -> 2)         // per-source hash window + sort
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
       // a ReusedExchange is NOT a second shuffle — don't double-count it
