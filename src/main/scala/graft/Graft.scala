@@ -69,6 +69,13 @@ object Graft {
   def winnowFingerprints(docs: DataFrame): DataFrame = TextOps.winnow(docs)
 
   def repetition(docs: DataFrame): DataFrame = TextOps.repetitionStats(docs)
+  def chunkDocuments(docs: DataFrame, windowTokens: Int = 32,
+      strideTokens: Int = 24): DataFrame =
+    TextOps.chunkDocs(docs, windowTokens, strideTokens)
+  def capPerDomain(docs: DataFrame, k: Int): DataFrame =
+    TextOps.groupQuota(docs, k)
+  def boilerplateSignal(docs: DataFrame): DataFrame =
+    Dedup.dupShingleFraction(docs)
 
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
@@ -84,4 +91,7 @@ object Graft {
   // multimodal
   def decodeMedia(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
     Multimodal.decode(media)
+  def resizeMedia(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      targetW: Int = 16, targetH: Int = 16) =
+    Multimodal.resize(media, targetW, targetH)
 }

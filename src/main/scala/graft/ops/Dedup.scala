@@ -94,6 +94,29 @@ object Dedup {
     shingleRows(df, idCol, textCol, n)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(out))
 
+  /** Per-document fraction of its distinct 3-token shingles that also
+    * appear in at least one OTHER document — the cross-document
+    * boilerplate/duplication signal used to flag template-heavy or
+    * mirrored pages before pairwise near-dup removal (a doc can score
+    * high here without having any single near-duplicate partner).
+    * Inverted-index shape: distinct (doc, shingle) rows → per-shingle
+    * doc frequency → join back → per-doc aggregate. Three hash shuffles,
+    * nothing quadratic; a shingle shared by z docs fans out exactly z
+    * rows on the join back. shared_frac is an int/int double division —
+    * bit-identical across engines.
+    */
+  def dupShingleFraction(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol).distinct()
+    val freq = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    sh.join(freq, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac", col("n_shared") / col("n_shingles"))
+  }
+
   /** Exact dedup: keep the lowest id per identical text (hash-groupBy —
     * one shuffle on the text hash; at 100 TB group on md5(text) instead of
     * the full text to keep shuffle rows narrow).

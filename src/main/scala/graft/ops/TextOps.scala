@@ -13,6 +13,50 @@ object TextOps {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Sliding-window document chunking — split long documents into
+    * fixed-size token windows with overlap (the complement of sequence
+    * packing: packing concatenates SHORT docs into bins, chunking splits
+    * LONG docs so no window boundary loses context). The last window may
+    * run short; every document emits at least one chunk. Pure per-row
+    * explode — zero shuffle, embarrassingly parallel at any scale.
+    * Output: (id, chunk_no, start_tok, n_chunk_tokens, chunk_text).
+    */
+  def chunkDocs(df: DataFrame, windowTokens: Int = 32, strideTokens: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0 && strideTokens <= windowTokens)
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nChunks = lit(1L) + greatest(lit(0L),
+      ceil((n.cast("double") - windowTokens) / strideTokens).cast("long"))
+    df.select(col(idCol), toks.as("__toks"), n.as("__n"), nChunks.as("__nc"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_no"))
+      .select(col(idCol), col("chunk_no"),
+        (col("chunk_no") * strideTokens).as("start_tok"),
+        least(lit(windowTokens.toLong), col("__n") - col("chunk_no") * strideTokens)
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"),
+          (col("chunk_no") * strideTokens + 1).cast("int"), lit(windowTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Per-group frequency capping: keep the `k` rows with the lowest
+    * md5(id) in each group — crawl pipelines cap any one domain's
+    * contribution to the corpus, and the hash order makes the kept
+    * sample deterministic across runs and engines (unlike rand()-based
+    * sampling). The rank<=k filter rides Spark's WindowGroupLimit
+    * pushdown: per-partition k-row heaps run BEFORE the exchange, so a
+    * giant group ships only k·partitions candidate rows.
+    */
+  def groupQuota(df: DataFrame, k: Int, groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("quota_rk", row_number().over(w))
+      .filter(col("quota_rk") <= k)
+  }
+
   /** Per-document quality metrics: token counts, distinct ratio, stopword
     * ratio, punctuation count and a simple keep/drop flag. Ratios are
     * int/int double divisions (bit-identical across engines).

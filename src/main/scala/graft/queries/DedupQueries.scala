@@ -42,6 +42,17 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dup_shingle_fraction" -> { (spark, dir) =>
+      // Cross-document duplicate-shingle fraction — the corpus-level
+      // boilerplate signal (a doc scores high from MANY partial
+      // overlaps even when no single pair passes the near-dup
+      // threshold). Docs shorter than one shingle are absent by
+      // definition in both engines.
+      import spark.implicits._
+      Dedup.dupShingleFraction(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash" -> { (spark, dir) =>
       import spark.implicits._
       Dedup.simhash(Tables.documents(spark, dir))
@@ -165,6 +176,16 @@ object DedupQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "dup_shingle_fraction" ->
+      s"""WITH $ShinglesCte,
+         |rows AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |f AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM rows GROUP BY 1)
+         |SELECT rows.doc_id, count(*) AS n_shingles,
+         |       SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         |       SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS shared_frac
+         |FROM rows JOIN f USING (shingle)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,

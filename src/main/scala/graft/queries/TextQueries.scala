@@ -90,20 +90,8 @@ object TextQueries {
       // Pure per-row explode — zero shuffle before the final sort; at
       // 100 TB chunking is embarrassingly parallel.
       import spark.implicits._
-      val W = 32; val S = 24
-      val toks = split($"text", " ")
-      val n = size(toks)
-      val nChunks = lit(1L) + greatest(lit(0L),
-        ceil((n.cast("double") - W) / S).cast("long"))
-      Tables.documents(spark, dir)
-        .select($"doc_id", toks.as("toks"), n.as("n"), nChunks.as("nc"))
-        .select($"doc_id", $"toks", $"n",
-          explode(sequence(lit(0L), $"nc" - 1)).as("chunk_no"))
-        .select($"doc_id", $"chunk_no",
-          ($"chunk_no" * S).as("start_tok"),
-          least(lit(W.toLong), $"n" - $"chunk_no" * S).as("n_chunk_tokens"),
-          array_join(slice($"toks", ($"chunk_no" * S + 1).cast("int"), lit(W)), " ")
-            .as("chunk_text"))
+      TextOps.chunkDocs(Tables.documents(spark, dir),
+          windowTokens = 32, strideTokens = 24)
         .orderBy("doc_id", "chunk_no")
     },
 
@@ -116,12 +104,8 @@ object TextQueries {
       // WindowGroupLimit pushdown (per-partition top-k heaps BEFORE
       // the shuffle), the same scale shape as topk_per_group.
       import spark.implicits._
-      val w = Window.partitionBy($"source")
-        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-      Tables.documents(spark, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter($"rk" <= 10)
-        .select($"source", $"rk".cast("long").as("rk"), $"doc_id")
+      TextOps.groupQuota(Tables.documents(spark, dir), k = 10)
+        .select($"source", $"quota_rk".cast("long").as("rk"), $"doc_id")
         .orderBy("source", "rk")
     },
 

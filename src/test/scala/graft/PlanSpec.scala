@@ -120,7 +120,8 @@ class PlanSpec extends SparkSpec {
       "dedup_incremental" -> 36,   // batch-vs-historical LSH + pruned re-scan
       "lang_id_chargram" -> 9,     // gram explode + profile top-N + score join
       "doc_chunks" -> 1,           // pure per-row explode + final sort
-      "domain_quota" -> 2)         // per-source hash window + sort
+      "domain_quota" -> 2,         // per-source hash window + sort
+      "dup_shingle_fraction" -> 6) // distinct + freq agg + join-back + doc agg + sort
     budgets.foreach { case (q, n) =>
       val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
       // a ReusedExchange is NOT a second shuffle — don't double-count it
