@@ -160,6 +160,52 @@ class OpsSpec extends SparkSpec {
     assert(big.width == 16 && big.height == 16 && big.luma_hist.sum == 256L)
   }
 
+  test("chunkDocs covers every token, chunks agree with slices, quota is a stable cap") {
+    import graft.ops.TextOps
+    // doc lengths straddling every boundary case: shorter than one
+    // window, exactly one window, one token over, multi-chunk
+    val lens = Seq(1, 31, 32, 33, 56, 80, 200)
+    val docs = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(t => s"w$t").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocs(docs, windowTokens = 32, strideTokens = 24)
+      .collect().groupBy(_.getLong(0))
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val cs = chunks(i.toLong).sortBy(_.getLong(1))
+      // every doc emits >= 1 chunk; starts advance by the stride
+      assert(cs.nonEmpty)
+      cs.zipWithIndex.foreach { case (r, k) =>
+        assert(r.getLong(1) == k && r.getLong(2) == k * 24L)
+        // chunk_text is exactly the token slice it claims to be
+        val want = (k * 24 until math.min(k * 24 + 32, n)).map(t => s"w$t").mkString(" ")
+        assert(r.getString(4) == want, s"doc len $n chunk $k")
+        assert(r.getLong(3) == math.min(32L, n - k * 24L))
+      }
+      // full coverage: the last chunk reaches the end of the doc
+      val last = cs.last
+      assert(last.getLong(2) + last.getLong(3) == n.toLong)
+      // and the second-to-last chunk does NOT already reach the end
+      // (no redundant trailing chunk)
+      if (cs.length > 1) {
+        val prev = cs(cs.length - 2)
+        assert(prev.getLong(2) + 32 < n)
+      }
+    }
+
+    // groupQuota: at most k rows per group, a subset of the input, and
+    // byte-identical across invocations (hash order, not rand())
+    val docs2 = Tables.documents(spark, Sf0001)
+    val a = graft.ops.TextOps.groupQuota(docs2, k = 7)
+      .select($"source", $"doc_id").collect().map(_.toSeq).toSet
+    val b = graft.ops.TextOps.groupQuota(docs2, k = 7)
+      .select($"source", $"doc_id").collect().map(_.toSeq).toSet
+    assert(a == b)
+    val perGroup = a.groupBy(_.head).map(_._2.size)
+    assert(perGroup.forall(_ <= 7))
+    val all = docs2.select($"source", $"doc_id").collect().map(_.toSeq).toSet
+    assert(a.subsetOf(all))
+  }
+
   test("multimodal: real image resize re-encodes at target dims with preserved color") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
