@@ -75,6 +75,10 @@ object Probe {
   }
 
   def timeMain(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Probe time <sfDir> <query>...")
+      return
+    }
     val sfDir = args.head
     val names = args.tail
     val spark = SparkSession.builder().master("local[32]")
@@ -125,6 +129,10 @@ object Probe {
   }
 
   def explainMain(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: Probe explain <query> [sfDir]")
+      return
+    }
     val q = args.head
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[4]")

@@ -160,6 +160,27 @@ class OpsSpec extends SparkSpec {
     assert(big.width == 16 && big.height == 16 && big.luma_hist.sum == 256L)
   }
 
+  test("dupShingleFraction separates boilerplate-sharing docs from unique docs") {
+    import graft.ops.Dedup
+    // three docs share a 9-token footer behind distinct 5-token prefixes;
+    // two docs are fully unique. Shared-shingle math: 14 tokens → 12
+    // 3-gram shingles, of which the 7 fully inside the footer appear in
+    // all three docs; the 5 prefix/bridge shingles are doc-unique.
+    val footer = (0 until 9).map(t => s"b$t").mkString(" ")
+    val docs = ((0 until 3).map(i =>
+      (i.toLong, (0 until 5).map(t => s"u${i}_$t").mkString(" ") + " " + footer)) ++
+      (3 until 5).map(i =>
+        (i.toLong, (0 until 14).map(t => s"x${i}_$t").mkString(" ")))).toDF("doc_id", "text")
+    val got = Dedup.dupShingleFraction(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    (0 until 3).foreach { i =>
+      assert(got(i.toLong) == ((12L, 7L, 7.0 / 12.0)), s"doc $i: ${got(i.toLong)}")
+    }
+    (3 until 5).foreach { i =>
+      assert(got(i.toLong) == ((12L, 0L, 0.0)), s"doc $i: ${got(i.toLong)}")
+    }
+  }
+
   test("chunkDocs covers every token, chunks agree with slices, quota is a stable cap") {
     import graft.ops.TextOps
     // doc lengths straddling every boundary case: shorter than one
