@@ -39,8 +39,11 @@ object SessionQueries {
     */
   private val stagedIn = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // synchronized: getOrElseUpdate alone may run the staging write twice
+  // under concurrent callers (the harnesses are sequential, but the
+  // facade makes no such promise)
   private def stagedStreamInput(spark: SparkSession, dir: String): String =
-    stagedIn.getOrElseUpdate(dir, {
+    stagedIn.synchronized { stagedIn.getOrElseUpdate(dir, {
       import spark.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-stream-in")
       deleteRecursivelyOnExit(base)
@@ -55,7 +58,7 @@ object SessionQueries {
         .toDF("user_id", "ts", "event_id")
         .write.mode("append").parquet(in)
       in
-    })
+    })}
 
   /** Two consecutive hours of the corpus picked for the production-job
     * query: the fixed mid-range boundary (same instant as [[BoundaryUs]])
@@ -73,8 +76,9 @@ object SessionQueries {
     */
   private val stagedLogs = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // synchronized for the same reason as [[stagedStreamInput]]
   private def stagedJobLogs(spark: SparkSession, dir: String): String =
-    stagedLogs.getOrElseUpdate(dir, {
+    stagedLogs.synchronized { stagedLogs.getOrElseUpdate(dir, {
       import spark.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-hour-logs")
       deleteRecursivelyOnExit(base)
@@ -95,7 +99,7 @@ object SessionQueries {
         .write.partitionBy("event_date", "event_hour")
         .mode("overwrite").parquet(logs)
       logs
-    })
+    })}
 
   /** Best-effort recursive cleanup of a temp dir at JVM exit (the staged
     * input and each run's out/ckpt dirs — bounded: one staging dir per
