@@ -94,4 +94,6 @@ object Graft {
   def resizeMedia(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
       targetW: Int = 16, targetH: Int = 16) =
     Multimodal.resize(media, targetW, targetH)
+  def decodeAudio(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.decodeAudio(media)
 }

@@ -168,6 +168,83 @@ object Multimodal {
     media.mapPartitions(_.grouped(batchSize).flatMap(_.map(extract)))
   }
 
+  /** Decoded audio features. `sample_rate == -1` marks a payload the
+    * JDK could not parse (wrong mime, corrupt, or a compressed format
+    * outside the JDK's PCM WAV/AIFF/AU support) — visible, never
+    * silently zero, mirroring the image contract.
+    */
+  case class AudioFeatures(media_id: Long, n_bytes: Long, mime: String,
+      sample_rate: Int, channels: Int, n_samples: Long, duration_ms: Long,
+      rms: Double, zero_crossings: Long)
+
+  /** REAL audio decode for the formats the JDK carries (PCM WAV / AIFF /
+    * AU via `javax.sound.sampled` — no external codecs): sample rate,
+    * channel count, exact sample count, duration, RMS amplitude
+    * (normalized to [0,1] full scale) and zero-crossing count — the
+    * standard cheap features a speech/audio pipeline filters on before
+    * any model runs (silence, clipping, wrong-rate detection).
+    * Determinism: RMS accumulates integer sample squares in int64 and
+    * takes one sqrt at the end; crossings are integer sign-change
+    * counts over channel-0. Compressed formats (mp3/ogg/aac) have no
+    * JDK decoder and fall back to `sample_rate = -1` byte features —
+    * the environmental boundary, now limited to COMPRESSED audio only.
+    */
+  private def audioFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Double, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val ok = (enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1
+        if (!ok) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = fmt.getChannels
+          val frameBytes = 2 * ch
+          val nFrames = data.length / frameBytes
+          var sumSq = 0L
+          var crossings = 0L
+          var prevSign = 0
+          var i = 0
+          while (i < nFrames) {
+            val off = i * frameBytes
+            // channel 0, 16-bit sample honoring the container's endianness
+            val s =
+              if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+              else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+            sumSq += s.toLong * s.toLong
+            val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) crossings += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          val rate = math.round(fmt.getSampleRate)
+          val durMs = if (rate > 0) nFrames * 1000L / rate else -1L
+          val rms =
+            if (nFrames == 0) 0.0
+            else math.sqrt(sumSq.toDouble / nFrames) / 32768.0
+          Some((rate, ch, nFrames.toLong, durMs, rms, crossings))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-parallel audio decode: one output row per media item;
+    * non-audio / undecodable payloads carry `sample_rate = -1`.
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val a = if (r.meta.mimeType.startsWith("audio/")) audioFeatures(r.content) else None
+      val (rate, ch, n, dur, rms, zc) = a.getOrElse((-1, -1, -1L, -1L, -1.0, -1L))
+      AudioFeatures(r.media_id, r.content.length.toLong, r.meta.mimeType,
+        rate, ch, n, dur, rms, zc)
+    })
+  }
+
   /** Byte-level shape normalization for NON-IMAGE payloads: exactly
     * `targetBytes` out via proportional stride sampling — the honest
     * stand-in for audio resample / video re-mux (no JDK codecs).

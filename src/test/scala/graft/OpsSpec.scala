@@ -253,6 +253,45 @@ class OpsSpec extends SparkSpec {
     assert(bad.content.length == 16 && bad.meta.sizeBytes == 16L)
   }
 
+  test("multimodal: real WAV decode via javax.sound yields audio features") {
+    import spark.implicits._
+    // 1 s of 440 Hz sine at 8 kHz mono 16-bit PCM, generated in-test and
+    // containerized as WAV by the JDK itself.
+    def wav(freqHz: Double, amp: Double): Array[Byte] = {
+      val rate = 8000f; val n = 8000
+      val samples = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (math.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
+        samples(2 * i) = (v & 0xff).toByte // little-endian
+        samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, wav(440.0, 0.5), Multimodal.MediaMeta("audio/wav", 0L, "t")),
+      Multimodal.MediaRow(2L, wav(440.0, 0.0), Multimodal.MediaMeta("audio/wav", 0L, "t")),
+      Multimodal.MediaRow(3L, "not audio at all".getBytes("UTF-8"),
+        Multimodal.MediaMeta("audio/wav", 0L, "t")))
+    val out = Multimodal.decodeAudio(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    val tone = out(1L)
+    assert(tone.sample_rate == 8000 && tone.channels == 1)
+    assert(tone.n_samples == 8000L && tone.duration_ms == 1000L)
+    // sine RMS = amp/sqrt(2); 440 Hz crosses zero 880 times per second
+    assert(math.abs(tone.rms - 0.5 / math.sqrt(2)) < 0.01, tone.rms.toString)
+    assert(math.abs(tone.zero_crossings - 880L) <= 2, tone.zero_crossings.toString)
+    val silent = out(2L)
+    assert(silent.rms == 0.0 && silent.zero_crossings == 0L)
+    // corrupt payload: visible fallback, not a task failure
+    assert(out(3L).sample_rate == -1)
+  }
+
   test("multimodal: decompression-bomb header is rejected before raster allocation") {
     import spark.implicits._
     // A syntactically valid PNG signature + IHDR declaring a 10-gigapixel
