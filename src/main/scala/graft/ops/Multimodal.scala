@@ -232,6 +232,32 @@ object Multimodal {
       } finally ais.close()
     } catch { case _: Exception => None }
 
+  /** Deterministic PCM WAV synthesis (sine tone) — the fixture
+    * generator for exercising [[decodeAudio]] where no real audio
+    * corpus exists: same (freq, amp, duration) in, byte-identical WAV
+    * out, on any JVM (Math.sin is specified to 1 ulp; the sample chain
+    * rounds through Int before packing).
+    */
+  def synthToneWav(freqHz: Double, seconds: Double, amp: Double,
+      rate: Int = 8000): Array[Byte] = {
+    val n = (rate * seconds).toInt
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (math.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
+      samples(2 * i) = (v & 0xff).toByte // little-endian PCM
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Partition-parallel audio decode: one output row per media item;
     * non-audio / undecodable payloads carry `sample_rate = -1`.
     */

@@ -81,6 +81,26 @@ object TextQueries {
         .orderBy("source", "doc_id")
     },
 
+    "audio_features" -> { (spark, dir) =>
+      // The audio leg of the multimodal contract under the driver
+      // harness (rows-only, like the sketches — DuckDB has no WAV
+      // decoder): synthesize a deterministic PCM tone per document
+      // (freq/amp derived from doc_id and n_chars), containerize as
+      // WAV, and decode through the real javax.sound path. Pure
+      // per-row work on both sides of the decode — no shuffle.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .select($"doc_id", $"n_chars").as[(Long, Long)]
+      val media = docs.map { case (id, nChars) =>
+        val freq = 100.0 + (id % 40) * 10.0
+        val amp = 0.1 + (nChars % 50) / 100.0
+        val bytes = graft.ops.Multimodal.synthToneWav(freq, 0.1, amp)
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("audio/wav", bytes.length.toLong, "synth"))
+      }
+      graft.ops.Multimodal.decodeAudio(media).toDF().orderBy("media_id")
+    },
+
     "doc_chunks" -> { (spark, dir) =>
       // Sliding-window document chunking — the other half of the
       // pretraining layout problem (pack_sequences packs SHORT docs;

@@ -558,9 +558,10 @@ class OpsSpec extends SparkSpec {
 
   test("every query has an oracle except the documented sketch exceptions") {
     // the two sketches (error-band specs) + centered SRP (exact decimal
-    // oracle would dwarf the query; semantics proven in OpsSpec)
+    // oracle would dwarf the query; semantics proven in OpsSpec) +
+    // audio decode (DuckDB has no WAV decoder; physics pinned in OpsSpec)
     val rowsOnly = Set("approx_distinct_parts", "approx_percentiles",
-      "srp_signature_centered")
+      "srp_signature_centered", "audio_features")
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert((q -- o) == rowsOnly, s"queries missing oracles: ${(q -- o) -- rowsOnly}")
