@@ -101,6 +101,40 @@ object TextQueries {
       graft.ops.Multimodal.decodeAudio(media).toDF().orderBy("media_id")
     },
 
+    "image_features" -> { (spark, dir) =>
+      // The REAL javax.imageio decode path under a FULL hash-match
+      // oracle: each document becomes a solid-color PNG whose
+      // dimensions and channel values are closed-form in doc_id, so
+      // after encode → decode → pixel statistics, every output column
+      // (dims, exact channel means, the single occupied luminance bin
+      // and its pixel count) is computable in plain SQL. Lossless PNG +
+      // TYPE_INT_RGB guarantees the decoded pixels equal the formula.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val w = 4 + (id % 8).toInt; val h = 3 + (id % 5).toInt
+        val rgb = (((id * 7) % 256) << 16 | ((id * 13) % 256) << 8 | ((id * 29) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("image/png", bytes.length.toLong, "synth"))
+      }
+      graft.ops.Multimodal.decode(media).toDF()
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"mean_r", $"mean_g", $"mean_b",
+          posexplode($"luma_hist").as(Seq("luma_bin", "n_px")))
+        .filter($"n_px" > 0)
+        .select($"media_id", $"width", $"height", $"mean_r", $"mean_g", $"mean_b",
+          $"luma_bin".cast("long").as("luma_bin"), $"n_px")
+        .orderBy("media_id")
+    },
+
     "doc_chunks" -> { (spark, dir) =>
       // Sliding-window document chunking — the other half of the
       // pretraining layout problem (pack_sequences packs SHORT docs;
@@ -263,6 +297,18 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "image_features" ->
+      """SELECT doc_id AS media_id,
+        |       (4 + doc_id % 8)::BIGINT AS width,
+        |       (3 + doc_id % 5)::BIGINT AS height,
+        |       ((doc_id * 7) % 256)::DOUBLE AS mean_r,
+        |       ((doc_id * 13) % 256)::DOUBLE AS mean_g,
+        |       ((doc_id * 29) % 256)::DOUBLE AS mean_b,
+        |       ((((doc_id * 7) % 256) * 299 + ((doc_id * 13) % 256) * 587
+        |          + ((doc_id * 29) % 256) * 114) // 1000 // 16)::BIGINT AS luma_bin,
+        |       ((4 + doc_id % 8) * (3 + doc_id % 5))::BIGINT AS n_px
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "doc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
