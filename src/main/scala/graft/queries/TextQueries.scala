@@ -135,6 +135,36 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    "image_resize_check" -> { (spark, dir) =>
+      // The REAL resize loop (decode → Graphics2D bilinear → PNG
+      // re-encode → decode) under the oracle: bilinear scaling of a
+      // solid color is exact, so after the full round trip every image
+      // must measure 5×4 with channel means still equal to the
+      // closed-form color. A resize regression (wrong dims, color
+      // drift, broken re-encode) breaks the hash.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val w = 6 + (id % 9).toInt; val h = 5 + (id % 7).toInt
+        val rgb = (((id * 11) % 256) << 16 | ((id * 17) % 256) << 8 | ((id * 23) % 256)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("image/png", bytes.length.toLong, "synth"))
+      }
+      val resized = graft.ops.Multimodal.resize(media, targetW = 5, targetH = 4)
+      graft.ops.Multimodal.decode(resized).toDF()
+        .select($"media_id", $"width".cast("long").as("width"),
+          $"height".cast("long").as("height"),
+          $"mean_r", $"mean_g", $"mean_b")
+        .orderBy("media_id")
+    },
+
     "doc_chunks" -> { (spark, dir) =>
       // Sliding-window document chunking — the other half of the
       // pretraining layout problem (pack_sequences packs SHORT docs;
@@ -307,6 +337,14 @@ object TextQueries {
         |       ((((doc_id * 7) % 256) * 299 + ((doc_id * 13) % 256) * 587
         |          + ((doc_id * 29) % 256) * 114) // 1000 // 16)::BIGINT AS luma_bin,
         |       ((4 + doc_id % 8) * (3 + doc_id % 5))::BIGINT AS n_px
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "image_resize_check" ->
+      """SELECT doc_id AS media_id,
+        |       5::BIGINT AS width, 4::BIGINT AS height,
+        |       ((doc_id * 11) % 256)::DOUBLE AS mean_r,
+        |       ((doc_id * 17) % 256)::DOUBLE AS mean_g,
+        |       ((doc_id * 23) % 256)::DOUBLE AS mean_b
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "doc_chunks" ->
