@@ -290,6 +290,29 @@ class OpsSpec extends SparkSpec {
     assert(silent.rms == 0.0 && silent.zero_crossings == 0L)
     // corrupt payload: visible fallback, not a task failure
     assert(out(3L).sample_rate == -1)
+
+    // stereo + big-endian AIFF exercises the channel-stride and
+    // endianness paths: channel-0 features must match the mono tone
+    val n = 8000
+    val stereo = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val v = (math.sin(2 * math.Pi * 440.0 * i / 8000.0) * 0.5 * 32767).toInt.toShort
+      stereo(4 * i) = ((v >> 8) & 0xff).toByte // big-endian ch0
+      stereo(4 * i + 1) = (v & 0xff).toByte
+      stereo(4 * i + 2) = 0; stereo(4 * i + 3) = 0 // silent ch1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(stereo), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val st = Multimodal.decodeAudio(spark.createDataset(Seq(
+      Multimodal.MediaRow(4L, bos.toByteArray,
+        Multimodal.MediaMeta("audio/aiff", 0L, "t"))))).collect().head
+    assert(st.channels == 2 && st.sample_rate == 8000 && st.n_samples == 8000L)
+    assert(math.abs(st.rms - 0.5 / math.sqrt(2)) < 0.01, st.rms.toString)
+    assert(math.abs(st.zero_crossings - 880L) <= 2, st.zero_crossings.toString)
   }
 
   test("multimodal: decompression-bomb header is rejected before raster allocation") {
