@@ -88,6 +88,13 @@ object Graft {
   def quantizeEmbeddings(corpus: DataFrame): DataFrame =
     Similarity.quantizeInt8(corpus)
 
+  // skew mitigation
+  def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    Skew.saltedSumCount(df, keys, valueCol)
+  def joinSalted(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltSrc: org.apache.spark.sql.Column, salts: Int = 16): DataFrame =
+    Skew.saltedJoin(fact, dim, keys, saltSrc, salts)
+
   // multimodal
   def decodeMedia(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
     Multimodal.decode(media)

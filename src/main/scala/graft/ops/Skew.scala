@@ -29,4 +29,25 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__n")).as("n_rows"), sum(col("__s")).as("sum_value"))
   }
+
+  /** Salted equi-join — the MANUAL hot-key join remedy for when AQE's
+    * runtime skew split does not apply (it only rewrites sort-merge /
+    * shuffled-hash joins whose output needs no particular partitioning;
+    * a skewed join feeding a same-key aggregate, or a plan pinned by a
+    * required distribution, keeps its hot partition). The fact side
+    * salts each row into one of `salts` sub-keys (deterministically,
+    * from `saltSrc`); the dim side replicates ×`salts` so every
+    * (key, salt) pair finds its match. The hot key's rows then land in
+    * `salts` shuffle partitions instead of one, at the cost of a
+    * `salts`× larger dim shuffle — use for a SMALL-but-not-broadcastable
+    * dim against a skewed fact.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltSrc: Column, salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val f = fact.withColumn("__salt", pmod(hash(saltSrc), lit(salts)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -123,6 +123,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted join equals plain join and spreads the hot key across partitions") {
+    // 20k rows on ONE key joined to a 101-row dim: a plain shuffle join
+    // serializes the hot key into a single partition; the salted join
+    // must (a) produce the identical result and (b) land the hot key's
+    // rows in many shuffle partitions.
+    val hot = spark.range(20000).select(lit(0L).as("k"), $"id".as("v"))
+      .union(spark.range(500).select(($"id" % 100 + 1).as("k"), $"id".as("v")))
+    val dim = spark.range(101).select($"id".as("k"), ($"id" * 10).as("w"))
+    // AQE's small-partition coalescing would merge this tiny test
+    // shuffle back into one partition and hide the spread being measured
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val salted = Skew.saltedJoin(hot, dim, Seq("k"), saltSrc = $"v", salts = 16)
+      val plain = hot.join(dim, "k")
+      assert(salted.count() == plain.count())
+      assert(salted.agg(sum($"v" + $"w")).head.getLong(0) ==
+        plain.agg(sum($"v" + $"w")).head.getLong(0))
+      // hot key spread: its rows occupy many partitions after the salted
+      // shuffle; the plain join pins them all to one
+      def spreadOf(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter($"k" === 0L)
+          .select(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+          .distinct().count()
+      val saltedSpread = spreadOf(salted)
+      val plainSpread = spreadOf(plain)
+      assert(plainSpread == 1L, s"plain join spread $plainSpread")
+      // 16 salt values can spread across at most min(16, shuffle
+      // partitions) reducers; allow one collision of slack
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toLong
+      assert(saltedSpread >= math.min(16L, parts) - 1,
+        s"hot key in only $saltedSpread of $parts partition(s)")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("sessionization core completes on a hot user (10^6 events in one task)") {
     // The 100 TB assumption at Sessionize.scala is "no single user
     // exceeds a partition" — this pins the boundary: one synthetic user
