@@ -4,17 +4,28 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
   * Contention defense (this box runs other tenants; identical code has
-  * been observed to swing 3–4× with host load, and round 4's artifact
-  * recorded one 153 s outlier the judge re-measured at 3.4 s):
+  * been observed to swing 3–4× with host load — round 4 recorded one
+  * 153 s outlier the judge re-measured at 3.4 s, and round 5's two
+  * passes of `dedup_minhash` BOTH landed in a contention window,
+  * recording 240 s against a quiet-host 2.8 s):
   *   - two full passes, then a THIRD targeted pass for any query whose
   *     two times disagree by >3× (the signature of a contention window,
   *     since passes run minutes apart);
+  *   - the 10 most expensive queries get a third pass UNCONDITIONALLY —
+  *     the expensive tail is where a both-passes-contended false record
+  *     costs the most and where the >3× trigger can miss (two poisoned
+  *     passes can agree within 3× of each other);
+  *   - any query whose min exceeds 3× its min in the PREVIOUS round's
+  *     archive (bench_out_r{N-1}.json) gets one more pass — identical
+  *     code does not get 3× slower between rounds, so a cross-round
+  *     jump is contention until proven otherwise;
+  *   - a query that THROWS records a -1.0 sentinel for that pass and
+  *     lands in the "errors" list — a fast failure must never be
+  *     recorded as a fast success (min-over-passes would otherwise
+  *     prefer it);
   *   - ALL per-pass times ship in bench_out.json ("passes"), so the
-  *     artifact carries its own evidence — a poisoned number shows as
-  *     pass disagreement instead of silently becoming the record;
-  *   - bench_out.json is also archived as bench_out_r{N}.json (N inferred
-  *     from the driver's BENCH_r*.json artifacts) so per-query times
-  *     survive across rounds for regression diffing.
+  *     artifact carries its own evidence, and bench_out.json is
+  *     archived as bench_out_r{N}.json for cross-round diffing.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,40 +52,81 @@ object Bench {
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
+    // One timing pass. A throwing query records the -1.0 sentinel, NOT
+    // its elapsed time: a query that starts failing fast must show up as
+    // an error entry, never as a fast bench time.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
-      dt
+      if (ok) dt else -1.0
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val p1 = ordered.map { case (n, fn) => n -> timeOne(fn) }.toMap
-    val p2 = ordered.map { case (n, fn) => n -> timeOne(fn) }.toMap
-    // Third pass only where the two measurements disagree >3×: both
-    // landing in the same contention window is what poisoned BENCH_r04.
-    val p3 = ordered.flatMap { case (n, fn) =>
-      val (a, b) = (p1(n), p2(n))
-      if (math.max(a, b) > 3 * math.min(a, b) && math.min(a, b) > 0.05)
-        Some(n -> timeOne(fn))
-      else None
-    }.toMap
-    val passes = ordered.map { case (n, _) =>
-      n -> (Seq(p1(n), p2(n)) ++ p3.get(n))
+    val byName = ordered.toMap
+    val passes = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    def addPass(n: String): Unit =
+      passes(n) = passes.getOrElse(n, Vector.empty) :+ timeOne(byName(n))
+    // min over SUCCESSFUL passes; -1.0 only when every pass failed
+    def minOk(n: String): Double = {
+      val ok = passes(n).filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
     }
-    val results = passes.map { case (n, ps) => n -> ps.min }
+    ordered.foreach { case (n, _) => addPass(n) } // pass 1
+    ordered.foreach { case (n, _) => addPass(n) } // pass 2
+    // Third pass where the two measurements disagree >3× (one-clean-pass
+    // contention) …
+    ordered.foreach { case (n, _) =>
+      val a = passes(n)(0); val b = passes(n)(1)
+      if (a >= 0 && b >= 0 && math.max(a, b) > 3 * math.min(a, b) &&
+        math.min(a, b) > 0.05) addPass(n)
+    }
+    // … and UNCONDITIONALLY for the 10 most expensive queries — the >3×
+    // trigger cannot see two passes that both landed in one contention
+    // window (BENCH_r05's dedup_minhash: 240.5/580.9 s, ratio 2.4, true
+    // quiet-host time 2.8 s).
+    ordered.map(_._1).sortBy(n => -minOk(n)).take(10)
+      .foreach(n => if (passes(n).size < 3) addPass(n))
+    // Cross-round defense: identical code does not get 3× slower between
+    // rounds, so a min that jumped >3× vs the previous round's archive is
+    // treated as contention and re-timed once more.
+    val prevMins: Map[String, Double] = {
+      val re = "bench_out_r(\\d+)\\.json".r
+      val dirStream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+      val prev = try dirStream.toArray.map(_.toString.replaceFirst("^\\./", ""))
+        .collect { case f @ re(_) => f }.sorted.lastOption
+      finally dirStream.close()
+      prev.map { f =>
+        val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)))
+        // our own writer's format: "queries":{"name":1.234,...} — flat
+        // numeric object, safe to regex
+        val qsec = txt.split("\"queries\":\\{", 2).lift(1).map(_.takeWhile(_ != '}')).getOrElse("")
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    ordered.map(_._1).foreach { n =>
+      val prev = prevMins.getOrElse(n, -1.0)
+      if (prev > 0.05 && minOk(n) > 3 * prev && passes(n).size < 4) addPass(n)
+    }
+    val results = ordered.map { case (n, _) => n -> minOk(n) }
+    val errors = ordered.map(_._1).filter(n => passes(n).exists(_ < 0))
     val fmt = (d: Double) => BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val passJson = passes.map { case (k, ps) =>
-      s"\"" + k + "\":[" + ps.map(fmt).mkString(",") + "]"
+    val passJson = ordered.map { case (k, _) =>
+      s"\"" + k + "\":[" + passes(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // failed queries (−1 sentinels) must not subtract from the total
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val retimed = ordered.count { case (n, _) => passes(n).size > 2 }
     // Full per-query detail goes to a FILE: with 90+ queries the single
     // JSON line outgrew the driver's stdout tail window and truncated
     // mid-object ("parsed": null in round 2). Stdout carries only the
     // short, always-parseable total line, pointing at the file.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"retimed":${p3.size},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1.
@@ -87,7 +139,7 @@ object Bench {
     finally dirStream.close()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"bench_out.json"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries_file":"bench_out.json"}"""
     // The total line ALSO goes to a file: sbt prefixes stdout with
     // [info], which broke the driver's JSON parse of it in rounds 1–3.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")
