@@ -49,20 +49,26 @@ object Multimodal {
   val LumaBins = 16
 
   /** Decompression-bomb budget: the largest raster a single payload may
-    * allocate (64 MPx ≈ 256 MB of TYPE_INT_RGB). A web-crawl corpus WILL
-    * contain hostile images whose tiny compressed payload declares a
-    * gigapixel canvas; `ImageIO.read` would allocate the full raster and
-    * kill the executor with an OutOfMemoryError — an Error, which the
-    * one-bad-row catch below does not (and must not) swallow. So
-    * dimensions are read from the HEADER first and oversized images are
-    * rejected before any raster exists.
+    * allocate, in BYTES (not pixels: a 64-MPx 16-bit RGBA image is
+    * ~512 MB — twice what the same pixel count costs as TYPE_INT_RGB,
+    * and several such rows decode concurrently across tasks). A
+    * web-crawl corpus WILL contain hostile images whose tiny compressed
+    * payload declares a gigapixel canvas; `ImageIO.read` would allocate
+    * the full raster and kill the executor with an OutOfMemoryError —
+    * an Error, which the one-bad-row catch below does not (and must
+    * not) swallow. So dimensions AND the reader's bytes-per-pixel are
+    * read from the HEADER first and oversized rasters are rejected
+    * before any raster exists.
     */
-  val MaxPixels: Long = 64L * 1024 * 1024
+  val MaxRasterBytes: Long = 256L * 1024 * 1024
 
-  /** Header-only dimensions — no raster allocation. None when no
-    * registered reader recognizes the payload.
+  /** Header-only dimensions + estimated raster bytes-per-pixel — no
+    * raster allocation. None when no registered reader recognizes the
+    * payload. bpp comes from the reader's declared image type (e.g. 8
+    * for 16-bit RGBA), floored at 4 (TYPE_INT_RGB reality: getRGB-era
+    * conversions materialize at least an int per pixel).
     */
-  private def headerDims(bytes: Array[Byte]): Option[(Int, Int)] =
+  private def headerDims(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       if (iis == null) None
@@ -73,17 +79,26 @@ object Multimodal {
           val r = readers.next()
           try {
             r.setInput(iis)
-            Some((r.getWidth(0), r.getHeight(0)))
+            val bpp = try {
+              val types = r.getImageTypes(0)
+              if (types.hasNext)
+                math.max(4, (types.next().getColorModel.getPixelSize + 7) / 8)
+              else 4
+            } catch { case _: Exception => 4 }
+            Some((r.getWidth(0), r.getHeight(0), bpp))
           } finally r.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
 
-  /** Guarded decode: header dims first, raster only within budget. */
+  /** Guarded decode: header dims first, raster only within the byte
+    * budget (w · h · bytes-per-pixel ≤ [[MaxRasterBytes]]).
+    */
   private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
       headerDims(bytes) match {
-        case Some((w, h)) if w > 0 && h > 0 && w.toLong * h <= MaxPixels =>
+        case Some((w, h, bpp)) if w > 0 && h > 0 &&
+            w.toLong * h * bpp <= MaxRasterBytes =>
           Option(ImageIO.read(new ByteArrayInputStream(bytes)))
         case _ => None
       }
@@ -92,7 +107,7 @@ object Multimodal {
   /** Pixel features via the JDK decoder: dimensions, per-channel means,
     * and a 16-bin luminance (BT.601 integer weights) histogram. Returns
     * None when the bytes don't decode (truncated file, unsupported
-    * format, or a raster past [[MaxPixels]]) — the caller falls back to
+    * format, or a raster past [[MaxRasterBytes]]) — the caller falls back to
     * byte-level features rather than failing the task, because at 100 TB
     * some corrupt payloads are a certainty and one bad row must not kill
     * a 10^6-row partition.
@@ -235,8 +250,10 @@ object Multimodal {
   /** Deterministic PCM WAV synthesis (sine tone) — the fixture
     * generator for exercising [[decodeAudio]] where no real audio
     * corpus exists: same (freq, amp, duration) in, byte-identical WAV
-    * out, on any JVM (Math.sin is specified to 1 ulp; the sample chain
-    * rounds through Int before packing).
+    * out, on any JVM (StrictMath.sin is bit-identical by spec —
+    * Math.sin is only specified to 1 ulp and may use platform
+    * intrinsics, so a rounding-boundary sample could flip a byte
+    * across JVMs; the sample chain rounds through Int before packing).
     */
   def synthToneWav(freqHz: Double, seconds: Double, amp: Double,
       rate: Int = 8000): Array[Byte] = {
@@ -244,14 +261,50 @@ object Multimodal {
     val samples = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (math.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
+      val v = (StrictMath.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
       samples(2 * i) = (v & 0xff).toByte // little-endian PCM
       samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
+    pcmMonoWav(samples, n, rate)
+  }
+
+  /** Deterministic PCM WAV synthesis (SQUARE wave): +A for `halfPeriod`
+    * samples, then −A, alternating, with A = trunc(amp·32767). Unlike
+    * the sine fixture this one's decoded features are EXACTLY
+    * closed-form — no transcendental function anywhere, so an oracle in
+    * another engine reproduces them bit-for-bit from integer/IEEE
+    * scalar math alone:
+    *   n_samples = nSamples, duration_ms = nSamples·1000/rate,
+    *   rms       = A / 32768           (every sample is ±A; the sums
+    *                                    stay exact under 2^53 and
+    *                                    sqrt(A²) = A exactly),
+    *   crossings = floor((nSamples−1) / halfPeriod)
+    *                                   (a sign flip at every block
+    *                                    boundary, all samples nonzero).
+    * This is the audio analogue of the solid-color PNG trick that put
+    * `image_features` under a full hash-match oracle.
+    */
+  def synthSquareWav(halfPeriod: Int, amp: Double, nSamples: Int,
+      rate: Int = 8000): Array[Byte] = {
+    require(halfPeriod > 0 && nSamples > 0 && amp > 0 && amp <= 1.0)
+    val a = (amp * 32767).toInt
+    val samples = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = (if ((i / halfPeriod) % 2 == 0) a else -a).toShort
+      samples(2 * i) = (v & 0xff).toByte // little-endian PCM
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcmMonoWav(samples, nSamples, rate)
+  }
+
+  /** Containerize little-endian 16-bit mono PCM frames as WAV. */
+  private def pcmMonoWav(samples: Array[Byte], nFrames: Int, rate: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
-      new ByteArrayInputStream(samples), fmt, n.toLong)
+      new ByteArrayInputStream(samples), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
@@ -292,7 +345,7 @@ object Multimodal {
     * re-encode PNG. Every embedding model wants a fixed input shape
     * before batching; this is the image leg. Payloads that aren't
     * decodable images (wrong mime, corrupt bytes, raster past
-    * [[MaxPixels]]) fall back to [[strideSample]] at targetW·targetH
+    * [[MaxRasterBytes]]) fall back to [[strideSample]] at targetW·targetH
     * bytes, so the fixed-output-shape contract holds for EVERY row and
     * one bad payload never kills the partition.
     *
@@ -329,9 +382,13 @@ object Multimodal {
             r.copy(content = bytes,
               meta = r.meta.copy(mimeType = "image/png", sizeBytes = bytes.length.toLong))
           case None =>
+            // the stride-sampled bytes are NOT a decodable image anymore —
+            // re-tag them so a downstream consumer trusting meta.mimeType
+            // never attempts an image decode on fallback rows
             val out = strideSample(r.content, targetW * targetH)
             r.copy(content = out,
-              meta = r.meta.copy(sizeBytes = out.length.toLong))
+              meta = r.meta.copy(mimeType = "application/octet-stream",
+                sizeBytes = out.length.toLong))
         }
       }
     }

@@ -227,6 +227,26 @@ class OpsSpec extends SparkSpec {
     assert(a.subsetOf(all))
   }
 
+  test("two-phase sequence packing equals the single-window form") {
+    import graft.ops.TextOps
+    // the escape-hatch contract: bucketing by id range + per-bucket
+    // windows + prefix-merged base offsets must reproduce the
+    // single-window packing EXACTLY, for any bucket width
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", $"source",
+        size(split($"text", " ")).cast("long").as("n_tokens"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val one = rows(TextOps.packSequences(docs))
+    // multi-doc buckets, one-doc buckets, and a width past every id
+    // (degenerates to the single-window form) all agree
+    Seq(64L, 1L, 1000000L).foreach { w =>
+      assert(rows(TextOps.packSequencesTwoPhase(docs, bucketWidth = w)) == one,
+        s"bucketWidth=$w")
+    }
+  }
+
   test("multimodal: real image resize re-encodes at target dims with preserved color") {
     import spark.implicits._
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
@@ -261,7 +281,8 @@ class OpsSpec extends SparkSpec {
       val rate = 8000f; val n = 8000
       val samples = new Array[Byte](n * 2)
       for (i <- 0 until n) {
-        val v = (math.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
+        // StrictMath: bit-identical by spec across JVMs (Math.sin is 1-ulp)
+        val v = (StrictMath.sin(2 * math.Pi * freqHz * i / rate) * amp * 32767).toInt.toShort
         samples(2 * i) = (v & 0xff).toByte // little-endian
         samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
       }
@@ -296,7 +317,7 @@ class OpsSpec extends SparkSpec {
     val n = 8000
     val stereo = new Array[Byte](n * 4)
     for (i <- 0 until n) {
-      val v = (math.sin(2 * math.Pi * 440.0 * i / 8000.0) * 0.5 * 32767).toInt.toShort
+      val v = (StrictMath.sin(2 * math.Pi * 440.0 * i / 8000.0) * 0.5 * 32767).toInt.toShort
       stereo(4 * i) = ((v >> 8) & 0xff).toByte // big-endian ch0
       stereo(4 * i + 1) = (v & 0xff).toByte
       stereo(4 * i + 2) = 0; stereo(4 * i + 3) = 0 // silent ch1
@@ -313,6 +334,28 @@ class OpsSpec extends SparkSpec {
     assert(st.channels == 2 && st.sample_rate == 8000 && st.n_samples == 8000L)
     assert(math.abs(st.rms - 0.5 / math.sqrt(2)) < 0.01, st.rms.toString)
     assert(math.abs(st.zero_crossings - 880L) <= 2, st.zero_crossings.toString)
+  }
+
+  test("multimodal: square-wave WAV decodes to EXACT closed-form features") {
+    import spark.implicits._
+    // the audio_features oracle's contract: every decoded feature must
+    // equal its closed form EXACTLY (==, no tolerance) — this is what
+    // lets the query run under a full hash-match DuckDB oracle
+    val cases = Seq((1L, 10, 0.05), (2L, 17, 0.5), (3L, 39, 0.84), (4L, 800, 0.3))
+    val rows = cases.map { case (id, h, amp) =>
+      Multimodal.MediaRow(id, Multimodal.synthSquareWav(h, amp, nSamples = 800),
+        Multimodal.MediaMeta("audio/wav", 0L, "t"))
+    }
+    val out = Multimodal.decodeAudio(spark.createDataset(rows))
+      .collect().map(f => f.media_id -> f).toMap
+    cases.foreach { case (id, h, amp) =>
+      val f = out(id)
+      val a = (amp * 32767).toInt
+      assert(f.sample_rate == 8000 && f.channels == 1)
+      assert(f.n_samples == 800L && f.duration_ms == 100L)
+      assert(f.rms == a / 32768.0, s"id=$id rms=${f.rms} != ${a / 32768.0}")
+      assert(f.zero_crossings == 799L / h, s"id=$id zc=${f.zero_crossings}")
+    }
   }
 
   test("multimodal: decompression-bomb header is rejected before raster allocation") {
@@ -344,6 +387,9 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.width == -1)
     val resized = Multimodal.resize(spark.createDataset(rows), 4, 4).collect()
     assert(resized.head.content.length == 16) // stride fallback, no raster
+    // fallback rows are re-tagged: the 16 stride-sampled bytes are not a
+    // PNG and must not claim to be one
+    assert(resized.head.meta.mimeType == "application/octet-stream")
   }
 
   test("int8 quantization: reconstruction error bounded by half a quantization step") {
@@ -373,7 +419,7 @@ class OpsSpec extends SparkSpec {
     assert(bits.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
-  test("SRP raises loudly on embeddings wider than SrpMaxDims") {
+  test("SRP raises loudly on embeddings wider than the configured dims") {
     // Regression guard: before the raise_error guard, a >256-dim vector
     // sliced against the 256-wide hyperplane matrix, zip_with padded with
     // nulls, the projection folded to NULL, and EVERY bit silently came
@@ -382,14 +428,45 @@ class OpsSpec extends SparkSpec {
       transform(sequence(lit(0), lit(299)), d => d.cast("double") / 300.0)
         .as("embedding"))
     val err = intercept[Exception] { Similarity.srpBits(wide).collect() }
-    assert(err.getMessage.contains("SrpMaxDims"), err.getMessage)
+    assert(err.getMessage.contains("dims"), err.getMessage)
     val errC = intercept[Exception] { Similarity.srpBitsCentered(wide).collect() }
-    assert(errC.getMessage.contains("SrpMaxDims"), errC.getMessage)
+    assert(errC.getMessage.contains("dims"), errC.getMessage)
     // exactly at the bound still works
     val atBound = spark.range(3).select($"id".as("vec_id"),
       transform(sequence(lit(0), lit(255)), d => d.cast("double") / 256.0 - 0.5)
         .as("embedding"))
     assert(Similarity.srpBits(atBound).count() == 3 * 16)
+  }
+
+  test("SRP processes standard 384-dim embeddings end-to-end with dims parameter") {
+    // Round-5 verdict item 3: 256 < common embedding widths (384/768) —
+    // the dim is known at call time, so the matrix is built from a dims
+    // parameter. A 384-dim corpus with planted near-duplicates must flow
+    // green through srpBits AND srpNearDupPairs, and the blocking must
+    // still find the planted pair.
+    import spark.implicits._
+    val d384 = 384
+    // 20 pseudo-random base vectors + one near-copy of vector 0
+    def component(id: Long, d: Int): Double = {
+      val h = (id * 1000003L + d * 7919L) * 2654435761L
+      (((h >>> 16) & 0xffff).toDouble / 65535.0) - 0.5
+    }
+    val vecs = (0L until 20L).map(id => (id, Seq.tabulate(d384)(component(id, _)))) :+
+      (100L, Seq.tabulate(d384)(d => component(0L, d) + (if (d == 0) 0.001 else 0.0)))
+    val corpus = vecs.toDF("vec_id", "embedding").cache()
+    try {
+      // default 256-wide matrix refuses; dims=384 processes
+      val err = intercept[Exception] { Similarity.srpBits(corpus).collect() }
+      assert(err.getMessage.contains("dims"), err.getMessage)
+      val bits = Similarity.srpBits(corpus, dims = d384)
+      assert(bits.count() == 21 * 16)
+      assert(bits.collect().forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
+      val pairs = Similarity.srpNearDupPairs(corpus, thresholdPct = 95, dims = d384)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((0L, 100L)), s"planted 384-dim near-dup not found: $pairs")
+      // centered variant also runs at 384 dims
+      assert(Similarity.srpBitsCentered(corpus, dims = d384).count() == 21 * 16)
+    } finally corpus.unpersist()
   }
 
   test("centered SRP collapses the collision rate of a mean-shifted corpus") {
@@ -581,10 +658,11 @@ class OpsSpec extends SparkSpec {
 
   test("every query has an oracle except the documented sketch exceptions") {
     // the two sketches (error-band specs) + centered SRP (exact decimal
-    // oracle would dwarf the query; semantics proven in OpsSpec) +
-    // audio decode (DuckDB has no WAV decoder; physics pinned in OpsSpec)
+    // oracle would dwarf the query; semantics proven in OpsSpec).
+    // audio_features left this set in round 6: the square-wave fixture
+    // made every decoded feature exactly closed-form in SQL.
     val rowsOnly = Set("approx_distinct_parts", "approx_percentiles",
-      "srp_signature_centered", "audio_features")
+      "srp_signature_centered")
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert((q -- o) == rowsOnly, s"queries missing oracles: ${(q -- o) -- rowsOnly}")
