@@ -74,6 +74,12 @@ object Graft {
     TextOps.chunkDocs(docs, windowTokens, strideTokens)
   def capPerDomain(docs: DataFrame, k: Int): DataFrame =
     TextOps.groupQuota(docs, k)
+  def packSequences(docs: DataFrame, binTokens: Int = 4096): DataFrame =
+    TextOps.packSequences(docs, binTokens)
+  /** Escape hatch for a single shard too large for one window task. */
+  def packSequencesTwoPhase(docs: DataFrame, binTokens: Int = 4096,
+      bucketWidth: Long = 65536L): DataFrame =
+    TextOps.packSequencesTwoPhase(docs, binTokens, bucketWidth)
   def boilerplateSignal(docs: DataFrame): DataFrame =
     Dedup.dupShingleFraction(docs)
 
@@ -81,10 +87,12 @@ object Graft {
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int): DataFrame =
     Similarity.nearDupPairs(corpus, centroids, thresholdPct)
-  def srpSignatures(corpus: DataFrame, nbits: Int = 16): DataFrame =
-    Similarity.srpBits(corpus, nbits)
-  def srpNearDuplicates(corpus: DataFrame, thresholdPct: Int): DataFrame =
-    Similarity.srpNearDupPairs(corpus, thresholdPct)
+  def srpSignatures(corpus: DataFrame, nbits: Int = 16,
+      dims: Int = Similarity.SrpMaxDims): DataFrame =
+    Similarity.srpBits(corpus, nbits, dims = dims)
+  def srpNearDuplicates(corpus: DataFrame, thresholdPct: Int,
+      dims: Int = Similarity.SrpMaxDims): DataFrame =
+    Similarity.srpNearDupPairs(corpus, thresholdPct, dims = dims)
   def quantizeEmbeddings(corpus: DataFrame): DataFrame =
     Similarity.quantizeInt8(corpus)
 

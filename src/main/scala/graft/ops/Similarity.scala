@@ -155,10 +155,10 @@ object Similarity {
     * array), no shuffle; nbits·dim multiplies per vector.
     */
   def srpBits(df: DataFrame, nbits: Int = 16, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val base = df.withColumn("__q", quantizedGuarded(col(embCol)))
+      embCol: String = "embedding", dims: Int = SrpMaxDims): DataFrame = {
+    val base = df.withColumn("__q", quantizedGuarded(col(embCol), dims))
     val q = col("__q")
-    val m = signMatrix(nbits)
+    val m = signMatrix(nbits, dims)
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
       // slice the matrix row to the vector's length — zip_with pads the
       // shorter side with nulls otherwise
@@ -179,19 +179,22 @@ object Similarity {
     * and every bit would silently emit 0 — garbage signatures and a
     * banding step that degenerates toward all-pairs, with no error.
     */
-  private def quantizedGuarded(emb: Column): Column = {
+  private def quantizedGuarded(emb: Column, dims: Int): Column = {
     val q = transform(emb.cast("array<double>"),
       x => floor(x * lit(1000000.0)).cast("long"))
-    when(size(q) <= lit(SrpMaxDims), q).otherwise(raise_error(concat(
+    when(size(q) <= lit(dims), q).otherwise(raise_error(concat(
       lit("SRP: embedding dim "), size(q).cast("string"),
-      lit(s" exceeds SrpMaxDims=$SrpMaxDims; raise SrpMaxDims so the" +
-        " hyperplane matrix covers every dimension"))))
+      lit(s" exceeds the configured hyperplane matrix dims=$dims" +
+        s" (SrpMaxDims default $SrpMaxDims); pass dims=<embedding width>" +
+        " so the matrix covers every dimension"))))
   }
 
-  /** Dims covered by the precomputed hyperplane matrix. Vectors longer
-    * than this raise at runtime (see [[quantizedGuarded]]) — raise the
-    * constant if a wider embedding model lands; the matrix literal grows
-    * linearly and still folds at plan time.
+  /** DEFAULT dims covered by the hyperplane matrix. Every SRP entry
+    * point takes a `dims` parameter (the dim is known at call time —
+    * pass 384/768/1024 for standard embedding models); vectors wider
+    * than the configured matrix raise at runtime (see
+    * [[quantizedGuarded]]). The matrix literal grows linearly with dims
+    * and still folds at plan time.
     */
   val SrpMaxDims = 256
 
@@ -202,8 +205,8 @@ object Similarity {
     * is one element_at). [[srpSignScala]] must stay formula-identical
     * to the oracle SQL in SimilarityQueries.SrpCte.
     */
-  private def signMatrix(nbits: Int): Column =
-    typedLit(Seq.tabulate(nbits, SrpMaxDims)((i, d) => srpSignScala(i, d)))
+  private def signMatrix(nbits: Int, dims: Int): Column =
+    typedLit(Seq.tabulate(nbits, dims)((i, d) => srpSignScala(i, d)))
 
   /** Hyperplane sign for (bit i, dim d): a 32-bit multiplicative hash
     * of the combined index with two xorshift rounds. Row balance ~32/64
@@ -238,8 +241,8 @@ object Similarity {
     * OpsSpec proves the blocking-rate win and bit balance instead.
     */
   def srpBitsCentered(df: DataFrame, nbits: Int = 16, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val base = df.withColumn("__q", quantizedGuarded(col(embCol)))
+      embCol: String = "embedding", dims: Int = SrpMaxDims): DataFrame = {
+    val base = df.withColumn("__q", quantizedGuarded(col(embCol), dims))
     val q = col("__q")
     val dec = "decimal(38,0)"
     // one row: S = per-dim sums (ordered by dim), n = corpus count
@@ -249,7 +252,7 @@ object Similarity {
         e => e.getField("__s")).as("__S"))
     val n = base.agg(count(lit(1)).cast(dec).as("__n"))
     val withStats = base.crossJoin(broadcast(stats)).crossJoin(broadcast(n))
-    val m = signMatrix(nbits)
+    val m = signMatrix(nbits, dims)
     val entries = transform(sequence(lit(0L), lit(nbits - 1L)), i => {
       val rowQ = slice(element_at(m, (i + 1).cast("int")), lit(1), size(q))
       val rowS = slice(element_at(m, (i + 1).cast("int")), lit(1), size(col("__S")))
@@ -293,9 +296,10 @@ object Similarity {
     */
   def srpNearDupPairs(corpus: DataFrame, thresholdPct: Int,
       nbits: Int = 16, bandBits: Int = 8,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      dims: Int = SrpMaxDims): DataFrame = {
     require(nbits % bandBits == 0)
-    val bands = srpBands(srpBits(corpus, nbits, idCol, embCol), bandBits, idCol)
+    val bands = srpBands(srpBits(corpus, nbits, idCol, embCol, dims), bandBits, idCol)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
