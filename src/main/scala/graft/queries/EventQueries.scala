@@ -250,6 +250,26 @@ object EventQueries {
         .filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"prior_signup_us")
         .orderBy("event_id")
+    },
+
+    "salted_join" -> { (spark, dir) =>
+      // The MANUAL hot-key join remedy (ops/Skew.saltedJoin) under the
+      // driver's oracle: a planted skew key puts 80% of all events on
+      // ONE join key ('hot'), joined to a small constructed dim. The
+      // salted join replicates the dim ×16 and spreads the hot key's
+      // rows across 16 shuffle partitions (ScaleSpec proves the spread
+      // and AQE-inapplicability); the oracle is the PLAIN equi-join —
+      // salting must be result-invariant. Salt source is event_id, so
+      // the salt assignment is deterministic.
+      import spark.implicits._
+      val fact = Tables.events(spark, dir).select($"event_id",
+        when($"event_id" % 10 < 8, lit("hot"))
+          .otherwise(concat(lit("k"), ($"event_id" % 10).cast("string")))
+          .as("jkey"))
+      val dim = Seq(("hot", 1L), ("k8", 9L), ("k9", 10L)).toDF("jkey", "weight")
+      graft.ops.Skew.saltedJoin(fact, dim, Seq("jkey"), saltSrc = $"event_id")
+        .select($"event_id", $"jkey", $"weight")
+        .orderBy("event_id")
     })
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +421,17 @@ object EventQueries {
         |           PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_signup_us
         |  FROM events)
-        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // the PLAIN equi-join: salting must be result-invariant
+    "salted_join" ->
+      """WITH f AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 10 < 8 THEN 'hot'
+        |              ELSE 'k' || (event_id % 10)::VARCHAR END AS jkey
+        |  FROM events),
+        |d(jkey, weight) AS (VALUES ('hot', 1), ('k8', 9), ('k9', 10))
+        |SELECT event_id, jkey, weight::BIGINT AS weight
+        |FROM f JOIN d USING (jkey)
+        |ORDER BY event_id""".stripMargin)
 }
