@@ -57,6 +57,66 @@ object TextOps {
       .filter(col("quota_rk") <= k)
   }
 
+  /** Sequence packing, single-window form: documents concatenate per
+    * source shard in id order; each doc's bin is the `binTokens` window
+    * its first token lands in (sequential fill, no doc splitting). ONE
+    * exchange — shards pack independently. Assumes no single shard
+    * outgrows a window task (the ScaleSpec-measured boundary: 10^6 docs
+    * ≈ 0.7 s); past that, use [[packSequencesTwoPhase]].
+    * Input: (id, src, tokens) columns; output adds (bin_no, offset_tokens).
+    */
+  def packSequences(df: DataFrame, binTokens: Int = 4096,
+      idCol: String = "doc_id", srcCol: String = "source",
+      tokCol: String = "n_tokens"): DataFrame = {
+    require(binTokens > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, 0)
+    df.withColumn("__cum", sum(col(tokCol)).over(w))
+      .select(col(idCol), col(srcCol), col(tokCol),
+        ((col("__cum") - col(tokCol)) / binTokens).cast("long").as("bin_no"),
+        (col("__cum") - col(tokCol)).as("offset_tokens"))
+  }
+
+  /** Two-phase sequence packing — the escape hatch for a shard that
+    * outgrows a single window task (the hot-shard boundary pinned in
+    * ScaleSpec). Docs bucket by id RANGE (order-preserving, so
+    * bucket-local order + bucket order = shard order):
+    *   phase 1: running sum WITHIN each (source, bucket) — parallel
+    *            across buckets, the serialized span shrinks from the
+    *            whole shard to one bucket;
+    *   phase 2: per-bucket token totals prefix-sum into per-bucket base
+    *            offsets (a window over #buckets rows per source — tiny)
+    *            and join back (small side, broadcastable by stats).
+    * Output is IDENTICAL to [[packSequences]]: offset = bucket base +
+    * local running sum − own tokens. One extra narrow shuffle (the
+    * totals aggregate) buys per-bucket parallelism — at 100 TB a
+    * pathological single-source corpus packs at bucket granularity
+    * instead of serializing into one task.
+    */
+  def packSequencesTwoPhase(df: DataFrame, binTokens: Int = 4096,
+      bucketWidth: Long = 65536L, idCol: String = "doc_id",
+      srcCol: String = "source", tokCol: String = "n_tokens"): DataFrame = {
+    require(binTokens > 0 && bucketWidth > 0)
+    val W = org.apache.spark.sql.expressions.Window
+    val bucketed = df.withColumn("__bucket",
+      floor(col(idCol) / bucketWidth).cast("long"))
+    val w1 = W.partitionBy(col(srcCol), col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val local = bucketed.withColumn("__cum", sum(col(tokCol)).over(w1))
+    val w2 = W.partitionBy(col(srcCol)).orderBy(col("__bucket"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val bases = bucketed.groupBy(col(srcCol), col("__bucket"))
+      .agg(sum(col(tokCol)).as("__btotal"))
+      .withColumn("__base", coalesce(sum(col("__btotal")).over(w2), lit(0L)))
+      .select(col(srcCol), col("__bucket"), col("__base"))
+    local.join(bases, Seq(srcCol, "__bucket"))
+      .withColumn("__off", col("__base") + col("__cum") - col(tokCol))
+      .select(col(idCol), col(srcCol), col(tokCol),
+        (col("__off") / binTokens).cast("long").as("bin_no"),
+        col("__off").as("offset_tokens"))
+  }
+
   /** Per-document quality metrics: token counts, distinct ratio, stopword
     * ratio, punctuation count and a simple keep/drop flag. Ratios are
     * int/int double divisions (bit-identical across engines).
