@@ -82,23 +82,33 @@ object TextQueries {
     },
 
     "audio_features" -> { (spark, dir) =>
-      // The audio leg of the multimodal contract under the driver
-      // harness (rows-only, like the sketches — DuckDB has no WAV
-      // decoder): synthesize a deterministic PCM tone per document
-      // (freq/amp derived from doc_id and n_chars), containerize as
-      // WAV, and decode through the real javax.sound path. Pure
-      // per-row work on both sides of the decode — no shuffle.
+      // The REAL javax.sound decode path under a FULL hash-match
+      // oracle — the audio analogue of image_features' solid-color
+      // trick: each document becomes a square-wave PCM WAV whose
+      // half-period and amplitude are closed-form in doc_id, so after
+      // encode → decode → feature extraction every output column is
+      // computable in plain SQL with engine-independent integer/IEEE
+      // scalar math (every sample is ±trunc(amp·32767): rms is exactly
+      // A/32768, crossings exactly floor((n−1)/halfPeriod) — no
+      // transcendental anywhere, unlike a sine tone whose RMS is only
+      // approximately amp/√2 after quantization). A decode regression
+      // (endianness flip, channel-stride bug, scale error) breaks the
+      // hash. Pure per-row work on both sides of the decode — no
+      // shuffle.
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
-        .select($"doc_id", $"n_chars").as[(Long, Long)]
-      val media = docs.map { case (id, nChars) =>
-        val freq = 100.0 + (id % 40) * 10.0
-        val amp = 0.1 + (nChars % 50) / 100.0
-        val bytes = graft.ops.Multimodal.synthToneWav(freq, 0.1, amp)
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val halfPeriod = 10 + (id % 30).toInt
+        val amp = 0.05 + (id % 80) / 100.0
+        val bytes = graft.ops.Multimodal.synthSquareWav(halfPeriod, amp, nSamples = 800)
         graft.ops.Multimodal.MediaRow(id, bytes,
           graft.ops.Multimodal.MediaMeta("audio/wav", bytes.length.toLong, "synth"))
       }
-      graft.ops.Multimodal.decodeAudio(media).toDF().orderBy("media_id")
+      graft.ops.Multimodal.decodeAudio(media).toDF()
+        .select($"media_id", $"sample_rate".cast("long").as("sample_rate"),
+          $"channels".cast("long").as("channels"), $"n_samples",
+          $"duration_ms", $"rms", $"zero_crossings")
+        .orderBy("media_id")
     },
 
     "image_features" -> { (spark, dir) =>
@@ -191,6 +201,62 @@ object TextQueries {
       TextOps.groupQuota(Tables.documents(spark, dir), k = 10)
         .select($"source", $"quota_rk".cast("long").as("rk"), $"doc_id")
         .orderBy("source", "rk")
+    },
+
+    "corpus_shuffle" -> { (spark, dir) =>
+      // Deterministic corpus shuffle + shard assignment — the training
+      // data LAYOUT step: every epoch's global shuffle must be
+      // reproducible (seeded) and engine-portable, so order comes from
+      // md5(seed, doc_id), the shard from the hash's top 8 hex digits,
+      // and the within-shard position from a per-shard window. At
+      // 100 TB each shard's window runs independently (one shuffle,
+      // 8-way parallel ranking) and the seed string gives per-epoch
+      // re-shuffles with zero state.
+      import spark.implicits._
+      val h = md5(concat_ws("-", lit("ep0"), $"doc_id".cast("string")))
+      val sharded = Tables.documents(spark, dir)
+        .select($"doc_id", h.as("h"))
+        .withColumn("shard", conv(substring($"h", 1, 8), 16, 10).cast("long") % 8)
+      val w = Window.partitionBy($"shard").orderBy($"h", $"doc_id")
+      sharded.withColumn("pos", row_number().over(w).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy("shard", "pos")
+    },
+
+    "bpe_pair_counts" -> { (spark, dir) =>
+      // Adjacent-token-pair frequencies — the BPE merge-candidate
+      // statistic (each vocab-induction round merges the most frequent
+      // adjacent pair). Pairing is per-row positional zip (no shuffle);
+      // the count is one partial+final hash aggregate; top-50 rides
+      // TakeOrderedAndProject. CaseWhen guards the 1-token doc (a bare
+      // sequence(0, size-2) would DESCEND for size < 2 and fabricate
+      // pairs).
+      import spark.implicits._
+      val toks = split($"text", " ")
+      val pairs = when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      Tables.documents(spark, dir)
+        .select(explode(pairs).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy($"n_occurrences".desc, $"pair")
+        .limit(50)
+    },
+
+    "length_histogram" -> { (spark, dir) =>
+      // Corpus length profile in power-of-2 buckets — the standard
+      // pre-training corpus health check (truncation waste vs padding
+      // waste per bucket). The bucket is length(bin(n)) = floor(log2)+1
+      // — pure INTEGER arithmetic in both engines, no transcendental
+      // log2 to drift. Map-side combine collapses to ~11 rows.
+      import spark.implicits._
+      val nt = size(split($"text", " ")).cast("long")
+      Tables.documents(spark, dir).select(nt.as("n_tokens"))
+        .select(length(bin($"n_tokens")).cast("long").as("p2_bucket"), $"n_tokens")
+        .groupBy($"p2_bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+        .orderBy("p2_bucket")
     },
 
     "token_counts" -> { (spark, dir) =>
@@ -327,6 +393,20 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // closed-form square-wave features: A = trunc(amp·32767) with
+    // amp = 0.05 + (doc_id % 80)/100 — per-row IEEE scalar math, exact
+    // in both engines; rms = A/32768 exactly (sqrt of a perfect square),
+    // crossings = floor(799 / halfPeriod)
+    "audio_features" ->
+      """SELECT doc_id AS media_id,
+        |       8000::BIGINT AS sample_rate,
+        |       1::BIGINT AS channels,
+        |       800::BIGINT AS n_samples,
+        |       100::BIGINT AS duration_ms,
+        |       trunc((0.05 + (doc_id % 80) / 100.0) * 32767) / 32768.0 AS rms,
+        |       ((800 - 1) // (10 + doc_id % 30))::BIGINT AS zero_crossings
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "image_features" ->
       """SELECT doc_id AS media_id,
         |       (4 + doc_id % 8)::BIGINT AS width,
@@ -423,6 +503,30 @@ object TextQueries {
         |SELECT doc_id, source, n_tokens, (off // 4096)::BIGINT AS bin_no,
         |       off::BIGINT AS offset_tokens
         |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "corpus_shuffle" ->
+      """WITH t AS (SELECT doc_id, md5('ep0-' || doc_id::VARCHAR) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |             ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
+        |      FROM t)
+        |SELECT doc_id, shard,
+        |       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+
+    "bpe_pair_counts" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS nt FROM documents),
+        |p AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, nt)]) AS pair
+        |      FROM d WHERE nt >= 2)
+        |SELECT pair, count(*) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin,
+
+    "length_histogram" ->
+      """WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents)
+        |SELECT length(bin(n_tokens))::BIGINT AS p2_bucket,
+        |       count(*) AS n_docs, SUM(n_tokens)::BIGINT AS sum_tokens
+        |FROM t GROUP BY 1 ORDER BY p2_bucket""".stripMargin,
 
     "token_counts" ->
       """SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
