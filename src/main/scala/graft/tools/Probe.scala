@@ -97,9 +97,28 @@ object Probe {
     spark.stop()
   }
 
-  /** `Probe exchanges <sfDir> <query>...` — prints the Exchange-substring
-    * count (PlanSpec's budget metric) and whether the plan reuses an
-    * exchange, per query.
+  /** DISTINCT physical exchanges in a query's plan — the honest budget
+    * metric. The plan STRING re-prints a cached `InMemoryRelation`'s
+    * whole build subtree at every `InMemoryTableScan` site, so a
+    * substring count multiplies the cache-build exchanges by the number
+    * of scan sites (dedup_minhash read 36 that way; the true count is
+    * 16). The formatted explain assigns each physical operator ONE id
+    * that repeated prints share, so distinct (name, id) pairs count
+    * every exchange exactly once — including the cache build's, which
+    * execute once at first materialization. Returns (real, reused).
+    */
+  def distinctExchanges(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val ids = "(\\w*Exchange) \\((\\d+)\\)".r.findAllMatchIn(s)
+      .map(m => (m.group(1), m.group(2).toInt)).toSet
+    val (reused, real) = ids.partition(_._1.startsWith("Reused"))
+    (real.size, reused.size)
+  }
+
+  /** `Probe exchanges <sfDir> <query>...` — prints the distinct-exchange
+    * count (PlanSpec's budget metric) and how many exchanges the plan
+    * reuses, per query.
     */
   def exchangesMain(args: Array[String]): Unit = {
     if (args.isEmpty) {
@@ -114,15 +133,10 @@ object Probe {
       .withExtensions(new graft.GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.tail.foreach { q =>
-      val plan = graft.SparkEntry.queries(q)(spark, sfDir)
-        .queryExecution.executedPlan.toString
-      // negative lookbehind: "ReusedExchange" must not count as a shuffle
-      val n = "(?<!Reused)Exchange".r.findAllIn(plan).size
-      val reused = "ReusedExchange".r.findAllIn(plan).size
+      val (n, reused) = distinctExchanges(graft.SparkEntry.queries(q)(spark, sfDir))
       println(s"[probe] $q exchanges=$n reused=$reused")
-      // cached plans from an earlier query print their whole subtree
-      // inside later InMemoryRelations and inflate the count — keep
-      // each query's reading cache-clean
+      // release between queries so one query's caches don't appear in
+      // the next query's plan
       graft.ops.Dedup.releaseCaches()
     }
     spark.stop()

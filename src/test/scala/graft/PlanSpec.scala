@@ -84,7 +84,12 @@ class PlanSpec extends SparkSpec {
     // the structural minimum for each query's shape (one per
     // aggregation boundary, one for the final ORDER BY, one per
     // non-broadcast join side). A failure here means a plan regression
-    // quietly added a shuffle.
+    // quietly added a shuffle. Counting is by DISTINCT physical operator
+    // id (Probe.distinctExchanges) — the plan STRING reprints a cached
+    // relation's build subtree at every scan site, which inflated the
+    // old substring metric 36-vs-16 on dedup_minhash (r5 verdict #6);
+    // budgets below are the measured actuals (+2 slack on the cached
+    // dedup pipelines, whose plans shift with AQE stats).
     val budgets = Map(
       "q6_scan_revenue" -> 1,   // global agg only
       "hash_sample" -> 1,       // filter + sort
@@ -112,21 +117,32 @@ class PlanSpec extends SparkSpec {
       "embed_quantize" -> 1,    // pure projection + final sort
       "repetition_stats" -> 1,  // pure projection + final sort
       "pack_sequences" -> 2,    // per-shard running-sum window + sort
-      "dedup_minhash" -> 36,    // shingle→sig→band LSH→verify pipeline
+      "dedup_minhash" -> 18,    // measured 16: spread + 2×(shingle agg +
+                                // sig agg) on sig/verify sides, band
+                                // self-join, distinct, candDocs distinct,
+                                // semi join, collect_set agg, pair joins,
+                                // final sort
       // the dedup/text heavy tail (round-4 verdict item 8): a shuffle
       // regression in these pipelines fails here before it costs bench
-      "dedup_ngram_jaccard" -> 10, // (lang,len-bucket) block self-join + verify
-      "simhash_near_dup" -> 7,     // signature + pigeonhole band join + verify
-      "dedup_incremental" -> 36,   // batch-vs-historical LSH + pruned re-scan
+      "dedup_ngram_jaccard" -> 8,  // measured 6: (lang,len-bucket) block
+                                   // self-join over the cached shingle
+                                   // table + verify + sort
+      "simhash_near_dup" -> 7,     // measured 5 (+2): signature + pigeonhole band join + verify
+      "dedup_incremental" -> 18,   // measured 16: batch-vs-historical LSH + pruned re-scan
       "lang_id_chargram" -> 9,     // gram explode + profile top-N + score join
       "doc_chunks" -> 1,           // pure per-row explode + final sort
       "domain_quota" -> 2,         // per-source hash window + sort
-      "dup_shingle_fraction" -> 6) // distinct + freq agg + join-back + doc agg + sort
+      "dup_shingle_fraction" -> 6, // distinct + freq agg + join-back + doc agg + sort
+      // round-6 additions
+      "salted_join" -> 2,          // salted fact shuffle + final sort (dim broadcasts)
+      "audio_features" -> 1,       // pure per-row decode + final sort
+      "corpus_shuffle" -> 2,       // per-shard ranking window + final sort
+      "bpe_pair_counts" -> 1,      // pair agg; top-50 rides TakeOrderedAndProject
+      "length_histogram" -> 2)     // bucket agg + final sort
     budgets.foreach { case (q, n) =>
-      val plan = planOf(SparkEntry.queries(q)(spark, Sf0001))
-      // a ReusedExchange is NOT a second shuffle — don't double-count it
-      val ex = "(?<!Reused)Exchange".r.findAllIn(plan).size
-      assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n$plan")
+      val df = SparkEntry.queries(q)(spark, Sf0001)
+      val (ex, _) = graft.tools.Probe.distinctExchanges(df)
+      assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n${planOf(df)}")
       graft.ops.Dedup.releaseCaches()
     }
   }
