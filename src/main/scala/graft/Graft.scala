@@ -95,6 +95,8 @@ object Graft {
     Similarity.srpNearDupPairs(corpus, thresholdPct, dims = dims)
   def quantizeEmbeddings(corpus: DataFrame): DataFrame =
     Similarity.quantizeInt8(corpus)
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, subspaces: Int = 4): DataFrame =
+    Similarity.pqCodes(corpus, codebook, subspaces)
 
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =

@@ -339,6 +339,52 @@ object Similarity {
         col("q8"), col("scale_micros"))
   }
 
+  /** Product-quantization codes — the third compression form next to
+    * int8 and SRP bits, and the memory layer real ANN serving stacks
+    * (FAISS IVF-PQ) put under IVF: the embedding splits into
+    * `subspaces` contiguous sub-vectors and each sub-vector is replaced
+    * by the id of its nearest sub-centroid, so a dim-64 float vector
+    * becomes `subspaces` small codes (here 4 bytes — a 64× compression
+    * over float32 at 4 subspaces × 256-codebook).
+    *
+    * Exactness across engines: sub-vectors and codebook entries are
+    * micro-quantized to int64 (floor(x·1e6)) and the assignment
+    * distance is the INTEGER squared L2 Σ(q−c)² — at dim 64 and |x|≤2
+    * the sum stays under 2^53, so argmin + centroid-id tie-break is
+    * exact integer arithmetic in both engines (the same trick as SRP's
+    * integer projections; cosine's float chain is not needed here).
+    *
+    * Scale posture: the codebook (subspaces × centroids sub-vectors) is
+    * broadcast; per-row work is an explode to `subspaces` rows and a
+    * broadcast join; the argmin is WindowGroupLimit-prunable
+    * (row_number ≤ 1 heaps before the (vec, subspace) shuffle). Output:
+    * (id, subspace, code).
+    */
+  def pqCodes(corpus: DataFrame, codebook: DataFrame, subspaces: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(subspaces > 0)
+    def subVectors(df: DataFrame, outCol: String): DataFrame = {
+      val q = transform(col(embCol).cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long"))
+      val width = (size(q) / subspaces).cast("int")
+      df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(q, s.cast("int") * width + 1, width))).as(Seq("subspace", outCol)))
+    }
+    val sub = subVectors(corpus, "qs")
+    val cent = subVectors(codebook, "cs")
+      .select(col("subspace"), col(idCol).as("code"), col("cs"))
+    val dist = aggregate(
+      zip_with(col("qs"), col("cs"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val scored = sub.join(broadcast(cent), "subspace").withColumn("__d", dist)
+    val w = Window.partitionBy(col(idCol), col("subspace"))
+      .orderBy(col("__d"), col("code"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("subspace").cast("long").as("subspace"), col("code"))
+  }
+
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.
     */

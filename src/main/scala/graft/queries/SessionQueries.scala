@@ -60,6 +60,25 @@ object SessionQueries {
       in
     })}
 
+  /** Staged DOUBLED events input for the streaming-dedup query: every
+    * row written twice (two appends), so the dedup stream has real
+    * replays to suppress. Staged once per sfDir per JVM, like
+    * [[stagedStreamInput]].
+    */
+  private val stagedDup = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedDupInput(spark: SparkSession, dir: String): String =
+    stagedDup.synchronized { stagedDup.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-dedup-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      val ev = Tables.events(spark, dir).select($"user_id", $"ts", $"event_id")
+      ev.write.parquet(in)
+      ev.write.mode("append").parquet(in)
+      in
+    })}
+
   /** Two consecutive hours of the corpus picked for the production-job
     * query: the fixed mid-range boundary (same instant as [[BoundaryUs]])
     * guarantees data on both sides at every SF.
@@ -261,6 +280,33 @@ object SessionQueries {
           unix_micros($"session_end").as("end_us"),
           $"n_events", $"first_event", $"last_event")
         .orderBy("user_id", "start_us")
+    },
+
+    "streaming_dedup" -> { (spark, dir) =>
+      // The SECOND streaming engine path under the driver's oracle:
+      // at-least-once ingestion (every event staged TWICE) through
+      // dropDuplicatesWithinWatermark → append parquet sink. The
+      // output must be exactly the distinct event set — the oracle is
+      // the plain events table. State is watermark-bounded (a key
+      // expires once the watermark passes its time + delay), so at
+      // 100 TB/day state tracks the replay horizon, not the stream.
+      import spark.implicits._
+      val in = stagedDupInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-dedup-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id").schema
+      // same per-job state-store sizing rationale as streaming_session_agg
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runDedup(spark, schema, in, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
+        .orderBy("event_id")
     },
 
     "sessionize_hour_job" -> { (spark, dir) =>
@@ -474,6 +520,11 @@ object SessionQueries {
     "session_gaps" ->
       """SELECT event_id, user_id,
         |       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // the doubled input must collapse back to exactly the events table
+    "streaming_dedup" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |FROM events ORDER BY event_id""".stripMargin,
 
     "sessionize_hour_job" ->

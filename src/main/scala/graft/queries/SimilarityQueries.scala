@@ -98,6 +98,19 @@ object SimilarityQueries {
         .orderBy("vec_id", "bit")
     },
 
+    "pq_codes" -> { (spark, dir) =>
+      // Product-quantization codes (the IVF-PQ memory layer): dim 64
+      // splits into 4×16-dim subspaces, codebook = the vec_id < 8
+      // vectors' sub-vectors (the same deterministic-codebook device as
+      // ivf_topk's centroids). Assignment distance is INTEGER squared
+      // L2 over micro-quantized components, so argmin + id tie-break is
+      // exact in both engines.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqCodes(emb, emb.filter($"vec_id" < 8), subspaces = 4)
+        .orderBy("vec_id", "subspace")
+    },
+
     "embed_quantize" -> { (spark, dir) =>
       // Symmetric int8 quantization of the embedding corpus (the
       // serving/storage format); exact double chain → bit-identical q8.
@@ -178,6 +191,24 @@ object SimilarityQueries {
          |          JOIN e eb ON eb.vec_id = cand.vec_b
          |WHERE (list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)) * 100 > 30
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // integer squared-L2 argmin per (vector, subspace); q[a:b] is DuckDB's
+    // 1-based inclusive list slice
+    "pq_codes" ->
+      """WITH qe AS (SELECT vec_id,
+        |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+        |            FROM embeddings),
+        |sub AS (SELECT vec_id, s, q[s * 16 + 1 : (s + 1) * 16] AS qs
+        |        FROM (SELECT vec_id, q, unnest(range(0, 4)) AS s FROM qe)),
+        |cent AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
+        |d AS (SELECT a.vec_id, a.s, code,
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS dist
+        |      FROM sub a JOIN cent c ON a.s = c.s)
+        |SELECT vec_id, s::BIGINT AS subspace, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+        |  FROM d) WHERE rk = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
 
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -32,6 +32,26 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Streaming exact-dedup job: parquet file source →
+    * dropDuplicatesWithinWatermark on `event_id` → append-mode parquet
+    * sink. Unlike the session aggregation, dedup emits rows as they
+    * arrive (state only SUPPRESSES replays), so append mode needs no
+    * watermark sentinel for completeness — the watermark's only role is
+    * expiring seen-key state.
+    */
+  def runDedup(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = StreamingSessionize.dedupStream(in).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inPath, outPath, checkpointPath) = args
     val spark = graft.Graft.session("graft-streaming")

@@ -410,6 +410,27 @@ class OpsSpec extends SparkSpec {
     assert(peaks == 0)
   }
 
+  test("PQ codes: one code per (vector, subspace); codebook vectors self-assign") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val book = emb.filter($"vec_id" < 8)
+    val codes = Similarity.pqCodes(emb, book, subspaces = 4)
+    val n = emb.count()
+    val rows = codes.collect()
+    // exactly one code per (vector, subspace), codes drawn from the book
+    assert(rows.length == n * 4)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 8))
+    // a codebook vector's nearest sub-centroid is itself (distance 0);
+    // id tie-break could only override it if another book vector had an
+    // IDENTICAL sub-vector, which this corpus does not
+    rows.filter(_.getLong(0) < 8).foreach { r =>
+      assert(r.getLong(2) == r.getLong(0), s"self-assignment broken: $r")
+    }
+    // deterministic across invocations
+    val again = Similarity.pqCodes(emb, book, subspaces = 4).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("SRP bits: 16 bits per vector, values in {0,1}, deterministic") {
     val emb = Tables.embeddings(spark, Sf0001).limit(50)
     val bits = Similarity.srpBits(emb).collect()

@@ -138,7 +138,8 @@ class PlanSpec extends SparkSpec {
       "audio_features" -> 1,       // pure per-row decode + final sort
       "corpus_shuffle" -> 2,       // per-shard ranking window + final sort
       "bpe_pair_counts" -> 1,      // pair agg; top-50 rides TakeOrderedAndProject
-      "length_histogram" -> 2)     // bucket agg + final sort
+      "length_histogram" -> 2,     // bucket agg + final sort
+      "pq_codes" -> 3)             // subspace argmin window + final sort (codebook broadcasts)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
