@@ -97,6 +97,11 @@ object Graft {
     Similarity.quantizeInt8(corpus)
   def pqEncode(corpus: DataFrame, codebook: DataFrame, subspaces: Int = 4): DataFrame =
     Similarity.pqCodes(corpus, codebook, subspaces)
+  def searchIvfPq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, k: Int, subspaces: Int = 4): DataFrame =
+    Similarity.ivfPqTopK(corpus, queries, centroids, codebook, k, subspaces)
+  def kmeansUpdate(corpus: DataFrame, seeds: DataFrame): DataFrame =
+    Similarity.kmeansStep(corpus, seeds)
 
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =

@@ -117,6 +117,55 @@ object Dedup {
       .withColumn("shared_frac", col("n_shared") / col("n_shingles"))
   }
 
+  /** Directional shingle-containment pairs — the asymmetric near-dup
+    * signal Jaccard misses: a short quote/extract sitting inside a much
+    * longer document has tiny Jaccard (union is dominated by the long
+    * side) but containment |A∩B|/|A| ≈ 1. Because the interesting pairs
+    * are cross-length BY NATURE, the (lang × length-bucket) blocking of
+    * [[ngramJaccardPairs]] would discard exactly them; candidates come
+    * from the inverted index instead (docs sharing a shingle), with a
+    * document-frequency cap: shingles appearing in more than
+    * `maxShingleDf` docs are boilerplate — they carry almost no evidence
+    * that one SPECIFIC doc contains another, and they are the quadratic
+    * hazard (a shingle shared by z docs fans out z² candidate rows).
+    * Semantics are therefore "containment over non-boilerplate
+    * shingles": both |S'(a)∩S'(b)| and the |S'(a)| denominator count
+    * only capped shingles, which the oracle mirrors exactly — integer
+    * compare, no float threshold.
+    *
+    * Scale posture: per-shingle fan-out is capped at maxShingleDf², the
+    * pair aggregate shuffles only candidate pairs, and every count is an
+    * exact integer. Output one row PER DIRECTION: (src, dst, inter,
+    * n_src) where inter·100 ≥ n_src·thresholdPct.
+    */
+  def containmentPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", thresholdPct: Int = 80,
+      maxShingleDf: Int = 50, minShingles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // df-cap and per-doc size as WINDOWS (not groupBy + join-back): two
+    // shuffles instead of four, and the n_src count rides each row into
+    // the pair aggregate so no post-join doc lookup is needed. The
+    // capped table is cached (and freed via releaseCaches) because both
+    // self-join sides read it — the same justification measured for
+    // [[ngramJaccardPairs]]'s shingle cache.
+    val sh = shingleRows(df, idCol, textCol).distinct()
+    val capped = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("__df") <= maxShingleDf)
+      .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol), col("shingle"), col("n_src"))
+    val cached = registerDf(capped.cache())
+    val a = cached.filter(col("n_src") >= minShingles)
+      .select(col("shingle"), col(idCol).as("src"), col("n_src"))
+    val b = cached.select(col("shingle"), col(idCol).as("dst"))
+    a.join(b, "shingle")
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("inter"), first(col("n_src")).as("n_src"))
+      .filter(col("inter") * 100 >= col("n_src") * thresholdPct)
+      .select(col("src"), col("dst"), col("inter"), col("n_src"))
+  }
+
   /** Exact dedup: keep the lowest id per identical text (hash-groupBy —
     * one shuffle on the text hash; at 100 TB group on md5(text) instead of
     * the full text to keep shuffle rows narrow).

@@ -363,26 +363,166 @@ object Similarity {
   def pqCodes(corpus: DataFrame, codebook: DataFrame, subspaces: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(subspaces > 0)
-    def subVectors(df: DataFrame, outCol: String): DataFrame = {
-      val q = transform(col(embCol).cast("array<double>"),
-        x => floor(x * lit(1000000.0)).cast("long"))
-      val width = (size(q) / subspaces).cast("int")
-      df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-          s => slice(q, s.cast("int") * width + 1, width))).as(Seq("subspace", outCol)))
-    }
-    val sub = subVectors(corpus, "qs")
-    val cent = subVectors(codebook, "cs")
+    val sub = pqSubVectors(corpus, subspaces, idCol, embCol, "qs")
+    val cent = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
       .select(col("subspace"), col(idCol).as("code"), col("cs"))
-    val dist = aggregate(
-      zip_with(col("qs"), col("cs"), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, x) => acc + x)
-    val scored = sub.join(broadcast(cent), "subspace").withColumn("__d", dist)
+    pqAssignCodes(sub, cent, idCol, keep = Nil)
+      .select(col(idCol), col("subspace").cast("long").as("subspace"), col("code"))
+  }
+
+  /** Argmin-assign sub-vector rows (idCol, keep…, subspace, qs) to the
+    * broadcast book (subspace, code, cs) by integer L2; `keep` columns
+    * ride through. The argmin window needs clustering on
+    * (id, subspace) — any upstream hash partitioning on the id alone
+    * already satisfies it (subset rule), so callers that pre-shuffled by
+    * id pay NO extra exchange here.
+    */
+  private def pqAssignCodes(sub: DataFrame, book: DataFrame, idCol: String,
+      keep: Seq[String]): DataFrame = {
+    val scored = sub.join(broadcast(book), "subspace")
+      .withColumn("__d", intL2(col("qs"), col("cs")))
     val w = Window.partitionBy(col(idCol), col("subspace"))
       .orderBy(col("__d"), col("code"))
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .select(col(idCol), col("subspace").cast("long").as("subspace"), col("code"))
+      .select((Seq(idCol) ++ keep ++ Seq("subspace", "code")).map(col): _*)
+  }
+
+  /** Slice an already-quantized int64 vector column into per-subspace
+    * rows, carrying `keep` columns — formula-identical to
+    * [[pqSubVectors]] (same transform/sequence/slice chain).
+    */
+  private def subVectorsOfQuant(df: DataFrame, quantCol: String,
+      subspaces: Int, idCol: String, keep: Seq[String],
+      outCol: String): DataFrame = {
+    val q = col(quantCol)
+    val width = (size(q) / subspaces).cast("int")
+    df.select(col(idCol) +: keep.map(col) :+
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(q, s.cast("int") * width + 1, width))).as(Seq("subspace", outCol)): _*)
+  }
+
+  /** Micro-quantized (floor(x·1e6) int64) sub-vector rows: one row per
+    * (id, subspace) with the contiguous slice of the quantized embedding.
+    * Shared by [[pqCodes]] and [[ivfPqTopK]] (and formula-identical to
+    * the oracle SQL's slice CTE).
+    */
+  private def pqSubVectors(df: DataFrame, subspaces: Int, idCol: String,
+      embCol: String, outCol: String): DataFrame = {
+    val q = transform(col(embCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    val width = (size(q) / subspaces).cast("int")
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(q, s.cast("int") * width + 1, width))).as(Seq("subspace", outCol)))
+  }
+
+  /** Integer squared L2 between two int64 arrays — exact in both engines
+    * (components ≤ 2·10^6, dims ≤ 64 keep the sum far under 2^53).
+    */
+  private def intL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Micro-quantized full vectors: (id, qv: array<long>). */
+  private def quantVectors(df: DataFrame, idCol: String, embCol: String,
+      outId: String): DataFrame =
+    df.select(col(idCol).as(outId),
+      transform(col(embCol).cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long")).as("__qv"))
+
+  /** Nearest-centroid assignment by INTEGER squared L2 (exact argmin,
+    * centroid-id tie-break) — the coarse quantizer for [[ivfPqTopK]] and
+    * the assignment half of [[kmeansStep]]. Centroids broadcast; the
+    * argmin window shuffles once on the vector id.
+    */
+  def assignClustersL2(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val c = quantVectors(corpus, idCol, embCol, idCol)
+    val cent = quantVectors(centroids, idCol, embCol, "centroid_id")
+      .withColumnRenamed("__qv", "__cv")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("centroid_id"))
+    c.crossJoin(broadcast(cent))
+      .withColumn("__d", intL2(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__qv"), col("centroid_id").as("cluster"))
+  }
+
+  /** IVF-PQ ADC top-k — the serving read path that completes the ANN
+    * stack (IVF partitions the corpus, PQ compresses it, ADC scores
+    * queries against CODES instead of raw vectors): each query builds a
+    * per-subspace lookup table of distances to every codebook entry
+    * (|Q|·subspaces·|book| rows — broadcast), coarse-assigns to one IVF
+    * bucket, and scores only that bucket's PQ codes by summing LUT hits —
+    * the corpus' raw embeddings are never touched after encode time,
+    * which is the whole point at 100 TB (codes are ~64× smaller).
+    *
+    * Exactness: every distance is the integer squared L2 of
+    * micro-quantized components ([[intL2]]), so the ADC sum, the argmin
+    * assignments, and the final (adc, id) ordering are exact int64
+    * arithmetic in both engines.
+    *
+    * Scale posture: LUT and query assignments broadcast (query sets are
+    * small); the corpus-sized joins are the codes⋈cluster equi-join on
+    * the vector id and the per-(query, vec) ADC sum — both shuffle
+    * pair-sized data confined to probed buckets (corpus/K per query).
+    * Output: (query_id, rk, neighbor_id, adc).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, k: Int, subspaces: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bookSub = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
+      .select(col("subspace"), col(idCol).as("code"), col("cs"))
+    // ONE corpus shuffle: the assignment argmin window hash-partitions
+    // by id; the cluster tag rides through sub-vector explode + code
+    // argmin (window on (id, subspace) — satisfied by the id
+    // partitioning) and into the per-(query, id) ADC sum (ditto), so
+    // encode→score is a single exchange plus the final top-k window.
+    val assigned = assignClustersL2(corpus, centroids, idCol, embCol)
+    val codes = pqAssignCodes(
+      subVectorsOfQuant(assigned, "__qv", subspaces, idCol, Seq("cluster"), "qs"),
+      bookSub, idCol, keep = Seq("cluster"))
+    val qAssigned = assignClustersL2(queries, centroids, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("cluster").as("qcluster"))
+    val lut = pqSubVectors(queries, subspaces, idCol, embCol, "qs")
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(bookSub), "subspace")
+      .select(col("query_id"), col("subspace"), col("code"),
+        intL2(col("qs"), col("cs")).as("__lutd"))
+    val cand = codes
+      .join(broadcast(qAssigned),
+        col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+    val adc = cand.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lutd")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col(idCol).as("neighbor_id"), col("adc"))
+  }
+
+  /** One Lloyd iteration's UPDATE STATISTIC — how IVF centroids and PQ
+    * codebooks actually get trained at corpus scale: assign every vector
+    * to its nearest seed (integer L2), then emit per-(cluster, dim)
+    * component sums and member counts. The new centroid is sum/n; the
+    * division is left to the caller so the distributed output stays
+    * EXACT integers (sums are order-free, so no float-summation-order
+    * hazard across partitions — same device as embedding_centroids).
+    *
+    * Scale posture: seeds broadcast, one argmin window on the vector id,
+    * one (cluster, dim)-keyed partial-aggregated sum — K·dim output rows
+    * regardless of corpus size. Output: (cluster, dim, comp_sum, n).
+    */
+  def kmeansStep(corpus: DataFrame, seeds: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = assignClustersL2(corpus, seeds, idCol, embCol)
+    assigned.select(col("cluster"),
+        posexplode(col("__qv")).as(Seq("dim", "comp")))
+      .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+      .agg(sum(col("comp")).as("comp_sum"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("dim"), col("comp_sum"), col("n"))
   }
 
   /** IVF top-k: each query searches only its own cluster's bucket —

@@ -42,6 +42,16 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    "containment_pairs" -> { (spark, dir) =>
+      // Directional containment (quote-in-document detection): one row
+      // per (src, dst) where ≥80% of src's non-boilerplate shingles
+      // (document frequency ≤ 50) appear in dst. Cross-length by
+      // design — the pairs Jaccard's union denominator suppresses.
+      import spark.implicits._
+      Dedup.containmentPairs(Tables.documents(spark, dir))
+        .orderBy("src", "dst")
+    },
+
     "dup_shingle_fraction" -> { (spark, dir) =>
       // Cross-document duplicate-shingle fraction — the corpus-level
       // boilerplate signal (a doc scores high from MANY partial
@@ -176,6 +186,20 @@ object DedupQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "containment_pairs" ->
+      s"""WITH $ShinglesCte,
+         |rows AS (SELECT DISTINCT doc_id, unnest(s) AS shingle FROM sh),
+         |f AS (SELECT shingle, count(*) AS df FROM rows GROUP BY 1),
+         |capped AS (SELECT doc_id, shingle FROM rows JOIN f USING (shingle) WHERE df <= 50),
+         |n AS (SELECT doc_id, count(*) AS n_src FROM capped GROUP BY 1 HAVING count(*) >= 10),
+         |i AS (SELECT a.doc_id AS src, b.doc_id AS dst, count(*)::BIGINT AS inter
+         |      FROM capped a JOIN capped b USING (shingle)
+         |      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT src, dst, inter, n_src::BIGINT AS n_src
+         |FROM i JOIN n ON n.doc_id = i.src
+         |WHERE inter * 100 >= n_src * 80
+         |ORDER BY src, dst""".stripMargin,
+
     "dup_shingle_fraction" ->
       s"""WITH $ShinglesCte,
          |rows AS (SELECT doc_id, unnest(s) AS shingle FROM sh),

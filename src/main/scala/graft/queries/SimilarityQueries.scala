@@ -111,6 +111,30 @@ object SimilarityQueries {
         .orderBy("vec_id", "subspace")
     },
 
+    "ivfpq_topk" -> { (spark, dir) =>
+      // The ANN serving read path: IVF buckets + PQ codes + ADC scoring
+      // (queries never touch raw corpus embeddings after encode time).
+      // Coarse centroids AND the sub-codebook are the vec_id < 8
+      // vectors, queries vec_id < 10, k = 3 — the same deterministic
+      // devices as ivf_topk/pq_codes. Every distance is integer squared
+      // L2, so the whole chain is exact in both engines.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val book = emb.filter($"vec_id" < 8)
+      Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 10), book, book, k = 3)
+        .orderBy("query_id", "rk")
+    },
+
+    "kmeans_step" -> { (spark, dir) =>
+      // One Lloyd iteration's update statistic (how IVF/PQ codebooks are
+      // trained at corpus scale): integer-L2 assignment to the vec_id<8
+      // seeds, then exact per-(cluster, dim) component sums + counts.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.kmeansStep(emb, emb.filter($"vec_id" < 8))
+        .orderBy("cluster", "dim")
+    },
+
     "embed_quantize" -> { (spark, dir) =>
       // Symmetric int8 quantization of the embedding corpus (the
       // serving/storage format); exact double chain → bit-identical q8.
@@ -209,6 +233,60 @@ object SimilarityQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
         |  FROM d) WHERE rk = 1
         |ORDER BY vec_id, subspace""".stripMargin,
+
+    // the full integer ADC chain: coarse assign (64-dim integer L2
+    // argmin), PQ codes (16-dim per-subspace argmin), per-query LUT,
+    // bucket-confined ADC sum, top-3
+    "ivfpq_topk" ->
+      """WITH qe AS (SELECT vec_id,
+        |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+        |            FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, q AS cv FROM qe WHERE vec_id < 8),
+        |coarse AS (SELECT vec_id, cluster FROM (
+        |  SELECT a.vec_id, centroid_id AS cluster,
+        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
+        |           centroid_id) AS rk
+        |  FROM qe a CROSS JOIN cent c) WHERE rk = 1),
+        |sub AS (SELECT vec_id, s, q[s * 16 + 1 : (s + 1) * 16] AS qs
+        |        FROM (SELECT vec_id, q, unnest(range(0, 4)) AS s FROM qe)),
+        |book AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
+        |codes AS (SELECT vec_id, s, code FROM (
+        |  SELECT a.vec_id, a.s, c.code,
+        |         row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY
+        |           list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i]))),
+        |           c.code) AS rk
+        |  FROM sub a JOIN book c ON a.s = c.s) WHERE rk = 1),
+        |lut AS (SELECT a.vec_id AS query_id, a.s, c.code,
+        |               list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS d
+        |        FROM sub a JOIN book c ON a.s = c.s WHERE a.vec_id < 10),
+        |adc AS (SELECT l.query_id, co.vec_id, sum(l.d)::BIGINT AS adc
+        |        FROM codes co
+        |        JOIN coarse ca ON ca.vec_id = co.vec_id
+        |        JOIN coarse qa ON qa.vec_id < 10 AND qa.cluster = ca.cluster AND co.vec_id <> qa.vec_id
+        |        JOIN lut l ON l.query_id = qa.vec_id AND l.s = co.s AND l.code = co.code
+        |        GROUP BY l.query_id, co.vec_id)
+        |SELECT query_id, rk, vec_id AS neighbor_id, adc FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+        |  FROM adc) WHERE rk <= 3
+        |ORDER BY query_id, rk""".stripMargin,
+
+    // integer-L2 assignment + exact per-(cluster, dim) sums/counts
+    "kmeans_step" ->
+      """WITH qe AS (SELECT vec_id,
+        |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+        |            FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, q AS cv FROM qe WHERE vec_id < 8),
+        |coarse AS (SELECT vec_id, q, cluster FROM (
+        |  SELECT a.vec_id, a.q, centroid_id AS cluster,
+        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
+        |           centroid_id) AS rk
+        |  FROM qe a CROSS JOIN cent c) WHERE rk = 1),
+        |x AS (SELECT cluster, generate_subscripts(q, 1) - 1 AS dim, unnest(q) AS comp FROM coarse)
+        |SELECT cluster, dim::BIGINT AS dim, sum(comp)::BIGINT AS comp_sum, count(*)::BIGINT AS n
+        |FROM x GROUP BY cluster, dim
+        |ORDER BY cluster, dim""".stripMargin,
 
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,

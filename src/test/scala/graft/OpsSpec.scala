@@ -181,6 +181,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs finds the quote inside the long doc, in that direction only") {
+    import graft.ops.Dedup
+    // doc 0 = a 14-token "quote"; doc 1 = the quote + a 30-token tail;
+    // doc 2 = unrelated. Quote has 12 shingles, ALL inside doc 1 →
+    // containment 0→1 = 100%; doc 1 has 42 shingles of which only 12
+    // are in doc 0 → 1→0 ≈ 29% (below the 80% bar). Jaccard 0↔1 =
+    // 12/42 ≈ 29% — the pair ngramJaccardPairs would MISS at its 30%
+    // default; containment is the signal that catches it.
+    val quote = (0 until 14).map(t => s"q$t").mkString(" ")
+    val tail = (0 until 30).map(t => s"t$t").mkString(" ")
+    val docs = Seq(
+      (0L, quote),
+      (1L, quote + " " + tail),
+      (2L, (0 until 40).map(t => s"z$t").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 1L, 12L, 12L)), got.mkString(","))
+  }
+
   test("chunkDocs covers every token, chunks agree with slices, quota is a stable cap") {
     import graft.ops.TextOps
     // doc lengths straddling every boundary case: shorter than one
@@ -429,6 +448,63 @@ class OpsSpec extends SparkSpec {
     // deterministic across invocations
     val again = Similarity.pqCodes(emb, book, subspaces = 4).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  test("IVF-PQ ADC: k per query, no self, equals a from-scratch ADC recompute") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val book = emb.filter($"vec_id" < 8)
+    val res = Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 10), book, book, k = 3).collect()
+    val byQuery = res.groupBy(_.getLong(0))
+    assert(byQuery.keySet == (0L until 10L).toSet)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+    }
+    assert(res.forall(r => r.getLong(0) != r.getLong(2)), "self-match leaked")
+    // recompute the ENTIRE ADC top-3 from first principles in Scala:
+    // bucket = the library's coarse assignment, codes = the library's PQ
+    // codes (both independently pinned — pq_codes oracle, k-means spec),
+    // but the LUT math, bucket confinement, ADC sum, and (adc, id)
+    // ranking are all re-derived here
+    val quant: Map[Long, Array[Long]] = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray).toMap
+    val codes = Similarity.pqCodes(emb, book).collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
+    val cluster = Similarity.assignClustersL2(emb, book)
+      .select($"vec_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def sub(v: Array[Long], s: Int) = v.slice(s * 16, (s + 1) * 16)
+    def l2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (0L until 10L).flatMap { q =>
+      val cands = quant.keys.filter(v => v != q && cluster(v) == cluster(q))
+      val scored = cands.map { v =>
+        val adc = (0 until 4).map(s => l2(sub(quant(q), s), sub(quant(codes((v, s))), s))).sum
+        (adc, v)
+      }.toSeq.sorted.take(3)
+      scored.zipWithIndex.map { case ((adc, v), i) => (q, i + 1L, v, adc) }
+    }.toSet
+    assert(res.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet == expected)
+  }
+
+  test("k-means step: equals a from-scratch Scala Lloyd update on the full corpus") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val res = Similarity.kmeansStep(emb, emb.filter($"vec_id" < 8)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val all = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+    val seeds = all.filter(_._1 < 8).toMap
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    all.foreach { case (_, v) =>
+      val cluster = seeds.toSeq.map { case (cid, c) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+      v.zipWithIndex.foreach { case (comp, d) =>
+        val k = (cluster, d.toLong)
+        val (s, n) = expected.getOrElse(k, (0L, 0L))
+        expected(k) = (s + comp, n + 1)
+      }
+    }
+    assert(res == expected.toMap)
   }
 
   test("SRP bits: 16 bits per vector, values in {0,1}, deterministic") {

@@ -139,7 +139,10 @@ class PlanSpec extends SparkSpec {
       "corpus_shuffle" -> 2,       // per-shard ranking window + final sort
       "bpe_pair_counts" -> 1,      // pair agg; top-50 rides TakeOrderedAndProject
       "length_histogram" -> 2,     // bucket agg + final sort
-      "pq_codes" -> 3)             // subspace argmin window + final sort (codebook broadcasts)
+      "pq_codes" -> 3,             // subspace argmin window + final sort (codebook broadcasts)
+      "ivfpq_topk" -> 10,          // ONE corpus shuffle (assign window; codes + ADC agg reuse it) + query-side broadcasts + top-k + sort
+      "kmeans_step" -> 4,          // assign window + (cluster,dim) agg + final sort
+      "containment_pairs" -> 6)    // distinct + df window + n_src window + pair join/agg + sort (cached inverted index)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
