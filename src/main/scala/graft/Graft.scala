@@ -102,6 +102,11 @@ object Graft {
     Similarity.ivfPqTopK(corpus, queries, centroids, codebook, k, subspaces)
   def kmeansUpdate(corpus: DataFrame, seeds: DataFrame): DataFrame =
     Similarity.kmeansStep(corpus, seeds)
+  def scd2History(log: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame =
+    Dimensions.scd2(log, keyCol, attrCol, tsCol, tieCol)
+  def rebalanceMixture(corpus: DataFrame, groupCol: String = "source"): DataFrame =
+    TextOps.mixtureDownsample(corpus, groupCol)
 
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =

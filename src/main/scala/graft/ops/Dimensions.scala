@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimensional-modeling operators — the warehouse side of a training-data
+  * platform (provenance/metadata dimensions change over time; joins
+  * against them must be reproducible as-of any snapshot).
+  */
+object Dimensions {
+
+  /** Build a type-2 slowly-changing-dimension history from a change log:
+    * one row per RUN of equal attribute value per key, with
+    * [valid_from, valid_to) interval bounds — valid_to is null on the
+    * open (current) row. Consecutive log rows with an unchanged
+    * attribute collapse into the run's first row (the standard
+    * SCD2-from-CDC condense); a key returning to an earlier value opens
+    * a NEW interval (A→B→A is three rows, not two).
+    *
+    * Determinism: ordering is (tsCol, tieCol) with a unique tie column,
+    * so equal-timestamp changes produce a stable history (possibly
+    * zero-length intervals — the honest representation of two changes
+    * recorded at one timestamp).
+    *
+    * Scale posture: one shuffle on the key — the change-filter lag, the
+    * run lead, and both windows share the same (key) partitioning and
+    * (ts, tie) sort, so Catalyst plans a single Exchange + Sort for the
+    * whole chain. No join, no driver state.
+    */
+  def scd2(log: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    log
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"))
+  }
+}

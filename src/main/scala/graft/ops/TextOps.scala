@@ -395,4 +395,30 @@ object TextOps {
     spread.select(col(idCol)).join(agg, Seq(idCol), "left")
       .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)).cast("int"))
   }
+
+  /** Deterministic downsample to a UNIFORM per-group mixture — the
+    * pretraining data-mixing step (rebalance a source-skewed corpus so
+    * every source contributes ~equally). Each group keeps rows at rate
+    * min_count/count_g via the md5-threshold device: keep when
+    * hash16 · count_g < 65536 · min_count — an INTEGER cross-multiply,
+    * so the keep decision is exact in any engine, reproducible across
+    * runs, and requires no RNG state (same family as hash_sample /
+    * stratified_sample, but with rates DERIVED from the observed
+    * mixture rather than given).
+    *
+    * Scale posture: the per-group counts and the global min are two tiny
+    * broadcast aggregates; the keep decision is a pure per-row filter on
+    * the corpus scan — no corpus shuffle at all.
+    */
+  def mixtureDownsample(df: DataFrame, groupCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__m"))
+    val h16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(minN))
+      .filter(h16 * col("__n") < lit(65536L) * col("__m"))
+      .select(col(idCol), col(groupCol))
+  }
 }

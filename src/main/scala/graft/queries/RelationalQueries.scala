@@ -239,6 +239,20 @@ object RelationalQueries {
         .orderBy("o_custkey")
     },
 
+    "scd2_history" -> { (spark, dir) =>
+      // Type-2 slowly-changing-dimension build from a change log: each
+      // customer's order-priority history as [valid_from, valid_to)
+      // runs (valid_to null on the current row; A→B→A reopens). The
+      // warehouse-side op that makes dimension joins reproducible as-of
+      // any snapshot.
+      import spark.implicits._
+      val log = Tables.orders(spark, dir).select($"o_custkey",
+        // o_orderdate is TIMESTAMP_NTZ; cast in the UTC session = DuckDB's epoch_us
+        $"o_orderpriority", unix_micros($"o_orderdate".cast("timestamp")).as("ts_us"), $"o_orderkey")
+      graft.ops.Dimensions.scd2(log, "o_custkey", "o_orderpriority", "ts_us", "o_orderkey")
+        .orderBy("o_custkey", "valid_from", "o_orderpriority")
+    },
+
     "pivot_events" -> { (spark, dir) =>
       // Pivot (columnarize a categorical): per user, one count column per
       // event_type. Values enumerated explicitly so the plan is a single
@@ -1083,6 +1097,19 @@ object RelationalQueries {
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    // SCD2 condense: change-filter lag then run lead, both over
+    // (custkey | ts, orderkey) — zero-length intervals on same-date
+    // changes are the honest representation in both engines
+    "scd2_history" ->
+      """WITH o AS (SELECT o_custkey, o_orderpriority,
+        |                  epoch_us(o_orderdate) AS ts_us, o_orderkey FROM orders),
+        |c AS (SELECT *, lag(o_orderpriority) OVER
+        |        (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS prev FROM o),
+        |chg AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, ts_us AS valid_from,
+        |       lead(ts_us) OVER (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS valid_to
+        |FROM chg ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
 
     "rolling_range_sum" ->
       """SELECT event_id, user_id,

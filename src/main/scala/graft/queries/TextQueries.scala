@@ -203,6 +203,18 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    "mixture_downsample" -> { (spark, dir) =>
+      // Rebalance the language-skewed corpus (en dominates ~3.4×) to a
+      // uniform per-language mixture — the pretraining data-mixing
+      // step: each language keeps rows at rate min_count/count via an
+      // integer cross-multiplied md5 threshold — deterministic,
+      // RNG-free, engine-portable. (Grouping by `source` would be a
+      // no-op here: the synthetic sources are exactly uniform.)
+      import spark.implicits._
+      TextOps.mixtureDownsample(Tables.documents(spark, dir), groupCol = "lang")
+        .orderBy("doc_id")
+    },
+
     "corpus_shuffle" -> { (spark, dir) =>
       // Deterministic corpus shuffle + shard assignment — the training
       // data LAYOUT step: every epoch's global shuffle must be
@@ -447,6 +459,16 @@ object TextQueries {
         |FROM documents
         |QUALIFY rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // keep when hash16 · count_src < 65536 · min_count (integer
+    // cross-multiply — no float rate, no RNG)
+    "mixture_downsample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS m FROM c)
+        |SELECT doc_id, lang
+        |FROM documents JOIN c USING (lang) CROSS JOIN m
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * n < 65536 * m
+        |ORDER BY doc_id""".stripMargin,
 
     "top_ngrams_per_lang" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,

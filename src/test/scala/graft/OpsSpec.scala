@@ -200,6 +200,47 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 12L, 12L)), got.mkString(","))
   }
 
+  test("scd2 collapses runs, reopens on return, handles ties and singletons") {
+    import graft.ops.Dimensions
+    val log = Seq(
+      // key 1: A,A (collapse), B, back to A (reopen — 3 intervals)
+      (1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (1L, "B", 30L, 102L), (1L, "A", 40L, 103L),
+      // key 2: single row → one open interval
+      (2L, "X", 5L, 104L),
+      // key 3: two changes at ONE timestamp → deterministic zero-length
+      // interval via the tie column
+      (3L, "A", 10L, 105L), (3L, "B", 10L, 106L)
+    ).toDF("k", "attr", "ts", "tie")
+    val got = Dimensions.scd2(log, "k", "attr", "ts", "tie").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "A", 10L, 30L), (1L, "B", 30L, 40L), (1L, "A", 40L, -1L),
+      (2L, "X", 5L, -1L),
+      (3L, "A", 10L, 10L), (3L, "B", 10L, -1L)))
+  }
+
+  test("mixtureDownsample equals the exact md5-threshold recompute; minority group kept whole") {
+    import graft.ops.TextOps
+    import java.security.MessageDigest
+    // skewed corpus: 40 docs in g1, 10 in g2 → g1 keeps at 25%, g2 at 100%
+    val docs = ((0L until 40L).map((_, "g1")) ++ (100L until 110L).map((_, "g2")))
+      .toDF("doc_id", "source")
+    def h16(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = ((0L until 40L).filter(h16(_) * 40 < 65536 * 10).map((_, "g1")) ++
+      (100L until 110L).filter(h16(_) * 10 < 65536 * 10).map((_, "g2"))).toSet
+    val got = TextOps.mixtureDownsample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected)
+    assert(got.count(_._2 == "g2") == 10, "minority group must be kept whole")
+    val g1 = got.count(_._2 == "g1")
+    assert(g1 > 0 && g1 < 40, s"majority group must be really downsampled, kept $g1")
+  }
+
   test("chunkDocs covers every token, chunks agree with slices, quota is a stable cap") {
     import graft.ops.TextOps
     // doc lengths straddling every boundary case: shorter than one

@@ -142,7 +142,9 @@ class PlanSpec extends SparkSpec {
       "pq_codes" -> 3,             // subspace argmin window + final sort (codebook broadcasts)
       "ivfpq_topk" -> 10,          // ONE corpus shuffle (assign window; codes + ADC agg reuse it) + query-side broadcasts + top-k + sort
       "kmeans_step" -> 4,          // assign window + (cluster,dim) agg + final sort
-      "containment_pairs" -> 6)    // distinct + df window + n_src window + pair join/agg + sort (cached inverted index)
+      "containment_pairs" -> 6,    // distinct + df window + n_src window + pair join/agg + sort (cached inverted index)
+      "scd2_history" -> 2,         // ONE key shuffle (lag + lead share the window) + final sort
+      "mixture_downsample" -> 6)   // two tiny broadcast aggs + per-row corpus filter + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
