@@ -38,4 +38,20 @@ object Dimensions {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"))
   }
+
+  /** Point-in-time read of an SCD2 table ([[scd2]] output): each key's
+    * attribute value valid AT `tsUs` — the snapshot join that makes
+    * feature/metadata lookups reproducible (train/serve skew guard:
+    * reading today's dimension for yesterday's facts silently leaks the
+    * future). Interval semantics are half-open [from, to); keys whose
+    * history starts after `tsUs` are absent. A pure partition-local
+    * filter over the (already small) dimension — no shuffle at all
+    * beyond what built the history.
+    */
+  def snapshotAt(history: DataFrame, tsUs: Long,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame =
+    history.filter(col(validFromCol) <= tsUs &&
+        (col(validToCol).isNull || col(validToCol) > tsUs))
+      .drop(validFromCol, validToCol)
 }

@@ -410,6 +410,33 @@ object TextOps {
     * broadcast aggregates; the keep decision is a pure per-row filter on
     * the corpus scan — no corpus shuffle at all.
     */
+  /** Corpus-fit quality score — the exact-arithmetic stand-in for the
+    * classic LM-perplexity filter (score each document by how typical
+    * its character n-grams are of the corpus; garbage/OCR-noise/ wrong-
+    * charset docs are built from grams the corpus rarely produces and
+    * score low). The score is the AVERAGE corpus frequency of the doc's
+    * char trigrams: an integer sum / integer count — no log, no float
+    * accumulation order, bit-identical across engines (a real LM score
+    * sums log-probs; the rank order of avg-frequency is the same signal
+    * for filtering and keeps the oracle exact).
+    *
+    * Scale posture: gram explode is map-side; the corpus frequency is a
+    * count window over the gram (one shuffle, partial-aggregated); the
+    * per-doc rollup is the second shuffle. Nothing is joined twice.
+    */
+  def lmScore(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = length(col(textCol))
+    val g = df.select(col(idCol), col(textCol),
+        explode(when(n >= 3, sequence(lit(1), n - 2))).as("__i"))
+      .select(col(idCol), col(textCol).substr(col("__i"), lit(3)).as("gram"))
+    g.withColumn("gram_freq", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum(col("gram_freq")).as("freq_sum"))
+      .withColumn("avg_gram_freq", col("freq_sum") / col("n_grams"))
+  }
+
   def mixtureDownsample(df: DataFrame, groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))

@@ -253,6 +253,20 @@ object RelationalQueries {
         .orderBy("o_custkey", "valid_from", "o_orderpriority")
     },
 
+    "scd2_snapshot" -> { (spark, dir) =>
+      // Point-in-time dimension read over the scd2_history table: each
+      // customer's order priority valid AT the fixed mid-range instant
+      // 1998-04-01 (epoch_us 891388800000000) — the snapshot join that
+      // guards against train/serve future-leak. Pure filter over the
+      // history; no new shuffle.
+      import spark.implicits._
+      val log = Tables.orders(spark, dir).select($"o_custkey",
+        $"o_orderpriority", unix_micros($"o_orderdate".cast("timestamp")).as("ts_us"), $"o_orderkey")
+      val hist = graft.ops.Dimensions.scd2(log, "o_custkey", "o_orderpriority", "ts_us", "o_orderkey")
+      graft.ops.Dimensions.snapshotAt(hist, 891388800000000L)
+        .orderBy("o_custkey")
+    },
+
     "pivot_events" -> { (spark, dir) =>
       // Pivot (columnarize a categorical): per user, one count column per
       // event_type. Values enumerated explicitly so the plan is a single
@@ -1110,6 +1124,22 @@ object RelationalQueries {
         |SELECT o_custkey, o_orderpriority, ts_us AS valid_from,
         |       lead(ts_us) OVER (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS valid_to
         |FROM chg ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+
+    // snapshot read: the interval containing the probe instant,
+    // half-open [from, to), open current row matches everything later
+    "scd2_snapshot" ->
+      """WITH o AS (SELECT o_custkey, o_orderpriority,
+        |                  epoch_us(o_orderdate) AS ts_us, o_orderkey FROM orders),
+        |c AS (SELECT *, lag(o_orderpriority) OVER
+        |        (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS prev FROM o),
+        |chg AS (SELECT * FROM c WHERE prev IS NULL OR prev <> o_orderpriority),
+        |hist AS (SELECT o_custkey, o_orderpriority, ts_us AS valid_from,
+        |                lead(ts_us) OVER (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS valid_to
+        |         FROM chg)
+        |SELECT o_custkey, o_orderpriority FROM hist
+        |WHERE valid_from <= 891388800000000
+        |  AND (valid_to IS NULL OR valid_to > 891388800000000)
+        |ORDER BY o_custkey""".stripMargin,
 
     "rolling_range_sum" ->
       """SELECT event_id, user_id,

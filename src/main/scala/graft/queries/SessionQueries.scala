@@ -79,6 +79,23 @@ object SessionQueries {
       in
     })}
 
+  /** Staged events input WITH event_type for the stream-stream join
+    * query. Staged once per sfDir per JVM, like [[stagedStreamInput]].
+    */
+  private val stagedJoin = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedJoinInput(spark: SparkSession, dir: String): String =
+    stagedJoin.synchronized { stagedJoin.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-join-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+        .write.parquet(in)
+      in
+    })}
+
   /** Two consecutive hours of the corpus picked for the production-job
     * query: the fixed mid-range boundary (same instant as [[BoundaryUs]])
     * guarantees data on both sides at every SF.
@@ -309,6 +326,32 @@ object SessionQueries {
         .orderBy("event_id")
     },
 
+    "streaming_join" -> { (spark, dir) =>
+      // The THIRD streaming engine path under the driver's oracle, and
+      // the remaining streaming operator class: a stream-stream
+      // event-time interval join (purchase ↔ views within the prior
+      // hour, per user). Inner join → every qualifying pair is emitted
+      // exactly once; the 90-day watermark covers the corpus' 30-day
+      // span, so state is horizon-bounded and nothing is late-dropped —
+      // the oracle is the plain batch interval self-join.
+      import spark.implicits._
+      val in = stagedJoinInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-join-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type").schema
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runJoin(spark, schema, in, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out)
+        .select($"user_id", $"view_id", $"purchase_id")
+        .orderBy("view_id", "purchase_id")
+    },
+
     "sessionize_hour_job" -> { (spark, dir) =>
       // The reference's PRODUCTION JOB (SessionizationBuiltIn.scala:31-66
       // parity) under the driver's DuckDB oracle — not just its operator
@@ -526,6 +569,15 @@ object SessionQueries {
     "streaming_dedup" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the streamed interval join must equal the batch self-join
+    "streaming_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "sessionize_hour_job" ->
       """WITH e AS (

@@ -203,6 +203,15 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    "lm_score" -> { (spark, dir) =>
+      // Corpus-fit quality score (the exact-arithmetic perplexity-filter
+      // stand-in): average corpus frequency of each doc's char
+      // trigrams — integer sum / integer count, no transcendental log.
+      import spark.implicits._
+      TextOps.lmScore(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "mixture_downsample" -> { (spark, dir) =>
       // Rebalance the language-skewed corpus (en dominates ~3.4×) to a
       // uniform per-language mixture — the pretraining data-mixing
@@ -459,6 +468,16 @@ object TextQueries {
         |FROM documents
         |QUALIFY rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // per-gram corpus frequency via a count window; integer sum/count
+    "lm_score" ->
+      """WITH g AS (SELECT doc_id, substr(text, i, 3) AS gram
+        |           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 1)) AS i
+        |                 FROM documents WHERE len(text) >= 3)),
+        |f AS (SELECT doc_id, count(*) OVER (PARTITION BY gram) AS gram_freq FROM g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams, sum(gram_freq)::BIGINT AS freq_sum,
+        |       sum(gram_freq)::DOUBLE / count(*) AS avg_gram_freq
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // keep when hash16 · count_src < 65536 · min_count (integer
     // cross-multiply — no float rate, no RNG)

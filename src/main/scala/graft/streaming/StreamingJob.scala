@@ -52,6 +52,24 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Stream-stream attribution-join job: one parquet file source read
+    * twice (view / purchase branches), event-time interval inner join,
+    * append parquet sink. Inner joins emit a pair as soon as both sides
+    * have arrived; the watermarks only bound buffered state.
+    */
+  def runJoin(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = StreamingSessionize.attributionJoin(in).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inPath, outPath, checkpointPath) = args
     val spark = graft.Graft.session("graft-streaming")

@@ -110,6 +110,34 @@ object StreamingSessionize {
     events.withWatermark(tsCol, "30 minutes")
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream attribution join — the remaining streaming operator
+    * class after aggregation (session windows), arbitrary state
+    * (labeler), and stateful filtering (dedup): every purchase joins
+    * back to the views that preceded it by at most `horizon` for the
+    * same user, as an INNER interval join of two streams. Both sides
+    * buffer state; the event-time range condition + watermarks let the
+    * engine expire a buffered row once the other stream's watermark
+    * passes its join window, so state tracks the horizon, not the
+    * stream. The watermark delay must cover the source's disorder: rows
+    * later than it are dropped from the join, which is the documented
+    * completeness/latency trade every stream-stream join makes.
+    */
+  def attributionJoin(events: DataFrame, delay: String = "90 days",
+      horizon: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", delay)
+    views.join(purchases,
+        col("user_id") === col("__p_user") &&
+        col("p_ts") >= col("view_ts") &&
+        col("p_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+  }
+
   def sessionId(user: Long, startUs: Long): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s"$user-$startUs".getBytes("UTF-8"))

@@ -144,7 +144,9 @@ class PlanSpec extends SparkSpec {
       "kmeans_step" -> 4,          // assign window + (cluster,dim) agg + final sort
       "containment_pairs" -> 6,    // distinct + df window + n_src window + pair join/agg + sort (cached inverted index)
       "scd2_history" -> 2,         // ONE key shuffle (lag + lead share the window) + final sort
-      "mixture_downsample" -> 6)   // two tiny broadcast aggs + per-row corpus filter + sort
+      "mixture_downsample" -> 6,   // two tiny broadcast aggs + per-row corpus filter + sort
+      "scd2_snapshot" -> 2,        // the snapshot filter adds NO shuffle over the history build
+      "lm_score" -> 3)             // gram-frequency window + per-doc agg + final sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)

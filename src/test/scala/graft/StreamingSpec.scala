@@ -201,6 +201,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 3) // (1@0,1@3), (3@20,3@25), (1@30,1@31); 2@5->2@18 is 13min out
   }
 
+  test("attributionJoin emits exactly the in-horizon view→purchase pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // user 1: view@0 → purchase@30 (in), purchase@70 (out: > 1 h);
+    // user 2: purchase@10 BEFORE its view@20 (out: p >= v required);
+    // user 3: view only (no pair)
+    val data = Seq(
+      (1L, ts(0), 100L, "view"), (1L, ts(30), 101L, "purchase"),
+      (1L, ts(70), 102L, "purchase"),
+      (2L, ts(10), 200L, "purchase"), (2L, ts(20), 201L, "view"),
+      (3L, ts(5), 300L, "view"))
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingSessionize.attributionJoin(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    input.addData(data.take(3)); q.processAllAvailable()
+    input.addData(data.drop(3)); q.processAllAvailable()
+    val got = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set((1L, 100L, 101L)))
+  }
+
   test("stream-static join enriches streaming events with a dimension") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq(("view", 1L), ("click", 5L), ("purchase", 50L))
