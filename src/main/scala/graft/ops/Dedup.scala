@@ -166,6 +166,54 @@ object Dedup {
       .select(col("src"), col("dst"), col("inter"), col("n_src"))
   }
 
+  /** Per-document NOVELTY in corpus order — the incremental-ingest
+    * question ("how much does this doc add that earlier docs didn't
+    * have?"): the fraction of a doc's distinct shingles whose FIRST
+    * occurrence (min doc id over the corpus) is the doc itself.
+    * Re-crawls, mirrors, and template spam score near zero; the signal
+    * is directional where [[dupShingleFraction]] is symmetric.
+    * One min-window over the shingle + one per-doc aggregate — the same
+    * inverted-index shape, nothing quadratic; novel_frac is an int/int
+    * double division, bit-identical across engines.
+    */
+  def noveltyFraction(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(df, idCol, textCol).distinct()
+    sh.withColumn("__first", min(col(idCol)).over(Window.partitionBy(col("shingle"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac", col("n_novel") / col("n_shingles"))
+  }
+
+  /** Quality-aware dedup keeper — [[dropNearDuplicates]] keeps the MIN
+    * id per near-dup component; real pipelines keep the BEST member
+    * (here: the longest, via the `qualityCol` ordering with id
+    * tie-break — the longest variant of a mirrored page usually carries
+    * the least-truncated content). Every document appears in exactly one
+    * output row's cluster: docs with no near-dup partner are their own
+    * singleton cluster. Output: (cluster_id, keeper_id, keeper_quality,
+    * n_members).
+    */
+  def keepBestPerCluster(df: DataFrame, idCol: String = "doc_id",
+      qualityCol: String = "n_chars"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashPairs(df).select(col("doc_a"), col("doc_b"))
+    val clusters = connectedComponents(pairs)
+    val scored = df.join(clusters, df(idCol) === clusters("id"), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col(qualityCol).as("__q"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("__q").desc, col(idCol))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("__rk") === 1)
+      .select(col("cluster_id"), col(idCol).as("keeper_id"),
+        col("__q").as("keeper_quality"), col("n_members"))
+  }
+
   /** Exact dedup: keep the lowest id per identical text (hash-groupBy —
     * one shuffle on the text hash; at 100 TB group on md5(text) instead of
     * the full text to keep shuffle rows narrow).

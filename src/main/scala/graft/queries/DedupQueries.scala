@@ -118,6 +118,25 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "dedup_keep_best" -> { (spark, dir) =>
+      // Quality-aware keeper: per near-dup cluster keep the LONGEST
+      // member (n_chars, id tie-break) instead of the min id —
+      // singletons are their own cluster, so the output covers the
+      // whole corpus one row per cluster.
+      import spark.implicits._
+      Dedup.keepBestPerCluster(Tables.documents(spark, dir))
+        .orderBy("cluster_id")
+    },
+
+    "novelty_frac" -> { (spark, dir) =>
+      // Per-doc novelty in corpus order: fraction of a doc's distinct
+      // shingles first seen IN that doc (min doc_id over the corpus) —
+      // the directional complement of dup_shingle_fraction.
+      import spark.implicits._
+      Dedup.noveltyFraction(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "minhash_signature" -> { (spark, dir) =>
       // The signature math itself, oracled: per (doc, permutation) the
       // min of (a_i·x + b_i) mod p over the doc's shingle hashes. The
@@ -260,6 +279,44 @@ object DedupQueries {
          |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node)
          |SELECT node AS id, min(lbl) AS cluster_id
          |FROM reach GROUP BY node ORDER BY id""".stripMargin,
+
+    // same recursive-CC core as dedup_clusters, then longest-wins keeper
+    // (singletons = own cluster via the LEFT JOIN coalesce)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s)) AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s))) AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a, doc_b FROM p WHERE inter * 2 > uni),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM e
+         |       UNION SELECT doc_b, doc_a FROM e),
+         |n AS (SELECT DISTINCT src AS node FROM ed),
+         |reach(node, lbl) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node),
+         |cl AS (SELECT node AS id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |dk AS (SELECT doc_id, coalesce(cl.cluster_id, doc_id) AS cluster_id, n_chars
+         |       FROM documents LEFT JOIN cl ON cl.id = doc_id)
+         |SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_quality,
+         |       n_members
+         |FROM (SELECT *,
+         |        row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |      FROM dk)
+         |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // min-doc-id first occurrence per shingle, then per-doc rollup
+    "novelty_frac" ->
+      s"""WITH $ShinglesCte,
+         |rows AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |f AS (SELECT doc_id, shingle,
+         |             min(doc_id) OVER (PARTITION BY shingle) AS first_doc FROM rows)
+         |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |       SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::DOUBLE / count(*) AS novel_frac
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "bit_aggregates" ->
       s"""WITH tok AS (

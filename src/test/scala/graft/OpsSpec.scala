@@ -181,6 +181,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("noveltyFraction credits first occurrence only") {
+    import graft.ops.Dedup
+    // same corpus shape as the dupShingleFraction fixture: docs 0-2
+    // share a 9-token footer (7 shingles) behind unique 5-token
+    // prefixes; docs 3-4 fully unique. Novelty: doc 0 owns the footer's
+    // first occurrence → 12/12; docs 1-2 only their 5 prefix/bridge
+    // shingles → 5/12; docs 3-4 → 12/12.
+    val footer = (0 until 9).map(t => s"b$t").mkString(" ")
+    val docs = ((0 until 3).map(i =>
+      (i.toLong, (0 until 5).map(t => s"u${i}_$t").mkString(" ") + " " + footer)) ++
+      (3 until 5).map(i =>
+        (i.toLong, (0 until 14).map(t => s"x${i}_$t").mkString(" ")))).toDF("doc_id", "text")
+    val got = Dedup.noveltyFraction(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((12L, 12L, 1.0)))
+    (1 until 3).foreach(i => assert(got(i.toLong) == ((12L, 5L, 5.0 / 12.0))))
+    (3 until 5).foreach(i => assert(got(i.toLong) == ((12L, 12L, 1.0))))
+  }
+
+  test("keepBestPerCluster keeps the longest member, not the lowest id; singletons survive") {
+    import graft.ops.Dedup
+    val short = (0 until 14).map(t => s"t$t").mkString(" ")
+    val long = short + " t14 t15" // superset → Jaccard 12/14 > 0.5
+    val docs = Seq(
+      (1L, short, short.length.toLong),
+      (2L, long, long.length.toLong),
+      (3L, (0 until 20).map(t => s"z$t").mkString(" "), 99L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = Dedup.keepBestPerCluster(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    // cluster labeled by min id (1), but the KEEPER is the longer doc 2
+    assert(got == Set((1L, 2L, 2L), (3L, 3L, 1L)), got.mkString(","))
+  }
+
   test("containmentPairs finds the quote inside the long doc, in that direction only") {
     import graft.ops.Dedup
     // doc 0 = a 14-token "quote"; doc 1 = the quote + a 30-token tail;

@@ -146,7 +146,9 @@ class PlanSpec extends SparkSpec {
       "scd2_history" -> 2,         // ONE key shuffle (lag + lead share the window) + final sort
       "mixture_downsample" -> 6,   // two tiny broadcast aggs + per-row corpus filter + sort
       "scd2_snapshot" -> 2,        // the snapshot filter adds NO shuffle over the history build
-      "lm_score" -> 3)             // gram-frequency window + per-doc agg + final sort
+      "lm_score" -> 3,             // gram-frequency window + per-doc agg + final sort
+      "novelty_frac" -> 4,         // distinct + first-occurrence window + doc agg + sort
+      "dedup_keep_best" -> 4)      // post-cluster: doc⋈cluster join + keeper/count windows + sort (CC itself is iterative RDD)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
