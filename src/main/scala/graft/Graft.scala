@@ -82,6 +82,16 @@ object Graft {
     TextOps.packSequencesTwoPhase(docs, binTokens, bucketWidth)
   def boilerplateSignal(docs: DataFrame): DataFrame =
     Dedup.dupShingleFraction(docs)
+  def noveltySignal(docs: DataFrame): DataFrame =
+    Dedup.noveltyFraction(docs)
+  def containedDocuments(docs: DataFrame, thresholdPct: Int = 80): DataFrame =
+    Dedup.containmentPairs(docs, thresholdPct = thresholdPct)
+  def deduplicateKeepBest(docs: DataFrame, qualityCol: String = "n_chars"): DataFrame =
+    Dedup.keepBestPerCluster(docs, qualityCol = qualityCol)
+  def corpusFitScore(docs: DataFrame): DataFrame = TextOps.lmScore(docs)
+  def splitCorpus(docs: DataFrame, trainPerMille: Int = 900,
+      valPerMille: Int = 950): DataFrame =
+    TextOps.corpusSplit(docs, trainPerMille = trainPerMille, valPerMille = valPerMille)
 
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
@@ -107,6 +117,8 @@ object Graft {
     Dimensions.scd2(log, keyCol, attrCol, tsCol, tieCol)
   def rebalanceMixture(corpus: DataFrame, groupCol: String = "source"): DataFrame =
     TextOps.mixtureDownsample(corpus, groupCol)
+  def dimensionSnapshot(history: DataFrame, tsUs: Long): DataFrame =
+    Dimensions.snapshotAt(history, tsUs)
 
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =

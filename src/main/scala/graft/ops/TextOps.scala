@@ -437,6 +437,25 @@ object TextOps {
       .withColumn("avg_gram_freq", col("freq_sum") / col("n_grams"))
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * corpus needs, done the only way that survives re-runs, engine
+    * swaps, and incremental ingest: a pure function of the id (md5
+    * threshold), so a document NEVER migrates between splits when the
+    * corpus grows. Thresholds are per-mille compared by integer
+    * cross-multiply (h16·1000 vs 65536·‰) — no float rate.
+    * Zero shuffle: a per-row projection.
+    */
+  def corpusSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPerMille: Int = 900, valPerMille: Int = 950): DataFrame = {
+    require(0 < trainPerMille && trainPerMille <= valPerMille && valPerMille <= 1000)
+    val h16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.select(col(idCol),
+      when(h16 * 1000 < lit(65536L) * trainPerMille, "train")
+        .when(h16 * 1000 < lit(65536L) * valPerMille, "val")
+        .otherwise("test").as("split"))
+  }
+
   def mixtureDownsample(df: DataFrame, groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))

@@ -203,6 +203,14 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    "corpus_split" -> { (spark, dir) =>
+      // Deterministic 90/5/5 train/val/test assignment: a pure function
+      // of the doc id, so membership survives re-runs and corpus growth.
+      import spark.implicits._
+      TextOps.corpusSplit(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "lm_score" -> { (spark, dir) =>
       // Corpus-fit quality score (the exact-arithmetic perplexity-filter
       // stand-in): average corpus frequency of each doc's char
@@ -468,6 +476,16 @@ object TextQueries {
         |FROM documents
         |QUALIFY rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // split by integer cross-multiplied md5 per-mille thresholds
+    "corpus_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN h * 1000 < 65536 * 900 THEN 'train'
+        |            WHEN h * 1000 < 65536 * 950 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // per-gram corpus frequency via a count window; integer sum/count
     "lm_score" ->

@@ -254,6 +254,31 @@ class OpsSpec extends SparkSpec {
       (3L, "A", 10L, 10L), (3L, "B", 10L, -1L)))
   }
 
+  test("corpusSplit is a stable pure function of the id: growth never migrates a doc") {
+    import graft.ops.TextOps
+    import java.security.MessageDigest
+    def h16(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def expected(id: Long): String =
+      if (h16(id) * 1000 < 65536L * 900) "train"
+      else if (h16(id) * 1000 < 65536L * 950) "val" else "test"
+    val small = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val grown = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val gotSmall = TextOps.corpusSplit(small).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gotGrown = TextOps.corpusSplit(grown).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    gotSmall.foreach { case (id, s) => assert(s == expected(id)) }
+    // growing the corpus must not move any existing doc's split
+    assert(gotSmall.forall { case (id, s) => gotGrown(id) == s })
+    val dist = gotGrown.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(dist("train") > 850 && dist("train") < 950, dist.toString)
+    assert(dist.keySet == Set("train", "val", "test"))
+  }
+
   test("mixtureDownsample equals the exact md5-threshold recompute; minority group kept whole") {
     import graft.ops.TextOps
     import java.security.MessageDigest

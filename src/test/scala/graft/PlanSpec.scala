@@ -148,7 +148,8 @@ class PlanSpec extends SparkSpec {
       "scd2_snapshot" -> 2,        // the snapshot filter adds NO shuffle over the history build
       "lm_score" -> 3,             // gram-frequency window + per-doc agg + final sort
       "novelty_frac" -> 4,         // distinct + first-occurrence window + doc agg + sort
-      "dedup_keep_best" -> 4)      // post-cluster: doc⋈cluster join + keeper/count windows + sort (CC itself is iterative RDD)
+      "dedup_keep_best" -> 4,      // post-cluster: doc⋈cluster join + keeper/count windows + sort (CC itself is iterative RDD)
+      "corpus_split" -> 1)         // pure per-row projection + final sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
