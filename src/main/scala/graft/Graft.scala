@@ -135,4 +135,6 @@ object Graft {
     Multimodal.resize(media, targetW, targetH)
   def decodeAudio(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
     Multimodal.decodeAudio(media)
+  def imageHashes(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.aHash(media)
 }

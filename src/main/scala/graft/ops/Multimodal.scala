@@ -394,6 +394,72 @@ object Multimodal {
     }
   }
 
+  case class AHashRow(media_id: Long, decoded: Boolean, ahash: Long, luma_sum: Long)
+
+  /** Perceptual average-hash (aHash) — the image analogue of SimHash:
+    * scale to `size`×`size`, compute integer BT.601 luma per pixel, set
+    * bit i (row-major, LSB = top-left) when the pixel is at least the
+    * image mean. Near-duplicate images (re-encodes, small edits,
+    * rescales) land within a few bits of Hamming distance, so the
+    * downstream blocking/verify is exactly [[graft.ops.Dedup.simhashNearDup]]'s
+    * pigeonhole + popcount machinery over this hash.
+    *
+    * Exactness: the threshold is the INTEGER cross-multiply
+    * luma·n ≥ Σluma (no float mean), so for fixture images whose pixels
+    * are closed-form the whole 64-bit hash is computable in plain SQL.
+    * The scale step is skipped when the decoded image is already
+    * `size`×`size` — fixtures take that path; real images go through
+    * the same bilinear scale as [[resize]].
+    */
+  def aHash(media: Dataset[MediaRow], size: Int = 8): Dataset[AHashRow] = {
+    import media.sparkSession.implicits._
+    require(size > 0 && size * size <= 64, "hash must fit one int64")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val res: Option[(Long, Long)] = decodeImage(r.content).flatMap { img0 =>
+          try {
+            val img =
+              if (img0.getWidth == size && img0.getHeight == size) img0
+              else {
+                val dst = new java.awt.image.BufferedImage(size, size,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                try {
+                  g.setRenderingHint(
+                    java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img0, 0, 0, size, size, null)
+                } finally g.dispose()
+                dst
+              }
+            val n = size * size
+            val luma = new Array[Long](n)
+            var sum = 0L
+            var y = 0
+            while (y < size) {
+              var x = 0
+              while (x < size) {
+                val p = img.getRGB(x, y)
+                val l = (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 +
+                  (p & 0xff) * 114) / 1000
+                luma(y * size + x) = l; sum += l
+                x += 1
+              }
+              y += 1
+            }
+            var h = 0L; var i = 0
+            while (i < n) { if (luma(i) * n >= sum) h |= (1L << i); i += 1 }
+            Some((h, sum))
+          } catch { case _: Exception => None }
+        }
+        res match {
+          case Some((h, s)) => AHashRow(r.media_id, decoded = true, h, s)
+          case None => AHashRow(r.media_id, decoded = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
   val FrameBytes = 64
 
   /** Frame sampling without leaving Catalyst: slice the binary column

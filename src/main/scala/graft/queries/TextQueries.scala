@@ -145,6 +145,38 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    "image_ahash" -> { (spark, dir) =>
+      // Perceptual average-hash under a FULL hash-match oracle: each doc
+      // becomes an 8×8 two-tone PNG whose top k = 1 + doc_id % 7 rows
+      // are white (luma 255) over black. The mean is 255·8k/64, so the
+      // integer cross-multiply threshold sets EXACTLY the bright bits:
+      // ahash = 2^(8k) − 1 (row-major LSB-first), luma_sum = 255·8k —
+      // both closed-form in SQL. A regression anywhere in decode,
+      // luma, thresholding, or bit packing breaks the hash.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val k = 1 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          val rgb = if (y < k) 0xffffff else 0x000000
+          var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("image/png", bytes.length.toLong, "synth"))
+      }
+      graft.ops.Multimodal.aHash(media).toDF()
+        .filter($"decoded")
+        .select($"media_id", $"ahash", $"luma_sum")
+        .orderBy("media_id")
+    },
+
     "image_resize_check" -> { (spark, dir) =>
       // The REAL resize loop (decode → Graphics2D bilinear → PNG
       // re-encode → decode) under the oracle: bilinear scaling of a
@@ -446,6 +478,14 @@ object TextQueries {
         |       ((((doc_id * 7) % 256) * 299 + ((doc_id * 13) % 256) * 587
         |          + ((doc_id * 29) % 256) * 114) // 1000 // 16)::BIGINT AS luma_bin,
         |       ((4 + doc_id % 8) * (3 + doc_id % 5))::BIGINT AS n_px
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // top k rows of the 8x8 fixture are >= mean, rest below: the hash is
+    // the low 8k bits set
+    "image_ahash" ->
+      """SELECT doc_id AS media_id,
+        |       ((1::BIGINT << (8 * (1 + doc_id % 7))) - 1)::BIGINT AS ahash,
+        |       (255 * 8 * (1 + doc_id % 7))::BIGINT AS luma_sum
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "image_resize_check" ->

@@ -234,6 +234,26 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L, 12L, 12L)), got.mkString(","))
   }
 
+  test("aHash: solid image through the scale path hashes all-ones; garbage doesn't decode") {
+    import graft.ops.Multimodal
+    // 16×16 solid color exercises the bilinear scale branch; every
+    // scaled pixel equals the mean, so luma·n >= sum holds for all 64
+    // bits → hash = -1L (all ones). Garbage bytes must flag, not throw.
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x => img.setRGB(x, y, 0x40a070)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, bos.toByteArray,
+        Multimodal.MediaMeta("image/png", bos.size.toLong, "t")),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("image/png", 3L, "t"))).toDS()
+    val got = Multimodal.aHash(rows).collect().map(r => r.media_id -> r).toMap
+    assert(got(1L).decoded && got(1L).ahash == -1L)
+    assert(!got(2L).decoded)
+  }
+
   test("scd2 collapses runs, reopens on return, handles ties and singletons") {
     import graft.ops.Dimensions
     val log = Seq(
