@@ -137,4 +137,6 @@ object Graft {
     Multimodal.decodeAudio(media)
   def imageHashes(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
     Multimodal.aHash(media)
+  def audioFingerprints(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
+    Multimodal.audioHash(media)
 }

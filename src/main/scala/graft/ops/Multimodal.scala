@@ -300,6 +300,98 @@ object Multimodal {
     pcmMonoWav(samples, nSamples, rate)
   }
 
+  /** Burst fixture: `activeWindows` windows of constant amplitude `a`
+    * followed by silence, `windows` equal windows of `windowSamples`
+    * frames — every byte a pure integer function of the arguments, so
+    * the [[audioHash]] of the result is closed-form (bits 0..k−1 set,
+    * abs_sum = a·windowSamples·k).
+    */
+  def synthBurstWav(activeWindows: Int, windows: Int, windowSamples: Int,
+      a: Int, rate: Int = 8000): Array[Byte] = {
+    require(0 < activeWindows && activeWindows <= windows && windowSamples > 0)
+    require(0 < a && a <= 32767)
+    val n = windows * windowSamples
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (if (i / windowSamples < activeWindows) a else 0).toShort
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcmMonoWav(samples, n, rate)
+  }
+
+  case class AudioHashRow(media_id: Long, decoded: Boolean, ahash: Long, abs_sum: Long)
+
+  /** Audio energy-envelope fingerprint — the audio analogue of
+    * [[aHash]]: split the PCM frames into `windows` equal windows, sum
+    * |sample| per window (exact int64), set bit w when the window's
+    * energy is at least the track mean (integer cross-multiply
+    * winSum·windows ≥ totalSum — no float mean). Re-encodes and small
+    * edits of the same track land within a few Hamming bits, so
+    * near-dup blocking reuses the pigeonhole+popcount machinery.
+    * Trailing frames that don't fill a window are ignored (every
+    * window must be the same width for the comparison to be fair).
+    */
+  def audioHash(media: Dataset[MediaRow], windows: Int = 8): Dataset[AudioHashRow] = {
+    import media.sparkSession.implicits._
+    require(0 < windows && windows <= 64, "hash must fit one int64")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val res: Option[(Long, Long)] = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(r.content))
+          try {
+            val fmt = ais.getFormat
+            val ok = (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) &&
+              fmt.getSampleSizeInBits == 16 && fmt.getChannels >= 1
+            if (!ok) None
+            else {
+              val data = ais.readAllBytes()
+              val ch = fmt.getChannels
+              val frameBytes = 2 * ch
+              val nFrames = data.length / frameBytes
+              val perWin = nFrames / windows
+              if (perWin == 0) None
+              else {
+                val winSum = new Array[Long](windows)
+                var w = 0
+                while (w < windows) {
+                  var i = w * perWin
+                  val end = i + perWin
+                  var s = 0L
+                  while (i < end) {
+                    val off = i * frameBytes
+                    val v =
+                      if (fmt.isBigEndian) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                      else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                    s += math.abs(v.toLong)
+                    i += 1
+                  }
+                  winSum(w) = s
+                  w += 1
+                }
+                val total = winSum.sum
+                var h = 0L
+                w = 0
+                while (w < windows) {
+                  if (winSum(w) * windows >= total) h |= (1L << w)
+                  w += 1
+                }
+                Some((h, total))
+              }
+            }
+          } finally ais.close()
+        } catch { case _: Exception => None }
+        res match {
+          case Some((h, t)) => AudioHashRow(r.media_id, decoded = true, h, t)
+          case None => AudioHashRow(r.media_id, decoded = false, 0L, 0L)
+        }
+      }
+    }
+  }
+
   /** Containerize little-endian 16-bit mono PCM frames as WAV. */
   private def pcmMonoWav(samples: Array[Byte], nFrames: Int, rate: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)

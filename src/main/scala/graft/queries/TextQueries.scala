@@ -145,6 +145,28 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    "audio_fingerprint" -> { (spark, dir) =>
+      // Audio energy-envelope fingerprint under a FULL hash-match
+      // oracle: each doc becomes a burst WAV — the first k = 1+doc_id%7
+      // of 8 hundred-sample windows carry constant integer amplitude
+      // a = 3277 + (doc_id%100)·29, the rest silence. Active windows
+      // are above the track mean, silent ones below, so
+      // ahash = 2^k − 1 and abs_sum = a·100·k, both closed-form.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val k = 1 + (id % 7).toInt
+        val a = 3277 + (id % 100).toInt * 29
+        val bytes = graft.ops.Multimodal.synthBurstWav(k, 8, 100, a)
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("audio/wav", bytes.length.toLong, "synth"))
+      }
+      graft.ops.Multimodal.audioHash(media).toDF()
+        .filter($"decoded")
+        .select($"media_id", $"ahash", $"abs_sum")
+        .orderBy("media_id")
+    },
+
     "image_ahash" -> { (spark, dir) =>
       // Perceptual average-hash under a FULL hash-match oracle: each doc
       // becomes an 8×8 two-tone PNG whose top k = 1 + doc_id % 7 rows
@@ -478,6 +500,14 @@ object TextQueries {
         |       ((((doc_id * 7) % 256) * 299 + ((doc_id * 13) % 256) * 587
         |          + ((doc_id * 29) % 256) * 114) // 1000 // 16)::BIGINT AS luma_bin,
         |       ((4 + doc_id % 8) * (3 + doc_id % 5))::BIGINT AS n_px
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the k active burst windows are >= the track mean, silence below:
+    // low k bits set, abs_sum = amplitude * 100 samples * k windows
+    "audio_fingerprint" ->
+      """SELECT doc_id AS media_id,
+        |       ((1::BIGINT << (1 + doc_id % 7)) - 1)::BIGINT AS ahash,
+        |       ((3277 + (doc_id % 100) * 29) * 100 * (1 + doc_id % 7))::BIGINT AS abs_sum
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // top k rows of the 8x8 fixture are >= mean, rest below: the hash is

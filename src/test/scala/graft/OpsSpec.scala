@@ -254,6 +254,23 @@ class OpsSpec extends SparkSpec {
     assert(!got(2L).decoded)
   }
 
+  test("audioHash: burst windows set the low bits; uniform track is all-ones; garbage flags") {
+    import graft.ops.Multimodal
+    val rows = Seq(
+      // 3 active windows of amplitude 5000 → bits 0..2, abs_sum 5000·100·3
+      Multimodal.MediaRow(1L, Multimodal.synthBurstWav(3, 8, 100, 5000),
+        Multimodal.MediaMeta("audio/wav", 1L, "t")),
+      // constant square wave: every window has equal |energy| → all 8 bits
+      Multimodal.MediaRow(2L, Multimodal.synthSquareWav(10, 0.5, 800),
+        Multimodal.MediaMeta("audio/wav", 1L, "t")),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9),
+        Multimodal.MediaMeta("audio/wav", 3L, "t"))).toDS()
+    val got = Multimodal.audioHash(rows).collect().map(r => r.media_id -> r).toMap
+    assert(got(1L).decoded && got(1L).ahash == 7L && got(1L).abs_sum == 5000L * 100 * 3)
+    assert(got(2L).decoded && got(2L).ahash == 255L)
+    assert(!got(3L).decoded)
+  }
+
   test("scd2 collapses runs, reopens on return, handles ties and singletons") {
     import graft.ops.Dimensions
     val log = Seq(
