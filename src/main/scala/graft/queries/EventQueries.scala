@@ -101,6 +101,29 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "value_outliers" -> { (spark, dir) =>
+      // Exact z-score outlier detection (the numeric data-quality
+      // filter): events whose value sits more than 3 population
+      // standard deviations from their event_type's mean. No floats
+      // anywhere: with integer cents v, per-group n, S=Σv, Q=Σv², the
+      // test |v−μ| > 3σ is the pure-integer (v·n−S)² > 9·(n·Q−S²) —
+      // decimal(38,0) here, HUGEINT in the oracle, exact in both. The
+      // per-group stats are a tiny broadcast; the corpus side is one
+      // partial-aggregated shuffle + a per-row filter.
+      import spark.implicits._
+      val base = Tables.events(spark, dir).select($"event_id", $"event_type",
+        round($"value" * 100).cast("long").as("cents"))
+      val stats = base.groupBy($"event_type").agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum($"cents".cast("decimal(38,0)")).as("s"),
+        sum(($"cents" * $"cents").cast("decimal(38,0)")).as("q"))
+      val d = $"cents".cast("decimal(38,0)") * $"n" - $"s"
+      base.join(broadcast(stats), "event_type")
+        .filter(d * d > lit(9) * ($"n" * $"q" - $"s" * $"s"))
+        .select($"event_id", $"event_type", $"cents")
+        .orderBy("event_id")
+    },
+
     "hash_sample" -> { (spark, dir) =>
       // Deterministic hash sampling — the scalable way to sample training
       // data (reproducible across runs/engines, no RNG state): keep rows
@@ -326,6 +349,17 @@ object EventQueries {
         |       SUM(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // |v−μ| > 3σ as the integer cross-multiply (v·n−S)² > 9·(n·Q−S²)
+    "value_outliers" ->
+      """WITH b AS (SELECT event_id, event_type, round(value * 100)::BIGINT AS cents
+        |           FROM events),
+        |st AS (SELECT event_type, count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS s,
+        |              sum(cents * cents)::HUGEINT AS q
+        |       FROM b GROUP BY 1)
+        |SELECT event_id, event_type, cents FROM b JOIN st USING (event_type)
+        |WHERE (cents::HUGEINT * n - s) * (cents::HUGEINT * n - s) > 9 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin,
 
     "hash_sample" ->
       """SELECT event_id, user_id, event_type FROM events

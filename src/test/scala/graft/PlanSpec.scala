@@ -151,7 +151,8 @@ class PlanSpec extends SparkSpec {
       "dedup_keep_best" -> 4,      // post-cluster: doc⋈cluster join + keeper/count windows + sort (CC itself is iterative RDD)
       "corpus_split" -> 1,         // pure per-row projection + final sort
       "image_ahash" -> 1,          // per-row encode→decode→hash + final sort
-      "audio_fingerprint" -> 1)    // per-row synth→decode→hash + final sort
+      "audio_fingerprint" -> 1,    // per-row synth→decode→hash + final sort
+      "value_outliers" -> 3)       // tiny stats agg (broadcast back) + per-row filter + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
