@@ -92,6 +92,10 @@ object Graft {
   def splitCorpus(docs: DataFrame, trainPerMille: Int = 900,
       valPerMille: Int = 950): DataFrame =
     TextOps.corpusSplit(docs, trainPerMille = trainPerMille, valPerMille = valPerMille)
+  def sampleByQuality(docs: DataFrame, weightCol: String = "n_chars"): DataFrame =
+    TextOps.importanceSample(docs, weightCol)
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
+    DataQuality.profile(df, cols)
 
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,

@@ -30,6 +30,31 @@ object DataQuality {
     * each run their own aggregate. Read results from `obs.get` after any
     * action on the returned frame.
     */
+  /** Single-pass column profile — the first audit run against any new
+    * table: per column, row count, non-null count, exact distinct
+    * count, and min/max (as strings, so one long output schema covers
+    * every column type). ONE aggregate over one scan produces all
+    * columns' stats (Spark plans the multi-distinct via expand — c×
+    * shuffle rows, still one pass over storage); the wide one-row
+    * result is exploded to a (col_name, stats) row per column.
+    * Portability note: profile integer/string/epoch columns — float
+    * min/max string formatting is engine-specific.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")) }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map { c => struct(
+      lit(c).as("col_name"), col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_repr"), col(s"__max_$c").as("max_repr")) }: _*)
+    row.select(explode(entries).as("p")).select(col("p.*"))
+  }
+
   def observed(df: DataFrame, nullCheckCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation()
     (df.observe(obs, count(lit(1)).as("n_rows"),

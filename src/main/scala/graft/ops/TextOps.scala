@@ -456,6 +456,25 @@ object TextOps {
         .otherwise("test").as("split"))
   }
 
+  /** Deterministic IMPORTANCE sampling — keep each row with probability
+    * proportional to a non-negative integer weight (here: a quality
+    * proxy like n_chars), the downsample that preserves more of what's
+    * worth keeping. Keep rule: h16·max_w < 65536·w (integer
+    * cross-multiply, rate = w/max_w — the best row is kept with
+    * certainty, a half-quality row half the time), md5-deterministic
+    * like [[mixtureDownsample]]. The max is one tiny broadcast; the
+    * keep decision is a pure per-row filter.
+    */
+  def importanceSample(df: DataFrame, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val maxW = df.agg(max(col(weightCol)).as("__mw"))
+    val h16 = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    df.crossJoin(broadcast(maxW))
+      .filter(h16 * col("__mw") < lit(65536L) * col(weightCol))
+      .select(col(idCol), col(weightCol))
+  }
+
   def mixtureDownsample(df: DataFrame, groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))

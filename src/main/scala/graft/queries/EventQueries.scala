@@ -101,6 +101,20 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "table_profile" -> { (spark, dir) =>
+      // Single-pass column profile of the events table (the first audit
+      // against any new table): per column, rows / non-nulls / exact
+      // distincts / min / max. Floats are profiled as integer cents
+      // (float min/max STRING formatting is engine-specific; values are
+      // not).
+      import spark.implicits._
+      val b = Tables.events(spark, dir).select($"event_id", $"user_id",
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      graft.ops.DataQuality.profile(b,
+          Seq("cents", "event_id", "event_type", "user_id"))
+        .orderBy("col_name")
+    },
+
     "value_outliers" -> { (spark, dir) =>
       // Exact z-score outlier detection (the numeric data-quality
       // filter): events whose value sits more than 3 population
@@ -349,6 +363,23 @@ object EventQueries {
         |       SUM(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "table_profile" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |                  round(value * 100)::BIGINT AS cents FROM events)
+        |SELECT 'cents' AS col_name, count(*)::BIGINT AS n_rows,
+        |       count(cents)::BIGINT AS n_nonnull, count(DISTINCT cents)::BIGINT AS n_distinct,
+        |       min(cents)::VARCHAR AS min_repr, max(cents)::VARCHAR AS max_repr FROM b
+        |UNION ALL
+        |SELECT 'event_id', count(*)::BIGINT, count(event_id)::BIGINT,
+        |       count(DISTINCT event_id)::BIGINT, min(event_id)::VARCHAR, max(event_id)::VARCHAR FROM b
+        |UNION ALL
+        |SELECT 'event_type', count(*)::BIGINT, count(event_type)::BIGINT,
+        |       count(DISTINCT event_type)::BIGINT, min(event_type), max(event_type) FROM b
+        |UNION ALL
+        |SELECT 'user_id', count(*)::BIGINT, count(user_id)::BIGINT,
+        |       count(DISTINCT user_id)::BIGINT, min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM b
+        |ORDER BY col_name""".stripMargin,
 
     // |v−μ| > 3σ as the integer cross-multiply (v·n−S)² > 9·(n·Q−S²)
     "value_outliers" ->

@@ -257,6 +257,16 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    "importance_sample" -> { (spark, dir) =>
+      // Quality-weighted deterministic downsample: keep probability
+      // proportional to n_chars (rate = w/max_w by integer
+      // cross-multiplied md5 threshold) — longer docs survive more
+      // often, the sampling that preserves what's worth keeping.
+      import spark.implicits._
+      TextOps.importanceSample(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "corpus_split" -> { (spark, dir) =>
       // Deterministic 90/5/5 train/val/test assignment: a pure function
       // of the doc id, so membership survives re-runs and corpus growth.
@@ -546,6 +556,13 @@ object TextQueries {
         |FROM documents
         |QUALIFY rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // keep when h16 · max_chars < 65536 · n_chars
+    "importance_sample" ->
+      """WITH m AS (SELECT max(n_chars) AS mw FROM documents)
+        |SELECT doc_id, n_chars FROM documents CROSS JOIN m
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * mw < 65536 * n_chars
+        |ORDER BY doc_id""".stripMargin,
 
     // split by integer cross-multiplied md5 per-mille thresholds
     "corpus_split" ->

@@ -316,6 +316,37 @@ class OpsSpec extends SparkSpec {
     assert(dist.keySet == Set("train", "val", "test"))
   }
 
+  test("importanceSample equals the exact recompute; max-weight rows always survive") {
+    import graft.ops.TextOps
+    import java.security.MessageDigest
+    def h16(id: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // weights 1..100 with several rows at the max
+    val rows = (0L until 100L).map(i => (i, 1L + i % 100)) ++ Seq((200L, 100L), (201L, 100L))
+    val docs = rows.toDF("doc_id", "n_chars")
+    val expected = rows.filter { case (id, w) => h16(id) * 100 < 65536L * w }.toSet
+    val got = TextOps.importanceSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    // a max-weight row keeps with certainty (h16 < 65536 always)
+    assert(got.contains((200L, 100L)) && got.contains((201L, 100L)))
+    assert(got.size < rows.size, "must actually downsample")
+  }
+
+  test("profile: one pass yields exact per-column rows/nulls/distincts/min/max") {
+    import graft.ops.DataQuality
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (2L, null), (null, "a"))
+      .toDF("k", "s")
+    val got = DataQuality.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got("k") == ((4L, 3L, 2L, "1", "2")))
+    assert(got("s") == ((4L, 3L, 2L, "a", "b")))
+  }
+
   test("mixtureDownsample equals the exact md5-threshold recompute; minority group kept whole") {
     import graft.ops.TextOps
     import java.security.MessageDigest

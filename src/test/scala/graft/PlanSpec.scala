@@ -152,7 +152,9 @@ class PlanSpec extends SparkSpec {
       "corpus_split" -> 1,         // pure per-row projection + final sort
       "image_ahash" -> 1,          // per-row encode→decode→hash + final sort
       "audio_fingerprint" -> 1,    // per-row synth→decode→hash + final sort
-      "value_outliers" -> 3)       // tiny stats agg (broadcast back) + per-row filter + sort
+      "value_outliers" -> 3,       // tiny stats agg (broadcast back) + per-row filter + sort
+      "table_profile" -> 2,        // ONE multi-distinct aggregate pass + final sort
+      "importance_sample" -> 3)    // tiny max agg (broadcast) + per-row filter + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
