@@ -101,6 +101,37 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "winsorized_stats" -> { (spark, dir) =>
+      // Robust aggregation: clamp each event_type's values to its
+      // nearest-rank P01/P99 before summing (the mean that one corrupt
+      // sensor reading cannot drag). Nearest-rank percentiles are PURE
+      // INTEGER: the value at row_number ceil(q·n) = (q·n + 99) ∕ 100
+      // in (cents, event_id) order — no interpolation, no floats;
+      // clamping and sums stay int64.
+      import spark.implicits._
+      val b = Tables.events(spark, dir).select($"event_type", $"event_id",
+        round($"value" * 100).cast("long").as("cents"))
+      val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+      val ranked = b
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      // Spark's `/` on longs is DOUBLE division — floor() restores the
+      // integer ceil-rank formula
+      val lowRk = floor(($"n" + 99L) / 100L)
+      val highRk = floor(($"n" * 99L + 99L) / 100L)
+      val bounds = ranked
+        .filter($"rk" === lowRk || $"rk" === highRk)
+        .groupBy($"event_type")
+        .agg(min(when($"rk" === lowRk, $"cents")).as("p01"),
+          max(when($"rk" === highRk, $"cents")).as("p99"))
+      ranked.join(broadcast(bounds), "event_type")
+        .withColumn("clamped", greatest(least($"cents", $"p99"), $"p01"))
+        .groupBy($"event_type")
+        .agg(first($"p01").as("p01"), first($"p99").as("p99"),
+          sum($"clamped").as("clamped_sum"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     "table_profile" -> { (spark, dir) =>
       // Single-pass column profile of the events table (the first audit
       // against any new table): per column, rows / non-nulls / exact
@@ -363,6 +394,26 @@ object EventQueries {
         |       SUM(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
         |FROM (SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // nearest-rank P01/P99 by pure-integer rank formulas, then clamp+sum
+    "winsorized_stats" ->
+      """WITH b AS (SELECT event_type, event_id, round(value * 100)::BIGINT AS cents
+        |           FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id)::BIGINT AS rk,
+        |        count(*) OVER (PARTITION BY event_type)::BIGINT AS n
+        |      FROM b),
+        |bounds AS (SELECT event_type,
+        |             min(CASE WHEN rk = (n + 99) // 100 THEN cents END)::BIGINT AS p01,
+        |             max(CASE WHEN rk = (n * 99 + 99) // 100 THEN cents END)::BIGINT AS p99
+        |           FROM r WHERE rk = (n + 99) // 100 OR rk = (n * 99 + 99) // 100
+        |           GROUP BY event_type)
+        |SELECT r.event_type, p01, p99,
+        |       sum(greatest(least(cents, p99), p01))::BIGINT AS clamped_sum,
+        |       count(*)::BIGINT AS n
+        |FROM r JOIN bounds USING (event_type)
+        |GROUP BY r.event_type, p01, p99
+        |ORDER BY event_type""".stripMargin,
 
     "table_profile" ->
       """WITH b AS (SELECT event_id, user_id, event_type,

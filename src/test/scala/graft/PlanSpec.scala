@@ -154,7 +154,8 @@ class PlanSpec extends SparkSpec {
       "audio_fingerprint" -> 1,    // per-row synth→decode→hash + final sort
       "value_outliers" -> 3,       // tiny stats agg (broadcast back) + per-row filter + sort
       "table_profile" -> 2,        // ONE multi-distinct aggregate pass + final sort
-      "importance_sample" -> 3)    // tiny max agg (broadcast) + per-row filter + sort
+      "importance_sample" -> 3,    // tiny max agg (broadcast) + per-row filter + sort
+      "winsorized_stats" -> 4)     // rank window (shared by bounds + clamp sides) + bounds agg + final agg/sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
