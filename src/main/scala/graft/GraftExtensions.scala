@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, HammingDist}
+import graft.expressions.{DotProduct, HammingDist, IntL2}
 
 /** SparkSessionExtensions entry point — the deployment route for the
   * engine's custom expressions on an unmodified cluster:
@@ -23,10 +23,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction(GraftExtensions.dotNativeDescriptor)
     extensions.injectFunction(GraftExtensions.hammingNativeDescriptor)
+    extensions.injectFunction(GraftExtensions.intL2NativeDescriptor)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.DotProductStrengthReduction)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.OverlapStrengthReduction)
+    extensions.injectOptimizerRule(_ =>
+      graft.expressions.IntL2StrengthReduction)
   }
 }
 
@@ -40,4 +43,9 @@ object GraftExtensions {
     FunctionIdentifier("hamming_native"),
     new ExpressionInfo(classOf[HammingDist].getCanonicalName, "hamming_native"),
     (exprs: Seq[Expression]) => HammingDist(exprs(0), exprs(1)))
+
+  val intL2NativeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("intl2_native"),
+    new ExpressionInfo(classOf[IntL2].getCanonicalName, "intl2_native"),
+    (exprs: Seq[Expression]) => IntL2(exprs(0), exprs(1)))
 }

@@ -813,6 +813,70 @@ class OpsSpec extends SparkSpec {
     assert(planLine.trim.startsWith("*"), planLine)
   }
 
+  test("IntL2 native matches the HOF fold, incl. null / unequal-length / overflow") {
+    import graft.expressions.IntL2.intL2Native
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    def hofL2(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    val df = spark.range(4).select($"id",
+      when($"id" === 3, lit(null).cast("array<bigint>"))
+        .when($"id" === 2, array(lit(1L), lit(null).cast("bigint")))
+        .when($"id" === 1, array(lit(1L), lit(2L), lit(5L)))
+        .otherwise(array(lit(1L), lit(5L))).as("a"),
+      array(lit(3L), lit(1L)).as("b"))
+    val rows = df.select($"id",
+        intL2Native($"a", $"b").as("n"), hofL2($"a", $"b").as("h"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    rows.foreach { case (id, n, h) => assert(n == h, s"id=$id native=$n hof=$h") }
+    assert(rows.find(_._1 == 0L).get._2 == Some(20L)) // (1-3)² + (5-1)²
+    assert(rows.filter(_._1 > 0).forall(_._2.isEmpty))
+    // real-corpus bit equality + codegen residency
+    val emb = Tables.embeddings(spark, Sf0001).select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long")).as("q"))
+    val both = emb.select(intL2Native($"q", $"q").as("n"), hofL2($"q", $"q").as("h"))
+    assert(both.filter($"n" =!= $"h").count() == 0)
+    val planLine = emb.select(intL2Native($"q", $"q").as("d"))
+      .queryExecution.executedPlan.toString
+      .linesIterator.find(_.toLowerCase.contains("intl2")).getOrElse("")
+    assert(planLine.trim.startsWith("*"), planLine)
+    // ANSI parity on overflow: both forms must refuse (not wrap) in an
+    // ANSI session — the default since Spark 4
+    if (spark.conf.get("spark.sql.ansi.enabled") == "true") {
+      val big = spark.range(1).select(
+        array(lit(Long.MaxValue), lit(0L)).as("a"), array(lit(-2L), lit(0L)).as("b"))
+      intercept[Exception] { big.select(intL2Native($"a", $"b")).collect() }
+      intercept[Exception] { big.select(hofL2($"a", $"b")).collect() }
+    }
+    spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("IntL2 strength reduction rewrites the HOF squared-L2 and preserves values") {
+    import graft.expressions.IntL2StrengthReduction
+    val emb = Tables.embeddings(spark, Sf0001).select($"vec_id",
+      transform($"embedding".cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long")).as("q"))
+    val hof = emb.select($"vec_id",
+      aggregate(zip_with($"q", $"q", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x).as("d"))
+    val analyzed = hof.queryExecution.analyzed
+    val rewritten = IntL2StrengthReduction(analyzed)
+    assert(rewritten.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.IntL2])), rewritten.toString)
+    val before = hof.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark, rewritten)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(before == after)
+    // a plain sum-of-squares (no subtraction) is left untouched
+    val other = emb.select(aggregate(zip_with($"q", $"q", (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x).as("s"))
+    val untouched = IntL2StrengthReduction(other.queryExecution.analyzed)
+    assert(!untouched.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.IntL2])))
+  }
+
   test("strength-reduction rule rewrites the HOF dot product to DotProduct") {
     import graft.expressions.DotProductStrengthReduction
     val emb = Tables.embeddings(spark, Sf0001)
