@@ -96,6 +96,35 @@ object SessionQueries {
       in
     })}
 
+  /** Staged events input for the OUTER streaming join: real events plus
+    * one far-future sentinel per join branch (a 'view' and a 'purchase'
+    * with distinct negative users, 90 days past max(ts)), so the final
+    * watermark passes every real view's join window and the unmatched
+    * views flush. max(ts) is observed inside the staging write — no
+    * extra scan. Staged once per sfDir per JVM.
+    */
+  private val stagedOuter = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedOuterJoinInput(spark: SparkSession, dir: String): String =
+    stagedOuter.synchronized { stagedOuter.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-ojoin-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type")
+      val obs = org.apache.spark.sql.Observation()
+      ev.observe(obs, max($"ts").as("max_ts")).write.parquet(in)
+      val maxTs = obs.get("max_ts").asInstanceOf[java.sql.Timestamp]
+      require(maxTs != null,
+        s"streaming_join_outer: events at $dir is empty — cannot place watermark sentinels")
+      val far = new java.sql.Timestamp(maxTs.getTime + 90L * 24 * 3600 * 1000)
+      Seq((-999L, far, -1L, "view"), (-998L, far, -2L, "purchase"))
+        .toDF("user_id", "ts", "event_id", "event_type")
+        .write.mode("append").parquet(in)
+      in
+    })}
+
   /** Two consecutive hours of the corpus picked for the production-job
     * query: the fixed mid-range boundary (same instant as [[BoundaryUs]])
     * guarantees data on both sides at every SF.
@@ -352,6 +381,33 @@ object SessionQueries {
         .orderBy("view_id", "purchase_id")
     },
 
+    "streaming_join_outer" -> { (spark, dir) =>
+      // The LEFT OUTER stream-stream join under the driver's oracle —
+      // the variant where results are only flushed by watermark
+      // movement: a view with no purchase in its hour must emit with a
+      // null purchase once no match can arrive. Far-future sentinels on
+      // both branches provide the no-more-data signal; the sentinel
+      // view's own outer row is excluded by its negative user_id. The
+      // oracle is the plain batch LEFT JOIN.
+      import spark.implicits._
+      val in = stagedOuterJoinInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-ojoin-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = Tables.events(spark, dir)
+        .select($"user_id", $"ts", $"event_id", $"event_type").schema
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runJoinOuter(spark, schema, in, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out)
+        .filter($"user_id" >= 0)
+        .select($"user_id", $"view_id", $"purchase_id")
+        .orderBy("view_id", "purchase_id")
+    },
+
     "sessionize_hour_job" -> { (spark, dir) =>
       // The reference's PRODUCTION JOB (SessionizationBuiltIn.scala:31-66
       // parity) under the driver's DuckDB oracle — not just its operator
@@ -569,6 +625,15 @@ object SessionQueries {
     "streaming_dedup" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // every view emits; unmatched views carry a NULL purchase
+    "streaming_join_outer" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON p.user_id = v.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     // the streamed interval join must equal the batch self-join
     "streaming_join" ->

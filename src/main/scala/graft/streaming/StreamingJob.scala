@@ -58,9 +58,24 @@ object StreamingJob {
     * have arrived; the watermarks only bound buffered state.
     */
   def runJoin(spark: SparkSession, schema: StructType, inPath: String,
-      outPath: String, checkpointPath: String): Unit = {
+      outPath: String, checkpointPath: String): Unit =
+    runJoinImpl(spark, schema, inPath, outPath, checkpointPath, outer = false)
+
+  /** Left-outer variant: input must carry far-future sentinels on both
+    * branches so the final watermark flushes unmatched views.
+    */
+  def runJoinOuter(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit =
+    runJoinImpl(spark, schema, inPath, outPath, checkpointPath, outer = true)
+
+  private def runJoinImpl(spark: SparkSession, schema: StructType,
+      inPath: String, outPath: String, checkpointPath: String,
+      outer: Boolean): Unit = {
     val in = spark.readStream.schema(schema).parquet(inPath)
-    val q = StreamingSessionize.attributionJoin(in).writeStream
+    val joined =
+      if (outer) StreamingSessionize.attributionJoinOuter(in)
+      else StreamingSessionize.attributionJoin(in)
+    val q = joined.writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outPath)

@@ -123,7 +123,26 @@ object StreamingSessionize {
     * completeness/latency trade every stream-stream join makes.
     */
   def attributionJoin(events: DataFrame, delay: String = "90 days",
-      horizon: String = "1 hour"): DataFrame = {
+      horizon: String = "1 hour"): DataFrame =
+    attributionJoinImpl(events, delay, horizon, "inner")
+
+  /** LEFT OUTER stream-stream join — the harder variant: a view with no
+    * purchase in its horizon must still emit (with a null purchase), but
+    * only once the engine KNOWS no match can arrive — i.e. when both
+    * sides' watermarks have passed the view's join window. Unlike the
+    * inner join (results complete regardless of watermark), outer
+    * results are only flushed by watermark movement, so the driver-gated
+    * query plants far-future sentinel rows on BOTH input branches (the
+    * same no-more-data signal streaming_session_agg uses) and a short
+    * delay; a real deployment gets the same effect from the stream
+    * simply continuing.
+    */
+  def attributionJoinOuter(events: DataFrame, delay: String = "30 minutes",
+      horizon: String = "1 hour"): DataFrame =
+    attributionJoinImpl(events, delay, horizon, "left_outer")
+
+  private def attributionJoinImpl(events: DataFrame, delay: String,
+      horizon: String, joinType: String): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
       .withWatermark("view_ts", delay)
@@ -134,7 +153,8 @@ object StreamingSessionize {
     views.join(purchases,
         col("user_id") === col("__p_user") &&
         col("p_ts") >= col("view_ts") &&
-        col("p_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+        col("p_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("user_id"), col("view_id"), col("purchase_id"))
   }
 

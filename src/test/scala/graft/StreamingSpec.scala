@@ -225,6 +225,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((1L, 100L, 101L)))
   }
 
+  test("attributionJoinOuter: unmatched views flush with null purchase only after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = StreamingSessionize.attributionJoinOuter(
+        input.toDF().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("oattr_out").start()
+    // user 1 matched; user 3 view has NO purchase
+    input.addData(
+      (1L, ts(0), 100L, "view"), (1L, ts(30), 101L, "purchase"),
+      (3L, ts(5), 300L, "view"))
+    q.processAllAvailable()
+    def rows() = spark.table("oattr_out").filter($"user_id" >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // before any watermark movement the unmatched view must NOT have
+    // flushed (it could still match); the inner pair may already emit
+    assert(!rows().exists(_._1 == 3L), rows().toString)
+    // far-future sentinels on both branches → watermark passes every
+    // real view's window → the unmatched view emits with null
+    input.addData(
+      (-999L, ts(600), -1L, "view"), (-998L, ts(600), -2L, "purchase"))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows() == Set((1L, 100L, 101L), (3L, 300L, -1L)), rows().toString)
+  }
+
   test("stream-static join enriches streaming events with a dimension") {
     implicit val sqlCtx = spark.sqlContext
     val weights = Seq(("view", 1L), ("click", 5L), ("purchase", 50L))
