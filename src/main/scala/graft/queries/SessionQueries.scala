@@ -125,6 +125,24 @@ object SessionQueries {
       in
     })}
 
+  /** Staged (user_id, event_id, cents) input for the transformWithState
+    * totals query. Staged once per sfDir per JVM.
+    */
+  private val stagedTotals = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedTotalsInput(spark: SparkSession, dir: String): String =
+    stagedTotals.synchronized { stagedTotals.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-tws-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      Tables.events(spark, dir)
+        .select($"user_id", $"event_id",
+          round($"value" * 100).cast("long").as("cents"))
+        .write.parquet(in)
+      in
+    })}
+
   /** Two consecutive hours of the corpus picked for the production-job
     * query: the fixed mid-range boundary (same instant as [[BoundaryUs]])
     * guarantees data on both sides at every SF.
@@ -408,6 +426,42 @@ object SessionQueries {
         .orderBy("view_id", "purchase_id")
     },
 
+    "streaming_tws_totals" -> { (spark, dir) =>
+      // Spark 4's transformWithState (the arbitrary-state successor to
+      // flatMapGroupsWithState: typed named state, TTL, RocksDB) under
+      // the driver's oracle: per-user running (count, cents) totals.
+      // Each micro-batch emits the UPDATED running totals, which are
+      // monotonic — so max per user is the final figure no matter how
+      // the file source split into batches, and the oracle is the plain
+      // batch groupBy.
+      import spark.implicits._
+      val in = stagedTotalsInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-tws-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.Encoders
+        .product[graft.streaming.StreamingSessionize.EvCents].schema
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        // transformWithState refuses the default HDFS-backed store
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try graft.streaming.StreamingJob.runTotals(spark, schema, in, out, ckpt)
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          if (prevProvider.isEmpty)
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+        }
+      }
+      spark.read.parquet(out)
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"), max($"cents_sum").as("cents_sum"))
+        .orderBy("user_id")
+    },
+
     "sessionize_hour_job" -> { (spark, dir) =>
       // The reference's PRODUCTION JOB (SessionizationBuiltIn.scala:31-66
       // parity) under the driver's DuckDB oracle — not just its operator
@@ -625,6 +679,12 @@ object SessionQueries {
     "streaming_dedup" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the final running totals equal the plain batch groupBy
+    "streaming_tws_totals" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |       sum(round(value * 100)::BIGINT)::BIGINT AS cents_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // every view emits; unmatched views carry a NULL purchase
     "streaming_join_outer" ->

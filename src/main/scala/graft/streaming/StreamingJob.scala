@@ -85,6 +85,26 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** transformWithState job: parquet file source → RunningTotalsProcessor
+    * (RocksDB-backed typed state) → append parquet sink. The caller must
+    * set the RocksDB state-store provider — transformWithState refuses
+    * the default HDFS-backed store.
+    */
+  def runTotals(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    import spark.implicits._
+    val in = spark.readStream.schema(schema).parquet(inPath)
+      .as[StreamingSessionize.EvCents]
+    val q = StreamingSessionize.runningTotals(in).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inPath, outPath, checkpointPath) = args
     val spark = graft.Graft.session("graft-streaming")

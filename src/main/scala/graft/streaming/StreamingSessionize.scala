@@ -158,6 +158,48 @@ object StreamingSessionize {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
   }
 
+  case class EvCents(user_id: Long, event_id: Long, cents: Long)
+  case class UserTotals(user_id: Long, n_events: Long, cents_sum: Long)
+  private case class Tot(n: Long, s: Long)
+
+  /** Per-user running totals on Spark 4's `transformWithState` — the
+    * arbitrary-state API that supersedes flatMapGroupsWithState (typed
+    * named state slots, TTL, timers; RocksDB-backed). Each micro-batch
+    * emits the user's UPDATED running (count, cents) — totals are
+    * monotonic, so a consumer takes max per user for the final figure
+    * regardless of how the source was split into batches. The labeler
+    * keeps the flatMapGroupsWithState surface covered; this covers its
+    * successor.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EvCents, UserTotals] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[Tot] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[Tot]("totals",
+        org.apache.spark.sql.Encoders.product[Tot],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EvCents],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = if (totals.exists()) totals.get() else Tot(0L, 0L)
+      var n = prev.n; var s = prev.s
+      rows.foreach { r => n += 1; s += r.cents }
+      totals.update(Tot(n, s))
+      Iterator.single(UserTotals(key, n, s))
+    }
+  }
+
+  def runningTotals(events: Dataset[EvCents]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[UserTotals])
+  }
+
   def sessionId(user: Long, startUs: Long): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s"$user-$startUs".getBytes("UTF-8"))

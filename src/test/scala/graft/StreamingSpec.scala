@@ -270,6 +270,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> Some(1L), 2L -> Some(50L), 3L -> None))
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import graft.streaming.StreamingSessionize.{EvCents, UserTotals}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EvCents]
+      val q = StreamingSessionize.runningTotals(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("tws_out").start()
+      input.addData(EvCents(1L, 10L, 100L), EvCents(1L, 11L, 50L), EvCents(2L, 20L, 7L))
+      q.processAllAvailable()
+      input.addData(EvCents(1L, 12L, 25L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out").as[UserTotals].collect()
+      // batch 1 emits (1 -> 2 events/150c), (2 -> 1/7); batch 2 emits the
+      // UPDATED user-1 running total (3/175) — state carried across batches
+      assert(rows.toSet == Set(UserTotals(1L, 2L, 150L), UserTotals(2L, 1L, 7L),
+        UserTotals(1L, 3L, 175L)), rows.mkString(","))
+      // max-per-user = the batch groupBy figure, regardless of batch splits
+      val finals = rows.groupBy(_.user_id).map { case (u, rs) =>
+        u -> rs.map(_.n_events).max }
+      assert(finals == Map(1L -> 3L, 2L -> 1L))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
