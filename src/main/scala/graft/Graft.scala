@@ -97,6 +97,20 @@ object Graft {
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
     DataQuality.profile(df, cols)
 
+  /** The end-to-end curation one-liner: exact dedup → quality-aware
+    * near-dup removal (longest member per cluster) → minimum-length
+    * gate → deterministic train/val/test assignment. Driver-gated as
+    * the `curate_corpus` query.
+    */
+  def curate(docs: DataFrame, minChars: Long = 100): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val exactKeep = Dedup.exact(docs).select(col("keeper_id").as("doc_id"))
+    val e = docs.join(exactKeep, "doc_id")
+    val keepers = Dedup.keepBestPerCluster(e).select(col("keeper_id").as("doc_id"))
+    val kept = e.join(keepers, "doc_id").filter(col("n_chars") >= minChars)
+    TextOps.corpusSplit(kept).join(kept, "doc_id")
+  }
+
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int): DataFrame =

@@ -128,6 +128,25 @@ object DedupQueries {
         .orderBy("cluster_id")
     },
 
+    "curate_corpus" -> { (spark, dir) =>
+      // The END-TO-END curation pipeline in ONE oracled query — the
+      // "switch your pipeline to this library" capstone: exact dedup
+      // (min id per identical text) → quality-aware near-dup removal
+      // (longest member per MinHash cluster) → minimum-length quality
+      // gate → deterministic train/val/test assignment. Every stage is
+      // an already-oracled operator; this gates their COMPOSITION.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val exactKeep = Dedup.exact(docs).select($"keeper_id".as("doc_id"))
+      val e = docs.join(exactKeep, "doc_id")
+      val keepers = Dedup.keepBestPerCluster(e).select($"keeper_id".as("doc_id"))
+      val kept = e.join(keepers, "doc_id").filter($"n_chars" >= 100)
+      graft.ops.TextOps.corpusSplit(kept)
+        .join(kept.select($"doc_id", $"lang", $"n_chars"), "doc_id")
+        .select($"doc_id", $"lang", $"n_chars", $"split")
+        .orderBy("doc_id")
+    },
+
     "novelty_frac" -> { (spark, dir) =>
       // Per-doc novelty in corpus order: fraction of a doc's distinct
       // shingles first seen IN that doc (min doc_id over the corpus) —
@@ -306,6 +325,44 @@ object DedupQueries {
          |        count(*) OVER (PARTITION BY cluster_id) AS n_members
          |      FROM dk)
          |WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
+    // exact-dedup survivors → keep-best CC over THEM → length gate →
+    // md5 split; shingle CTEs re-derived over the survivor set
+    "curate_corpus" ->
+      """WITH RECURSIVE
+        |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |e AS (SELECT d2.* FROM documents d2 JOIN ek USING (doc_id)),
+        |de AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |              len(string_split(text, ' ')) AS nt FROM e),
+        |she AS (SELECT doc_id,
+        |               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                              for i in range(1, nt - 1)]) AS s
+        |        FROM de),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             len(list_intersect(a.s, b.s)) AS inter,
+        |             len(list_distinct(list_concat(a.s, b.s))) AS uni
+        |      FROM she a JOIN she b ON a.doc_id < b.doc_id),
+        |ed AS (SELECT doc_a AS src, doc_b AS dst FROM p WHERE inter * 2 > uni
+        |       UNION SELECT doc_b, doc_a FROM p WHERE inter * 2 > uni),
+        |n AS (SELECT DISTINCT src AS node FROM ed),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node),
+        |cl AS (SELECT node AS id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+        |dk AS (SELECT e.doc_id, coalesce(cl.cluster_id, e.doc_id) AS cluster_id, n_chars
+        |       FROM e LEFT JOIN cl ON cl.id = e.doc_id),
+        |keep AS (SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM dk) WHERE rk = 1),
+        |kept AS (SELECT e.* FROM e JOIN keep USING (doc_id) WHERE n_chars >= 100)
+        |SELECT doc_id, lang, n_chars,
+        |       CASE WHEN h * 1000 < 65536 * 900 THEN 'train'
+        |            WHEN h * 1000 < 65536 * 950 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS h FROM kept)
+        |ORDER BY doc_id""".stripMargin,
 
     // min-doc-id first occurrence per shingle, then per-doc rollup
     "novelty_frac" ->

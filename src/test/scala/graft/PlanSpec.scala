@@ -155,7 +155,8 @@ class PlanSpec extends SparkSpec {
       "value_outliers" -> 3,       // tiny stats agg (broadcast back) + per-row filter + sort
       "table_profile" -> 2,        // ONE multi-distinct aggregate pass + final sort
       "importance_sample" -> 3,    // tiny max agg (broadcast) + per-row filter + sort
-      "winsorized_stats" -> 4)     // rank window (shared by bounds + clamp sides) + bounds agg + final agg/sort
+      "winsorized_stats" -> 4,     // rank window (shared by bounds + clamp sides) + bounds agg + final agg/sort
+      "curate_corpus" -> 19)       // four chained stages (exact dedup + minhash/CC keep-best + gate + split); each stage's exchanges measured separately above
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
