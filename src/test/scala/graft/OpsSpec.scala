@@ -271,6 +271,29 @@ class OpsSpec extends SparkSpec {
     assert(!got(3L).decoded)
   }
 
+  test("curate: no exact dups survive, near-dup clusters keep one member, gate and split hold") {
+    val docs = Tables.documents(spark, Sf0001)
+    val out = graft.Graft.curate(docs).cache()
+    try {
+      val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.nonEmpty && ids.subsetOf(
+        docs.select("doc_id").collect().map(_.getLong(0)).toSet))
+      // exact-dup free: every surviving text is unique
+      assert(out.groupBy(md5($"text")).count().filter($"count" > 1).count() == 0)
+      // every near-dup pair of the ORIGINAL corpus has at most one survivor
+      val pairs = graft.ops.Dedup.minhashPairs(docs)
+        .select("doc_a", "doc_b").collect()
+      pairs.foreach { r =>
+        assert(!(ids.contains(r.getLong(0)) && ids.contains(r.getLong(1))),
+          s"both members of near-dup pair $r survived")
+      }
+      // gate + split shape
+      assert(out.filter($"n_chars" < 100).count() == 0)
+      assert(out.select("split").distinct().collect().map(_.getString(0)).toSet
+        .subsetOf(Set("train", "val", "test")))
+    } finally out.unpersist()
+  }
+
   test("scd2 collapses runs, reopens on return, handles ties and singletons") {
     import graft.ops.Dimensions
     val log = Seq(

@@ -281,6 +281,30 @@ class ScaleSpec extends SparkSpec {
     assert(za < 180 && zb < 180, s"z-order spans: a=$za b=$zb")
   }
 
+  test("containment df-cap kills boilerplate fan-out but keeps rare-shingle evidence") {
+    import graft.ops.Dedup
+    // 200 docs all share one 3-token boilerplate footer (df=200 > cap 50):
+    // without the cap the inverted index would fan out 200² candidate
+    // rows from that single shingle. With it, the footer contributes
+    // NOTHING — no pairs. Two docs additionally share a rare 14-token
+    // quote (df=2): containment must still find that pair.
+    val footer = "common footer tokens"
+    val quote = (0 until 14).map(t => s"q$t").mkString(" ")
+    val docs = ((0 until 198).map(i =>
+      (i.toLong, (0 until 12).map(t => s"u${i}_$t").mkString(" ") + " " + footer)) ++
+      Seq((500L, quote + " " + footer),
+          (501L, quote + " tail0 tail1 tail2 " + footer))).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ONLY the rare-quote pair (both directions where the 80% bar holds):
+    // doc 500's capped shingles are the 12 quote shingles + 2 bridge
+    // shingles into the footer (the footer's own shingle is capped away);
+    // 12 of its ~14 capped shingles sit in 501 → ≥80% one way
+    assert(pairs.nonEmpty, "rare-shingle containment must survive the cap")
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(500L, 501L)) },
+      s"boilerplate fan-out leaked: $pairs")
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
