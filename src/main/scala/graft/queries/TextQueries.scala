@@ -257,6 +257,24 @@ object TextQueries {
         .orderBy("source", "rk")
     },
 
+    "token_cooccurrence" -> { (spark, dir) =>
+      // Document-level token co-occurrence counts — the PMI /
+      // collocation-mining input: for every unordered pair of DISTINCT
+      // tokens appearing in the same document, in how many documents do
+      // they co-occur. The quadratic is per-document (bounded by doc
+      // vocabulary, not corpus size) via a doc-confined self-join of
+      // distinct (doc, token) rows with an alphabetical order guard;
+      // the top 50 pairs ride TakeOrderedAndProject.
+      import spark.implicits._
+      val tok = Tables.documents(spark, dir)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      val pairs = tok.join(tok.withColumnRenamed("tok", "tok_b"), "doc_id")
+        .filter($"tok" < $"tok_b")
+        .groupBy($"tok".as("tok_a"), $"tok_b")
+        .agg(count(lit(1)).as("n_docs"))
+      pairs.orderBy($"n_docs".desc, $"tok_a", $"tok_b").limit(50)
+    },
+
     "importance_sample" -> { (spark, dir) =>
       // Quality-weighted deterministic downsample: keep probability
       // proportional to n_chars (rate = w/max_w by integer
@@ -556,6 +574,15 @@ object TextQueries {
         |FROM documents
         |QUALIFY rk <= 10
         |ORDER BY source, rk""".stripMargin,
+
+    // doc-confined pair self-join over distinct tokens, top-50
+    "token_cooccurrence" ->
+      """WITH t AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |           FROM documents)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b, count(*)::BIGINT AS n_docs
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY 1, 2
+        |ORDER BY n_docs DESC, tok_a, tok_b LIMIT 50""".stripMargin,
 
     // keep when h16 · max_chars < 65536 · n_chars
     "importance_sample" ->

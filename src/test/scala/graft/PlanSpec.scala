@@ -156,7 +156,8 @@ class PlanSpec extends SparkSpec {
       "table_profile" -> 2,        // ONE multi-distinct aggregate pass + final sort
       "importance_sample" -> 3,    // tiny max agg (broadcast) + per-row filter + sort
       "winsorized_stats" -> 4,     // rank window (shared by bounds + clamp sides) + bounds agg + final agg/sort
-      "curate_corpus" -> 19)       // four chained stages (exact dedup + minhash/CC keep-best + gate + split); each stage's exchanges measured separately above
+      "curate_corpus" -> 19,       // four chained stages (exact dedup + minhash/CC keep-best + gate + split); each stage's exchanges measured separately above
+      "token_cooccurrence" -> 2)   // doc-keyed pair join + pair agg; top-50 rides TakeOrderedAndProject
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
