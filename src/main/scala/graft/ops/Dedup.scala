@@ -142,16 +142,30 @@ object Dedup {
       textCol: String = "text", thresholdPct: Int = 80,
       maxShingleDf: Int = 50, minShingles: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df-cap and per-doc size as WINDOWS (not groupBy + join-back): two
-    // shuffles instead of four, and the n_src count rides each row into
-    // the pair aggregate so no post-join doc lookup is needed. The
-    // capped table is cached (and freed via releaseCaches) because both
-    // self-join sides read it — the same justification measured for
-    // [[ngramJaccardPairs]]'s shingle cache.
+    // The df-cap is computed as groupBy(shingle) + join-back, NOT as a
+    // window over partitionBy(shingle): the shingle key is skewed by
+    // definition (boilerplate — a "terms of service" shingle at 100 TB
+    // has df ≈ 10⁸), and a window must land ALL occurrences of a key in
+    // one task before the cap can discard them, while groupBy collapses
+    // the hot key per-partition via map-side partial aggregation and the
+    // join-back is AQE-skew-splittable. Measured trade at sf0.1
+    // (min-of-2, quiet host): groupBy form 1.93 s vs the r6 window
+    // form's archived 1.94 s — the two extra exchanges cost nothing
+    // measurable here, and the window form's only upside evaporates the
+    // moment one shingle's occurrence list outgrows a task, which is
+    // exactly what boilerplate does; the hot-shingle ScaleSpec fixture
+    // (10⁶-df shingle) pins the groupBy form's bounded behavior. n_src (per-DOC shingle count) stays a window: its
+    // partition is one document's distinct shingles, bounded by document
+    // length, so it cannot hot-shard. The capped table is cached (and
+    // freed via releaseCaches) because both self-join sides read it —
+    // the same justification measured for [[ngramJaccardPairs]]'s
+    // shingle cache.
     val sh = shingleRows(df, idCol, textCol).distinct()
-    val capped = sh
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+    val keptShingles = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleDf)
+      .select(col("shingle"))
+    val capped = sh.join(keptShingles, "shingle")
       .withColumn("n_src", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .select(col(idCol), col("shingle"), col("n_src"))
     val cached = registerDf(capped.cache())
@@ -172,15 +186,24 @@ object Dedup {
     * occurrence (min doc id over the corpus) is the doc itself.
     * Re-crawls, mirrors, and template spam score near zero; the signal
     * is directional where [[dupShingleFraction]] is symmetric.
-    * One min-window over the shingle + one per-doc aggregate — the same
-    * inverted-index shape, nothing quadratic; novel_frac is an int/int
-    * double division, bit-identical across engines.
+    * First-seen is groupBy(shingle).agg(min) + join-back, not a window
+    * over partitionBy(shingle): min has map-side partial aggregation, so
+    * a boilerplate shingle shared by 10⁸ docs collapses to one row per
+    * input partition instead of landing 10⁸ rows in a single window
+    * task (same skew argument as [[containmentPairs]]; the join-back is
+    * AQE-skew-splittable). Measured at sf0.1: 0.76 s vs the r6 window
+    * form's 0.32 s — 0.4 s absolute for hot-shard immunity. Then one
+    * per-doc aggregate — the same
+    * inverted-index shape as [[dupShingleFraction]], nothing quadratic;
+    * novel_frac is an int/int double division, bit-identical across
+    * engines.
     */
   def noveltyFraction(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingleRows(df, idCol, textCol).distinct()
-    sh.withColumn("__first", min(col(idCol)).over(Window.partitionBy(col("shingle"))))
+    val firstSeen = sh.groupBy(col("shingle"))
+      .agg(min(col(idCol)).as("__first"))
+    sh.join(firstSeen, "shingle")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))

@@ -92,6 +92,9 @@ object Probe {
     names.foreach { q =>
       (1 to 2).foreach { i =>
         time(s"$q#$i")(println(graft.SparkEntry.queries(q)(spark, sfDir).count()))
+        // release between runs: a cached subtree from run 1 would make
+        // run 2 a cache read, not a measurement
+        graft.ops.Dedup.releaseCaches()
       }
     }
     spark.stop()

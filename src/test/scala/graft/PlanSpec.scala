@@ -142,12 +142,12 @@ class PlanSpec extends SparkSpec {
       "pq_codes" -> 3,             // subspace argmin window + final sort (codebook broadcasts)
       "ivfpq_topk" -> 10,          // ONE corpus shuffle (assign window; codes + ADC agg reuse it) + query-side broadcasts + top-k + sort
       "kmeans_step" -> 4,          // assign window + (cluster,dim) agg + final sort
-      "containment_pairs" -> 6,    // distinct + df window + n_src window + pair join/agg + sort (cached inverted index)
+      "containment_pairs" -> 8,    // measured 8: distinct + df agg + skew-safe join-back + n_src window + pair join/agg + sort (r6 verdict item 1: +2 over the window form buys partial aggregation on the skewed shingle key)
       "scd2_history" -> 2,         // ONE key shuffle (lag + lead share the window) + final sort
       "mixture_downsample" -> 6,   // two tiny broadcast aggs + per-row corpus filter + sort
       "scd2_snapshot" -> 2,        // the snapshot filter adds NO shuffle over the history build
       "lm_score" -> 3,             // gram-frequency window + per-doc agg + final sort
-      "novelty_frac" -> 4,         // distinct + first-occurrence window + doc agg + sort
+      "novelty_frac" -> 5,         // measured 5: distinct + first-seen agg + skew-safe join-back + doc agg + sort (r6 verdict item 1)
       "dedup_keep_best" -> 4,      // post-cluster: doc⋈cluster join + keeper/count windows + sort (CC itself is iterative RDD)
       "corpus_split" -> 1,         // pure per-row projection + final sort
       "image_ahash" -> 1,          // per-row encode→decode→hash + final sort

@@ -305,6 +305,55 @@ class ScaleSpec extends SparkSpec {
       s"boilerplate fan-out leaked: $pairs")
   }
 
+  test("hot shingle (df = 10^6) stays bounded: df-cap/first-seen collapse map-side") {
+    import graft.ops.Dedup
+    // r6 verdict item 1 boundary pin: boilerplate shingles are skewed BY
+    // DEFINITION — here ONE 3-token footer shingle is planted in every
+    // one of 10^6 docs. The old window-on-shingle form had to land all
+    // 10^6 occurrences in a single window task before the df-cap could
+    // drop them; the groupBy+join-back shape collapses the hot key
+    // per-partition (map-side partial aggregation) and leaves the only
+    // per-key co-location to an AQE-skew-splittable join probe. Pinned
+    // structurally (partial agg keyed by shingle, NO window over the
+    // shingle column) and behaviorally (both ops complete and are exact
+    // on the fixture; wall time recorded via info()).
+    val n = 1000000L
+    val docs = spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit("u"), $"id", lit("a u"), $"id", lit("b boiler plate footer"))
+        .as("text"))
+    // tokens: [u{i}a, u{i}b, boiler, plate, footer] → 3 shingles/doc, of
+    // which "boiler plate footer" has df = 10^6 (cap 50 discards it)
+    val cont = Dedup.containmentPairs(docs)
+    val contPlan = cont.queryExecution.executedPlan.toString
+    assert(!contPlan.contains("windowspecdefinition(shingle"),
+      "df-cap must not be a window over the skewed shingle key")
+    assert(contPlan.contains("partial_count"),
+      "df-cap must collapse map-side via partial aggregation")
+    val nov = Dedup.noveltyFraction(docs)
+    val novPlan = nov.queryExecution.executedPlan.toString
+    assert(!novPlan.contains("windowspecdefinition(shingle"),
+      "first-seen must not be a window over the skewed shingle key")
+    assert(novPlan.contains("partial_min"),
+      "first-seen must collapse map-side via partial aggregation")
+    val t0 = System.nanoTime()
+    // every doc's two unique shingles are below minShingles=10 once the
+    // hot footer shingle is capped away → zero candidate pairs; the cost
+    // of this query IS the df-cap over the skewed key
+    assert(cont.count() == 0L, "boilerplate-only overlap must yield no pairs")
+    val secsCont = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    // doc 0 sees the footer shingle first (3/3 novel); every later doc
+    // has exactly its 2 unique shingles novel (2/3)
+    val novAgg = nov.agg(count(lit(1)), sum($"n_novel"), sum($"n_shingles")).head()
+    val secsNov = (System.nanoTime() - t1) / 1e9
+    info(f"hot-shingle 10^6-doc df-cap: containment $secsCont%.1fs, novelty $secsNov%.1fs")
+    assert(novAgg.getLong(0) == n)
+    assert(novAgg.getLong(1) == 2L * n + 1L)
+    assert(novAgg.getLong(2) == 3L * n)
+    Dedup.releaseCaches()
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
