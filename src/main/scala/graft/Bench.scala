@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Counts task ends whose reason is not `Success`. Failed AND killed
+  * attempts both count: a retried-then-successful task inflates its
+  * pass's wall time (the r6 artifact carried an anonymous
+  * `FileFormatWriter` retry stack that could not be attributed to any
+  * query), and killed siblings of a failing stage are part of the same
+  * disturbance. Snapshot `count` around a drained window (see
+  * [[org.apache.spark.graftshim.ListenerDrain]]) to attribute failures
+  * to one query.
+  */
+final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener {
+  private val n = new java.util.concurrent.atomic.AtomicLong(0)
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+    if (e.reason != org.apache.spark.Success) n.incrementAndGet()
+  def count: Long = n.get
+}
+
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
   * Contention defense (this box runs other tenants; identical code has
@@ -25,9 +41,45 @@ import org.apache.spark.sql.SparkSession
   *     prefer it);
   *   - ALL per-pass times ship in bench_out.json ("passes"), so the
   *     artifact carries its own evidence, and bench_out.json is
-  *     archived as bench_out_r{N}.json for cross-round diffing.
+  *     archived as bench_out_r{N}.json for cross-round diffing;
+  *   - non-Success task ends are counted per query inside drained
+  *     listener windows ("task_failures", nonzero entries only) — a
+  *     retried task inflates its pass's time, and the artifact must
+  *     name the query it happened in, not dump an anonymous stack;
+  *   - /proc/loadavg (1 min) is sampled at the start of every pass
+  *     ("loadavg", parallel to "passes") so a contention window is
+  *     visible in the artifact itself.
   */
 object Bench {
+  /** 1-minute host load average — shipped per pass so contention
+    * archaeology (rounds 4 and 5 each burned one) is a grep, not a
+    * re-measurement. -1.0 where /proc/loadavg is unreadable.
+    */
+  def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** One timed, instrumented run of `f`: returns (elapsed seconds or
+    * -1.0 if it threw, non-Success task ends attributable to this run,
+    * load average sampled at start). The listener bus is drained before
+    * and after so the failure window is exactly this run's — exposed as
+    * a method (not inlined in main) so BenchSpec can prove attribution
+    * with a deliberately flaky query.
+    */
+  def measure(spark: SparkSession, listener: TaskFailureListener)(
+      f: => Unit): (Double, Long, Double) = {
+    val sc = spark.sparkContext
+    org.apache.spark.graftshim.ListenerDrain.drain(sc)
+    val before = listener.count
+    val load = loadAvg1m()
+    val t0 = System.nanoTime()
+    val ok = try { f; true } catch { case _: Throwable => false }
+    val dt = (System.nanoTime() - t0) / 1e9
+    org.apache.spark.graftshim.ListenerDrain.drain(sc)
+    (if (ok) dt else -1.0, listener.count - before, load)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,22 +104,28 @@ object Bench {
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
-    // One timing pass. A throwing query records the -1.0 sentinel, NOT
-    // its elapsed time: a query that starts failing fast must show up as
-    // an error entry, never as a fast bench time.
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
-      if (ok) dt else -1.0
-    }
+    val listener = new TaskFailureListener
+    spark.sparkContext.addSparkListener(listener)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val byName = ordered.toMap
     val passes = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    def addPass(n: String): Unit =
-      passes(n) = passes.getOrElse(n, Vector.empty) :+ timeOne(byName(n))
+    val failures = scala.collection.mutable.Map.empty[String, Long]
+    val loads = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // One timing pass. A throwing query records the -1.0 sentinel, NOT
+    // its elapsed time: a query that starts failing fast must show up as
+    // an error entry, never as a fast bench time. Each pass also records
+    // the task failures inside its drained window (r6 verdict item 2 —
+    // the anonymous FileFormatWriter retry stack) and the loadavg at its
+    // start (item 6 — contention archaeology).
+    def addPass(n: String): Unit = {
+      val (dt, failed, load) = measure(spark, listener) {
+        byName(n)(spark, sfDir).count(): Unit
+      }
+      graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
+      passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
+      failures(n) = failures.getOrElse(n, 0L) + failed
+      loads(n) = loads.getOrElse(n, Vector.empty) :+ load
+    }
     // min over SUCCESSFUL passes; -1.0 only when every pass failed
     def minOk(n: String): Double = {
       val ok = passes(n).filter(_ >= 0)
@@ -119,6 +177,16 @@ object Bench {
       s"\"" + k + "\":[" + passes(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // task_failures carries only nonzero entries (absence = zero): a
+    // retried task silently inflates its pass's time, so a nonzero count
+    // here is the artifact's own "this timing is suspect" marker — and
+    // unlike r6's anonymous tail stack trace, it names the query.
+    val failJson = ordered.collect { case (k, _) if failures.getOrElse(k, 0L) > 0 =>
+      s"\"" + k + "\":" + failures(k)
+    }.mkString("{", ",", "}")
+    val loadJson = ordered.map { case (k, _) =>
+      s"\"" + k + "\":[" + loads(k).map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     // failed queries (−1 sentinels) must not subtract from the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val retimed = ordered.count { case (n, _) => passes(n).size > 2 }
@@ -126,7 +194,7 @@ object Bench {
     // JSON line outgrew the driver's stdout tail window and truncated
     // mid-object ("parsed": null in round 2). Stdout carries only the
     // short, always-parseable total line, pointing at the file.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1.
@@ -139,7 +207,7 @@ object Bench {
     finally dirStream.close()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"queries_file":"bench_out.json"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"queries_file":"bench_out.json"}"""
     // The total line ALSO goes to a file: sbt prefixes stdout with
     // [info], which broke the driver's JSON parse of it in rounds 1–3.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")
