@@ -88,11 +88,11 @@ object SimilarityQueries {
     },
 
     "srp_signature_centered" -> { (spark, dir) =>
-      // Mean-centered SRP bits — rows-only under the driver (like the
-      // HLL/GK sketches): the exact decimal(38,0) oracle CTE would dwarf
-      // the query, so OpsSpec proves the semantics (blocking-rate win on
-      // a planted-bias corpus, bit balance) and the driver at least
-      // EXECUTES the full path each round.
+      // Mean-centered SRP bits — FULLY oracled since round 7: the sign
+      // test distributes to Σ_d s(i,d)·(n·q_d − S_d), which the oracle
+      // computes in checked BIGINT/HUGEINT (see the oracle's comment) —
+      // no decimal CTE needed after all. OpsSpec additionally proves the
+      // blocking-rate win on a planted-bias corpus and bit balance.
       import spark.implicits._
       Similarity.srpBitsCentered(Tables.embeddings(spark, dir), nbits = 16)
         .orderBy("vec_id", "bit")
@@ -178,26 +178,60 @@ object SimilarityQueries {
     * inlined (a single SELECT cannot define macros); every intermediate
     * stays under int64 so DuckDB's checked arithmetic matches Spark's.
     */
+  /** The hyperplane-sign TEST `(<hash bit 7> = 1)` for hyperplane `bit`
+    * and 1-based list index `d`, inlined (a single SELECT cannot define
+    * macros). Shared by the plain and centered SRP oracles so the hash
+    * cannot drift between them.
+    */
+  private val SrpSignTest =
+    """(
+      |  (xor((xor(((bit * 1000003 + (d-1)) * 2654435761) & 4294967295,
+      |            (((bit * 1000003 + (d-1)) * 2654435761) & 4294967295) >> 13) * 40503) & 4294967295,
+      |       ((xor(((bit * 1000003 + (d-1)) * 2654435761) & 4294967295,
+      |            (((bit * 1000003 + (d-1)) * 2654435761) & 4294967295) >> 13) * 40503) & 4294967295) >> 9)
+      |   >> 7) & 1) = 1""".stripMargin
+
   private val SrpCte =
-    """qe AS (SELECT vec_id,
-      |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
-      |      FROM embeddings),
-      |bits AS (
-      |  SELECT vec_id, bit,
-      |         CASE WHEN list_sum(list_transform(range(1, len(q) + 1), d ->
-      |                CASE WHEN (
-      |                  (xor((xor(((bit * 1000003 + (d-1)) * 2654435761) & 4294967295,
-      |                            (((bit * 1000003 + (d-1)) * 2654435761) & 4294967295) >> 13) * 40503) & 4294967295,
-      |                       ((xor(((bit * 1000003 + (d-1)) * 2654435761) & 4294967295,
-      |                            (((bit * 1000003 + (d-1)) * 2654435761) & 4294967295) >> 13) * 40503) & 4294967295) >> 9)
-      |                   >> 7) & 1) = 1
-      |                THEN q[d] ELSE -q[d] END))::BIGINT >= 0
-      |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit_val
-      |  FROM (SELECT vec_id, q, unnest(range(0, 16)) AS bit FROM qe))""".stripMargin
+    s"""qe AS (SELECT vec_id,
+       |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+       |      FROM embeddings),
+       |bits AS (
+       |  SELECT vec_id, bit,
+       |         CASE WHEN list_sum(list_transform(range(1, len(q) + 1), d ->
+       |                CASE WHEN $SrpSignTest
+       |                THEN q[d] ELSE -q[d] END))::BIGINT >= 0
+       |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit_val
+       |  FROM (SELECT vec_id, q, unnest(range(0, 16)) AS bit FROM qe))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "srp_signature" ->
       s"""WITH $SrpCte
+         |SELECT vec_id, bit, bit_val FROM bits ORDER BY vec_id, bit""".stripMargin,
+
+    // Mean-centered SRP (r6 verdict item 3): the engine's sign test
+    //   sign(n·Σ_d q_d·s(i,d) − Σ_d S_d·s(i,d))
+    // distributes to sign(Σ_d s(i,d)·(n·q_d − S_d)) — exact integer
+    // addition is associative, so the re-association cannot change the
+    // sign, and every intermediate stays well under int64 at gate scale
+    // (n ≤ 10⁴ vectors · |q_d| ≤ 2·10⁶ → |n·q_d − S_d| ≤ 4·10¹⁰,
+    // summed over ≤ 64 dims ≤ 3·10¹²; DuckDB's checked arithmetic
+    // would raise, not wrap, if that budget were ever exceeded).
+    "srp_signature_centered" ->
+      s"""WITH qe AS (SELECT vec_id,
+         |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+         |      FROM embeddings),
+         |sums AS (SELECT d, SUM(qd)::BIGINT AS s
+         |         FROM (SELECT unnest(q) AS qd, unnest(range(1, len(q) + 1)) AS d FROM qe)
+         |         GROUP BY d),
+         |sv AS (SELECT list(s ORDER BY d) AS sarr FROM sums),
+         |nn AS (SELECT COUNT(*)::BIGINT AS n FROM qe),
+         |bits AS (
+         |  SELECT vec_id, bit,
+         |         CASE WHEN list_sum(list_transform(range(1, len(q) + 1), d ->
+         |                CASE WHEN $SrpSignTest
+         |                THEN n * q[d] - sarr[d] ELSE sarr[d] - n * q[d] END))::HUGEINT >= 0
+         |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit_val
+         |  FROM (SELECT vec_id, q, unnest(range(0, 16)) AS bit FROM qe), sv, nn)
          |SELECT vec_id, bit, bit_val FROM bits ORDER BY vec_id, bit""".stripMargin,
 
     "srp_near_dup" ->

@@ -1009,12 +1009,12 @@ class OpsSpec extends SparkSpec {
   }
 
   test("every query has an oracle except the documented sketch exceptions") {
-    // the two sketches (error-band specs) + centered SRP (exact decimal
-    // oracle would dwarf the query; semantics proven in OpsSpec).
-    // audio_features left this set in round 6: the square-wave fixture
-    // made every decoded feature exactly closed-form in SQL.
-    val rowsOnly = Set("approx_distinct_parts", "approx_percentiles",
-      "srp_signature_centered")
+    // ONLY the two sketches remain (error-band specs in this suite):
+    // approximation cannot hash-match any exact oracle. audio_features
+    // left this set in round 6 (closed-form square-wave fixture);
+    // srp_signature_centered left in round 7 (the centered sign test
+    // distributes to a checked-integer form DuckDB can evaluate).
+    val rowsOnly = Set("approx_distinct_parts", "approx_percentiles")
     val q = graft.SparkEntry.queries.keySet
     val o = graft.SparkEntry.oracleSql.keySet
     assert((q -- o) == rowsOnly, s"queries missing oracles: ${(q -- o) -- rowsOnly}")
