@@ -122,6 +122,7 @@ object Bench {
         byName(n)(spark, sfDir).count(): Unit
       }
       graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
+      graft.ops.Similarity.releaseCaches()
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load

@@ -29,9 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free any caches the dedup ops registered for this query — the
-      // long-lived-session hygiene contract (bounded cache footprint)
+      // free any caches the dedup/similarity ops registered for this
+      // query — the long-lived-session hygiene contract (bounded cache
+      // footprint)
       graft.ops.Dedup.releaseCaches()
+      graft.ops.Similarity.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -525,6 +525,121 @@ object Similarity {
       .select(col("cluster"), col("dim"), col("comp_sum"), col("n"))
   }
 
+  /** Caches whose consumer is LAZY (the returned centroid DataFrame
+    * still reads the final training round after [[kmeansTrain]]
+    * returns). Mirrors [[Dedup.releaseCaches]]'s registry contract:
+    * `Verify`/`Bench` release between queries, so a long-lived session
+    * holds at most one op's worth of (K·dim-sized, never corpus-sized)
+    * cache. Per-ROUND caches inside the trainer are unpersisted inline
+    * the moment the next round is materialized and never reach here.
+    */
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): rdd.type =
+    synchronized { liveCaches += (() => { rdd.unpersist(blocking = false); () }); rdd }
+
+  /** Free every cache registered by similarity ops since the last
+    * release (currently: [[kmeansTrain]]'s final round).
+    */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(_.apply())
+    liveCaches.clear()
+  }
+
+  /** Result of [[kmeansTrain]]: exploded exact-integer centroids
+    * (cluster, dim, comp — micro units), rounds actually run, whether
+    * the movement criterion was met, and the last round's max
+    * per-component movement in micro units.
+    */
+  final case class KmeansResult(centroids: DataFrame, iterations: Int,
+      converged: Boolean, lastMovementMicros: Long)
+
+  /** The Lloyd TRAINER composed from [[kmeansStep]]'s update statistic —
+    * how IVF coarse centroids and PQ codebooks are actually produced:
+    * iterate assign→update until the max per-component centroid movement
+    * is ≤ `tolMicros` or `maxIter` rounds have run. Follows the
+    * [[Dedup.connectedComponents]] loop discipline: every round is
+    * materialized through a lineage cut (the round plan would otherwise
+    * reference the previous round three times and double per iteration),
+    * round k−1's cache is freed the moment round k is materialized, and
+    * a non-converged run FAILS LOUDLY unless the caller explicitly opts
+    * into a fixed iteration budget (`requireConvergence = false` — the
+    * oracle-gated query does, so N unrolled SQL steps stay equivalent:
+    * early-stop happens only at movement 0, a fixed point that further
+    * steps cannot change).
+    *
+    * Exactness: assignment is integer L2 argmin with centroid-id
+    * tie-break; the updated component is floor(comp_sum / n) computed as
+    * `(comp_sum − pmod(comp_sum, n)) div n` — PURE int64 arithmetic (a
+    * double division would round: comp_sum reaches n·2·10⁶ micro units,
+    * past 2^53 once a cluster holds ~10⁹ members). Empty clusters keep
+    * their previous centroid.
+    *
+    * Scale posture per round: centroids broadcast (K·dim rows), ONE
+    * argmin window on the vector id, one (cluster, dim) partial-agg sum
+    * — the round's shuffled state is K·dim regardless of corpus size;
+    * the quantized corpus is cached once across rounds and released
+    * before returning.
+    */
+  def kmeansTrain(corpus: DataFrame, seeds: DataFrame, maxIter: Int = 10,
+      tolMicros: Long = 0L, requireConvergence: Boolean = true,
+      idCol: String = "vec_id", embCol: String = "embedding"): KmeansResult = {
+    require(maxIter >= 1, s"kmeansTrain: maxIter must be >= 1, got $maxIter")
+    val spark = corpus.sparkSession
+    val q = quantVectors(corpus, idCol, embCol, idCol).cache()
+    // centroid state: (cluster, __cv: array<long>, __mv: last movement)
+    var cent = quantVectors(seeds, idCol, embCol, "cluster")
+      .select(col("cluster"), col("__qv").as("__cv"), lit(0L).as("__mv"))
+    var centRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var iter = 0
+    var moved = Long.MaxValue
+    while (iter < maxIter && moved > tolMicros) {
+      val assigned = q.crossJoin(broadcast(cent.select(col("cluster"), col("__cv"))))
+        .withColumn("__d", intL2(col("__qv"), col("__cv")))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cluster"))))
+        .filter(col("__rk") === 1)
+      val stats = assigned.select(col("cluster"),
+          posexplode(col("__qv")).as(Seq("dim", "comp")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("comp")).as("comp_sum"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("dim"),
+          expr("(comp_sum - pmod(comp_sum, n)) div n").as("comp"))
+      val updated = stats.groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("comp")))),
+          e => e.getField("comp")).as("__new"))
+      val next = cent.select(col("cluster"), col("__cv"))
+        .join(updated, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("__new"), col("__cv")).as("__cv"),
+          coalesce(aggregate(
+            zip_with(col("__new"), col("__cv"), (a, b) => abs(a - b)),
+            lit(0L), (acc, x) => greatest(acc, x)), lit(0L)).as("__mv"))
+      // lineage cut + eager materialization in one job (the fold also
+      // returns this round's max movement); then free the previous round
+      val rdd = next.rdd.cache()
+      moved = rdd.map(_.getLong(2)).fold(0L)(math.max)
+      if (centRdd != null) centRdd.unpersist(blocking = false)
+      cent = spark.createDataFrame(rdd, next.schema)
+      centRdd = rdd
+      iter += 1
+    }
+    q.unpersist(blocking = false)
+    val converged = moved <= tolMicros
+    if (!converged && requireConvergence) {
+      if (centRdd != null) centRdd.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"kmeansTrain did not converge in $maxIter rounds (last max " +
+          s"movement $moved micros > tol $tolMicros); raise maxIter or " +
+          "pass requireConvergence = false for a fixed iteration budget")
+    }
+    registerRdd(centRdd)
+    val centroids = cent.select(col("cluster"),
+      posexplode(col("__cv")).as(Seq("dim", "comp")))
+      .select(col("cluster"), col("dim").cast("long").as("dim"), col("comp"))
+    KmeansResult(centroids, iter, converged, moved)
+  }
+
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.
     */

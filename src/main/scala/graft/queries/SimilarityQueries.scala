@@ -135,6 +135,20 @@ object SimilarityQueries {
         .orderBy("cluster", "dim")
     },
 
+    "kmeans_train" -> { (spark, dir) =>
+      // The full Lloyd trainer (r6 verdict item 4): 3 assign→update
+      // rounds from the vec_id<8 seeds, every round exact int64
+      // (integer-L2 argmin, floor(comp_sum/n) via pmod+div). A fixed
+      // 3-round budget (requireConvergence = false) keeps the oracle an
+      // exact 3-step unroll: the trainer early-stops only at movement 0
+      // — a fixed point further oracle steps cannot change.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.kmeansTrain(emb, emb.filter($"vec_id" < 8), maxIter = 3,
+          requireConvergence = false).centroids
+        .orderBy("cluster", "dim")
+    },
+
     "embed_quantize" -> { (spark, dir) =>
       // Symmetric int8 quantization of the embedding corpus (the
       // serving/storage format); exact double chain → bit-identical q8.
@@ -202,6 +216,28 @@ object SimilarityQueries {
        |                THEN q[d] ELSE -q[d] END))::BIGINT >= 0
        |              THEN 1::BIGINT ELSE 0::BIGINT END AS bit_val
        |  FROM (SELECT vec_id, q, unnest(range(0, 16)) AS bit FROM qe))""".stripMargin
+
+  /** One unrolled Lloyd round for the kmeans_train oracle: assign every
+    * vector to its nearest round-(i−1) centroid (integer L2, centroid-id
+    * tie-break), then floor(mean) per (cluster, dim) in exact integer
+    * arithmetic, carrying unchanged centroids for empty clusters.
+    */
+  private def kmeansRoundCte(i: Int): String = {
+    val p = s"c${i - 1}"
+    s"""a$i AS (SELECT vec_id, q, cluster FROM (
+       |  SELECT a.vec_id, a.q, c.cluster,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
+       |           c.cluster) AS rk
+       |  FROM qe a CROSS JOIN $p c) WHERE rk = 1),
+       |s$i AS (SELECT cluster, d, SUM(qd)::BIGINT AS cs, COUNT(*)::BIGINT AS n
+       |        FROM (SELECT cluster, generate_subscripts(q, 1) AS d, unnest(q) AS qd FROM a$i)
+       |        GROUP BY cluster, d),
+       |n$i AS (SELECT cluster, list((cs - ((cs % n) + n) % n) // n ORDER BY d) AS cv
+       |        FROM s$i GROUP BY cluster),
+       |c$i AS (SELECT $p.cluster, coalesce(n$i.cv, $p.cv) AS cv
+       |        FROM $p LEFT JOIN n$i USING (cluster))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "srp_signature" ->
@@ -321,6 +357,23 @@ object SimilarityQueries {
         |SELECT cluster, dim::BIGINT AS dim, sum(comp)::BIGINT AS comp_sum, count(*)::BIGINT AS n
         |FROM x GROUP BY cluster, dim
         |ORDER BY cluster, dim""".stripMargin,
+
+    // The 3-round Lloyd trainer, unrolled (one CTE block per round via
+    // kmeansRoundCte): assignment is the same integer-L2 argmin as
+    // kmeans_step; the update is floor(comp_sum / n) in pure integer
+    // arithmetic ((cs − pmod) // n — the numerator is exactly divisible,
+    // so any division semantics agree); empty clusters keep the previous
+    // round's centroid via the LEFT JOIN + coalesce.
+    "kmeans_train" ->
+      s"""WITH qe AS (SELECT vec_id,
+         |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+         |            FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, q AS cv FROM qe WHERE vec_id < 8),
+         |${kmeansRoundCte(1)},
+         |${kmeansRoundCte(2)},
+         |${kmeansRoundCte(3)}
+         |SELECT cluster, (generate_subscripts(cv, 1) - 1)::BIGINT AS dim, unnest(cv) AS comp
+         |FROM c3 ORDER BY cluster, dim""".stripMargin,
 
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,

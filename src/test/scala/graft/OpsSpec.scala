@@ -698,6 +698,52 @@ class OpsSpec extends SparkSpec {
     assert(res == expected.toMap)
   }
 
+  test("k-means trainer: round 1 equals kmeansStep's exact floor means") {
+    // the composition contract: one trainer round IS the oracled update
+    // statistic, floor-divided in pure integer arithmetic
+    val emb = Tables.embeddings(spark, Sf0001)
+    val seeds = emb.filter($"vec_id" < 8)
+    val t = Similarity.kmeansTrain(emb, seeds, maxIter = 1,
+        requireConvergence = false).centroids.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val s = Similarity.kmeansStep(emb, seeds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        Math.floorDiv(r.getLong(2), r.getLong(3))).toMap
+    assert(s.nonEmpty && s.forall { case (k, v) => t.get(k).contains(v) },
+      "trainer round 1 diverged from the step statistic")
+    Similarity.releaseCaches()
+  }
+
+  test("k-means trainer stops at the fixed point, not the budget") {
+    // seeds == corpus: every vector is its own nearest centroid and the
+    // round-1 update reproduces the seeds exactly → movement 0 after one
+    // round; the 5-round budget must NOT be spent
+    val pts = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(1.0f, 2.0f)),
+      (2L, Array(-3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.kmeansTrain(pts, pts, maxIter = 5)
+    assert(r.converged && r.iterations == 1 && r.lastMovementMicros == 0L)
+    val cents = r.centroids.collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(cents((2L, 0L)) == -3000000L && cents((2L, 1L)) == 4000000L)
+    Similarity.releaseCaches()
+  }
+
+  test("k-means trainer fails loudly on a too-small budget; opt-out is explicit") {
+    // one seed between two points: round 1 moves the centroid to the
+    // floor-mean (5e6 micros) — maxIter = 1 cannot reach movement 0
+    val pts = Seq((0L, Array(0.0f)), (1L, Array(10.0f))).toDF("vec_id", "embedding")
+    val seeds = pts.filter($"vec_id" === 0L)
+    val e = intercept[IllegalStateException](
+      Similarity.kmeansTrain(pts, seeds, maxIter = 1))
+    assert(e.getMessage.contains("did not converge"))
+    // the CC discipline: an explicit fixed budget returns honest metadata
+    val r = Similarity.kmeansTrain(pts, seeds, maxIter = 1,
+      requireConvergence = false)
+    assert(!r.converged && r.iterations == 1 && r.lastMovementMicros == 5000000L)
+    assert(r.centroids.collect().map(_.getLong(2)).toSeq == Seq(5000000L))
+    Similarity.releaseCaches()
+  }
+
   test("SRP bits: 16 bits per vector, values in {0,1}, deterministic") {
     val emb = Tables.embeddings(spark, Sf0001).limit(50)
     val bits = Similarity.srpBits(emb).collect()

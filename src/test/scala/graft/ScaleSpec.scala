@@ -305,6 +305,30 @@ class ScaleSpec extends SparkSpec {
       s"boilerplate fan-out leaked: $pairs")
   }
 
+  test("k-means trainer frees each round's cache; only the final round survives") {
+    import graft.ops.Similarity
+    // the connectedComponents discipline applied to the Lloyd loop: a
+    // 4-round training run must NOT leak one cached RDD per round for
+    // the life of the session — round k−1 is freed when round k
+    // materializes, the shared quantized-corpus cache is freed before
+    // returning, and exactly the final round's cache survives until
+    // releaseCaches()
+    graft.ops.Dedup.releaseCaches()
+    Similarity.releaseCaches()
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val emb = Tables.embeddings(spark, Sf0001)
+    val r = Similarity.kmeansTrain(emb, emb.filter(col("vec_id") < 8),
+      maxIter = 4, requireConvergence = false)
+    assert(r.iterations >= 2, "fixture converged too fast to test round release")
+    assert(r.centroids.count() == 512L)
+    val during = sc.getPersistentRDDs.size
+    assert(during <= before + 1,
+      s"per-round caches leaked: $before persistent RDDs before, $during after")
+    Similarity.releaseCaches()
+    assert(sc.getPersistentRDDs.size <= before, "final round survived release")
+  }
+
   test("hot shingle (df = 10^6) stays bounded: df-cap/first-seen collapse map-side") {
     import graft.ops.Dedup
     // r6 verdict item 1 boundary pin: boilerplate shingles are skewed BY
