@@ -437,7 +437,17 @@ object Similarity {
     * argmin window shuffles once on the vector id.
     */
   def assignClustersL2(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignTopNL2(corpus, centroids, 1, idCol, embCol)
+      .select(col(idCol), col("__qv"), col("cluster"))
+
+  /** Top-`n` nearest centroids per vector by integer squared L2 (exact
+    * argsort prefix, centroid-id tie-break) — `n = 1` is cluster
+    * assignment; `n = nprobe > 1` is the multi-probe query side of
+    * [[ivfPqTopK]]. Output keeps `probe_rk` (1 = nearest).
+    */
+  private def assignTopNL2(corpus: DataFrame, centroids: DataFrame, n: Int,
+      idCol: String, embCol: String): DataFrame = {
     val c = quantVectors(corpus, idCol, embCol, idCol)
     val cent = quantVectors(centroids, idCol, embCol, "centroid_id")
       .withColumnRenamed("__qv", "__cv")
@@ -445,16 +455,18 @@ object Similarity {
     c.crossJoin(broadcast(cent))
       .withColumn("__d", intL2(col("__qv"), col("__cv")))
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("__qv"), col("centroid_id").as("cluster"))
+      .filter(col("__rk") <= n)
+      .select(col(idCol), col("__qv"), col("centroid_id").as("cluster"),
+        col("__rk").as("probe_rk"))
   }
 
   /** IVF-PQ ADC top-k — the serving read path that completes the ANN
     * stack (IVF partitions the corpus, PQ compresses it, ADC scores
     * queries against CODES instead of raw vectors): each query builds a
     * per-subspace lookup table of distances to every codebook entry
-    * (|Q|·subspaces·|book| rows — broadcast), coarse-assigns to one IVF
-    * bucket, and scores only that bucket's PQ codes by summing LUT hits —
+    * (|Q|·subspaces·|book| rows — broadcast), coarse-assigns to its
+    * `nprobe` nearest IVF buckets (1 = classic single-probe), and scores
+    * only those buckets' PQ codes by summing LUT hits —
     * the corpus' raw embeddings are never touched after encode time,
     * which is the whole point at 100 TB (codes are ~64× smaller).
     *
@@ -470,7 +482,7 @@ object Similarity {
     * Output: (query_id, rk, neighbor_id, adc).
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      codebook: DataFrame, k: Int, subspaces: Int = 4,
+      codebook: DataFrame, k: Int, subspaces: Int = 4, nprobe: Int = 1,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val bookSub = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
       .select(col("subspace"), col(idCol).as("code"), col("cs"))
@@ -483,7 +495,12 @@ object Similarity {
     val codes = pqAssignCodes(
       subVectorsOfQuant(assigned, "__qv", subspaces, idCol, Seq("cluster"), "qs"),
       bookSub, idCol, keep = Seq("cluster"))
-    val qAssigned = assignClustersL2(queries, centroids, idCol, embCol)
+    // multi-probe: each query searches its `nprobe` nearest coarse cells
+    // (a query near a Voronoi boundary has true neighbors in the
+    // runner-up cell — same recall argument as ivfTopKMultiProbe).
+    // Corpus vectors live in exactly ONE bucket, so the probed buckets
+    // are disjoint and no candidate is ADC-scored twice.
+    val qAssigned = assignTopNL2(queries, centroids, nprobe, idCol, embCol)
       .select(col(idCol).as("query_id"), col("cluster").as("qcluster"))
     val lut = pqSubVectors(queries, subspaces, idCol, embCol, "qs")
       .withColumnRenamed(idCol, "query_id")

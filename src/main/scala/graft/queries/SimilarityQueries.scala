@@ -125,6 +125,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "ivfpq_topk_probe2" -> { (spark, dir) =>
+      // Multi-probe ADC (r6 verdict item 5): ivf_topk_probe2 proved the
+      // recall win for raw IVF; this is the same 2-probe device on the
+      // compressed read path. Candidates come from the 2 nearest coarse
+      // cells per query; OpsSpec asserts recall dominance over probe-1.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val book = emb.filter($"vec_id" < 8)
+      Similarity.ivfPqTopK(emb, emb.filter($"vec_id" < 10), book, book,
+          k = 3, nprobe = 2)
+        .orderBy("query_id", "rk")
+    },
+
     "kmeans_step" -> { (spark, dir) =>
       // One Lloyd iteration's update statistic (how IVF/PQ codebooks are
       // trained at corpus scale): integer-L2 assignment to the vec_id<8
@@ -239,6 +252,47 @@ object SimilarityQueries {
        |        FROM $p LEFT JOIN n$i USING (cluster))""".stripMargin
   }
 
+  /** The IVF-PQ ADC oracle, parameterized by probe count: the corpus
+    * side always lives in its single nearest bucket (crk = 1); the
+    * query side probes its `nprobe` nearest coarse cells. Buckets are
+    * disjoint, so no candidate is scored twice at any nprobe.
+    */
+  private def ivfPqOracle(nprobe: Int): String =
+    s"""WITH qe AS (SELECT vec_id,
+       |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+       |            FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, q AS cv FROM qe WHERE vec_id < 8),
+       |ranked AS (
+       |  SELECT a.vec_id, centroid_id AS cluster,
+       |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+       |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
+       |           centroid_id) AS crk
+       |  FROM qe a CROSS JOIN cent c),
+       |coarse AS (SELECT vec_id, cluster FROM ranked WHERE crk = 1),
+       |qprobe AS (SELECT vec_id, cluster FROM ranked WHERE vec_id < 10 AND crk <= $nprobe),
+       |sub AS (SELECT vec_id, s, q[s * 16 + 1 : (s + 1) * 16] AS qs
+       |        FROM (SELECT vec_id, q, unnest(range(0, 4)) AS s FROM qe)),
+       |book AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
+       |codes AS (SELECT vec_id, s, code FROM (
+       |  SELECT a.vec_id, a.s, c.code,
+       |         row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY
+       |           list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i]))),
+       |           c.code) AS rk
+       |  FROM sub a JOIN book c ON a.s = c.s) WHERE rk = 1),
+       |lut AS (SELECT a.vec_id AS query_id, a.s, c.code,
+       |               list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS d
+       |        FROM sub a JOIN book c ON a.s = c.s WHERE a.vec_id < 10),
+       |adc AS (SELECT l.query_id, co.vec_id, sum(l.d)::BIGINT AS adc
+       |        FROM codes co
+       |        JOIN coarse ca ON ca.vec_id = co.vec_id
+       |        JOIN qprobe qa ON qa.cluster = ca.cluster AND co.vec_id <> qa.vec_id
+       |        JOIN lut l ON l.query_id = qa.vec_id AND l.s = co.s AND l.code = co.code
+       |        GROUP BY l.query_id, co.vec_id)
+       |SELECT query_id, rk, vec_id AS neighbor_id, adc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+       |  FROM adc) WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "srp_signature" ->
       s"""WITH $SrpCte
@@ -306,40 +360,10 @@ object SimilarityQueries {
 
     // the full integer ADC chain: coarse assign (64-dim integer L2
     // argmin), PQ codes (16-dim per-subspace argmin), per-query LUT,
-    // bucket-confined ADC sum, top-3
-    "ivfpq_topk" ->
-      """WITH qe AS (SELECT vec_id,
-        |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
-        |            FROM embeddings),
-        |cent AS (SELECT vec_id AS centroid_id, q AS cv FROM qe WHERE vec_id < 8),
-        |coarse AS (SELECT vec_id, cluster FROM (
-        |  SELECT a.vec_id, centroid_id AS cluster,
-        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
-        |           centroid_id) AS rk
-        |  FROM qe a CROSS JOIN cent c) WHERE rk = 1),
-        |sub AS (SELECT vec_id, s, q[s * 16 + 1 : (s + 1) * 16] AS qs
-        |        FROM (SELECT vec_id, q, unnest(range(0, 4)) AS s FROM qe)),
-        |book AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
-        |codes AS (SELECT vec_id, s, code FROM (
-        |  SELECT a.vec_id, a.s, c.code,
-        |         row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY
-        |           list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i]))),
-        |           c.code) AS rk
-        |  FROM sub a JOIN book c ON a.s = c.s) WHERE rk = 1),
-        |lut AS (SELECT a.vec_id AS query_id, a.s, c.code,
-        |               list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS d
-        |        FROM sub a JOIN book c ON a.s = c.s WHERE a.vec_id < 10),
-        |adc AS (SELECT l.query_id, co.vec_id, sum(l.d)::BIGINT AS adc
-        |        FROM codes co
-        |        JOIN coarse ca ON ca.vec_id = co.vec_id
-        |        JOIN coarse qa ON qa.vec_id < 10 AND qa.cluster = ca.cluster AND co.vec_id <> qa.vec_id
-        |        JOIN lut l ON l.query_id = qa.vec_id AND l.s = co.s AND l.code = co.code
-        |        GROUP BY l.query_id, co.vec_id)
-        |SELECT query_id, rk, vec_id AS neighbor_id, adc FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
-        |  FROM adc) WHERE rk <= 3
-        |ORDER BY query_id, rk""".stripMargin,
+    // bucket-confined ADC sum, top-3 — single-probe and probe-2 share
+    // one generated body (ivfPqOracle) so the chains cannot drift
+    "ivfpq_topk" -> ivfPqOracle(nprobe = 1),
+    "ivfpq_topk_probe2" -> ivfPqOracle(nprobe = 2),
 
     // integer-L2 assignment + exact per-(cluster, dim) sums/counts
     "kmeans_step" ->

@@ -95,6 +95,7 @@ object Probe {
         // release between runs: a cached subtree from run 1 would make
         // run 2 a cache read, not a measurement
         graft.ops.Dedup.releaseCaches()
+        graft.ops.Similarity.releaseCaches()
       }
     }
     spark.stop()
@@ -141,6 +142,7 @@ object Probe {
       // release between queries so one query's caches don't appear in
       // the next query's plan
       graft.ops.Dedup.releaseCaches()
+      graft.ops.Similarity.releaseCaches()
     }
     spark.stop()
   }

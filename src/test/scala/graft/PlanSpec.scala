@@ -141,6 +141,8 @@ class PlanSpec extends SparkSpec {
       "length_histogram" -> 2,     // bucket agg + final sort
       "pq_codes" -> 3,             // subspace argmin window + final sort (codebook broadcasts)
       "ivfpq_topk" -> 10,          // ONE corpus shuffle (assign window; codes + ADC agg reuse it) + query-side broadcasts + top-k + sort
+      "ivfpq_topk_probe2" -> 10,   // multi-probe only widens the broadcast query side — same corpus shape as ivfpq_topk
+      "kmeans_train" -> 1,         // training rounds run EAGERLY inside the op (lineage cuts); the returned centroid plan is LogicalRDD + explode + final sort
       "kmeans_step" -> 4,          // assign window + (cluster,dim) agg + final sort
       "containment_pairs" -> 8,    // measured 8: distinct + df agg + skew-safe join-back + n_src window + pair join/agg + sort (r6 verdict item 1: +2 over the window form buys partial aggregation on the skewed shingle key)
       "scd2_history" -> 2,         // ONE key shuffle (lag + lead share the window) + final sort
@@ -163,6 +165,7 @@ class PlanSpec extends SparkSpec {
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
       assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n${planOf(df)}")
       graft.ops.Dedup.releaseCaches()
+      graft.ops.Similarity.releaseCaches()
     }
   }
 
