@@ -23,17 +23,25 @@ object Dimensions {
     * zero-length intervals — the honest representation of two changes
     * recorded at one timestamp).
     *
+    * NULL attribute values are first-class: a key's first row is
+    * detected by row_number (NOT by the lag being null — a real CDC log
+    * can carry null attributes), and change detection is the null-safe
+    * `<=>` negation, so a transition TO null opens an interval, a
+    * transition FROM null opens an interval, and consecutive nulls
+    * collapse into one run like any other equal values.
+    *
     * Scale posture: one shuffle on the key — the change-filter lag, the
-    * run lead, and both windows share the same (key) partitioning and
-    * (ts, tie) sort, so Catalyst plans a single Exchange + Sort for the
-    * whole chain. No join, no driver state.
+    * first-row rank, the run lead, and all three windows share the same
+    * (key) partitioning and (ts, tie) sort, so Catalyst plans a single
+    * Exchange + Sort for the whole chain. No join, no driver state.
     */
   def scd2(log: DataFrame, keyCol: String, attrCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     log
+      .withColumn("__rn", row_number().over(w))
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(attrCol), col("valid_from"), col("valid_to"))

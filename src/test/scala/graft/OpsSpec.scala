@@ -347,6 +347,33 @@ class OpsSpec extends SparkSpec {
       (3L, "A", 10L, 10L), (3L, "B", 10L, -1L)))
   }
 
+  test("scd2 treats NULL attribute values as first-class history states") {
+    // ADVICE r6 (medium): with the old `__prev =!= attr` condition a
+    // transition TO null was silently dropped (the comparison is null,
+    // the filter removes the row) and consecutive nulls each re-passed
+    // the `__prev.isNull` first-row arm, fabricating an interval per
+    // unchanged null row. A CDC log where the attribute is nullable must
+    // produce: null-run collapse, open-on-null-to-value, and
+    // open-on-value-to-null.
+    import graft.ops.Dimensions
+    val log = Seq(
+      // key 1: null, null (collapse), A, null (reopen), A — 4 intervals
+      (1L, Option.empty[String], 10L, 100L), (1L, Option.empty[String], 20L, 101L),
+      (1L, Option("A"), 30L, 102L), (1L, Option.empty[String], 40L, 103L),
+      (1L, Option("A"), 50L, 104L),
+      // key 2: starts non-null, changes to null and stays — 2 intervals
+      (2L, Option("X"), 5L, 105L), (2L, Option.empty[String], 6L, 106L),
+      (2L, Option.empty[String], 7L, 107L)
+    ).toDF("k", "attr", "ts", "tie")
+    val got = Dimensions.scd2(log, "k", "attr", "ts", "tie").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) "∅" else r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, "∅", 10L, 30L), (1L, "A", 30L, 40L), (1L, "∅", 40L, 50L),
+      (1L, "A", 50L, -1L),
+      (2L, "X", 5L, 6L), (2L, "∅", 6L, -1L)))
+  }
+
   test("corpusSplit is a stable pure function of the id: growth never migrates a doc") {
     import graft.ops.TextOps
     import java.security.MessageDigest
