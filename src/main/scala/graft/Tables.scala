@@ -10,14 +10,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads over a Hive layout; here each table is a single parquet file.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** The driver writes timestamps as plain `timestamp[us]`
+    * (isAdjustedToUTC=false). Spark 4 infers those as TIMESTAMP_NTZ by
+    * default, which breaks instant functions (`unix_micros` et al.) and
+    * diverges from DuckDB's naive-read-as-UTC oracle semantics under our
+    * UTC session timezone. Reading them as TIMESTAMP (LTZ) keeps both
+    * engines on the same instants, so the conf is pinned off here — the
+    * single choke point every testdata read goes through.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4.x refuses to
-    * read as a timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
+  /** Some generations of the testdata wrote `events.ts` as
+    * TIMESTAMP(NANOS) parquet, which Spark 4.x refuses to read as a
+    * timestamp ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
     * (legacy conf) and truncate to µs with integer division — NOT double
     * division, which would lose precision at ~1.7e18 ns — matching DuckDB's
     * own ns→µs truncation so oracle timestamps agree exactly (SURVEY §7.5).
+    * Current testdata is already µs, which falls through untouched.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
