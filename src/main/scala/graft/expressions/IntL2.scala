@@ -18,9 +18,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *   - either array NULL → NULL; unequal lengths → NULL (zip_with's
   *     null padding propagates); any NULL element → NULL;
   *   - `exact = false` (legacy eval mode) wraps on int64 overflow like
-  *     the legacy arithmetic expressions;
-  *   - `exact = true` (ANSI eval mode, the Spark 4 default) throws on
-  *     overflow via Math.*Exact, like ANSI arithmetic does.
+  *     the legacy arithmetic expressions, and short-circuits out on the
+  *     first NULL element (wrap-around can't throw, so the skipped
+  *     arithmetic is unobservable);
+  *   - `exact = true` (ANSI eval mode, the Spark 4 default) replays the
+  *     HOF's element order faithfully: zip_with evaluates its lambda for
+  *     EVERY in-range pair before the fold sees anything, so a NULL
+  *     element (or a length mismatch) poisons the RESULT but must not
+  *     suppress a later pair's overflow. The exact loop therefore keeps
+  *     doing checked subtract/multiply after a null is seen and only
+  *     stops accumulating, and it throws through Spark's MathUtils —
+  *     SparkArithmeticException, error class ARITHMETIC_OVERFLOW — the
+  *     identical failure ANSI Add/Subtract/Multiply raise, so
+  *     SparkThrowable handlers and error-message tests can't tell the
+  *     native path from the HOF. (Sole remaining nuance, documented and
+  *     accepted: with ≥2 independent overflows in one row the HOF
+  *     surfaces the first MULTIPLY overflow before any ADD overflow —
+  *     zip_with materializes all products first — while the fused loop
+  *     interleaves; the exception type and error class are identical
+  *     either way.)
   * The element null branch compiles out when both array types carry
   * containsNull=false.
   */
@@ -53,53 +69,91 @@ case class IntL2(left: Expression, right: Expression, exact: Boolean = true)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n != y.numElements()) return null
+    val m = y.numElements()
     val checkNulls = elementsNullable
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
-      if (exact) {
-        val d = Math.subtractExact(x.getLong(i), y.getLong(i))
-        acc = Math.addExact(acc, Math.multiplyExact(d, d))
-      } else {
+    if (exact) {
+      // HOF-faithful: checked arithmetic for every in-range pair (a
+      // later overflow must throw even after a null), accumulate only
+      // until the first null position (the fold is poisoned from there).
+      val common = math.min(n, m)
+      var nullSeen = n != m
+      var acc = 0L
+      var i = 0
+      while (i < common) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) nullSeen = true
+        else {
+          val d = Bridge.subtractExact(x.getLong(i), y.getLong(i))
+          val p = Bridge.multiplyExact(d, d)
+          if (!nullSeen) acc = Bridge.addExact(acc, p)
+        }
+        i += 1
+      }
+      if (nullSeen) null else acc
+    } else {
+      if (n != m) return null
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val d = x.getLong(i) - y.getLong(i)
         acc += d * d
+        i += 1
       }
-      i += 1
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
-      val nullCheck = if (elementsNullable) {
-        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
-      } else ""
-      val step = if (exact) {
-        s"""long $d = java.lang.Math.subtractExact($a.getLong($i), $b.getLong($i));
-           |    $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));""".stripMargin
+      val p = ctx.freshName("p")
+      val nullSeen = ctx.freshName("nullSeen")
+      if (exact) {
+        // Same MathUtils Spark's ANSI arithmetic codegen calls —
+        // SparkArithmeticException / ARITHMETIC_OVERFLOW, not a bare
+        // java.lang.ArithmeticException.
+        val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
+        val nullCheck = if (elementsNullable) {
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $nullSeen = true; } else"
+        } else ""
+        s"""
+           |int $n = $a.numElements();
+           |int $m = $b.numElements();
+           |boolean $nullSeen = ($n != $m);
+           |long $acc = 0L;
+           |int $i = 0;
+           |for (int common = java.lang.Math.min($n, $m); $i < common; $i++) {
+           |  $nullCheck {
+           |    long $d = $mu.subtractExact($a.getLong($i), $b.getLong($i));
+           |    long $p = $mu.multiplyExact($d, $d);
+           |    if (!$nullSeen) $acc = $mu.addExact($acc, $p);
+           |  }
+           |}
+           |if ($nullSeen) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         """.stripMargin
       } else {
-        s"""long $d = $a.getLong($i) - $b.getLong($i);
-           |    $acc += $d * $d;""".stripMargin
+        val nullCheck = if (elementsNullable) {
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        } else ""
+        s"""
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long $acc = 0L;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $nullCheck
+           |    long $d = $a.getLong($i) - $b.getLong($i);
+           |    $acc += $d * $d;
+           |  }
+           |  if (!${ev.isNull}) ${ev.value} = $acc;
+           |}
+         """.stripMargin
       }
-      s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $nullCheck
-         |    $step
-         |  }
-         |  if (!${ev.isNull}) ${ev.value} = $acc;
-         |}
-       """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

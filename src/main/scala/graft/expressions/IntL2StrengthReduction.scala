@@ -15,11 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * [[DotProductStrengthReduction]]. Long arithmetic CAN overflow, so
   * eval modes matter here (unlike the double dot product): the rewrite
   * fires for LEGACY lambdas (native wraps identically) and ANSI lambdas
-  * (native throws via Math.*Exact identically), and leaves TRY — whose
-  * null-on-overflow has no native counterpart — untouched. The subtrahend
-  * pair must be the SAME ordered (x, y) in both Subtract factors; the
-  * zip-var order itself may be either way ((x−y)² == (y−x)², including
-  * under wrap and under overflow-throw).
+  * (native replays the HOF's element order — checked arithmetic for
+  * every in-range pair even after a null element, thrown through
+  * Spark's MathUtils so the exception is the same
+  * SparkArithmeticException/ARITHMETIC_OVERFLOW ANSI arithmetic
+  * raises; see the IntL2 scaladoc for the one multi-overflow ordering
+  * nuance), and leaves TRY — whose null-on-overflow has no native
+  * counterpart — untouched. The subtrahend pair must be the SAME
+  * ordered (x, y) in both Subtract factors; the zip-var order itself
+  * may be either way ((x−y)² == (y−x)², including under wrap and under
+  * overflow-throw).
   */
 object IntL2StrengthReduction extends Rule[LogicalPlan] {
 

@@ -388,6 +388,21 @@ object Similarity {
       .select((Seq(idCol) ++ keep ++ Seq("subspace", "code")).map(col): _*)
   }
 
+  /** Loud guard for the PQ split: `size(v) % subspaces` must be 0.
+    * Integer-division width would otherwise silently DROP the trailing
+    * `size % subspaces` components from every distance (dims=65,
+    * subspaces=4 → width 16, component 65 never scored), and
+    * dims < subspaces yields width 0 — empty sub-vectors, all distances
+    * 0, every code collapsing to the lowest centroid id — with no error.
+    * Same loud-failure posture as the SRP dims guard above.
+    */
+  private def pqWidthGuarded(q: Column, subspaces: Int): Column =
+    when(size(q) % subspaces === 0 && size(q) >= subspaces, q)
+      .otherwise(raise_error(concat(
+        lit("PQ: embedding dim "), size(q).cast("string"),
+        lit(s" is not divisible into subspaces=$subspaces equal slices;" +
+          " pass a subspaces value that divides the embedding width"))))
+
   /** Slice an already-quantized int64 vector column into per-subspace
     * rows, carrying `keep` columns — formula-identical to
     * [[pqSubVectors]] (same transform/sequence/slice chain).
@@ -395,7 +410,7 @@ object Similarity {
   private def subVectorsOfQuant(df: DataFrame, quantCol: String,
       subspaces: Int, idCol: String, keep: Seq[String],
       outCol: String): DataFrame = {
-    val q = col(quantCol)
+    val q = pqWidthGuarded(col(quantCol), subspaces)
     val width = (size(q) / subspaces).cast("int")
     df.select(col(idCol) +: keep.map(col) :+
       posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
@@ -409,8 +424,8 @@ object Similarity {
     */
   private def pqSubVectors(df: DataFrame, subspaces: Int, idCol: String,
       embCol: String, outCol: String): DataFrame = {
-    val q = transform(col(embCol).cast("array<double>"),
-      x => floor(x * lit(1000000.0)).cast("long"))
+    val q = pqWidthGuarded(transform(col(embCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long")), subspaces)
     val width = (size(q) / subspaces).cast("int")
     df.select(col(idCol),
       posexplode(transform(sequence(lit(0), lit(subspaces - 1)),

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{Graft, Tables}
 import graft.ops.Dedup
 
 /** Deduplication surface over `documents`: exact, MinHash+LSH, SimHash,
@@ -133,16 +133,12 @@ object DedupQueries {
       // "switch your pipeline to this library" capstone: exact dedup
       // (min id per identical text) → quality-aware near-dup removal
       // (longest member per MinHash cluster) → minimum-length quality
-      // gate → deterministic train/val/test assignment. Every stage is
-      // an already-oracled operator; this gates their COMPOSITION.
+      // gate → deterministic train/val/test assignment. The query IS
+      // the facade call (Graft.curate), so the oracle gates the
+      // one-liner the README advertises — no inline re-implementation
+      // that could silently drift from it.
       import spark.implicits._
-      val docs = Tables.documents(spark, dir)
-      val exactKeep = Dedup.exact(docs).select($"keeper_id".as("doc_id"))
-      val e = docs.join(exactKeep, "doc_id")
-      val keepers = Dedup.keepBestPerCluster(e).select($"keeper_id".as("doc_id"))
-      val kept = e.join(keepers, "doc_id").filter($"n_chars" >= 100)
-      graft.ops.TextOps.corpusSplit(kept)
-        .join(kept.select($"doc_id", $"lang", $"n_chars"), "doc_id")
+      Graft.curate(Tables.documents(spark, dir), minChars = 100)
         .select($"doc_id", $"lang", $"n_chars", $"split")
         .orderBy("doc_id")
     },

@@ -40,9 +40,13 @@ object StreamingJob {
     * expiring seen-key state.
     */
   def runDedup(spark: SparkSession, schema: StructType, inPath: String,
-      outPath: String, checkpointPath: String): Unit = {
+      outPath: String, checkpointPath: String,
+      delay: String = "90 days"): Unit = {
     val in = spark.readStream.schema(schema).parquet(inPath)
-    val q = StreamingSessionize.dedupStream(in).writeStream
+    // 90-day default covers the staged corpus span (same reasoning as
+    // runJoin): correctness must not depend on the listing landing in
+    // ONE AvailableNow batch.
+    val q = StreamingSessionize.dedupStream(in, delay = delay).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outPath)

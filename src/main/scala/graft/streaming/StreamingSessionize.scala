@@ -104,10 +104,20 @@ object StreamingSessionize {
     * watermark horizon (a key's state expires once the watermark passes
     * its event time + delay, so state size tracks the horizon, not the
     * stream length).
+    *
+    * `delay` must cover BOTH the source's disorder and the replay
+    * horizon: if the file source splits the listing into several
+    * micro-batches (maxFilesPerTrigger, more staged files at higher SF),
+    * a first occurrence in a later batch that is older than the already
+    * advanced watermark is dropped as late — silent divergence from the
+    * batch result. Production default 30 minutes assumes near-ordered
+    * ingestion; a historical replay must pass the corpus span (the same
+    * rule attributionJoin documents for its 90-day default).
     */
   def dedupStream(events: DataFrame, tsCol: String = "ts",
-      keyCols: Seq[String] = Seq("event_id")): DataFrame =
-    events.withWatermark(tsCol, "30 minutes")
+      keyCols: Seq[String] = Seq("event_id"),
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   /** Stream-stream attribution join — the remaining streaming operator

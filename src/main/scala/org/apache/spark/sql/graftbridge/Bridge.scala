@@ -20,6 +20,20 @@ object Bridge {
       registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry): Unit =
     ext.registerFunctions(registry)
 
+  /** Checked long arithmetic that throws Spark's SparkArithmeticException
+    * (error class ARITHMETIC_OVERFLOW) — the same MathUtils Spark's own
+    * ANSI Add/Subtract/Multiply route through, so SparkThrowable-based
+    * handlers observe the identical failure from graft's native
+    * expressions (MathUtils is private[sql]; exposed here for IntL2's
+    * interpreted eval — codegen references it directly).
+    */
+  def subtractExact(a: Long, b: Long): Long =
+    org.apache.spark.sql.catalyst.util.MathUtils.subtractExact(a, b)
+  def multiplyExact(a: Long, b: Long): Long =
+    org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(a, b)
+  def addExact(a: Long, b: Long): Long =
+    org.apache.spark.sql.catalyst.util.MathUtils.addExact(a, b)
+
   /** DataFrame over an arbitrary logical plan (Dataset.ofRows is
     * private[sql]; exposed so optimizer-rule tests can execute the plan
     * a rule produced).

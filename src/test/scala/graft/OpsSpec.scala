@@ -699,6 +699,15 @@ class OpsSpec extends SparkSpec {
     // deterministic across invocations
     val again = Similarity.pqCodes(emb, book, subspaces = 4).collect()
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // non-divisible subspaces must raise, not silently drop trailing
+    // components (integer-division width) — same loud posture as the
+    // SRP dims guard
+    val e = intercept[Exception] {
+      Similarity.pqCodes(emb, book, subspaces = 7).collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => t.getMessage != null && t.getMessage.contains("not divisible")),
+      e.toString)
   }
 
   test("IVF-PQ ADC: k per query, no self, equals a from-scratch ADC recompute") {
@@ -974,10 +983,31 @@ class OpsSpec extends SparkSpec {
     // ANSI parity on overflow: both forms must refuse (not wrap) in an
     // ANSI session — the default since Spark 4
     if (spark.conf.get("spark.sql.ansi.enabled") == "true") {
+      def overflowCondition(t: Throwable): Boolean =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists {
+          case st: org.apache.spark.SparkThrowable =>
+            st.getCondition == "ARITHMETIC_OVERFLOW"
+          case _ => false
+        }
       val big = spark.range(1).select(
         array(lit(Long.MaxValue), lit(0L)).as("a"), array(lit(-2L), lit(0L)).as("b"))
-      intercept[Exception] { big.select(intL2Native($"a", $"b")).collect() }
-      intercept[Exception] { big.select(hofL2($"a", $"b")).collect() }
+      // not just "some exception": the SAME SparkThrowable condition ANSI
+      // arithmetic raises, so SparkThrowable handlers can't tell the
+      // native path from the HOF
+      assert(overflowCondition(intercept[Exception] {
+        big.select(intL2Native($"a", $"b")).collect() }))
+      assert(overflowCondition(intercept[Exception] {
+        big.select(hofL2($"a", $"b")).collect() }))
+      // element-order parity: an overflow AFTER a null element still
+      // throws in both forms — zip_with evaluates every pair before the
+      // fold sees anything, and the native loop replays that
+      val nullThenBig = spark.range(1).select(
+        array(lit(null).cast("bigint"), lit(Long.MaxValue)).as("a"),
+        array(lit(0L), lit(-2L)).as("b"))
+      assert(overflowCondition(intercept[Exception] {
+        nullThenBig.select(intL2Native($"a", $"b")).collect() }))
+      assert(overflowCondition(intercept[Exception] {
+        nullThenBig.select(hofL2($"a", $"b")).collect() }))
     }
     spark.conf.unset("spark.sql.codegen.fallback")
   }

@@ -314,4 +314,39 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(got == data.map(_.event_id).sorted.toSeq) // each id exactly once
   }
+
+  test("multi-batch file-source dedup keeps first occurrences older than a prior batch") {
+    // The hazard runDedup's 90-day delay exists for: when the file
+    // listing splits into several micro-batches (maxFilesPerTrigger, more
+    // staged files at higher SF), a FIRST occurrence arriving in a later
+    // batch but event-time-older than the advanced watermark is dropped
+    // as late under a short delay — silent divergence from the batch
+    // distinct. Stage the newest slice in the oldest file so the file
+    // source (mod-time order) processes new-data-first, then verify the
+    // corpus-span delay still reproduces the batch result exactly.
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-mb").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val data = evs(200)
+    val byTime = data.sortBy(_.ts.getTime)
+    val old = byTime.take(100); val recent = byTime.drop(100)
+    new java.io.File(in).mkdirs()
+    // file 1 (oldest mod time): the RECENT half → watermark jumps ahead
+    recent.toDF().coalesce(1).write.mode("append").parquet(in)
+    Thread.sleep(1100) // distinct mod-time seconds so listing order is fixed
+    // file 2: the OLD half (first occurrences!) + a replay of recent
+    (old ++ recent).toDF().coalesce(1).write.mode("append").parquet(in)
+    val schema = data.toDF().schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = graft.streaming.StreamingSessionize.dedupStream(src, delay = "90 days")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == data.map(_.event_id).sorted.toSeq,
+      s"multi-batch dedup diverged: got ${got.size} of ${data.size}")
+  }
 }
