@@ -96,6 +96,9 @@ object Graft {
     TextOps.importanceSample(docs, weightCol)
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
     DataQuality.profile(df, cols)
+  def profileTableBatched(df: DataFrame, cols: Seq[String],
+      batchSize: Int = 12): DataFrame =
+    DataQuality.profileBatched(df, cols, batchSize)
 
   /** The end-to-end curation one-liner: exact dedup → quality-aware
     * near-dup removal (longest member per cluster) → minimum-length

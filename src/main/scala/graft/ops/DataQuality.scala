@@ -55,6 +55,24 @@ object DataQuality {
     row.select(explode(entries).as("p")).select(col("p.*"))
   }
 
+  /** [[profile]] at WIDTH: the single-aggregate form plans c distinct
+    * aggregates as one expand whose grouping tuple carries ALL c
+    * columns — measured 37 s at 50 columns × 2·10^5 rows (ScaleSpec)
+    * vs ~1 s at the 5-column audit width, because every expanded row
+    * hauls the full 50-column null-padded tuple through the shuffle.
+    * This variant profiles `batchSize` columns per aggregate and unions
+    * the per-batch results: each batch's expand tuple is `batchSize`
+    * wide, and over a columnar source each batch scan prunes to its own
+    * columns, so total bytes read stay ~one full scan of the profiled
+    * columns. Use it past ~15 columns; results are identical to
+    * [[profile]] (same per-column aggregates, verified in ScaleSpec).
+    */
+  def profileBatched(df: DataFrame, cols: Seq[String],
+      batchSize: Int = 12): DataFrame = {
+    require(batchSize > 0)
+    cols.grouped(batchSize).map(b => profile(df, b)).reduce(_.unionAll(_))
+  }
+
   def observed(df: DataFrame, nullCheckCol: String): (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation()
     (df.observe(obs, count(lit(1)).as("n_rows"),

@@ -146,6 +146,21 @@ object EventQueries {
         .orderBy("col_name")
     },
 
+    "table_profile_batched" -> { (spark, dir) =>
+      // The WIDTH escape hatch under the same oracle: batchSize=2 forces
+      // the 4 profiled columns through TWO unioned aggregates (each
+      // expand tuple 2 columns wide instead of 4) — measured 5× faster
+      // than the single-aggregate form at 50 columns (ScaleSpec). The
+      // oracle is identical to table_profile: batching must not change
+      // a single stat.
+      import spark.implicits._
+      val b = Tables.events(spark, dir).select($"event_id", $"user_id",
+        $"event_type", round($"value" * 100).cast("long").as("cents"))
+      graft.ops.DataQuality.profileBatched(b,
+          Seq("cents", "event_id", "event_type", "user_id"), batchSize = 2)
+        .orderBy("col_name")
+    },
+
     "value_outliers" -> { (spark, dir) =>
       // Exact z-score outlier detection (the numeric data-quality
       // filter): events whose value sits more than 3 population
@@ -416,6 +431,24 @@ object EventQueries {
         |ORDER BY event_type""".stripMargin,
 
     "table_profile" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |                  round(value * 100)::BIGINT AS cents FROM events)
+        |SELECT 'cents' AS col_name, count(*)::BIGINT AS n_rows,
+        |       count(cents)::BIGINT AS n_nonnull, count(DISTINCT cents)::BIGINT AS n_distinct,
+        |       min(cents)::VARCHAR AS min_repr, max(cents)::VARCHAR AS max_repr FROM b
+        |UNION ALL
+        |SELECT 'event_id', count(*)::BIGINT, count(event_id)::BIGINT,
+        |       count(DISTINCT event_id)::BIGINT, min(event_id)::VARCHAR, max(event_id)::VARCHAR FROM b
+        |UNION ALL
+        |SELECT 'event_type', count(*)::BIGINT, count(event_type)::BIGINT,
+        |       count(DISTINCT event_type)::BIGINT, min(event_type), max(event_type) FROM b
+        |UNION ALL
+        |SELECT 'user_id', count(*)::BIGINT, count(user_id)::BIGINT,
+        |       count(DISTINCT user_id)::BIGINT, min(user_id)::VARCHAR, max(user_id)::VARCHAR FROM b
+        |ORDER BY col_name""".stripMargin,
+
+    // batching is a physical choice; the stats must be identical
+    "table_profile_batched" ->
       """WITH b AS (SELECT event_id, user_id, event_type,
         |                  round(value * 100)::BIGINT AS cents FROM events)
         |SELECT 'cents' AS col_name, count(*)::BIGINT AS n_rows,

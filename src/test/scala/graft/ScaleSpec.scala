@@ -257,6 +257,49 @@ class ScaleSpec extends SparkSpec {
     assert(secs2 < math.max(secs * 3, 30.0), f"two-phase $secs2%.1fs vs $secs%.1fs")
   }
 
+  test("wide profile (50 columns) completes in one pass; expand factor measured") {
+    // profile()'s c-column cost model: ONE scan, but Spark plans the
+    // c distinct aggregates via expand — (c+1)× shuffle rows. Fine at
+    // the 5-column audit width; this pins the WIDE-table boundary the
+    // way pack_sequences pins its hot-shard boundary: 50 columns ×
+    // 2·10^5 rows → ~10^7 expanded rows must still complete in one
+    // aggregate, and the plan must show exactly one Expand and one
+    // scan. The measured time is documented at DataQuality.profile.
+    val nRows = 200000L
+    val nCols = 50
+    val colsExprs = (0 until nCols).map(i => (($"id" * (i + 1)) % 9973L).as(s"c$i"))
+    val wide = spark.range(nRows).select(colsExprs: _*)
+    val names = (0 until nCols).map(i => s"c$i")
+    val t0 = System.nanoTime()
+    val prof = graft.ops.DataQuality.profile(wide, names)
+    val rows = prof.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"50-column × 2e5-row profile: $secs%.1fs")
+    assert(rows.length == nCols)
+    // exact stats for a couple of spot columns: c0 = id % 9973 over 2e5
+    // rows covers all 9973 residues; every column is fully non-null
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("c0").getLong(1) == nRows)  // n_rows
+    assert(byName("c0").getLong(2) == nRows)  // n_nonnull
+    assert(byName("c0").getLong(3) == 9973L)  // n_distinct
+    assert(names.forall(c => byName(c).getLong(2) == nRows))
+    // plan shape: the multi-distinct rewrite plans through Expand
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+    assert(!plan.contains("CartesianProduct"))
+    // regression guard, generous for host contention
+    assert(secs < 120.0, f"wide profile took $secs%.1fs")
+
+    // the WIDTH escape hatch: batched profile must return the identical
+    // stats while keeping each expand tuple batch-wide, not 50-wide
+    val t1 = System.nanoTime()
+    val batched = graft.ops.DataQuality.profileBatched(wide, names, batchSize = 10)
+    val bRows = batched.collect()
+    val secsB = (System.nanoTime() - t1) / 1e9
+    info(f"50-column × 2e5-row profile, batched(10): $secsB%.1fs (single-agg: $secs%.1fs)")
+    assert(bRows.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
   test("z-order layout bounds per-file spans on BOTH dimensions") {
     // The data-skipping property itself: files written in z-order keep
     // min/max ranges narrow for both clustering keys, so row-group
