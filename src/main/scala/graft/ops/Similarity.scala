@@ -435,12 +435,12 @@ object Similarity {
   /** Integer squared L2 between two int64 arrays — exact in both engines
     * (components ≤ 2·10^6, dims ≤ 64 keep the sum far under 2^53).
     */
-  private def intL2(a: Column, b: Column): Column =
+  private[graft] def intL2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
   /** Micro-quantized full vectors: (id, qv: array<long>). */
-  private def quantVectors(df: DataFrame, idCol: String, embCol: String,
+  private[graft] def quantVectors(df: DataFrame, idCol: String, embCol: String,
       outId: String): DataFrame =
     df.select(col(idCol).as(outId),
       transform(col(embCol).cast("array<double>"),

@@ -125,6 +125,26 @@ object SessionQueries {
       in
     })}
 
+  /** Staged (vec_id, embedding) input for the streaming IVF-assign
+    * query — written as TWO appends (split on vec_id) so the file
+    * source CAN split the listing into micro-batches; the assignment is
+    * stateless, so any split must produce the identical output. Staged
+    * once per sfDir per JVM.
+    */
+  private val stagedEmb = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedEmbInput(spark: SparkSession, dir: String): String =
+    stagedEmb.synchronized { stagedEmb.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-ivfassign-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      emb.filter($"vec_id" % 2 === 0).write.parquet(in)
+      emb.filter($"vec_id" % 2 =!= 0).write.mode("append").parquet(in)
+      in
+    })}
+
   /** Staged (user_id, event_id, cents) input for the transformWithState
     * totals query. Staged once per sfDir per JVM.
     */
@@ -371,6 +391,26 @@ object SessionQueries {
       spark.read.parquet(out)
         .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id")
         .orderBy("event_id")
+    },
+
+    "streaming_ivf_assign" -> { (spark, dir) =>
+      // Streaming ingestion into the IVF index, closing the loop between
+      // the batch ANN stack and the streaming surface: new vectors
+      // arrive as files and are coarse-assigned to the trained centroids
+      // (broadcast as ONE array row) by a per-row array_min fold — the
+      // batch argmin window restated stateless, so it is append-legal
+      // and needs no watermark. Exact integer L2 with centroid-id
+      // tie-break; the oracle is the batch assignment itself.
+      import spark.implicits._
+      val in = stagedEmbInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-ivfassign-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val centroids = emb.filter($"vec_id" < 8)
+      graft.streaming.StreamingJob.runIvfAssign(
+        spark, emb.schema, in, centroids, out, ckpt)
+      spark.read.parquet(out).orderBy("vec_id")
     },
 
     "streaming_join" -> { (spark, dir) =>
@@ -679,6 +719,21 @@ object SessionQueries {
     "streaming_dedup" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the streamed coarse-assignment equals the batch integer-L2 argmin
+    // (nearest centroid, centroid-id tie-break) over the same vectors
+    "streaming_ivf_assign" ->
+      """WITH qe AS (SELECT vec_id,
+        |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+        |            FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, q AS cv FROM qe WHERE vec_id < 8),
+        |s AS (SELECT a.vec_id, centroid_id,
+        |             list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))) AS d2
+        |      FROM qe a CROSS JOIN cent c)
+        |SELECT vec_id, centroid_id AS cluster, d2::BIGINT AS d2 FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+        |  FROM s) WHERE rk = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // the final running totals equal the plain batch groupBy
     "streaming_tws_totals" ->

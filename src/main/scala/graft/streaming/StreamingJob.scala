@@ -39,6 +39,26 @@ object StreamingJob {
     * watermark sentinel for completeness — the watermark's only role is
     * expiring seen-key state.
     */
+  /** Streaming IVF-assign job: parquet file source of (id, embedding)
+    * rows → stateless nearest-centroid fold (centroids broadcast) →
+    * append parquet sink. No watermark: the operator keeps no state, so
+    * completeness cannot depend on batch boundaries — any listing split
+    * produces the identical output set.
+    */
+  def runIvfAssign(spark: SparkSession, schema: StructType, inPath: String,
+      centroids: org.apache.spark.sql.DataFrame, outPath: String,
+      checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = StreamingAnn.ivfAssignStream(in, centroids).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runDedup(spark: SparkSession, schema: StructType, inPath: String,
       outPath: String, checkpointPath: String,
       delay: String = "90 days"): Unit = {

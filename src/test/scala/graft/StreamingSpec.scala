@@ -349,4 +349,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == data.map(_.event_id).sorted.toSeq,
       s"multi-batch dedup diverged: got ${got.size} of ${data.size}")
   }
+
+  test("streaming IVF assignment equals the batch assignment, across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, Sf0001).select($"vec_id", $"embedding")
+    val centroids = emb.filter($"vec_id" < 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingAnn
+      .ivfAssignStream(input.toDF().toDF("vec_id", "embedding"), centroids)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivf_assign_out").start()
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // two micro-batches split mid-corpus: stateless assignment must not
+    // care where the boundary lands
+    input.addData(rows.take(rows.length / 2).toSeq); q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 2).toSeq); q.processAllAvailable()
+    val got = spark.table("ivf_assign_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    // full-row parity with the SAME operator run in batch mode...
+    val batchSame = graft.streaming.StreamingAnn.ivfAssignStream(emb, centroids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batchSame)
+    // ...and cluster parity with the independent batch argmin-window form
+    val batchWindow = graft.ops.Similarity.assignClustersL2(emb, centroids)
+      .select($"vec_id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.map(t => t._1 -> t._2).toMap == batchWindow)
+    assert(got.size == rows.length)
+    // centroid vectors self-assign at distance 0
+    got.filter(_._1 < 8).foreach { case (id, cl, d2) =>
+      assert(cl == id && d2 == 0L, s"self-assign broken: ($id, $cl, $d2)")
+    }
+  }
 }
