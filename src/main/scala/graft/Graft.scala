@@ -128,11 +128,23 @@ object Graft {
     Similarity.quantizeInt8(corpus)
   def pqEncode(corpus: DataFrame, codebook: DataFrame, subspaces: Int = 4): DataFrame =
     Similarity.pqCodes(corpus, codebook, subspaces)
+  def pqNearDuplicates(corpus: DataFrame, codebook: DataFrame,
+      thresholdPct: Int, subspaces: Int = 4): DataFrame =
+    Similarity.pqNearDupPairs(corpus, codebook, thresholdPct, subspaces)
   def searchIvfPq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebook: DataFrame, k: Int, subspaces: Int = 4): DataFrame =
     Similarity.ivfPqTopK(corpus, queries, centroids, codebook, k, subspaces)
   def kmeansUpdate(corpus: DataFrame, seeds: DataFrame): DataFrame =
     Similarity.kmeansStep(corpus, seeds)
+  // streaming ANN ingestion (vecs may be a readStream frame)
+  def streamAssignVectors(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    graft.streaming.StreamingAnn.ivfAssignStream(vecs, centroids)
+  def streamEncodeVectors(vecs: DataFrame, codebook: DataFrame,
+      subspaces: Int = 4): DataFrame =
+    graft.streaming.StreamingAnn.pqEncodeStream(vecs, codebook, subspaces)
+  def streamIndexIngest(vecs: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, subspaces: Int = 4): DataFrame =
+    graft.streaming.StreamingAnn.ivfPqIngestStream(vecs, centroids, codebook, subspaces)
   def scd2History(log: DataFrame, keyCol: String, attrCol: String,
       tsCol: String, tieCol: String): DataFrame =
     Dimensions.scd2(log, keyCol, attrCol, tsCol, tieCol)

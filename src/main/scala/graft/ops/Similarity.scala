@@ -370,6 +370,42 @@ object Similarity {
       .select(col(idCol), col("subspace").cast("long").as("subspace"), col("code"))
   }
 
+  /** Embedding near-duplicate pairs blocked on IDENTICAL PQ code
+    * tuples — PQ used as an LSH family, the FINE-grained complement of
+    * [[nearDupPairs]]'s IVF-bucket blocking. Two vectors collide only
+    * when every subspace quantizes to the same sub-centroid, so block
+    * cardinality is |codebook|^subspaces (4096 at 8×4): at 100 TB the
+    * quadratic verify is confined to near-identical vectors instead of
+    * corpus/K per IVF cell, and the block key is a plain equi-join key
+    * (shuffle on the code tuple, no window). Candidates are verified
+    * with the SAME exact float64 cosine chain as every other embedding
+    * op, so the threshold compares identically across engines.
+    *
+    * Recall contract (documented, deliberate): a true near-dup pair
+    * straddling a sub-centroid boundary in ANY subspace is missed —
+    * the standard LSH trade. Lower `subspaces` for higher recall
+    * (coarser key) or raise it for tighter blocks.
+    */
+  def pqNearDupPairs(corpus: DataFrame, codebook: DataFrame,
+      thresholdPct: Int, subspaces: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val codes = pqCodes(corpus, codebook, subspaces, idCol, embCol)
+    // deterministic tuple key: codes ordered by subspace ordinal
+    val keyed = codes.groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(struct(col("subspace"), col("code")))),
+        x => x.getField("code")).as("__ck"))
+    val normed = withNorm(corpus, embCol, "__norm").join(keyed, idCol)
+    val a = normed.select(col(idCol).as("vec_a"), col(embCol).as("va"),
+      col("__norm").as("__na"), col("__ck"))
+    val b = normed.select(col(idCol).as("vec_b"), col(embCol).as("vb"),
+      col("__norm").as("__nb"), col("__ck"))
+    a.join(b, "__ck")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dotFast(col("va"), col("vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") * 100 > thresholdPct)
+      .select(col("vec_a"), col("vec_b"))
+  }
+
   /** Argmin-assign sub-vector rows (idCol, keep…, subspace, qs) to the
     * broadcast book (subspace, code, cs) by integer L2; `keep` columns
     * ride through. The argmin window needs clustering on
@@ -396,7 +432,7 @@ object Similarity {
     * 0, every code collapsing to the lowest centroid id — with no error.
     * Same loud-failure posture as the SRP dims guard above.
     */
-  private def pqWidthGuarded(q: Column, subspaces: Int): Column =
+  private[graft] def pqWidthGuarded(q: Column, subspaces: Int): Column =
     when(size(q) % subspaces === 0 && size(q) >= subspaces, q)
       .otherwise(raise_error(concat(
         lit("PQ: embedding dim "), size(q).cast("string"),
@@ -422,7 +458,7 @@ object Similarity {
     * Shared by [[pqCodes]] and [[ivfPqTopK]] (and formula-identical to
     * the oracle SQL's slice CTE).
     */
-  private def pqSubVectors(df: DataFrame, subspaces: Int, idCol: String,
+  private[graft] def pqSubVectors(df: DataFrame, subspaces: Int, idCol: String,
       embCol: String, outCol: String): DataFrame = {
     val q = pqWidthGuarded(transform(col(embCol).cast("array<double>"),
       x => floor(x * lit(1000000.0)).cast("long")), subspaces)

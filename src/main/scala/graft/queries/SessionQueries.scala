@@ -413,6 +413,26 @@ object SessionQueries {
       spark.read.parquet(out).orderBy("vec_id")
     },
 
+    "streaming_index_ingest" -> { (spark, dir) =>
+      // The streaming ANN capstone: coarse IVF assignment AND the four
+      // PQ codes per arriving vector in ONE stateless pass — everything
+      // ivfpq_topk's ADC search needs, so newly streamed vectors are
+      // searchable without touching the batch corpus again. Centroids
+      // and sub-codebook are the vec_id < 8 vectors (the same
+      // deterministic devices as ivf_topk / pq_codes); the oracle is
+      // the batch assignment joined to the batch codes.
+      import spark.implicits._
+      val in = stagedEmbInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-ingest-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val emb = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+      val book = emb.filter($"vec_id" < 8)
+      graft.streaming.StreamingJob.runIndexIngest(
+        spark, emb.schema, in, book, book, 4, out, ckpt)
+      spark.read.parquet(out).orderBy("vec_id", "subspace")
+    },
+
     "streaming_join" -> { (spark, dir) =>
       // The THIRD streaming engine path under the driver's oracle, and
       // the remaining streaming operator class: a stream-stream
@@ -734,6 +754,33 @@ object SessionQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
         |  FROM s) WHERE rk = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // coarse assignment JOIN pq codes — the streamed ingest must equal
+    // both batch chains at once
+    "streaming_index_ingest" ->
+      """WITH qe AS (SELECT vec_id,
+        |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+        |            FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, q AS cv FROM qe WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, centroid_id AS cluster FROM (
+        |  SELECT a.vec_id, centroid_id,
+        |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
+        |           centroid_id) AS rk
+        |  FROM qe a CROSS JOIN cent c) WHERE rk = 1),
+        |sub AS (SELECT vec_id, s, q[s * 16 + 1 : (s + 1) * 16] AS qs
+        |        FROM (SELECT vec_id, q, unnest(range(0, 4)) AS s FROM qe)),
+        |bk AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
+        |d AS (SELECT a.vec_id, a.s, code,
+        |             list_sum(list_transform(range(1, 17),
+        |               i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS dist
+        |      FROM sub a JOIN bk c ON a.s = c.s),
+        |codes AS (SELECT vec_id, s, code FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+        |  FROM d) WHERE rk = 1)
+        |SELECT codes.vec_id, cluster, s::BIGINT AS subspace, code
+        |FROM codes JOIN asg ON codes.vec_id = asg.vec_id
+        |ORDER BY codes.vec_id, subspace""".stripMargin,
 
     // the final running totals equal the plain batch groupBy
     "streaming_tws_totals" ->

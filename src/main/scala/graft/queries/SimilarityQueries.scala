@@ -41,6 +41,18 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    "pq_near_dup" -> { (spark, dir) =>
+      // PQ-as-LSH: candidate pairs are vectors whose ENTIRE code tuple
+      // matches (subspaces=2 → 8² possible keys, the fine-grained
+      // complement of embed_near_dup's corpus/K IVF blocks), verified
+      // by the exact cosine chain above the same 0.42 threshold.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.pqNearDupPairs(emb, emb.filter($"vec_id" < 8),
+          thresholdPct = 42, subspaces = 2)
+        .orderBy("vec_a", "vec_b")
+    },
+
     "ivf_topk" -> { (spark, dir) =>
       // Deterministic IVF: centroids are the vectors with vec_id < 8;
       // every vector is assigned to its nearest centroid and each query
@@ -357,6 +369,31 @@ object SimilarityQueries {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
         |  FROM d) WHERE rk = 1
         |ORDER BY vec_id, subspace""".stripMargin,
+
+    // identical 2-subspace code tuples → exact-cosine verify: the PQ
+    // encode chain reused as a blocking key
+    "pq_near_dup" ->
+      s"""WITH qe AS (SELECT vec_id,
+         |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+         |            FROM embeddings),
+         |sub AS (SELECT vec_id, s, q[s * 32 + 1 : (s + 1) * 32] AS qs
+         |        FROM (SELECT vec_id, q, unnest(range(0, 2)) AS s FROM qe)),
+         |bk AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
+         |d AS (SELECT a.vec_id, a.s, code,
+         |             list_sum(list_transform(range(1, 33),
+         |               i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS dist
+         |      FROM sub a JOIN bk c ON a.s = c.s),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+         |  FROM d) WHERE rk = 1),
+         |ck AS (SELECT vec_id, list(code ORDER BY s) AS k FROM codes GROUP BY vec_id),
+         |$NormCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |FROM ck a JOIN ck b ON a.k = b.k AND a.vec_id < b.vec_id
+         |JOIN e ea ON ea.vec_id = a.vec_id
+         |JOIN e eb ON eb.vec_id = b.vec_id
+         |WHERE (list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm)) * 100 > 42
+         |ORDER BY vec_a, vec_b""".stripMargin,
 
     // the full integer ADC chain: coarse assign (64-dim integer L2
     // argmin), PQ codes (16-dim per-subspace argmin), per-query LUT,

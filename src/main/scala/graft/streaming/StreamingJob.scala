@@ -59,6 +59,26 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Streaming index-ingest job: coarse assignment + PQ codes per
+    * arriving vector (see [[StreamingAnn.ivfPqIngestStream]]) — like
+    * [[runIvfAssign]], stateless and watermark-free.
+    */
+  def runIndexIngest(spark: SparkSession, schema: StructType, inPath: String,
+      centroids: org.apache.spark.sql.DataFrame,
+      codebook: org.apache.spark.sql.DataFrame, subspaces: Int,
+      outPath: String, checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = StreamingAnn.ivfPqIngestStream(in, centroids, codebook, subspaces)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runDedup(spark: SparkSession, schema: StructType, inPath: String,
       outPath: String, checkpointPath: String,
       delay: String = "90 days"): Unit = {

@@ -710,6 +710,38 @@ class OpsSpec extends SparkSpec {
       e.toString)
   }
 
+  test("PQ near-dup blocking: pairs share full code tuples and pass the exact cosine bar") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val book = emb.filter($"vec_id" < 8)
+    val pairs = Similarity.pqNearDupPairs(emb, book, thresholdPct = 42, subspaces = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => a < b })
+    // blocking soundness: both members of every pair carry the SAME
+    // ordered code tuple
+    val key = Similarity.pqCodes(emb, book, subspaces = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    pairs.foreach { case (a, b) =>
+      assert(key(a) == key(b), s"pair ($a, $b) crosses code blocks") }
+    // verification soundness: every pair is a subset of the brute-force
+    // above-threshold set (no false positives; misses are the doc'd
+    // LSH recall trade)
+    val brute = {
+      val rows = emb.select($"vec_id", $"embedding".cast("array<double>"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+      def cos(x: Seq[Double], y: Seq[Double]): Double = {
+        val d = x.zip(y).map { case (p, q) => p * q }.sum
+        d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      }
+      (for { (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+             if cos(va, vb) * 100 > 42 } yield (ia, ib)).toSet
+    }
+    assert(pairs.subsetOf(brute),
+      s"false positives: ${pairs.diff(brute).take(5)}")
+  }
+
   test("IVF-PQ ADC: k per query, no self, equals a from-scratch ADC recompute") {
     val emb = Tables.embeddings(spark, Sf0001)
     val book = emb.filter($"vec_id" < 8)

@@ -383,4 +383,34 @@ class StreamingSpec extends SparkSpec {
       assert(cl == id && d2 == 0L, s"self-assign broken: ($id, $cl, $d2)")
     }
   }
+
+  test("streaming index-ingest equals batch assignment JOIN batch PQ codes") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, Sf0001).select($"vec_id", $"embedding")
+    val book = emb.filter($"vec_id" < 8)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingAnn
+      .ivfPqIngestStream(input.toDF().toDF("vec_id", "embedding"), book, book, 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out").start()
+    val rows = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    input.addData(rows.take(rows.length / 3).toSeq); q.processAllAvailable()
+    input.addData(rows.drop(rows.length / 3).toSeq); q.processAllAvailable()
+    val got = spark.table("ingest_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    // one row per (vector, subspace); clusters equal the batch argmin;
+    // codes equal the batch PQ encode — the streamed vector is exactly
+    // as searchable as a batch-encoded one
+    assert(got.size == rows.length * 4)
+    val cluster = graft.ops.Similarity.assignClustersL2(emb, book)
+      .select($"vec_id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val codes = graft.ops.Similarity.pqCodes(emb, book, subspaces = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (id, cl, s, code) =>
+      assert(cl == cluster(id), s"cluster mismatch for $id: $cl vs ${cluster(id)}")
+      assert(code == codes((id, s)), s"code mismatch for ($id, $s)")
+    }
+  }
 }
