@@ -136,6 +136,11 @@ object Graft {
     Similarity.ivfPqTopK(corpus, queries, centroids, codebook, k, subspaces)
   def kmeansUpdate(corpus: DataFrame, seeds: DataFrame): DataFrame =
     Similarity.kmeansStep(corpus, seeds)
+  def trainKmeans(corpus: DataFrame, seeds: DataFrame, maxIter: Int = 10,
+      tolMicros: Long = 0L): Similarity.KmeansResult =
+    Similarity.kmeansTrain(corpus, seeds, maxIter, tolMicros)
+  def assignToCentroids(corpus: DataFrame, trainedCentroids: DataFrame): DataFrame =
+    Similarity.assignToTrained(corpus, trainedCentroids)
   // streaming ANN ingestion (vecs may be a readStream frame)
   def streamAssignVectors(vecs: DataFrame, centroids: DataFrame): DataFrame =
     graft.streaming.StreamingAnn.ivfAssignStream(vecs, centroids)

@@ -708,6 +708,31 @@ object Similarity {
     KmeansResult(centroids, iter, converged, moved)
   }
 
+  /** Assign the corpus to TRAINED centroids — the composition that
+    * makes [[kmeansTrain]] an index build rather than a demo: its
+    * exploded exact-integer output (cluster, dim, comp in micro units)
+    * is repacked into quantized arrays (NO float round-trip — a
+    * comp/1e6 double detour could floor off-by-one) and the corpus
+    * takes the same integer-L2 argmin with cluster-id tie-break as
+    * every other assignment in the stack. Output: (idCol, cluster, d2).
+    *
+    * Scale posture: centroids are K·dim rows → one broadcast; ONE
+    * argmin window on the vector id (WindowGroupLimit-prunable).
+    */
+  def assignToTrained(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val cent = centroids.groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("comp")))),
+        e => e.getField("comp")).as("__cv"))
+    val q = quantVectors(corpus, idCol, embCol, idCol)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d"), col("cluster"))
+    q.crossJoin(broadcast(cent))
+      .withColumn("__d", intL2(col("__qv"), col("__cv")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("cluster"), col("__d").as("d2"))
+  }
+
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.
     */

@@ -174,6 +174,19 @@ object SimilarityQueries {
         .orderBy("cluster", "dim")
     },
 
+    "kmeans_assign" -> { (spark, dir) =>
+      // Train THEN build: the corpus assigned to the 3-round trained
+      // centroids — the composition that turns the Lloyd trainer into
+      // an IVF index build (step → trainer → trained-assignment). The
+      // oracle extends the kmeans_train unroll with one assignment CTE,
+      // so the whole chain is gated end-to-end in exact int64.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val trained = Similarity.kmeansTrain(emb, emb.filter($"vec_id" < 8),
+        maxIter = 3, requireConvergence = false).centroids
+      Similarity.assignToTrained(emb, trained).orderBy("vec_id")
+    },
+
     "embed_quantize" -> { (spark, dir) =>
       // Symmetric int8 quantization of the embedding corpus (the
       // serving/storage format); exact double chain → bit-identical q8.
@@ -435,6 +448,24 @@ object SimilarityQueries {
          |${kmeansRoundCte(3)}
          |SELECT cluster, (generate_subscripts(cv, 1) - 1)::BIGINT AS dim, unnest(cv) AS comp
          |FROM c3 ORDER BY cluster, dim""".stripMargin,
+
+    // the kmeans_train unroll + ONE assignment CTE over the trained c3
+    "kmeans_assign" ->
+      s"""WITH qe AS (SELECT vec_id,
+         |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+         |            FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, q AS cv FROM qe WHERE vec_id < 8),
+         |${kmeansRoundCte(1)},
+         |${kmeansRoundCte(2)},
+         |${kmeansRoundCte(3)},
+         |s AS (SELECT a.vec_id, cluster,
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))) AS d2
+         |      FROM qe a CROSS JOIN c3 c)
+         |SELECT vec_id, cluster, d2::BIGINT AS d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+         |  FROM s) WHERE rk = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "embed_quantize" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v,

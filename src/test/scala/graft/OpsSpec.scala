@@ -710,6 +710,33 @@ class OpsSpec extends SparkSpec {
       e.toString)
   }
 
+  test("assignToTrained on seed centroids equals the direct quantized assignment") {
+    val emb = Tables.embeddings(spark, Sf0001)
+    val seeds = emb.filter($"vec_id" < 8)
+    // exploded (cluster, dim, comp) form of the UNtrained seeds — the
+    // same layout kmeansTrain emits — must reproduce the one-shot
+    // quantized argmin exactly (repack is lossless, no float detour)
+    val exploded = Similarity.quantVectors(seeds, "vec_id", "embedding", "cluster")
+      .select($"cluster", posexplode($"__qv").as(Seq("dim", "comp")))
+    val viaTrained = Similarity.assignToTrained(emb, exploded)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Similarity.assignClustersL2(emb, seeds)
+      .select($"vec_id", $"cluster")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaTrained == direct)
+    // and composing with the real trainer refines the objective: total
+    // within-cluster d2 after 3 Lloyd rounds must not exceed the seed
+    // assignment's (Lloyd is monotone non-increasing)
+    val trained = Similarity.kmeansTrain(emb, seeds, maxIter = 3,
+      requireConvergence = false).centroids
+    val d2After = Similarity.assignToTrained(emb, trained)
+      .agg(sum($"d2")).head().getLong(0)
+    val d2Before = Similarity.assignToTrained(emb, exploded)
+      .agg(sum($"d2")).head().getLong(0)
+    graft.ops.Similarity.releaseCaches()
+    assert(d2After <= d2Before, s"Lloyd worsened the objective: $d2After > $d2Before")
+  }
+
   test("PQ near-dup blocking: pairs share full code tuples and pass the exact cosine bar") {
     val emb = Tables.embeddings(spark, Sf0001)
     val book = emb.filter($"vec_id" < 8)
