@@ -159,7 +159,11 @@ class PlanSpec extends SparkSpec {
       "importance_sample" -> 3,    // tiny max agg (broadcast) + per-row filter + sort
       "winsorized_stats" -> 4,     // rank window (shared by bounds + clamp sides) + bounds agg + final agg/sort
       "curate_corpus" -> 19,       // four chained stages (exact dedup + minhash/CC keep-best + gate + split); each stage's exchanges measured separately above
-      "token_cooccurrence" -> 2)   // doc-keyed pair join + pair agg; top-50 rides TakeOrderedAndProject
+      "token_cooccurrence" -> 2,   // doc-keyed pair join + pair agg; top-50 rides TakeOrderedAndProject
+      // round-7 additions
+      "table_profile_batched" -> 4, // 2 batches × (multi-distinct agg pass); union is exchange-free
+      "pq_near_dup" -> 12,          // measured 11: code window + tuple-key agg + corpus re-join + block self-join + verify + sort
+      "kmeans_assign" -> 4)         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
