@@ -43,6 +43,13 @@ object Graft {
   // dedup
   def exactDuplicates(docs: DataFrame): DataFrame = Dedup.exact(docs)
   def nearDuplicates(docs: DataFrame): DataFrame = Dedup.minhashPairs(docs)
+  /** Hamming near-dup over any precomputed fingerprint column (simhash
+    * at 32 bits, image aHash at 64) — pigeonhole blocking + codegen
+    * popcount verify.
+    */
+  def hammingNearDuplicates(sig: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bits: Int = 64): DataFrame =
+    Dedup.hammingNearDupOnHash(sig, idCol, hashCol, maxDist, bits)
   def nearDuplicatesIncremental(docs: DataFrame, newFromId: Long): DataFrame =
     Dedup.minhashPairsIncremental(docs, newFromId)
   def simhashSignatures(docs: DataFrame): DataFrame = Dedup.simhash(docs)

@@ -433,31 +433,47 @@ object Dedup {
     */
   def simhashNearDup(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxDist: Int = 3): DataFrame = {
+    val sig = registerDf(simhash(df, idCol, textCol).cache())
+    hammingNearDupOnHash(sig, idCol, "simhash", maxDist, bits = 32)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
+  }
+
+  /** The pigeonhole machinery of [[simhashNearDup]] over a PRECOMPUTED
+    * hash column — any fingerprint that measures similarity as Hamming
+    * distance plugs in (SimHash fingerprints at 32 bits, perceptual
+    * image average-hashes at 64: [[graft.ops.Multimodal.aHash]]).
+    * `bits` is the hash width; the fingerprint splits into
+    * `maxDist + 1` chunks of `bits / (maxDist+1)` bits, two hashes
+    * within `maxDist` MUST share a chunk, and the codegen'd popcount
+    * verifies each candidate once. Output: (id_a, id_b, hamming).
+    */
+  def hammingNearDupOnHash(sig: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, bits: Int = 64): DataFrame = {
     val chunks = maxDist + 1
-    require(maxDist >= 0 && chunks <= 32,
-      s"maxDist must be in [0, 31] (needs ${chunks} non-empty chunks of a 32-bit hash)")
-    val bitsPer = 32 / chunks // 4 chunks × 8 bits for the default
-    // (when 32 % chunks != 0 the top bits belong to no chunk — still
+    require(maxDist >= 0 && chunks <= bits,
+      s"maxDist must be in [0, ${bits - 1}] (needs $chunks non-empty chunks of a $bits-bit hash)")
+    val bitsPer = bits / chunks // e.g. 4 chunks × 8 bits at 32/3
+    // (when bits % chunks != 0 the top bits belong to no chunk — still
     // sound: diffs there leave every chunk equal, so such pairs remain
     // candidates and the exact popcount filter decides)
-    val sig = registerDf(simhash(df, idCol, textCol).cache())
-    val chunked = sig.select(col(idCol), col("simhash"),
+    val mask = if (bitsPer >= 64) lit(-1L) else lit((1L << bitsPer) - 1)
+    val chunked = sig.select(col(idCol), col(hashCol).as("__h"),
       posexplode(array((0 until chunks).map(c =>
-        shiftright(col("simhash"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)).as(Seq("chunk_idx", "chunk_val")))
+        shiftright(col(hashCol), c * bitsPer).bitwiseAND(mask)): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
     val a = chunked.as("a"); val b = chunked.as("b")
     val cand = a.join(b,
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.__h").as("h_a"), col("b.__h").as("h_b"))
       .distinct() // a close pair can share several chunks; verify once
     cand
       .withColumn("hamming",
-        graft.expressions.HammingDist.hammingNative(col("sh_a"), col("sh_b")))
+        graft.expressions.HammingDist.hammingNative(col("h_a"), col("h_b")))
       .filter(col("hamming") <= maxDist)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Connected components over an undirected edge list — dedup clustering:

@@ -199,6 +199,41 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    "image_near_dup" -> { (spark, dir) =>
+      // Perceptual image near-dup — the image twin of simhash_near_dup,
+      // composing the REAL aHash decode chain with the generic
+      // pigeonhole+popcount machinery at 64 bits (maxDist 7 → 8 chunks
+      // of 8 bits). The two-tone fixtures make every hash closed-form
+      // (2^(8k) − 1), so both the blocking and the popcount verify are
+      // gated cross-engine: pairs collide iff their brightness rows k
+      // match (Hamming 0; one row apart is already 8 > 7).
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val k = 1 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          val rgb = if (y < k) 0xffffff else 0x000000
+          var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("image/png", bytes.length.toLong, "synth"))
+      }
+      val hashes = graft.ops.Multimodal.aHash(media).toDF()
+        .filter($"decoded").select($"media_id", $"ahash")
+      graft.ops.Dedup.hammingNearDupOnHash(hashes, "media_id", "ahash",
+          maxDist = 7, bits = 64)
+        .select($"id_a".as("media_a"), $"id_b".as("media_b"),
+          $"hamming".cast("long").as("hamming"))
+        .orderBy("media_a", "media_b")
+    },
+
     "image_resize_check" -> { (spark, dir) =>
       // The REAL resize loop (decode → Graphics2D bilinear → PNG
       // re-encode → decode) under the oracle: bilinear scaling of a
@@ -545,6 +580,17 @@ object TextQueries {
         |       ((1::BIGINT << (8 * (1 + doc_id % 7))) - 1)::BIGINT AS ahash,
         |       (255 * 8 * (1 + doc_id % 7))::BIGINT AS luma_sum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // closed-form hashes → the popcount-of-xor pairing is exact SQL
+    "image_near_dup" ->
+      """WITH h AS (SELECT doc_id,
+        |                  ((1::BIGINT << (8 * (1 + doc_id % 7))) - 1)::BIGINT AS ahash
+        |           FROM documents)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 7
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "image_resize_check" ->
       """SELECT doc_id AS media_id,

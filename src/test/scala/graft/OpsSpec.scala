@@ -1302,6 +1302,41 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty) // the fixture actually plants close pairs
   }
 
+  test("64-bit hamming blocking on a precomputed hash equals brute force") {
+    // generic hammingNearDupOnHash at full 64-bit width (the image
+    // aHash path): diffs planted within chunks, across chunk
+    // boundaries, and in the sign bit — the brute-force popcount scan
+    // is the oracle. maxDist=7 → 8 chunks of 8 bits.
+    val base = 0x0123456789abcdefL
+    val hashes = Seq(
+      0L -> base,
+      1L -> (base ^ 1L),                  // 1 bit, chunk 0
+      2L -> (base ^ (1L << 8)),           // 1 bit, chunk 1
+      3L -> (base ^ 0x8000000000000000L), // sign bit (chunk 7)
+      4L -> (base ^ 0x0101010101010101L), // 8 bits spread over ALL chunks
+      5L -> (base ^ 0xffL),               // 8 bits, one full chunk
+      6L -> ~base,                        // 64 bits away
+      7L -> (base ^ (0x3L << 7))          // 2 bits straddling a boundary
+    ).toDF("media_id", "ahash")
+    val got = Dedup.hammingNearDupOnHash(hashes, "media_id", "ahash",
+        maxDist = 7, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val vals = Seq(base, base ^ 1L, base ^ (1L << 8),
+      base ^ 0x8000000000000000L, base ^ 0x0101010101010101L,
+      base ^ 0xffL, ~base, base ^ (0x3L << 7))
+    val brute = (for {
+      a <- vals.indices; b <- vals.indices if a < b
+      d = java.lang.Long.bitCount(vals(a) ^ vals(b)) if d <= 7
+    } yield (a.toLong, b.toLong) -> d).toMap
+    assert(got == brute)
+    // the 8-bits-in-every-chunk hash has NO agreeing chunk with base:
+    // correctly absent (distance 8 > maxDist anyway), while the
+    // one-full-chunk diff (also distance 8) is absent for the same
+    // reason — and the straddling 2-bit pair IS found
+    assert(got.contains((0L, 7L)) && got((0L, 7L)) == 2)
+    assert(brute.nonEmpty)
+  }
+
   test("normalize and scrubPii transform as specified") {
     val df = Seq((1L, "Hello, WORLD!!  x"), (2L, "reach me: bob.jones@mail.example.com or 12345678"))
       .toDF("doc_id", "text")
