@@ -167,6 +167,31 @@ object TextQueries {
         .orderBy("media_id")
     },
 
+    "audio_near_dup" -> { (spark, dir) =>
+      // Audio near-dup — the third fingerprint modality through the ONE
+      // pigeonhole+popcount machinery (text simhash at 32 bits, image
+      // aHash at 64, audio envelope at 8): real PCM decode → envelope
+      // hash → 2 chunks of 4 bits at maxDist 1. Closed-form burst
+      // fixtures (ahash = 2^k − 1) make the pairing exact SQL: tracks
+      // match iff their active-window counts k differ by at most 1.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
+      val media = docs.map { id =>
+        val k = 1 + (id % 7).toInt
+        val a = 3277 + (id % 100).toInt * 29
+        val bytes = graft.ops.Multimodal.synthBurstWav(k, 8, 100, a)
+        graft.ops.Multimodal.MediaRow(id, bytes,
+          graft.ops.Multimodal.MediaMeta("audio/wav", bytes.length.toLong, "synth"))
+      }
+      val hashes = graft.ops.Multimodal.audioHash(media).toDF()
+        .filter($"decoded").select($"media_id", $"ahash")
+      graft.ops.Dedup.hammingNearDupOnHash(hashes, "media_id", "ahash",
+          maxDist = 1, bits = 8)
+        .select($"id_a".as("media_a"), $"id_b".as("media_b"),
+          $"hamming".cast("long").as("hamming"))
+        .orderBy("media_a", "media_b")
+    },
+
     "image_ahash" -> { (spark, dir) =>
       // Perceptual average-hash under a FULL hash-match oracle: each doc
       // becomes an 8×8 two-tone PNG whose top k = 1 + doc_id % 7 rows
@@ -572,6 +597,17 @@ object TextQueries {
         |       ((1::BIGINT << (1 + doc_id % 7)) - 1)::BIGINT AS ahash,
         |       ((3277 + (doc_id % 100) * 29) * 100 * (1 + doc_id % 7))::BIGINT AS abs_sum
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // closed-form envelope hashes → popcount-of-xor pairing in exact SQL
+    "audio_near_dup" ->
+      """WITH h AS (SELECT doc_id,
+        |                  ((1::BIGINT << (1 + doc_id % 7)) - 1)::BIGINT AS ahash
+        |           FROM documents)
+        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+        |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+        |ORDER BY media_a, media_b""".stripMargin,
 
     // top k rows of the 8x8 fixture are >= mean, rest below: the hash is
     // the low 8k bits set
