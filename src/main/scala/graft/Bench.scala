@@ -67,16 +67,34 @@ object Bench {
     * a method (not inlined in main) so BenchSpec can prove attribution
     * with a deliberately flaky query.
     */
+  /** Wait until the scheduler is quiescent, then drain the listener
+    * bus. Draining alone is not enough for attribution: when a job
+    * ABORTS, the failure returns to the driver while killed sibling
+    * tasks are still winding down — their TaskEnd events haven't been
+    * POSTED yet, so an immediate drain passes and the events land in
+    * the next query's window (observed as a flaky BenchSpec under
+    * host load). Bounded wait: bench queries are synchronous, so
+    * lingering activity past the deadline means something is genuinely
+    * stuck — proceed anyway and let the pass's numbers show it.
+    */
+  private def quiesce(sc: org.apache.spark.SparkContext): Unit = {
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while ((sc.statusTracker.getActiveJobIds.nonEmpty ||
+        sc.statusTracker.getActiveStageIds.nonEmpty) &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+    org.apache.spark.graftshim.ListenerDrain.drain(sc)
+  }
+
   def measure(spark: SparkSession, listener: TaskFailureListener)(
       f: => Unit): (Double, Long, Double) = {
     val sc = spark.sparkContext
-    org.apache.spark.graftshim.ListenerDrain.drain(sc)
+    quiesce(sc)
     val before = listener.count
     val load = loadAvg1m()
     val t0 = System.nanoTime()
     val ok = try { f; true } catch { case _: Throwable => false }
     val dt = (System.nanoTime() - t0) / 1e9
-    org.apache.spark.graftshim.ListenerDrain.drain(sc)
+    quiesce(sc)
     (if (ok) dt else -1.0, listener.count - before, load)
   }
 

@@ -322,6 +322,28 @@ object Multimodal {
     pcmMonoWav(samples, n, rate)
   }
 
+  /** Pattern WAV for near-dup fixtures: window `w` carries constant
+    * amplitude `a` iff bit `w` of `pattern` is set, silence otherwise —
+    * so [[audioHash]]'s envelope reproduces `pattern` exactly (active
+    * windows are above the track mean, silent below, as long as the
+    * pattern is neither empty nor all `windows` bits).
+    */
+  def synthPatternWav(pattern: Long, windows: Int, windowSamples: Int,
+      a: Int, rate: Int = 8000): Array[Byte] = {
+    require(0 < windows && windows <= 64 && windowSamples > 0)
+    require(0 < a && a <= 32767)
+    val n = windows * windowSamples
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (if (((pattern >> (i / windowSamples)) & 1L) == 1L) a else 0).toShort
+      samples(2 * i) = (v & 0xff).toByte
+      samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    pcmMonoWav(samples, n, rate)
+  }
+
   case class AudioHashRow(media_id: Long, decoded: Boolean, ahash: Long, abs_sum: Long)
 
   /** Audio energy-envelope fingerprint — the audio analogue of

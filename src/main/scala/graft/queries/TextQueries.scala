@@ -14,6 +14,17 @@ import graft.ops.TextOps
   */
 object TextQueries {
 
+  /** 60-bit value from the first 15 hex chars of md5(seed) — the same
+    * device DuckDB expresses as `('0x' || substr(md5(seed), 1, 15))::BIGINT`
+    * (15 nibbles keep the sign bit clear in both engines), used to give
+    * near-dup fixtures DIVERSE deterministic hashes.
+    */
+  private def md5Bits60(seed: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15), 16)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "top_ngrams_per_lang" -> { (spark, dir) =>
       // Per-language top-5 trigrams by document frequency — corpus
@@ -170,23 +181,26 @@ object TextQueries {
     "audio_near_dup" -> { (spark, dir) =>
       // Audio near-dup — the third fingerprint modality through the ONE
       // pigeonhole+popcount machinery (text simhash at 32 bits, image
-      // aHash at 64, audio envelope at 8): real PCM decode → envelope
-      // hash → 2 chunks of 4 bits at maxDist 1. Closed-form burst
-      // fixtures (ahash = 2^k − 1) make the pairing exact SQL: tracks
-      // match iff their active-window counts k differ by at most 1.
+      // aHash at 64, audio envelope at 64 here): real PCM decode of a
+      // 64-window pattern WAV whose active windows are the bits of an
+      // md5-derived 60-bit value, so hashes are DIVERSE (near-dup
+      // output stays ~linear — the property that matters at scale) and
+      // every even/odd doc pair is planted 2 bits apart (found at
+      // maxDist 3 → 4 chunks of 16 bits). The envelope hash equals the
+      // pattern exactly, so the pairing is exact SQL.
       import spark.implicits._
       val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
       val media = docs.map { id =>
-        val k = 1 + (id % 7).toInt
+        val h = md5Bits60((id / 2).toString) ^ (if (id % 2 == 1) 3L else 0L)
         val a = 3277 + (id % 100).toInt * 29
-        val bytes = graft.ops.Multimodal.synthBurstWav(k, 8, 100, a)
+        val bytes = graft.ops.Multimodal.synthPatternWav(h, 64, 25, a)
         graft.ops.Multimodal.MediaRow(id, bytes,
           graft.ops.Multimodal.MediaMeta("audio/wav", bytes.length.toLong, "synth"))
       }
-      val hashes = graft.ops.Multimodal.audioHash(media).toDF()
+      val hashes = graft.ops.Multimodal.audioHash(media, windows = 64).toDF()
         .filter($"decoded").select($"media_id", $"ahash")
       graft.ops.Dedup.hammingNearDupOnHash(hashes, "media_id", "ahash",
-          maxDist = 1, bits = 8)
+          maxDist = 3, bits = 64)
         .select($"id_a".as("media_a"), $"id_b".as("media_b"),
           $"hamming".cast("long").as("hamming"))
         .orderBy("media_a", "media_b")
@@ -226,23 +240,24 @@ object TextQueries {
 
     "image_near_dup" -> { (spark, dir) =>
       // Perceptual image near-dup — the image twin of simhash_near_dup,
-      // composing the REAL aHash decode chain with the generic
-      // pigeonhole+popcount machinery at 64 bits (maxDist 7 → 8 chunks
-      // of 8 bits). The two-tone fixtures make every hash closed-form
-      // (2^(8k) − 1), so both the blocking and the popcount verify are
-      // gated cross-engine: pairs collide iff their brightness rows k
-      // match (Hamming 0; one row apart is already 8 > 7).
+      // composing the REAL aHash decode chain (PNG encode → decode →
+      // luma → mean threshold) with the generic pigeonhole+popcount
+      // machinery at 64 bits (maxDist 7 → 8 chunks of 8 bits). Pixel
+      // (x, y) is white iff bit y·8+x of an md5-derived 60-bit value is
+      // set, so aHash reproduces that value EXACTLY (white ≥ mean,
+      // black < mean, both closed-form) while hashes stay DIVERSE —
+      // near-dup output is ~linear, the property that matters at scale
+      // — and every even/odd doc pair is planted 2 bits apart.
       import spark.implicits._
       val docs = Tables.documents(spark, dir).select($"doc_id").as[Long]
       val media = docs.map { id =>
-        val k = 1 + (id % 7).toInt
+        val h = md5Bits60((id / 2).toString) ^ (if (id % 2 == 1) 3L else 0L)
         val img = new java.awt.image.BufferedImage(8, 8,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < 8) {
-          val rgb = if (y < k) 0xffffff else 0x000000
-          var x = 0; while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
+        var i = 0
+        while (i < 64) {
+          img.setRGB(i % 8, i / 8, if (((h >> i) & 1L) == 1L) 0xffffff else 0x000000)
+          i += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
@@ -598,15 +613,16 @@ object TextQueries {
         |       ((3277 + (doc_id % 100) * 29) * 100 * (1 + doc_id % 7))::BIGINT AS abs_sum
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // closed-form envelope hashes → popcount-of-xor pairing in exact SQL
+    // the md5-bit window pattern IS the envelope hash → exact SQL
     "audio_near_dup" ->
       """WITH h AS (SELECT doc_id,
-        |                  ((1::BIGINT << (1 + doc_id % 7)) - 1)::BIGINT AS ahash
+        |                  xor(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 15))::BIGINT,
+        |                      CASE WHEN doc_id % 2 = 1 THEN 3::BIGINT ELSE 0::BIGINT END) AS ahash
         |           FROM documents)
         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY media_a, media_b""".stripMargin,
 
     // top k rows of the 8x8 fixture are >= mean, rest below: the hash is
@@ -617,10 +633,11 @@ object TextQueries {
         |       (255 * 8 * (1 + doc_id % 7))::BIGINT AS luma_sum
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // closed-form hashes → the popcount-of-xor pairing is exact SQL
+    // the md5-bit pixel pattern IS the hash → exact popcount-of-xor SQL
     "image_near_dup" ->
       """WITH h AS (SELECT doc_id,
-        |                  ((1::BIGINT << (8 * (1 + doc_id % 7))) - 1)::BIGINT AS ahash
+        |                  xor(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 15))::BIGINT,
+        |                      CASE WHEN doc_id % 2 = 1 THEN 3::BIGINT ELSE 0::BIGINT END) AS ahash
         |           FROM documents)
         |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
         |       bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
