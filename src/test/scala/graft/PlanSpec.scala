@@ -163,7 +163,9 @@ class PlanSpec extends SparkSpec {
       // round-7 additions
       "table_profile_batched" -> 4, // 2 batches × (multi-distinct agg pass); union is exchange-free
       "pq_near_dup" -> 12,          // measured 11: code window + tuple-key agg + corpus re-join + block self-join + verify + sort
-      "kmeans_assign" -> 4)         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
+      "kmeans_assign" -> 4,         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
+      "image_near_dup" -> 3,        // measured 3: chunk self-join + candidate distinct + final sort (decode is per-row)
+      "audio_near_dup" -> 3)        // same machinery over the PCM envelope hash
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
