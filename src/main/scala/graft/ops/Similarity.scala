@@ -370,6 +370,39 @@ object Similarity {
       .select(col(idCol), col("subspace").cast("long").as("subspace"), col("code"))
   }
 
+  /** The PQ code TUPLE of every vector as one per-row fold — no
+    * shuffle: the sub-codebook is packed into ONE broadcast array row
+    * and each vector computes its `subspaces` codes with a `transform`
+    * over subspace ordinals + `array_min` over that subspace's book
+    * entries (struct ordering = distance then code id, the same
+    * tie-break as [[pqCodes]]'s argmin window — the equivalence is
+    * oracle-gated by `streaming_index_ingest`). Works on batch AND
+    * streaming frames; [[graft.streaming.StreamingAnn]] and
+    * [[pqNearDupPairs]] both build on it. Output: (idCol, __ck) where
+    * __ck is the subspace-ordered array<long> of codes.
+    */
+  private[graft] def pqCodeTuple(vecs: DataFrame, codebook: DataFrame,
+      subspaces: Int, idCol: String, embCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val bookRow = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
+      .agg(collect_list(struct(col("subspace"),
+        col(idCol).as("code"), col("cs"))).as("__book"))
+    val quant = transform(col(embCol).cast("array<double>"),
+      x => floor(x * lit(1000000.0)).cast("long"))
+    val q = vecs.select(col(idCol) +: keep.map(col) :+
+      pqWidthGuarded(quant, subspaces).as("__qv"): _*)
+    val width = (size(col("__qv")) / subspaces).cast("int")
+    q.crossJoin(broadcast(bookRow))
+      .select(col(idCol) +: keep.map(col) :+
+        transform(sequence(lit(0), lit(subspaces - 1)), s => {
+          val sub = slice(col("__qv"), s.cast("int") * width + 1, width)
+          array_min(transform(
+            filter(col("__book"), b => b.getField("subspace") === s),
+            b => struct(intL2(sub, b.getField("cs")).as("d2"),
+              b.getField("code").as("code")))).getField("code")
+        }).as("__ck"): _*)
+  }
+
   /** Embedding near-duplicate pairs blocked on IDENTICAL PQ code
     * tuples — PQ used as an LSH family, the FINE-grained complement of
     * [[nearDupPairs]]'s IVF-bucket blocking. Two vectors collide only
@@ -389,12 +422,13 @@ object Similarity {
   def pqNearDupPairs(corpus: DataFrame, codebook: DataFrame,
       thresholdPct: Int, subspaces: Int = 4, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val codes = pqCodes(corpus, codebook, subspaces, idCol, embCol)
-    // deterministic tuple key: codes ordered by subspace ordinal
-    val keyed = codes.groupBy(col(idCol))
-      .agg(transform(sort_array(collect_list(struct(col("subspace"), col("code")))),
-        x => x.getField("code")).as("__ck"))
-    val normed = withNorm(corpus, embCol, "__norm").join(keyed, idCol)
+    // code tuples via the per-row fold, norms carried through the SAME
+    // single pass — the pre-join key computation costs ZERO shuffles
+    // (one broadcast book row), vs the windowed pqCodes chain + groupBy
+    // + corpus re-join it replaced (11 exchanges → the block self-join
+    // and final sort only)
+    val normed = pqCodeTuple(withNorm(corpus, embCol, "__norm"), codebook,
+      subspaces, idCol, embCol, keep = Seq(embCol, "__norm"))
     val a = normed.select(col(idCol).as("vec_a"), col(embCol).as("va"),
       col("__norm").as("__na"), col("__ck"))
     val b = normed.select(col(idCol).as("vec_b"), col(embCol).as("vb"),

@@ -69,21 +69,8 @@ object StreamingAnn {
       subspaces: Int = 4, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
     require(subspaces > 0)
-    val bookRow = Similarity.pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
-      .agg(collect_list(struct(col("subspace"),
-        col(idCol).as("code"), col("cs"))).as("__book"))
-    val q = Similarity.quantVectors(vecs, idCol, embCol, idCol)
-      .withColumn("__qv", Similarity.pqWidthGuarded(col("__qv"), subspaces))
-    val width = (size(col("__qv")) / subspaces).cast("int")
-    q.crossJoin(broadcast(bookRow))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), lit(subspaces - 1)), s => {
-          val sub = slice(col("__qv"), s.cast("int") * width + 1, width)
-          array_min(transform(
-            filter(col("__book"), b => b.getField("subspace") === s),
-            b => struct(Similarity.intL2(sub, b.getField("cs")).as("d2"),
-              b.getField("code").as("code")))).getField("code")
-        })).as(Seq("subspace", "code")))
+    Similarity.pqCodeTuple(vecs, codebook, subspaces, idCol, embCol)
+      .select(col(idCol), posexplode(col("__ck")).as(Seq("subspace", "code")))
       .select(col(idCol), col("subspace").cast("long").as("subspace"), col("code"))
   }
 

@@ -162,7 +162,7 @@ class PlanSpec extends SparkSpec {
       "token_cooccurrence" -> 2,   // doc-keyed pair join + pair agg; top-50 rides TakeOrderedAndProject
       // round-7 additions
       "table_profile_batched" -> 4, // 2 batches × (multi-distinct agg pass); union is exchange-free
-      "pq_near_dup" -> 12,          // measured 11: code window + tuple-key agg + corpus re-join + block self-join + verify + sort
+      "pq_near_dup" -> 7,           // measured 6 after the per-row fold refactor: block self-join sides + verify + sort (code tuples cost zero shuffles)
       "kmeans_assign" -> 4,         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
       "image_near_dup" -> 3,        // measured 3: chunk self-join + candidate distinct + final sort (decode is per-row)
       "audio_near_dup" -> 3)        // same machinery over the PCM envelope hash
