@@ -60,13 +60,6 @@ object Bench {
       java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** One timed, instrumented run of `f`: returns (elapsed seconds or
-    * -1.0 if it threw, non-Success task ends attributable to this run,
-    * load average sampled at start). The listener bus is drained before
-    * and after so the failure window is exactly this run's — exposed as
-    * a method (not inlined in main) so BenchSpec can prove attribution
-    * with a deliberately flaky query.
-    */
   /** Wait until the scheduler is quiescent, then drain the listener
     * bus. Draining alone is not enough for attribution: when a job
     * ABORTS, the failure returns to the driver while killed sibling
@@ -85,6 +78,13 @@ object Bench {
     org.apache.spark.graftshim.ListenerDrain.drain(sc)
   }
 
+  /** One timed, instrumented run of `f`: returns (elapsed seconds or
+    * -1.0 if it threw, non-Success task ends attributable to this run,
+    * load average sampled at start). Each window opens and closes on a
+    * quiescent scheduler so the failure count is exactly this run's —
+    * exposed as a method (not inlined in main) so BenchSpec can prove
+    * attribution with a deliberately flaky query.
+    */
   def measure(spark: SparkSession, listener: TaskFailureListener)(
       f: => Unit): (Double, Long, Double) = {
     val sc = spark.sparkContext
@@ -141,6 +141,7 @@ object Bench {
       }
       graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
       graft.ops.Similarity.releaseCaches()
+      graft.ops.Graph.releaseCaches()
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load

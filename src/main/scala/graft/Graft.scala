@@ -165,6 +165,10 @@ object Graft {
   def dimensionSnapshot(history: DataFrame, tsUs: Long): DataFrame =
     Dimensions.snapshotAt(history, tsUs)
 
+  // graph analytics (connectedComponents lives below with the dedup ops)
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
+    Graph.pageRank(edges, iters)
+
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     Skew.saltedSumCount(df, keys, valueCol)

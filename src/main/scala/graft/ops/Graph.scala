@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond [[Dedup.connectedComponents]]'s
+  * min-label propagation: PageRank over an edge list, in EXACT integer
+  * arithmetic so every round is oracle-able as an unrolled SQL CTE
+  * (the `kmeans_train` device).
+  *
+  * Integer formulation: ranks live in micro units (start 10^6 per
+  * node); one round is
+  *
+  *   rank' = 150000 + (Σ_in (rank div outdeg) · 17) div 20
+  *
+  * i.e. damping 0.85 and teleport 0.15 as the integer cross-multiplies
+  * (x·17) div 20 and (10^6·15) div 100 — floor division on non-negative
+  * longs is identical in Spark (`div`) and DuckDB (`//`). Headroom: the
+  * total rank mass stays ≤ N·10^6, so the ·17 step stays under int64
+  * past 10^11 nodes.
+  *
+  * Scale posture per round: edges pre-joined with out-degrees ONCE and
+  * cached (released via [[releaseCaches]], the
+  * [[Dedup.releaseCaches]]/[[Similarity.releaseCaches]] registry
+  * contract); each round is one shuffle join of the rank table into
+  * that edge layout keyed by src + one partial-aggregated sum keyed by
+  * dst — driver state is one count per round (the lineage cut, the
+  * [[Similarity.kmeansTrain]] discipline, so the plan does not grow
+  * with iterations).
+  */
+object Graph {
+
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private def registerDf(df: DataFrame): df.type =
+    synchronized { liveCaches += (() => { df.unpersist(blocking = false); () }); df }
+
+  private def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): rdd.type =
+    synchronized { liveCaches += (() => { rdd.unpersist(blocking = false); () }); rdd }
+
+  /** Free every cache registered by graph ops since the last release. */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(_.apply())
+    liveCaches.clear()
+  }
+
+  /** PageRank over a DIRECTED edge list (pass both directions for an
+    * undirected graph). Nodes with no in-edges settle at the teleport
+    * mass; dangling nodes (no out-edges) contribute nothing — the
+    * standard simplification, stated rather than hidden. Output:
+    * (node, rank_micros) after `iters` rounds.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = registerDf(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache())
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the per-round probe layout, built once: (src, dst, outdeg)
+    val eo = registerDf(e.join(outdeg, "src").cache())
+    var ranks = nodes.withColumn("rank", lit(1000000L))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var iter = 0
+    while (iter < iters) {
+      val inc = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
+      val next = nodes.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 AS BIGINT) + (coalesce(inc, CAST(0 AS BIGINT)) * 17) div 20")
+            .as("rank"))
+      val rdd = next.rdd.cache()
+      rdd.count(): Unit // materialize the round (lineage cut)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      ranks = spark.createDataFrame(rdd, next.schema)
+      prevRdd = rdd
+      iter += 1
+    }
+    if (prevRdd != null) registerRdd(prevRdd)
+    ranks.select(col("node"), col("rank").as("rank_micros"))
+  }
+}

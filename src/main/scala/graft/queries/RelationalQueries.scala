@@ -906,9 +906,48 @@ object RelationalQueries {
           (($"n" * $"sxq" - $"sx" * $"sq").cast("double") /
             ($"n" * ($"n" - lit(1).cast("decimal(38,0)"))).cast("double")).as("covar_cents_qty"))
         .orderBy("l_returnflag")
+    },
+
+    "pagerank_parts" -> { (spark, dir) =>
+      // Iterative graph analytics (beyond connected components):
+      // 3 exact-integer PageRank rounds over the parts co-purchase
+      // graph (parts sharing an order, both directions). Every round
+      // is floor arithmetic — rank div outdeg, (x·17) div 20 damping,
+      // 150000 teleport — so the oracle is a 3-round unrolled CTE, the
+      // kmeans_train device applied to a graph algorithm.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+        .distinct()
+      graft.ops.Graph.pageRank(edges, iters = 3).orderBy("node")
     })
 
+  /** One integer PageRank round for the pagerank_parts oracle. */
+  private def pagerankRoundCte(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""r$i AS (SELECT n.node,
+       |             150000 + (coalesce(s.inc, 0) * 17) // 20 AS rank
+       |      FROM n LEFT JOIN (
+       |        SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       |        FROM e JOIN $prev r ON r.node = e.src JOIN d ON d.node = e.src
+       |        GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "pagerank_parts" ->
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |           FROM lineitem a JOIN lineitem b
+         |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |d AS (SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM n),
+         |${pagerankRoundCte(1)},
+         |${pagerankRoundCte(2)},
+         |${pagerankRoundCte(3)}
+         |SELECT node, rank::BIGINT AS rank_micros FROM r3 ORDER BY node""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -96,6 +96,7 @@ object Probe {
         // run 2 a cache read, not a measurement
         graft.ops.Dedup.releaseCaches()
         graft.ops.Similarity.releaseCaches()
+        graft.ops.Graph.releaseCaches()
       }
     }
     spark.stop()
@@ -143,6 +144,7 @@ object Probe {
       // the next query's plan
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
+        graft.ops.Graph.releaseCaches()
     }
     spark.stop()
   }

@@ -710,6 +710,24 @@ class OpsSpec extends SparkSpec {
       e.toString)
   }
 
+  test("integer PageRank: K3 is an exact fixed point; path graph matches hand arithmetic") {
+    import graft.ops.Graph
+    // complete graph K3 (bidirected): every node keeps EXACTLY 10^6 —
+    // inc = 2·(10^6 div 2) = 10^6, rank' = 150000 + (10^6·17) div 20
+    // = 10^6 — for any number of rounds
+    val k3 = Seq((1L,2L),(2L,1L),(1L,3L),(3L,1L),(2L,3L),(3L,2L)).toDF("src","dst")
+    val k3ranks = Graph.pageRank(k3, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k3ranks == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // path 1—2—3 (bidirected), 2 rounds, floor arithmetic by hand:
+    // r1 = (575000, 1850000, 575000); r2 = (936250, 1127500, 936250)
+    val path = Seq((1L,2L),(2L,1L),(2L,3L),(3L,2L)).toDF("src","dst")
+    val r2 = Graph.pageRank(path, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.releaseCaches()
+    assert(r2 == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L), r2.toString)
+  }
+
   test("assignToTrained on seed centroids equals the direct quantized assignment") {
     val emb = Tables.embeddings(spark, Sf0001)
     val seeds = emb.filter($"vec_id" < 8)
