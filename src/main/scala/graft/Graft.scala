@@ -168,6 +168,8 @@ object Graft {
   // graph analytics (connectedComponents lives below with the dedup ops)
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
     Graph.pageRank(edges, iters)
+  def triangleCounts(edges: DataFrame): DataFrame =
+    Graph.triangleCounts(edges)
 
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =

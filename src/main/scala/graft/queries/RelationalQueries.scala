@@ -923,6 +923,21 @@ object RelationalQueries {
         .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
         .distinct()
       graft.ops.Graph.pageRank(edges, iters = 3).orderBy("node")
+    },
+
+    "triangle_parts" -> { (spark, dir) =>
+      // Exact per-node triangle counts on the same co-purchase graph —
+      // the non-iterative graph primitive next to PageRank: ordered
+      // orientation a<b<c enumerates each triangle once (wedge join on
+      // the middle vertex + closing probe on the (a, c) edge).
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+        .distinct()
+      graft.ops.Graph.triangleCounts(edges).orderBy("node")
     })
 
   /** One integer PageRank round for the pagerank_parts oracle. */
@@ -948,6 +963,18 @@ object RelationalQueries {
          |${pagerankRoundCte(2)},
          |${pagerankRoundCte(3)}
          |SELECT node, rank::BIGINT AS rank_micros FROM r3 ORDER BY node""".stripMargin,
+
+    // ordered a<b<c enumeration — each triangle exactly once
+    "triangle_parts" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |t AS (SELECT w.a, w.b, w.c FROM
+        |        (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+        |      JOIN e e3 ON e3.a = w.a AND e3.b = w.c)
+        |SELECT node, count(*)::BIGINT AS n_triangles FROM (
+        |  SELECT a AS node FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t)
+        |GROUP BY node ORDER BY node""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       SUM(l_quantity::BIGINT)::BIGINT AS sum_qty,

@@ -728,6 +728,20 @@ class OpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L), r2.toString)
   }
 
+  test("triangle counts: K4 exact, path triangle-free, direction/duplicate-proof") {
+    import graft.ops.Graph
+    // K4: 4 triangles, every node on exactly 3 — fed as a MESSY edge
+    // list (reversed directions, duplicates) to prove canonicalization
+    val k4 = Seq((1L,2L),(2L,1L),(3L,1L),(1L,4L),(2L,3L),(4L,2L),(2L,4L),(3L,4L),(4L,3L))
+      .toDF("src","dst")
+    val counts = Graph.triangleCounts(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), counts.toString)
+    // a path has no triangles: empty output, not zero-count rows
+    val path = Seq((1L,2L),(2L,3L),(3L,4L)).toDF("src","dst")
+    assert(Graph.triangleCounts(path).count() == 0)
+  }
+
   test("assignToTrained on seed centroids equals the direct quantized assignment") {
     val emb = Tables.embeddings(spark, Sf0001)
     val seeds = emb.filter($"vec_id" < 8)

@@ -166,7 +166,8 @@ class PlanSpec extends SparkSpec {
       "kmeans_assign" -> 4,         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
       "image_near_dup" -> 3,        // measured 3: chunk self-join + candidate distinct + final sort (decode is per-row)
       "audio_near_dup" -> 3,        // same machinery over the PCM envelope hash
-      "pagerank_parts" -> 1)        // rounds run EAGERLY (lineage cuts); the returned plan is LogicalRDD + final sort
+      "pagerank_parts" -> 1,        // rounds run EAGERLY (lineage cuts); the returned plan is LogicalRDD + final sort
+      "triangle_parts" -> 9)        // measured 8: canonical edge build (cached once) + wedge join + closing probe + per-node agg + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
