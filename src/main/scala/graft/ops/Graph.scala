@@ -95,7 +95,11 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val spark = edges.sparkSession
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // materialize the edge list ONCE: nodes, out-degrees, and the probe
+    // layout all derive from it — without this the caller's (possibly
+    // expensive) edge derivation re-runs for each derived frame
+    val e = registerDf(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = registerDf(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache())
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

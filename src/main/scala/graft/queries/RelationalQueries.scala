@@ -916,7 +916,10 @@ object RelationalQueries {
       // 150000 teleport — so the oracle is a 3-round unrolled CTE, the
       // kmeans_train device applied to a graph algorithm.
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+      // distinct-first: same edge set, smaller self-join input (an
+      // order can list the same part on several lines)
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
       val edges = li.as("a").join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" =!= $"b.l_partkey")
@@ -931,7 +934,8 @@ object RelationalQueries {
       // orientation a<b<c enumerates each triangle once (wedge join on
       // the middle vertex + closing probe on the (a, c) edge).
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
       val edges = li.as("a").join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" < $"b.l_partkey")

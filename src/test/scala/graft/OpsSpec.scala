@@ -1369,6 +1369,32 @@ class OpsSpec extends SparkSpec {
     assert(brute.nonEmpty)
   }
 
+  test("hamming blocking equals brute force on 300 seeded-random 64-bit hashes") {
+    // fixed-seed randoms + planted perturbations: every distance regime
+    // near the maxDist boundary appears, and the pigeonhole guarantee
+    // (d <= maxDist => some chunk agrees) is exercised on arbitrary bit
+    // patterns, not crafted ones
+    val rnd = new scala.util.Random(42)
+    val base = Vector.fill(100)(rnd.nextLong())
+    val vals = base ++ base.take(100).map { h =>
+      var x = h; val flips = rnd.nextInt(6) // 0..5 bit flips
+      (0 until flips).foreach(_ => x ^= (1L << rnd.nextInt(64))); x
+    } ++ base.take(100).map(h => ~h)
+    val df = vals.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("media_id", "ahash")
+    for (maxDist <- Seq(3, 7)) {
+      val got = Dedup.hammingNearDupOnHash(df, "media_id", "ahash",
+          maxDist, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val brute = (for {
+        a <- vals.indices; b <- vals.indices if a < b
+        d = java.lang.Long.bitCount(vals(a) ^ vals(b)) if d <= maxDist
+      } yield (a.toLong, b.toLong) -> d).toMap
+      assert(got == brute, s"maxDist=$maxDist: ${got.size} vs ${brute.size}")
+      assert(brute.nonEmpty)
+    }
+  }
+
   test("normalize and scrubPii transform as specified") {
     val df = Seq((1L, "Hello, WORLD!!  x"), (2L, "reach me: bob.jones@mail.example.com or 12345678"))
       .toDF("doc_id", "text")
