@@ -170,6 +170,8 @@ object Graft {
     Graph.pageRank(edges, iters)
   def triangleCounts(edges: DataFrame): DataFrame =
     Graph.triangleCounts(edges)
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame =
+    Graph.bfsHops(edges, seeds, rounds)
 
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =

@@ -85,6 +85,42 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** BFS hop distances from a seed set over a DIRECTED edge list (pass
+    * both directions for undirected reachability): after `rounds`
+    * expansions every node whose shortest path from any seed is
+    * ≤ `rounds` carries that exact distance; unreached nodes are
+    * absent. Each round is one shuffle join of the frontier-so-far into
+    * the edge list + a min-fold — the same exact-arithmetic /
+    * unrolled-CTE oracle shape as [[pageRank]], with the same lineage
+    * cut per round.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst",
+      seedCol: String = "node"): DataFrame = {
+    require(rounds >= 1, s"bfsHops: rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val e = registerDf(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("hops", lit(0L))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var round = 0
+    while (round < rounds) {
+      val expanded = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
+      val next = dist.unionByName(expanded)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+      val rdd = next.rdd.cache()
+      rdd.count(): Unit // materialize the round (lineage cut)
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      dist = spark.createDataFrame(rdd, next.schema)
+      prevRdd = rdd
+      round += 1
+    }
+    if (prevRdd != null) registerRdd(prevRdd)
+    dist
+  }
+
   /** PageRank over a DIRECTED edge list (pass both directions for an
     * undirected graph). Nodes with no in-edges settle at the teleport
     * mass; dangling nodes (no out-edges) contribute nothing — the

@@ -942,6 +942,23 @@ object RelationalQueries {
         .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
         .distinct()
       graft.ops.Graph.triangleCounts(edges).orderBy("node")
+    },
+
+    "bfs_parts" -> { (spark, dir) =>
+      // Reachability: exact hop distances from the 4 lowest part keys
+      // across the co-purchase graph, 3 frontier expansions — the third
+      // iterative graph primitive (min-fold instead of PageRank's
+      // damped sum), same unrolled-CTE oracle device.
+      import spark.implicits._
+      val li = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_partkey").distinct()
+      val edges = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" =!= $"b.l_partkey")
+        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+        .distinct()
+      val seeds = li.select($"l_partkey".as("node")).filter($"node" < 5)
+      graft.ops.Graph.bfsHops(edges, seeds, rounds = 3).orderBy("node")
     })
 
   /** One integer PageRank round for the pagerank_parts oracle. */
@@ -967,6 +984,27 @@ object RelationalQueries {
          |${pagerankRoundCte(2)},
          |${pagerankRoundCte(3)}
          |SELECT node, rank::BIGINT AS rank_micros FROM r3 ORDER BY node""".stripMargin,
+
+    // 3 unrolled frontier expansions, min-fold per round
+    "bfs_parts" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |           FROM lineitem a JOIN lineitem b
+        |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |d0 AS (SELECT DISTINCT l_partkey AS node, 0 AS hops
+        |       FROM lineitem WHERE l_partkey < 5),
+        |d1 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d0
+        |         UNION ALL SELECT e.dst, d.hops + 1 FROM e JOIN d0 d ON d.node = e.src)
+        |       GROUP BY node),
+        |d2 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d1
+        |         UNION ALL SELECT e.dst, d.hops + 1 FROM e JOIN d1 d ON d.node = e.src)
+        |       GROUP BY node),
+        |d3 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d2
+        |         UNION ALL SELECT e.dst, d.hops + 1 FROM e JOIN d2 d ON d.node = e.src)
+        |       GROUP BY node)
+        |SELECT node, hops::BIGINT AS hops FROM d3 ORDER BY node""".stripMargin,
 
     // ordered a<b<c enumeration — each triangle exactly once
     "triangle_parts" ->

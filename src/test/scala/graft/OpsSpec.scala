@@ -728,6 +728,22 @@ class OpsSpec extends SparkSpec {
     assert(r2 == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L), r2.toString)
   }
 
+  test("BFS hops: exact distances on a path; unreached nodes absent") {
+    import graft.ops.Graph
+    // path 1→2→3→4→5 (directed): from seed 1, 3 rounds reach node 4 at
+    // hop 3; node 5 stays absent
+    val path = Seq((1L,2L),(2L,3L),(3L,4L),(4L,5L)).toDF("src","dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val hops = Graph.bfsHops(path, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), hops.toString)
+    // a second seed shortens distances through the min-fold
+    val hops2 = Graph.bfsHops(path, Seq(Tuple1(1L), Tuple1(4L)).toDF("node"), rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.releaseCaches()
+    assert(hops2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L, 5L -> 1L), hops2.toString)
+  }
+
   test("triangle counts: K4 exact, path triangle-free, direction/duplicate-proof") {
     import graft.ops.Graph
     // K4: 4 triangles, every node on exactly 3 — fed as a MESSY edge

@@ -167,7 +167,8 @@ class PlanSpec extends SparkSpec {
       "image_near_dup" -> 3,        // measured 3: chunk self-join + candidate distinct + final sort (decode is per-row)
       "audio_near_dup" -> 3,        // same machinery over the PCM envelope hash
       "pagerank_parts" -> 1,        // rounds run EAGERLY (lineage cuts); the returned plan is LogicalRDD + final sort
-      "triangle_parts" -> 9)        // measured 8: canonical edge build (cached once) + wedge join + closing probe + per-node agg + sort
+      "triangle_parts" -> 9,        // measured 8: canonical edge build (cached once) + wedge join + closing probe + per-node agg + sort
+      "bfs_parts" -> 1)             // rounds run EAGERLY (lineage cuts) — LogicalRDD + final sort, like pagerank_parts
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
