@@ -916,10 +916,10 @@ object RelationalQueries {
       // 150000 teleport — so the oracle is a 3-round unrolled CTE, the
       // kmeans_train device applied to a graph algorithm.
       import spark.implicits._
-      // distinct-first: same edge set, smaller self-join input (an
-      // order can list the same part on several lines)
-      val li = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_partkey").distinct()
+      // NO distinct-first: (order, part) duplicates are rare, so
+      // pre-deduping would add a full shuffle per join side to save
+      // almost nothing — the edge-level distinct below already dedupes
+      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
       val edges = li.as("a").join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" =!= $"b.l_partkey")
@@ -934,8 +934,7 @@ object RelationalQueries {
       // orientation a<b<c enumerates each triangle once (wedge join on
       // the middle vertex + closing probe on the (a, c) edge).
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_partkey").distinct()
+      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
       val edges = li.as("a").join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" < $"b.l_partkey")
@@ -950,8 +949,7 @@ object RelationalQueries {
       // iterative graph primitive (min-fold instead of PageRank's
       // damped sum), same unrolled-CTE oracle device.
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir)
-        .select($"l_orderkey", $"l_partkey").distinct()
+      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
       val edges = li.as("a").join(li.as("b"),
           $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" =!= $"b.l_partkey")
