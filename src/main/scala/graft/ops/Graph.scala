@@ -47,42 +47,47 @@ object Graph {
   /** Per-node triangle counts over an UNDIRECTED graph (edges may be
     * passed in either or both directions; they are canonicalized to
     * src < dst first). The count is exact and each triangle is
-    * enumerated ONCE via the ordered orientation a < b < c — the
-    * standard trick that keeps the two-hop join bounded by the ordered
-    * adjacency instead of squaring hub degrees. Output:
-    * (node, n_triangles), one row per node that closes at least one
-    * triangle.
+    * enumerated ONCE via the ordered orientation a < b < c — at the
+    * canonical edge (a, b), every common element of the two
+    * higher-neighbor sets closes a distinct triangle.
     *
-    * Scale posture: two shuffle joins over the canonical edge list (the
-    * wedge build keyed by the middle vertex, the closing probe keyed by
-    * the (a, c) pair) + one count aggregate — no iteration, no driver
-    * state. Skewed hubs are bounded by the orientation: a vertex's
-    * wedge fan-out is C(higher-degree neighbors, 2), the same reason
-    * ordered triangle enumeration is the textbook distributed
-    * formulation.
+    * Scale posture — compact-forward, NOT a wedge join: the naive
+    * wedge build materializes Σ deg_lo·deg_hi rows through a shuffle
+    * (measured 49M wedges from 1.2M edges on the clique-dense
+    * co-purchase graph at sf0.1). Instead the higher-neighbor
+    * adjacency (one groupBy of the canonical edges) joins back to the
+    * edge list TWICE — edge-count-sized rows only — and each edge
+    * intersects two sorted in-row arrays (`array_intersect`, linear in
+    * degree sum); the per-corner contributions explode from that one
+    * frame in a single pass. Hot hubs are bounded by the orientation:
+    * a vertex's higher-neighbor set holds only larger-keyed neighbors.
+    * Output: (node, n_triangles), one row per node on ≥1 triangle.
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    // the canonical edge list feeds all THREE join arms — without a
-    // materialization the self-join distinct (and everything upstream)
-    // is recomputed per arm (measured 11 exchanges → 5). MEMORY_AND_DISK:
-    // an edge list can exceed memory at scale; spilling a canonical
-    // copy beats recomputing its lineage three times.
+    // the canonical edge list feeds the adjacency build AND two probe
+    // arms — materialize once (MEMORY_AND_DISK: an edge list can
+    // exceed memory; spilling beats recomputing its lineage)
     val und = registerDf(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // wedges a < b < c sharing middle. . . a—b and b—c
-    val e1 = und.select(col("a"), col("b"))
-    val e2 = und.select(col("a").as("b2"), col("b").as("c"))
-    val wedges = e1.join(e2, col("b") === col("b2")).select(col("a"), col("b"), col("c"))
-    // close with the a—c edge
-    val e3 = und.select(col("a").as("a3"), col("b").as("c3"))
-    val tris = wedges.join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .select(col("a"), col("b"), col("c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val adj = und.groupBy(col("a").as("node"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val withCommon = und
+      .join(adj.select(col("node").as("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("node").as("b"), col("nbrs").as("nb")), "b")
+      .withColumn("common", array_intersect(col("na"), col("nb")))
+      .filter(size(col("common")) > 0)
+    // one pass: corner a and corner b each credit |common| triangles,
+    // every common c credits one
+    val contrib = withCommon.select(explode(concat(
+        array(struct(col("a").as("node"), size(col("common")).cast("long").as("n")),
+          struct(col("b").as("node"), size(col("common")).cast("long").as("n"))),
+        transform(col("common"), c => struct(c.as("node"), lit(1L).as("n"))))).as("e"))
+      .select(col("e.node").as("node"), col("e.n").as("n"))
+    contrib.groupBy(col("node")).agg(sum(col("n")).as("n_triangles"))
   }
 
   /** BFS hop distances from a seed set over a DIRECTED edge list (pass

@@ -916,16 +916,8 @@ object RelationalQueries {
       // 150000 teleport — so the oracle is a 3-round unrolled CTE, the
       // kmeans_train device applied to a graph algorithm.
       import spark.implicits._
-      // NO distinct-first: (order, part) duplicates are rare, so
-      // pre-deduping would add a full shuffle per join side to save
-      // almost nothing — the edge-level distinct below already dedupes
-      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
-      val edges = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-        .distinct()
-      graft.ops.Graph.pageRank(edges, iters = 3).orderBy("node")
+      graft.ops.Graph.pageRank(
+        coPurchaseEdges(spark, dir, ordered = false), iters = 3).orderBy("node")
     },
 
     "triangle_parts" -> { (spark, dir) =>
@@ -934,13 +926,8 @@ object RelationalQueries {
       // orientation a<b<c enumerates each triangle once (wedge join on
       // the middle vertex + closing probe on the (a, c) edge).
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
-      val edges = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-        .distinct()
-      graft.ops.Graph.triangleCounts(edges).orderBy("node")
+      graft.ops.Graph.triangleCounts(
+        coPurchaseEdges(spark, dir, ordered = true)).orderBy("node")
     },
 
     "bfs_parts" -> { (spark, dir) =>
@@ -949,15 +936,37 @@ object RelationalQueries {
       // iterative graph primitive (min-fold instead of PageRank's
       // damped sum), same unrolled-CTE oracle device.
       import spark.implicits._
-      val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_partkey")
-      val edges = li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" =!= $"b.l_partkey")
-        .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-        .distinct()
-      val seeds = li.select($"l_partkey".as("node")).filter($"node" < 5)
-      graft.ops.Graph.bfsHops(edges, seeds, rounds = 3).orderBy("node")
+      import spark.implicits._
+      val seeds = Tables.lineitem(spark, dir)
+        .select($"l_partkey".as("node")).filter($"node" < 5)
+      graft.ops.Graph.bfsHops(
+        coPurchaseEdges(spark, dir, ordered = false), seeds, rounds = 3)
+        .orderBy("node")
     })
+
+  /** Parts co-purchase edges (parts sharing an order), built as ONE
+    * groupBy shuffle + per-row pair expansion instead of a two-sided
+    * self-join on l_orderkey: collect_set dedupes (order, part)
+    * map-side, and the k≈4 parts per order expand to at most k²
+    * in-row pairs — the shape that survives a 100× lineitem, where a
+    * self-join would shuffle the fact table twice. `ordered` emits
+    * src < dst only (the triangle orientation); otherwise both
+    * directions.
+    */
+  private def coPurchaseEdges(spark: SparkSession, dir: String,
+      ordered: Boolean): DataFrame = {
+    import spark.implicits._
+    val cond: (Column, Column) => Column =
+      if (ordered) (a, b) => a < b else (a, b) => a =!= b
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(collect_set($"l_partkey").as("ps"))
+      .select(explode(flatten(transform($"ps", a =>
+        transform(filter($"ps", b => cond(a, b)),
+          b => struct(a.as("src"), b.as("dst")))))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
+      .distinct()
+  }
 
   /** One integer PageRank round for the pagerank_parts oracle. */
   private def pagerankRoundCte(i: Int): String = {
