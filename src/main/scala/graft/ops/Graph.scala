@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * [[Dedup.releaseCaches]]/[[Similarity.releaseCaches]] registry
   * contract); each round is one shuffle join of the rank table into
   * that edge layout keyed by src + one partial-aggregated sum keyed by
-  * dst — driver state is one count per round (the lineage cut, the
-  * [[Similarity.kmeansTrain]] discipline, so the plan does not grow
-  * with iterations).
+  * dst — with a PERIODIC lineage cut (every 5th round) bounding plan
+  * depth on long runs; short runs execute as one uncut job (see
+  * [[CutEvery]] — unlike kmeansTrain, a round here reads its
+  * predecessor once, so the uncut plan grows linearly, not
+  * exponentially).
   */
 object Graph {
 
@@ -90,14 +92,23 @@ object Graph {
     contrib.groupBy(col("node")).agg(sum(col("n")).as("n_triangles"))
   }
 
+  /** Every `CutEvery`-th round gets a lineage cut. Unlike kmeansTrain —
+    * whose round plan references the previous round THREE times and
+    * would double per iteration — each pageRank/bfsHops round reads its
+    * predecessor exactly ONCE, so the uncut plan grows linearly and a
+    * short run executes as a single job; the periodic cut only bounds
+    * plan depth (analyzer cost, driver stack) on long runs.
+    */
+  private val CutEvery = 5
+
   /** BFS hop distances from a seed set over a DIRECTED edge list (pass
     * both directions for undirected reachability): after `rounds`
     * expansions every node whose shortest path from any seed is
     * ≤ `rounds` carries that exact distance; unreached nodes are
     * absent. Each round is one shuffle join of the frontier-so-far into
     * the edge list + a min-fold — the same exact-arithmetic /
-    * unrolled-CTE oracle shape as [[pageRank]], with the same lineage
-    * cut per round.
+    * unrolled-CTE oracle shape as [[pageRank]], with the same periodic
+    * lineage-cut discipline.
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3,
       srcCol: String = "src", dstCol: String = "dst",
@@ -115,12 +126,14 @@ object Graph {
         .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
       val next = dist.unionByName(expanded)
         .groupBy(col("node")).agg(min(col("hops")).as("hops"))
-      val rdd = next.rdd.cache()
-      rdd.count(): Unit // materialize the round (lineage cut)
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      dist = spark.createDataFrame(rdd, next.schema)
-      prevRdd = rdd
       round += 1
+      if (round % CutEvery == 0 && round < rounds) {
+        val rdd = next.rdd.cache()
+        rdd.count(): Unit // materialize (periodic lineage cut)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        dist = spark.createDataFrame(rdd, next.schema)
+        prevRdd = rdd
+      } else dist = next
     }
     if (prevRdd != null) registerRdd(prevRdd)
     dist
@@ -157,12 +170,14 @@ object Graph {
         .select(col("node"),
           expr("CAST(150000 AS BIGINT) + (coalesce(inc, CAST(0 AS BIGINT)) * 17) div 20")
             .as("rank"))
-      val rdd = next.rdd.cache()
-      rdd.count(): Unit // materialize the round (lineage cut)
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      ranks = spark.createDataFrame(rdd, next.schema)
-      prevRdd = rdd
       iter += 1
+      if (iter % CutEvery == 0 && iter < iters) {
+        val rdd = next.rdd.cache()
+        rdd.count(): Unit // materialize (periodic lineage cut)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        ranks = spark.createDataFrame(rdd, next.schema)
+        prevRdd = rdd
+      } else ranks = next
     }
     if (prevRdd != null) registerRdd(prevRdd)
     ranks.select(col("node"), col("rank").as("rank_micros"))

@@ -166,9 +166,9 @@ class PlanSpec extends SparkSpec {
       "kmeans_assign" -> 4,         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
       "image_near_dup" -> 3,        // measured 3: chunk self-join + candidate distinct + final sort (decode is per-row)
       "audio_near_dup" -> 3,        // same machinery over the PCM envelope hash
-      "pagerank_parts" -> 1,        // rounds run EAGERLY (lineage cuts); the returned plan is LogicalRDD + final sort
-      "triangle_parts" -> 9,        // measured 8: canonical edge build (cached once) + wedge join + closing probe + per-node agg + sort
-      "bfs_parts" -> 1)             // rounds run EAGERLY (lineage cuts) — LogicalRDD + final sort, like pagerank_parts
+      "pagerank_parts" -> 16,       // measured 15: 3 uncut rounds × (rank join + contribution agg) over the cached edge layout + node build + final sort (the periodic cut fires only past round 5)
+      "triangle_parts" -> 9,        // measured 8: canonical edge build (cached once) + adjacency agg + two probe joins + contribution agg + sort
+      "bfs_parts" -> 26)            // measured 25: 3 uncut rounds × (frontier join + union min-fold) + seed distinct + final sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
