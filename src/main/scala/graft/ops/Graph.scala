@@ -141,8 +141,10 @@ object Graph {
 
   /** PageRank over a DIRECTED edge list (pass both directions for an
     * undirected graph). Nodes with no in-edges settle at the teleport
-    * mass; dangling nodes (no out-edges) contribute nothing — the
-    * standard simplification, stated rather than hidden. Output:
+    * mass; dangling nodes (no out-edges) contribute nothing, and a
+    * duplicated edge counts twice in both out-degree and contribution
+    * (multigraph semantics — dedupe upstream for simple-graph ranks) —
+    * standard simplifications, stated rather than hidden. Output:
     * (node, rank_micros) after `iters` rounds.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, srcCol: String = "src",

@@ -949,8 +949,11 @@ object RelationalQueries {
     * self-join on l_orderkey: collect_set dedupes (order, part)
     * map-side, and the k≈4 parts per order expand to at most k²
     * in-row pairs — the shape that survives a 100× lineitem, where a
-    * self-join would shuffle the fact table twice. `ordered` emits
-    * src < dst only (the triangle orientation); otherwise both
+    * self-join would shuffle the fact table twice. Assumes bounded
+    * basket size (carts are; TPC-H orders hold ≤7 parts) — a group
+    * with k in the tens of thousands would expand k² in one row, and
+    * such data should fall back to the self-join form. `ordered`
+    * emits src < dst only (the triangle orientation); otherwise both
     * directions.
     */
   private def coPurchaseEdges(spark: SparkSession, dir: String,
