@@ -166,8 +166,9 @@ object Graft {
     Dimensions.snapshotAt(history, tsUs)
 
   // graph analytics (connectedComponents lives below with the dedup ops)
-  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame =
-    Graph.pageRank(edges, iters)
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      weightCol: String = ""): DataFrame =
+    Graph.pageRank(edges, iters, weightCol = weightCol)
   def triangleCounts(edges: DataFrame): DataFrame =
     Graph.triangleCounts(edges)
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame =

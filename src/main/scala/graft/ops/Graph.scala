@@ -140,33 +140,41 @@ object Graph {
   }
 
   /** PageRank over a DIRECTED edge list (pass both directions for an
-    * undirected graph). Nodes with no in-edges settle at the teleport
-    * mass; dangling nodes (no out-edges) contribute nothing, and a
-    * duplicated edge counts twice in both out-degree and contribution
-    * (multigraph semantics — dedupe upstream for simple-graph ranks) —
-    * standard simplifications, stated rather than hidden. Output:
+    * undirected graph), optionally WEIGHTED: with a `weightCol`, a
+    * node's rank flows to each out-neighbor proportional to the edge
+    * weight — contrib = (rank · w) div Σ out-weights, still pure floor
+    * arithmetic, and the unweighted path is EXACTLY the w = 1 special
+    * case ((rank · 1) div outdeg), so one implementation serves both.
+    * Headroom: rank · w_max must stay under 2^63 (rank mass ≤ N·10^6).
+    * Nodes with no in-edges settle at the teleport mass; dangling nodes
+    * (no out-edges) contribute nothing, and a duplicated edge counts
+    * twice in both out-weight and contribution (multigraph semantics —
+    * dedupe upstream for simple-graph ranks) — standard
+    * simplifications, stated rather than hidden. Output:
     * (node, rank_micros) after `iters` rounds.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst", weightCol: String = ""): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     val spark = edges.sparkSession
-    // materialize the edge list ONCE: nodes, out-degrees, and the probe
+    val w = if (weightCol.isEmpty) lit(1L) else col(weightCol).cast("long")
+    // materialize the edge list ONCE: nodes, out-weights, and the probe
     // layout all derive from it — without this the caller's (possibly
     // expensive) edge derivation re-runs for each derived frame
-    val e = registerDf(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = registerDf(edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst"), w.as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = registerDf(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache())
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // the per-round probe layout, built once: (src, dst, outdeg)
-    val eo = registerDf(e.join(outdeg, "src").cache())
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
+    // the per-round probe layout, built once: (src, dst, w, wsum)
+    val eo = registerDf(e.join(outw, "src").cache())
     var ranks = nodes.withColumn("rank", lit(1000000L))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var iter = 0
     while (iter < iters) {
       val inc = eo.join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div outdeg").as("contrib"))
+        .select(col("dst").as("node"), expr("(rank * w) div wsum").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
       val next = nodes.join(inc, Seq("node"), "left")
         .select(col("node"),

@@ -920,6 +920,17 @@ object RelationalQueries {
         coPurchaseEdges(spark, dir, ordered = false), iters = 3).orderBy("node")
     },
 
+    "pagerank_weighted" -> { (spark, dir) =>
+      // WEIGHTED PageRank: rank flows proportional to co-purchase
+      // STRENGTH (number of orders sharing the pair) — contrib =
+      // (rank · w) div Σ out-weights, the same floor arithmetic with
+      // the weight in the cross-multiply, same unrolled-CTE oracle.
+      import spark.implicits._
+      graft.ops.Graph.pageRank(
+        coPurchaseEdges(spark, dir, ordered = false), iters = 3,
+        weightCol = "w").orderBy("node")
+    },
+
     "triangle_parts" -> { (spark, dir) =>
       // Exact per-node triangle counts on the same co-purchase graph —
       // the non-iterative graph primitive next to PageRank: ordered
@@ -954,7 +965,9 @@ object RelationalQueries {
     * with k in the tens of thousands would expand k² in one row, and
     * such data should fall back to the self-join form. `ordered`
     * emits src < dst only (the triangle orientation); otherwise both
-    * directions.
+    * directions. Output: (src, dst, w) where w = number of orders
+    * sharing the pair (a groupBy — the same shuffle a distinct would
+    * cost); unweighted consumers simply ignore w.
     */
   private def coPurchaseEdges(spark: SparkSession, dir: String,
       ordered: Boolean): DataFrame = {
@@ -968,7 +981,7 @@ object RelationalQueries {
         transform(filter($"ps", b => cond(a, b)),
           b => struct(a.as("src"), b.as("dst")))))).as("e"))
       .select($"e.src".as("src"), $"e.dst".as("dst"))
-      .distinct()
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
   }
 
   /** One integer PageRank round for the pagerank_parts oracle. */
@@ -978,6 +991,17 @@ object RelationalQueries {
        |             150000 + (coalesce(s.inc, 0) * 17) // 20 AS rank
        |      FROM n LEFT JOIN (
        |        SELECT e.dst AS node, sum(r.rank // d.outdeg) AS inc
+       |        FROM e JOIN $prev r ON r.node = e.src JOIN d ON d.node = e.src
+       |        GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+  }
+
+  /** One WEIGHTED integer PageRank round: (rank · w) // Σ out-weights. */
+  private def pagerankWeightedRoundCte(i: Int): String = {
+    val prev = s"r${i - 1}"
+    s"""r$i AS (SELECT n.node,
+       |             150000 + (coalesce(s.inc, 0) * 17) // 20 AS rank
+       |      FROM n LEFT JOIN (
+       |        SELECT e.dst AS node, sum((r.rank * e.w) // d.wsum) AS inc
        |        FROM e JOIN $prev r ON r.node = e.src JOIN d ON d.node = e.src
        |        GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
   }
@@ -993,6 +1017,22 @@ object RelationalQueries {
          |${pagerankRoundCte(1)},
          |${pagerankRoundCte(2)},
          |${pagerankRoundCte(3)}
+         |SELECT node, rank::BIGINT AS rank_micros FROM r3 ORDER BY node""".stripMargin,
+
+    // rank flows proportional to co-purchase strength (orders sharing
+    // the pair); weights enter via (rank * w) // wsum
+    "pagerank_weighted" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::BIGINT AS w
+         |      FROM li a JOIN li b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |      GROUP BY 1, 2),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |d AS (SELECT src AS node, sum(w)::BIGINT AS wsum FROM e GROUP BY 1),
+         |r0 AS (SELECT node, 1000000::BIGINT AS rank FROM n),
+         |${pagerankWeightedRoundCte(1)},
+         |${pagerankWeightedRoundCte(2)},
+         |${pagerankWeightedRoundCte(3)}
          |SELECT node, rank::BIGINT AS rank_micros FROM r3 ORDER BY node""".stripMargin,
 
     // 3 unrolled frontier expansions, min-fold per round

@@ -724,8 +724,14 @@ class OpsSpec extends SparkSpec {
     val path = Seq((1L,2L),(2L,1L),(2L,3L),(3L,2L)).toDF("src","dst")
     val r2 = Graph.pageRank(path, iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    Graph.releaseCaches()
     assert(r2 == Map(1L -> 936250L, 2L -> 1127500L, 3L -> 936250L), r2.toString)
+    // weighted: star 1→2 (w=3), 1→3 (w=1), one round by hand —
+    // wsum(1)=4; contrib 750000/250000; ranks 787500/362500; source 150000
+    val star = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val rw = Graph.pageRank(star, iters = 1, weightCol = "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Graph.releaseCaches()
+    assert(rw == Map(1L -> 150000L, 2L -> 787500L, 3L -> 362500L), rw.toString)
   }
 
   test("BFS hops: exact distances on a path; unreached nodes absent") {

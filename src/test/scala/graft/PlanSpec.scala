@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
       "audio_near_dup" -> 3,        // same machinery over the PCM envelope hash
       "pagerank_parts" -> 16,       // measured 15: 3 uncut rounds × (rank join + contribution agg) over the cached edge layout + node build + final sort (the periodic cut fires only past round 5)
       "triangle_parts" -> 9,        // measured 8: canonical edge build (cached once) + adjacency agg + two probe joins + contribution agg + sort
-      "bfs_parts" -> 26)            // measured 25: 3 uncut rounds × (frontier join + union min-fold) + seed distinct + final sort
+      "bfs_parts" -> 26,            // measured 25: 3 uncut rounds × (frontier join + union min-fold) + seed distinct + final sort
+      "pagerank_weighted" -> 16)    // identical shape to pagerank_parts — the weight rides the same cross-multiply
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
