@@ -174,6 +174,30 @@ object Graft {
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame =
     Graph.bfsHops(edges, seeds, rounds)
 
+  // pipeline maintenance: CDC apply / incremental SCD2 / diff / checks
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      valueCols: Seq[String], opCol: String, tsCol: String,
+      tieCol: String): DataFrame =
+    Cdc.applyChangelog(snapshot, changes, keyCols, valueCols, opCol, tsCol, tieCol)
+  def mergeScd2(history: DataFrame, batch: DataFrame, keyCol: String,
+      attrCol: String, tsCol: String, tieCol: String): DataFrame =
+    Cdc.scd2Merge(history, batch, keyCol, attrCol, tsCol, tieCol)
+  def diffTables(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame =
+    Diff.tableDiff(a, b, keyCols, compareCols)
+  def driftReport(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame =
+    Diff.columnDrift(a, b, cols)
+  def check(df: DataFrame, checks: Seq[DataQuality.Check]): DataFrame =
+    DataQuality.runChecks(df, checks)
+
+  // entity resolution
+  def entityPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame =
+    Entity.matchPairs(df, idCol, nameCol, blockCols, thresholdNum, thresholdDen)
+  def resolveEntities(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame =
+    Entity.resolve(df, idCol, nameCol, blockCols, thresholdNum, thresholdDen)
+
   // skew mitigation
   def aggregateSalted(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
     Skew.saltedSumCount(df, keys, valueCol)

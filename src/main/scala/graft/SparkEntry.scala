@@ -23,7 +23,8 @@ object SparkEntry {
       DedupQueries.queries ++
       SimilarityQueries.queries ++
       TextQueries.queries ++
-      FunctionQueries.queries
+      FunctionQueries.queries ++
+      PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     SessionQueries.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       DedupQueries.oracles ++
       SimilarityQueries.oracles ++
       TextQueries.oracles ++
-      FunctionQueries.oracles
+      FunctionQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -78,4 +78,68 @@ object DataQuality {
     (df.observe(obs, count(lit(1)).as("n_rows"),
       sum(col(nullCheckCol).isNull.cast("long")).as("n_nulls")), obs)
   }
+
+  /** A declarative table constraint (the Deequ/dbt-tests shape): each
+    * check evaluates to a violation count over the table.
+    */
+  sealed trait Check { def name: String }
+  /** Column must have no NULLs. */
+  final case class NotNull(name: String, column: String) extends Check
+  /** Column tuple must be unique; violations = rows beyond the first in
+    * each duplicated group.
+    */
+  final case class Unique(name: String, columns: Seq[String]) extends Check
+  /** Row-level predicate that every row must satisfy (NULL predicate
+    * result counts as a violation — unknown is not a pass).
+    */
+  final case class Satisfies(name: String, predicate: org.apache.spark.sql.Column)
+    extends Check
+  /** Referential integrity: every non-null `column` value must appear in
+    * `dim`'s `dimColumn` (SQL FK semantics — NULL FKs pass).
+    */
+  final case class RefIntegrity(name: String, column: String,
+      dim: DataFrame, dimColumn: String) extends Check
+
+  /** Run a constraint suite: one row per check — (check_name,
+    * n_violations, passed 0/1). ALL row-level checks (NotNull /
+    * Satisfies) fold into a SINGLE aggregate pass over the table
+    * (conditional sums — one scan no matter how many constraints);
+    * each Unique adds one partial-agg groupBy and each RefIntegrity one
+    * anti-join (broadcast when the dimension is small). At 100 TB a
+    * 20-constraint suite is therefore ~one scan plus one shuffle per
+    * uniqueness key — not 20 scans.
+    */
+  def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "runChecks: empty constraint suite")
+    require(checks.map(_.name).distinct.size == checks.size,
+      "runChecks: duplicate check names")
+    val spark = df.sparkSession
+    val rowLevel = checks.collect {
+      case NotNull(n, c) => n -> col(c).isNull
+      case Satisfies(n, p) => n -> !coalesce(p, lit(false))
+    }
+    val rowFrames: Seq[DataFrame] =
+      if (rowLevel.isEmpty) Nil
+      else {
+        val aggs = rowLevel.map { case (n, viol) =>
+          coalesce(sum(viol.cast("long")), lit(0L)).as(n) }
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        Seq(one.select(explode(array(rowLevel.map { case (n, _) => struct(
+          lit(n).as("check_name"), col(n).as("n_violations")) }: _*)).as("c"))
+          .select(col("c.*")))
+      }
+    val others: Seq[DataFrame] = checks.collect {
+      case Unique(n, cols) =>
+        df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .agg(lit(n).as("check_name"),
+            coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"))
+      case RefIntegrity(n, c, dim, dc) =>
+        df.filter(col(c).isNotNull)
+          .join(dim.select(col(dc).as(c)), Seq(c), "left_anti")
+          .agg(lit(n).as("check_name"),
+            count(lit(1)).as("n_violations"))
+    }
+    (rowFrames ++ others).reduce(_.unionByName(_))
+      .withColumn("passed", (col("n_violations") === 0).cast("long"))
+  }
 }

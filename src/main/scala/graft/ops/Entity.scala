@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution (record linkage): which rows of a dimension refer
+  * to the same real-world thing. The classic three-stage shape —
+  * blocking (cheap attribute equality bounds the candidate space),
+  * pairwise similarity over name tokens (exact integer Jaccard
+  * comparison, no floats), transitive closure into entities (the same
+  * contraction + pointer-jump connected components the dedup stack
+  * uses, Dedup.scala) — each stage re-expressed declaratively so
+  * Catalyst keeps the scan pruned and the self-join shuffles on the
+  * block key.
+  */
+object Entity {
+
+  /** Candidate match pairs: rows sharing every `blockCols` value whose
+    * distinct `nameCol` token sets overlap with Jaccard >
+    * thresholdNum/thresholdDen (compared as an integer cross-product —
+    * bit-identical across engines). Output (id_a, id_b, inter, uni),
+    * id_a < id_b.
+    *
+    * Scale shape: the self-join shuffles BOTH sides on the block key
+    * once; cost is Σ_blocks n_b², so the block key must bound block
+    * size — at dimension scale pick attributes with ~uniform fan-out
+    * (brand × size here: TPC-H-ish parts spread evenly) or add a
+    * length bucket the way ngramJaccardPairs does. Token arrays ride
+    * the shuffle, so bytes ∝ dimension size — fine for dimensions,
+    * never for facts.
+    */
+  def matchPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame = {
+    val toks = df.select((col(idCol) +: blockCols.map(col)) :+
+      array_distinct(split(col(nameCol), " ")).as("__toks"): _*)
+    val a = toks.select(col(idCol).as("id_a") +: blockCols.map(col) :+
+      col("__toks").as("__toks_a"): _*)
+    val b = toks.select(col(idCol).as("id_b") +: blockCols.map(col) :+
+      col("__toks").as("__toks_b"): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("__toks_a"), col("__toks_b"))))
+      .withColumn("uni", size(array_union(col("__toks_a"), col("__toks_b"))))
+      .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** Resolve the dimension into entities: [[matchPairs]] →
+    * connectedComponents → every row labeled with its entity id
+    * (min member id; unmatched rows are their own entity), plus the
+    * entity's member count. The canonical-record choice (which member
+    * represents the entity) is a per-entity top-1 — callers compose
+    * [[TopK]] or a quality window over this output, the same way
+    * keep-best dedup does.
+    */
+  def resolve(df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], thresholdNum: Int = 1,
+      thresholdDen: Int = 2): DataFrame = {
+    val pairs = matchPairs(df, idCol, nameCol, blockCols, thresholdNum, thresholdDen)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("entity_id"))
+    val sizes = labeled.groupBy(col("entity_id")).agg(count(lit(1)).as("n_members"))
+    labeled.join(sizes, Seq("entity_id"))
+      .select(col(idCol), col("entity_id"), col("n_members"))
+  }
+}

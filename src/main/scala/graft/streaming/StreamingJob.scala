@@ -149,6 +149,43 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Streaming CDC-upsert job — the foreachBatch merge sink (the
+    * canonical streaming-upsert pattern for stores without native
+    * MERGE): each micro-batch of change rows is folded into a
+    * materialized snapshot via [[graft.ops.Cdc.upsertLatest]], written
+    * as a fresh versioned snapshot dir (parquet has no row-level
+    * update; a lakehouse table format would MERGE in place through the
+    * same foreachBatch hook). Correctness does NOT depend on how the
+    * file source splits or orders the listing: upsertLatest is
+    * associative+commutative in the batches, so any interleaving
+    * converges to global latest-wins — `maxFilesPerTrigger` is set to 1
+    * precisely to EXERCISE the multi-batch path rather than avoid it.
+    * Returns the final snapshot's path.
+    */
+  def runCdcUpsert(spark: SparkSession, schema: StructType, inPath: String,
+      snapshot0: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+      tsCol: String, tieCol: String, workDir: String,
+      checkpointPath: String): String = {
+    val snap0 = s"$workDir/snap_0"
+    snapshot0.write.mode("overwrite").parquet(snap0)
+    val current = new java.util.concurrent.atomic.AtomicReference[String](snap0)
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inPath)
+    val q = in.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val snap = batch.sparkSession.read.parquet(current.get)
+        val next = graft.ops.Cdc.upsertLatest(snap, batch.toDF(), keyCols, tsCol, tieCol)
+        val path = s"$workDir/snap_${id + 1}"
+        next.write.mode("overwrite").parquet(path)
+        current.set(path)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    current.get
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inPath, outPath, checkpointPath) = args
     val spark = graft.Graft.session("graft-streaming")

@@ -169,7 +169,15 @@ class PlanSpec extends SparkSpec {
       "pagerank_parts" -> 16,       // measured 15: 3 uncut rounds × (rank join + contribution agg) over the cached edge layout + node build + final sort (the periodic cut fires only past round 5)
       "triangle_parts" -> 9,        // measured 8: canonical edge build (cached once) + adjacency agg + two probe joins + contribution agg + sort
       "bfs_parts" -> 26,            // measured 25: 3 uncut rounds × (frontier join + union min-fold) + seed distinct + final sort
-      "pagerank_weighted" -> 16)    // identical shape to pagerank_parts — the weight rides the same cross-multiply
+      "pagerank_weighted" -> 16,    // identical shape to pagerank_parts — the weight rides the same cross-multiply
+      // round-8 additions
+      "cdc_apply" -> 3,       // measured 3: latest-change window (shared by snapshot + batch sides) + key join + sort
+      "scd2_merge" -> 4,      // measured 4: prefix scd2 chain + (open ∪ batch) rebuild chain + union + sort — closed intervals add NO shuffle
+      "table_diff" -> 3,      // measured 3: full-outer key join sides + sort; (key, md5) computed at the scan
+      "column_drift" -> 5,    // measured 5: one multi-distinct profile pass per side + tiny col_name join + sort
+      "dq_checks" -> 5,       // measured 5: ONE row-level agg pass + uniqueness partial-agg + FK anti-join + union + sort
+      "entity_pairs" -> 2,    // measured 2: block self-join (both sides keyed on brand) + sort
+      "entity_clusters" -> 7) // measured 7: block join + CC seed agg + label join-back + member-count agg + sort (CC rounds are iterative RDD)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
