@@ -188,6 +188,32 @@ object PipelineQueries {
         .orderBy("check_name")
     },
 
+    "interval_merge" -> { (spark, dir) =>
+      // Interval union: each event opens a 30-minute exposure window;
+      // overlapping/touching windows per user merge into maximal
+      // islands (one key-partitioned exchange for the whole
+      // detect-flag-aggregate chain). The islands ARE gap-rule sessions
+      // computed by interval algebra instead of lag — a deliberate
+      // cross-check of two formulations on different engine paths.
+      val iv = Tables.events(spark, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + 1800000000L).as("e_us"))
+      graft.ops.Intervals.merge(iv, "user_id", "s_us", "e_us")
+        .orderBy("user_id", "start_us")
+    },
+
+    "interval_coverage" -> { (spark, dir) =>
+      // Per-user covered wall-clock: the union length of the same
+      // exposure windows — the metric a naive sum-of-durations
+      // double-counts wherever events cluster. Rolls the islands up by
+      // the key they are already partitioned on (no extra exchange).
+      val iv = Tables.events(spark, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + 1800000000L).as("e_us"))
+      graft.ops.Intervals.coverage(iv, "user_id", "s_us", "e_us")
+        .orderBy("user_id")
+    },
+
     "entity_pairs" -> { (spark, dir) =>
       // Record-linkage candidate pairs: same brand (blocking), ≥2 of 3
       // shared (name ∪ type) tokens — Jaccard > 2/5 as an integer
@@ -329,6 +355,31 @@ object PipelineQueries {
         |SELECT check_name, n_violations,
         |       (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::BIGINT AS passed
         |FROM r ORDER BY check_name""".stripMargin,
+
+    "interval_merge" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |                   epoch_us(ts) + 1800000000 AS e FROM events),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM iv),
+        |f AS (SELECT *, CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END AS ni FROM m),
+        |g AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f)
+        |SELECT user_id, island::BIGINT AS island, min(s) AS start_us, max(e) AS end_us,
+        |       count(*) AS n_merged
+        |FROM g GROUP BY user_id, island ORDER BY user_id, start_us""".stripMargin,
+
+    "interval_coverage" ->
+      """WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |                   epoch_us(ts) + 1800000000 AS e FROM events),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM iv),
+        |f AS (SELECT *, CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END AS ni FROM m),
+        |g AS (SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+        |isl AS (SELECT user_id, island, min(s) AS s, max(e) AS e
+        |        FROM g GROUP BY user_id, island)
+        |SELECT user_id, sum(e - s)::BIGINT AS covered_us, count(*) AS n_islands
+        |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "entity_pairs" ->
       """WITH t AS (SELECT p_partkey, p_brand,

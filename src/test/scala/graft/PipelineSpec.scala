@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Cdc, DataQuality, Diff, Dimensions, Entity}
+import graft.ops.{Cdc, DataQuality, Diff, Dimensions, Entity, Intervals}
 
 /** Unit tests for the pipeline-maintenance operators (Cdc / Diff /
   * DataQuality.runChecks / Entity) — fixture edge cases the sf-scale
@@ -207,6 +207,31 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((1L, "late", 30L, 1L), (2L, "b", 10L, 2L), (9L, "keep", 1L, 5L)))
     // maxFilesPerTrigger=1 must actually have produced one snapshot per batch
     assert(new java.io.File(s"$base/work").list().count(_.startsWith("snap_")) == 3)
+  }
+
+  test("Intervals.merge: overlap and touch merge, gaps split, containment absorbs") {
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L),   // overlap → one island [0,20)
+      (1L, 20L, 30L),                 // touching (half-open) → same island
+      (1L, 40L, 50L), (1L, 42L, 44L), // containment absorbs → [40,50)
+      (2L, 0L, 100L))                 // other key unaffected
+      .toDF("k", "s", "e")
+    val out = Intervals.merge(iv, "k", "s", "e")
+      .select($"k", $"start_us", $"end_us", $"n_merged")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 30L, 3L), (1L, 40L, 50L, 2L), (2L, 0L, 100L, 1L)))
+    val cov = Intervals.coverage(iv, "k", "s", "e")
+      .select($"k", $"covered_us", $"n_islands")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cov == Set((1L, 40L, 2L), (2L, 100L, 1L)))
+  }
+
+  test("Intervals.merge plans a single exchange for the whole chain") {
+    val iv = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val plan = Intervals.merge(iv, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*[+:]?-?\\s*Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 Exchange:\n$plan")
   }
 
   test("Entity.matchPairs: threshold is a strict integer comparison") {

@@ -177,13 +177,44 @@ class PlanSpec extends SparkSpec {
       "column_drift" -> 5,    // measured 5: one multi-distinct profile pass per side + tiny col_name join + sort
       "dq_checks" -> 5,       // measured 5: ONE row-level agg pass + uniqueness partial-agg + FK anti-join + union + sort
       "entity_pairs" -> 2,    // measured 2: block self-join (both sides keyed on brand) + sort
-      "entity_clusters" -> 7) // measured 7: block join + CC seed agg + label join-back + member-count agg + sort (CC rounds are iterative RDD)
+      "entity_clusters" -> 7, // measured 7: block join + CC seed agg + label join-back + member-count agg + sort (CC rounds are iterative RDD)
+      "interval_merge" -> 2,  // measured 2: ONE key exchange for the detect-flag-aggregate chain + final sort
+      "interval_coverage" -> 2) // same chain; the per-key rollup reuses the island partitioning
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
       assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n${planOf(df)}")
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
+    }
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's build side
+    // carries a selective filter, the optimizer plants a bloom-filter
+    // aggregate on it and a might_contain probe on the fact side — rows
+    // that cannot match are dropped BEFORE the fact shuffle. At 100 TB
+    // this is the difference between shuffling the whole fact table and
+    // shuffling the matching slice; the thresholds are lowered here
+    // only because test-scale stats sit below the production defaults.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, Sf0001)
+      val ord = Tables.orders(spark, Sf0001).filter($"o_totalprice" > 400000.0)
+      val joined = li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
