@@ -96,6 +96,8 @@ object Graft {
   def deduplicateKeepBest(docs: DataFrame, qualityCol: String = "n_chars"): DataFrame =
     Dedup.keepBestPerCluster(docs, qualityCol = qualityCol)
   def corpusFitScore(docs: DataFrame): DataFrame = TextOps.lmScore(docs)
+  def qualityRules(docs: DataFrame): DataFrame = TextOps.gopherRules(docs)
+  def scrubPii(docs: DataFrame): DataFrame = TextOps.redactPii(docs)
   def splitCorpus(docs: DataFrame, trainPerMille: Int = 900,
       valPerMille: Int = 950): DataFrame =
     TextOps.corpusSplit(docs, trainPerMille = trainPerMille, valPerMille = valPerMille)
@@ -125,6 +127,9 @@ object Graft {
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int): DataFrame =
     Similarity.nearDupPairs(corpus, centroids, thresholdPct)
+  def semanticDeduplicate(corpus: DataFrame, centroids: DataFrame,
+      thresholdPct: Int): DataFrame =
+    Similarity.semanticDedup(corpus, centroids, thresholdPct)
   def srpSignatures(corpus: DataFrame, nbits: Int = 16,
       dims: Int = Similarity.SrpMaxDims): DataFrame =
     Similarity.srpBits(corpus, nbits, dims = dims)
@@ -189,6 +194,12 @@ object Graft {
     Diff.columnDrift(a, b, cols)
   def check(df: DataFrame, checks: Seq[DataQuality.Check]): DataFrame =
     DataQuality.runChecks(df, checks)
+  def aggregateBatch(facts: DataFrame, keys: Seq[String], sums: Seq[String],
+      mins: Seq[String], maxs: Seq[String]): DataFrame =
+    Incremental.partialAggregate(facts, keys, sums, mins, maxs)
+  def refreshAggregate(baseAgg: DataFrame, deltaAgg: DataFrame, keys: Seq[String],
+      sums: Seq[String], mins: Seq[String], maxs: Seq[String]): DataFrame =
+    Incremental.mergeAggregates(baseAgg, deltaAgg, keys, sums, mins, maxs)
 
   // entity resolution
   def entityPairs(df: DataFrame, idCol: String, nameCol: String,

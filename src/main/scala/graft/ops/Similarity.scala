@@ -90,8 +90,16 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+      embCol: String = "embedding"): DataFrame =
+    pairsFromAssigned(assignClusters(corpus, centroids, idCol, embCol),
+      thresholdPct, idCol, embCol)
+
+  /** Cluster-blocked above-threshold cosine pairs over an already
+    * assigned corpus (shared by [[nearDupPairs]] and [[semanticDedup]],
+    * which needs the assignment again for its keep flags).
+    */
+  private def pairsFromAssigned(assigned: DataFrame, thresholdPct: Int,
+      idCol: String, embCol: String): DataFrame = {
     val a = assigned.select(col(idCol).as("vec_a"), col(embCol).as("va"),
       col("__norm").as("__na"), col("cluster"))
     val b = assigned.select(col(idCol).as("vec_b"), col(embCol).as("vb"),
@@ -101,6 +109,32 @@ object Similarity {
       .withColumn("cos", dotFast(col("va"), col("vb")) / (col("__na") * col("__nb")))
       .filter(col("cos") * 100 > thresholdPct)
       .select(col("vec_a"), col("vec_b"), col("cluster"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embeddings are clustered by the coarse
+    * quantizer, the quadratic cosine compare is CONFINED to each
+    * cluster, and every vector with a lower-id above-threshold
+    * neighbor in its cluster is dropped — the paper keeps one
+    * arbitrary member per semantic-duplicate group; id order makes
+    * the representative choice deterministic and engine-portable.
+    * Output: every corpus row with (id, cluster, kept).
+    *
+    * Scale shape: one broadcast-centroid assignment pass, one
+    * bucket-confined pair join (corpus/K rows per bucket task), and a
+    * left join against the DISTINCT removed-id set — the dup set is a
+    * small fraction of the corpus whenever the threshold is doing its
+    * job, so AQE broadcasts it.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      thresholdPct: Int, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+    val dups = pairsFromAssigned(assigned, thresholdPct, idCol, embCol)
+      .select(col("vec_b").as(idCol)).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dups, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
   }
 
   /** Multi-probe IVF top-k: the corpus stays partitioned by nearest

@@ -486,4 +486,79 @@ object TextOps {
       .filter(h16 * col("__n") < lit(65536L) * col("__m"))
       .select(col(idCol), col(groupCol))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021,
+    * arXiv:2112.11446, Table A1), each as its own boolean so a pipeline
+    * can audit WHY a document was dropped, plus the conjunction `keep`.
+    * Every rule is an integer comparison (mean-word-length bounds are
+    * cross-multiplied: lo·n ≤ Σlen ≤ hi·n; the 80% alphabetic-word
+    * floor is 10·n_alpha ≥ 8·n; the duplicate-3-gram ceiling is
+    * 5·n_dup ≤ n_grams) — no float thresholds, so the keep decision is
+    * bit-identical across engines. Pure per-row projection: no explode,
+    * no shuffle; at 100 TB this is a free pass over the scan.
+    */
+  def gopherRules(df: DataFrame, minWords: Int = 20, maxWords: Int = 100000,
+      minMeanLen: Int = 2, maxMeanLen: Int = 10, minStopHits: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStopHits = size(array_intersect(array_distinct(toks), stopArr))
+    val grams = when(n >= 3,
+      transform(sequence(lit(0), n - 3), i => concat_ws(" ",
+        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val nGrams = size(grams)
+    val nDup = nGrams - size(array_distinct(grams))
+    df.select(
+      col(idCol),
+      n.cast("long").as("n_words"),
+      sumLen.as("sum_word_chars"),
+      nAlpha.cast("long").as("n_alpha_words"),
+      nStopHits.cast("long").as("n_stop_hits"),
+      nDup.cast("long").as("n_dup_grams"),
+      (n >= minWords && n <= maxWords).as("rule_words"),
+      (sumLen >= n.cast("long") * minMeanLen &&
+        sumLen <= n.cast("long") * maxMeanLen).as("rule_mean_len"),
+      (nAlpha * 10 >= n * 8).as("rule_alpha"),
+      (nStopHits >= minStopHits).as("rule_stops"),
+      (nDup * 5 <= nGrams).as("rule_repetition"))
+      .withColumn("keep",
+        col("rule_words") && col("rule_mean_len") && col("rule_alpha") &&
+          col("rule_stops") && col("rule_repetition"))
+  }
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common subset
+    * (no lookaround, no backreferences, no \\b) so Spark and any
+    * RE2-based engine redact identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** PII scrubbing — the redaction pass every shareable training corpus
+    * needs: count and replace emails, IPv4 addresses and (toy, 555-
+    * prefixed) phone numbers with typed placeholders. Replacement order
+    * is email → IP → phone, identical in any engine because the three
+    * pattern classes cannot overlap (an email body never parses as four
+    * dot-separated octets; placeholders contain no pattern characters).
+    * Counts are taken on the INPUT text, before any placeholder lands.
+    * Per-row regexp work only — zero shuffle, embarrassingly parallel.
+    */
+  def redactPii(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
 }

@@ -130,6 +130,28 @@ object PipelineQueries {
         .orderBy("o_custkey", "valid_from", "o_orderpriority")
     },
 
+    "incremental_agg" -> { (spark, dir) =>
+      // Materialized-aggregate REFRESH: the per-customer order stats
+      // table is built from the pre-boundary prefix, then the
+      // post-boundary batch's partial aggregate merges in — count/sum
+      // by SUM, min/max by MIN/MAX, avg derived AFTER the merge. The
+      // oracle is the full recompute over all orders, gating the merge
+      // laws end-to-end. At 100 TB the refresh touches |agg| + |delta|
+      // rows; the fact table is never rescanned.
+      val log = orderLog(spark, dir).drop("op")
+      val keys = Seq("o_custkey")
+      val sums = Seq("price_cents")
+      val mm = Seq("price_cents")
+      val base = graft.ops.Incremental.partialAggregate(
+        log.filter(col("ts_us") < BoundaryUs), keys, sums, mm, mm)
+      val delta = graft.ops.Incremental.partialAggregate(
+        log.filter(col("ts_us") >= BoundaryUs), keys, sums, mm, mm)
+      graft.ops.Incremental.mergeAggregates(base, delta, keys, sums, mm, mm)
+        .withColumn("avg_price_cents",
+          col("sum_price_cents").cast("double") / col("n_rows"))
+        .orderBy("o_custkey")
+    },
+
     "table_diff" -> { (spark, dir) =>
       // Row-level diff of two table versions (the post-backfill audit):
       // version A drops every 7th order, version B drops every 5th and
@@ -294,6 +316,17 @@ object PipelineQueries {
         |SELECT o_custkey, o_orderpriority, ts_us AS valid_from,
         |       lead(ts_us) OVER (PARTITION BY o_custkey ORDER BY ts_us, o_orderkey) AS valid_to
         |FROM chg ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin,
+
+    // the full recompute — the Spark side gets here by merging the
+    // delta's partial aggregate into the materialized base aggregate
+    "incremental_agg" ->
+      s"""WITH $LogCte
+         |SELECT k AS o_custkey, count(*)::BIGINT AS n_rows,
+         |       sum(price_cents)::BIGINT AS sum_price_cents,
+         |       min(price_cents)::BIGINT AS min_price_cents,
+         |       max(price_cents)::BIGINT AS max_price_cents,
+         |       sum(price_cents)::DOUBLE / count(*) AS avg_price_cents
+         |FROM log GROUP BY k ORDER BY o_custkey""".stripMargin,
 
     "table_diff" ->
       s"""WITH $VersionsCte,

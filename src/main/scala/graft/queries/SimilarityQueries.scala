@@ -41,6 +41,20 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    "semantic_dedup" -> { (spark, dir) =>
+      // SemDeDup (Abbas et al. 2023): cluster-confined semantic dedup —
+      // assign to the 8 IVF seed centroids, drop any vector with a
+      // lower-id cosine>0.42 neighbor in its cluster (deterministic
+      // keep-first representative). The embedding-space analogue of
+      // dedup_keep_best: the pair join never leaves a bucket, and the
+      // removed-id set is distinct + small, so the keep-flag join
+      // broadcasts under AQE.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.semanticDedup(emb, emb.filter($"vec_id" < 8), thresholdPct = 42)
+        .orderBy("vec_id")
+    },
+
     "pq_near_dup" -> { (spark, dir) =>
       // PQ-as-LSH: candidate pairs are vectors whose ENTIRE code tuple
       // matches (subspaces=2 → 8² possible keys, the fine-grained
@@ -495,6 +509,17 @@ object SimilarityQueries {
          |FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100 > 42
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "semantic_dedup" ->
+      s"""WITH $NormCte,
+         |$AssignedCte,
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM assigned a JOIN assigned b
+         |          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |        WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100 > 42)
+         |SELECT s.vec_id, s.cluster, (d.vec_id IS NULL) AS kept
+         |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
 
     "ivf_topk" ->
       s"""WITH $NormCte,

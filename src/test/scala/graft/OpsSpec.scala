@@ -69,6 +69,27 @@ class OpsSpec extends SparkSpec {
     assert(out == Set((1, 0L), (2, 4L)))   // bucket 0 members only, no 1L/3L
   }
 
+  test("semantic dedup keeps the lowest-id member of each in-cluster dup group") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),           // centroids
+      (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, 0.02f)),       // dups of centroid 0
+      (4L, Array(0.05f, 0.95f)),                                  // dup of centroid 1
+      (5L, Array(-0.9f, 0.1f))).toDF("vec_id", "embedding")       // cluster 1, no near dup
+    val out = Similarity.semanticDedup(emb, emb.filter($"vec_id" < 2), thresholdPct = 95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every vector appears exactly once, with its cluster
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(out(2L)._1 == 0L && out(4L)._1 == 1L)
+    // centroids keep (lowest ids of their groups); 2/3 lose to 0, 4 loses
+    // to 1; 5 shares cluster 1 but sits below the threshold, so it keeps
+    assert(out(0L)._2 && out(1L)._2 && out(5L)._2)
+    assert(!out(2L)._2 && !out(3L)._2 && !out(4L)._2)
+    // consistency with the pair surface: removed ids == distinct vec_b side
+    val pairs = Similarity.nearDupPairs(emb, emb.filter($"vec_id" < 2), thresholdPct = 95)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    assert(out.filterNot(_._2._2).keySet == pairs)
+  }
+
   test("multi-probe IVF recall dominates single-probe") {
     val emb = Tables.embeddings(spark, Sf0001)
     val cent = emb.filter($"vec_id" < 8)
@@ -125,6 +146,44 @@ class OpsSpec extends SparkSpec {
     assert(q.getAs[Int]("n_stopwords") == 2)
     val l = TextOps.languageId(df).select("predicted").head.getString(0)
     assert(l == "en")
+  }
+
+  test("gopher rules: each rule isolates its own failure mode") {
+    val good = (1 to 25).map(i => s"word$i").mkString(" ") + " the a of"
+    val short = "the a of tiny"                                  // < 20 words
+    val longWords = (1 to 25).map(_ => "pneumonoultramicroscopic").mkString(" ") + " the a"
+    val numeric = (1 to 22).map(_.toString).mkString(" ") + " the a of" // <80% alphabetic
+    val noStops = (1 to 25).map(i => s"word$i").mkString(" ")    // 0 stopword hits
+    val repeated = Array.fill(30)("spam ham eggs").mkString(" ") + " the a of"
+    val df = Seq((1L, good), (2L, short), (3L, longWords), (4L, numeric),
+      (5L, noStops), (6L, repeated)).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("rule_words") && out(2L).getAs[Boolean]("rule_alpha"))
+    assert(!out(3L).getAs[Boolean]("rule_mean_len"))
+    assert(!out(4L).getAs[Boolean]("rule_alpha") && out(4L).getAs[Boolean]("rule_words"))
+    assert(!out(5L).getAs[Boolean]("rule_stops"))
+    assert(!out(6L).getAs[Boolean]("rule_repetition"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(i => !out(i).getAs[Boolean]("keep")))
+  }
+
+  test("pii redaction: counts precede redaction, placeholders land in order") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org or 10.0.0.7 call 555-0199"),
+      (2L, "two mails a@b.io c@d.co one ip 192.168.1.1"),
+      (3L, "clean text, no pii at all")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1 && out(1L).getAs[Long]("n_ips") == 1
+      && out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[String]("redacted")
+      == "mail me at <EMAIL> or <IP> call <PHONE>")
+    assert(out(2L).getAs[Long]("n_emails") == 2 && out(2L).getAs[Long]("n_ips") == 1)
+    assert(out(2L).getAs[String]("redacted") == "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert(out(3L).getAs[Long]("n_emails") == 0 && out(3L).getAs[Long]("n_ips") == 0
+      && out(3L).getAs[Long]("n_phones") == 0)
+    assert(out(3L).getAs[String]("redacted") == "clean text, no pii at all")
   }
 
   test("multimodal: decode and frame sampling preserve contract") {

@@ -234,6 +234,30 @@ class PipelineSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 Exchange:\n$plan")
   }
 
+  test("Incremental: batch-at-a-time merge == merged union == full recompute") {
+    import graft.ops.Incremental
+    val facts = Seq(
+      (1L, 10L, 0), (1L, 30L, 0), (1L, 20L, 1), (2L, 5L, 1),
+      (2L, 7L, 2), (3L, 100L, 2)).toDF("k", "v", "batch")
+    val keys = Seq("k"); val cols = Seq("v")
+    def part(b: Int) = Incremental.partialAggregate(
+      facts.filter($"batch" === b), keys, cols, cols, cols)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(_.toSeq).toSeq
+    // fold batches one at a time
+    val folded = (1 to 2).foldLeft(part(0)) { (acc, b) =>
+      Incremental.mergeAggregates(acc, part(b), keys, cols, cols, cols) }
+    // merge the union of deltas in one refresh
+    val once = Incremental.mergeAggregates(part(0),
+      Incremental.partialAggregate(facts.filter($"batch" >= 1), keys, cols, cols, cols),
+      keys, cols, cols, cols)
+    val full = Incremental.partialAggregate(facts, keys, cols, cols, cols)
+    assert(canon(folded) == canon(full))
+    assert(canon(once) == canon(full))
+    // a key absent from every delta (3 only in batch 2) passes through
+    assert(canon(folded).exists(r => r.head == 3L))
+  }
+
   test("Entity.matchPairs: threshold is a strict integer comparison") {
     val df = Seq((1L, "a b c", "B"), (2L, "a b d", "B")).toDF("id", "nm", "blk")
     // inter=2, uni=4 → jaccard = 1/2 exactly: NOT > 1/2, pair excluded
