@@ -43,6 +43,9 @@ object Graft {
   // dedup
   def exactDuplicates(docs: DataFrame): DataFrame = Dedup.exact(docs)
   def nearDuplicates(docs: DataFrame): DataFrame = Dedup.minhashPairs(docs)
+  def similarityJoinExact(docs: DataFrame, thresholdNum: Int = 3,
+      thresholdDen: Int = 10): DataFrame =
+    Dedup.jaccardPrefixPairs(docs, thresholdNum, thresholdDen)
   /** Hamming near-dup over any precomputed fingerprint column (simhash
     * at 32 bits, image aHash at 64) — pigeonhole blocking + codegen
     * popcount verify.

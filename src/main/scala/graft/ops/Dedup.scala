@@ -94,6 +94,61 @@ object Dedup {
     shingleRows(df, idCol, textCol, n)
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as(out))
 
+  /** EXACT global set-similarity self-join via prefix filtering
+    * (Bayardo, Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity
+    * Search"; the candidate principle behind PPJoin): every pair of
+    * documents with shingle-set Jaccard above `thresholdNum/
+    * thresholdDen`, over the WHOLE corpus — no language/length blocking,
+    * no LSH false negatives. Completeness comes from the prefix lemma:
+    * under one global token order (here ascending document frequency,
+    * ties by shingle — rarest first), two sets with |a∩b| ≥ ⌈t·|x|⌉
+    * must collide inside their first |x| − ⌈t·|x|⌉ + 1 tokens, so the
+    * candidate join only indexes those prefixes. Rare-first ordering
+    * makes prefix postings SHORT where it matters: a boilerplate
+    * shingle with df = 10⁸ lands in almost no prefix (every set has
+    * rarer tokens to spend its prefix on), which is what keeps the
+    * candidate volume sane at 100 TB — the frequency skew that poisons
+    * naive inverted-index joins is exactly what prefix filtering
+    * exploits.
+    *
+    * Shape: distinct (doc, shingle) rows from the cached shingle
+    * arrays → per-shingle df (groupBy, partial-agg) → join-back (the
+    * dupShingleFraction inverted-index shape, no window-on-shingle) →
+    * per-DOC window ranks tokens (docs are bounded, never hot) →
+    * prefix self-join → verify candidates against the full arrays.
+    */
+  def jaccardPrefixPairs(df: DataFrame, thresholdNum: Int = 3,
+      thresholdDen: Int = 10, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > thresholdNum)
+    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val arrays = registerDf(shingleArrays(spread, idCol, textCol).cache())
+    val rows = arrays.select(col(idCol), explode(col("shingles")).as("shingle"))
+    val dfreq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
+    // L = n − ⌈t·n⌉ + 1, integer ceil
+    val n = size(col("shingles"))
+    val prefixLen = (n - floor((n.cast("long") * thresholdNum + thresholdDen - 1)
+      / thresholdDen) + 1).cast("int")
+    val prefix = rows.join(dfreq, "shingle")
+      .withColumn("__rk", row_number().over(w))
+      .join(arrays.select(col(idCol), prefixLen.as("__plen")), Seq(idCol))
+      .filter(col("__rk") <= col("__plen"))
+      .select(col(idCol), col("shingle"))
+    val cand = prefix.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(arrays.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(arrays.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
+      .select(col("doc_a"), col("doc_b"),
+        col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
+  }
+
   /** Per-document fraction of its distinct 3-token shingles that also
     * appear in at least one OTHER document — the cross-document
     * boilerplate/duplication signal used to flag template-heavy or

@@ -129,13 +129,22 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int, idCol: String = "vec_id",
       embCol: String = "embedding"): DataFrame = {
-    val assigned = assignClusters(corpus, centroids, idCol, embCol)
+    // the assignment feeds three consumers (both pair-join sides + the
+    // keep-flag base); cached so the broadcast-crossJoin + per-id window
+    // runs ONCE, registered for release after the query (the
+    // ngramJaccardPairs measurement: pruned re-derivation defeats
+    // exchange reuse and re-pays the assignment per consumer)
+    val assigned = registerDf(
+      assignClusters(corpus, centroids, idCol, embCol).cache())
     val dups = pairsFromAssigned(assigned, thresholdPct, idCol, embCol)
       .select(col("vec_b").as(idCol)).distinct()
       .withColumn("__dup", lit(true))
     assigned.join(dups, Seq(idCol), "left")
       .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
   }
+
+  private def registerDf(df: DataFrame): df.type =
+    synchronized { liveCaches += (() => { df.unpersist(blocking = false); () }); df }
 
   /** Multi-probe IVF top-k: the corpus stays partitioned by nearest
     * centroid, but each query searches its `nprobe` NEAREST buckets —

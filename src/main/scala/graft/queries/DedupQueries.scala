@@ -201,6 +201,18 @@ object DedupQueries {
         .orderBy("train_id", "bench_id")
     },
 
+    "dedup_jaccard_prefix" -> { (spark, dir) =>
+      // EXACT global similarity join (prefix filtering, Bayardo et al.
+      // WWW'07): every pair with shingle Jaccard > 0.3 over the whole
+      // corpus, no blocking heuristics — the lossless complement of
+      // dedup_ngram_jaccard's (lang, length) blocks and dedup_minhash's
+      // probabilistic bands. Rarest-first prefixes keep the candidate
+      // postings short exactly where document frequency is skewed.
+      import spark.implicits._
+      Dedup.jaccardPrefixPairs(Tables.documents(spark, dir))
+        .orderBy("doc_a", "doc_b")
+    },
+
     "dedup_ngram_jaccard" -> { (spark, dir) =>
       // Blocked quadratic verification: same lang + |Δn_chars| ≤ 32,
       // Jaccard > 0.3, via the measured-fastest formulation (one block
@@ -433,6 +445,17 @@ object DedupQueries {
          |FROM t JOIN b USING (shingle)
          |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3
          |ORDER BY train_id, bench_id""".stripMargin,
+
+    // the all-pairs ground truth — the Spark side reaches the same set
+    // through prefix-filter candidates only
+    "dedup_jaccard_prefix" ->
+      s"""WITH $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s))::BIGINT AS inter,
+         |             (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))::BIGINT AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, inter, uni FROM p
+         |WHERE inter * 10 > uni * 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $ShinglesCte,

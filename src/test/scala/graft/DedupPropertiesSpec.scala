@@ -135,6 +135,47 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard join equals brute-force all-pairs on random corpora") {
+    import org.apache.spark.sql.functions.{broadcast, size => asize, array_intersect}
+    val samples = (1 to 4).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(31L + i)))
+    assert(samples.nonEmpty)
+    for ((docs, _) <- samples; (tn, td) <- Seq((3, 10), (1, 2))) {
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val sh = Dedup.shingleArrays(df)
+      val brute = sh.select($"doc_id".as("doc_a"), $"shingles".as("sa"))
+        .crossJoin(broadcast(sh.select($"doc_id".as("doc_b"), $"shingles".as("sb"))))
+        .filter($"doc_a" < $"doc_b")
+        .withColumn("inter", asize(array_intersect($"sa", $"sb")))
+        .withColumn("uni", asize($"sa") + asize($"sb") - $"inter")
+        .filter($"inter" * td > $"uni" * tn)
+        .select("doc_a", "doc_b", "inter", "uni")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      val prefixed = Dedup.jaccardPrefixPairs(df, tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt)).toSet
+      assert(prefixed == brute, s"t=$tn/$td")
+    }
+  }
+
+  test("prefix-filter jaccard join: identical, boundary, and disjoint sets") {
+    val same = "a b c d e f g h"                     // identical pair: J = 1
+    val disjoint = "p q r s t u v w"
+    // boundary: 8-token docs sharing exactly half their 6 shingles →
+    // inter = 3, uni = 9, J = 1/3 exactly: NOT > 1/3, excluded
+    val base = "a b c d e x1 x2 x3"
+    val half = "a b c d e y1 y2 y3"
+    val df = Seq((1L, same), (2L, same), (3L, disjoint), (4L, base), (5L, half))
+      .toDF("doc_id", "text")
+    val at13 = Dedup.jaccardPrefixPairs(df, 1, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at13.contains((1L, 2L)))
+    assert(!at13.contains((4L, 5L)))  // exactly at threshold: strict >
+    assert(!at13.exists(p => p._1 == 3L || p._2 == 3L))
+    // loosen below 1/3 and the boundary pair appears
+    val at14 = Dedup.jaccardPrefixPairs(df, 1, 4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at14.contains((4L, 5L)))
+  }
+
   test("minhash pipeline finds every planted near-dup and only those") {
     val samples = (1 to 8).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(7L + i)))
     assert(samples.size >= 6)

@@ -179,7 +179,12 @@ class PlanSpec extends SparkSpec {
       "entity_pairs" -> 2,    // measured 2: block self-join (both sides keyed on brand) + sort
       "entity_clusters" -> 7, // measured 7: block join + CC seed agg + label join-back + member-count agg + sort (CC rounds are iterative RDD)
       "interval_merge" -> 2,  // measured 2: ONE key exchange for the detect-flag-aggregate chain + final sort
-      "interval_coverage" -> 2) // same chain; the per-key rollup reuses the island partitioning
+      "interval_coverage" -> 2, // same chain; the per-key rollup reuses the island partitioning
+      "gopher_rules" -> 1,    // pure per-row rules + sort
+      "pii_redact" -> 1,      // pure per-row regex + sort
+      "incremental_agg" -> 3, // measured 3: two partial aggs + merge agg (sort rides the merge partitioning)
+      "semantic_dedup" -> 7,  // measured 7 with the cached assignment (was 10 uncached: three consumers re-derived it)
+      "dedup_jaccard_prefix" -> 18) // measured 16 (+2 AQE slack): df agg + join-back + per-doc rank + prefix self-join + two array attach joins + candidate dedup + sort, over the cached shingle table
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
