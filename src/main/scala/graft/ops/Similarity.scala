@@ -143,7 +143,7 @@ object Similarity {
       .select(col(idCol), col("cluster"), col("__dup").isNull.as("kept"))
   }
 
-  private def registerDf(df: DataFrame): df.type =
+  private[graft] def registerDf(df: DataFrame): df.type =
     synchronized { liveCaches += (() => { df.unpersist(blocking = false); () }); df }
 
   /** Multi-probe IVF top-k: the corpus stays partitioned by nearest

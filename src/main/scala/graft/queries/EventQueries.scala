@@ -161,6 +161,32 @@ object EventQueries {
         .orderBy("col_name")
     },
 
+    "rolling_outliers" -> { (spark, dir) =>
+      // WINDOWED exact 3-sigma anomaly detection: each event against
+      // its user's trailing 8-event window EXCLUDING itself —
+      // value_outliers' integer identity (v·n−S)² > 9·(n·Q−S²) applied
+      // over a rows-frame, so a user whose spend drifts still flags the
+      // spike a GLOBAL sigma would absorb. The self-exclusion is load-
+      // bearing: with the current row in its own window, max |v−μ|/σ
+      // over n ≤ 9 samples is (n−1)/√n < 3 and the test can NEVER fire.
+      // Requires n ≥ 5 trailing samples. ONE key exchange (user_id
+      // window); sums in decimal(38,0)/HUGEINT, no floats.
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(-8, -1)
+      val base = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts",
+        round($"value" * 100).cast("long").as("cents"))
+      val withStats = base
+        .withColumn("n", count(lit(1)).over(w).cast("decimal(38,0)"))
+        .withColumn("s", sum($"cents".cast("decimal(38,0)")).over(w))
+        .withColumn("q", sum(($"cents" * $"cents").cast("decimal(38,0)")).over(w))
+      val d = $"cents".cast("decimal(38,0)") * $"n" - $"s"
+      withStats
+        .filter($"n" >= 5 && d * d > lit(9) * ($"n" * $"q" - $"s" * $"s"))
+        .select($"event_id", $"user_id", $"cents", $"n".cast("long").as("n_win"))
+        .orderBy("event_id")
+    },
+
     "value_outliers" -> { (spark, dir) =>
       // Exact z-score outlier detection (the numeric data-quality
       // filter): events whose value sits more than 3 population
@@ -466,6 +492,20 @@ object EventQueries {
         |ORDER BY col_name""".stripMargin,
 
     // |v−μ| > 3σ as the integer cross-multiply (v·n−S)² > 9·(n·Q−S²)
+    "rolling_outliers" ->
+      """WITH b AS (SELECT event_id, user_id, ts, round(value * 100)::BIGINT AS cents
+        |           FROM events),
+        |w AS (SELECT event_id, user_id, cents,
+        |             count(*) OVER win::HUGEINT AS n,
+        |             sum(cents) OVER win::HUGEINT AS s,
+        |             sum(cents * cents) OVER win::HUGEINT AS q
+        |      FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                            ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, cents, n::BIGINT AS n_win FROM w
+        |WHERE n >= 5
+        |  AND (cents::HUGEINT * n - s) * (cents::HUGEINT * n - s) > 9 * (n * q - s * s)
+        |ORDER BY event_id""".stripMargin,
+
     "value_outliers" ->
       """WITH b AS (SELECT event_id, event_type, round(value * 100)::BIGINT AS cents
         |           FROM events),

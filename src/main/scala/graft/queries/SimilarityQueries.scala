@@ -41,6 +41,41 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    "ann_recall_report" -> { (spark, dir) =>
+      // Index-quality evaluation — the report an ANN deployment watches:
+      // per-query recall@3 of the IVF index against brute-force ground
+      // truth, plus the reciprocal rank of the TRUE nearest neighbor in
+      // the index's ranking (0.0 when the index misses it entirely).
+      // Both rankings are engine-exact (the fixed cosine chain), so even
+      // the double divisions (hits/3, 1/rank) hash-match. Truth is
+      // |queries|·k rows — every join here is broadcast-sized.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val cent = emb.filter($"vec_id" < 8)
+      val q = emb.filter($"vec_id" < 10)
+      // each ranking feeds two consumers (hit count + reciprocal rank);
+      // cached so the corpus scan behind each runs once — the cache is
+      // |queries|·k rows, released with the op registry after the query
+      val truth = Similarity.registerDf(
+        Similarity.bruteForceTopK(emb, q, k = 3).cache())
+      val approx = Similarity.registerDf(
+        Similarity.ivfTopK(emb, q, cent, k = 3).cache())
+      val hits = approx
+        .join(truth.select($"query_id", $"neighbor_id"), Seq("query_id", "neighbor_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+      val rr = truth.filter($"rk" === 1).select($"query_id", $"neighbor_id")
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .select($"query_id", coalesce(lit(1.0) / $"rk", lit(0.0)).as("rr"))
+      q.select($"vec_id".as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(rr, Seq("query_id"), "left")
+        .select($"query_id",
+          coalesce($"n_hits", lit(0L)).as("n_hits"),
+          (coalesce($"n_hits", lit(0L)).cast("double") / 3).as("recall_at_3"),
+          coalesce($"rr", lit(0.0)).as("rr"))
+        .orderBy("query_id")
+    },
+
     "semantic_dedup" -> { (spark, dir) =>
       // SemDeDup (Abbas et al. 2023): cluster-confined semantic dedup —
       // assign to the 8 IVF seed centroids, drop any vector with a
@@ -509,6 +544,34 @@ object SimilarityQueries {
          |FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100 > 42
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_recall_report" ->
+      s"""WITH $NormCte,
+         |$AssignedCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cluster AS qcluster
+         |      FROM assigned WHERE vec_id < 10),
+         |bs AS (SELECT query_id, e.vec_id, list_dot_product(qv, e.v) / (qnrm * e.nrm) AS cos
+         |       FROM q JOIN e ON e.vec_id <> query_id),
+         |bt3 AS (SELECT query_id, vec_id, rk FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |          FROM bs) WHERE rk <= 3),
+         |iv AS (SELECT query_id, a.vec_id, list_dot_product(qv, a.v) / (qnrm * a.nrm) AS cos
+         |       FROM q JOIN assigned a ON a.cluster = qcluster AND a.vec_id <> query_id),
+         |it3 AS (SELECT query_id, vec_id, rk FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |          FROM iv) WHERE rk <= 3),
+         |h AS (SELECT i.query_id, count(*) AS n_hits
+         |      FROM it3 i JOIN bt3 b ON i.query_id = b.query_id AND i.vec_id = b.vec_id
+         |      GROUP BY 1),
+         |r AS (SELECT b.query_id, coalesce(1.0::DOUBLE / i.rk, 0.0) AS rr
+         |      FROM (SELECT query_id, vec_id FROM bt3 WHERE rk = 1) b
+         |      LEFT JOIN it3 i ON i.query_id = b.query_id AND i.vec_id = b.vec_id)
+         |SELECT q.query_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+         |       coalesce(h.n_hits, 0)::DOUBLE / 3 AS recall_at_3,
+         |       coalesce(r.rr, 0.0)::DOUBLE AS rr
+         |FROM q LEFT JOIN h ON h.query_id = q.query_id
+         |       LEFT JOIN r ON r.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin,
 
     "semantic_dedup" ->
       s"""WITH $NormCte,
