@@ -46,6 +46,8 @@ object Graft {
   def similarityJoinExact(docs: DataFrame, thresholdNum: Int = 3,
       thresholdDen: Int = 10): DataFrame =
     Dedup.jaccardPrefixPairs(docs, thresholdNum, thresholdDen)
+  def stripBoilerplate(docs: DataFrame, dfCap: Int = 50): DataFrame =
+    Dedup.stripBoilerplate(docs, dfCap)
   /** Hamming near-dup over any precomputed fingerprint column (simhash
     * at 32 bits, image aHash at 64) — pigeonhole blocking + codegen
     * popcount verify.

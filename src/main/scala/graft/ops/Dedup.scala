@@ -149,6 +149,57 @@ object Dedup {
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
   }
 
+  /** Boilerplate SPAN removal — the shingle-level form of RefinedWeb/
+    * CCNet line-wise dedup: any token covered by a 3-token shingle that
+    * appears in more than `dfCap` documents is cut, and the document is
+    * reassembled from the surviving tokens in order (headers, footers,
+    * cookie banners and template text repeat VERBATIM across pages, so
+    * cross-document shingle frequency is the signal; a document keeps
+    * its unique prose even when half its tokens are template).
+    *
+    * Shape: positional shingle rows (map-side) → distinct-doc df
+    * (groupBy, partial-agg — never a window on the skewed shingle key) →
+    * flagged-shingle join-back → covered-position explode + distinct →
+    * anti-join surviving tokens → per-DOC ordered reassembly (docs are
+    * bounded, the group key is never hot). Output keeps every input
+    * document, empty text when everything stripped.
+    */
+  def stripBoilerplate(df: DataFrame, dfCap: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(dfCap > 0)
+    val toksed = df.select(col(idCol), explode(array(split(col(textCol), " "))).as("__toks"))
+    val n = size(col("__toks"))
+    // (id, start, shingle): start is 1-based, covers start..start+2
+    val shingled = toksed.select(col(idCol), col("__toks"),
+      explode(when(n >= 3, sequence(lit(1), n - 2))
+        .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col(idCol), col("start"), concat_ws(" ",
+        element_at(col("__toks"), col("start")),
+        element_at(col("__toks"), col("start") + 1),
+        element_at(col("__toks"), col("start") + 2)).as("shingle"))
+    val flagged = shingled.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > dfCap)
+      .select(col("shingle"))
+    val covered = shingled.join(flagged, "shingle")
+      .select(col(idCol), explode(sequence(col("start"), col("start") + 2)).as("pos"))
+      .distinct()
+    val toks = toksed.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Per-document fraction of its distinct 3-token shingles that also
     * appear in at least one OTHER document — the cross-document
     * boilerplate/duplication signal used to flag template-heavy or

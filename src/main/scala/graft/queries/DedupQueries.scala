@@ -201,6 +201,17 @@ object DedupQueries {
         .orderBy("train_id", "bench_id")
     },
 
+    "boilerplate_strip" -> { (spark, dir) =>
+      // RefinedWeb/CCNet-style template removal at shingle granularity:
+      // tokens covered by a 3-gram appearing in >5 documents are cut and
+      // the doc reassembled in order — the REPAIR complement of
+      // dup_shingle_fraction's detection signal. Inverted-index shape
+      // throughout (groupBy df + join-back, never a shingle window).
+      import spark.implicits._
+      Dedup.stripBoilerplate(Tables.documents(spark, dir), dfCap = 5)
+        .orderBy("doc_id")
+    },
+
     "dedup_jaccard_prefix" -> { (spark, dir) =>
       // EXACT global similarity join (prefix filtering, Bayardo et al.
       // WWW'07): every pair with shingle Jaccard > 0.3 over the whole
@@ -445,6 +456,28 @@ object DedupQueries {
          |FROM t JOIN b USING (shingle)
          |GROUP BY 1, 2 HAVING count(DISTINCT shingle) >= 3
          |ORDER BY train_id, bench_id""".stripMargin,
+
+    "boilerplate_strip" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' '))::INT AS n FROM documents),
+        |s AS (SELECT doc_id, unnest([{'start': i,
+        |         'shingle': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]}
+        |         for i in range(1, greatest(n - 1, 1))], recursive := true) FROM d),
+        |f AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle FROM s)
+        |      GROUP BY shingle HAVING count(*) > 5),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(start, start + 3)) AS pos
+        |        FROM s WHERE shingle IN (SELECT shingle FROM f)),
+        |t AS (SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok FROM d),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM t
+        |         LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+        |         WHERE cov.pos IS NULL),
+        |res AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |               count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(res.clean_text, '') AS clean_text,
+        |       coalesce(res.n_kept, 0)::BIGINT AS n_kept,
+        |       (d.n - coalesce(res.n_kept, 0))::BIGINT AS n_removed
+        |FROM d LEFT JOIN res ON res.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // the all-pairs ground truth — the Spark side reaches the same set
     // through prefix-filter candidates only

@@ -148,6 +148,21 @@ class OpsSpec extends SparkSpec {
     assert(l == "en")
   }
 
+  test("boilerplate strip cuts exactly the tokens under a frequent shingle") {
+    // "cookie policy footer" planted in every doc; unique prose survives
+    val docs = (1L to 4L).map(i =>
+      (i, s"alpha$i beta$i gamma$i cookie policy footer delta$i")) :+
+      (5L, "cookie policy footer") :+                  // all template
+      (6L, "so tiny")                                  // < 3 tokens: untouched
+    val df = docs.toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(df, dfCap = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("alpha1 beta1 gamma1 delta1", 4L, 3L)))
+    assert(out(5L) == (("", 0L, 3L)))                  // fully stripped, row kept
+    assert(out(6L) == (("so tiny", 2L, 0L)))
+    assert(out.keySet == (1L to 6L).toSet)
+  }
+
   test("gopher rules: each rule isolates its own failure mode") {
     val good = (1 to 25).map(i => s"word$i").mkString(" ") + " the a of"
     val short = "the a of tiny"                                  // < 20 words
