@@ -41,6 +41,27 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     },
 
+    "split_leakage" -> { (spark, dir) =>
+      // Split hygiene: near-identical embeddings that STRADDLE the
+      // deterministic train/val/test assignment — the leakage that makes
+      // eval numbers lie. Pure composition of two oracled devices: the
+      // md5 split (corpus_split) × cluster-blocked cosine pairs
+      // (embed_near_dup), keeping only cross-split pairs. At 100 TB the
+      // pair side is bucket-confined and the split is a per-row hash —
+      // the audit costs no more than the near-dup pass itself.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val pairs = Similarity.nearDupPairs(emb, emb.filter($"vec_id" < 8),
+        thresholdPct = 42)
+      val split = graft.ops.TextOps.corpusSplit(emb.select($"vec_id"), idCol = "vec_id")
+      pairs
+        .join(split.select($"vec_id".as("vec_a"), $"split".as("split_a")), "vec_a")
+        .join(split.select($"vec_id".as("vec_b"), $"split".as("split_b")), "vec_b")
+        .filter($"split_a" =!= $"split_b")
+        .select($"vec_a", $"vec_b", $"split_a", $"split_b")
+        .orderBy("vec_a", "vec_b")
+    },
+
     "ann_recall_report" -> { (spark, dir) =>
       // Index-quality evaluation — the report an ANN deployment watches:
       // per-query recall@3 of the IVF index against brute-force ground
@@ -543,6 +564,25 @@ object SimilarityQueries {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster
          |FROM assigned a JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
          |WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100 > 42
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "split_leakage" ->
+      s"""WITH $NormCte,
+         |$AssignedCte,
+         |sp AS (SELECT vec_id,
+         |              CASE WHEN h * 1000 < 65536 * 900 THEN 'train'
+         |                   WHEN h * 1000 < 65536 * 950 THEN 'val'
+         |                   ELSE 'test' END AS split
+         |       FROM (SELECT vec_id, ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT AS h
+         |             FROM embeddings)),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |      FROM assigned a JOIN assigned b
+         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |      WHERE (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 100 > 42)
+         |SELECT vec_a, vec_b, sa.split AS split_a, sb.split AS split_b
+         |FROM p JOIN sp sa ON sa.vec_id = vec_a
+         |       JOIN sp sb ON sb.vec_id = vec_b
+         |WHERE sa.split <> sb.split
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_recall_report" ->

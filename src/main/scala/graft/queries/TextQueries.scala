@@ -58,6 +58,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "vocab_oov" -> { (spark, dir) =>
+      // Tokenizer prep: build the top-16 vocabulary by global occurrence
+      // count (ties by token — deterministic), then score every document's
+      // out-of-vocabulary fraction against it. The vocab is an aggregate
+      // + global top-k (tiny, broadcast to the scoring join); the OOV
+      // count is one partial-agg groupBy per doc.
+      import spark.implicits._
+      val toks = Tables.documents(spark, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("token"))
+      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token").limit(16)
+        .select($"token", lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"__in".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_frac", $"n_oov".cast("double") / $"n_tokens")
+        .orderBy("doc_id")
+    },
+
     "gopher_rules" -> { (spark, dir) =>
       // Gopher-style quality filter (Rae et al. 2021): per-rule boolean
       // audit columns + the conjunction keep flag, every threshold an
@@ -602,6 +622,17 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "vocab_oov" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |v AS (SELECT token FROM tok GROUP BY token
+        |      ORDER BY count(*) DESC, token LIMIT 16)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |       sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*) AS oov_frac
+        |FROM tok t LEFT JOIN v ON v.token = t.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
     // integer cross-multiplied rule thresholds — no float compare anywhere
     "gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -187,7 +187,9 @@ class PlanSpec extends SparkSpec {
       "dedup_jaccard_prefix" -> 18, // measured 16 (+2 AQE slack): df agg + join-back + per-doc rank + prefix self-join + two array attach joins + candidate dedup + sort, over the cached shingle table
       "rolling_outliers" -> 2, // measured 2: ONE user-key window exchange + final sort
       "ann_recall_report" -> 20, // measured 19 (+1): two cached corpus rankings (window each) + hit/rr/report joins — every post-ranking exchange carries |queries|·k ≈ 30 rows
-      "boilerplate_strip" -> 9) // measured 8 (+1): df agg + flagged join-back + covered distinct + anti-join + per-doc reassembly agg + outer join + sort
+      "boilerplate_strip" -> 9, // measured 8 (+1): df agg + flagged join-back + covered distinct + anti-join + per-doc reassembly agg + outer join + sort
+      "vocab_oov" -> 4,       // measured 4: vocab agg + top-k sort (tiny, broadcast out) + per-doc agg + final sort
+      "split_leakage" -> 9)   // measured 9: the nearDupPairs chain (assignment window + bucket pair join) + two per-row split attach joins + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
