@@ -142,6 +142,7 @@ object Bench {
       graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
       graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches()
+      graft.ops.TextOps.releaseCaches()
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load

@@ -35,6 +35,7 @@ object Verify {
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches()
+      graft.ops.TextOps.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

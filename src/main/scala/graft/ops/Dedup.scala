@@ -223,6 +223,61 @@ object Dedup {
       .withColumn("shared_frac", col("n_shared") / col("n_shingles"))
   }
 
+  /** Per-document longest duplicated SPAN — the exact-substring-dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): the length in tokens of the longest run of
+    * consecutive positions whose 3-token shingle also appears in at
+    * least one OTHER document. [[dupShingleFraction]] says how MUCH of a
+    * doc is shared; this says how CONTIGUOUS the sharing is — a 50-token
+    * verbatim quote and fifty scattered common trigrams have the same
+    * shared fraction but very different spans, and span length is what
+    * substring-level dedup thresholds on (the paper cuts spans ≥ 50
+    * tokens).
+    *
+    * Shape: positional shingles (map-side) → distinct-doc df via
+    * groupBy + join-back (partial aggregation; never a window on the
+    * skewed shingle key — the [[containmentPairs]] argument) →
+    * islands-and-gaps run detection per DOC (start − row_number is
+    * constant within a run; the window partition is one document's
+    * positions, bounded by document length, so it cannot hot-shard) →
+    * max run per doc. A run of k consecutive duplicated 3-shingles
+    * covers k + 2 tokens; docs with no duplicated shingle report 0.
+    * Output: (id, max_dup_tokens, n_dup_positions) for EVERY input doc.
+    */
+  def maxDupSpan(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val shingled = df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(when(size(col("__toks")) >= 3,
+            sequence(lit(1), size(col("__toks")) - 2))
+          .otherwise(array().cast("array<int>"))).as("start"))
+      .select(col(idCol), col("start"), concat_ws(" ",
+        element_at(col("__toks"), col("start")),
+        element_at(col("__toks"), col("start") + 1),
+        element_at(col("__toks"), col("start") + 2)).as("shingle"))
+    val dup = shingled.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("shingle"))
+    val flagged = shingled.join(dup, "shingle")
+      .select(col(idCol), col("start"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val runs = flagged
+      .withColumn("__grp", col("start") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .groupBy(col(idCol))
+      .agg((max(col("__run")) + 2).as("max_dup_tokens"),
+        sum(col("__run")).as("n_dup_positions"))
+    df.select(col(idCol))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("max_dup_tokens"), lit(0L)).as("max_dup_tokens"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+  }
+
   /** Directional shingle-containment pairs — the asymmetric near-dup
     * signal Jaccard misses: a short quote/extract sitting inside a much
     * longer document has tiny Jaccard (union is dominated by the long

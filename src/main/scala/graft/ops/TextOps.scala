@@ -561,4 +561,149 @@ object TextOps {
           Ipv4Re, "<IP>"),
         PhoneRe, "<PHONE>").as("redacted"))
   }
+
+  // ---------------------------------------------------------------- BPE
+
+  /** Symbol delimiter for the BPE canonical form. Each symbol is wrapped
+    * in its OWN pair of delimiters (`␁sym₁␁␁sym₂␁…`), so a literal
+    * string replace of `␁x␁␁y␁` consumes exactly one adjacent (x, y)
+    * occurrence — left-to-right, non-overlapping — which is precisely
+    * greedy BPE merge semantics, and `␁a␁␁a␁␁a␁` correctly merges only
+    * the first two `a`s. U+0001 cannot appear in whitespace-tokenized
+    * text, and merged symbols are space-joined (`"x y"`), which is
+    * unambiguous because single tokens never contain spaces.
+    */
+  val BpeDelim = "\u0001"
+
+  /** One learned merge: rank (1-based), the two symbols merged, and the
+    * global adjacent-pair count that selected them.
+    */
+  case class BpeMerge(merge_rank: Long, left_sym: String, right_sym: String,
+      pair_count: Long)
+
+  /** Result of [[bpeTrain]]: the learned merge table (driver-side, tiny)
+    * and the corpus in final canonical form (`idCol`, `c`) — feed it to
+    * [[bpeSegments]] for per-document segmentations. `nRounds` is the
+    * number of merges actually learned (< `nMerges` only when the corpus
+    * ran out of adjacent pairs).
+    */
+  case class BpeResult(merges: DataFrame, encoded: DataFrame, nRounds: Int)
+
+  /** Caches whose consumer is lazy (the `encoded` corpus [[bpeTrain]]
+    * returns). Same registry contract as [[Dedup.releaseCaches]]:
+    * `Verify`/`Bench` release between queries, so a long-lived session
+    * keeps at most one trainer's final round cached.
+    */
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): rdd.type =
+    synchronized { liveCaches += (() => { rdd.unpersist(blocking = false); () }); rdd }
+
+  /** Free caches registered by [[bpeTrain]] since the last release. */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(_.apply())
+    liveCaches.clear()
+  }
+
+  private def bpeCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), concat(lit(BpeDelim),
+      call_function("replace", col(textCol), lit(" "), lit(BpeDelim + BpeDelim)),
+      lit(BpeDelim)).as("c"))
+
+  /** Adjacent-symbol pairs of the canonical form, one row per POSITION
+    * (overlapping: `a a a` contributes two `(a, a)` rows — the standard
+    * BPE counting statistic, even though the merge step then applies
+    * non-overlapping greedily).
+    */
+  private def bpePairs(canon: DataFrame): DataFrame = {
+    val syms = split(call_function("btrim", col("c"), lit(BpeDelim)),
+      BpeDelim + BpeDelim)
+    val n = size(syms)
+    canon.select(explode(when(n >= 2, transform(sequence(lit(0), n - 2),
+        i => struct(element_at(syms, i + 1).as("l"), element_at(syms, i + 2).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("pr"))
+      .select(col("pr.l").as("l"), col("pr.r").as("r"))
+  }
+
+  /** Distributed BPE vocabulary induction — the trainer composition on
+    * top of the `bpe_pair_counts` statistic, and the text twin of
+    * [[Similarity.kmeansTrain]]: each round counts every adjacent symbol
+    * pair over the corpus (partial+final hash aggregate — a boilerplate
+    * pair shared by 10⁸ documents collapses per-partition before the
+    * exchange), picks the global argmax with a deterministic
+    * (count desc, left, right) tie-break via TakeOrdered(1), and applies
+    * the merge as ONE narrow literal-string-replace pass over the
+    * canonical corpus. Driver state per round is a single (left, right,
+    * count) row — a learned parameter, the same contract as a k-means
+    * centroid pull — never corpus rows.
+    *
+    * Cache discipline ([[Similarity.kmeansTrain]] / connected-components
+    * style): each round's canonical corpus is materialized through a
+    * cached RDD with a `createDataFrame` lineage cut, and the previous
+    * round is unpersisted once the next is materialized, so the loop
+    * holds exactly one corpus copy (plus the one being built) regardless
+    * of `nMerges`. At a real 30k-merge vocabulary you would batch
+    * non-conflicting merges per round (the count statistic is already
+    * there — compatible top-k merges per pass); the loop structure and
+    * per-round cost model are unchanged.
+    */
+  def bpeTrain(df: DataFrame, nMerges: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): BpeResult = {
+    require(nMerges >= 1, s"bpeTrain: nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var curRdd = bpeCanonical(df, idCol, textCol).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = spark.createDataFrame(curRdd,
+      bpeCanonical(df, idCol, textCol).schema)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val top = bpePairs(cur)
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) { exhausted = true }
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge((round + 1).toLong, l, r, cnt)
+        val pat = BpeDelim + l + BpeDelim + BpeDelim + r + BpeDelim
+        val rep = BpeDelim + l + " " + r + BpeDelim
+        val next = cur.withColumn("c",
+          call_function("replace", col("c"), lit(pat), lit(rep)))
+        val nextRdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        nextRdd.count() // materialize BEFORE freeing the previous round
+        val nextDf = spark.createDataFrame(nextRdd, next.schema)
+        curRdd.unpersist(blocking = false)
+        curRdd = nextRdd
+        cur = nextDf
+        round += 1
+      }
+    }
+    registerRdd(curRdd) // the encoded corpus is consumed lazily
+    val mergeDf = spark.createDataFrame(merges.toSeq)
+      .select(col("merge_rank"), col("left_sym"), col("right_sym"), col("pair_count"))
+    BpeResult(mergeDf, cur, round)
+  }
+
+  /** Per-document segmentation from [[bpeTrain]]'s canonical corpus:
+    * original token count, symbol count after the learned merges, and
+    * the `|`-joined symbol sequence (merged symbols keep their internal
+    * spaces). Token count is recovered exactly from the canonical form —
+    * each merge replaced one delimiter pair with one space, so
+    * n_tokens = n_symbols + (spaces in the canonical string). Pure
+    * per-row string math, zero shuffle.
+    */
+  def bpeSegments(encoded: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val trimmed = call_function("btrim", col("c"), lit(BpeDelim))
+    val syms = split(trimmed, BpeDelim + BpeDelim)
+    encoded.select(
+      col(idCol),
+      (size(syms).cast("long") +
+        (length(trimmed) - length(call_function("replace", trimmed, lit(" "), lit(""))))
+          .cast("long")).as("n_tokens"),
+      size(syms).cast("long").as("n_symbols"),
+      array_join(syms, "|").as("symbols_text"))
+  }
 }

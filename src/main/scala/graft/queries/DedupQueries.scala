@@ -63,6 +63,18 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "max_dup_span" -> { (spark, dir) =>
+      // Longest CONTIGUOUS cross-document duplicated token run per doc
+      // — the exact-substring-dedup threshold statistic (span ≥ N
+      // tokens ⇒ cut), complementing dup_shingle_fraction's how-much
+      // with how-contiguous. Positional shingles, groupBy-df join-back
+      // (no window on the skewed shingle key), islands-and-gaps per
+      // doc (bounded partitions).
+      import spark.implicits._
+      Dedup.maxDupSpan(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash" -> { (spark, dir) =>
       import spark.implicits._
       Dedup.simhash(Tables.documents(spark, dir))
@@ -266,6 +278,27 @@ object DedupQueries {
          |       SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS shared_frac
          |FROM rows JOIN f USING (shingle)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // positional shingles → cross-doc df ≥ 2 → islands-and-gaps runs
+    "max_dup_span" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, i AS start, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |             FROM toks WHERE len(t) >= 3)),
+        |dup AS (SELECT shingle FROM (
+        |          SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+        |        WHERE df >= 2),
+        |f AS (SELECT doc_id, start FROM sh JOIN dup USING (shingle)),
+        |g AS (SELECT doc_id, start,
+        |             start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+        |      FROM f),
+        |r AS (SELECT doc_id, count(*) AS run FROM g GROUP BY doc_id, grp),
+        |m AS (SELECT doc_id, max(run) + 2 AS max_dup_tokens,
+        |             SUM(run) AS n_dup_positions FROM r GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(m.max_dup_tokens, 0)::BIGINT AS max_dup_tokens,
+        |       coalesce(m.n_dup_positions, 0)::BIGINT AS n_dup_positions
+        |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies

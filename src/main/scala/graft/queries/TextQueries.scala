@@ -25,7 +25,53 @@ object TextQueries {
         .digest(seed.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.substring(0, 15), 16)
 
+  /** One unrolled BPE round for the `bpe_train_merges`/`bpe_encode`
+    * oracles: count adjacent symbol pairs of round i−1's canonical
+    * corpus, pick the (count desc, left, right) argmax, apply it as the
+    * same delimiter-wrapped literal replace [[TextOps.bpeTrain]] uses
+    * (chr(1) = [[TextOps.BpeDelim]]; see its scaladoc for why the
+    * doubled-delimiter form makes string replace exactly greedy
+    * non-overlapping merge).
+    */
+  private def bpeOracleRound(i: Int): String = {
+    val p = s"c${i - 1}"
+    s"""p$i AS (
+       |  SELECT pr[1] AS l, pr[2] AS r, count(*) AS cnt
+       |  FROM (SELECT unnest([[s[k], s[k+1]] for k in range(1, len(s))]) AS pr
+       |        FROM (SELECT string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM $p))
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |c$i AS (SELECT doc_id, replace(c, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+       |                                chr(1)||l||' '||r||chr(1)) AS c
+       |        FROM $p CROSS JOIN m$i)""".stripMargin
+  }
+
+  private val BpeRounds = 4
+
+  private val bpeCanonCte =
+    "c0 AS (SELECT doc_id, chr(1) || replace(text, ' ', chr(1)||chr(1)) || chr(1) AS c FROM documents)"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_train_merges" -> { (spark, dir) =>
+      // The BPE vocabulary-induction LOOP (trainer composition over the
+      // bpe_pair_counts statistic, the text twin of kmeans_train): 4
+      // rounds of global pair count (partial+final agg) → deterministic
+      // argmax (TakeOrdered(1)) → one narrow literal-replace pass, with
+      // per-round cache rotation. The oracle is the exact 4-step unroll.
+      import spark.implicits._
+      TextOps.bpeTrain(Tables.documents(spark, dir), nMerges = BpeRounds)
+        .merges.orderBy("merge_rank")
+    },
+
+    "bpe_encode" -> { (spark, dir) =>
+      // Train THEN apply: the corpus segmented by the 4 learned merges
+      // — per-doc token/symbol counts and the |-joined symbol sequence.
+      // Gates the composition end-to-end (the kmeans_assign pattern).
+      import spark.implicits._
+      val res = TextOps.bpeTrain(Tables.documents(spark, dir), nMerges = BpeRounds)
+      TextOps.bpeSegments(res.encoded).orderBy("doc_id")
+    },
+
     "top_ngrams_per_lang" -> { (spark, dir) =>
       // Per-language top-5 trigrams by document frequency — corpus
       // profiling for pipeline QA (boilerplate/template detection).
@@ -622,6 +668,31 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "bpe_train_merges" -> {
+      val rounds = (1 to BpeRounds).map(bpeOracleRound).mkString(",\n")
+      val union = (1 to BpeRounds).map { i =>
+        if (i == 1) s"SELECT 1::BIGINT AS merge_rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m1"
+        else s"UNION ALL SELECT $i::BIGINT, l, r, cnt FROM m$i"
+      }.mkString("\n  ")
+      s"""WITH $bpeCanonCte,
+         |$rounds
+         |SELECT * FROM (
+         |  $union) ORDER BY merge_rank""".stripMargin
+    },
+
+    "bpe_encode" -> {
+      val rounds = (1 to BpeRounds).map(bpeOracleRound).mkString(",\n")
+      s"""WITH $bpeCanonCte,
+         |$rounds
+         |SELECT doc_id,
+         |  (len(s) + (length(cs) - length(replace(cs, ' ', ''))))::BIGINT AS n_tokens,
+         |  len(s)::BIGINT AS n_symbols,
+         |  array_to_string(s, '|') AS symbols_text
+         |FROM (SELECT doc_id, trim(c, chr(1)) AS cs,
+         |             string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM c$BpeRounds)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "vocab_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

@@ -1653,4 +1653,69 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("bpeTrain: greedy non-overlapping merges, deterministic tie-break") {
+    // (a,b) dominates with 4 overlapping-counted occurrences; after
+    // merging, ("a b","c") and ("c","c") tie at 2 → left-symbol
+    // tie-break picks "a b" < "c" (binary string order).
+    val df = Seq((0L, "a b c a b"), (1L, "a b a b c"), (2L, "c c c"))
+      .toDF("doc_id", "text")
+    val res = TextOps.bpeTrain(df, nMerges = 3)
+    val merges = res.merges.orderBy("merge_rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1L, "a", "b", 4L),        // overlapping adjacent COUNT, greedy APPLY
+      (2L, "a b", "c", 2L),
+      (3L, "c", "c", 2L)))       // "c c c" merges only the FIRST pair
+    val segs = TextOps.bpeSegments(res.encoded).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(segs.toSeq == Seq(
+      (0L, 5L, 2L, "a b c|a b"),
+      (1L, 5L, 2L, "a b|a b c"),
+      (2L, 3L, 2L, "c c|c")))    // greedy left-to-right on c c c
+    TextOps.releaseCaches()
+  }
+
+  test("bpeTrain: pair exhaustion stops early; caches release") {
+    def extra(before: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // single-token docs: no adjacent pairs at all → zero merges learned
+    val df = Seq((0L, "solo"), (1L, "alone")).toDF("doc_id", "text")
+    val res = TextOps.bpeTrain(df, nMerges = 3)
+    assert(res.nRounds == 0 && res.merges.count() == 0L)
+    assert(TextOps.bpeSegments(res.encoded).collect()
+      .map(r => r.getLong(2)).toSeq == Seq(1L, 1L))
+    TextOps.releaseCaches() // free the exhausted trainer's round-0 cache
+    // the loop must hold at most ONE corpus round before release
+    val docs = Tables.documents(spark, Sf0001)
+    TextOps.bpeTrain(docs, nMerges = 3).encoded.count()
+    assert(extra(before).size <= 1, s"bpe loop leaked caches: ${extra(before)}")
+    TextOps.releaseCaches()
+    assert(extra(before).isEmpty)
+  }
+
+  test("maxDupSpan: planted contiguous span, scattered shares, unique doc") {
+    // docs 1/2 share a 6-token verbatim span (4 consecutive dup
+    // 3-shingles → span 6); doc 3 shares single scattered shingles with
+    // 1 (runs of 1 → span 3); doc 4 is fully unique; doc 5 too short
+    // for any shingle.
+    val span = "v1 v2 v3 v4 v5 v6"
+    val df = Seq(
+      (1L, s"u1 u2 $span u3 u4"),
+      (2L, s"w1 w2 w3 $span w4"),
+      (3L, "z1 u1 u2 v1 z2 z3 z4"),    // no 3-shingle shared (u1 u2 v1? doc1 has u1 u2 v1!)
+      (4L, "q1 q2 q3 q4 q5"),
+      (5L, "p1 p2")).toDF("doc_id", "text")
+    val got = Dedup.maxDupSpan(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1 dup starts: 1 ("u1 u2 v1", shared with doc3) and 3..6 (the
+    // span shingles) — start 2 "u2 v1 v2" is nowhere else, so the runs
+    // are {1} and {3,4,5,6}: max run 4 → 6 tokens, 5 dup positions
+    assert(got(1L) == (6L, 5L))
+    assert(got(2L) == (6L, 4L))        // exactly the 4 span shingles
+    assert(got(3L) == (3L, 1L))        // one shared shingle → span 3
+    assert(got(4L) == (0L, 0L))
+    assert(got(5L) == (0L, 0L))        // shorter than one shingle
+  }
 }

@@ -189,7 +189,10 @@ class PlanSpec extends SparkSpec {
       "ann_recall_report" -> 20, // measured 19 (+1): two cached corpus rankings (window each) + hit/rr/report joins — every post-ranking exchange carries |queries|·k ≈ 30 rows
       "boilerplate_strip" -> 9, // measured 8 (+1): df agg + flagged join-back + covered distinct + anti-join + per-doc reassembly agg + outer join + sort
       "vocab_oov" -> 4,       // measured 4: vocab agg + top-k sort (tiny, broadcast out) + per-doc agg + final sort
-      "split_leakage" -> 9)   // measured 9: the nearDupPairs chain (assignment window + bucket pair join) + two per-row split attach joins + sort
+      "split_leakage" -> 9,   // measured 9: the nearDupPairs chain (assignment window + bucket pair join) + two per-row split attach joins + sort
+      "bpe_train_merges" -> 1, // training rounds run EAGERLY inside the op (per-round collect + lineage cut); the returned merge table is a local relation + final sort
+      "bpe_encode" -> 1,      // per-row segment math over the trained LogicalRDD canonical corpus + final sort
+      "max_dup_span" -> 6)    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
