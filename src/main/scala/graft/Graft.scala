@@ -125,7 +125,9 @@ object Graft {
     val e = docs.join(exactKeep, "doc_id")
     val keepers = Dedup.keepBestPerCluster(e).select(col("keeper_id").as("doc_id"))
     val kept = e.join(keepers, "doc_id").filter(col("n_chars") >= minChars)
-    TextOps.corpusSplit(kept).join(kept, "doc_id")
+    // per-row hash column, NOT corpusSplit(kept) ⋈ kept — the split is
+    // pure id math and must not re-shuffle the curated corpus on id
+    kept.withColumn("split", TextOps.splitCol())
   }
 
   // embedding dedup / layout

@@ -246,9 +246,25 @@ object Dedup {
     */
   def maxDupSpan(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val shingled = positionalShingles(df, idCol, textCol)
+    val dup = shingled.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("shingle"))
+    val flagged = shingled.join(dup, "shingle")
+      .select(col(idCol), col("start"))
+    spanRuns(df, flagged, idCol, "max_dup_tokens", "n_dup_positions")
+  }
+
+  /** Positional 3-token shingles: one row per (id, start, shingle),
+    * 1-based start, covering tokens start..start+2. Docs shorter than
+    * one shingle emit nothing (guarded — a bare `sequence(1, n-2)`
+    * would DESCEND for n < 3).
+    */
+  private def positionalShingles(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    val shingled = df.select(col(idCol), toks.as("__toks"))
+    df.select(col(idCol), toks.as("__toks"))
       .select(col(idCol), col("__toks"),
         explode(when(size(col("__toks")) >= 3,
             sequence(lit(1), size(col("__toks")) - 2))
@@ -257,25 +273,55 @@ object Dedup {
         element_at(col("__toks"), col("start")),
         element_at(col("__toks"), col("start") + 1),
         element_at(col("__toks"), col("start") + 2)).as("shingle"))
-    val dup = shingled.select(col(idCol), col("shingle")).distinct()
-      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2)
-      .select(col("shingle"))
-    val flagged = shingled.join(dup, "shingle")
-      .select(col(idCol), col("start"))
+  }
+
+  /** Islands-and-gaps rollup shared by [[maxDupSpan]]/[[crossDupSpan]]:
+    * consecutive flagged starts (start − row_number constant within a
+    * run) collapse to runs, a run of k shingles covers k + 2 tokens;
+    * every document of `base` gets a row (0 when nothing flagged). The
+    * window partition is one document's positions — bounded by document
+    * length, never hot.
+    */
+  private def spanRuns(base: DataFrame, flagged: DataFrame, idCol: String,
+      maxName: String, cntName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
     val runs = flagged
       .withColumn("__grp", col("start") - row_number().over(w))
       .groupBy(col(idCol), col("__grp"))
       .agg(count(lit(1)).as("__run"))
       .groupBy(col(idCol))
-      .agg((max(col("__run")) + 2).as("max_dup_tokens"),
-        sum(col("__run")).as("n_dup_positions"))
-    df.select(col(idCol))
+      .agg((max(col("__run")) + 2).as(maxName), sum(col("__run")).as(cntName))
+    base.select(col(idCol))
       .join(runs, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("max_dup_tokens"), lit(0L)).as("max_dup_tokens"),
-        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"))
+        coalesce(col(maxName), lit(0L)).as(maxName),
+        coalesce(col(cntName), lit(0L)).as(cntName))
+  }
+
+  /** CROSS-corpus contamination span — [[maxDupSpan]] against a
+    * reference set instead of the corpus itself: for every document of
+    * `df`, the longest contiguous token run whose every 3-shingle also
+    * appears somewhere in `ref` (a held-out split, a benchmark suite).
+    * This is span-level decontamination — the n-gram-overlap COUNT the
+    * `decontaminate` query computes flags a doc that shares many
+    * scattered trigrams, but a leaked evaluation item is a CONTIGUOUS
+    * verbatim region, and span length separates the two. Shape: the
+    * reference collapses to distinct shingles (partial-agg distinct, one
+    * small-side table at benchmark scale — Catalyst broadcasts it by
+    * stats when it fits), one shuffle join flags positions, then the
+    * bounded per-doc islands rollup. Output: (id, max_contam_tokens,
+    * n_contam_positions) for EVERY `df` document.
+    */
+  def crossDupSpan(df: DataFrame, ref: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", refIdCol: String = "doc_id",
+      refTextCol: String = "text"): DataFrame = {
+    val refSh = positionalShingles(ref, refIdCol, refTextCol)
+      .select(col("shingle")).distinct()
+    val flagged = positionalShingles(df, idCol, textCol)
+      .join(refSh, "shingle")
+      .select(col(idCol), col("start"))
+    spanRuns(df, flagged, idCol, "max_contam_tokens", "n_contam_positions")
   }
 
   /** Directional shingle-containment pairs — the asymmetric near-dup

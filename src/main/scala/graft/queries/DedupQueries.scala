@@ -75,6 +75,24 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "contamination_span" -> { (spark, dir) =>
+      // Span-level decontamination: for every TRAIN-split doc, the
+      // longest contiguous token run whose shingles all appear in the
+      // TEST split — a leaked benchmark item is a verbatim REGION, not
+      // scattered trigram overlap (which `decontaminate` counts).
+      // Composes corpusSplit with the crossDupSpan machinery end-to-end
+      // under one oracle.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      // split attaches as a per-row hash COLUMN (TextOps.splitCol), not
+      // a corpus self-join on doc_id — zero shuffles before the span
+      val withSplit = docs.withColumn("split", graft.ops.TextOps.splitCol())
+      Dedup.crossDupSpan(
+        withSplit.filter($"split" === "train"),
+        withSplit.filter($"split" === "test"))
+        .orderBy("doc_id")
+    },
+
     "dedup_simhash" -> { (spark, dir) =>
       import spark.implicits._
       Dedup.simhash(Tables.documents(spark, dir))
@@ -299,6 +317,36 @@ object DedupQueries {
         |       coalesce(m.max_dup_tokens, 0)::BIGINT AS max_dup_tokens,
         |       coalesce(m.n_dup_positions, 0)::BIGINT AS n_dup_positions
         |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // md5 per-mille split (the corpus_split rule) → test-split shingles
+    // as the reference set → islands-and-gaps per train doc
+    "contamination_span" ->
+      """WITH sp AS (SELECT doc_id,
+        |              CASE WHEN h * 1000 < 65536 * 900 THEN 'train'
+        |                   WHEN h * 1000 < 65536 * 950 THEN 'val'
+        |                   ELSE 'test' END AS split
+        |            FROM (SELECT doc_id,
+        |                    ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS h
+        |                  FROM documents)),
+        |toks AS (SELECT d.doc_id, split, string_split(text, ' ') AS t
+        |         FROM documents d JOIN sp USING (doc_id)),
+        |sh AS (SELECT doc_id, split, i AS start, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM (SELECT doc_id, split, t, unnest(range(1, len(t) - 1)) AS i
+        |             FROM toks WHERE len(t) >= 3)),
+        |ref AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+        |f AS (SELECT doc_id, start FROM sh JOIN ref USING (shingle)
+        |      WHERE split = 'train'),
+        |g AS (SELECT doc_id, start,
+        |             start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+        |      FROM f),
+        |r AS (SELECT doc_id, count(*) AS run FROM g GROUP BY doc_id, grp),
+        |m AS (SELECT doc_id, max(run) + 2 AS max_contam_tokens,
+        |             SUM(run) AS n_contam_positions FROM r GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(m.max_contam_tokens, 0)::BIGINT AS max_contam_tokens,
+        |       coalesce(m.n_contam_positions, 0)::BIGINT AS n_contam_positions
+        |FROM (SELECT doc_id FROM sp WHERE split = 'train') d
+        |LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies

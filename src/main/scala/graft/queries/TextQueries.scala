@@ -505,14 +505,19 @@ object TextQueries {
       // the count is one partial+final hash aggregate; top-50 rides
       // TakeOrderedAndProject. CaseWhen guards the 1-token doc (a bare
       // sequence(0, size-2) would DESCEND for size < 2 and fabricate
-      // pairs).
+      // pairs). The token array is materialized in its own projection
+      // first — Catalyst does not CSE through lambda bodies, so an
+      // inline split referenced per element re-splits the whole string
+      // per pair (the O(n²) TextOps.bpePairs measured; 2.2 s → ~0.3 s
+      // here); slice+zip_with avoids per-element indexing entirely.
       import spark.implicits._
-      val toks = split($"text", " ")
-      val pairs = when(size(toks) >= 2,
-        transform(sequence(lit(0), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      val n = size($"toks")
+      val pairs = when(n >= 2,
+        zip_with(slice($"toks", lit(1), n - 1), slice($"toks", lit(2), n - 1),
+          (a, b) => concat_ws(" ", a, b)))
         .otherwise(array().cast("array<string>"))
       Tables.documents(spark, dir)
+        .select(split($"text", " ").as("toks"))
         .select(explode(pairs).as("pair"))
         .groupBy($"pair").agg(count(lit(1)).as("n_occurrences"))
         .orderBy($"n_occurrences".desc, $"pair")

@@ -1718,4 +1718,21 @@ class OpsSpec extends SparkSpec {
     assert(got(4L) == (0L, 0L))
     assert(got(5L) == (0L, 0L))        // shorter than one shingle
   }
+
+  test("crossDupSpan: contamination against a reference set only") {
+    // doc 1 contains a verbatim 5-token benchmark region (3 consecutive
+    // ref shingles → span 5); docs 1 and 2 share a span with EACH OTHER
+    // but not with the reference — cross mode must NOT flag it.
+    val trainOnly = "s1 s2 s3 s4 s5 s6"
+    val df = Seq(
+      (1L, s"x1 b1 b2 b3 b4 b5 x2 $trainOnly"),
+      (2L, s"y1 y2 $trainOnly y3")).toDF("doc_id", "text")
+    val ref = Seq((100L, "r1 b1 b2 b3 b4 b5 r2 r3")).toDF("doc_id", "text")
+    val got = Dedup.crossDupSpan(df, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: ref shingles are exactly "b1 b2 b3","b2 b3 b4","b3 b4 b5"
+    // (starts 2..4) → one run of 3 → 5 tokens; trainOnly never flags
+    assert(got(1L) == (5L, 3L))
+    assert(got(2L) == (0L, 0L))
+  }
 }

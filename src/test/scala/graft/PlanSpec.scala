@@ -158,7 +158,7 @@ class PlanSpec extends SparkSpec {
       "table_profile" -> 2,        // ONE multi-distinct aggregate pass + final sort
       "importance_sample" -> 3,    // tiny max agg (broadcast) + per-row filter + sort
       "winsorized_stats" -> 4,     // rank window (shared by bounds + clamp sides) + bounds agg + final agg/sort
-      "curate_corpus" -> 19,       // four chained stages (exact dedup + minhash/CC keep-best + gate + split); each stage's exchanges measured separately above
+      "curate_corpus" -> 12,       // measured 10 (+2 AQE slack): four chained stages (exact dedup + minhash/CC keep-best + gate); the split assignment is per-row hash math (was 19 when it joined corpusSplit back on id)
       "token_cooccurrence" -> 2,   // doc-keyed pair join + pair agg; top-50 rides TakeOrderedAndProject
       // round-7 additions
       "table_profile_batched" -> 4, // 2 batches × (multi-distinct agg pass); union is exchange-free
@@ -192,7 +192,8 @@ class PlanSpec extends SparkSpec {
       "split_leakage" -> 9,   // measured 9: the nearDupPairs chain (assignment window + bucket pair join) + two per-row split attach joins + sort
       "bpe_train_merges" -> 1, // training rounds run EAGERLY inside the op (per-round collect + lineage cut); the returned merge table is a local relation + final sort
       "bpe_encode" -> 1,      // per-row segment math over the trained LogicalRDD canonical corpus + final sort
-      "max_dup_span" -> 6)    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
+      "max_dup_span" -> 6,    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
+      "contamination_span" -> 5) // measured 5: ref-shingle distinct + flag join + islands window + run agg + outer join/sort (split attach is per-row hash, zero shuffles)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
