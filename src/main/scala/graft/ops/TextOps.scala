@@ -140,30 +140,48 @@ object TextOps {
       (nToks >= 10 && nStop * 20 < nToks * 7).as("keep"))
   }
 
+  /** Word 3-grams of a MATERIALIZED token-array column, built from
+    * slice + zip_with. The input must be a bound column (not an inline
+    * `split(...)`): Catalyst does not common-subexpression-eliminate
+    * through lambda bodies, so the transform-over-index-sequence form
+    * (`transform(sequence(...), i => element_at(toks, i))` with `toks`
+    * an inline split) re-splits the whole string for EVERY gram —
+    * O(n²) string work per document. slice reads the bound array three
+    * times (cheap) and zip_with walks the slices pairwise.
+    */
+  private def wordTrigrams(ts: Column): Column = {
+    val n = size(ts)
+    when(n >= 3, zip_with(
+        zip_with(slice(ts, lit(1), n - 2), slice(ts, lit(2), n - 2),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(ts, lit(3), n - 2),
+        (ab, c) => concat_ws(" ", ab, c)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Gopher-style repetition quality signal: the fraction of a
     * document's word 3-grams that are duplicates of an earlier 3-gram
     * in the SAME document (boilerplate, keyword stuffing, degenerate
     * generations all spike it). Pure per-row projection — 3-grams are
-    * assembled positionally inside Catalyst (transform over an index
-    * sequence), counted with size/array_distinct; no explode, no
-    * shuffle, so at 100 TB this is a free pass over the scan. The
-    * ratio divides two exact integers, reproducible across engines.
+    * assembled positionally inside Catalyst ([[wordTrigrams]] over a
+    * materialized token array — NOT an inline-split transform, which
+    * would be O(n²) per doc), counted with size/array_distinct; no
+    * explode, no shuffle, so at 100 TB this is a free pass over the
+    * scan. The ratio divides two exact integers, reproducible across
+    * engines.
     */
   def repetitionStats(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array().cast("array<string>"))
-    val n = size(grams)
-    val nd = size(array_distinct(grams))
-    df.select(
-      col(idCol),
-      n.cast("long").as("n_grams"),
-      nd.cast("long").as("n_distinct"),
-      when(n > 0, (n - nd).cast("double") / n.cast("double"))
-        .otherwise(lit(0.0)).as("dup_frac"))
+    val n = size(col("__grams"))
+    val nd = size(array_distinct(col("__grams")))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), wordTrigrams(col("__toks")).as("__grams"))
+      .select(
+        col(idCol),
+        n.cast("long").as("n_grams"),
+        nd.cast("long").as("n_distinct"),
+        when(n > 0, (n - nd).cast("double") / n.cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
   }
 
   /** Global token frequency: explode + hash aggregate (partial+final, so
@@ -509,31 +527,32 @@ object TextOps {
   def gopherRules(df: DataFrame, minWords: Int = 20, maxWords: Int = 100000,
       minMeanLen: Int = 2, maxMeanLen: Int = 10, minStopHits: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // the token array and the 3-gram array are materialized in their own
+    // projections (the wordTrigrams contract): the old inline-split
+    // transform re-split the text per GRAM — O(n²) per doc at scale
+    val toks = col("__toks")
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
     val stopArr = array(Stopwords.map(lit): _*)
     val nStopHits = size(array_intersect(array_distinct(toks), stopArr))
-    val grams = when(n >= 3,
-      transform(sequence(lit(0), n - 3), i => concat_ws(" ",
-        element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array().cast("array<string>"))
-    val nGrams = size(grams)
-    val nDup = nGrams - size(array_distinct(grams))
-    df.select(
-      col(idCol),
-      n.cast("long").as("n_words"),
-      sumLen.as("sum_word_chars"),
-      nAlpha.cast("long").as("n_alpha_words"),
-      nStopHits.cast("long").as("n_stop_hits"),
-      nDup.cast("long").as("n_dup_grams"),
-      (n >= minWords && n <= maxWords).as("rule_words"),
-      (sumLen >= n.cast("long") * minMeanLen &&
-        sumLen <= n.cast("long") * maxMeanLen).as("rule_mean_len"),
-      (nAlpha * 10 >= n * 8).as("rule_alpha"),
-      (nStopHits >= minStopHits).as("rule_stops"),
-      (nDup * 5 <= nGrams).as("rule_repetition"))
+    val nGrams = size(col("__grams"))
+    val nDup = nGrams - size(array_distinct(col("__grams")))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"), wordTrigrams(toks).as("__grams"))
+      .select(
+        col(idCol),
+        n.cast("long").as("n_words"),
+        sumLen.as("sum_word_chars"),
+        nAlpha.cast("long").as("n_alpha_words"),
+        nStopHits.cast("long").as("n_stop_hits"),
+        nDup.cast("long").as("n_dup_grams"),
+        (n >= minWords && n <= maxWords).as("rule_words"),
+        (sumLen >= n.cast("long") * minMeanLen &&
+          sumLen <= n.cast("long") * maxMeanLen).as("rule_mean_len"),
+        (nAlpha * 10 >= n * 8).as("rule_alpha"),
+        (nStopHits >= minStopHits).as("rule_stops"),
+        (nDup * 5 <= nGrams).as("rule_repetition"))
       .withColumn("keep",
         col("rule_words") && col("rule_mean_len") && col("rule_alpha") &&
           col("rule_stops") && col("rule_repetition"))

@@ -446,4 +446,35 @@ class ScaleSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("per-row trigram ops stay linear on a 10^5-token document") {
+    // The lambda-CSE boundary: Catalyst does not common-subexpression-
+    // eliminate through lambda bodies, so `transform(sequence(...),
+    // i => element_at(toks, i))` with `toks` an INLINE split re-splits
+    // the whole string per gram — O(n²) per doc (the shape that made
+    // each BPE round 5.5 s at sf0.1; measured 14× after materializing
+    // the array). repetitionStats/gopherRules now bind the token and
+    // gram arrays in their own projections; this pins the boundary: a
+    // single 10^5-token document (10 GB of string work under the old
+    // form: 10^10 char touches) must complete in seconds, with exact
+    // counts. One hot doc + normal docs, so the projection also proves
+    // row-parallel shape is unaffected.
+    val nTok = 100000
+    val hot = (0 until nTok).map(i => s"t${i % 31}").mkString(" ")
+    val df = Seq((1L, hot), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val rep = graft.ops.TextOps.repetitionStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gop = graft.ops.TextOps.gopherRules(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10^5-token doc through repetitionStats + gopherRules: $secs%.1fs")
+    // 31 distinct tokens cycling → every 3-gram is one of 31 patterns
+    assert(rep(1L) == (nTok - 2L, 31L))
+    assert(rep(2L) == (4L, 4L))
+    assert(gop(1L) == nTok - 2L - 31L)    // n_dup_grams
+    // generous contention headroom; the old quadratic form would take
+    // minutes-to-hours here, not seconds
+    assert(secs < 60.0, f"trigram ops took $secs%.1fs on a 10^5-token doc")
+  }
 }
