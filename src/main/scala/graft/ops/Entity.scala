@@ -28,20 +28,50 @@ object Entity {
     * length bucket the way ngramJaccardPairs does. Token arrays ride
     * the shuffle, so bytes ∝ dimension size — fine for dimensions,
     * never for facts.
+    *
+    * Sub-block salting: a LOW-cardinality block key caps parallelism at
+    * the number of blocks (25 brands → at most 25 join tasks, whatever
+    * the cluster) because a sort-merge equal-key group cannot be split
+    * by AQE. The left side therefore carries salt = id mod `subSplits`
+    * and the right side replicates `subSplits`× (an explode before the
+    * exchange), so each block's n² comparison work spreads over
+    * `subSplits` tasks while every (a, b) pair still meets exactly once
+    * — in the partition keyed by a's salt. The trade is right-side
+    * shuffle bytes × `subSplits` for comparison parallelism ×
+    * `subSplits`; dimension tables are small, the n² verify is the
+    * bottleneck, so the trade is one-sided (measured ~9 s → ~2 s at
+    * sf0.1's 25×800-row blocks on local[32]). Result-invariant:
+    * `subSplits = 1` degenerates to the plain block join.
     */
   def matchPairs(df: DataFrame, idCol: String, nameCol: String,
       blockCols: Seq[String], thresholdNum: Int = 1,
-      thresholdDen: Int = 2): DataFrame = {
+      thresholdDen: Int = 2, subSplits: Int = 8): DataFrame = {
+    require(subSplits >= 1, s"matchPairs: subSplits must be >= 1, got $subSplits")
+    // sizes are precomputed per SIDE (one size() per row, not per pair)
+    // and the union is derived as |a| + |b| − |a∩b| — the token arrays
+    // are distinct by construction, so this is exact and halves the
+    // per-pair array work vs an explicit array_union
     val toks = df.select((col(idCol) +: blockCols.map(col)) :+
       array_distinct(split(col(nameCol), " ")).as("__toks"): _*)
+      .withColumn("__n", size(col("__toks")))
     val a = toks.select(col(idCol).as("id_a") +: blockCols.map(col) :+
-      col("__toks").as("__toks_a"): _*)
+      col("__toks").as("__toks_a") :+ col("__n").as("__n_a"): _*)
+      .withColumn("__salt", pmod(col("id_a").cast("long"), lit(subSplits.toLong)))
     val b = toks.select(col(idCol).as("id_b") +: blockCols.map(col) :+
-      col("__toks").as("__toks_b"): _*)
-    a.join(b, blockCols)
+      col("__toks").as("__toks_b") :+ col("__n").as("__n_b"): _*)
+      .withColumn("__salt", explode(sequence(lit(0L), lit((subSplits - 1).toLong))))
+    // SHUFFLE hash join, not broadcast: with a broadcast build the n²
+    // probe work lands on the STREAM side's input partitioning — a
+    // dimension-sized parquet scan is one or two partitions, so one
+    // task evaluates every candidate pair and the salt never matters
+    // (measured: the whole 16M-pair probe single-threaded). Shuffling
+    // both sides on (block, salt) spreads the probe over
+    // blocks × subSplits hash groups, and is also the shape that
+    // survives a dimension too big to broadcast.
+    a.hint("shuffle_hash").join(b, blockCols :+ "__salt")
       .filter(col("id_a") < col("id_b"))
       .withColumn("inter", size(array_intersect(col("__toks_a"), col("__toks_b"))))
-      .withColumn("uni", size(array_union(col("__toks_a"), col("__toks_b"))))
+      .withColumn("uni", col("__n_a") + col("__n_b") - col("inter"))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
   }

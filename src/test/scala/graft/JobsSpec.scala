@@ -157,4 +157,36 @@ class JobsSpec extends SparkSpec {
       .orderBy("event_id").collect().toSeq
     assert(gotOrc == want)
   }
+
+  test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
+    val base = Files.createTempDirectory("graft-curate").toString
+    val out = s"$base/curated"
+    graft.jobs.CurateCorpus.run(spark, s"$Sf0001/documents.parquet", out,
+      minChars = 100L)
+    // split-partitioned Hive layout: a trainer reads ONE directory
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs.contains("split=train"), dirs.mkString(","))
+    val first = spark.read.parquet(out)
+      .orderBy("doc_id").collect().toSeq
+    assert(first.nonEmpty)
+    // every curated doc passes the gate; splits are the md5 assignment
+    assert(first.forall(r => r.getLong(r.fieldIndex("n_chars")) >= 100L))
+    // the audit matches the written data
+    val a = graft.jobs.CurateCorpus.audit(spark.read.parquet(out))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a("TOTAL") == first.size.toLong)
+    assert(a.filter(_._1 != "TOTAL").values.sum == a("TOTAL"))
+    // re-run: dynamic overwrite + deterministic pipeline → identical rows
+    graft.jobs.CurateCorpus.run(spark, s"$Sf0001/documents.parquet", out,
+      minChars = 100L)
+    val second = spark.read.parquet(out).orderBy("doc_id").collect().toSeq
+    assert(second == first, "curate re-run must be idempotent")
+    // a single-split read is partition-pruned: no other split's files scan
+    val trainOnly = spark.read.parquet(out).filter($"split" === "train")
+    val scanned = trainOnly.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(!scanned.contains("split=val") && !scanned.contains("split=test"))
+    assert(trainOnly.count() == a("train"))
+  }
 }

@@ -176,7 +176,7 @@ class PlanSpec extends SparkSpec {
       "table_diff" -> 3,      // measured 3: full-outer key join sides + sort; (key, md5) computed at the scan
       "column_drift" -> 5,    // measured 5: one multi-distinct profile pass per side + tiny col_name join + sort
       "dq_checks" -> 5,       // measured 5: ONE row-level agg pass + uniqueness partial-agg + FK anti-join + union + sort
-      "entity_pairs" -> 2,    // measured 2: block self-join (both sides keyed on brand) + sort
+      "entity_pairs" -> 3,    // measured 3: sub-block-salted SHUFFLE hash join (both sides keyed on brand+salt — broadcast would single-thread the n² probe on the scan partitioning) + sort
       "entity_clusters" -> 7, // measured 7: block join + CC seed agg + label join-back + member-count agg + sort (CC rounds are iterative RDD)
       "interval_merge" -> 2,  // measured 2: ONE key exchange for the detect-flag-aggregate chain + final sort
       "interval_coverage" -> 2, // same chain; the per-key rollup reuses the island partitioning
