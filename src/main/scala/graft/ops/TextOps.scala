@@ -526,10 +526,14 @@ object TextOps {
     */
   def gopherRules(df: DataFrame, minWords: Int = 20, maxWords: Int = 100000,
       minMeanLen: Int = 2, maxMeanLen: Int = 10, minStopHits: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      passthroughCols: Seq[String] = Nil): DataFrame = {
     // the token array and the 3-gram array are materialized in their own
     // projections (the wordTrigrams contract): the old inline-split
-    // transform re-split the text per GRAM — O(n²) per doc at scale
+    // transform re-split the text per GRAM — O(n²) per doc at scale.
+    // `passthroughCols` ride along untouched so a caller can gate and
+    // keep working on the same rows (e.g. the streaming curation path
+    // filters on `keep` then redacts the carried text) without a join.
     val toks = col("__toks")
     val n = size(toks)
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
@@ -538,21 +542,22 @@ object TextOps {
     val nStopHits = size(array_intersect(array_distinct(toks), stopArr))
     val nGrams = size(col("__grams"))
     val nDup = nGrams - size(array_distinct(col("__grams")))
-    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), col("__toks"), wordTrigrams(toks).as("__grams"))
-      .select(
-        col(idCol),
-        n.cast("long").as("n_words"),
-        sumLen.as("sum_word_chars"),
-        nAlpha.cast("long").as("n_alpha_words"),
-        nStopHits.cast("long").as("n_stop_hits"),
-        nDup.cast("long").as("n_dup_grams"),
-        (n >= minWords && n <= maxWords).as("rule_words"),
+    val carried = passthroughCols.map(col)
+    df.select(col(idCol) +: carried :+ split(col(textCol), " ").as("__toks"): _*)
+      .select(col(idCol) +: carried :+ col("__toks") :+
+        wordTrigrams(toks).as("__grams"): _*)
+      .select(col(idCol) +: carried :+
+        n.cast("long").as("n_words") :+
+        sumLen.as("sum_word_chars") :+
+        nAlpha.cast("long").as("n_alpha_words") :+
+        nStopHits.cast("long").as("n_stop_hits") :+
+        nDup.cast("long").as("n_dup_grams") :+
+        (n >= minWords && n <= maxWords).as("rule_words") :+
         (sumLen >= n.cast("long") * minMeanLen &&
-          sumLen <= n.cast("long") * maxMeanLen).as("rule_mean_len"),
-        (nAlpha * 10 >= n * 8).as("rule_alpha"),
-        (nStopHits >= minStopHits).as("rule_stops"),
-        (nDup * 5 <= nGrams).as("rule_repetition"))
+          sumLen <= n.cast("long") * maxMeanLen).as("rule_mean_len") :+
+        (nAlpha * 10 >= n * 8).as("rule_alpha") :+
+        (nStopHits >= minStopHits).as("rule_stops") :+
+        (nDup * 5 <= nGrams).as("rule_repetition"): _*)
       .withColumn("keep",
         col("rule_words") && col("rule_mean_len") && col("rule_alpha") &&
           col("rule_stops") && col("rule_repetition"))
@@ -576,18 +581,17 @@ object TextOps {
     * Per-row regexp work only — zero shuffle, embarrassingly parallel.
     */
   def redactPii(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", passthroughCols: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
-    df.select(
-      col(idCol),
-      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
-      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+    df.select(col(idCol) +: passthroughCols.map(col) :+
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails") :+
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ips") :+
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones") :+
       regexp_replace(
         regexp_replace(
           regexp_replace(t, EmailRe, "<EMAIL>"),
           Ipv4Re, "<IP>"),
-        PhoneRe, "<PHONE>").as("redacted"))
+        PhoneRe, "<PHONE>").as("redacted"): _*)
   }
 
   // ---------------------------------------------------------------- BPE

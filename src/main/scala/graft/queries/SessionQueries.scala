@@ -79,6 +79,28 @@ object SessionQueries {
       in
     })}
 
+  /** Staged planted-PII documents input for the streaming-curation
+    * query (the pii_redact fixture: a deterministic email + IPv4 +
+    * phone derived from doc_id appended to each text, so both engines
+    * compute the identical input). Staged once per sfDir per JVM, like
+    * [[stagedStreamInput]].
+    */
+  private val stagedCurate = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedCurateInput(spark: SparkSession, dir: String): String =
+    stagedCurate.synchronized { stagedCurate.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-curate-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      graft.Tables.documents(spark, dir).select($"doc_id",
+        concat($"text", lit(" contact u"), $"doc_id",
+          lit("@mail.example.com from 10."), $"doc_id" % 250, lit(".0."),
+          $"doc_id" % 100, lit(" call 555-"), $"doc_id" % 9000 + 1000).as("text"))
+        .write.parquet(in)
+      in
+    })}
+
   /** Staged events input WITH event_type for the stream-stream join
     * query. Staged once per sfDir per JVM, like [[stagedStreamInput]].
     */
@@ -364,6 +386,35 @@ object SessionQueries {
           unix_micros($"session_end").as("end_us"),
           $"n_events", $"first_event", $"last_event")
         .orderBy("user_id", "start_us")
+    },
+
+    "streaming_curate" -> { (spark, dir) =>
+      // Streaming corpus curation — the Gopher gate + PII redaction as a
+      // STATELESS streaming pipeline (pure projections: no watermark,
+      // no state store; each micro-batch curates independently). Input
+      // is the planted-PII corpus (the pii_redact fixture), the oracle
+      // is the batch gate∘redact composition — batch/stream parity of
+      // the curation ops themselves.
+      import spark.implicits._
+      val in = stagedCurateInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-curate-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runCurate(spark, schema, in, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out)
+        .select($"doc_id", $"n_words", $"n_emails", $"n_ips", $"n_phones",
+          $"redacted")
+        .orderBy("doc_id")
     },
 
     "streaming_dedup" -> { (spark, dir) =>
@@ -739,6 +790,47 @@ object SessionQueries {
     "streaming_dedup" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // batch gate∘redact over the same planted-PII input the stream saw:
+    // Gopher keep-conjunction on the planted text, then PII counts +
+    // redaction of the kept docs
+    "streaming_curate" ->
+      """WITH p AS (SELECT doc_id,
+        |             text || ' contact u' || doc_id || '@mail.example.com from 10.'
+        |                  || (doc_id % 250) || '.0.' || (doc_id % 100)
+        |                  || ' call 555-' || (doc_id % 9000 + 1000) AS text
+        |           FROM documents),
+        |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM p),
+        |m AS (SELECT doc_id, text, toks, len(toks)::BIGINT AS n,
+        |             list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_len,
+        |             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |             len(list_intersect(list_distinct(toks),
+        |                 ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
+        |      FROM t),
+        |g AS (SELECT *,
+        |             CASE WHEN n >= 3 THEN
+        |               list_transform(range(1, (n - 1)::INTEGER),
+        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |             ELSE []::VARCHAR[] END AS grams
+        |      FROM m),
+        |d AS (SELECT *, len(grams)::BIGINT AS n_grams,
+        |             (len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup
+        |      FROM g),
+        |kept AS (SELECT doc_id, text, n FROM d
+        |         WHERE n >= 20 AND n <= 100000
+        |           AND sum_len >= 2 * n AND sum_len <= 10 * n
+        |           AND n_alpha * 10 >= n * 8
+        |           AND n_stop >= 2
+        |           AND n_dup * 5 <= n_grams)
+        |SELECT doc_id, n AS n_words,
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |       len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
+        |       len(regexp_extract_all(text, '555-[0-9]{4}'))::BIGINT AS n_phones,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+        |         '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM kept ORDER BY doc_id""".stripMargin,
 
     // the streamed coarse-assignment equals the batch integer-L2 argmin
     // (nearest centroid, centroid-id tie-break) over the same vectors

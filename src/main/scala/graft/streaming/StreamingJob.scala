@@ -186,6 +186,35 @@ object StreamingJob {
     current.get
   }
 
+  /** Streaming corpus curation: file stream of documents → Gopher
+    * quality gate → PII redaction of the kept docs → append parquet
+    * sink. Both stages are pure per-row projections, so the streaming
+    * plan carries ZERO state (no watermark, no state store): each
+    * micro-batch curates independently, output is exactly the batch
+    * pipeline applied to the union of batches, and a crawl frontier can
+    * run this continuously at any rate. The batch/stream parity is the
+    * oracle of the driver-gated `streaming_curate` query.
+    */
+  def runCurate(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val gated = graft.ops.TextOps.gopherRules(in, passthroughCols = Seq("text"))
+      .filter(org.apache.spark.sql.functions.col("keep"))
+    // n_words rides through the redaction as a passthrough column — a
+    // join here would be stream-stream (state + watermarks) for what is
+    // a straight-line projection
+    val curated = graft.ops.TextOps.redactPii(gated,
+      passthroughCols = Seq("n_words"))
+    val q = curated.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inPath, outPath, checkpointPath) = args
     val spark = graft.Graft.session("graft-streaming")

@@ -413,4 +413,41 @@ class StreamingSpec extends SparkSpec {
       assert(code == codes((id, s)), s"code mismatch for ($id, $s)")
     }
   }
+
+  test("streaming curation equals the batch gate∘redact, across batch splits") {
+    // The curation ops are pure projections, so the streaming pipeline
+    // is STATELESS — output must equal the batch composition however
+    // the input splits into micro-batches.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val src = input.toDF().toDF("doc_id", "text")
+    val gated = graft.ops.TextOps.gopherRules(src, passthroughCols = Seq("text"))
+      .filter(col("keep"))
+    val q = graft.ops.TextOps.redactPii(gated, passthroughCols = Seq("n_words"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    val keepable = (1 to 30).map(i =>
+      s"the tok$i of a value and to in is on data row table line scan key part batch col item unit" +
+        f" mail u$i%d@x.example.org node 10.0.0.$i%d tel 555-0$i%03d").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val dropped = Seq((900L, "tiny doc"), (901L, "x y z"))
+    input.addData(keepable.take(10) ++ dropped); q.processAllAvailable()
+    input.addData(keepable.drop(10)); q.processAllAvailable()
+    val got = spark.table("curate_out")
+    val gotRows = got.select("doc_id", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    q.stop()
+    // batch composition over the SAME rows
+    val batchSrc = (keepable ++ dropped).toDF("doc_id", "text")
+    val batch = graft.ops.TextOps.redactPii(
+      graft.ops.TextOps.gopherRules(batchSrc, passthroughCols = Seq("text"))
+        .filter(col("keep")), passthroughCols = Seq("n_words"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(gotRows == batch)
+    assert(gotRows.map(_._1).toSet.intersect(Set(900L, 901L)).isEmpty)
+    assert(gotRows.forall(r => r._2 == 1L && r._3 == 1L && r._4 == 1L))
+  }
 }
