@@ -142,6 +142,11 @@ object Dedup {
     cand
       .join(arrays.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(arrays.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      // necessary condition on sizes alone (inter ≤ min, uni ≥ max):
+      // skips the expensive intersect for size-mismatched candidates —
+      // the same cheap gate verifyJaccard/ngramJaccardPairs use
+      .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
+        greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)

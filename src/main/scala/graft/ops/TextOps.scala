@@ -729,6 +729,103 @@ object TextOps {
     BpeResult(mergeDf, cur, round)
   }
 
+  /** One batched-trainer merge: round and slot (both 1-based), the
+    * merged symbols, and the pair count FROM THE ROUND-START SNAPSHOT
+    * that selected them.
+    */
+  case class BpeBatchMerge(round: Long, slot: Long, left_sym: String,
+      right_sym: String, pair_count: Long)
+
+  /** Result of [[bpeTrainBatched]]: the merge table with (round, slot)
+    * provenance and the encoded corpus (same contract as [[BpeResult]]).
+    */
+  case class BpeBatchResult(merges: DataFrame, encoded: DataFrame,
+      nRounds: Int)
+
+  /** The BATCHED BPE trainer — the 30k-vocabulary scale path the
+    * [[bpeTrain]] scaladoc promises: each round counts pairs ONCE
+    * (partial+final aggregate, cached — the snapshot is distinct-pair-
+    * sized, far smaller than the corpus), then pulls up to `batchSize`
+    * merges from that single snapshot, each the top remaining pair that
+    * shares NO symbol with an earlier pick of the same round
+    * (count desc, left, right order — each pull is a driver-filtered
+    * TakeOrdered(1) over the cached counts, never a global window), and
+    * applies the whole batch as ONE chained literal-replace pass.
+    * Rounds shrink from V to V/batchSize for the same per-round corpus
+    * cost — the standard fast-BPE batching.
+    *
+    * Semantics note (why this is a separate op, not a flag): batched
+    * merges are selected from the ROUND-START counts, so a batch is NOT
+    * always identical to `batchSize` sequential rounds — a merge can
+    * change the CONTEXT counts of another even when their symbols are
+    * disjoint (merging (a,b) in `x a b` destroys the (x,a) pair). With
+    * `batchSize = 1` the selection degenerates exactly to [[bpeTrain]]
+    * (OpsSpec pins the equality). Symbol-disjointness guarantees the
+    * batch's replaces commute on every document, so the chained
+    * application order cannot matter.
+    */
+  def bpeTrainBatched(df: DataFrame, nRounds: Int = 2, batchSize: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): BpeBatchResult = {
+    require(nRounds >= 1 && batchSize >= 1,
+      s"bpeTrainBatched: nRounds/batchSize must be >= 1, got $nRounds/$batchSize")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    var curRdd = bpeCanonical(df, idCol, textCol).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = spark.createDataFrame(curRdd,
+      bpeCanonical(df, idCol, textCol).schema)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeBatchMerge]
+    var round = 0
+    var exhausted = false
+    while (round < nRounds && !exhausted) {
+      val counts = bpePairs(cur)
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var slot = 0
+      var slotExhausted = false
+      while (slot < batchSize && !slotExhausted) {
+        val used = picked.flatMap(p => Seq(p._1, p._2)).toSet
+        val candidates =
+          if (used.isEmpty) counts
+          else counts.filter(!col("l").isInCollection(used) &&
+            !col("r").isInCollection(used))
+        val top = candidates.orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) { slotExhausted = true }
+        else {
+          picked += ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
+          slot += 1
+        }
+      }
+      counts.unpersist(blocking = false)
+      if (picked.isEmpty) { exhausted = true }
+      else {
+        picked.zipWithIndex.foreach { case ((l, r, cnt), i) =>
+          merges += BpeBatchMerge((round + 1).toLong, (i + 1).toLong, l, r, cnt)
+        }
+        val next = cur.withColumn("c",
+          picked.foldLeft(col("c")) { case (c, (l, r, _)) =>
+            call_function("replace", c,
+              lit(BpeDelim + l + BpeDelim + BpeDelim + r + BpeDelim),
+              lit(BpeDelim + l + " " + r + BpeDelim))
+          })
+        val nextRdd = next.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        nextRdd.count() // materialize BEFORE freeing the previous round
+        val nextDf = spark.createDataFrame(nextRdd, next.schema)
+        curRdd.unpersist(blocking = false)
+        curRdd = nextRdd
+        cur = nextDf
+        round += 1
+      }
+    }
+    registerRdd(curRdd)
+    val mergeDf = spark.createDataFrame(merges.toSeq)
+      .select(col("round"), col("slot"), col("left_sym"), col("right_sym"),
+        col("pair_count"))
+    BpeBatchResult(mergeDf, cur, round)
+  }
+
   /** Per-document segmentation from [[bpeTrain]]'s canonical corpus:
     * original token count, symbol count after the learned merges, and
     * the `|`-joined symbol sequence (merged symbols keep their internal

@@ -72,6 +72,18 @@ object TextQueries {
       TextOps.bpeSegments(res.encoded).orderBy("doc_id")
     },
 
+    "bpe_train_batched" -> { (spark, dir) =>
+      // The BATCHED trainer (the 30k-vocab scale path): 2 rounds × 2
+      // symbol-disjoint merges per round, all selected from each
+      // round's ONE count snapshot and applied in one commuting
+      // replace pass. The oracle unrolls both rounds with the same
+      // rank-then-first-disjoint selection.
+      import spark.implicits._
+      TextOps.bpeTrainBatched(Tables.documents(spark, dir),
+          nRounds = 2, batchSize = 2)
+        .merges.orderBy("round", "slot")
+    },
+
     "top_ngrams_per_lang" -> { (spark, dir) =>
       // Per-language top-5 trigrams by document frequency — corpus
       // profiling for pipeline QA (boilerplate/template detection).
@@ -683,6 +695,36 @@ object TextQueries {
          |$rounds
          |SELECT * FROM (
          |  $union) ORDER BY merge_rank""".stripMargin
+    },
+
+    "bpe_train_batched" -> {
+      def rnd(i: Int): String = {
+        val p = s"c${i - 1}"
+        s"""p$i AS (
+           |  SELECT pr[1] AS l, pr[2] AS r, count(*) AS cnt
+           |  FROM (SELECT unnest([[s[k], s[k+1]] for k in range(1, len(s))]) AS pr
+           |        FROM (SELECT string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM $p))
+           |  GROUP BY 1, 2),
+           |rk$i AS (SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$i),
+           |m${i}a AS (SELECT l, r, cnt FROM rk$i WHERE rk = 1),
+           |m${i}b AS (SELECT l, r, cnt FROM rk$i
+           |           WHERE rk = (SELECT min(rk) FROM rk$i, m${i}a x
+           |                       WHERE rk$i.rk > 1 AND rk$i.l NOT IN (x.l, x.r)
+           |                         AND rk$i.r NOT IN (x.l, x.r))),
+           |c$i AS (SELECT doc_id,
+           |          replace(replace(c,
+           |            chr(1)||a.l||chr(1)||chr(1)||a.r||chr(1), chr(1)||a.l||' '||a.r||chr(1)),
+           |            chr(1)||b.l||chr(1)||chr(1)||b.r||chr(1), chr(1)||b.l||' '||b.r||chr(1)) AS c
+           |        FROM $p CROSS JOIN m${i}a a CROSS JOIN m${i}b b)""".stripMargin
+      }
+      s"""WITH $bpeCanonCte,
+         |${rnd(1)},
+         |${rnd(2)}
+         |SELECT * FROM (
+         |  SELECT 1::BIGINT AS round, 1::BIGINT AS slot, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m1a
+         |  UNION ALL SELECT 1, 2, l, r, cnt FROM m1b
+         |  UNION ALL SELECT 2, 1, l, r, cnt FROM m2a
+         |  UNION ALL SELECT 2, 2, l, r, cnt FROM m2b) ORDER BY round, slot""".stripMargin
     },
 
     "bpe_encode" -> {

@@ -1719,6 +1719,38 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == (0L, 0L))        // shorter than one shingle
   }
 
+  test("bpeTrainBatched: batch=1 equals the sequential trainer; batches are disjoint") {
+    val docs = Tables.documents(spark, Sf0001)
+    // batchSize = 1 must degenerate EXACTLY to bpeTrain round-for-round
+    val seq3 = TextOps.bpeTrain(docs, nMerges = 3).merges
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    TextOps.releaseCaches()
+    val batch1 = TextOps.bpeTrainBatched(docs, nRounds = 3, batchSize = 1).merges
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    TextOps.releaseCaches()
+    assert(batch1 == seq3)
+    // within a round, picked symbols never repeat (the commuting guarantee)
+    val batched = TextOps.bpeTrainBatched(docs, nRounds = 2, batchSize = 3)
+    val byRound = batched.merges.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+      .groupBy(_._1)
+    byRound.values.foreach { ms =>
+      // a self-pair (x, x) is one pick and legal; disjointness means no
+      // symbol is shared across DIFFERENT picks of the same round
+      val perPick = ms.map(m => Set(m._2, m._3))
+      for (i <- perPick.indices; j <- i + 1 until perPick.length)
+        assert(perPick(i).intersect(perPick(j)).isEmpty,
+          s"overlapping batch: ${ms.toSeq}")
+    }
+    // the encoded corpus reflects every learned merge: merged symbols
+    // (containing spaces) appear as symbols in the segmentation
+    val segs = TextOps.bpeSegments(batched.encoded)
+      .select("symbols_text").collect().map(_.getString(0)).mkString("|")
+    val firstMerge = batched.merges.orderBy("round", "slot").collect().head
+    assert(segs.contains(firstMerge.getString(2) + " " + firstMerge.getString(3)))
+    TextOps.releaseCaches()
+  }
+
   test("crossDupSpan: contamination against a reference set only") {
     // doc 1 contains a verbatim 5-token benchmark region (3 consecutive
     // ref shingles → span 5); docs 1 and 2 share a span with EACH OTHER

@@ -192,6 +192,7 @@ class PlanSpec extends SparkSpec {
       "split_leakage" -> 9,   // measured 9: the nearDupPairs chain (assignment window + bucket pair join) + two per-row split attach joins + sort
       "bpe_train_merges" -> 1, // training rounds run EAGERLY inside the op (per-round collect + lineage cut); the returned merge table is a local relation + final sort
       "bpe_encode" -> 1,      // per-row segment math over the trained LogicalRDD canonical corpus + final sort
+      "bpe_train_batched" -> 1, // same eager-trainer contract as bpe_train_merges: rounds run inside the op, the merge table is local
       "max_dup_span" -> 6,    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
       "contamination_span" -> 5) // measured 5: ref-shingle distinct + flag join + islands window + run agg + outer join/sort (split attach is per-row hash, zero shuffles)
     budgets.foreach { case (q, n) =>
