@@ -103,6 +103,17 @@ object Graft {
   def corpusFitScore(docs: DataFrame): DataFrame = TextOps.lmScore(docs)
   def qualityRules(docs: DataFrame): DataFrame = TextOps.gopherRules(docs)
   def scrubPii(docs: DataFrame): DataFrame = TextOps.redactPii(docs)
+  def longestDuplicatedSpan(docs: DataFrame): DataFrame =
+    Dedup.maxDupSpan(docs)
+  def contaminationSpan(docs: DataFrame, reference: DataFrame): DataFrame =
+    Dedup.crossDupSpan(docs, reference)
+  def trainBpe(docs: DataFrame, nMerges: Int = 4): TextOps.BpeResult =
+    TextOps.bpeTrain(docs, nMerges)
+  def trainBpeBatched(docs: DataFrame, nRounds: Int = 2,
+      batchSize: Int = 2): TextOps.BpeBatchResult =
+    TextOps.bpeTrainBatched(docs, nRounds, batchSize)
+  def bpeSegmentation(encoded: DataFrame): DataFrame =
+    TextOps.bpeSegments(encoded)
   def splitCorpus(docs: DataFrame, trainPerMille: Int = 900,
       valPerMille: Int = 950): DataFrame =
     TextOps.corpusSplit(docs, trainPerMille = trainPerMille, valPerMille = valPerMille)
