@@ -116,6 +116,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "vocab_growth" -> { (spark, dir) =>
+      // Heaps-law vocabulary growth curve: distinct-token vocabulary
+      // size and total token volume over geometric id-prefixes of the
+      // corpus — the corpus-health curve that says whether more data is
+      // still buying new vocabulary. Each token's FIRST document is one
+      // partial-agg groupBy (vocab-sized output), so a prefix's vocab is
+      // a conditional count over that small table against the broadcast
+      // threshold list — the corpus is scanned ONCE however many
+      // thresholds are asked for.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val toks = docs.select($"doc_id", explode(split($"text", " ")).as("token"))
+      val firstSeen = toks.groupBy($"token").agg(min($"doc_id").as("first_doc"))
+      val perDoc = docs.select($"doc_id", size(split($"text", " ")).cast("long").as("nt"))
+      val total = docs.count()
+      val ks = Seq(16L, 64L, 256L, 1024L, 4096L, 16384L, 65536L)
+        .filter(_ <= total)
+      val th = ks.toDF("k")
+      val vocab = firstSeen.crossJoin(broadcast(th))
+        .filter($"first_doc" < $"k")
+        .groupBy($"k").agg(count(lit(1)).as("vocab_size"))
+      val volume = perDoc.crossJoin(broadcast(th))
+        .filter($"doc_id" < $"k")
+        .groupBy($"k").agg(sum($"nt").as("n_tokens_total"))
+      volume.join(vocab, Seq("k"))
+        .select($"k".as("prefix_docs"), $"n_tokens_total", $"vocab_size")
+        .orderBy("prefix_docs")
+    },
+
     "vocab_oov" -> { (spark, dir) =>
       // Tokenizer prep: build the top-16 vocabulary by global occurrence
       // count (ties by token — deterministic), then score every document's
@@ -739,6 +768,18 @@ object TextQueries {
          |             string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM c$BpeRounds)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // first-appearance table + broadcast threshold list, corpus scanned once
+    "vocab_growth" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |fs AS (SELECT token, min(doc_id) AS first_doc FROM tok GROUP BY 1),
+        |dt AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS nt FROM documents),
+        |th AS (SELECT unnest([16, 64, 256, 1024, 4096, 16384, 65536]) AS k),
+        |kept AS (SELECT k FROM th WHERE k <= (SELECT count(*) FROM documents))
+        |SELECT k::BIGINT AS prefix_docs,
+        |       (SELECT SUM(nt) FROM dt WHERE doc_id < k)::BIGINT AS n_tokens_total,
+        |       (SELECT count(*) FROM fs WHERE first_doc < k)::BIGINT AS vocab_size
+        |FROM kept ORDER BY prefix_docs""".stripMargin,
 
     "vocab_oov" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

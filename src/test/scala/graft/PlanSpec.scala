@@ -194,6 +194,7 @@ class PlanSpec extends SparkSpec {
       "bpe_encode" -> 1,      // per-row segment math over the trained LogicalRDD canonical corpus + final sort
       "bpe_train_batched" -> 1, // same eager-trainer contract as bpe_train_merges: rounds run inside the op, the merge table is local
       "max_dup_span" -> 6,    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
+      "vocab_growth" -> 7,    // measured 7: first-seen agg (vocab-sized) + per-doc token counts + two tiny threshold-conditional aggs + join + sort — the corpus scans once per side
       "contamination_span" -> 5) // measured 5: ref-shingle distinct + flag join + islands window + run agg + outer join/sort (split attach is per-row hash, zero shuffles)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
