@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.expressions.{DotProduct, HammingDist, IntL2}
+import graft.expressions.{DotProduct, HammingDist, IntL2, IntersectSize}
 
 /** SQL-surface registration: exposes the engine's custom expression(s)
   * to `spark.sql` so the SQL entry point is as complete as the Column
@@ -16,5 +16,7 @@ object Functions {
       "hamming_native", exprs => HammingDist(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intl2_native", exprs => IntL2(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_size", exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, HammingDist, IntL2}
+import graft.expressions.{DotProduct, HammingDist, IntL2, IntersectSize}
 
 /** SparkSessionExtensions entry point — the deployment route for the
   * engine's custom expressions on an unmodified cluster:
@@ -24,10 +24,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftExtensions.dotNativeDescriptor)
     extensions.injectFunction(GraftExtensions.hammingNativeDescriptor)
     extensions.injectFunction(GraftExtensions.intL2NativeDescriptor)
+    extensions.injectFunction(GraftExtensions.intersectSizeDescriptor)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.DotProductStrengthReduction)
+    // overlap BEFORE intersect-size: `size(...) > 0` becomes the
+    // short-circuiting ArraysOverlap first; the count rewrite takes
+    // whatever is still counting afterwards
     extensions.injectOptimizerRule(_ =>
       graft.expressions.OverlapStrengthReduction)
+    extensions.injectOptimizerRule(_ =>
+      graft.expressions.IntersectSizeStrengthReduction)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.IntL2StrengthReduction)
   }
@@ -48,4 +54,9 @@ object GraftExtensions {
     FunctionIdentifier("intl2_native"),
     new ExpressionInfo(classOf[IntL2].getCanonicalName, "intl2_native"),
     (exprs: Seq[Expression]) => IntL2(exprs(0), exprs(1)))
+
+  val intersectSizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("intersect_size"),
+    new ExpressionInfo(classOf[IntersectSize].getCanonicalName, "intersect_size"),
+    (exprs: Seq[Expression]) => IntersectSize(exprs(0), exprs(1)))
 }

@@ -1,0 +1,107 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared implementation of the distinct-intersection COUNT — a plain
+  * top-level object so interpreted eval and generated code call the
+  * same bytes (Scala emits a static forwarder the codegen string can
+  * reference directly).
+  */
+object IntersectSizeUtil {
+
+  /** |distinct(a) ∩ distinct(b)| over string arrays, with a NULL
+    * element counting as one intersectable value iff BOTH sides contain
+    * one — exactly `size(array_intersect(a, b))` semantics (the
+    * intersection is duplicate-free, and array_intersect keeps a single
+    * null when both sides have one). The hash set holds the SMALLER
+    * side; matches are removed as they count, which both dedupes the
+    * probe side and lets the loop exit early once the set drains.
+    */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val (s, t) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String]()
+    var setHasNull = false
+    val ns = s.numElements()
+    var i = 0
+    while (i < ns) {
+      if (s.isNullAt(i)) setHasNull = true
+      else set.add(s.getUTF8String(i)): Unit
+      i += 1
+    }
+    var cnt = 0
+    val nt = t.numElements()
+    var j = 0
+    while (j < nt && (!set.isEmpty || setHasNull)) {
+      if (t.isNullAt(j)) {
+        if (setHasNull) { cnt += 1; setHasNull = false }
+      } else if (set.remove(t.getUTF8String(j))) {
+        cnt += 1
+      }
+      j += 1
+    }
+    cnt
+  }
+}
+
+/** Native `size(array_intersect(a, b))` over two ARRAY<STRING> columns —
+  * the verification inner loop of every set-similarity stage (MinHash /
+  * n-gram / prefix-filter Jaccard verify, containment, entity
+  * resolution), where the built-in chain MATERIALIZES the whole
+  * intersection array (hash-set build, probe, copy every matching
+  * UTF8String into a fresh array) only for Size to collapse it to one
+  * int. This computes the count directly: one hash set over the SMALLER
+  * side, remove-on-match (dedupes the probe and drains to an early
+  * exit), zero result allocation.
+  *
+  * Restricted to string elements deliberately: Spark's set operations
+  * give NaN=NaN and normalize -0.0 for float/double elements via a
+  * specialized hash set, a subtlety a generic rewrite must not re-derive.
+  * Binary UTF8String equality has no such cases. Null semantics match
+  * the built-in chain exactly: either ARRAY null → null (BinaryExpression
+  * contract = non-legacy size(null)); a null ELEMENT on both sides
+  * counts once ([[IntersectSizeUtil.count]]), so the rewrite needs no
+  * containsNull restriction — unlike [[OverlapStrengthReduction]],
+  * whose boolean target genuinely diverges under element nulls.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"intersect_size requires two ARRAY<STRING> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSizeUtil.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.IntersectSizeUtil.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IntersectSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSize {
+  /** Column API: `intersect_size(a, b)` over ARRAY<STRING> columns. */
+  def intersectSizeNative(a: Column, b: Column): Column =
+    Bridge.column(IntersectSize(Bridge.expression(a), Bridge.expression(b)))
+}

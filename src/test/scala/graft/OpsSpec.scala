@@ -1223,6 +1223,75 @@ class OpsSpec extends SparkSpec {
       _.exists(_.isInstanceOf[graft.expressions.IntL2])))
   }
 
+  test("IntersectSize equals size(array_intersect) incl. duplicates and null elements") {
+    // driver-computed expected (independent of either engine path):
+    // |distinct ∩ distinct| with null counting iff BOTH sides carry one
+    def expected(a: Seq[String], b: Seq[String]): Int = {
+      val common = a.filter(_ != null).distinct.intersect(b.filter(_ != null).distinct).size
+      common + (if (a.contains(null) && b.contains(null)) 1 else 0)
+    }
+    val rnd = new scala.util.Random(7)
+    val fixtures = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b", "b"), Seq("a", "b", "a")),          // duplicates both sides
+      (Seq[String](null, "x", null), Seq("x", null)),         // nulls both sides → +1
+      (Seq[String](null, null), Seq("y")),                    // null one side only
+      (Seq.empty[String], Seq("a")),                          // empty
+      (Seq("q"), Seq.empty[String])) ++
+      (1 to 20).map { _ =>
+        def arr = Seq.fill(rnd.nextInt(12))(
+          if (rnd.nextInt(10) == 0) null else s"t${rnd.nextInt(6)}")
+        (arr, arr.reverse ++ arr.take(rnd.nextInt(3)))
+      }
+    val df = fixtures.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
+    val got = df.select($"id",
+      graft.expressions.IntersectSize.intersectSizeNative($"a", $"b").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fixtures.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(got(i.toLong) == expected(a, b), s"fixture $i: $a vs $b")
+    }
+    // null ARRAY → null, matching non-legacy size(array_intersect(null, x))
+    val withNull = Seq((1L, null, Seq("a")))
+      .toDF("id", "a", "b")
+      .select(graft.expressions.IntersectSize.intersectSizeNative(
+        $"a".cast("array<string>"), $"b").as("n"))
+    assert(withNull.collect().head.isNullAt(0))
+  }
+
+  test("IntersectSize rule rewrites counting forms; overlap keeps the >0 predicate") {
+    // the shared test session carries no extensions, so rules apply
+    // manually in their GraftExtensions registration order (the IntL2/
+    // DotProduct test pattern): Overlap first, then IntersectSize
+    import graft.expressions.{IntersectSizeStrengthReduction, OverlapStrengthReduction}
+    def chain(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      IntersectSizeStrengthReduction(OverlapStrengthReduction(p))
+    val docs = Tables.documents(spark, Sf0001)
+      .select($"doc_id", split($"text", " ").as("toks")) // containsNull = false
+    val counting = docs.as("x").join(docs.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", size(array_intersect($"x.toks", $"y.toks")).as("inter"))
+    val rewritten = chain(counting.queryExecution.optimizedPlan)
+    assert(rewritten.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.IntersectSize])), rewritten.toString)
+    // and the rewrite preserves every value (built-in chain vs native)
+    val before = counting.limit(500).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val after = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark,
+        chain(counting.limit(500).queryExecution.optimizedPlan))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(before == after)
+    // a >0 EXISTENCE predicate on non-nullable elements goes to the
+    // short-circuiting ArraysOverlap, NOT the counting expression
+    val exists = docs.as("x").join(docs.as("y"), $"x.doc_id" < $"y.doc_id")
+      .filter(size(array_intersect($"x.toks", $"y.toks")) > 0)
+    val both = chain(exists.queryExecution.optimizedPlan)
+    assert(both.expressions.exists(
+      _.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ArraysOverlap])), both.toString)
+    assert(!both.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.IntersectSize])), both.toString)
+  }
+
   test("strength-reduction rule rewrites the HOF dot product to DotProduct") {
     import graft.expressions.DotProductStrengthReduction
     val emb = Tables.embeddings(spark, Sf0001)
