@@ -89,14 +89,10 @@ object SessionQueries {
 
   private def stagedCurateInput(spark: SparkSession, dir: String): String =
     stagedCurate.synchronized { stagedCurate.getOrElseUpdate(dir, {
-      import spark.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-curate-in")
       deleteRecursivelyOnExit(base)
       val in = s"$base/in"
-      graft.Tables.documents(spark, dir).select($"doc_id",
-        concat($"text", lit(" contact u"), $"doc_id",
-          lit("@mail.example.com from 10."), $"doc_id" % 250, lit(".0."),
-          $"doc_id" % 100, lit(" call 555-"), $"doc_id" % 9000 + 1000).as("text"))
+      TextQueries.plantPii(graft.Tables.documents(spark, dir))
         .write.parquet(in)
       in
     })}
@@ -792,45 +788,17 @@ object SessionQueries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     // batch gate∘redact over the same planted-PII input the stream saw:
-    // Gopher keep-conjunction on the planted text, then PII counts +
-    // redaction of the kept docs
+    // the Gopher CTEs, keep conjunction, plant and redaction columns are
+    // the SHARED fragments gopher_rules/pii_redact use (OracleFragments
+    // — one string to edit, no drift between the three oracles)
     "streaming_curate" ->
-      """WITH p AS (SELECT doc_id,
-        |             text || ' contact u' || doc_id || '@mail.example.com from 10.'
-        |                  || (doc_id % 250) || '.0.' || (doc_id % 100)
-        |                  || ' call 555-' || (doc_id % 9000 + 1000) AS text
-        |           FROM documents),
-        |t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM p),
-        |m AS (SELECT doc_id, text, toks, len(toks)::BIGINT AS n,
-        |             list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_len,
-        |             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
-        |             len(list_intersect(list_distinct(toks),
-        |                 ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
-        |      FROM t),
-        |g AS (SELECT *,
-        |             CASE WHEN n >= 3 THEN
-        |               list_transform(range(1, (n - 1)::INTEGER),
-        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |             ELSE []::VARCHAR[] END AS grams
-        |      FROM m),
-        |d AS (SELECT *, len(grams)::BIGINT AS n_grams,
-        |             (len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup
-        |      FROM g),
-        |kept AS (SELECT doc_id, text, n FROM d
-        |         WHERE n >= 20 AND n <= 100000
-        |           AND sum_len >= 2 * n AND sum_len <= 10 * n
-        |           AND n_alpha * 10 >= n * 8
-        |           AND n_stop >= 2
-        |           AND n_dup * 5 <= n_grams)
-        |SELECT doc_id, n AS n_words,
-        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        |       len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
-        |       len(regexp_extract_all(text, '555-[0-9]{4}'))::BIGINT AS n_phones,
-        |       regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-        |         '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
-        |FROM kept ORDER BY doc_id""".stripMargin,
+      s"""WITH ${PiiOracle.plantedCte},
+         |${GopherOracle.ctes("p")},
+         |kept AS (SELECT doc_id, text, n FROM d
+         |         WHERE ${GopherOracle.keepCondition})
+         |SELECT doc_id, n AS n_words,
+         |       ${PiiOracle.selectColumns}
+         |FROM kept ORDER BY doc_id""".stripMargin,
 
     // the streamed coarse-assignment equals the batch integer-L2 argmin
     // (nearest centroid, centroid-id tie-break) over the same vectors

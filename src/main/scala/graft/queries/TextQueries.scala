@@ -48,6 +48,18 @@ object TextQueries {
 
   private val BpeRounds = 4
 
+  /** The planted-PII fixture on the SPARK side — one Scala copy, shared
+    * by the `pii_redact` query and the streaming-curate staged input;
+    * [[PiiOracle.plantedCte]] is its SQL twin.
+    */
+  private[queries] def plantPii(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id",
+      concat($"text", lit(" contact u"), $"doc_id",
+        lit("@mail.example.com from 10."), $"doc_id" % 250, lit(".0."),
+        $"doc_id" % 100, lit(" call 555-"), $"doc_id" % 9000 + 1000).as("text"))
+  }
+
   private val bpeCanonCte =
     "c0 AS (SELECT doc_id, chr(1) || replace(text, ' ', chr(1)||chr(1)) || chr(1) AS c FROM documents)"
 
@@ -181,11 +193,8 @@ object TextQueries {
       // text analogue of the square-wave audio fixture), then counts and
       // redacts with patterns from the Java-regex ∩ RE2 common subset.
       import spark.implicits._
-      val planted = Tables.documents(spark, dir).select($"doc_id",
-        concat($"text", lit(" contact u"), $"doc_id",
-          lit("@mail.example.com from 10."), $"doc_id" % 250, lit(".0."),
-          $"doc_id" % 100, lit(" call 555-"), $"doc_id" % 9000 + 1000).as("text"))
-      TextOps.redactPii(planted).orderBy("doc_id")
+      TextOps.redactPii(TextQueries.plantPii(Tables.documents(spark, dir)))
+        .orderBy("doc_id")
     },
 
     "repetition_stats" -> { (spark, dir) =>
@@ -794,51 +803,24 @@ object TextQueries {
 
     // integer cross-multiplied rule thresholds — no float compare anywhere
     "gopher_rules" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |m AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
-        |             list_sum(list_transform(toks, x -> len(x)))::BIGINT AS sum_len,
-        |             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
-        |             len(list_intersect(list_distinct(toks),
-        |                 ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
-        |      FROM t),
-        |g AS (SELECT *,
-        |             CASE WHEN n >= 3 THEN
-        |               list_transform(range(1, (n - 1)::INTEGER),
-        |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-        |             ELSE []::VARCHAR[] END AS grams
-        |      FROM m),
-        |d AS (SELECT *, len(grams)::BIGINT AS n_grams,
-        |             (len(grams) - len(list_distinct(grams)))::BIGINT AS n_dup
-        |      FROM g)
-        |SELECT doc_id, n AS n_words, sum_len AS sum_word_chars,
-        |       n_alpha AS n_alpha_words, n_stop AS n_stop_hits,
-        |       n_dup AS n_dup_grams,
-        |       (n >= 20 AND n <= 100000) AS rule_words,
-        |       (sum_len >= 2 * n AND sum_len <= 10 * n) AS rule_mean_len,
-        |       (n_alpha * 10 >= n * 8) AS rule_alpha,
-        |       (n_stop >= 2) AS rule_stops,
-        |       (n_dup * 5 <= n_grams) AS rule_repetition,
-        |       (n >= 20 AND n <= 100000 AND sum_len >= 2 * n AND sum_len <= 10 * n
-        |         AND n_alpha * 10 >= n * 8 AND n_stop >= 2
-        |         AND n_dup * 5 <= n_grams) AS keep
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""WITH ${GopherOracle.ctes("documents")}
+         |SELECT doc_id, n AS n_words, sum_len AS sum_word_chars,
+         |       n_alpha AS n_alpha_words, n_stop AS n_stop_hits,
+         |       n_dup AS n_dup_grams,
+         |       (n >= 20 AND n <= 100000) AS rule_words,
+         |       (sum_len >= 2 * n AND sum_len <= 10 * n) AS rule_mean_len,
+         |       (n_alpha * 10 >= n * 8) AS rule_alpha,
+         |       (n_stop >= 2) AS rule_stops,
+         |       (n_dup * 5 <= n_grams) AS rule_repetition,
+         |       (${GopherOracle.keepCondition}) AS keep
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // same planted input computed in-engine; counts precede redaction
     "pii_redact" ->
-      """WITH p AS (SELECT doc_id,
-        |             text || ' contact u' || doc_id || '@mail.example.com from 10.'
-        |                  || (doc_id % 250) || '.0.' || (doc_id % 100)
-        |                  || ' call 555-' || (doc_id % 9000 + 1000) AS text
-        |           FROM documents)
-        |SELECT doc_id,
-        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-        |       len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
-        |       len(regexp_extract_all(text, '555-[0-9]{4}'))::BIGINT AS n_phones,
-        |       regexp_replace(regexp_replace(regexp_replace(text,
-        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |         '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
-        |         '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
-        |FROM p ORDER BY doc_id""".stripMargin,
+      s"""WITH ${PiiOracle.plantedCte}
+         |SELECT doc_id,
+         |       ${PiiOracle.selectColumns}
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     // closed-form square-wave features: A = trunc(amp·32767) with
     // amp = 0.05 + (doc_id % 80)/100 — per-row IEEE scalar math, exact
