@@ -18,5 +18,7 @@ object Functions {
       "intl2_native", exprs => IntL2(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_size", exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "union_size", exprs => graft.expressions.UnionSize(exprs(0), exprs(1)), "built-in")
   }
 }

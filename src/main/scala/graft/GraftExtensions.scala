@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftExtensions.hammingNativeDescriptor)
     extensions.injectFunction(GraftExtensions.intL2NativeDescriptor)
     extensions.injectFunction(GraftExtensions.intersectSizeDescriptor)
+    extensions.injectFunction(GraftExtensions.unionSizeDescriptor)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.DotProductStrengthReduction)
     // overlap BEFORE intersect-size: `size(...) > 0` becomes the
@@ -59,4 +60,9 @@ object GraftExtensions {
     FunctionIdentifier("intersect_size"),
     new ExpressionInfo(classOf[IntersectSize].getCanonicalName, "intersect_size"),
     (exprs: Seq[Expression]) => IntersectSize(exprs(0), exprs(1)))
+
+  val unionSizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("union_size"),
+    new ExpressionInfo(classOf[graft.expressions.UnionSize].getCanonicalName, "union_size"),
+    (exprs: Seq[Expression]) => graft.expressions.UnionSize(exprs(0), exprs(1)))
 }

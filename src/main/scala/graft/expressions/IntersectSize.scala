@@ -105,3 +105,73 @@ object IntersectSize {
   def intersectSizeNative(a: Column, b: Column): Column =
     Bridge.column(IntersectSize(Bridge.expression(a), Bridge.expression(b)))
 }
+
+object UnionSizeUtil {
+
+  /** |distinct(a) ∪ distinct(b)| over string arrays, null counting once
+    * if EITHER side carries one — exactly `size(array_union(a, b))`
+    * (array_union dedupes and keeps a single null from whichever side).
+    * One hash set over both inputs, no union array materialized.
+    */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val set = new java.util.HashSet[UTF8String]()
+    var hasNull = false
+    var i = 0
+    val na = a.numElements()
+    while (i < na) {
+      if (a.isNullAt(i)) hasNull = true
+      else set.add(a.getUTF8String(i)): Unit
+      i += 1
+    }
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) {
+      if (b.isNullAt(j)) hasNull = true
+      else set.add(b.getUTF8String(j)): Unit
+      j += 1
+    }
+    set.size + (if (hasNull) 1 else 0)
+  }
+}
+
+/** Native `size(array_union(a, b))` over two ARRAY<STRING> columns — the
+  * union half of the Jaccard verify (`inter·den > uni·num`), with the
+  * same no-materialization argument as [[IntersectSize]] and the same
+  * string-only restriction (float set ops have NaN/-0.0 special cases).
+  */
+case class UnionSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"union_size requires two ARRAY<STRING> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    UnionSizeUtil.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.UnionSizeUtil.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnionSize =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnionSize {
+  /** Column API: `union_size(a, b)` over ARRAY<STRING> columns. */
+  def unionSizeNative(a: Column, b: Column): Column =
+    Bridge.column(UnionSize(Bridge.expression(a), Bridge.expression(b)))
+}

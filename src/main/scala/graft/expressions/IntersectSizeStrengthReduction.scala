@@ -40,5 +40,10 @@ object IntersectSizeStrengthReduction extends Rule[LogicalPlan] {
     plan.transformAllExpressions {
       case Size(ArrayIntersect(a, b), false) if strElems(a) && strElems(b) =>
         IntersectSize(a, b)
+      // the union half of the Jaccard verify — same argument, same
+      // string-only restriction; array_union keeps one null from
+      // whichever side, which UnionSizeUtil reproduces
+      case Size(ArrayUnion(a, b), false) if strElems(a) && strElems(b) =>
+        UnionSize(a, b)
     }
 }

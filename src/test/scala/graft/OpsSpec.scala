@@ -1246,10 +1246,15 @@ class OpsSpec extends SparkSpec {
     val df = fixtures.zipWithIndex
       .map { case ((a, b), i) => (i.toLong, a, b) }.toDF("id", "a", "b")
     val got = df.select($"id",
-      graft.expressions.IntersectSize.intersectSizeNative($"a", $"b").as("n"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      graft.expressions.IntersectSize.intersectSizeNative($"a", $"b").as("n"),
+      graft.expressions.UnionSize.unionSizeNative($"a", $"b").as("u"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    def expectedUnion(a: Seq[String], b: Seq[String]): Int =
+      (a.filter(_ != null) ++ b.filter(_ != null)).distinct.size +
+        (if (a.contains(null) || b.contains(null)) 1 else 0)
     fixtures.zipWithIndex.foreach { case ((a, b), i) =>
-      assert(got(i.toLong) == expected(a, b), s"fixture $i: $a vs $b")
+      assert(got(i.toLong)._1 == expected(a, b), s"intersect fixture $i: $a vs $b")
+      assert(got(i.toLong)._2 == expectedUnion(a, b), s"union fixture $i: $a vs $b")
     }
     // null ARRAY → null, matching non-legacy size(array_intersect(null, x))
     val withNull = Seq((1L, null, Seq("a")))
@@ -1269,16 +1274,19 @@ class OpsSpec extends SparkSpec {
     val docs = Tables.documents(spark, Sf0001)
       .select($"doc_id", split($"text", " ").as("toks")) // containsNull = false
     val counting = docs.as("x").join(docs.as("y"), $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id", size(array_intersect($"x.toks", $"y.toks")).as("inter"))
+      .select($"x.doc_id", size(array_intersect($"x.toks", $"y.toks")).as("inter"),
+        size(array_union($"x.toks", $"y.toks")).as("uni"))
     val rewritten = chain(counting.queryExecution.optimizedPlan)
     assert(rewritten.expressions.exists(
       _.exists(_.isInstanceOf[graft.expressions.IntersectSize])), rewritten.toString)
+    assert(rewritten.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.UnionSize])), rewritten.toString)
     // and the rewrite preserves every value (built-in chain vs native)
     val before = counting.limit(500).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
     val after = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark,
         chain(counting.limit(500).queryExecution.optimizedPlan))
-      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
     assert(before == after)
     // a >0 EXISTENCE predicate on non-nullable elements goes to the
     // short-circuiting ArraysOverlap, NOT the counting expression
