@@ -1,0 +1,78 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** ANN index-build production job — the serving-side counterpart of
+  * [[CurateCorpus]], turning the oracled train→assign→encode chain
+  * (`kmeans_train` → `kmeans_assign` → `pq_codes`) into an idempotent
+  * partitioned index build:
+  *
+  *   read embeddings parquet
+  *   → train IVF centroids (movement-bounded Lloyd rounds)
+  *   → assign every vector to its centroid (integer-L2 argmin)
+  *   → PQ-encode every vector against the sub-codebook
+  *   → write ONE index table partitioned by `cluster`, dynamic overwrite
+  *   → plus the trained centroid table (the search-time broadcast side)
+  *
+  * The layout IS the query plan: `ivfpq_topk` probes one (or two)
+  * coarse clusters, so partitioning the index by `cluster` turns the
+  * probe into a partition-pruned scan — at 100 TB a query touches
+  * corpus/K files, and the PQ codes it reads are the only payload
+  * (raw embeddings stay in the source table). Everything in the chain
+  * is deterministic (seeded centroids, integer math, fixed round
+  * budget), so a re-run rewrites identical partitions — safe to retry,
+  * safe to schedule alongside [[CurateCorpus]].
+  */
+object BuildIndex {
+
+  /** Pure core: trained centroids + the cluster-and-codes index rows.
+    * Unit-testable without storage.
+    */
+  def built(emb: DataFrame, nSeeds: Int = 8, maxIter: Int = 3,
+      subspaces: Int = 4): (DataFrame, DataFrame) = {
+    val seeds = emb.filter(col("vec_id") < nSeeds)
+    val trained = Similarity.kmeansTrain(emb, seeds, maxIter = maxIter,
+      requireConvergence = false).centroids
+    val assigned = Similarity.assignToTrained(emb, trained)
+    val codes = Similarity.pqCodes(emb, seeds, subspaces)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        e => e.getField("code")).as("codes"))
+    val index = assigned.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("d2"), col("codes"))
+    (trained, index)
+  }
+
+  /** Per-cluster audit counts of a built index. */
+  def audit(index: DataFrame): DataFrame =
+    index.groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+
+  def run(spark: SparkSession, embPath: String, outPath: String,
+      nSeeds: Int = 8, maxIter: Int = 3, subspaces: Int = 4): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val (trained, index) = built(spark.read.parquet(embPath),
+      nSeeds, maxIter, subspaces)
+    trained.write.mode("overwrite").parquet(s"$outPath/centroids")
+    index.write
+      .partitionBy("cluster")
+      .mode("overwrite")
+      .parquet(s"$outPath/index")
+    graft.ops.Similarity.releaseCaches()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BuildIndex <embeddingsParquet> <outPath> [nSeeds] [maxIter]")
+    val spark = SparkSession.builder()
+      .appName("graft-build-index")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 8,
+      if (args.length > 3) args(3).toInt else 3)
+    spark.stop()
+  }
+}

@@ -158,6 +158,43 @@ class JobsSpec extends SparkSpec {
     assert(gotOrc == want)
   }
 
+  test("build-index job: cluster-partitioned index, idempotent, pruned probe") {
+    val base = Files.createTempDirectory("graft-index").toString
+    val out = s"$base/ann"
+    graft.jobs.BuildIndex.run(spark, s"$Sf0001/embeddings.parquet", out)
+    // layout: centroid table + index partitioned by cluster
+    val cent = spark.read.parquet(s"$out/centroids")
+    assert(cent.select("cluster").distinct().count() == 8)
+    val idx = spark.read.parquet(s"$out/index")
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    assert(idx.count() == emb.count())         // every vector indexed once
+    assert(idx.select("vec_id").distinct().count() == emb.count())
+    // codes: one 4-tuple per vector, every code a seed id
+    val row = idx.orderBy("vec_id").collect().head
+    assert(row.getSeq[Long](row.fieldIndex("codes")).length == 4)
+    // the index matches the oracled batch chain (kmeans_assign device)
+    val trained = graft.ops.Similarity.kmeansTrain(emb,
+      emb.filter($"vec_id" < 8), maxIter = 3, requireConvergence = false).centroids
+    val want = graft.ops.Similarity.assignToTrained(emb, trained)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.Similarity.releaseCaches()
+    // the partition column reads back as INT (directory-key inference)
+    val got = idx.select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(got == want)
+    // a single-cluster probe is partition-pruned
+    val probe = spark.read.parquet(s"$out/index").filter($"cluster" === got.head._2)
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val others = got.values.toSet - got.head._2
+    assert(others.forall(c => !scanned.contains(s"cluster=$c")))
+    // re-run: deterministic chain + dynamic overwrite → identical index
+    graft.jobs.BuildIndex.run(spark, s"$Sf0001/embeddings.parquet", out)
+    val again = spark.read.parquet(s"$out/index").select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(again == got, "index re-build must be idempotent")
+  }
+
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
     val base = Files.createTempDirectory("graft-curate").toString
     val out = s"$base/curated"
