@@ -161,6 +161,14 @@ object Graft {
   def pqNearDuplicates(corpus: DataFrame, codebook: DataFrame,
       thresholdPct: Int, subspaces: Int = 4): DataFrame =
     Similarity.pqNearDupPairs(corpus, codebook, thresholdPct, subspaces)
+  def buildAnnIndex(corpus: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, subspaces: Int = 4): DataFrame =
+    Similarity.indexRows(corpus, centroids, codebook, subspaces)
+  def searchAnnIndex(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame =
+    Similarity.searchIvfPqIndex(index, queries, centroids, codebook, k,
+      nprobe = nprobe)
   def searchIvfPq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebook: DataFrame, k: Int, subspaces: Int = 4): DataFrame =
     Similarity.ivfPqTopK(corpus, queries, centroids, codebook, k, subspaces)

@@ -648,6 +648,60 @@ object Similarity {
         col(idCol).as("neighbor_id"), col("adc"))
   }
 
+  /** The serving-layout index rows ([[graft.jobs.BuildIndex]]'s table):
+    * (id, cluster, codes) — coarse IVF assignment plus the
+    * subspace-ordered PQ code tuple, one row per vector, raw embeddings
+    * nowhere in the output. The assignment's id-window shuffle is the
+    * only exchange; the code tuple is the zero-shuffle per-row fold.
+    */
+  def indexRows(corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      subspaces: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val assigned = assignClustersL2(corpus, centroids, idCol, embCol)
+      .select(col(idCol), col("cluster"))
+    pqCodeTuple(corpus, codebook, subspaces, idCol, embCol)
+      .join(assigned, Seq(idCol))
+      .select(col(idCol), col("cluster"), col("__ck").as("codes"))
+  }
+
+  /** ADC search over a PREBUILT index table — the read path a stored
+    * [[graft.jobs.BuildIndex]] layout serves: the corpus side is ONLY
+    * (id, cluster, codes) rows (a partition-pruned scan of the probed
+    * cluster's files at scale — raw corpus embeddings are never
+    * touched), queries assign to their `nprobe` nearest coarse cells,
+    * build per-query LUTs against the broadcast sub-codebook, and ADC
+    * sums rank candidates. Produces EXACTLY [[ivfPqTopK]]'s results on
+    * the index [[indexRows]] builds from the same devices (the
+    * `ivfpq_from_index` oracle reuses `ivfpq_topk`'s unrolled SQL).
+    */
+  def searchIvfPqIndex(index: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebook: DataFrame, k: Int, subspaces: Int = 4,
+      nprobe: Int = 1, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val bookSub = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
+      .select(col("subspace"), col(idCol).as("code"), col("cs"))
+    val rows = index.select(col(idCol), col("cluster"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    val qAssigned = assignTopNL2(queries, centroids, nprobe, idCol, embCol)
+      .select(col(idCol).as("query_id"), col("cluster").as("qcluster"))
+    val lut = pqSubVectors(queries, subspaces, idCol, embCol, "qs")
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(bookSub), "subspace")
+      .select(col("query_id"), col("subspace"), col("code"),
+        intL2(col("qs"), col("cs")).as("__lutd"))
+    val cand = rows
+      .join(broadcast(qAssigned),
+        col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+    val adc = cand.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lutd")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col(idCol).as("neighbor_id"), col("adc"))
+  }
+
   /** One Lloyd iteration's UPDATE STATISTIC — how IVF centroids and PQ
     * codebooks actually get trained at corpus scale: assign every vector
     * to its nearest seed (integer L2), then emit per-(cluster, dim)

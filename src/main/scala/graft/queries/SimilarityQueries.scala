@@ -207,6 +207,24 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "ivfpq_from_index" -> { (spark, dir) =>
+      // The STORED-layout serving path: build the (id, cluster, codes)
+      // index rows once (BuildIndex's table), then ADC-search from the
+      // index ALONE — the corpus side of the search never touches a raw
+      // embedding, which is what a partition-pruned probe of the
+      // cluster-partitioned index reads at 100 TB. Same deterministic
+      // devices as ivfpq_topk, so the oracle IS ivfpq_topk's unrolled
+      // SQL — the build→store→search composition must land on the
+      // identical results as the fused chain.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val book = emb.filter($"vec_id" < 8)
+      val idx = Similarity.indexRows(emb, book, book)
+      Similarity.searchIvfPqIndex(idx, emb.filter($"vec_id" < 10),
+          book, book, k = 3)
+        .orderBy("query_id", "rk")
+    },
+
     "ivfpq_topk_probe2" -> { (spark, dir) =>
       // Multi-probe ADC (r6 verdict item 5): ivf_topk_probe2 proved the
       // recall win for raw IVF; this is the same 2-probe device on the
@@ -484,6 +502,8 @@ object SimilarityQueries {
     // one generated body (ivfPqOracle) so the chains cannot drift
     "ivfpq_topk" -> ivfPqOracle(nprobe = 1),
     "ivfpq_topk_probe2" -> ivfPqOracle(nprobe = 2),
+    // the stored-layout search must land on the fused chain's results
+    "ivfpq_from_index" -> ivfPqOracle(nprobe = 1),
 
     // integer-L2 assignment + exact per-(cluster, dim) sums/counts
     "kmeans_step" ->
