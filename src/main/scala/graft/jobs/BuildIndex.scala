@@ -37,10 +37,11 @@ object BuildIndex {
     val trained = Similarity.kmeansTrain(emb, seeds, maxIter = maxIter,
       requireConvergence = false).centroids
     val assigned = Similarity.assignToTrained(emb, trained)
-    val codes = Similarity.pqCodes(emb, seeds, subspaces)
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        e => e.getField("code")).as("codes"))
+    // the zero-shuffle per-row code fold (the pq_near_dup device), not
+    // pqCodes + groupBy-collect — one fewer exchange, same tuples
+    val codes = Similarity.pqCodeTuple(emb, seeds, subspaces,
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("__ck").as("codes"))
     val index = assigned.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("cluster"), col("d2"), col("codes"))
     (trained, index)
