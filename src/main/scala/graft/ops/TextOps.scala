@@ -826,6 +826,21 @@ object TextOps {
     BpeBatchResult(mergeDf, cur, round)
   }
 
+  /** The learned VOCABULARY table from [[bpeTrain]]'s canonical corpus:
+    * every post-merge symbol with its total occurrence count and
+    * document frequency — what a tokenizer ships after training. One
+    * explode + one partial-agg groupBy; merged symbols keep their
+    * internal spaces.
+    */
+  def bpeVocab(encoded: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val syms = split(call_function("btrim", col("c"), lit(BpeDelim)),
+      BpeDelim + BpeDelim)
+    encoded.select(col(idCol), explode(syms).as("symbol"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+  }
+
   /** Per-document segmentation from [[bpeTrain]]'s canonical corpus:
     * original token count, symbol count after the learned merges, and
     * the `|`-joined symbol sequence (merged symbols keep their internal

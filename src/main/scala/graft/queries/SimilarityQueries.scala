@@ -207,6 +207,22 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "ann_index_balance" -> { (spark, dir) =>
+      // IVF load-balance health check: per-cluster member counts and
+      // distance spread of the TRAINED assignment — a skewed bucket is
+      // a hot probe at serving time (the IVF analogue of the salted-
+      // join diagnosis). One K-row aggregate over the assignment.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val trained = Similarity.kmeansTrain(emb, emb.filter($"vec_id" < 8),
+        maxIter = 3, requireConvergence = false).centroids
+      Similarity.assignToTrained(emb, trained)
+        .groupBy($"cluster")
+        .agg(count(lit(1)).as("n_vectors"),
+          min($"d2").as("min_d2"), max($"d2").as("max_d2"))
+        .orderBy("cluster")
+    },
+
     "ivfpq_from_index" -> { (spark, dir) =>
       // The STORED-layout serving path: build the (id, cluster, codes)
       // index rows once (BuildIndex's table), then ADC-search from the
@@ -504,6 +520,26 @@ object SimilarityQueries {
     "ivfpq_topk_probe2" -> ivfPqOracle(nprobe = 2),
     // the stored-layout search must land on the fused chain's results
     "ivfpq_from_index" -> ivfPqOracle(nprobe = 1),
+
+    // trained assignment (the kmeans_assign chain) rolled up per cluster
+    "ann_index_balance" ->
+      s"""WITH qe AS (SELECT vec_id,
+         |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+         |            FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, q AS cv FROM qe WHERE vec_id < 8),
+         |${kmeansRoundCte(1)},
+         |${kmeansRoundCte(2)},
+         |${kmeansRoundCte(3)},
+         |s AS (SELECT a.vec_id, cluster,
+         |             list_sum(list_transform(range(1, 65),
+         |               i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))) AS d2
+         |      FROM qe a CROSS JOIN c3 c),
+         |assigned AS (SELECT vec_id, cluster, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+         |  FROM s) WHERE rk = 1)
+         |SELECT cluster, count(*) AS n_vectors,
+         |       min(d2)::BIGINT AS min_d2, max(d2)::BIGINT AS max_d2
+         |FROM assigned GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     // integer-L2 assignment + exact per-(cluster, dim) sums/counts
     "kmeans_step" ->

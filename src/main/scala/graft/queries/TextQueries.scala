@@ -84,6 +84,18 @@ object TextQueries {
       TextOps.bpeSegments(res.encoded).orderBy("doc_id")
     },
 
+    "bpe_vocab" -> { (spark, dir) =>
+      // The trained tokenizer's VOCABULARY: every post-merge symbol
+      // with occurrence count and document frequency — the artifact a
+      // tokenizer ships. Train → vocab, one explode + one partial-agg
+      // groupBy over the canonical corpus.
+      import spark.implicits._
+      val res = TextOps.bpeTrain(Tables.documents(spark, dir), nMerges = BpeRounds)
+      TextOps.bpeVocab(res.encoded)
+        .orderBy($"n_occurrences".desc, $"symbol")
+        .limit(50)
+    },
+
     "bpe_train_batched" -> { (spark, dir) =>
       // The BATCHED trainer (the 30k-vocab scale path): 2 rounds × 2
       // symbol-disjoint merges per round, all selected from each
@@ -763,6 +775,19 @@ object TextQueries {
          |  UNION ALL SELECT 1, 2, l, r, cnt FROM m1b
          |  UNION ALL SELECT 2, 1, l, r, cnt FROM m2a
          |  UNION ALL SELECT 2, 2, l, r, cnt FROM m2b) ORDER BY round, slot""".stripMargin
+    },
+
+    "bpe_vocab" -> {
+      val rounds = (1 to BpeRounds).map(bpeOracleRound).mkString(",\n")
+      s"""WITH $bpeCanonCte,
+         |$rounds,
+         |sym AS (SELECT doc_id,
+         |          unnest(string_split(trim(c, chr(1)), chr(1)||chr(1))) AS symbol
+         |        FROM c$BpeRounds)
+         |SELECT symbol, count(*) AS n_occurrences,
+         |       count(DISTINCT doc_id) AS n_docs
+         |FROM sym GROUP BY symbol
+         |ORDER BY n_occurrences DESC, symbol LIMIT 50""".stripMargin
     },
 
     "bpe_encode" -> {

@@ -142,6 +142,8 @@ class PlanSpec extends SparkSpec {
       "pq_codes" -> 3,             // subspace argmin window + final sort (codebook broadcasts)
       "ivfpq_topk" -> 10,          // ONE corpus shuffle (assign window; codes + ADC agg reuse it) + query-side broadcasts + top-k + sort
       "ivfpq_topk_probe2" -> 10,   // multi-probe only widens the broadcast query side — same corpus shape as ivfpq_topk
+      "bpe_vocab" -> 2,            // vocab agg over the trained LogicalRDD corpus; top-50 rides TakeOrderedAndProject
+      "ann_index_balance" -> 5,    // measured 5: trained-centroid repack + assignment window + K-row rollup + sort
       "ivfpq_from_index" -> 12,    // measured 12: index build (assignment window + code-tuple join) + posexplode scan + ADC agg + top-k + sort — at scale the build half is the STORED table and the search half reads it partition-pruned
       "kmeans_train" -> 1,         // training rounds run EAGERLY inside the op (lineage cuts); the returned centroid plan is LogicalRDD + explode + final sort
       "kmeans_step" -> 4,          // assign window + (cluster,dim) agg + final sort
