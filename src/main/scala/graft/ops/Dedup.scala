@@ -304,6 +304,63 @@ object Dedup {
         coalesce(col(cntName), lit(0L)).as(cntName))
   }
 
+  /** Duplicated-SPAN removal — the CUT that [[maxDupSpan]] measures
+    * (Lee et al.: drop substrings duplicated verbatim across documents
+    * once they reach `minSpanTokens`): every token covered by a run of
+    * consecutive cross-document-duplicated 3-shingles spanning at least
+    * `minSpanTokens` tokens is removed, and the document reassembles
+    * from the survivors in order. Scattered shared trigrams (runs
+    * shorter than the threshold) are untouched — that is the difference
+    * from [[stripBoilerplate]], which cuts on per-shingle document
+    * frequency with no contiguity requirement.
+    *
+    * Shape: positional shingles → distinct-doc df ≥ 2 via groupBy +
+    * join-back (partial aggregation, never a window on the skewed
+    * shingle key) → islands-and-gaps per doc → qualifying runs
+    * (length ≥ minSpanTokens − 2 shingles) → covered-position explode +
+    * distinct → anti-join surviving tokens → per-doc ordered reassembly
+    * (the [[stripBoilerplate]] tail; doc-keyed windows are bounded).
+    * Every input document appears in the output, empty text when fully
+    * cut. Output: (id, clean_text, n_kept, n_removed).
+    */
+  def stripDupSpans(df: DataFrame, minSpanTokens: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minSpanTokens >= 3,
+      s"stripDupSpans: minSpanTokens must be >= 3 (one shingle), got $minSpanTokens")
+    val shingled = positionalShingles(df, idCol, textCol)
+    val dup = shingled.select(col(idCol), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("shingle"))
+    val flagged = shingled.join(dup, "shingle")
+      .select(col(idCol), col("start"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("start"))
+    val runs = flagged.withColumn("__grp", col("start") - row_number().over(w))
+    val qualifying = runs.groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+      .filter(col("__run") + 2 >= minSpanTokens)
+      .select(col(idCol), col("__grp"))
+    val covered = runs.join(qualifying, Seq(idCol, "__grp"))
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + 2)).as("pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"), col("tok"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** CROSS-corpus contamination span — [[maxDupSpan]] against a
     * reference set instead of the corpus itself: for every document of
     * `df`, the longest contiguous token run whose every 3-shingle also

@@ -75,6 +75,16 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "strip_dup_spans" -> { (spark, dir) =>
+      // The exact-substring CUT max_dup_span measures: remove every
+      // token under a cross-document duplicated run spanning ≥ 6
+      // tokens, keep scattered shared trigrams. Same skew-safe df
+      // shape; reassembly is the boilerplate_strip tail.
+      import spark.implicits._
+      Dedup.stripDupSpans(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
     "contamination_span" -> { (spark, dir) =>
       // Span-level decontamination: for every TRAIN-split doc, the
       // longest contiguous token run whose shingles all appear in the
@@ -317,6 +327,37 @@ object DedupQueries {
         |       coalesce(m.max_dup_tokens, 0)::BIGINT AS max_dup_tokens,
         |       coalesce(m.n_dup_positions, 0)::BIGINT AS n_dup_positions
         |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // dup shingles → islands → runs ≥ 4 shingles (6 tokens) → covered
+    // positions → anti-join survivors → ordered reassembly
+    "strip_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, i AS start, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |       FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |             FROM toks WHERE len(t) >= 3)),
+        |dup AS (SELECT shingle FROM (
+        |          SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+        |        WHERE df >= 2),
+        |f AS (SELECT doc_id, start FROM sh JOIN dup USING (shingle)),
+        |g AS (SELECT doc_id, start,
+        |             start - row_number() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+        |      FROM f),
+        |q AS (SELECT doc_id, grp FROM (
+        |        SELECT doc_id, grp, count(*) AS run FROM g GROUP BY doc_id, grp)
+        |      WHERE run + 2 >= 6),
+        |cov AS (SELECT DISTINCT g.doc_id, start + d AS pos
+        |        FROM g JOIN q USING (doc_id, grp), unnest([0, 1, 2]) AS u(d)),
+        |tk AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+        |       FROM toks),
+        |kept AS (SELECT tk.* FROM tk ANTI JOIN cov USING (doc_id, pos)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(reb.clean_text, '') AS clean_text,
+        |       coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+        |       (len(string_split(d.text, ' ')) - coalesce(reb.n_kept, 0))::BIGINT AS n_removed
+        |FROM documents d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // md5 per-mille split (the corpus_split rule) → test-split shingles
     // as the reference set → islands-and-gaps per train doc

@@ -1828,6 +1828,25 @@ class OpsSpec extends SparkSpec {
     TextOps.releaseCaches()
   }
 
+  test("stripDupSpans: cuts qualifying runs, keeps scattered shares") {
+    // docs 1/2 share a 6-token span (run of 4 shingles → qualifies at
+    // minSpanTokens = 6); docs 1/3 share ONE scattered shingle (run 1 →
+    // 3 tokens < 6 → kept)
+    val span = "v1 v2 v3 v4 v5 v6"
+    val df = Seq(
+      (1L, s"u1 u2 u3 $span u4"),
+      (2L, s"w1 $span w2 w3"),
+      (3L, "z1 u1 u2 u3 z2")).toDF("doc_id", "text")
+    // doc1's only doc3-shared shingle is "u1 u2 u3" (start 1; start 2's
+    // "u2 u3 v1" appears nowhere else) → a run of ONE, below the
+    // threshold, so those tokens survive in both docs
+    val got = Dedup.stripDupSpans(df, minSpanTokens = 6).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (("u1 u2 u3 u4", 4L, 6L)))   // span cut, scattered kept
+    assert(got(2L) == (("w1 w2 w3", 3L, 6L)))
+    assert(got(3L) == (("z1 u1 u2 u3 z2", 5L, 0L))) // short run untouched
+  }
+
   test("crossDupSpan: contamination against a reference set only") {
     // doc 1 contains a verbatim 5-token benchmark region (3 consecutive
     // ref shingles → span 5); docs 1 and 2 share a span with EACH OTHER

@@ -196,6 +196,7 @@ class PlanSpec extends SparkSpec {
       "bpe_train_merges" -> 1, // training rounds run EAGERLY inside the op (per-round collect + lineage cut); the returned merge table is a local relation + final sort
       "bpe_encode" -> 1,      // per-row segment math over the trained LogicalRDD canonical corpus + final sort
       "bpe_train_batched" -> 1, // same eager-trainer contract as bpe_train_merges: rounds run inside the op, the merge table is local
+      "strip_dup_spans" -> 13, // measured 13: df agg + join-back + islands window + run agg + covered distinct + anti-join + per-doc reassembly + outer join/sort
       "max_dup_span" -> 6,    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
       "vocab_growth" -> 7,    // measured 7: first-seen agg (vocab-sized) + per-doc token counts + two tiny threshold-conditional aggs + join + sort — the corpus scans once per side
       "contamination_span" -> 5) // measured 5: ref-shingle distinct + flag join + islands window + run agg + outer join/sort (split attach is per-row hash, zero shuffles)
