@@ -105,6 +105,8 @@ object Graft {
   def scrubPii(docs: DataFrame): DataFrame = TextOps.redactPii(docs)
   def longestDuplicatedSpan(docs: DataFrame): DataFrame =
     Dedup.maxDupSpan(docs)
+  def removeDuplicatedSpans(docs: DataFrame, minSpanTokens: Int = 6): DataFrame =
+    Dedup.stripDupSpans(docs, minSpanTokens)
   def contaminationSpan(docs: DataFrame, reference: DataFrame): DataFrame =
     Dedup.crossDupSpan(docs, reference)
   def trainBpe(docs: DataFrame, nMerges: Int = 4): TextOps.BpeResult =
