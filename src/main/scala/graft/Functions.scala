@@ -20,5 +20,7 @@ object Functions {
       "intersect_size", exprs => IntersectSize(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "union_size", exprs => graft.expressions.UnionSize(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "distinct_size", exprs => graft.expressions.DistinctSize(exprs(0)), "built-in")
   }
 }

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction(GraftExtensions.intL2NativeDescriptor)
     extensions.injectFunction(GraftExtensions.intersectSizeDescriptor)
     extensions.injectFunction(GraftExtensions.unionSizeDescriptor)
+    extensions.injectFunction(GraftExtensions.distinctSizeDescriptor)
     extensions.injectOptimizerRule(_ =>
       graft.expressions.DotProductStrengthReduction)
     // overlap BEFORE intersect-size: `size(...) > 0` becomes the
@@ -65,4 +66,9 @@ object GraftExtensions {
     FunctionIdentifier("union_size"),
     new ExpressionInfo(classOf[graft.expressions.UnionSize].getCanonicalName, "union_size"),
     (exprs: Seq[Expression]) => graft.expressions.UnionSize(exprs(0), exprs(1)))
+
+  val distinctSizeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("distinct_size"),
+    new ExpressionInfo(classOf[graft.expressions.DistinctSize].getCanonicalName, "distinct_size"),
+    (exprs: Seq[Expression]) => graft.expressions.DistinctSize(exprs(0)))
 }

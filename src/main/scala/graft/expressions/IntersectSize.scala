@@ -175,3 +175,63 @@ object UnionSize {
   def unionSizeNative(a: Column, b: Column): Column =
     Bridge.column(UnionSize(Bridge.expression(a), Bridge.expression(b)))
 }
+
+object DistinctSizeUtil {
+
+  /** |distinct(a)| over a string array, null counting once if present —
+    * exactly `size(array_distinct(a))` (array_distinct keeps one null).
+    */
+  def count(a: ArrayData): Int = {
+    val set = new java.util.HashSet[UTF8String]()
+    var hasNull = false
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) hasNull = true
+      else set.add(a.getUTF8String(i)): Unit
+      i += 1
+    }
+    set.size + (if (hasNull) 1 else 0)
+  }
+}
+
+/** Native `size(array_distinct(a))` over an ARRAY<STRING> column — the
+  * unary member of the counting family ([[IntersectSize]] /
+  * [[UnionSize]]): distinct-ratio and duplicate-gram statistics
+  * (qualityMetrics, repetitionStats, gopherRules) collapse the
+  * materialized distinct array to one int per row; the native count
+  * never builds it. Same string-only restriction.
+  */
+case class DistinctSize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"distinct_size requires an ARRAY<STRING> argument, got ${other.sql}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    DistinctSizeUtil.count(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.DistinctSizeUtil.count($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctSize =
+    copy(child = newChild)
+}
+
+object DistinctSize {
+  /** Column API: `distinct_size(a)` over an ARRAY<STRING> column. */
+  def distinctSizeNative(a: Column): Column =
+    Bridge.column(DistinctSize(Bridge.expression(a)))
+}

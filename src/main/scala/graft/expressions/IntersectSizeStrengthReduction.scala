@@ -45,5 +45,9 @@ object IntersectSizeStrengthReduction extends Rule[LogicalPlan] {
       // whichever side, which UnionSizeUtil reproduces
       case Size(ArrayUnion(a, b), false) if strElems(a) && strElems(b) =>
         UnionSize(a, b)
+      // the unary member: distinct-count statistics (distinct ratio,
+      // duplicate-gram fraction) never materialize the distinct array
+      case Size(ArrayDistinct(a), false) if strElems(a) =>
+        DistinctSize(a)
     }
 }

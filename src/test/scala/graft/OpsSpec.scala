@@ -1256,6 +1256,14 @@ class OpsSpec extends SparkSpec {
       assert(got(i.toLong)._1 == expected(a, b), s"intersect fixture $i: $a vs $b")
       assert(got(i.toLong)._2 == expectedUnion(a, b), s"union fixture $i: $a vs $b")
     }
+    // the unary member: distinct count with null-kept-once semantics
+    val gotD = df.select($"id",
+      graft.expressions.DistinctSize.distinctSizeNative($"a").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fixtures.zipWithIndex.foreach { case ((a, _), i) =>
+      val want = a.filter(_ != null).distinct.size + (if (a.contains(null)) 1 else 0)
+      assert(gotD(i.toLong) == want, s"distinct fixture $i: $a")
+    }
     // null ARRAY → null, matching non-legacy size(array_intersect(null, x))
     val withNull = Seq((1L, null, Seq("a")))
       .toDF("id", "a", "b")
@@ -1275,18 +1283,21 @@ class OpsSpec extends SparkSpec {
       .select($"doc_id", split($"text", " ").as("toks")) // containsNull = false
     val counting = docs.as("x").join(docs.as("y"), $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id", size(array_intersect($"x.toks", $"y.toks")).as("inter"),
-        size(array_union($"x.toks", $"y.toks")).as("uni"))
+        size(array_union($"x.toks", $"y.toks")).as("uni"),
+        size(array_distinct($"x.toks")).as("nd"))
     val rewritten = chain(counting.queryExecution.optimizedPlan)
     assert(rewritten.expressions.exists(
       _.exists(_.isInstanceOf[graft.expressions.IntersectSize])), rewritten.toString)
     assert(rewritten.expressions.exists(
       _.exists(_.isInstanceOf[graft.expressions.UnionSize])), rewritten.toString)
+    assert(rewritten.expressions.exists(
+      _.exists(_.isInstanceOf[graft.expressions.DistinctSize])), rewritten.toString)
     // and the rewrite preserves every value (built-in chain vs native)
     val before = counting.limit(500).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted.toSeq
     val after = org.apache.spark.sql.graftbridge.Bridge.dataFrame(spark,
         chain(counting.limit(500).queryExecution.optimizedPlan))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toSeq
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).sorted.toSeq
     assert(before == after)
     // a >0 EXISTENCE predicate on non-nullable elements goes to the
     // short-circuiting ArraysOverlap, NOT the counting expression
