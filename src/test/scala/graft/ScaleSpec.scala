@@ -447,6 +447,25 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("native set-op counts are exact on 10^5-element arrays") {
+    // the counting expressions' claim is NO result-array materialization
+    // — two 10^5-element sides must count in linear time and exact ints
+    val n = 100000
+    val a = (0 until n).map(i => s"t$i")
+    val b = (n / 2 until n + n / 2).map(i => s"t$i")
+    val df = Seq((1L, a, b)).toDF("id", "a", "b")
+    val t0 = System.nanoTime()
+    val r = df.select(
+      graft.expressions.IntersectSize.intersectSizeNative($"a", $"b").as("i"),
+      graft.expressions.UnionSize.unionSizeNative($"a", $"b").as("u"),
+      graft.expressions.DistinctSize.distinctSizeNative($"a").as("d"))
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"3 counts over 10^5-element arrays: $secs%.2fs")
+    assert(r.getInt(0) == n / 2 && r.getInt(1) == n + n / 2 && r.getInt(2) == n)
+    assert(secs < 30.0)
+  }
+
   test("per-row trigram ops stay linear on a 10^5-token document") {
     // The lambda-CSE boundary: Catalyst does not common-subexpression-
     // eliminate through lambda bodies, so `transform(sequence(...),
