@@ -1764,6 +1764,29 @@ class OpsSpec extends SparkSpec {
     TextOps.releaseCaches()
   }
 
+  test("bpe segmentation is lossless and compression is monotone") {
+    // merges only ever JOIN tokens with spaces and the segmentation
+    // separates symbols with '|', so replacing '|' by ' ' must
+    // reconstruct every document exactly — the tokenizer round-trip
+    // invariant. And each extra merge can only shrink symbol counts.
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val res4 = TextOps.bpeTrain(docs, nMerges = 4)
+    val seg4 = TextOps.bpeSegments(res4.encoded)
+    val mismatches = seg4
+      .select($"doc_id", regexp_replace($"symbols_text", "\\|", " ").as("rejoined"))
+      .join(docs.select($"doc_id", $"text"), "doc_id")
+      .filter($"rejoined" =!= $"text").count()
+    assert(mismatches == 0L, "BPE segmentation must be lossless")
+    val n4 = seg4.agg(sum($"n_symbols")).head.getLong(0)
+    TextOps.releaseCaches()
+    val res1 = TextOps.bpeTrain(docs, nMerges = 1)
+    val n1 = TextOps.bpeSegments(res1.encoded).agg(sum($"n_symbols")).head.getLong(0)
+    TextOps.releaseCaches()
+    val n0 = docs.select(sum(size(split($"text", " ")))).head.getLong(0)
+    assert(n0 >= n1 && n1 >= n4, s"symbol counts must shrink: $n0 >= $n1 >= $n4")
+    assert(n4 < n0, "4 merges must compress a real corpus")
+  }
+
   test("bpeTrain: pair exhaustion stops early; caches release") {
     def extra(before: Set[Int]): Set[Int] =
       spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
