@@ -637,10 +637,18 @@ object TextOps {
     liveCaches.clear()
   }
 
-  private def bpeCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def bpeCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // loud guard (the SRP-dims posture): a text already containing the
+    // U+0001 delimiter would silently corrupt the canonical form's
+    // symbol boundaries — refuse the row instead
+    val guarded = when(col(textCol).contains(BpeDelim),
+        raise_error(concat(lit("bpeTrain: text for id "), col(idCol).cast("string"),
+          lit(" contains the U+0001 symbol delimiter; clean the corpus first"))))
+      .otherwise(col(textCol))
     df.select(col(idCol), concat(lit(BpeDelim),
-      call_function("replace", col(textCol), lit(" "), lit(BpeDelim + BpeDelim)),
+      call_function("replace", guarded, lit(" "), lit(BpeDelim + BpeDelim)),
       lit(BpeDelim)).as("c"))
+  }
 
   /** Adjacent-symbol pairs of the canonical form, one row per POSITION
     * (overlapping: `a a a` contributes two `(a, a)` rows — the standard

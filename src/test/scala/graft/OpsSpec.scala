@@ -1787,6 +1787,15 @@ class OpsSpec extends SparkSpec {
     assert(n4 < n0, "4 merges must compress a real corpus")
   }
 
+  test("bpeTrain refuses text containing the symbol delimiter") {
+    val df = Seq((0L, "ok doc"), (1L, "bad \u0001 doc")).toDF("doc_id", "text")
+    val e = intercept[Exception] { TextOps.bpeTrain(df, nMerges = 1) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("U+0001")), e.toString)
+    TextOps.releaseCaches()
+  }
+
   test("bpeTrain: pair exhaustion stops early; caches release") {
     def extra(before: Set[Int]): Set[Int] =
       spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(before)
