@@ -1,20 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Counts task ends whose reason is not `Success`. Failed AND killed
-  * attempts both count: a retried-then-successful task inflates its
-  * pass's wall time (the r6 artifact carried an anonymous
-  * `FileFormatWriter` retry stack that could not be attributed to any
-  * query), and killed siblings of a failing stage are part of the same
-  * disturbance. Snapshot `count` around a drained window (see
-  * [[org.apache.spark.graftshim.ListenerDrain]]) to attribute failures
-  * to one query.
+/** Attributes task failures to the JOB that owns them, not to whichever
+  * drained window their TaskEnd event happened to land in.
+  *
+  * The r7 time-window scheme was racy: when a job aborts, the failure
+  * returns to the driver while killed sibling tasks are still winding
+  * down — their TaskEnd events can be POSTED after the close-of-window
+  * drain and then land in the NEXT query's window (the one red test in
+  * the r7 suite, and the mechanism behind r6/r7's anonymous
+  * `FileFormatWriter` tail stacks with `task_failures: {}`).
+  *
+  * Ownership scheme: `onJobStart` maps every stage of a job to its job
+  * id; `onTaskEnd` charges a genuine failure (not `Success`, not
+  * `TaskKilled` — killed siblings are scheduler cleanup, not a fault) to
+  * the owning job's counter. Spark job ids are monotonically increasing
+  * per SparkContext, so a measurement window is simply "all jobs whose
+  * id is above the high-water mark taken at window open": a late-posted
+  * event for an old job can never be charged to a new window, no matter
+  * when it arrives. The listener bus is FIFO, so a stage's JobStart is
+  * always processed before any of its TaskEnds and the stage→job lookup
+  * cannot miss (tracked in `unowned` as a tripwire regardless).
   */
 final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener {
-  private val n = new java.util.concurrent.atomic.AtomicLong(0)
+  private val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+  private val perJob =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+  private val maxJob = new java.util.concurrent.atomic.AtomicInteger(-1)
+  private val unownedN = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
+    maxJob.updateAndGet(m => math.max(m, e.jobId)): Unit
+  }
+
   override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-    if (e.reason != org.apache.spark.Success) n.incrementAndGet()
-  def count: Long = n.get
+    e.reason match {
+      case org.apache.spark.Success => ()
+      case _: org.apache.spark.TaskKilled => () // sibling cleanup of an aborting stage
+      case _ =>
+        val job = stageToJob.getOrDefault(e.stageId, -1)
+        if (job < 0) unownedN.incrementAndGet(): Unit
+        else perJob
+          .computeIfAbsent(job, _ => new java.util.concurrent.atomic.AtomicLong(0))
+          .incrementAndGet(): Unit
+    }
+
+  /** Highest job id seen so far — snapshot at window open. */
+  def highWaterMark: Int = maxJob.get
+
+  /** Genuine task failures charged to jobs started after `mark`. */
+  def failuresAfter(mark: Int): Long = {
+    var total = 0L
+    perJob.forEach((job, n) => if (job > mark) total += n.get)
+    total
+  }
+
+  /** Failures whose stage had no job mapping — structurally impossible
+    * on a FIFO bus; nonzero means the attribution model itself broke.
+    */
+  def unowned: Long = unownedN.get
 }
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
@@ -79,23 +124,28 @@ object Bench {
   }
 
   /** One timed, instrumented run of `f`: returns (elapsed seconds or
-    * -1.0 if it threw, non-Success task ends attributable to this run,
-    * load average sampled at start). Each window opens and closes on a
-    * quiescent scheduler so the failure count is exactly this run's —
-    * exposed as a method (not inlined in main) so BenchSpec can prove
-    * attribution with a deliberately flaky query.
+    * -1.0 if it threw, genuine task failures attributable to this run,
+    * load average sampled at start). Attribution is by JOB OWNERSHIP,
+    * not by event arrival time: the window owns exactly the jobs whose
+    * id exceeds the high-water mark taken at open, so a killed-sibling
+    * TaskEnd posted after the close drain can never be charged to the
+    * next window (it belongs to an old job by construction). The close
+    * quiesce still runs so the failing job's own ExceptionFailure —
+    * posted before the job failure returns to the driver — is processed
+    * before the count is read. Exposed as a method (not inlined in main)
+    * so BenchSpec can prove attribution with a deliberately flaky query.
     */
   def measure(spark: SparkSession, listener: TaskFailureListener)(
       f: => Unit): (Double, Long, Double) = {
     val sc = spark.sparkContext
     quiesce(sc)
-    val before = listener.count
+    val mark = listener.highWaterMark
     val load = loadAvg1m()
     val t0 = System.nanoTime()
     val ok = try { f; true } catch { case _: Throwable => false }
     val dt = (System.nanoTime() - t0) / 1e9
     quiesce(sc)
-    (if (ok) dt else -1.0, listener.count - before, load)
+    (if (ok) dt else -1.0, listener.failuresAfter(mark), load)
   }
 
   def main(args: Array[String]): Unit = {
@@ -215,7 +265,7 @@ object Bench {
     // JSON line outgrew the driver's stdout tail window and truncated
     // mid-object ("parsed": null in round 2). Stdout carries only the
     // short, always-parseable total line, pointing at the file.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1.
@@ -228,7 +278,7 @@ object Bench {
     finally dirStream.close()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"queries_file":"bench_out.json"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"queries_file":"bench_out.json"}"""
     // The total line ALSO goes to a file: sbt prefixes stdout with
     // [info], which broke the driver's JSON parse of it in rounds 1–3.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")

@@ -171,6 +171,16 @@ object Graft {
       nprobe: Int = 1): DataFrame =
     Similarity.searchIvfPqIndex(index, queries, centroids, codebook, k,
       nprobe = nprobe)
+  /** Search [[graft.jobs.BuildIndex]]'s stored layout as written: pass
+    * the `index/`, `centroids/` (trained, exploded form) and `codebook/`
+    * tables from ONE build — mixing builds returns silently wrong
+    * neighbors.
+    */
+  def searchStoredAnnIndex(index: DataFrame, queries: DataFrame,
+      trainedCentroids: DataFrame, codebook: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame =
+    Similarity.searchStoredIndex(index, queries, trainedCentroids, codebook,
+      k, nprobe = nprobe)
   def searchIvfPq(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebook: DataFrame, k: Int, subspaces: Int = 4): DataFrame =
     Similarity.ivfPqTopK(corpus, queries, centroids, codebook, k, subspaces)

@@ -52,6 +52,28 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Sketch error-band evidence for the two no-oracle queries: the
+    // driver's artifact otherwise records only a rows-only check for
+    // them. Written to outDir, to the repo cwd, and self-archived per
+    // round (round = latest driver CORRECTNESS_r{N} + 1, the bench's
+    // archiving convention) so the bound check is part of the round's
+    // verification record. Full sweeps only — the dev loop (named-query
+    // args) skips it.
+    if (only.isEmpty) {
+      try {
+        val sketch = graft.tools.SketchBounds.reportJson(spark, sfDir) + "\n"
+        Files.writeString(Paths.get(s"$outDir/sketch_bounds.json"), sketch)
+        Files.writeString(Paths.get("SKETCH_BOUNDS.json"), sketch)
+        val re = "CORRECTNESS_r(\\d+)\\.json".r
+        val ds = Files.list(Paths.get("."))
+        val round = try ds.toArray.map(_.toString.replaceFirst("^\\./", ""))
+          .collect { case re(n) => n.toInt }.foldLeft(0)(math.max) + 1
+        finally ds.close()
+        Files.writeString(Paths.get(f"SKETCH_BOUNDS_r$round%02d.json"), sketch)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

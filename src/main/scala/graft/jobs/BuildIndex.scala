@@ -51,14 +51,29 @@ object BuildIndex {
   def audit(index: DataFrame): DataFrame =
     index.groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
 
+  /** Writes a SELF-CONTAINED layout: `index/` (cluster-partitioned),
+    * `centroids/` (the coarse quantizer), and `codebook/` (the PQ seed
+    * vectors `pqCodeTuple` encoded against). All three ship together
+    * because [[Similarity.searchIvfPqIndex]] must build its query LUTs
+    * against the EXACT codebook the codes were encoded with — searching
+    * a stored index with a re-derived or different codebook returns
+    * silently wrong neighbors. Consumers read the triple from one
+    * build's `outPath`, never mix builds.
+    *
+    * `partitionOverwriteMode` is set per-write (a writer option), not on
+    * the session conf: `run` is callable from a long-lived session and
+    * must not leak a write-semantics change to later overwrites.
+    */
   def run(spark: SparkSession, embPath: String, outPath: String,
       nSeeds: Int = 8, maxIter: Int = 3, subspaces: Int = 4): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val (trained, index) = built(spark.read.parquet(embPath),
-      nSeeds, maxIter, subspaces)
+    val emb = spark.read.parquet(embPath)
+    val (trained, index) = built(emb, nSeeds, maxIter, subspaces)
     trained.write.mode("overwrite").parquet(s"$outPath/centroids")
+    emb.filter(col("vec_id") < nSeeds)
+      .write.mode("overwrite").parquet(s"$outPath/codebook")
     index.write
       .partitionBy("cluster")
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(s"$outPath/index")
     graft.ops.Similarity.releaseCaches()

@@ -45,12 +45,17 @@ object CurateCorpus {
         .groupBy(col("split")).agg(sum(col("n_docs")).as("n_docs"),
           sum(col("n_chars")).as("sum_chars")))
 
+  /** `partitionOverwriteMode` rides the WRITER (a per-write option),
+    * not the session conf: `run` is callable from a long-lived session,
+    * and a session-level set would silently change the overwrite
+    * semantics of every later write in that session.
+    */
   def run(spark: SparkSession, docsPath: String, outPath: String,
       minChars: Long = 100L): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     curated(spark.read.parquet(docsPath), minChars)
       .write
       .partitionBy("split")
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(outPath)
     graft.ops.Dedup.releaseCaches()

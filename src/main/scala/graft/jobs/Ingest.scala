@@ -30,7 +30,6 @@ object Ingest {
     */
   def run(spark: SparkSession, csvPath: String, outPath: String,
       filesPerPartition: Int = 1): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val raw = spark.read
       .option("header", "true")
       .schema(Schemas.behavior)
@@ -46,6 +45,9 @@ object Ingest {
           pmod(hash(col("user_id")), lit(filesPerPartition)))
     parted.write
       .partitionBy("event_date", "event_hour")
+      // per-write, not session conf: run() must not leak dynamic
+      // overwrite semantics into a long-lived caller session
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(outPath)
   }

@@ -46,8 +46,6 @@ object SessionizeHour {
 
   def run(spark: SparkSession, logsPath: String, sessionsPath: String,
       eventDate: String, eventHour: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     val hourStart = LocalDateTime.parse(s"$eventDate $eventHour", HourFmt)
     val prevHour = hourStart.minusHours(1)
     val boundaryUs = hourStart.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
@@ -79,6 +77,9 @@ object SessionizeHour {
     sessionizeWithCarry(behaviors, prevActive, boundaryUs, eventHour)
       .write
       .partitionBy("event_date", "event_hour")
+      // per-write, not session conf: run() must not leak dynamic
+      // overwrite semantics into a long-lived caller session
+      .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(sessionsPath)
   }

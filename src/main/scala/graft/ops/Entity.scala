@@ -56,7 +56,12 @@ object Entity {
       .withColumn("__n", size(col("__toks")))
     val a = toks.select(col(idCol).as("id_a") +: blockCols.map(col) :+
       col("__toks").as("__toks_a") :+ col("__n").as("__n_a"): _*)
-      .withColumn("__salt", pmod(col("id_a").cast("long"), lit(subSplits.toLong)))
+      // salt on a type-agnostic hash, NOT a numeric cast: cast("long")
+      // yields NULL for string ids ('cust_123'), a NULL salt never
+      // equi-joins, and every pair with that row on the left would be
+      // silently dropped. xxhash64 is total over any type, so the
+      // exactly-once pair guarantee holds for arbitrary id columns.
+      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(subSplits.toLong)))
     val b = toks.select(col(idCol).as("id_b") +: blockCols.map(col) :+
       col("__toks").as("__toks_b") :+ col("__n").as("__n_b"): _*)
       .withColumn("__salt", explode(sequence(lit(0L), lit((subSplits - 1).toLong))))

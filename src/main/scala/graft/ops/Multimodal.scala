@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to FILE-cached image input/output streams: every
+  // per-row decode (createImageInputStream in headerDims/ImageIO.read)
+  // AND every per-row PNG encode (ImageIO.write's createImageOutputStream)
+  // creates-and-deletes a temp file in java.io.tmpdir. At corpus scale
+  // that is millions of tmpfs syscalls per task, and on a shared host it
+  // couples image throughput to OTHER tenants' /tmp load — the r7
+  // image_ahash 0.62 s → 3.55 s swing with byte-identical code. Payloads
+  // here are per-row byte arrays (bounded by MaxRasterBytes), so the
+  // memory-cached stream is strictly better. JVM-global, set once at
+  // object init — every image path in the engine routes through this
+  // object, so executors hit it before their first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** The media row contract: id + opaque bytes + typed metadata. */
   case class MediaMeta(mimeType: String, sizeBytes: Long, tag: String)
   case class MediaRow(media_id: Long, content: Array[Byte], meta: MediaMeta)

@@ -851,7 +851,17 @@ object Similarity {
     * argmin window on the vector id (WindowGroupLimit-prunable).
     */
   def assignToTrained(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    assignToTrainedTopN(corpus, centroids, 1, idCol, embCol)
+      .select(col(idCol), col("cluster"), col("d2"))
+
+  /** Top-`n` trained-centroid assignment — [[assignToTrained]]'s
+    * multi-probe generalization, the query side of
+    * [[searchStoredIndex]]. Same exact-integer repack (no float
+    * round-trip), same broadcast + one argmin window shape.
+    */
+  private def assignToTrainedTopN(corpus: DataFrame, centroids: DataFrame,
+      n: Int, idCol: String, embCol: String): DataFrame = {
     val cent = centroids.groupBy(col("cluster"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("comp")))),
         e => e.getField("comp")).as("__cv"))
@@ -860,8 +870,48 @@ object Similarity {
     q.crossJoin(broadcast(cent))
       .withColumn("__d", intL2(col("__qv"), col("__cv")))
       .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("cluster"), col("__d").as("d2"))
+      .filter(col("__rk") <= n)
+      .select(col(idCol), col("cluster"), col("__d").as("d2"),
+        col("__rk").as("probe_rk"))
+  }
+
+  /** ADC search over [[graft.jobs.BuildIndex]]'s STORED layout, consumed
+    * exactly as written — `index/` rows (id, cluster, codes), the
+    * TRAINED centroid table `centroids/` in its exploded exact-integer
+    * (cluster, dim, comp) form, and the PQ seed-vector `codebook/`.
+    * [[searchIvfPqIndex]] assigns queries against RAW-vector centroids
+    * (the fused demo chain); a stored index is built with
+    * [[assignToTrained]] against trained centroids, so its read path
+    * must coarse-assign queries the same way or probe the wrong cells.
+    * Same broadcast/LUT/ADC scale posture as [[searchIvfPqIndex]].
+    */
+  def searchStoredIndex(index: DataFrame, queries: DataFrame,
+      trainedCentroids: DataFrame, codebook: DataFrame, k: Int,
+      subspaces: Int = 4, nprobe: Int = 1, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val bookSub = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
+      .select(col("subspace"), col(idCol).as("code"), col("cs"))
+    val rows = index.select(col(idCol), col("cluster"),
+      posexplode(col("codes")).as(Seq("subspace", "code")))
+    val qAssigned = assignToTrainedTopN(queries, trainedCentroids, nprobe,
+        idCol, embCol)
+      .select(col(idCol).as("query_id"), col("cluster").as("qcluster"))
+    val lut = pqSubVectors(queries, subspaces, idCol, embCol, "qs")
+      .withColumnRenamed(idCol, "query_id")
+      .join(broadcast(bookSub), "subspace")
+      .select(col("query_id"), col("subspace"), col("code"),
+        intL2(col("qs"), col("cs")).as("__lutd"))
+    val cand = rows
+      .join(broadcast(qAssigned),
+        col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+    val adc = cand.groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("__lutd")).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
+    adc.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("long").as("rk"),
+        col(idCol).as("neighbor_id"), col("adc"))
   }
 
   /** IVF top-k: each query searches only its own cluster's bucket —

@@ -637,6 +637,17 @@ object TextOps {
     liveCaches.clear()
   }
 
+  /** The canonical string minus its OUTER delimiter pair — exactly one
+    * character from each end, the precise inverse of the `␁…␁` wrap.
+    * Never `btrim`: btrim strips ALL leading/trailing delimiter chars,
+    * so a document whose first/last symbol were empty (`␁␁␁a␁`) would
+    * silently lose it. [[bpeCanonical]] refuses empty tokens outright
+    * (they make the merge encoding ambiguous — see the guard), so on
+    * accepted input the two agree; the exact-one strip keeps extraction
+    * structurally incapable of dropping a symbol regardless.
+    */
+  private def stripOuterDelims(c: Column): Column = c.substr(lit(2), length(c) - 2)
+
   private def bpeCanonical(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // loud guard (the SRP-dims posture): a text already containing the
     // U+0001 delimiter would silently corrupt the canonical form's
@@ -644,6 +655,19 @@ object TextOps {
     val guarded = when(col(textCol).contains(BpeDelim),
         raise_error(concat(lit("bpeTrain: text for id "), col(idCol).cast("string"),
           lit(" contains the U+0001 symbol delimiter; clean the corpus first"))))
+      // Empty tokens (leading/trailing/double spaces) are refused too:
+      // an empty symbol's canonical form is a bare `␁␁`, which makes the
+      // doubled-delimiter encoding AMBIGUOUS — in `␁a␁␁␁␁b␁` (tokens
+      // a,"",b) the ("","") merge pattern `␁␁␁␁` false-matches the close
+      // of `a` + the empty + the open of `b`, corrupting the corpus. The
+      // r7 btrim extraction also silently DROPPED outer empties; now the
+      // contract is loud instead: whitespace-normalize first.
+      .when(col(textCol).startsWith(" ") || col(textCol).endsWith(" ") ||
+          col(textCol).contains("  "),
+        raise_error(concat(lit("bpeTrain: text for id "), col(idCol).cast("string"),
+          lit(" has a leading/trailing/double space (an empty token); the" +
+            " delimiter encoding requires non-empty symbols — normalize" +
+            " whitespace first"))))
       .otherwise(col(textCol))
     df.select(col(idCol), concat(lit(BpeDelim),
       call_function("replace", guarded, lit(" "), lit(BpeDelim + BpeDelim)),
@@ -664,8 +688,7 @@ object TextOps {
     * per-element indexing at all.
     */
   private def bpePairs(canon: DataFrame): DataFrame = {
-    val symsCol = split(call_function("btrim", col("c"), lit(BpeDelim)),
-      BpeDelim + BpeDelim)
+    val symsCol = split(stripOuterDelims(col("c")), BpeDelim + BpeDelim)
     val n = size(col("syms"))
     canon.select(symsCol.as("syms"))
       .select(explode(when(n >= 2,
@@ -841,8 +864,7 @@ object TextOps {
     * internal spaces.
     */
   def bpeVocab(encoded: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val syms = split(call_function("btrim", col("c"), lit(BpeDelim)),
-      BpeDelim + BpeDelim)
+    val syms = split(stripOuterDelims(col("c")), BpeDelim + BpeDelim)
     encoded.select(col(idCol), explode(syms).as("symbol"))
       .groupBy(col("symbol"))
       .agg(count(lit(1)).as("n_occurrences"),
@@ -858,7 +880,7 @@ object TextOps {
     * per-row string math, zero shuffle.
     */
   def bpeSegments(encoded: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val trimmed = call_function("btrim", col("c"), lit(BpeDelim))
+    val trimmed = stripOuterDelims(col("c"))
     val syms = split(trimmed, BpeDelim + BpeDelim)
     encoded.select(
       col(idCol),

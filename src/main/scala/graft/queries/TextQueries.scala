@@ -38,7 +38,7 @@ object TextQueries {
     s"""p$i AS (
        |  SELECT pr[1] AS l, pr[2] AS r, count(*) AS cnt
        |  FROM (SELECT unnest([[s[k], s[k+1]] for k in range(1, len(s))]) AS pr
-       |        FROM (SELECT string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM $p))
+       |        FROM (SELECT string_split(substring(c, 2, length(c)-2), chr(1)||chr(1)) AS s FROM $p))
        |  GROUP BY 1, 2),
        |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
        |c$i AS (SELECT doc_id, replace(c, chr(1)||l||chr(1)||chr(1)||r||chr(1),
@@ -753,7 +753,7 @@ object TextQueries {
         s"""p$i AS (
            |  SELECT pr[1] AS l, pr[2] AS r, count(*) AS cnt
            |  FROM (SELECT unnest([[s[k], s[k+1]] for k in range(1, len(s))]) AS pr
-           |        FROM (SELECT string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM $p))
+           |        FROM (SELECT string_split(substring(c, 2, length(c)-2), chr(1)||chr(1)) AS s FROM $p))
            |  GROUP BY 1, 2),
            |rk$i AS (SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$i),
            |m${i}a AS (SELECT l, r, cnt FROM rk$i WHERE rk = 1),
@@ -782,7 +782,7 @@ object TextQueries {
       s"""WITH $bpeCanonCte,
          |$rounds,
          |sym AS (SELECT doc_id,
-         |          unnest(string_split(trim(c, chr(1)), chr(1)||chr(1))) AS symbol
+         |          unnest(string_split(substring(c, 2, length(c)-2), chr(1)||chr(1))) AS symbol
          |        FROM c$BpeRounds)
          |SELECT symbol, count(*) AS n_occurrences,
          |       count(DISTINCT doc_id) AS n_docs
@@ -798,8 +798,8 @@ object TextQueries {
          |  (len(s) + (length(cs) - length(replace(cs, ' ', ''))))::BIGINT AS n_tokens,
          |  len(s)::BIGINT AS n_symbols,
          |  array_to_string(s, '|') AS symbols_text
-         |FROM (SELECT doc_id, trim(c, chr(1)) AS cs,
-         |             string_split(trim(c, chr(1)), chr(1)||chr(1)) AS s FROM c$BpeRounds)
+         |FROM (SELECT doc_id, substring(c, 2, length(c)-2) AS cs,
+         |             string_split(substring(c, 2, length(c)-2), chr(1)||chr(1)) AS s FROM c$BpeRounds)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Error-band evidence for the two approximate-by-design queries
+  * (`approx_distinct_parts`, `approx_percentiles`) — the only
+  * CORRECTNESS entries with no DuckDB hash oracle. OpsSpec asserts the
+  * same bounds in-suite; this emits the observed-vs-bound numbers as a
+  * per-round JSON artifact (`SKETCH_BOUNDS.json`, archived as
+  * `SKETCH_BOUNDS_r{N}.json`) so the verification record carries the
+  * sketch contract, not just a rows-only check (r7 verdict item 5).
+  *
+  * Bounds restated:
+  *  - HLL++ (`approx_count_distinct`, default rsd 0.05): each group's
+  *    estimate within 3 standard deviations = 15% relative error.
+  *  - Quantile sketch (`percentile_approx`, accuracy 10000): the value
+  *    is an actual element whose RANK is within n/accuracy of the
+  *    target, so it must sit between the exact order statistics at
+  *    rank ± (n/accuracy + 1).
+  */
+object SketchBounds {
+
+  def reportJson(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+
+    // --- HLL distinct counts per l_returnflag
+    val exactD = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("ex")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approxD = li.groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("ap")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val hllGroups = exactD.toSeq.sortBy(_._1).map { case (k, ex) =>
+      val ap = approxD(k)
+      val rel = if (ex == 0) 0.0 else math.abs(ap - ex).toDouble / ex
+      (k, ex, ap, rel, rel <= 0.15)
+    }
+
+    // --- quantile sketch per l_returnflag; exact ranks computed
+    // distributedly (sf0.01 lineitem fits a collect, but the exact order
+    // statistic via percentile() keeps this runnable at any SF)
+    val qs = Seq(0.5, 0.95, 0.99)
+    val apx = li.groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice",
+        array(qs.map(lit): _*), lit(10000)).as("apx"),
+        count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    val sortedByGroup = li.select($"l_returnflag", $"l_extendedprice").collect()
+      .groupBy(_.getString(0)).map { case (k, rows) =>
+        k -> rows.map(_.getDouble(1)).sorted }
+    val pctGroups = sortedByGroup.toSeq.sortBy(_._1).flatMap { case (k, sorted) =>
+      val n = sorted.length
+      val slack = n.toDouble / 10000.0 + 1
+      qs.zipWithIndex.map { case (q, i) =>
+        val target = math.ceil(q * n)
+        val lo = sorted(math.max(0, (target - slack).toInt - 1))
+        val hi = sorted(math.min(n - 1, (target + slack).toInt - 1))
+        val got = apx(k)._1(i)
+        (k, q, got, lo, hi, got >= lo && got <= hi)
+      }
+    }
+
+    val fmt = (d: Double) =>
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+    val hllJson = hllGroups.map { case (k, ex, ap, rel, ok) =>
+      s"""{"key":"$k","exact":$ex,"approx":$ap,"rel_err":${fmt(rel)},"ok":$ok}"""
+    }.mkString("[", ",", "]")
+    val pctJson = pctGroups.map { case (k, q, got, lo, hi, ok) =>
+      s"""{"key":"$k","q":$q,"approx":${fmt(got)},"rank_lo":${fmt(lo)},"rank_hi":${fmt(hi)},"ok":$ok}"""
+    }.mkString("[", ",", "]")
+    val allOk = hllGroups.forall(_._5) && pctGroups.forall(_._6)
+    s"""{"sf":"$sfDir","all_within_bounds":$allOk,""" +
+      s""""approx_distinct_parts":{"sketch":"HLL++","rsd":0.05,"bound":"rel_err <= 0.15 (3*rsd)","groups":$hllJson},""" +
+      s""""approx_percentiles":{"sketch":"percentile_approx","accuracy":10000,"bound":"value between exact order stats at rank +/- (n/accuracy+1)","groups":$pctJson}}"""
+  }
+}

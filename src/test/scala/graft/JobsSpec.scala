@@ -193,6 +193,34 @@ class JobsSpec extends SparkSpec {
     val again = spark.read.parquet(s"$out/index").select("vec_id", "cluster")
       .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
     assert(again == got, "index re-build must be idempotent")
+    // the layout is SELF-CONTAINED: the PQ codebook ships with the
+    // index, and searching from the stored (index, centroids, codebook)
+    // triple alone reproduces the fused chain — no re-derivation from
+    // the embeddings source, whose vec_id<nSeeds convention a consumer
+    // must not need to know
+    val book = spark.read.parquet(s"$out/codebook")
+    assert(book.count() == 8, "codebook must be stored alongside the index")
+    val queries = emb.filter($"vec_id" < 10)
+    val fromStore = graft.ops.Similarity.searchStoredIndex(
+        spark.read.parquet(s"$out/index").select("vec_id", "cluster", "codes"),
+        // fresh read: `cent` above still points at the files the re-run
+        // just overwrote
+        queries, spark.read.parquet(s"$out/centroids"), book, k = 3)
+      .orderBy("query_id", "rk").collect().toSeq
+    // parity bar: searching the DISK triple equals searching the same
+    // build held in memory — the store is lossless for the search path
+    val (trainedMem, indexMem) = graft.jobs.BuildIndex.built(emb)
+    val fromMemory = graft.ops.Similarity.searchStoredIndex(indexMem,
+        queries, trainedMem, emb.filter($"vec_id" < 8), k = 3)
+      .orderBy("query_id", "rk").collect().toSeq
+    graft.ops.Similarity.releaseCaches()
+    assert(fromStore == fromMemory,
+      "stored-triple search must equal the in-memory build's search")
+    assert(fromStore.nonEmpty)
+    // and run() leaked no write-semantics conf into the shared session
+    assert(!spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      .exists(_.equalsIgnoreCase("dynamic")),
+      "run() must not leak partitionOverwriteMode=dynamic into the session")
   }
 
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {

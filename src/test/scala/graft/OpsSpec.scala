@@ -1787,6 +1787,39 @@ class OpsSpec extends SparkSpec {
     assert(n4 < n0, "4 merges must compress a real corpus")
   }
 
+  test("bpeTrain refuses empty tokens (leading/trailing/double spaces)") {
+    // split(' a b', ' ') = ["", "a", "b"]: empty tokens are real tokens,
+    // but an empty SYMBOL's canonical form is a bare ␁␁, which makes the
+    // doubled-delimiter merge encoding ambiguous — in ␁a␁␁␁␁b␁ (tokens
+    // a,"",b) the ("","") merge pattern ␁␁␁␁ false-matches the close of
+    // `a` + the empty + the open of `b` and corrupts the corpus
+    // (observed: "a  b" re-segmented as "a b" after a ("","") merge).
+    // The r7 btrim extraction instead silently DROPPED outer empties.
+    // Both failure modes are now closed by refusing the row loudly.
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (bad <- Seq(" a b", "a b ", "a  b", " ")) {
+      val df = Seq((0L, "a b a b"), (1L, bad)).toDF("doc_id", "text")
+      val e = intercept[Exception] { TextOps.bpeTrain(df, nMerges = 1) }
+      assert(messages(e).exists(_.contains("empty token")),
+        s"'$bad' must be refused: $e")
+      TextOps.releaseCaches()
+    }
+    // whitespace-normalized input round-trips exactly — the invariant
+    // the guard protects
+    val df = Seq((0L, " a  b ".trim.replaceAll(" +", " ")), (1L, "a b a b"))
+      .toDF("doc_id", "text")
+    val res = TextOps.bpeTrain(df, nMerges = 2)
+    val bad = TextOps.bpeSegments(res.encoded)
+      .select($"doc_id", $"n_tokens",
+        regexp_replace($"symbols_text", "\\|", " ").as("rejoined"))
+      .join(df.select($"doc_id", $"text",
+        size(split($"text", " ")).cast("long").as("n_expected")), "doc_id")
+      .filter($"rejoined" =!= $"text" || $"n_tokens" =!= $"n_expected")
+    assert(bad.count() == 0L, bad.collect().mkString("; "))
+    TextOps.releaseCaches()
+  }
+
   test("bpeTrain refuses text containing the symbol delimiter") {
     val df = Seq((0L, "ok doc"), (1L, "bad \u0001 doc")).toDF("doc_id", "text")
     val e = intercept[Exception] { TextOps.bpeTrain(df, nMerges = 1) }

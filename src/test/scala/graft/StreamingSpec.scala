@@ -103,6 +103,63 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 1000) // sf0.01 is non-trivial: thousands of sessions
   }
 
+  test("killed mid-stream and restarted from the checkpoint, the job still matches batch") {
+    // The restart-RESUME contract (r7 verdict item 7): every prior
+    // streaming test ran AvailableNow to completion. Here the query is
+    // stopped BETWEEN micro-batches (maxFilesPerTrigger=1 over a
+    // many-file input, stop() after the 2nd data batch commits), then a
+    // fresh launch resumes from the same checkpoint — offset log, session
+    // state store, and exactly-once file-sink log all have to survive the
+    // restart for the final output to hash-match the batch twin.
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-resume").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val ev = Tables.events(spark, Sf0001).select($"user_id", $"ts", $"event_id")
+    val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+    // sentinel 2h past the corpus max: the final watermark passes every
+    // real session's close, so append mode must emit ALL real sessions
+    val sentinel = Seq((-999L, new Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
+      .toDF("user_id", "ts", "event_id")
+    // 24 staged files → 24+ single-file micro-batches: stopping right
+    // after the FIRST data batch commits leaves plenty unconsumed even
+    // on a fast host, so the mid-stream assertion below cannot flake
+    ev.unionByName(sentinel).repartition(24).write.parquet(in)
+    val totalRows = ev.count() + 1
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingSessionize.sessionWindowAgg(stream).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (q.isActive && System.nanoTime() < deadline &&
+      q.recentProgress.count(_.numInputRows > 0) < 1) Thread.sleep(50)
+    q.stop(); q.awaitTermination()
+    val rowsBeforeKill = q.recentProgress.map(_.numInputRows).sum
+    // the kill genuinely happened mid-stream: only part of the input
+    // had been consumed (24 single-file batches staged, stopped after
+    // the first committed)
+    assert(rowsBeforeKill > 0 && rowsBeforeKill < totalRows,
+      s"kill was not mid-stream: $rowsBeforeKill of $totalRows rows consumed")
+
+    // relaunch on the SAME checkpoint via the production entry point
+    // (which uses no maxFilesPerTrigger — the offset log must interop)
+    graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+
+    val cols = Seq("user_id", "session_start", "session_end",
+      "n_events", "first_event", "last_event")
+    val got = spark.read.parquet(out).filter($"user_id" =!= -999L)
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+    val batch = StreamingSessionize.sessionWindowAgg(ev, withWatermarkCol = None)
+      .select(cols.map(col): _*).collect().map(_.toSeq)
+    assert(got.length == got.toSet.size, "restart must not duplicate sessions")
+    assert(got.toSet == batch.toSet,
+      s"resumed output diverged from batch: ${got.length} vs ${batch.length} sessions")
+  }
+
   test("re-running the streaming job on the same checkpoint emits nothing new") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
