@@ -1,0 +1,143 @@
+package graft.jobs
+
+import java.time.LocalDateTime
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Runnable analogue of the reference DAG's scheduling contract
+  * (airflow/dags/sessionization_batch.py:12,36-39) — the one reference
+  * behavior that previously existed only as CLI mains:
+  *
+  *  - `catchup=True`        → every hour between the durable
+  *    last-completed marker and `now` is due; a fresh deployment starts
+  *    from `start`.
+  *  - `depends_on_past=True`→ hours run strictly in order, and the
+  *    marker advances only AFTER an hour commits — a failure stops the
+  *    catch-up with the marker still at the last success, so the next
+  *    launch resumes exactly there (hour H+1 reads H's output as carry
+  *    state, so running past a failure would corrupt sessions).
+  *  - `max_active_runs=1`   → an atomic create-if-absent lock file;
+  *    a second concurrent launch refuses loudly instead of racing the
+  *    dynamic-overwrite writes.
+  *  - `retries=3`           → each hour is attempted up to `retries`
+  *    times before the catch-up aborts (the DAG's task-level retry).
+  *
+  * State lives under `stateDir` on any Hadoop filesystem: the marker is
+  * written via temp-file + rename (atomic on HDFS), the lock via
+  * `create(overwrite = false)` (atomic create-if-absent). The hourly
+  * work itself is [[SessionizeHour.run]], which is idempotent per hour
+  * (dynamic partition overwrite), so a retry after a mid-write crash is
+  * safe — the scheduler only sequences it.
+  */
+object Scheduler {
+
+  private val Fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
+
+  /** Hours due strictly after `lastCompleted` (exclusive) through `now`
+    * (inclusive) — the catchup window. `lastCompleted = None` means a
+    * fresh deployment: due hours start AT `start`.
+    */
+  def dueHours(start: String, lastCompleted: Option[String],
+      now: String): Seq[String] = {
+    val first = lastCompleted match {
+      case Some(lc) => LocalDateTime.parse(lc, Fmt).plusHours(1)
+      case None => LocalDateTime.parse(start, Fmt)
+    }
+    val end = LocalDateTime.parse(now, Fmt)
+    Iterator.iterate(first)(_.plusHours(1)).takeWhile(!_.isAfter(end))
+      .map(_.format(Fmt)).toSeq
+  }
+
+  def readMarker(spark: SparkSession, stateDir: String): Option[String] = {
+    val p = new Path(s"$stateDir/last_completed")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(buf)
+        Some(new String(buf, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, stateDir: String,
+      hour: String): Unit = {
+    val tmp = new Path(s"$stateDir/last_completed.tmp")
+    val dst = new Path(s"$stateDir/last_completed")
+    val fs = tmp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(hour.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"Scheduler: marker rename failed at $dst")
+  }
+
+  /** Acquire the single-run lock, or throw if another run holds it. */
+  private def lock(spark: SparkSession, stateDir: String): Path = {
+    val p = new Path(s"$stateDir/running.lock")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    try fs.create(p, false).close()
+    catch { case _: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Scheduler: another run holds $p (max_active_runs=1); remove the " +
+          "lock only if that run is known dead")
+    }
+    p
+  }
+
+  /** Run every due hour in order; returns the hours actually committed.
+    * Throws after `retries` failed attempts of one hour — with the
+    * marker still at the last committed hour, so the next launch
+    * resumes there.
+    */
+  def catchup(spark: SparkSession, logsPath: String, sessionsPath: String,
+      stateDir: String, start: String, now: String,
+      retries: Int = 3): Seq[String] = {
+    val lockPath = lock(spark, stateDir)
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val due = dueHours(start, readMarker(spark, stateDir), now)
+      val done = scala.collection.mutable.ArrayBuffer.empty[String]
+      due.foreach { h =>
+        val Array(d, hh) = h.split(" ")
+        var attempt = 0
+        var committed = false
+        var lastErr: Throwable = null
+        while (!committed && attempt < retries) {
+          attempt += 1
+          try {
+            SessionizeHour.run(spark, logsPath, sessionsPath, d, hh)
+            committed = true
+          } catch { case e: Throwable => lastErr = e }
+        }
+        if (!committed)
+          throw new IllegalStateException(
+            s"Scheduler: hour $h failed after $retries attempts; marker " +
+              s"remains at ${readMarker(spark, stateDir).getOrElse("(none)")}",
+            lastErr)
+        writeMarker(spark, stateDir, h)
+        done += h
+      }
+      done.toSeq
+    } finally fs.delete(lockPath, false): Unit
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 5,
+      "usage: Scheduler <logsPath> <sessionsPath> <stateDir> " +
+        "<start 'yyyy-MM-dd HH'> <now 'yyyy-MM-dd HH'> [retries]")
+    val spark = SparkSession.builder()
+      .appName("graft-scheduler")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val ran = catchup(spark, args(0), args(1), args(2), args(3), args(4),
+      if (args.length > 5) args(5).toInt else 3)
+    println(s"[scheduler] committed ${ran.size} hours: ${ran.mkString(", ")}")
+    spark.stop()
+  }
+}

@@ -779,11 +779,20 @@ object TextOps {
     * sized, far smaller than the corpus), then pulls up to `batchSize`
     * merges from that single snapshot, each the top remaining pair that
     * shares NO symbol with an earlier pick of the same round
-    * (count desc, left, right order — each pull is a driver-filtered
-    * TakeOrdered(1) over the cached counts, never a global window), and
-    * applies the whole batch as ONE chained literal-replace pass.
-    * Rounds shrink from V to V/batchSize for the same per-round corpus
-    * cost — the standard fast-BPE batching.
+    * (count desc, left, right order), and applies the whole batch as
+    * ONE chained literal-replace pass. Rounds shrink from V to
+    * V/batchSize for the same per-round corpus cost — the standard
+    * fast-BPE batching.
+    *
+    * Driver-loop cost model (ScaleSpec "batched BPE at k=64" pins it):
+    * a round costs one corpus pair-count pass P plus ONE
+    * TakeOrdered-prefix pull from the cached counts — the k disjoint
+    * picks are selected driver-side from that prefix, falling back to
+    * exact per-pick filtered pulls only when top pairs concentrate on
+    * few symbols. A 30k vocabulary at k=64 is ceil(30000/64) = 469
+    * rounds ≈ 469·(P + one small collect); with the earlier
+    * one-job-per-pick shape the measured ~150 ms/pick made the pick
+    * loop alone ≈ 75 min — now it is one job per round.
     *
     * Semantics note (why this is a separate op, not a flag): batched
     * merges are selected from the ROUND-START counts, so a batch is NOT
@@ -813,21 +822,37 @@ object TextOps {
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("cnt"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val picked = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var slot = 0
-      var slotExhausted = false
-      while (slot < batchSize && !slotExhausted) {
-        val used = picked.flatMap(p => Seq(p._1, p._2)).toSet
-        val candidates =
-          if (used.isEmpty) counts
-          else counts.filter(!col("l").isInCollection(used) &&
-            !col("r").isInCollection(used))
-        val top = candidates.orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.isEmpty) { slotExhausted = true }
-        else {
-          picked += ((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
-          slot += 1
+      // Greedy disjoint selection scans pairs in global (cnt desc, l, r)
+      // order, so the round's k picks live in SOME prefix of that order.
+      // Pull one generous prefix (a single TakeOrdered job — still
+      // (l, r, cnt) rows, never corpus data) and select driver-side;
+      // ScaleSpec measured the per-pick Spark job at ~150 ms, which at
+      // k=64 × 469 rounds dominated a 30k-vocab build ~10×. Only the
+      // adversarial case — batchSize disjoint picks not contained in the
+      // prefix because top pairs concentrate on few symbols — falls back
+      // to the exact per-pick filtered pull, so semantics are unchanged.
+      val prefetch = math.max(batchSize * 32, 256)
+      val top = counts.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(prefetch).collect()
+      val usedSyms = scala.collection.mutable.Set.empty[String]
+      top.iterator.takeWhile(_ => picked.size < batchSize).foreach { row =>
+        val (l, r) = (row.getString(0), row.getString(1))
+        if (!usedSyms(l) && !usedSyms(r)) {
+          picked += ((l, r, row.getLong(2)))
+          usedSyms += l; usedSyms += r
         }
+      }
+      // prefix exhausted before the batch filled AND more pairs exist
+      // beyond it → finish with the exact Spark-side filtered pulls
+      var slotExhausted = top.length < prefetch // short prefix = complete set
+      while (picked.size < batchSize && !slotExhausted) {
+        val used = picked.flatMap(p => Seq(p._1, p._2)).toSet
+        val next = counts.filter(!col("l").isInCollection(used) &&
+            !col("r").isInCollection(used))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (next.isEmpty) slotExhausted = true
+        else picked += ((next(0).getString(0), next(0).getString(1), next(0).getLong(2)))
       }
       counts.unpersist(blocking = false)
       if (picked.isEmpty) { exhausted = true }

@@ -241,6 +241,23 @@ object SimilarityQueries {
         .orderBy("query_id", "rk")
     },
 
+    "ann_stored_search" -> { (spark, dir) =>
+      // The r8 stored-layout read path under a FULL oracle: BuildIndex's
+      // own chain (3-round trained centroids + PQ codes) produces the
+      // (id, cluster, codes) index, and searchStoredIndex consumes that
+      // triple AS STORED — trained centroids in their exploded
+      // exact-integer form, never the raw seed vectors. The oracle is
+      // the kmeans_train unroll composed with the ADC body, so the whole
+      // store-then-search contract (assignment tie-breaks, LUT, bucket
+      // confinement, top-k ordering) hash-matches.
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      val (trained, index) = graft.jobs.BuildIndex.built(emb)
+      Similarity.searchStoredIndex(index, emb.filter($"vec_id" < 10),
+          trained, emb.filter($"vec_id" < 8), k = 3)
+        .orderBy("query_id", "rk")
+    },
+
     "ivfpq_topk_probe2" -> { (spark, dir) =>
       // Multi-probe ADC (r6 verdict item 5): ivf_topk_probe2 proved the
       // recall win for raw IVF; this is the same 2-probe device on the
@@ -520,6 +537,49 @@ object SimilarityQueries {
     "ivfpq_topk_probe2" -> ivfPqOracle(nprobe = 2),
     // the stored-layout search must land on the fused chain's results
     "ivfpq_from_index" -> ivfPqOracle(nprobe = 1),
+
+    // the r8 stored-TRIPLE search: identical ADC body, but the coarse
+    // quantizer is the TRAINED c3 (kmeans_train unroll) for corpus and
+    // queries alike — exactly what BuildIndex stores and
+    // searchStoredIndex consumes
+    "ann_stored_search" ->
+      s"""WITH qe AS (SELECT vec_id,
+         |                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)::BIGINT) AS q
+         |            FROM embeddings),
+         |c0 AS (SELECT vec_id AS cluster, q AS cv FROM qe WHERE vec_id < 8),
+         |${kmeansRoundCte(1)},
+         |${kmeansRoundCte(2)},
+         |${kmeansRoundCte(3)},
+         |ranked AS (
+         |  SELECT a.vec_id, c.cluster,
+         |         row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |           list_sum(list_transform(range(1, 65), i -> (a.q[i] - c.cv[i]) * (a.q[i] - c.cv[i]))),
+         |           c.cluster) AS crk
+         |  FROM qe a CROSS JOIN c3 c),
+         |coarse AS (SELECT vec_id, cluster FROM ranked WHERE crk = 1),
+         |qprobe AS (SELECT vec_id, cluster FROM ranked WHERE vec_id < 10 AND crk = 1),
+         |sub AS (SELECT vec_id, s, q[s * 16 + 1 : (s + 1) * 16] AS qs
+         |        FROM (SELECT vec_id, q, unnest(range(0, 4)) AS s FROM qe)),
+         |book AS (SELECT s, vec_id AS code, qs AS cs FROM sub WHERE vec_id < 8),
+         |codes AS (SELECT vec_id, s, code FROM (
+         |  SELECT a.vec_id, a.s, c.code,
+         |         row_number() OVER (PARTITION BY a.vec_id, a.s ORDER BY
+         |           list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i]))),
+         |           c.code) AS rk
+         |  FROM sub a JOIN book c ON a.s = c.s) WHERE rk = 1),
+         |lut AS (SELECT a.vec_id AS query_id, a.s, c.code,
+         |               list_sum(list_transform(range(1, 17), i -> (a.qs[i] - c.cs[i]) * (a.qs[i] - c.cs[i])))::BIGINT AS d
+         |        FROM sub a JOIN book c ON a.s = c.s WHERE a.vec_id < 10),
+         |adc AS (SELECT l.query_id, co.vec_id, sum(l.d)::BIGINT AS adc
+         |        FROM codes co
+         |        JOIN coarse ca ON ca.vec_id = co.vec_id
+         |        JOIN qprobe qa ON qa.cluster = ca.cluster AND co.vec_id <> qa.vec_id
+         |        JOIN lut l ON l.query_id = qa.vec_id AND l.s = co.s AND l.code = co.code
+         |        GROUP BY l.query_id, co.vec_id)
+         |SELECT query_id, rk, vec_id AS neighbor_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rk
+         |  FROM adc) WHERE rk <= 3
+         |ORDER BY query_id, rk""".stripMargin,
 
     // trained assignment (the kmeans_assign chain) rolled up per cluster
     "ann_index_balance" ->

@@ -1,0 +1,161 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end scale-up soak of the heavy query families (r7 verdict
+  * item 6): the ScaleSpec fixtures prove hot-KEY boundedness; this
+  * proves end-to-end sub-quadratic GROWTH by generating a `factor`×
+  * corpus from sf0.1 and running the top heavies once at each scale.
+  *
+  * Generation preserves the DISTRIBUTION, not the literal rows — the
+  * point is "10× more data of the same shape", never "10 identical
+  * copies" (which would square every dup/candidate structure):
+  *  - `documents`: replica i > 0 suffixes every token with `_i`, so
+  *    shingles/tokens are distinct ACROSS replicas and each replica
+  *    reproduces the original's internal dup structure → candidate
+  *    volume scales linearly, the way a larger crawl of the same web
+  *    does.
+  *  - `lineitem`: order/part/supp keys offset per replica → the
+  *    co-purchase graph becomes `factor` disjoint copies (same degree
+  *    distribution, `factor`× nodes).
+  *  - `part`: partkey offset + per-replica brand suffix → `factor`×
+  *    more entity-resolution blocks of the SAME size (a 10× catalog
+  *    carries more brands, not 10× rows per brand; keeping the 25
+  *    brands would make the in-block n² verify grow 100× by
+  *    construction — a property of the data model, not the plan).
+  *  - `embeddings`: vec_id offset; replica vectors shifted by a small
+  *    per-replica constant so replicas are distinct but in-replica
+  *    geometry is preserved.
+  *
+  * Runs each heavy twice per scale (min taken — shared-host defense),
+  * writes `SOAK.md` with (query, sf0.1 s, sf1 s, ratio) and archives
+  * `SOAK_r{N}.json`-style markdown per the bench convention.
+  */
+object Soak {
+
+  val Heavies: Seq[String] = Seq(
+    "dedup_jaccard_prefix", "dedup_clusters", "dedup_corpus_keep",
+    "dedup_keep_best", "bfs_parts", "triangle_parts", "pagerank_parts",
+    "curate_corpus", "containment_pairs", "entity_clusters")
+
+  /** Stage the factor× corpus into `outDir` (parquet, same filenames as
+    * a testdata sf dir, so SparkEntry queries run against it unchanged).
+    */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
+
+    val docs = src("documents")
+    val docStride = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    reps(docs).select(
+        (col("doc_id") + col("__rep") * docStride).as("doc_id"),
+        when(col("__rep") === 0, col("text"))
+          .otherwise(array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("__rep"))), " ")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val li = src("lineitem")
+    val (oStride, pStride, sStride) = {
+      val r = li.agg(max(col("l_orderkey")), max(col("l_partkey")),
+        max(col("l_suppkey"))).head()
+      (r.getLong(0) + 1, r.getLong(1) + 1, r.getLong(2) + 1)
+    }
+    reps(li).select(
+        (col("l_orderkey") + col("__rep") * oStride).as("l_orderkey"),
+        (col("l_partkey") + col("__rep") * pStride).as("l_partkey"),
+        (col("l_suppkey") + col("__rep") * sStride).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val part = src("part")
+    val pkStride = part.agg(max(col("p_partkey"))).head().getLong(0) + 1
+    reps(part).select(
+        (col("p_partkey") + col("__rep") * pkStride).as("p_partkey"),
+        col("p_name"),
+        when(col("__rep") === 0, col("p_brand"))
+          .otherwise(concat(col("p_brand"), lit("#"), col("__rep"))).as("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    val emb = src("embeddings")
+    val vStride = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    reps(emb).select(
+        (col("vec_id") + col("__rep") * vStride).as("vec_id"),
+        transform(col("embedding"),
+          x => x + col("__rep").cast("float") * lit(0.0001f)).as("embedding"),
+        col("label"))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // passthrough copies so every Tables.* resolves at the soak dir
+    Seq("orders", "customer", "supplier", "region", "nation", "events")
+      .foreach { t =>
+        val from = new java.io.File(s"$srcDir/$t.parquet")
+        if (from.exists)
+          src(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+  }
+
+  private def minTime(spark: SparkSession, name: String, dir: String,
+      passes: Int): Double = {
+    val times = (1 to passes).map { _ =>
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.Dedup.releaseCaches(); graft.ops.Similarity.releaseCaches()
+      graft.ops.Graph.releaseCaches(); graft.ops.TextOps.releaseCaches()
+      dt
+    }
+    times.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("target/soak/sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"[soak] generating ${factor}x corpus at $outDir")
+    generate(spark, srcDir, outDir, factor)
+
+    val rows = Heavies.map { q =>
+      val small = minTime(spark, q, srcDir, 2)
+      val big = minTime(spark, q, outDir, 2)
+      val ratio = big / math.max(small, 0.001)
+      println(f"[soak] $q%-22s sf0.1 $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
+      (q, small, big, ratio)
+    }
+    val load = graft.Bench.loadAvg1m()
+    val md = new StringBuilder
+    md.append(s"# Scale-up soak: sf0.1 -> ${factor}x (generated), local[32]\n\n")
+    md.append(s"Generated corpus: `$outDir` (distribution-preserving ${factor}x — see `graft.tools.Soak` scaladoc). ")
+    md.append(s"Min of 2 passes per scale per query. loadavg at finish: $load.\n\n")
+    md.append("| query | sf0.1 (s) | " + factor + "x (s) | ratio |\n|---|---|---|---|\n")
+    rows.foreach { case (q, s, b, r) =>
+      md.append(f"| $q | $s%.2f | $b%.2f | $r%.1fx |\n")
+    }
+    md.append(f"\nGeometric-mean ratio: ${math.exp(rows.map(r => math.log(math.max(r._4, 0.01))).sum / rows.size)}%.1fx\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.md"), md.toString)
+    println(s"[soak] wrote SOAK.md")
+    spark.stop()
+  }
+}

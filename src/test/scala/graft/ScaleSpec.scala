@@ -496,4 +496,58 @@ class ScaleSpec extends SparkSpec {
     // minutes-to-hours here, not seconds
     assert(secs < 60.0, f"trigram ops took $secs%.1fs on a 10^5-token doc")
   }
+
+  test("batched BPE at k=64 picks per round: measured driver-loop budget for a 30k vocab") {
+    // bpeTrainBatched is the claimed 30k-vocabulary path, but until now
+    // it had only run at 2 rounds × 2 picks (r7 verdict item 3). This
+    // pins the k=64 boundary the pack_sequences way: run REAL rounds at
+    // production batch width, split the per-round cost into the corpus
+    // pass (P) and the per-pick cached TakeOrdered pull (q) via two
+    // batch widths, and record the extrapolated 30k budget. The cost
+    // model (documented at bpeTrainBatched): a 30k vocab at k=64 is
+    // ceil(30000/64) = 469 rounds × (P_corpus + 64·q_pick); P scales
+    // with corpus size on the cluster, q is a driver-side constant —
+    // ~tens of ms — because each pull is a TakeOrdered(1) over the
+    // CACHED distinct-pair counts, never a corpus job.
+    // Synthetic corpus: the testdata documents carry only 31 distinct
+    // tokens — at most ~15 symbol-disjoint pairs exist, so k=64 rounds
+    // are impossible there. A real training corpus has a 10^4+ token
+    // vocabulary; 5000 docs × 80 tokens over 1000 distinct tokens
+    // (hash-derived, fully columnar) reproduces that regime.
+    val docs = spark.range(5000L).select($"id".as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(79)),
+        j => concat(lit("w"),
+          pmod(xxhash64($"id" * 101 + j), lit(1000)))), " ").as("text"))
+    val t64 = {
+      val t0 = System.nanoTime()
+      val res = graft.ops.TextOps.bpeTrainBatched(docs, nRounds = 2, batchSize = 64)
+      val n = res.merges.count()
+      graft.ops.TextOps.releaseCaches()
+      // the corpus genuinely supports 64 symbol-disjoint merges/round —
+      // otherwise the measurement (and the 30k claim) would be vacuous
+      assert(res.nRounds == 2 && n == 128L,
+        s"expected 2 full rounds of 64 picks, got $n merges")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val t8 = {
+      val t0 = System.nanoTime()
+      val res = graft.ops.TextOps.bpeTrainBatched(docs, nRounds = 2, batchSize = 8)
+      assert(res.nRounds == 2 && res.merges.count() == 16L)
+      graft.ops.TextOps.releaseCaches()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // T(k) ≈ rounds·(P + k·q): two widths solve for both components
+    val qPick = math.max(0.0, (t64 - t8) / (2.0 * 56.0))
+    val pCorpus = math.max(0.0, t8 / 2.0 - 8.0 * qPick)
+    val rounds30k = math.ceil(30000.0 / 64.0)
+    val budget30k = rounds30k * (pCorpus + 64.0 * qPick)
+    info(f"k=64 2 rounds: $t64%.1fs; k=8 2 rounds: $t8%.1fs -> per-pick " +
+      f"q=${qPick * 1000}%.0fms, per-round corpus pass P=$pCorpus%.2fs; " +
+      f"30k vocab = ${rounds30k.toInt} rounds = $budget30k%.0fs at this SF")
+    // regression guards, generous for host contention: a pick must stay
+    // a cached driver pull (sub-second), and a round must not regress to
+    // corpus-sized work per PICK
+    assert(qPick < 1.0, f"per-pick pull cost $qPick%.2fs - no longer a cached TakeOrdered")
+    assert(t64 < 300.0, f"2 rounds at k=64 took $t64%.0fs")
+  }
 }

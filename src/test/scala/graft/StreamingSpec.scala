@@ -119,10 +119,23 @@ class StreamingSpec extends SparkSpec {
     // real session's close, so append mode must emit ALL real sessions
     val sentinel = Seq((-999L, new Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
       .toDF("user_id", "ts", "event_id")
-    // 24 staged files → 24+ single-file micro-batches: stopping right
-    // after the FIRST data batch commits leaves plenty unconsumed even
-    // on a fast host, so the mid-stream assertion below cannot flake
-    ev.unionByName(sentinel).repartition(24).write.parquet(in)
+    // 25 staged files (24 event-time SLICES + the sentinel), written
+    // sequentially so the file source — which orders by modification
+    // time — replays them in event-time order: the multi-batch
+    // watermark contract for a historical replay (dedupStream scaladoc
+    // documents the same rule). A repartition(24) staging instead makes
+    // every file span the whole corpus; the first batch then races the
+    // watermark to corpus-max − 30 min and every later file is
+    // LEGITIMATELY dropped as late — a property of the input, not of
+    // checkpoint recovery. 25 single-file micro-batches also leave
+    // plenty unconsumed when the kill lands after the first commit.
+    val sliced = ev.withColumn("slice", ntile(24).over(
+      org.apache.spark.sql.expressions.Window.orderBy("ts")))
+    (1 to 24).foreach { i =>
+      sliced.filter($"slice" === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    sentinel.coalesce(1).write.mode("append").parquet(in)
     val totalRows = ev.count() + 1
 
     val stream = spark.readStream.schema(ev.schema)
