@@ -209,6 +209,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stored-index search broadcasts every small side; corpus side never cartesians") {
+    // searchStoredIndex's scale contract (r8): trained centroids,
+    // query assignments, and the per-query LUT all BROADCAST (K·dim,
+    // |Q|, and |Q|·subspaces·|book| rows respectively); the only
+    // corpus-sized operations are the codes explode and the
+    // bucket-confined equi-joins. A cartesian or shuffle against the
+    // index side would be the 100 TB killer.
+    val emb = Tables.embeddings(spark, Sf0001)
+    val (trained, index) = graft.jobs.BuildIndex.built(emb)
+    val q = graft.ops.Similarity.searchStoredIndex(index,
+      emb.filter($"vec_id" < 10), trained, emb.filter($"vec_id" < 8), k = 3)
+    val plan = planOf(q)
+    graft.ops.Similarity.releaseCaches()
+    // the query-side coarse assignment crossJoins a broadcast K-row
+    // centroid table (argmin needs every pair) — that is the ONLY
+    // nested-loop, and it must be broadcast, never a shuffle cartesian
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // bucket-confined candidate join + LUT join ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // Spark's InjectRuntimeFilter: when a shuffle join's build side
     // carries a selective filter, the optimizer plants a bloom-filter
