@@ -101,6 +101,19 @@ object Graft {
   def deduplicateKeepBest(docs: DataFrame, qualityCol: String = "n_chars"): DataFrame =
     Dedup.keepBestPerCluster(docs, qualityCol = qualityCol)
   def corpusFitScore(docs: DataFrame): DataFrame = TextOps.lmScore(docs)
+  /** fastText/CCNet-style quality-classifier inference: weights is the
+    * trained (bucket, w_micros) table, broadcast at apply time.
+    */
+  def scoreWithClassifier(docs: DataFrame, weights: DataFrame,
+      nBuckets: Int = 1024, biasMicros: Long = 0L): DataFrame =
+    TextOps.hashedLinearScore(docs, weights, nBuckets, biasMicros)
+  /** Batch-perceptron training over ±1-labeled docs (column `y`);
+    * returns the (bucket, w_micros) table [[scoreWithClassifier]]
+    * consumes.
+    */
+  def trainClassifier(labeledDocs: DataFrame, nBuckets: Int = 1024,
+      rounds: Int = 3): DataFrame =
+    TextOps.perceptronTrain(labeledDocs, nBuckets, rounds)
   def qualityRules(docs: DataFrame): DataFrame = TextOps.gopherRules(docs)
   def scrubPii(docs: DataFrame): DataFrame = TextOps.redactPii(docs)
   def longestDuplicatedSpan(docs: DataFrame): DataFrame =

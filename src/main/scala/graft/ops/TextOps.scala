@@ -455,6 +455,108 @@ object TextOps {
       .withColumn("avg_gram_freq", col("freq_sum") / col("n_grams"))
   }
 
+  /** Hashed linear text-classifier INFERENCE at corpus scale — the
+    * quality-classifier scoring stage of modern pretraining pipelines
+    * (a fastText/CCNet-style model applied to every document before the
+    * quality gate): features are hashed unigrams (portable md5 bucket),
+    * the model is a (bucket → w_micros) table small enough to
+    * broadcast, and the score is the exact integer logit
+    * Σ_t w_micros[bucket(t)] + bias — summed over token OCCURRENCES
+    * (bag-of-words). Classification is logit ≥ 0: sigmoid is monotone,
+    * so thresholding the logit IS thresholding the probability with no
+    * float-parity hazard, and the whole op oracles exactly.
+    *
+    * Weights are int64 MICRO-units (the similarity stack's convention):
+    * training happens elsewhere (a driver-side LBFGS over a sampled
+    * feature matrix, or any external trainer); inference is where the
+    * 100 TB is, and it is one explode → broadcast join → per-doc
+    * partial-agg sum — the shuffle carries (doc, bucket) pairs only.
+    * Bucketing uses the first 15 md5 nibbles (sign bit clear in both
+    * engines) mod `nBuckets`, the repo's portable-hash device.
+    * Output: (idCol, n_tokens, logit_micros, keep).
+    */
+  /** Distributed batch-PERCEPTRON trainer for the hashed linear
+    * classifier — the text twin of [[Similarity.kmeansTrain]]: a round
+    * scores every document against the current weights (the
+    * [[hashedLinearScore]] device), finds the misclassified set
+    * ((logit ≥ 0) ≠ (y > 0)), and folds Σ y·count per bucket back into
+    * the weights. Everything is exact int64 arithmetic (order-free
+    * sums), so the whole training loop oracles through unrolled SQL —
+    * the property float gradient descent cannot give. `labelCol` is
+    * ±1; weights start at zero; training stops early when a round
+    * misclassifies nothing.
+    *
+    * Scale posture: the bucketized feature table (doc, y, bucket, cnt)
+    * is built ONCE and cached (registered with [[releaseCaches]]);
+    * per round: one broadcast weight join + doc-keyed partial-agg for
+    * logits, one doc-keyed join + bucket-keyed partial-agg for the
+    * delta. Driver state per round is ≤ `nBuckets` (bucket, delta)
+    * rows — a learned-parameter pull, the kmeans-centroid contract,
+    * never corpus rows. Output: (bucket, w_micros), nonzero rows only.
+    */
+  def perceptronTrain(df: DataFrame, nBuckets: Int = 1024, rounds: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "y"): DataFrame = {
+    require(nBuckets > 0 && rounds >= 1,
+      s"perceptronTrain: need nBuckets > 0 and rounds >= 1, got $nBuckets/$rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val bucket = pmod(conv(substring(md5(col("__t")), 1, 15), 16, 10)
+      .cast("long"), lit(nBuckets.toLong))
+    val feats = df.select(col(idCol), col(labelCol).cast("long").as("__y"),
+        explode(split(col(textCol), " ")).as("__t"))
+      .select(col(idCol), col("__y"), bucket.as("bucket"))
+      .groupBy(col(idCol), col("__y"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    synchronized { liveCaches += (() => { feats.unpersist(blocking = false); () }) }
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val wDf = w.toSeq.toDF("bucket", "__w")
+      val logits = feats.join(broadcast(wDf), Seq("bucket"), "left_outer")
+        .groupBy(col(idCol), col("__y"))
+        .agg(sum(col("cnt") * coalesce(col("__w"), lit(0L))).as("__logit"))
+      val delta = feats
+        .join(logits.filter((col("__logit") >= 0) =!= (col("__y") > 0))
+          .select(col(idCol), col("__y")), Seq(idCol, "__y"))
+        .groupBy(col("bucket")).agg(sum(col("__y") * col("cnt")).as("d"))
+        .collect() // <= nBuckets rows: the round's learned parameters
+      if (delta.isEmpty) converged = true
+      else {
+        delta.foreach(row =>
+          w += row.getLong(0) -> (w(row.getLong(0)) + row.getLong(1)))
+        r += 1
+      }
+    }
+    w.toSeq.filter(_._2 != 0L).sortBy(_._1).toDF("bucket", "w_micros")
+  }
+
+  def hashedLinearScore(df: DataFrame, weights: DataFrame,
+      nBuckets: Int = 1024, biasMicros: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"hashedLinearScore: nBuckets must be > 0, got $nBuckets")
+    val bucket = pmod(conv(substring(md5(col("__t")), 1, 15), 16, 10)
+      .cast("long"), lit(nBuckets.toLong))
+    // ONE doc-keyed aggregation carries both the token count and the
+    // logit — joining a separate n_tokens projection back on the id
+    // would re-shuffle the corpus for per-row math (measured 4 → 2
+    // exchanges). explode_outer keeps a null-text doc in the output
+    // (n_tokens 0, logit = bias); non-null text always yields ≥ 1 token
+    // (split("") = [""]), so counts equal size(split(text, ' ')).
+    df.select(col(idCol), explode_outer(split(col(textCol), " ")).as("__t"))
+      .select(col(idCol), bucket.as("bucket"))
+      .join(broadcast(weights), Seq("bucket"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(col("bucket")).as("n_tokens"),
+        sum(coalesce(col("w_micros"), lit(0L))).as("__logit"))
+      .select(col(idCol), col("n_tokens"),
+        (coalesce(col("__logit"), lit(0L)) + biasMicros).as("logit_micros"),
+        (coalesce(col("__logit"), lit(0L)) + biasMicros >= 0).as("keep"))
+  }
+
   /** Deterministic train/val/test assignment — the split every training
     * corpus needs, done the only way that survives re-runs, engine
     * swaps, and incremental ingest: a pure function of the id (md5

@@ -528,6 +528,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "classifier_score" -> { (spark, dir) =>
+      // Hashed linear classifier INFERENCE (the fastText/CCNet-style
+      // quality-scoring stage): 1024 md5 buckets, a deterministic
+      // md5-derived weight table (±2^23 micro-units, diverse signs —
+      // stands in for any externally trained model), exact integer
+      // logit per document, keep = logit ≥ 0. One explode → broadcast
+      // weight join → per-doc partial-agg sum.
+      import spark.implicits._
+      val weights = spark.range(1024L).select($"id".as("bucket"),
+        (conv(substring(md5($"id".cast("string")), 1, 6), 16, 10)
+          .cast("long") - 8388608L).as("w_micros"))
+      TextOps.hashedLinearScore(Tables.documents(spark, dir), weights)
+        .orderBy("doc_id")
+    },
+
+    "classifier_train" -> { (spark, dir) =>
+      // The classifier TRAINING loop (batch perceptron, the text twin
+      // of kmeans_train): labels planted deterministically (+1 iff the
+      // doc contains the token 'spark'), 2 exact-integer rounds over
+      // the md5-bucketized bag-of-words, output = the nonzero learned
+      // weights. The oracle unrolls both rounds in SQL — score,
+      // misclassified set, per-bucket delta, weight fold — so the
+      // whole distributed training loop hash-matches.
+      import spark.implicits._
+      val labeled = Tables.documents(spark, dir).select($"doc_id", $"text",
+        when(array_contains(split($"text", " "), "spark"), 1)
+          .otherwise(-1).as("y"))
+      TextOps.perceptronTrain(labeled, rounds = 2).orderBy("bucket")
+    },
+
     "mixture_downsample" -> { (spark, dir) =>
       // Rebalance the language-skewed corpus (en dominates ~3.4×) to a
       // uniform per-language mixture — the pretraining data-mixing
@@ -977,6 +1007,54 @@ object TextQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_grams, sum(gram_freq)::BIGINT AS freq_sum,
         |       sum(gram_freq)::DOUBLE / count(*) AS avg_gram_freq
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // batch-perceptron rounds unrolled: logit → misclassified → delta →
+    // weight fold, all int64 (the kmeans_train oracle device on text)
+    "classifier_train" -> {
+      def rnd(i: Int): String = {
+        val p = s"w${i - 1}"
+        s"""l$i AS (SELECT doc_id, y, SUM(cnt * coalesce(w, 0))::BIGINT AS logit
+           |        FROM feats LEFT JOIN $p USING (bucket) GROUP BY doc_id, y),
+           |m$i AS (SELECT doc_id FROM l$i WHERE (logit >= 0) <> (y > 0)),
+           |d$i AS (SELECT bucket, SUM(y * cnt)::BIGINT AS d
+           |        FROM feats JOIN m$i USING (doc_id) GROUP BY bucket),
+           |w$i AS (SELECT b.bucket, coalesce($p.w, 0) + coalesce(d$i.d, 0) AS w
+           |        FROM (SELECT DISTINCT bucket FROM feats) b
+           |        LEFT JOIN $p USING (bucket) LEFT JOIN d$i USING (bucket))""".stripMargin
+      }
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |         CASE WHEN list_contains(string_split(text, ' '), 'spark')
+         |              THEN 1 ELSE -1 END AS y,
+         |         ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS bucket,
+         |         count(*) AS cnt
+         |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS token
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |w0 AS (SELECT DISTINCT bucket, 0::BIGINT AS w FROM feats),
+         |${rnd(1)},
+         |${rnd(2)}
+         |SELECT bucket, w AS w_micros FROM w2 WHERE w <> 0
+         |ORDER BY bucket""".stripMargin
+    },
+
+    // the same md5 bucket + md5-derived weight table, exact integer sum
+    "classifier_score" ->
+      """WITH w AS (SELECT b AS bucket,
+        |             (('0x' || substr(md5(b::VARCHAR), 1, 6))::BIGINT - 8388608) AS w_micros
+        |           FROM range(1024) t(b)),
+        |tb AS (SELECT doc_id,
+        |              ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS bucket
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)),
+        |s AS (SELECT doc_id, SUM(coalesce(w_micros, 0))::BIGINT AS logit
+        |      FROM tb LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+        |       coalesce(s.logit, 0) AS logit_micros,
+        |       coalesce(s.logit, 0) >= 0 AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // keep when hash16 · count_src < 65536 · min_count (integer
     // cross-multiply — no float rate, no RNG)

@@ -1742,6 +1742,64 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("hashedLinearScore: exact integer logit matches an independent recompute") {
+    // classifier inference must be exactly reproducible: recompute every
+    // document's logit independently (JVM md5, plain Scala fold) and
+    // require equality — including the missing-bucket → 0 contribution
+    // path (weights cover only buckets 0-7 of 16) and the bias.
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "zulu"),
+      (3L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val weights = spark.range(8L)
+      .select($"id".as("bucket"), ($"id" * 1000L - 3000L).as("w_micros"))
+    val got = TextOps.hashedLinearScore(docs, weights, nBuckets = 16,
+        biasMicros = 5L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    def bucketOf(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16) % 16
+    def wOf(b: Long): Long = if (b < 8) b * 1000L - 3000L else 0L
+    val want = Seq((1L, "alpha beta alpha"), (2L, "zulu"),
+      (3L, "quick brown fox jumps")).map { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val logit = toks.map(t => wOf(bucketOf(t))).sum + 5L
+      (id, toks.size.toLong, logit, logit >= 0)
+    }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // a token repeated twice contributes twice (bag-of-words, not set)
+    assert(got(0)._3 == wOf(bucketOf("alpha")) * 2 + wOf(bucketOf("beta")) + 5L)
+  }
+
+  test("perceptronTrain: hand-traced rounds, early convergence, trained model classifies") {
+    // nBuckets=16; 'good' hashes to bucket 9, 'bad' to 3 (no collision).
+    // Hand trace: r1 w=0 → all predicted +, doc2 mis → bad=-1.
+    // r2: doc3 logit -1 mis → good=+1, bad=0. r3: doc2 logit 0 predicted
+    // + mis → bad=-1. r4: all correct → converged. Final {good:1, bad:-1}.
+    val docs = Seq(
+      (1L, "good good", 1),
+      (2L, "bad", -1),
+      (3L, "good bad", 1)).toDF("doc_id", "text", "y")
+    def bucketOf(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16) % 16
+    val trained = TextOps.perceptronTrain(docs, nBuckets = 16, rounds = 10)
+    val w = trained.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextOps.releaseCaches()
+    assert(w == Map(bucketOf("good") -> 1L, bucketOf("bad") -> -1L), s"w=$w")
+    // and the trained model, applied through the inference op, separates
+    // the training set exactly
+    val scored = TextOps.hashedLinearScore(docs, trained, nBuckets = 16)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(scored == Map(1L -> true, 2L -> false, 3L -> true), s"scored=$scored")
+    // early stop ≡ unrolled: 4 rounds land on the converged weights too
+    val w4 = TextOps.perceptronTrain(docs, nBuckets = 16, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    TextOps.releaseCaches()
+    assert(w4 == w)
+  }
+
   test("bpeTrain: greedy non-overlapping merges, deterministic tie-break") {
     // (a,b) dominates with 4 overlapping-counted occurrences; after
     // merging, ("a b","c") and ("c","c") tie at 2 → left-symbol

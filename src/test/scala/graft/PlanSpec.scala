@@ -199,7 +199,11 @@ class PlanSpec extends SparkSpec {
       "strip_dup_spans" -> 13, // measured 13: df agg + join-back + islands window + run agg + covered distinct + anti-join + per-doc reassembly + outer join/sort
       "max_dup_span" -> 6,    // measured 6: distinct + df agg + skew-safe join-back + per-doc islands window + run agg + outer join/sort
       "vocab_growth" -> 7,    // measured 7: first-seen agg (vocab-sized) + per-doc token counts + two tiny threshold-conditional aggs + join + sort — the corpus scans once per side
-      "contamination_span" -> 5) // measured 5: ref-shingle distinct + flag join + islands window + run agg + outer join/sort (split attach is per-row hash, zero shuffles)
+      "contamination_span" -> 5, // measured 5: ref-shingle distinct + flag join + islands window + run agg + outer join/sort (split attach is per-row hash, zero shuffles)
+      // round-8 classifier + stored-index additions
+      "classifier_score" -> 3,  // measured 3: weight broadcast + ONE doc-keyed agg (n_tokens rides the logit agg — a join-back re-shuffled the corpus, 4 → 3) + final sort
+      "classifier_train" -> 1,  // training rounds run EAGERLY inside the op (per-round <=nBuckets delta pull); the returned weight table is a local relation + final sort
+      "ann_stored_search" -> 14) // measured 14: index build half (trained repack + assignment window + code join) + posexplode + ADC agg + top-k + sort — at scale the build half IS the stored table, read partition-pruned
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
