@@ -114,6 +114,13 @@ object Graft {
   def trainClassifier(labeledDocs: DataFrame, nBuckets: Int = 1024,
       rounds: Int = 3): DataFrame =
     TextOps.perceptronTrain(labeledDocs, nBuckets, rounds)
+  /** The serving form: per-row literal-map scoring — stateless and
+    * shuffle-free, so `docs` may be a `readStream` frame (see
+    * `streaming.StreamingJob.runClassify`).
+    */
+  def scoreWithModel(docs: DataFrame, weights: Map[Long, Long],
+      nBuckets: Int = 1024, biasMicros: Long = 0L): DataFrame =
+    TextOps.linearScore(docs, weights, nBuckets, biasMicros)
   def qualityRules(docs: DataFrame): DataFrame = TextOps.gopherRules(docs)
   def scrubPii(docs: DataFrame): DataFrame = TextOps.redactPii(docs)
   def longestDuplicatedSpan(docs: DataFrame): DataFrame =

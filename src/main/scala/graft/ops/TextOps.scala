@@ -475,6 +475,31 @@ object TextOps {
     * engines) mod `nBuckets`, the repo's portable-hash device.
     * Output: (idCol, n_tokens, logit_micros, keep).
     */
+  /** Per-row classifier scoring for a model that fits in a LITERAL —
+    * the serving form of [[hashedLinearScore]]: the weight map rides
+    * the plan as one `typedlit`, and the logit is an `aggregate` fold
+    * over the token array, so scoring is a pure projection — zero
+    * shuffle, zero state, streaming-safe (the batch form's doc-keyed
+    * aggregation would be a stateful streaming agg needing a watermark
+    * that per-row scoring simply doesn't have). Use the broadcast-join
+    * form for models too large for a literal (10⁶+ buckets); both
+    * produce identical numbers (OpsSpec pins the parity).
+    */
+  def linearScore(docs: DataFrame, weights: Map[Long, Long],
+      nBuckets: Int = 1024, biasMicros: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets > 0, s"linearScore: nBuckets must be > 0, got $nBuckets")
+    val wMap = typedlit(weights)
+    val logit = aggregate(split(col(textCol), " "), lit(biasMicros),
+      (acc, t) => acc + coalesce(
+        element_at(wMap, pmod(conv(substring(md5(t), 1, 15), 16, 10)
+          .cast("long"), lit(nBuckets.toLong))), lit(0L)))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        logit.as("logit_micros"))
+      .withColumn("keep", col("logit_micros") >= 0)
+  }
+
   /** Distributed batch-PERCEPTRON trainer for the hashed linear
     * classifier — the text twin of [[Similarity.kmeansTrain]]: a round
     * scores every document against the current weights (the

@@ -85,6 +85,21 @@ object SessionQueries {
     * compute the identical input). Staged once per sfDir per JVM, like
     * [[stagedStreamInput]].
     */
+  /** Plain (doc_id, text) documents staged to parquet files — the
+    * streaming-classify input. Once per sfDir per JVM.
+    */
+  private val stagedDocs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedDocsInput(spark: SparkSession, dir: String): String =
+    stagedDocs.synchronized { stagedDocs.getOrElseUpdate(dir, {
+      val base = java.nio.file.Files.createTempDirectory("graft-docs-in")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(in)
+      in
+    })}
+
   private val stagedCurate = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def stagedCurateInput(spark: SparkSession, dir: String): String =
@@ -413,6 +428,42 @@ object SessionQueries {
         .orderBy("doc_id")
     },
 
+    "streaming_classify" -> { (spark, dir) =>
+      // Streaming classifier SERVING — the per-row literal-map scorer
+      // (TextOps.linearScore) over a document file stream: zero state,
+      // zero shuffle, batch-order-invariant. The weight table is the
+      // same md5-derived model as classifier_score, so the oracle IS
+      // classifier_score's SQL — the broadcast-join batch form, the
+      // literal-map streaming form, and DuckDB all land on identical
+      // integer logits.
+      import spark.implicits._
+      val in = stagedDocsInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-classify-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val weights: Map[Long, Long] = (0L until 1024L).map { b =>
+        b -> (java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(b.toString.getBytes("UTF-8")).map(x => f"$x%02x").mkString
+            .substring(0, 6), 16) - 8388608L)
+      }.toMap
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runClassify(spark, schema, in,
+          weights, 1024, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out)
+        .select($"doc_id", $"n_tokens", $"logit_micros", $"keep")
+        .orderBy("doc_id")
+    },
+
     "streaming_dedup" -> { (spark, dir) =>
       // The SECOND streaming engine path under the driver's oracle:
       // at-least-once ingestion (every event staged TWICE) through
@@ -664,6 +715,10 @@ object SessionQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    // the streaming literal-map scorer must land on the identical
+    // integer logits as the batch broadcast-join form — one oracle
+    "streaming_classify" -> graft.queries.TextQueries.oracles("classifier_score"),
+
     "sessionize_counts" ->
       """WITH d AS (
         |  SELECT event_id, user_id, ts, value,

@@ -215,6 +215,28 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Streaming classifier serving: file stream of documents → per-row
+    * hashed-linear scoring against a LITERAL weight map
+    * ([[graft.ops.TextOps.linearScore]]) → append parquet sink. Pure
+    * projection: no watermark, no state store, batch-order-invariant —
+    * the model trained by `perceptronTrain` served at ingest rate. The
+    * batch/stream parity is the oracle of the driver-gated
+    * `streaming_classify` query.
+    */
+  def runClassify(spark: SparkSession, schema: StructType, inPath: String,
+      weights: Map[Long, Long], nBuckets: Int, outPath: String,
+      checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = graft.ops.TextOps.linearScore(in, weights, nBuckets).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inPath, outPath, checkpointPath) = args
     val spark = graft.Graft.session("graft-streaming")

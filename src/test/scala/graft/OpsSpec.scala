@@ -1771,6 +1771,22 @@ class OpsSpec extends SparkSpec {
     assert(got(0)._3 == wOf(bucketOf("alpha")) * 2 + wOf(bucketOf("beta")) + 5L)
   }
 
+  test("linearScore (literal-map serving form) equals hashedLinearScore (broadcast form)") {
+    // The two inference forms must be bit-identical: the batch form
+    // shuffles (doc, bucket) pairs; the serving form is a pure per-row
+    // fold over a typedlit map — same buckets, same integer sums, same
+    // bias, including missing buckets and repeated tokens.
+    val docs = Tables.documents(spark, Sf0001).limit(200)
+    val wMap: Map[Long, Long] = (0L until 32L).map(b => b -> (b * 7L - 100L)).toMap
+    val wDf = wMap.toSeq.toDF("bucket", "w_micros")
+    val a = TextOps.hashedLinearScore(docs, wDf, nBuckets = 64, biasMicros = 13L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = TextOps.linearScore(docs, wMap, nBuckets = 64, biasMicros = 13L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("perceptronTrain: hand-traced rounds, early convergence, trained model classifies") {
     // nBuckets=16; 'good' hashes to bucket 9, 'bad' to 3 (no collision).
     // Hand trace: r1 w=0 → all predicted +, doc2 mis → bad=-1.

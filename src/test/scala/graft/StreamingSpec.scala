@@ -484,6 +484,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming classifier serving scores arriving docs exactly; resumes for new files") {
+    // Train-batch/serve-stream: the per-row literal-map scorer is
+    // stateless, so (a) streamed scores equal the batch broadcast-join
+    // form row-for-row, and (b) a SECOND launch on the same checkpoint
+    // scores exactly the newly arrived files — incremental serving with
+    // no rescan and no duplicates.
+    val base = java.nio.file.Files.createTempDirectory("graft-classify").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val docs = Tables.documents(spark, Sf0001).select($"doc_id", $"text")
+    val wave1 = docs.filter($"doc_id" % 2 === 0)
+    val wave2 = docs.filter($"doc_id" % 2 === 1)
+    val weights: Map[Long, Long] = (0L until 64L).map(b => b -> (b * 11L - 300L)).toMap
+    wave1.write.mode("append").parquet(in)
+    graft.streaming.StreamingJob.runClassify(spark, docs.schema, in,
+      weights, 128, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == wave1.count())
+    wave2.write.mode("append").parquet(in)
+    graft.streaming.StreamingJob.runClassify(spark, docs.schema, in,
+      weights, 128, out, ckpt)
+    val got = spark.read.parquet(out)
+      .select("doc_id", "n_tokens", "logit_micros", "keep")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.TextOps.hashedLinearScore(docs,
+        weights.toSeq.toDF("bucket", "w_micros"), nBuckets = 128)
+      .collect().map(_.toSeq).toSet
+    assert(got == batch, s"${got.size} streamed vs ${batch.size} batch rows")
+    assert(spark.read.parquet(out).count() == docs.count(), "no duplicates on resume")
+  }
+
   test("streaming curation equals the batch gate∘redact, across batch splits") {
     // The curation ops are pure projections, so the streaming pipeline
     // is STATELESS — output must equal the batch composition however
