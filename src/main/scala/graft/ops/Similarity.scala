@@ -677,13 +677,25 @@ object Similarity {
   def searchIvfPqIndex(index: DataFrame, queries: DataFrame,
       centroids: DataFrame, codebook: DataFrame, k: Int, subspaces: Int = 4,
       nprobe: Int = 1, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+    adcSearchIndex(index, queries,
+      assignTopNL2(queries, centroids, nprobe, idCol, embCol)
+        .select(col(idCol).as("query_id"), col("cluster").as("qcluster")),
+      codebook, k, subspaces, idCol, embCol)
+
+  /** Shared ADC read-path body for the two index-search entry points —
+    * they differ ONLY in how queries coarse-assign (raw-vector
+    * centroids vs the stored trained form); the LUT build, the
+    * bucket-confined candidate join, and the top-k ranking must never
+    * drift apart.
+    */
+  private def adcSearchIndex(index: DataFrame, queries: DataFrame,
+      qAssigned: DataFrame, codebook: DataFrame, k: Int, subspaces: Int,
+      idCol: String, embCol: String): DataFrame = {
     val bookSub = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
       .select(col("subspace"), col(idCol).as("code"), col("cs"))
     val rows = index.select(col(idCol), col("cluster"),
       posexplode(col("codes")).as(Seq("subspace", "code")))
-    val qAssigned = assignTopNL2(queries, centroids, nprobe, idCol, embCol)
-      .select(col(idCol).as("query_id"), col("cluster").as("qcluster"))
     val lut = pqSubVectors(queries, subspaces, idCol, embCol, "qs")
       .withColumnRenamed(idCol, "query_id")
       .join(broadcast(bookSub), "subspace")
@@ -888,31 +900,11 @@ object Similarity {
   def searchStoredIndex(index: DataFrame, queries: DataFrame,
       trainedCentroids: DataFrame, codebook: DataFrame, k: Int,
       subspaces: Int = 4, nprobe: Int = 1, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
-    val bookSub = pqSubVectors(codebook, subspaces, idCol, embCol, "cs")
-      .select(col("subspace"), col(idCol).as("code"), col("cs"))
-    val rows = index.select(col(idCol), col("cluster"),
-      posexplode(col("codes")).as(Seq("subspace", "code")))
-    val qAssigned = assignToTrainedTopN(queries, trainedCentroids, nprobe,
-        idCol, embCol)
-      .select(col(idCol).as("query_id"), col("cluster").as("qcluster"))
-    val lut = pqSubVectors(queries, subspaces, idCol, embCol, "qs")
-      .withColumnRenamed(idCol, "query_id")
-      .join(broadcast(bookSub), "subspace")
-      .select(col("query_id"), col("subspace"), col("code"),
-        intL2(col("qs"), col("cs")).as("__lutd"))
-    val cand = rows
-      .join(broadcast(qAssigned),
-        col("cluster") === col("qcluster") && col(idCol) =!= col("query_id"))
-      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
-    val adc = cand.groupBy(col("query_id"), col(idCol))
-      .agg(sum(col("__lutd")).as("adc"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc"), col(idCol))
-    adc.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("rk").cast("long").as("rk"),
-        col(idCol).as("neighbor_id"), col("adc"))
-  }
+      embCol: String = "embedding"): DataFrame =
+    adcSearchIndex(index, queries,
+      assignToTrainedTopN(queries, trainedCentroids, nprobe, idCol, embCol)
+        .select(col(idCol).as("query_id"), col("cluster").as("qcluster")),
+      codebook, k, subspaces, idCol, embCol)
 
   /** IVF top-k: each query searches only its own cluster's bucket —
     * deterministic approximate recall, centroids = caller-chosen vectors.

@@ -37,7 +37,10 @@ object Soak {
   val Heavies: Seq[String] = Seq(
     "dedup_jaccard_prefix", "dedup_clusters", "dedup_corpus_keep",
     "dedup_keep_best", "bfs_parts", "triangle_parts", "pagerank_parts",
-    "curate_corpus", "containment_pairs", "entity_clusters")
+    "curate_corpus", "containment_pairs", "entity_clusters",
+    // r8 additions: the trained-index serving chain and the classifier
+    // trainer — both corpus-pass-per-round shapes whose growth matters
+    "ann_stored_search", "classifier_train")
 
   /** Stage the factor× corpus into `outDir` (parquet, same filenames as
     * a testdata sf dir, so SparkEntry queries run against it unchanged).
