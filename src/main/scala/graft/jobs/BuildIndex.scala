@@ -79,6 +79,32 @@ object BuildIndex {
     graft.ops.Similarity.releaseCaches()
   }
 
+  /** Incremental index maintenance: assign + PQ-encode ONLY the new
+    * vectors against the STORED centroids/codebook — the model is
+    * frozen at build time, so ingest never retrains — and append into
+    * the cluster-partitioned layout. The batch twin of
+    * [[graft.streaming.StreamingAnn.ivfPqIngestStream]]; unlike
+    * [[run]] (idempotent via dynamic overwrite) and unlike the
+    * streaming path (exactly-once via checkpoint), a RE-RUN of the same
+    * batch appends duplicates — callers own batch-level idempotence
+    * (stage each batch once, or route continuous ingest through the
+    * streaming job).
+    */
+  def append(spark: SparkSession, newEmbPath: String, outPath: String,
+      subspaces: Int = 4): Unit = {
+    val emb = spark.read.parquet(newEmbPath)
+    val trained = spark.read.parquet(s"$outPath/centroids")
+    val codebook = spark.read.parquet(s"$outPath/codebook")
+    val assigned = Similarity.assignToTrained(emb, trained)
+    val codes = Similarity.pqCodeTuple(emb, codebook, subspaces,
+        "vec_id", "embedding")
+      .select(col("vec_id"), col("__ck").as("codes"))
+    assigned.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("d2"), col("codes"))
+      .write.partitionBy("cluster").mode("append").parquet(s"$outPath/index")
+    graft.ops.Similarity.releaseCaches()
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BuildIndex <embeddingsParquet> <outPath> [nSeeds] [maxIter]")

@@ -279,6 +279,53 @@ class JobsSpec extends SparkSpec {
       "run() must not leak partitionOverwriteMode=dynamic into the session")
   }
 
+  test("build-index append: new vectors join the stored layout against the frozen model") {
+    // Incremental maintenance: base build over the first half of the
+    // corpus, append the second half against the STORED centroids +
+    // codebook (no retrain), then (a) every vector indexed exactly
+    // once, (b) appended rows equal an independent assignment against
+    // the stored model, (c) searching the merged store equals searching
+    // the same union held in memory.
+    val base = Files.createTempDirectory("graft-index-append").toString
+    val out = s"$base/ann"
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val half1 = s"$base/half1"; val half2 = s"$base/half2"
+    val n = emb.count()
+    emb.filter($"vec_id" < n / 2).write.parquet(half1)
+    emb.filter($"vec_id" >= n / 2).write.parquet(half2)
+    graft.jobs.BuildIndex.run(spark, half1, out)
+    val nBase = spark.read.parquet(s"$out/index").count()
+    graft.jobs.BuildIndex.append(spark, half2, out)
+    val idx = spark.read.parquet(s"$out/index")
+    assert(nBase == n / 2 && idx.count() == n)
+    assert(idx.select("vec_id").distinct().count() == n, "each vector exactly once")
+    // appended assignments match an independent assign against the
+    // stored model (cluster partition column reads back as INT)
+    val cent = spark.read.parquet(s"$out/centroids")
+    val want = graft.ops.Similarity.assignToTrained(
+        spark.read.parquet(half2), cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = idx.filter($"vec_id" >= n / 2).select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(got == want)
+    // merged-store search == in-memory union search, same stored model
+    val book = spark.read.parquet(s"$out/codebook")
+    val queries = emb.filter($"vec_id" < 6)
+    val fromStore = graft.ops.Similarity.searchStoredIndex(
+        idx.select("vec_id", "cluster", "codes"), queries, cent, book, k = 3)
+      .orderBy("query_id", "rk").collect().toSeq
+    val assignedAll = graft.ops.Similarity.assignToTrained(emb, cent)
+      .select($"vec_id", $"cluster")
+    val codesAll = graft.ops.Similarity.pqCodeTuple(emb, book, 4,
+        "vec_id", "embedding").select($"vec_id", $"__ck".as("codes"))
+    val memIdx = assignedAll.join(codesAll, Seq("vec_id"))
+    val fromMemory = graft.ops.Similarity.searchStoredIndex(memIdx,
+        queries, cent, book, k = 3)
+      .orderBy("query_id", "rk").collect().toSeq
+    graft.ops.Similarity.releaseCaches()
+    assert(fromStore == fromMemory && fromStore.nonEmpty)
+  }
+
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
     val base = Files.createTempDirectory("graft-curate").toString
     val out = s"$base/curated"
