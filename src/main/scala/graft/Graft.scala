@@ -136,6 +136,11 @@ object Graft {
     TextOps.bpeTrainBatched(docs, nRounds, batchSize)
   def bpeSegmentation(encoded: DataFrame): DataFrame =
     TextOps.bpeSegments(encoded)
+  /** Tokenizer serving: apply a trained merge table (rank order) to
+    * unseen text; self-application equals `bpeSegmentation`.
+    */
+  def encodeWithBpe(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    TextOps.bpeApply(docs, merges)
   def splitCorpus(docs: DataFrame, trainPerMille: Int = 900,
       valPerMille: Int = 950): DataFrame =
     TextOps.corpusSplit(docs, trainPerMille = trainPerMille, valPerMille = valPerMille)

@@ -1009,6 +1009,65 @@ object TextOps {
     BpeBatchResult(mergeDf, cur, round)
   }
 
+  /** One row of [[bpeApply]]'s output — the [[bpeSegments]] schema. */
+  case class BpeApplied(doc_id: Long, n_tokens: Long, n_symbols: Long,
+      symbols_text: String)
+
+  /** Apply a TRAINED merge table to text the trainer never saw — the
+    * tokenizer SERVING step ([[bpeTrain]] learns on the train split;
+    * this encodes everything else). Merges apply sequentially in rank
+    * order as the same delimiter-wrapped literal replaces the trainer
+    * used on its own corpus, so train-corpus self-application equals
+    * [[bpeSegments]] exactly (pinned in OpsSpec). Output matches
+    * [[bpeSegments]]: (doc_id, n_tokens, n_symbols, symbols_text).
+    *
+    * Why a typed map, not Catalyst replaces: a real vocabulary is 30k
+    * merges, and 30k NESTED replace expressions exceed any codegen
+    * budget — while this per-row loop is the standard tokenizer inner
+    * loop: O(merges · len) string work per document, embarrassingly
+    * row-parallel, model broadcast in the closure. Guards mirror
+    * [[bpeCanonical]]: text containing U+0001 or empty tokens
+    * (leading/trailing/double spaces) is refused loudly.
+    */
+  def bpeApply(df: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ms = merges.toArray
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        if (text.contains(BpeDelim))
+          throw new IllegalArgumentException(s"bpeApply: text for id $id " +
+            "contains the U+0001 symbol delimiter; clean the corpus first")
+        if (text.startsWith(" ") || text.endsWith(" ") || text.contains("  "))
+          throw new IllegalArgumentException(s"bpeApply: text for id $id " +
+            "has a leading/trailing/double space (an empty token); the " +
+            "delimiter encoding requires non-empty symbols — normalize " +
+            "whitespace first")
+        var c = BpeDelim + text.replace(" ", BpeDelim + BpeDelim) + BpeDelim
+        var i = 0
+        while (i < ms.length) {
+          val (l, r) = ms(i)
+          c = c.replace(BpeDelim + l + BpeDelim + BpeDelim + r + BpeDelim,
+            BpeDelim + l + " " + r + BpeDelim)
+          i += 1
+        }
+        val stripped = c.substring(1, c.length - 1)
+        val syms = stripped.split(
+          java.util.regex.Pattern.quote(BpeDelim + BpeDelim), -1)
+        var spaces = 0L
+        var j = 0
+        while (j < stripped.length) {
+          if (stripped.charAt(j) == ' ') spaces += 1
+          j += 1
+        }
+        BpeApplied(id, syms.length + spaces, syms.length.toLong,
+          syms.mkString("|"))
+      }
+      .toDF("doc_id", "n_tokens", "n_symbols", "symbols_text")
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** The learned VOCABULARY table from [[bpeTrain]]'s canonical corpus:
     * every post-merge symbol with its total occurrence count and
     * document frequency — what a tokenizer ships after training. One

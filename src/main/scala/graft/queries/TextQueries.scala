@@ -528,6 +528,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "bpe_apply" -> { (spark, dir) =>
+      // Tokenizer SERVING: merges learned on the train split (the
+      // deterministic md5 corpus split), applied to the TEST split —
+      // text the trainer never saw. The driver-side merge pull is the
+      // model (4 (l, r) pairs); bpeApply's per-row loop must equal the
+      // oracle's literal-replace unroll on the unseen docs.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+        .withColumn("split", TextOps.splitCol())
+      val res = TextOps.bpeTrain(docs.filter($"split" === "train"), nMerges = 4)
+      val merges = res.merges.orderBy("merge_rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextOps.releaseCaches()
+      TextOps.bpeApply(docs.filter($"split" === "test").drop("split"), merges)
+        .orderBy("doc_id")
+    },
+
     "classifier_score" -> { (spark, dir) =>
       // Hashed linear classifier INFERENCE (the fastText/CCNet-style
       // quality-scoring stage): 1024 md5 buckets, a deterministic
@@ -1007,6 +1024,36 @@ object TextQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_grams, sum(gram_freq)::BIGINT AS freq_sum,
         |       sum(gram_freq)::DOUBLE / count(*) AS avg_gram_freq
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // merges trained on the md5 train split (the bpeOracleRound unroll
+    // over a restricted c0), then applied as the same literal replaces
+    // to the TEST split's canonical form
+    "bpe_apply" -> {
+      def app(i: Int): String = {
+        val p = if (i == 1) "te" else s"a${i - 1}"
+        s"""a$i AS (SELECT doc_id, replace(c, chr(1)||l||chr(1)||chr(1)||r||chr(1),
+           |                                chr(1)||l||' '||r||chr(1)) AS c
+           |        FROM $p CROSS JOIN m$i)""".stripMargin
+      }
+      val rounds = (1 to BpeRounds).map(bpeOracleRound).mkString(",\n")
+      val applies = (1 to BpeRounds).map(app).mkString(",\n")
+      s"""WITH tr AS (SELECT doc_id, text FROM documents
+         |            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 1000 < 65536 * 900),
+         |c0 AS (SELECT doc_id, chr(1) || replace(text, ' ', chr(1)||chr(1)) || chr(1) AS c FROM tr),
+         |$rounds,
+         |te AS (SELECT doc_id, chr(1) || replace(text, ' ', chr(1)||chr(1)) || chr(1) AS c
+         |       FROM documents
+         |       WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT * 1000 >= 65536 * 950),
+         |$applies
+         |SELECT doc_id,
+         |  (len(s) + (length(cs) - length(replace(cs, ' ', ''))))::BIGINT AS n_tokens,
+         |  len(s)::BIGINT AS n_symbols,
+         |  array_to_string(s, '|') AS symbols_text
+         |FROM (SELECT doc_id, substring(c, 2, length(c)-2) AS cs,
+         |             string_split(substring(c, 2, length(c)-2), chr(1)||chr(1)) AS s
+         |      FROM a$BpeRounds)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // batch-perceptron rounds unrolled: logit → misclassified → delta →
     // weight fold, all int64 (the kmeans_train oracle device on text)

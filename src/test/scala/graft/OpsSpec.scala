@@ -1861,6 +1861,37 @@ class OpsSpec extends SparkSpec {
     assert(n4 < n0, "4 merges must compress a real corpus")
   }
 
+  test("bpeApply on the training corpus equals bpeSegments; unseen text encodes; guards hold") {
+    // Self-application oracle: the serving encoder's per-row loop must
+    // reproduce EXACTLY what the trainer's literal replaces did to its
+    // own corpus — then unseen text goes through the same sequential
+    // rank-order semantics.
+    val docs = Tables.documents(spark, Sf0001).limit(150)
+    val res = TextOps.bpeTrain(docs, nMerges = 4)
+    val merges = res.merges.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val fromTrainer = TextOps.bpeSegments(res.encoded)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val fromApply = TextOps.bpeApply(docs, merges)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    TextOps.releaseCaches()
+    assert(fromApply == fromTrainer, "serving encoder diverged from the trainer")
+    // unseen text: merges apply sequentially in rank order
+    val unseen = Seq((900L, "a b c"), (901L, "zz qq")).toDF("doc_id", "text")
+    val enc = TextOps.bpeApply(unseen, Seq(("a", "b"), ("a b", "c")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc.toSeq == Seq((900L, 3L, 1L, "a b c"), (901L, 2L, 2L, "zz|qq")))
+    // guards mirror the trainer's
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val bad = Seq((1L, "ok doc"), (2L, " leading")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextOps.bpeApply(bad, Seq(("a", "b"))).count()
+    }
+    assert(messages(e).exists(_.contains("empty token")), e.toString)
+  }
+
   test("bpeTrain refuses empty tokens (leading/trailing/double spaces)") {
     // split(' a b', ' ') = ["", "a", "b"]: empty tokens are real tokens,
     // but an empty SYMBOL's canonical form is a bare ␁␁, which makes the
