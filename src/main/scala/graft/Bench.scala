@@ -30,7 +30,14 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
   private val unownedN = new java.util.concurrent.atomic.AtomicLong(0)
 
   override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-    e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
+    // FIRST owner wins: a later job's stageIds include stages it will
+    // SKIP (cached lineage reuse) — remapping them would let a
+    // late-posted failure from the original job charge the new window.
+    // The cost of first-wins is the opposite, benign direction: a stage
+    // genuinely RE-RUN under a later job (cache eviction) attributes to
+    // the closed original window and is dropped from totals, an
+    // undercount rather than a phantom charge.
+    e.stageIds.foreach(s => stageToJob.putIfAbsent(s, e.jobId))
     maxJob.updateAndGet(m => math.max(m, e.jobId)): Unit
   }
 
@@ -268,14 +275,9 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
-    // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1.
-    val benchRe = "BENCH_r(\\d+)\\.json".r
-    val dirStream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-    val round = try dirStream
-      .toArray.map(_.toString.replaceFirst("^\\./", ""))
-      .collect { case benchRe(n) => n.toInt }
-      .foldLeft(0)(math.max) + 1
-    finally dirStream.close()
+    // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1
+    // (numbering shared with Verify via graft.tools.Rounds).
+    val round = graft.tools.Rounds.next("BENCH_r")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
     val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"queries_file":"bench_out.json"}"""

@@ -64,11 +64,7 @@ object Verify {
         val sketch = graft.tools.SketchBounds.reportJson(spark, sfDir) + "\n"
         Files.writeString(Paths.get(s"$outDir/sketch_bounds.json"), sketch)
         Files.writeString(Paths.get("SKETCH_BOUNDS.json"), sketch)
-        val re = "CORRECTNESS_r(\\d+)\\.json".r
-        val ds = Files.list(Paths.get("."))
-        val round = try ds.toArray.map(_.toString.replaceFirst("^\\./", ""))
-          .collect { case re(n) => n.toInt }.foldLeft(0)(math.max) + 1
-        finally ds.close()
+        val round = graft.tools.Rounds.next("CORRECTNESS_r")
         Files.writeString(Paths.get(f"SKETCH_BOUNDS_r$round%02d.json"), sketch)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] sketch bounds failed: ${e.getMessage}")

@@ -28,12 +28,21 @@ import graft.ops.Similarity
   */
 object BuildIndex {
 
+  /** THE seed convention — the one place "which vectors are the PQ
+    * codebook / the k-means seeds" is defined. `run` writes exactly
+    * this frame as `codebook/`; a second hand-written copy of the rule
+    * could drift and store a codebook the codes were NOT encoded
+    * against (silently wrong neighbors at search time).
+    */
+  private def seedsOf(emb: DataFrame, nSeeds: Int): DataFrame =
+    emb.filter(col("vec_id") < nSeeds)
+
   /** Pure core: trained centroids + the cluster-and-codes index rows.
     * Unit-testable without storage.
     */
   def built(emb: DataFrame, nSeeds: Int = 8, maxIter: Int = 3,
       subspaces: Int = 4): (DataFrame, DataFrame) = {
-    val seeds = emb.filter(col("vec_id") < nSeeds)
+    val seeds = seedsOf(emb, nSeeds)
     val trained = Similarity.kmeansTrain(emb, seeds, maxIter = maxIter,
       requireConvergence = false).centroids
     val assigned = Similarity.assignToTrained(emb, trained)
@@ -69,8 +78,7 @@ object BuildIndex {
     val emb = spark.read.parquet(embPath)
     val (trained, index) = built(emb, nSeeds, maxIter, subspaces)
     trained.write.mode("overwrite").parquet(s"$outPath/centroids")
-    emb.filter(col("vec_id") < nSeeds)
-      .write.mode("overwrite").parquet(s"$outPath/codebook")
+    seedsOf(emb, nSeeds).write.mode("overwrite").parquet(s"$outPath/codebook")
     index.write
       .partitionBy("cluster")
       .option("partitionOverwriteMode", "dynamic")
@@ -95,6 +103,16 @@ object BuildIndex {
     val emb = spark.read.parquet(newEmbPath)
     val trained = spark.read.parquet(s"$outPath/centroids")
     val codebook = spark.read.parquet(s"$outPath/codebook")
+    // loud guard: the stored codes were cut with the BUILD's subspace
+    // count; appending rows encoded with a different split would make
+    // searchStoredIndex score them against the wrong LUT sub-vectors —
+    // silently wrong neighbors. One row of the stored index carries the
+    // truth (codes is the subspace-ordered tuple).
+    val storedSub = spark.read.parquet(s"$outPath/index")
+      .select(size(col("codes"))).head().getInt(0)
+    require(storedSub == subspaces,
+      s"BuildIndex.append: stored index uses $storedSub subspaces, caller " +
+        s"passed $subspaces — encode against the build's own split")
     val assigned = Similarity.assignToTrained(emb, trained)
     val codes = Similarity.pqCodeTuple(emb, codebook, subspaces,
         "vec_id", "embedding")

@@ -21,15 +21,21 @@ import org.apache.spark.sql.SparkSession
   *  - `max_active_runs=1`   → an atomic create-if-absent lock file;
   *    a second concurrent launch refuses loudly instead of racing the
   *    dynamic-overwrite writes.
-  *  - `retries=3`           → each hour is attempted up to `retries`
-  *    times before the catch-up aborts (the DAG's task-level retry).
+  *  - `retries=3`           → Airflow semantics: 1 attempt + `retries`
+  *    re-attempts (4 total) before the catch-up aborts. Only
+  *    non-fatal failures retry — an interrupt or OOM propagates.
   *
-  * State lives under `stateDir` on any Hadoop filesystem: the marker is
-  * written via temp-file + rename (atomic on HDFS), the lock via
-  * `create(overwrite = false)` (atomic create-if-absent). The hourly
-  * work itself is [[SessionizeHour.run]], which is idempotent per hour
-  * (dynamic partition overwrite), so a retry after a mid-write crash is
-  * safe — the scheduler only sequences it.
+  * State lives under `stateDir` on a Hadoop filesystem WITH ATOMIC
+  * CREATE/RENAME semantics (HDFS; local FS for tests) — on an object
+  * store like S3A neither `create(overwrite = false)` nor `rename` is
+  * atomic, so run the scheduler against HDFS-class storage (or an
+  * external lock) there. The marker is written temp-file-then-rename;
+  * `readMarker` falls back to the temp file when a crash landed between
+  * the delete and the rename, so no crash point loses the resume state
+  * (the worst case re-runs one idempotent hour). The hourly work itself
+  * is [[SessionizeHour.run]], idempotent per hour (dynamic partition
+  * overwrite), so a retry after a mid-write crash is safe — the
+  * scheduler only sequences it.
   */
 object Scheduler {
 
@@ -51,17 +57,22 @@ object Scheduler {
   }
 
   def readMarker(spark: SparkSession, stateDir: String): Option[String] = {
-    val p = new Path(s"$stateDir/last_completed")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-        in.readFully(buf)
-        Some(new String(buf, "UTF-8").trim)
-      } finally in.close()
+    def read(p: Path): Option[String] = {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(buf)
+          Some(new String(buf, "UTF-8").trim)
+        } finally in.close()
+      }
     }
+    // the temp file is a complete, newer marker: a crash between
+    // writeMarker's delete and rename must not lose the resume point
+    read(new Path(s"$stateDir/last_completed"))
+      .orElse(read(new Path(s"$stateDir/last_completed.tmp")))
   }
 
   private def writeMarker(spark: SparkSession, stateDir: String,
@@ -91,9 +102,9 @@ object Scheduler {
   }
 
   /** Run every due hour in order; returns the hours actually committed.
-    * Throws after `retries` failed attempts of one hour — with the
-    * marker still at the last committed hour, so the next launch
-    * resumes there.
+    * Throws after `retries + 1` failed attempts of one hour (Airflow
+    * retry semantics) — with the marker still at the last committed
+    * hour, so the next launch resumes there.
     */
   def catchup(spark: SparkSession, logsPath: String, sessionsPath: String,
       stateDir: String, start: String, now: String,
@@ -105,20 +116,25 @@ object Scheduler {
       val done = scala.collection.mutable.ArrayBuffer.empty[String]
       due.foreach { h =>
         val Array(d, hh) = h.split(" ")
+        // Airflow semantics: retries = RE-attempts, so retries + 1 total.
+        // Only NonFatal failures retry — an interrupt or OOM must
+        // propagate, not relaunch a full Spark job in a dying JVM.
+        val maxAttempts = retries + 1
         var attempt = 0
         var committed = false
         var lastErr: Throwable = null
-        while (!committed && attempt < retries) {
+        while (!committed && attempt < maxAttempts) {
           attempt += 1
           try {
             SessionizeHour.run(spark, logsPath, sessionsPath, d, hh)
             committed = true
-          } catch { case e: Throwable => lastErr = e }
+          } catch { case scala.util.control.NonFatal(e) => lastErr = e }
         }
         if (!committed)
           throw new IllegalStateException(
-            s"Scheduler: hour $h failed after $retries attempts; marker " +
-              s"remains at ${readMarker(spark, stateDir).getOrElse("(none)")}",
+            s"Scheduler: hour $h failed after $maxAttempts attempts " +
+              s"(1 + $retries retries); marker remains at " +
+              s"${readMarker(spark, stateDir).getOrElse("(none)")}",
             lastErr)
         writeMarker(spark, stateDir, h)
         done += h

@@ -475,6 +475,17 @@ object TextOps {
     * engines) mod `nBuckets`, the repo's portable-hash device.
     * Output: (idCol, n_tokens, logit_micros, keep).
     */
+  /** The ONE hashed-feature bucket definition for the classifier chain
+    * (train / batch score / serve / every DuckDB oracle): first 15 md5
+    * nibbles (sign bit clear in both engines) mod `nBuckets`. A single
+    * definition because cross-form parity IS the contract — three
+    * hand-copied variants drifting apart would silently break whichever
+    * path the tests don't pin for that input shape.
+    */
+  private def bucketCol(t: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
   /** Per-row classifier scoring for a model that fits in a LITERAL —
     * the serving form of [[hashedLinearScore]]: the weight map rides
     * the plan as one `typedlit`, and the logit is an `aggregate` fold
@@ -490,12 +501,19 @@ object TextOps {
       textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, s"linearScore: nBuckets must be > 0, got $nBuckets")
     val wMap = typedlit(weights)
-    val logit = aggregate(split(col(textCol), " "), lit(biasMicros),
-      (acc, t) => acc + coalesce(
-        element_at(wMap, pmod(conv(substring(md5(t), 1, 15), 16, 10)
-          .cast("long"), lit(nBuckets.toLong))), lit(0L)))
+    // null text folds to (n_tokens 0, logit = bias) — the same row
+    // hashedLinearScore's explode_outer path produces, so the two forms
+    // stay bit-identical on EVERY input, including corpora with null
+    // docs (a null keep here would let a downstream filter silently
+    // drop rows the batch scorer keeps)
+    val logit = coalesce(
+      aggregate(split(col(textCol), " "), lit(biasMicros),
+        (acc, t) => acc + coalesce(
+          element_at(wMap, bucketCol(t, nBuckets)), lit(0L))),
+      lit(biasMicros))
     docs.select(col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(0L))
+          .as("n_tokens"),
         logit.as("logit_micros"))
       .withColumn("keep", col("logit_micros") >= 0)
   }
@@ -527,8 +545,7 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
-    val bucket = pmod(conv(substring(md5(col("__t")), 1, 15), 16, 10)
-      .cast("long"), lit(nBuckets.toLong))
+    val bucket = bucketCol(col("__t"), nBuckets)
     val feats = df.select(col(idCol), col(labelCol).cast("long").as("__y"),
         explode(split(col(textCol), " ")).as("__t"))
       .select(col(idCol), col("__y"), bucket.as("bucket"))
@@ -563,8 +580,7 @@ object TextOps {
       nBuckets: Int = 1024, biasMicros: Long = 0L, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(nBuckets > 0, s"hashedLinearScore: nBuckets must be > 0, got $nBuckets")
-    val bucket = pmod(conv(substring(md5(col("__t")), 1, 15), 16, 10)
-      .cast("long"), lit(nBuckets.toLong))
+    val bucket = bucketCol(col("__t"), nBuckets)
     // ONE doc-keyed aggregation carries both the token count and the
     // logit — joining a separate n_tokens projection back on the id
     // would re-shuffle the corpus for per-row math (measured 4 → 2

@@ -40,29 +40,40 @@ object SketchBounds {
       (k, ex, ap, rel, rel <= 0.15)
     }
 
-    // --- quantile sketch per l_returnflag; exact ranks computed
-    // distributedly (sf0.01 lineitem fits a collect, but the exact order
-    // statistic via percentile() keeps this runnable at any SF)
+    // --- quantile sketch per l_returnflag; the exact order statistics
+    // come from a DISTRIBUTED per-group rank window (driver holds only
+    // groups × quantiles rows, never lineitem rows — this stays
+    // runnable at any SF)
     val qs = Seq(0.5, 0.95, 0.99)
     val apx = li.groupBy($"l_returnflag")
       .agg(percentile_approx($"l_extendedprice",
         array(qs.map(lit): _*), lit(10000)).as("apx"),
         count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
-    val sortedByGroup = li.select($"l_returnflag", $"l_extendedprice").collect()
-      .groupBy(_.getString(0)).map { case (k, rows) =>
-        k -> rows.map(_.getDouble(1)).sorted }
-    val pctGroups = sortedByGroup.toSeq.sortBy(_._1).flatMap { case (k, sorted) =>
-      val n = sorted.length
+    val boundRows = apx.toSeq.flatMap { case (k, (vals, n)) =>
       val slack = n.toDouble / 10000.0 + 1
       qs.zipWithIndex.map { case (q, i) =>
         val target = math.ceil(q * n)
-        val lo = sorted(math.max(0, (target - slack).toInt - 1))
-        val hi = sorted(math.min(n - 1, (target + slack).toInt - 1))
-        val got = apx(k)._1(i)
-        (k, q, got, lo, hi, got >= lo && got <= hi)
+        (k, q, math.max(1L, (target - slack).toLong),
+          math.min(n, (target + slack).toLong), vals(i))
       }
     }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+    val ranked = li.select($"l_returnflag", $"l_extendedprice")
+      .withColumn("rk", row_number().over(w))
+    val pctGroups = ranked
+      .join(broadcast(boundRows.toDF("k", "q", "rlo", "rhi", "apxv")),
+        $"l_returnflag" === $"k" && ($"rk" === $"rlo" || $"rk" === $"rhi"))
+      .groupBy($"k", $"q", $"apxv")
+      .agg(min(when($"rk" === $"rlo", $"l_extendedprice")).as("lo"),
+        min(when($"rk" === $"rhi", $"l_extendedprice")).as("hi"))
+      .collect()
+      .map { r =>
+        val (k, q, got) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+        val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+        (k, q, got, lo, hi, got >= lo && got <= hi)
+      }.sortBy(r => (r._1, r._2)).toSeq
 
     val fmt = (d: Double) =>
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString

@@ -122,7 +122,8 @@ class JobsSpec extends SparkSpec {
       graft.jobs.Scheduler.catchup(spark, s"$base/nope", sessions, state,
         "2019-10-01 10", "2019-10-01 13", retries = 2)
     }
-    assert(e.getMessage.contains("failed after 2 attempts"))
+    // Airflow semantics: retries = 2 means 3 total attempts
+    assert(e.getMessage.contains("failed after 3 attempts (1 + 2 retries)"))
     assert(graft.jobs.Scheduler.readMarker(spark, state)
       .contains("2019-10-01 12"), "marker must not advance past a failure")
     // repaired: the resume commits the failed hour and the lock was

@@ -1674,6 +1674,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SketchBounds emits a within-bounds artifact with per-group evidence") {
+    // The generator behind SKETCH_BOUNDS.json (r7 verdict item 5): the
+    // exact rank bounds come from a distributed per-group window (the
+    // driver holds groups × quantiles rows, never lineitem rows), and
+    // the artifact must carry one HLL row per group and one quantile
+    // row per (group, q), all within bounds on the gate corpus.
+    val json = graft.tools.SketchBounds.reportJson(spark, Sf001)
+    assert(json.contains("\"all_within_bounds\":true"), json.take(400))
+    assert("\"rel_err\"".r.findAllIn(json).size == 3, "3 HLL groups")
+    assert("\"rank_lo\"".r.findAllIn(json).size == 9, "3 groups x 3 quantiles")
+  }
+
   test("HLL sketches built per day merge into correct weekly estimates") {
     // The mergeable-sketch rollup pattern: persist one small sketch per
     // (day) partition, answer ANY coarser distinct-count rollup by
@@ -1785,6 +1797,18 @@ class OpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(a == b)
     assert(a.nonEmpty)
+    // …including null text: both forms must fold it to (n_tokens 0,
+    // logit = bias, keep = bias ≥ 0) — a null keep in the serving form
+    // would let a downstream filter silently drop rows the batch form
+    // keeps (real corpora contain null docs)
+    val withNull = Seq((1L, "a b"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val an = TextOps.hashedLinearScore(withNull, wDf, nBuckets = 64,
+      biasMicros = 13L).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bn = TextOps.linearScore(withNull, wMap, nBuckets = 64,
+      biasMicros = 13L).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(an == bn, s"null-text divergence: $an vs $bn")
+    assert(bn(1) == Seq(2L, 0L, 13L, true), s"null doc row: ${bn(1)}")
   }
 
   test("perceptronTrain: hand-traced rounds, early convergence, trained model classifies") {
