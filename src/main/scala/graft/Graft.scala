@@ -146,6 +146,14 @@ object Graft {
     TextOps.corpusSplit(docs, trainPerMille = trainPerMille, valPerMille = valPerMille)
   def sampleByQuality(docs: DataFrame, weightCol: String = "n_chars"): DataFrame =
     TextOps.importanceSample(docs, weightCol)
+  /** Exact-k weighted sampling without replacement (DLT priority
+    * sampling) with unbiased subset-sum weight estimates — the
+    * fixed-training-budget subsampler; `sampleByQuality` is the
+    * Bernoulli (random-size) cousin.
+    */
+  def sampleExactK(docs: DataFrame, k: Int,
+      weightCol: String = "n_chars"): DataFrame =
+    TextOps.prioritySample(docs, k, weightCol)
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
     DataQuality.profile(df, cols)
   def profileTableBatched(df: DataFrame, cols: Seq[String],

@@ -645,6 +645,49 @@ object TextOps {
       .select(col(idCol), col(weightCol))
   }
 
+  /** EXACT-size weighted sampling without replacement — priority
+    * sampling (Duffield–Lund–Thorup, "Priority sampling for estimation
+    * of arbitrary subset sums", JACM 2007): each row gets priority
+    * w / u with u a deterministic md5-derived uniform in [1, 65536];
+    * the sample is the top `k` priorities, and every sampled row
+    * carries the UNBIASED subset-sum weight estimate max(w, τ) where τ
+    * is the (k+1)-th priority — sum est_w over any sampled subset
+    * estimates that subset's true weight sum. [[importanceSample]] is
+    * its Bernoulli cousin (rate ∝ weight, RANDOM output size); this
+    * one returns exactly k rows, the contract a fixed training-budget
+    * subsample needs.
+    *
+    * Determinism/portability: u is integer md5; priority is ONE IEEE
+    * division of two integers — bit-identical across engines (the
+    * repo's per-row-scalar rule) — so the ordering, τ, and est_w all
+    * oracle exactly. Scale posture: top-(k+1) rides
+    * TakeOrderedAndProject (bounded, distributed); the re-rank window
+    * runs over k+1 rows only (k is a sample size — small by
+    * definition). Output: (idCol, w, priority, est_w, rk), rk 1..k.
+    */
+  def prioritySample(df: DataFrame, k: Int, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"prioritySample: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") + 1
+    val topk1 = df.select(col(idCol), col(weightCol).cast("long").as("w"))
+      .withColumn("priority", col("w").cast("double") / u.cast("double"))
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k + 1)
+    val w = Window.orderBy(col("priority").desc, col(idCol))
+    val ranked = topk1.withColumn("rk", row_number().over(w))
+    // τ = the (k+1)-th priority; 0 when the corpus has ≤ k rows (then
+    // every row is sampled and est_w = w exactly)
+    val tau = ranked.agg(coalesce(min(when(col("rk") === k + 1,
+      col("priority"))), lit(0.0)).as("tau"))
+    ranked.filter(col("rk") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col(idCol), col("w"), col("priority"),
+        greatest(col("w").cast("double"), col("tau")).as("est_w"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def mixtureDownsample(df: DataFrame, groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))

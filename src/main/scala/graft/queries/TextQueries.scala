@@ -545,6 +545,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "priority_sample" -> { (spark, dir) =>
+      // Exact-k weighted sampling without replacement (DLT priority
+      // sampling) with the unbiased subset-sum estimator: top-50
+      // priorities w/u over md5 uniforms, est_w = max(w, τ). The fixed
+      // output size is what a training-budget subsample needs;
+      // importance_sample is the Bernoulli (random-size) cousin.
+      import spark.implicits._
+      TextOps.prioritySample(Tables.documents(spark, dir), k = 50)
+        .orderBy("rk")
+    },
+
     "classifier_score" -> { (spark, dir) =>
       // Hashed linear classifier INFERENCE (the fastText/CCNet-style
       // quality-scoring stage): 1024 md5 buckets, a deterministic
@@ -1084,6 +1095,22 @@ object TextQueries {
          |SELECT bucket, w AS w_micros FROM w2 WHERE w <> 0
          |ORDER BY bucket""".stripMargin
     },
+
+    // DLT priority sampling: priority = w / md5-uniform (one IEEE
+    // division — bit-identical per row), τ = the (k+1)-th priority,
+    // est_w = greatest(w, τ)
+    "priority_sample" ->
+      """WITH s AS (SELECT doc_id, n_chars AS w,
+        |                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1) AS u
+        |           FROM documents),
+        |p AS (SELECT doc_id, w, w::DOUBLE / u::DOUBLE AS priority,
+        |             row_number() OVER (ORDER BY w::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
+        |      FROM s),
+        |t AS (SELECT coalesce(min(CASE WHEN rk = 51 THEN priority END), 0.0) AS tau
+        |      FROM p WHERE rk <= 51)
+        |SELECT doc_id, w, priority, greatest(w::DOUBLE, tau) AS est_w, rk::BIGINT AS rk
+        |FROM p CROSS JOIN t WHERE rk <= 50
+        |ORDER BY rk""".stripMargin,
 
     // the same md5 bucket + md5-derived weight table, exact integer sum
     "classifier_score" ->

@@ -1783,6 +1783,42 @@ class OpsSpec extends SparkSpec {
     assert(got(0)._3 == wOf(bucketOf("alpha")) * 2 + wOf(bucketOf("beta")) + 5L)
   }
 
+  test("prioritySample: exact top-k by w/u with the DLT threshold estimator") {
+    // Independent recompute: same md5 uniform, same single IEEE
+    // division, driver-side sort — the whole sample, τ, and every
+    // est_w must be bit-equal.
+    val docs = (1L to 20L).map(i => (i, s"doc $i", i * 10L))
+      .toDF("doc_id", "text", "n_chars")
+    def uOf(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 4), 16) + 1
+    val ref = (1L to 20L).map { i =>
+      val w = i * 10L
+      (i, w, w.toDouble / uOf(i).toDouble)
+    }.sortBy(r => (-r._3, r._1))
+    val k = 5
+    val tau = ref(k)._3 // the (k+1)-th priority
+    val want = ref.take(k).zipWithIndex.map { case ((id, w, p), i) =>
+      (id, w, p, math.max(w.toDouble, tau), (i + 1).toLong)
+    }
+    val got = TextOps.prioritySample(docs, k).orderBy("rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+    // corpus smaller than k: everything sampled, τ = 0, est_w = w exact
+    val all = TextOps.prioritySample(docs, k = 50).orderBy("rk").collect()
+    assert(all.length == 20)
+    assert(all.forall(r => r.getDouble(3) == r.getLong(1).toDouble),
+      "with the full corpus sampled the estimator must be exact")
+    // the estimator's sanity at this fixture: Σ est_w over the sample
+    // is within 3x of the true total (a smoke bound, not the proof —
+    // unbiasedness is over the u-randomness, fixed here)
+    val total = (1L to 20L).map(_ * 10L).sum.toDouble
+    val est = got.map(_._4).sum
+    assert(est > total / 3 && est < total * 3, s"est=$est total=$total")
+  }
+
   test("linearScore (literal-map serving form) equals hashedLinearScore (broadcast form)") {
     // The two inference forms must be bit-identical: the batch form
     // shuffles (doc, bucket) pairs; the serving form is a pure per-row

@@ -203,7 +203,8 @@ class PlanSpec extends SparkSpec {
       // round-8 classifier + stored-index additions
       "classifier_score" -> 3,  // measured 3: weight broadcast + ONE doc-keyed agg (n_tokens rides the logit agg — a join-back re-shuffled the corpus, 4 → 3) + final sort
       "classifier_train" -> 1,  // training rounds run EAGERLY inside the op (per-round <=nBuckets delta pull); the returned weight table is a local relation + final sort
-      "ann_stored_search" -> 14) // measured 14: index build half (trained repack + assignment window + code join) + posexplode + ADC agg + top-k + sort — at scale the build half IS the stored table, read partition-pruned
+      "ann_stored_search" -> 14, // measured 14: index build half (trained repack + assignment window + code join) + posexplode + ADC agg + top-k + sort — at scale the build half IS the stored table, read partition-pruned
+      "priority_sample" -> 1)    // measured 1: top-(k+1) rides TakeOrderedAndProject; the re-rank window runs over k+1 rows
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
