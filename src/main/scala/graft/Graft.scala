@@ -154,6 +154,12 @@ object Graft {
   def sampleExactK(docs: DataFrame, k: Int,
       weightCol: String = "n_chars"): DataFrame =
     TextOps.prioritySample(docs, k, weightCol)
+  /** `sampleExactK` per group — exactly k weighted samples from every
+    * domain/language, each with its own τ estimator.
+    */
+  def sampleExactKPerGroup(docs: DataFrame, k: Int,
+      groupCol: String = "source", weightCol: String = "n_chars"): DataFrame =
+    TextOps.prioritySamplePerGroup(docs, k, groupCol, weightCol)
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame =
     DataQuality.profile(df, cols)
   def profileTableBatched(df: DataFrame, cols: Seq[String],

@@ -688,6 +688,38 @@ object TextOps {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Per-GROUP priority sampling — exactly `k` weighted samples from
+    * EVERY group (per-domain/per-language training budgets), with the
+    * same DLT estimator per group: τ_g is group g's (k+1)-th priority
+    * (0 when the group has ≤ k rows). The rank ≤ k+1 filter rides
+    * Spark's WindowGroupLimit pushdown (partial map-side prune before
+    * the group shuffle), so the exchange carries ~(k+1)·groups rows,
+    * not the corpus. Output: (idCol, groupCol, w, priority, est_w, rk).
+    */
+  def prioritySamplePerGroup(df: DataFrame, k: Int,
+      groupCol: String = "source", weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"prioritySamplePerGroup: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") + 1
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    val ranked = df.select(col(idCol), col(groupCol),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("priority", col("w").cast("double") / u.cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k + 1)
+    val taus = ranked.groupBy(col(groupCol))
+      .agg(coalesce(min(when(col("rk") === k + 1, col("priority"))),
+        lit(0.0)).as("tau"))
+    ranked.filter(col("rk") <= k)
+      .join(broadcast(taus), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("w"), col("priority"),
+        greatest(col("w").cast("double"), col("tau")).as("est_w"),
+        col("rk").cast("long").as("rk"))
+  }
+
   def mixtureDownsample(df: DataFrame, groupCol: String = "source",
       idCol: String = "doc_id"): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))

@@ -556,6 +556,17 @@ object TextQueries {
         .orderBy("rk")
     },
 
+    "priority_sample_lang" -> { (spark, dir) =>
+      // Per-group DLT priority sampling: exactly 20 weighted docs per
+      // LANGUAGE with per-group τ estimators — the per-domain training
+      // budget. The rank filter rides WindowGroupLimit, so the exchange
+      // carries ~21·langs rows, never the corpus.
+      import spark.implicits._
+      TextOps.prioritySamplePerGroup(Tables.documents(spark, dir),
+          k = 20, groupCol = "lang")
+        .orderBy("lang", "rk")
+    },
+
     "classifier_score" -> { (spark, dir) =>
       // Hashed linear classifier INFERENCE (the fastText/CCNet-style
       // quality-scoring stage): 1024 md5 buckets, a deterministic
@@ -1111,6 +1122,23 @@ object TextQueries {
         |SELECT doc_id, w, priority, greatest(w::DOUBLE, tau) AS est_w, rk::BIGINT AS rk
         |FROM p CROSS JOIN t WHERE rk <= 50
         |ORDER BY rk""".stripMargin,
+
+    // per-group DLT: rank within lang, τ per group from rk = k+1
+    "priority_sample_lang" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars AS w,
+        |                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1) AS u
+        |           FROM documents),
+        |p AS (SELECT doc_id, lang, w, w::DOUBLE / u::DOUBLE AS priority,
+        |             row_number() OVER (PARTITION BY lang
+        |               ORDER BY w::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
+        |      FROM s),
+        |t AS (SELECT lang,
+        |             coalesce(min(CASE WHEN rk = 21 THEN priority END), 0.0) AS tau
+        |      FROM p WHERE rk <= 21 GROUP BY lang)
+        |SELECT doc_id, p.lang, w, priority,
+        |       greatest(w::DOUBLE, tau) AS est_w, rk::BIGINT AS rk
+        |FROM p JOIN t ON p.lang = t.lang WHERE rk <= 20
+        |ORDER BY p.lang, rk""".stripMargin,
 
     // the same md5 bucket + md5-derived weight table, exact integer sum
     "classifier_score" ->

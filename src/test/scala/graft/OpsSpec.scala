@@ -1819,6 +1819,36 @@ class OpsSpec extends SparkSpec {
     assert(est > total / 3 && est < total * 3, s"est=$est total=$total")
   }
 
+  test("prioritySamplePerGroup: per-group top-k, per-group tau, small groups exact") {
+    // Group A has 10 rows (k=3 → τ_A = its 4th priority); group B has 2
+    // rows (< k → τ_B = 0, both sampled, est_w = w exact).
+    val docs = ((1L to 10L).map(i => (i, "A", i * 10L)) ++
+      Seq((100L, "B", 70L), (101L, "B", 30L)))
+      .toDF("doc_id", "grp", "n_chars")
+    def uOf(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 4), 16) + 1
+    val refA = (1L to 10L).map { i =>
+      (i, i * 10L, (i * 10L).toDouble / uOf(i).toDouble)
+    }.sortBy(r => (-r._3, r._1))
+    val tauA = refA(3)._3
+    val wantA = refA.take(3).zipWithIndex.map { case ((id, w, p), i) =>
+      (id, "A", w, p, math.max(w.toDouble, tauA), (i + 1).toLong)
+    }
+    val refB = Seq((100L, 70L), (101L, 30L)).map { case (id, w) =>
+      (id, w, w.toDouble / uOf(id).toDouble)
+    }.sortBy(r => (-r._3, r._1))
+    val wantB = refB.zipWithIndex.map { case ((id, w, p), i) =>
+      (id, "B", w, p, w.toDouble, (i + 1).toLong)
+    }
+    val got = TextOps.prioritySamplePerGroup(docs, k = 3, groupCol = "grp")
+      .orderBy("grp", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(got.toSeq == wantA ++ wantB, s"got ${got.toSeq}\nwant ${wantA ++ wantB}")
+  }
+
   test("linearScore (literal-map serving form) equals hashedLinearScore (broadcast form)") {
     // The two inference forms must be bit-identical: the batch form
     // shuffles (doc, bucket) pairs; the serving form is a pure per-row

@@ -204,7 +204,8 @@ class PlanSpec extends SparkSpec {
       "classifier_score" -> 3,  // measured 3: weight broadcast + ONE doc-keyed agg (n_tokens rides the logit agg — a join-back re-shuffled the corpus, 4 → 3) + final sort
       "classifier_train" -> 1,  // training rounds run EAGERLY inside the op (per-round <=nBuckets delta pull); the returned weight table is a local relation + final sort
       "ann_stored_search" -> 14, // measured 14: index build half (trained repack + assignment window + code join) + posexplode + ADC agg + top-k + sort — at scale the build half IS the stored table, read partition-pruned
-      "priority_sample" -> 1)    // measured 1: top-(k+1) rides TakeOrderedAndProject; the re-rank window runs over k+1 rows
+      "priority_sample" -> 1,    // measured 1: top-(k+1) rides TakeOrderedAndProject; the re-rank window runs over k+1 rows
+      "priority_sample_lang" -> 4) // measured 4: per-group rank window (WindowGroupLimit-pruned) + tiny tau agg + tau join + final sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
@@ -212,6 +213,14 @@ class PlanSpec extends SparkSpec {
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
     }
+  }
+
+  test("per-group priority sampling prunes with WindowGroupLimit before the shuffle") {
+    // the rank <= k+1 filter must push a partial WindowGroupLimit below
+    // the group exchange — the property that keeps the shuffle at
+    // ~(k+1)·groups rows instead of the corpus
+    val plan = planOf(SparkEntry.queries("priority_sample_lang")(spark, Sf0001))
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
   }
 
   test("stored-index search broadcasts every small side; corpus side never cartesians") {
