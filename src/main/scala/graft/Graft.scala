@@ -62,6 +62,12 @@ object Graft {
     Dedup.simhashNearDup(docs, maxDist = maxDist)
   def duplicateClusters(pairs: DataFrame): DataFrame =
     Dedup.connectedComponents(pairs)
+  /** Typo-level near-dup over a short string field's distinct VALUES
+    * (FastSS d=1 deletion neighborhoods + levenshtein verify) — the
+    * canonicalization primitive for names/brands/cities.
+    */
+  def typoPairs(df: DataFrame, valueCol: String): DataFrame =
+    Dedup.editDistancePairs(df, valueCol)
   def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
 
   // similarity

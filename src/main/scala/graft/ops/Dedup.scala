@@ -514,6 +514,39 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Typo-level near-duplicate VALUES — pairs of distinct column values
+    * within Levenshtein distance 1, the canonicalization primitive for
+    * short string fields (product names, brands, city names): exact
+    * FastSS blocking (Bocek et al., "Fast Similarity Search in Large
+    * Dictionaries", 2007) via single-deletion neighborhoods — two
+    * strings are within edit distance 1 IFF they share a variant in
+    * {s} ∪ deletions(s) (equal → self; ins/del → one IS the other's
+    * deletion; substitution → deleting the differing position from both
+    * meets) — then a `levenshtein` verify on the candidates only.
+    *
+    * Scale shape: operates on the DISTINCT value dictionary, never the
+    * fact rows (canonicalize the dictionary, broadcast the mapping
+    * back); variants explode |v|+1 rows per value and the self-join
+    * shuffles on the variant key, so cost is dictionary-sized × value
+    * length — a short-field op by contract, not a document-text op
+    * (that family is the shingle/MinHash stack). Output:
+    * (name_a, name_b, dist), name_a < name_b.
+    */
+  def editDistancePairs(df: DataFrame, valueCol: String): DataFrame = {
+    val vars = df.select(col(valueCol).as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .select(col("v"), explode(array_distinct(
+        transform(sequence(lit(0), length(col("v"))),
+          i => concat(col("v").substr(lit(1), i.cast("int")),
+            col("v").substr(i.cast("int") + 2, length(col("v"))))))).as("var"))
+    vars.select(col("v").as("name_a"), col("var"))
+      .join(vars.select(col("v").as("name_b"), col("var")), "var")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+
   /** Prime modulus for the universal-hash family (fits 31 bits so
     * a*x+b stays well inside int64 — no ANSI overflow at any scale).
     */

@@ -34,6 +34,16 @@ object DedupQueries {
         .orderBy("keeper_id")
     },
 
+    "name_typo_pairs" -> { (spark, dir) =>
+      // Typo-level value canonicalization (FastSS, exact d=1 blocking):
+      // distinct part names within ONE edit — the short-field dedup the
+      // shingle stack can't do (3-token names have no 3-shingles to
+      // spare). Deletion-neighborhood join + levenshtein verify.
+      import spark.implicits._
+      Dedup.editDistancePairs(Tables.part(spark, dir), "p_name")
+        .orderBy("name_a", "name_b")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       import spark.implicits._
       Dedup.minhashPairs(Tables.documents(spark, dir))
@@ -392,6 +402,19 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // FastSS d=1: variant dictionary = {s} ∪ single deletions (i = len
+    // deletes nothing → s itself); candidates share a variant, verify
+    // by levenshtein
+    "name_typo_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL),
+        |d AS (SELECT v, unnest(range(0, length(v) + 1)) AS i FROM n),
+        |vr AS (SELECT DISTINCT v, substr(v, 1, i) || substr(v, i + 2) AS var FROM d),
+        |cand AS (SELECT DISTINCT a.v AS name_a, b.v AS name_b
+        |         FROM vr a JOIN vr b ON a.var = b.var AND a.v < b.v)
+        |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
+        |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "dedup_minhash" ->
       s"""WITH $ShinglesCte,

@@ -1783,6 +1783,21 @@ class OpsSpec extends SparkSpec {
     assert(got(0)._3 == wOf(bucketOf("alpha")) * 2 + wOf(bucketOf("beta")) + 5L)
   }
 
+  test("editDistancePairs: FastSS d=1 blocking is exact — sub/ins/del found, d=2 not") {
+    // abc~abd (substitution), ab~abc and ab~abd (insertion/deletion),
+    // xyz isolated, abde at distance 2 from abd must NOT pair with abc
+    // (d=2) but DOES pair with abd (one insertion). Duplicate raw rows
+    // collapse via the distinct dictionary.
+    val df = Seq("abc", "abd", "ab", "xyz", "abde", "abc")
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Dedup.editDistancePairs(df, "v").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = Set(
+      ("ab", "abc", 1L), ("ab", "abd", 1L), ("abc", "abd", 1L),
+      ("abd", "abde", 1L))
+    assert(got == want, s"got $got")
+  }
+
   test("prioritySample: exact top-k by w/u with the DLT threshold estimator") {
     // Independent recompute: same md5 uniform, same single IEEE
     // division, driver-side sort — the whole sample, τ, and every
