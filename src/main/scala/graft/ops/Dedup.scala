@@ -532,9 +532,21 @@ object Dedup {
     * (that family is the shingle/MinHash stack). Output:
     * (name_a, name_b, dist), name_a < name_b.
     */
-  def editDistancePairs(df: DataFrame, valueCol: String): DataFrame = {
+  def editDistancePairs(df: DataFrame, valueCol: String,
+      maxLen: Int = 256): DataFrame = {
     val vars = df.select(col(valueCol).as("v"))
       .filter(col("v").isNotNull).distinct()
+      // loud short-field contract (the bpeCanonical guard posture): a
+      // document-length value would explode len+1 variants of len chars
+      // each — O(len²) bytes per value. Refuse instead of silently
+      // blowing up the variant join; document-scale text belongs to the
+      // shingle/MinHash stack.
+      .withColumn("v", when(length(col("v")) > maxLen,
+        raise_error(concat(lit("editDistancePairs: value longer than "),
+          lit(maxLen.toString), lit(" chars — this is a short-field " +
+            "canonicalization op; use the shingle/MinHash stack for " +
+            "document text"))))
+        .otherwise(col("v")))
       .select(col("v"), explode(array_distinct(
         transform(sequence(lit(0), length(col("v"))),
           i => concat(col("v").substr(lit(1), i.cast("int")),

@@ -665,13 +665,27 @@ object TextOps {
     * runs over k+1 rows only (k is a sample size — small by
     * definition). Output: (idCol, w, priority, est_w, rk), rk 1..k.
     */
+  /** Loud DLT precondition: priorities are only meaningful for
+    * non-negative, non-null weights — a negative or null weight would
+    * silently sink (or null out) its row's priority and corrupt τ.
+    */
+  private def guardedWeight(weightCol: String, idCol: String,
+      op: String): Column =
+    when(col(weightCol).isNull || col(weightCol) < 0,
+      raise_error(concat(lit(s"$op: weight for id "),
+        col(idCol).cast("string"),
+        lit(" is null or negative — priority sampling requires" +
+          " non-negative weights"))))
+      .otherwise(col(weightCol).cast("long")).as("w")
+
   def prioritySample(df: DataFrame, k: Int, weightCol: String = "n_chars",
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"prioritySample: k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long") + 1
-    val topk1 = df.select(col(idCol), col(weightCol).cast("long").as("w"))
+    val topk1 = df.select(col(idCol), guardedWeight(weightCol, idCol,
+        "prioritySample"))
       .withColumn("priority", col("w").cast("double") / u.cast("double"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k + 1)
@@ -706,7 +720,7 @@ object TextOps {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("priority").desc, col(idCol))
     val ranked = df.select(col(idCol), col(groupCol),
-        col(weightCol).cast("long").as("w"))
+        guardedWeight(weightCol, idCol, "prioritySamplePerGroup"))
       .withColumn("priority", col("w").cast("double") / u.cast("double"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k + 1)

@@ -1796,6 +1796,13 @@ class OpsSpec extends SparkSpec {
       ("ab", "abc", 1L), ("ab", "abd", 1L), ("abc", "abd", 1L),
       ("abd", "abde", 1L))
     assert(got == want, s"got $got")
+    // loud short-field contract: a document-length value would explode
+    // O(len²) variant bytes — refused, not silently joined
+    val long = Seq((1L, "x" * 300)).toDF("id", "v")
+    val e = intercept[Exception] { Dedup.editDistancePairs(long, "v").count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("short-field")), e.toString)
   }
 
   test("prioritySample: exact top-k by w/u with the DLT threshold estimator") {
@@ -1832,6 +1839,13 @@ class OpsSpec extends SparkSpec {
     val total = (1L to 20L).map(_ * 10L).sum.toDouble
     val est = got.map(_._4).sum
     assert(est > total / 3 && est < total * 3, s"est=$est total=$total")
+    // loud precondition: a negative or null weight would silently sink
+    // its row and corrupt tau — refused instead
+    val bad = Seq((1L, "x", 10L), (2L, "y", -5L)).toDF("doc_id", "text", "n_chars")
+    val e = intercept[Exception] { TextOps.prioritySample(bad, 1).count() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("non-negative")), e.toString)
   }
 
   test("prioritySamplePerGroup: per-group top-k, per-group tau, small groups exact") {
