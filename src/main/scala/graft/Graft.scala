@@ -68,6 +68,11 @@ object Graft {
     */
   def typoPairs(df: DataFrame, valueCol: String): DataFrame =
     Dedup.editDistancePairs(df, valueCol)
+  /** The full cleanup: typo pairs → components → (dirty value →
+    * canonical value) dictionary to broadcast back onto the facts.
+    */
+  def canonicalizeValues(df: DataFrame, valueCol: String): DataFrame =
+    Dedup.canonicalizeValues(df, valueCol)
   def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
 
   // similarity

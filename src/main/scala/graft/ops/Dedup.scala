@@ -559,6 +559,38 @@ object Dedup {
       .filter(col("dist") <= 1)
   }
 
+  /** The full short-field cleanup: [[editDistancePairs]] → connected
+    * components → every DISTINCT value mapped to its cluster's CANONICAL
+    * form (the most frequent member; count desc, value asc tie) — the
+    * (dirty value → clean value) dictionary a caller broadcasts back
+    * onto the fact table. Unmatched values are their own canonical form.
+    *
+    * Internals: values become CC node ids via the portable 60-bit md5
+    * (collision odds ~ |dict|²/2⁶¹ — immaterial at dictionary scale, and
+    * cluster LABELS never reach the output, so the oracle may label by
+    * string-min while this labels by hash-min: the PARTITION is what
+    * must agree). Output: (v, canonical_v, n_rows), one row per distinct
+    * value.
+    */
+  def canonicalizeValues(df: DataFrame, valueCol: String,
+      maxLen: Int = 256): DataFrame = {
+    val counts = df.select(col(valueCol).as("v")).filter(col("v").isNotNull)
+      .groupBy(col("v")).agg(count(lit(1)).as("n_rows"))
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val cc = connectedComponents(editDistancePairs(df, valueCol, maxLen)
+      .select(h(col("name_a")).as("doc_a"), h(col("name_b")).as("doc_b")))
+    val labeled = counts.withColumn("node", h(col("v")))
+      .join(cc.withColumnRenamed("id", "node"), Seq("node"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster_id"), col("node")))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("n_rows").desc, col("v"))
+    val canonical = labeled.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("cluster"), col("v").as("canonical_v"))
+    labeled.join(canonical, Seq("cluster"))
+      .select(col("v"), col("canonical_v"), col("n_rows"))
+  }
+
   /** Prime modulus for the universal-hash family (fits 31 bits so
     * a*x+b stays well inside int64 — no ANSI overflow at any scale).
     */

@@ -44,6 +44,18 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     },
 
+    "name_canonical_map" -> { (spark, dir) =>
+      // The complete short-field cleanup: typo pairs → connected
+      // components → (dirty value → canonical value) dictionary, the
+      // frame a caller broadcasts back onto the fact table. Canonical =
+      // most frequent cluster member. Cluster LABELS stay internal, so
+      // the oracle's string-min recursive labeling and the engine's
+      // hash-min pointer jumping need only agree on the PARTITION.
+      import spark.implicits._
+      Dedup.canonicalizeValues(Tables.part(spark, dir), "p_name")
+        .orderBy("v")
+    },
+
     "dedup_minhash" -> { (spark, dir) =>
       import spark.implicits._
       Dedup.minhashPairs(Tables.documents(spark, dir))
@@ -402,6 +414,35 @@ object DedupQueries {
     "dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    // typo pairs → recursive min-label components (string labels — the
+    // partition is what must match, labels never reach the output) →
+    // most-frequent member per cluster
+    "name_canonical_map" ->
+      """WITH RECURSIVE nm AS (SELECT p_name AS v, count(*) AS n_rows
+        |           FROM part WHERE p_name IS NOT NULL GROUP BY 1),
+        |d AS (SELECT v, unnest(range(0, length(v) + 1)) AS i FROM nm),
+        |vr AS (SELECT DISTINCT v, substr(v, 1, i) || substr(v, i + 2) AS var FROM d),
+        |pr AS (SELECT DISTINCT a.v AS va, b.v AS vb
+        |       FROM vr a JOIN vr b ON a.var = b.var AND a.v < b.v
+        |       WHERE levenshtein(a.v, b.v) <= 1),
+        |ed AS (SELECT va AS src, vb AS dst FROM pr
+        |       UNION SELECT vb, va FROM pr),
+        |nn AS (SELECT DISTINCT src AS node FROM ed),
+        |reach(node, lbl) AS (
+        |  SELECT node, node FROM nn
+        |  UNION
+        |  SELECT ed.dst, r.lbl FROM reach r JOIN ed ON ed.src = r.node),
+        |cl AS (SELECT node, min(lbl) AS cluster FROM reach GROUP BY node),
+        |lab AS (SELECT nm.v, nm.n_rows, coalesce(cl.cluster, nm.v) AS cluster
+        |        FROM nm LEFT JOIN cl ON cl.node = nm.v),
+        |can AS (SELECT cluster, v AS canonical_v FROM (
+        |  SELECT cluster, v,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY n_rows DESC, v) AS rk
+        |  FROM lab) WHERE rk = 1)
+        |SELECT lab.v, can.canonical_v, lab.n_rows::BIGINT AS n_rows
+        |FROM lab JOIN can USING (cluster)
+        |ORDER BY v""".stripMargin,
 
     // FastSS d=1: variant dictionary = {s} ∪ single deletions (i = len
     // deletes nothing → s itself); candidates share a variant, verify

@@ -1805,6 +1805,22 @@ class OpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("short-field")), e.toString)
   }
 
+  test("canonicalizeValues: transitive typo cluster maps to its most frequent member") {
+    // {ab, abc, abd, abde} chain into one cluster (abde joins only
+    // through abd — TRANSITIVE closure, not direct pairs); canonical is
+    // abc (3 raw rows, beating ab's 2); xyz maps to itself.
+    val rows = Seq.fill(3)("abc") ++ Seq.fill(2)("ab") ++
+      Seq("abd", "abde", "xyz")
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val got = Dedup.canonicalizeValues(df, "v").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    Dedup.releaseCaches()
+    assert(got == Map(
+      "ab" -> ("abc", 2L), "abc" -> ("abc", 3L), "abd" -> ("abc", 1L),
+      "abde" -> ("abc", 1L), "xyz" -> ("xyz", 1L)), s"got $got")
+  }
+
   test("prioritySample: exact top-k by w/u with the DLT threshold estimator") {
     // Independent recompute: same md5 uniform, same single IEEE
     // division, driver-side sort — the whole sample, τ, and every
