@@ -141,6 +141,25 @@ class JobsSpec extends SparkSpec {
     Files.delete(java.nio.file.Paths.get(state, "running.lock"))
   }
 
+  test("scheduler dueHours: catchup-window arithmetic at the edges") {
+    import graft.jobs.Scheduler.dueHours
+    // fresh deployment: from `start` through `now` inclusive
+    assert(dueHours("2019-10-01 10", None, "2019-10-01 12") ==
+      Seq("2019-10-01 10", "2019-10-01 11", "2019-10-01 12"))
+    // marker at now: nothing due
+    assert(dueHours("2019-10-01 10", Some("2019-10-01 12"), "2019-10-01 12").isEmpty)
+    // marker ahead of now (clock skew / re-launch with an old `now`):
+    // nothing due, never negative windows
+    assert(dueHours("2019-10-01 10", Some("2019-10-01 13"), "2019-10-01 12").isEmpty)
+    // day boundary: 23:00 -> next day's 01:00
+    assert(dueHours("2019-10-01 10", Some("2019-10-01 23"), "2019-10-02 01") ==
+      Seq("2019-10-02 00", "2019-10-02 01"))
+    // the window advances from the MARKER even when start is later
+    // (a redeployment with a new start must not skip committed history)
+    assert(dueHours("2019-10-01 20", Some("2019-10-01 15"), "2019-10-01 17") ==
+      Seq("2019-10-01 16", "2019-10-01 17"))
+  }
+
   test("backfill runs hours in order and matches the manual two-run flow") {
     val base = Files.createTempDirectory("graft-backfill").toString
     val csv = writeCsv(base)
