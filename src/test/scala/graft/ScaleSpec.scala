@@ -497,6 +497,33 @@ class ScaleSpec extends SparkSpec {
     assert(secs < 60.0, f"trigram ops took $secs%.1fs on a 10^5-token doc")
   }
 
+  test("FastSS typo pairs stay dictionary-bounded on a 5·10^4-value dictionary") {
+    // editDistancePairs' scale contract: cost is dictionary-sized ×
+    // value length (variants ≈ |dict|·(len+1) rows, the join keyed on
+    // the variant). 50k distinct 11-char hex-id values are two orders
+    // past the testdata AND an adversarially DENSE d=1 space —
+    // sequential hex ids differ in one digit constantly, so the true
+    // answer is ~1.4M pairs (measured), far past any real brand/city
+    // dictionary's typo density. The op must still complete in seconds
+    // with the planted single-deletion typos among the output.
+    val n = 50000L
+    val vals = spark.range(n).select(
+      concat(lit("v"), lpad(conv(col("id").cast("string"), 10, 16), 10, "0"))
+        .as("v"))
+    // plant 100 single-char-deletion typos of the first 100 values
+    val typos = spark.range(100L).select(
+      concat(lit("v"), lpad(conv(col("id").cast("string"), 10, 16), 10, "0"))
+        .substr(lit(2), lit(11)).as("v"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Dedup.editDistancePairs(
+      vals.unionByName(typos), "v")
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"50k-value dictionary through FastSS d=1: $secs%.1fs, $nPairs pairs")
+    assert(nPairs >= 100L, s"planted typos not all found: $nPairs")
+    assert(secs < 60.0, f"dictionary join took $secs%.1fs")
+  }
+
   test("classifier inference stays linear on a 10^5-token doc and takes a 10^5-bucket model") {
     // Two classifier boundaries: (a) the serving form's aggregate fold
     // must be O(tokens) per row — a 10^5-token document through the
