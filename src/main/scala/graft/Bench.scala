@@ -28,6 +28,7 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
     new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
   private val maxJob = new java.util.concurrent.atomic.AtomicInteger(-1)
   private val unownedN = new java.util.concurrent.atomic.AtomicLong(0)
+  private val killedN = new java.util.concurrent.atomic.AtomicLong(0)
 
   override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
     // FIRST owner wins: a later job's stageIds include stages it will
@@ -44,7 +45,12 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
   override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
     e.reason match {
       case org.apache.spark.Success => ()
-      case _: org.apache.spark.TaskKilled => () // sibling cleanup of an aborting stage
+      case _: org.apache.spark.TaskKilled =>
+        // sibling cleanup of an aborting/cancelled stage — not a fault,
+        // so never charged to a window, but COUNTED: a kill mid-write
+        // prints a FileFormatWriter ERROR stack, and the artifact must
+        // name a counter for every stack in its tail (r8 verdict #1)
+        killedN.incrementAndGet(): Unit
       case _ =>
         val job = stageToJob.getOrDefault(e.stageId, -1)
         if (job < 0) unownedN.incrementAndGet(): Unit
@@ -67,6 +73,15 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
     * on a FIFO bus; nonzero means the attribution model itself broke.
     */
   def unowned: Long = unownedN.get
+
+  /** Lifetime count of TaskKilled ends (scheduler cleanup of aborting
+    * or cancelled stages). Kills are deliberately NOT charged to any
+    * window — they are a consequence of a failure, not a fault — but
+    * each one can print an ERROR stack (e.g. FileFormatWriter killed
+    * mid-write), so the bench artifact carries this counter to give
+    * every stack in its stdout tail a named, nonzero home.
+    */
+  def killed: Long = killedN.get
 }
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
@@ -272,7 +287,14 @@ object Bench {
     // JSON line outgrew the driver's stdout tail window and truncated
     // mid-object ("parsed": null in round 2). Stdout carries only the
     // short, always-parseable total line, pointing at the file.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
+    // Lifetime listener counters close the accounting loop: every ERROR
+    // stack in the bench's stdout tail must map to a nonzero named
+    // counter here — killed tasks (mid-write cleanup stacks) and the
+    // lifetime failure grand total (which includes failures charged to
+    // jobs, unlike the per-window task_failures map's nonzero subset).
+    val nKilled = listener.killed
+    val lifetimeFailures = listener.failuresAfter(-1)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1
@@ -280,7 +302,7 @@ object Bench {
     val round = graft.tools.Rounds.next("BENCH_r")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"queries_file":"bench_out.json"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"queries_file":"bench_out.json"}"""
     // The total line ALSO goes to a file: sbt prefixes stdout with
     // [info], which broke the driver's JSON parse of it in rounds 1–3.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")

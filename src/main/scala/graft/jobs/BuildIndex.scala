@@ -109,7 +109,11 @@ object BuildIndex {
     // silently wrong neighbors. One row of the stored index carries the
     // truth (codes is the subspace-ordered tuple).
     val storedSub = spark.read.parquet(s"$outPath/index")
-      .select(size(col("codes"))).head().getInt(0)
+      .select(size(col("codes"))).head(1).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"BuildIndex.append: stored index at $outPath/index is empty — " +
+          "run BuildIndex.run first; append only ingests into a built index"))
+      .getInt(0)
     require(storedSub == subspaces,
       s"BuildIndex.append: stored index uses $storedSub subspaces, caller " +
         s"passed $subspaces — encode against the build's own split")

@@ -10,9 +10,11 @@ import org.apache.spark.sql.SparkSession
   * (airflow/dags/sessionization_batch.py:12,36-39) — the one reference
   * behavior that previously existed only as CLI mains:
   *
-  *  - `catchup=True`        → every hour between the durable
-  *    last-completed marker and `now` is due; a fresh deployment starts
-  *    from `start`.
+  *  - `catchup=True`        → every CLOSED hour between the durable
+  *    last-completed marker and `now` is due (the hour containing
+  *    `now` is still open — its events may still be arriving — and
+  *    runs on the next launch, exactly as Airflow's `10 * * * *` runs
+  *    hour H at H+1:10); a fresh deployment starts from `start`.
   *  - `depends_on_past=True`→ hours run strictly in order, and the
   *    marker advances only AFTER an hour commits — a failure stops the
   *    catch-up with the marker still at the last success, so the next
@@ -41,9 +43,15 @@ object Scheduler {
 
   private val Fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd HH")
 
-  /** Hours due strictly after `lastCompleted` (exclusive) through `now`
-    * (inclusive) — the catchup window. `lastCompleted = None` means a
-    * fresh deployment: due hours start AT `start`.
+  /** Hours due strictly after `lastCompleted` and strictly BEFORE
+    * `now` — the catchup window over CLOSED intervals only. The hour
+    * containing `now` is still open (its events may still be
+    * arriving), so it is excluded and runs on the next launch — the
+    * Airflow contract this mirrors (`schedule "10 * * * *"`: hour H
+    * executes at H+1:10, after H has closed). Running the open hour
+    * and advancing the marker past it would permanently drop that
+    * hour's late events. `lastCompleted = None` means a fresh
+    * deployment: due hours start AT `start`.
     */
   def dueHours(start: String, lastCompleted: Option[String],
       now: String): Seq[String] = {
@@ -52,7 +60,7 @@ object Scheduler {
       case None => LocalDateTime.parse(start, Fmt)
     }
     val end = LocalDateTime.parse(now, Fmt)
-    Iterator.iterate(first)(_.plusHours(1)).takeWhile(!_.isAfter(end))
+    Iterator.iterate(first)(_.plusHours(1)).takeWhile(_.isBefore(end))
       .map(_.format(Fmt)).toSeq
   }
 
@@ -108,7 +116,24 @@ object Scheduler {
     */
   def catchup(spark: SparkSession, logsPath: String, sessionsPath: String,
       stateDir: String, start: String, now: String,
-      retries: Int = 3): Seq[String] = {
+      retries: Int = 3): Seq[String] =
+    catchupWith(spark, stateDir, start, now, retries) { (d, hh) =>
+      SessionizeHour.run(spark, logsPath, sessionsPath, d, hh)
+    }
+
+  /** The scheduling contract over an ARBITRARY per-hour job chain:
+    * `work(date, hour)` is the whole DAG body for one hour (e.g.
+    * sessionize → curate/classify that hour's output). The marker
+    * advances only after `work` returns — so a failure ANYWHERE in the
+    * chain (first stage, mid-chain, last write) leaves the marker at
+    * the previous hour and the next launch re-runs the whole chain for
+    * the failed hour. `work` therefore must be idempotent per hour
+    * end-to-end (each stage a dynamic-partition overwrite or
+    * equivalent), the same contract Airflow puts on a DAG run.
+    */
+  def catchupWith(spark: SparkSession, stateDir: String, start: String,
+      now: String, retries: Int = 3)(
+      work: (String, String) => Unit): Seq[String] = {
     val lockPath = lock(spark, stateDir)
     val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
@@ -126,7 +151,7 @@ object Scheduler {
         while (!committed && attempt < maxAttempts) {
           attempt += 1
           try {
-            SessionizeHour.run(spark, logsPath, sessionsPath, d, hh)
+            work(d, hh)
             committed = true
           } catch { case scala.util.control.NonFatal(e) => lastErr = e }
         }
@@ -146,7 +171,10 @@ object Scheduler {
   def main(args: Array[String]): Unit = {
     require(args.length >= 5,
       "usage: Scheduler <logsPath> <sessionsPath> <stateDir> " +
-        "<start 'yyyy-MM-dd HH'> <now 'yyyy-MM-dd HH'> [retries]")
+        "<start 'yyyy-MM-dd HH'> <now 'yyyy-MM-dd HH'> [retries]; " +
+        "`now` is the current wall-clock hour — the hour containing it " +
+        "is still open and is NOT run (closed intervals only, like " +
+        "Airflow's '10 * * * *' which runs hour H at H+1:10)")
     val spark = SparkSession.builder()
       .appName("graft-scheduler")
       .config("spark.sql.session.timeZone", "UTC")

@@ -515,48 +515,69 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Typo-level near-duplicate VALUES — pairs of distinct column values
-    * within Levenshtein distance 1, the canonicalization primitive for
-    * short string fields (product names, brands, city names): exact
-    * FastSS blocking (Bocek et al., "Fast Similarity Search in Large
-    * Dictionaries", 2007) via single-deletion neighborhoods — two
-    * strings are within edit distance 1 IFF they share a variant in
-    * {s} ∪ deletions(s) (equal → self; ins/del → one IS the other's
-    * deletion; substitution → deleting the differing position from both
-    * meets) — then a `levenshtein` verify on the candidates only.
+    * within Levenshtein distance `maxDist`, the canonicalization
+    * primitive for short string fields (product names, brands, city
+    * names): exact FastSS blocking (Bocek et al., "Fast Similarity
+    * Search in Large Dictionaries", 2007) via deletion neighborhoods —
+    * if ed(u, v) ≤ d then u and v share a variant reachable by ≤ d
+    * deletions from each (d=1: equal → self; ins/del → one IS the
+    * other's deletion; substitution → deleting the differing position
+    * from both meets; d≥2 composes deletions, Bocek §3's recursive
+    * neighborhoods Uᵈ(s)) — then a `levenshtein` verify on the
+    * candidates only, so the blocking is recall-exact and the verify
+    * makes precision exact.
     *
     * Scale shape: operates on the DISTINCT value dictionary, never the
     * fact rows (canonicalize the dictionary, broadcast the mapping
-    * back); variants explode |v|+1 rows per value and the self-join
-    * shuffles on the variant key, so cost is dictionary-sized × value
-    * length — a short-field op by contract, not a document-text op
-    * (that family is the shingle/MinHash stack). Output:
-    * (name_a, name_b, dist), name_a < name_b.
+    * back); variants explode Σ_{i≤d} C(|v|, i) rows per value (|v|+1
+    * at d=1, ~|v|²/2 at d=2) and the self-join shuffles on the variant
+    * key, so cost is dictionary-sized × value-lengthᵈ — a short-field
+    * op by contract, not a document-text op (that family is the
+    * shingle/MinHash stack). Output: (name_a, name_b, dist),
+    * name_a < name_b.
     */
   def editDistancePairs(df: DataFrame, valueCol: String,
-      maxLen: Int = 256): DataFrame = {
-    val vars = df.select(col(valueCol).as("v"))
+      maxLen: Int = 256, maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"editDistancePairs: maxDist must be 1 or 2, got $maxDist — " +
+        "d>2 deletion neighborhoods are |v|^d per value; beyond typo " +
+        "distance use the shingle/MinHash stack")
+    // all single-char deletions of x, PLUS x itself (the i = len slot
+    // deletes nothing) — so k applications yield every variant with
+    // ≤ k deletions, not exactly-k
+    def delSet(x: Column): Column =
+      transform(sequence(lit(0), length(x)),
+        i => concat(x.substr(lit(1), i.cast("int")),
+          x.substr(i.cast("int") + 2, length(x))))
+    val guarded = df.select(col(valueCol).as("v"))
       .filter(col("v").isNotNull).distinct()
       // loud short-field contract (the bpeCanonical guard posture): a
-      // document-length value would explode len+1 variants of len chars
-      // each — O(len²) bytes per value. Refuse instead of silently
-      // blowing up the variant join; document-scale text belongs to the
-      // shingle/MinHash stack.
+      // document-length value would explode len^maxDist variants —
+      // O(len²) bytes per value at d=1, O(len³) at d=2. Refuse instead
+      // of silently blowing up the variant join; document-scale text
+      // belongs to the shingle/MinHash stack.
       .withColumn("v", when(length(col("v")) > maxLen,
         raise_error(concat(lit("editDistancePairs: value longer than "),
           lit(maxLen.toString), lit(" chars — this is a short-field " +
             "canonicalization op; use the shingle/MinHash stack for " +
             "document text"))))
         .otherwise(col("v")))
-      .select(col("v"), explode(array_distinct(
-        transform(sequence(lit(0), length(col("v"))),
-          i => concat(col("v").substr(lit(1), i.cast("int")),
-            col("v").substr(i.cast("int") + 2, length(col("v"))))))).as("var"))
+    // ≤ maxDist deletion neighborhood: iterate the ≤1-deletion set.
+    // The MATERIALIZED __vars column is load-bearing at d=2: inlining
+    // delSet(delSet(v)) would re-derive the inner array per outer
+    // element (the repo's lambda-CSE rule).
+    val withD1 = guarded.withColumn("__vars", array_distinct(delSet(col("v"))))
+    val neighborhood = (2 to maxDist).foldLeft(withD1) { (acc, _) =>
+      acc.withColumn("__vars",
+        array_distinct(flatten(transform(col("__vars"), x => delSet(x)))))
+    }
+    val vars = neighborhood.select(col("v"), explode(col("__vars")).as("var"))
     vars.select(col("v").as("name_a"), col("var"))
       .join(vars.select(col("v").as("name_b"), col("var")), "var")
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b")).distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
   }
 
   /** The full short-field cleanup: [[editDistancePairs]] → connected

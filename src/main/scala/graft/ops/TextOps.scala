@@ -587,9 +587,26 @@ object TextOps {
     // exchanges). explode_outer keeps a null-text doc in the output
     // (n_tokens 0, logit = bias); non-null text always yields ≥ 1 token
     // (split("") = [""]), so counts equal size(split(text, ' ')).
+    // Loud precondition on EXTERNAL weight tables (perceptronTrain's
+    // output is distinct-by-bucket, but any trained table is accepted):
+    // a duplicate bucket row would multiply the exploded token rows in
+    // the join below, silently inflating both n_tokens and the logit.
+    // One aggregation on the (tiny, broadcastable-by-contract) weights
+    // table, raise_error on any bucket with > 1 row — lazy, so it
+    // rides the same job, and loud like the file's other guards.
+    val uniqueWeights = weights.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"), min(col("w_micros")).as("__w"))
+      .select(col("bucket"),
+        when(col("__n") > 1,
+          raise_error(concat(
+            lit("hashedLinearScore: weights table has "),
+            col("__n").cast("string"), lit(" rows for bucket "),
+            col("bucket").cast("string"),
+            lit(" — buckets must be unique (aggregate your weights first)"))))
+          .otherwise(col("__w")).as("w_micros"))
     df.select(col(idCol), explode_outer(split(col(textCol), " ")).as("__t"))
       .select(col(idCol), bucket.as("bucket"))
-      .join(broadcast(weights), Seq("bucket"), "left_outer")
+      .join(broadcast(uniqueWeights), Seq("bucket"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(col("bucket")).as("n_tokens"),
         sum(coalesce(col("w_micros"), lit(0L))).as("__logit"))
@@ -648,18 +665,24 @@ object TextOps {
   /** EXACT-size weighted sampling without replacement — priority
     * sampling (Duffield–Lund–Thorup, "Priority sampling for estimation
     * of arbitrary subset sums", JACM 2007): each row gets priority
-    * w / u with u a deterministic md5-derived uniform in [1, 65536];
-    * the sample is the top `k` priorities, and every sampled row
-    * carries the UNBIASED subset-sum weight estimate max(w, τ) where τ
-    * is the (k+1)-th priority — sum est_w over any sampled subset
-    * estimates that subset's true weight sum. [[importanceSample]] is
-    * its Bernoulli cousin (rate ∝ weight, RANDOM output size); this
+    * w / U with U a deterministic md5-derived uniform on (0, 1] — here
+    * U = u/65536 with integer u in [1, 65536], so the priority is
+    * computed as (w·65536)/u to land in w-units; the sample is the top
+    * `k` priorities, and every sampled row carries the UNBIASED
+    * subset-sum weight estimate max(w, τ) where τ is the (k+1)-th
+    * priority — sum est_w over any sampled subset estimates that
+    * subset's true weight sum (DLT Thm 1; τ must be in w-units for
+    * max(w, τ) to be the estimator, which is why the 65536 lives in
+    * the NUMERATOR, not as a separate float divide). [[importanceSample]]
+    * is its Bernoulli cousin (rate ∝ weight, RANDOM output size); this
     * one returns exactly k rows, the contract a fixed training-budget
     * subsample needs.
     *
-    * Determinism/portability: u is integer md5; priority is ONE IEEE
-    * division of two integers — bit-identical across engines (the
-    * repo's per-row-scalar rule) — so the ordering, τ, and est_w all
+    * Determinism/portability: u is integer md5; w·65536 is an exact
+    * integer (w is a long count — no precision loss below 2^47); the
+    * priority is ONE IEEE division of two exact integers —
+    * bit-identical across engines (the repo's per-row-scalar rule) —
+    * so the ordering, τ, and est_w all
     * oracle exactly. Scale posture: top-(k+1) rides
     * TakeOrderedAndProject (bounded, distributed); the re-rank window
     * runs over k+1 rows only (k is a sample size — small by
@@ -686,7 +709,8 @@ object TextOps {
       .cast("long") + 1
     val topk1 = df.select(col(idCol), guardedWeight(weightCol, idCol,
         "prioritySample"))
-      .withColumn("priority", col("w").cast("double") / u.cast("double"))
+      .withColumn("priority",
+        (col("w") * 65536L).cast("double") / u.cast("double"))
       .orderBy(col("priority").desc, col(idCol))
       .limit(k + 1)
     val w = Window.orderBy(col("priority").desc, col(idCol))
@@ -721,7 +745,8 @@ object TextOps {
       .orderBy(col("priority").desc, col(idCol))
     val ranked = df.select(col(idCol), col(groupCol),
         guardedWeight(weightCol, idCol, "prioritySamplePerGroup"))
-      .withColumn("priority", col("w").cast("double") / u.cast("double"))
+      .withColumn("priority",
+        (col("w") * 65536L).cast("double") / u.cast("double"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k + 1)
     val taus = ranked.groupBy(col(groupCol))
@@ -1128,11 +1153,28 @@ object TextOps {
     *
     * Why a typed map, not Catalyst replaces: a real vocabulary is 30k
     * merges, and 30k NESTED replace expressions exceed any codegen
-    * budget — while this per-row loop is the standard tokenizer inner
-    * loop: O(merges · len) string work per document, embarrassingly
-    * row-parallel, model broadcast in the closure. Guards mirror
-    * [[bpeCanonical]]: text containing U+0001 or empty tokens
-    * (leading/trailing/double spaces) is refused loudly.
+    * budget — this per-row loop is the standard tokenizer inner loop,
+    * embarrassingly row-parallel with the model broadcast in the
+    * closure. Guards mirror [[bpeCanonical]]: text containing U+0001
+    * or empty tokens (leading/trailing/double spaces) is refused
+    * loudly.
+    *
+    * COST MODEL (the 30k-vocab serving boundary, ScaleSpec): the naive
+    * loop is one full-string `.replace` pass per merge — O(merges·len)
+    * char work per document, ~30k × 600 chars = 2·10⁷ per typical doc,
+    * and the vocabulary dominates: most of a 30k vocab does not occur
+    * in any ONE document. The standard fix (kept here, semantics
+    * unchanged): index the document's PRESENT adjacent symbol pairs in
+    * a hash set, probe each merge in O(1), and pay the O(len) replace
+    * pass only for merges that actually occur — O(len + merges +
+    * applied·len) per doc, where applied ≤ min(merges present, initial
+    * symbol count). The pair set is rebuilt after each APPLIED merge
+    * (an applied merge can create new adjacencies for later-rank
+    * merges), never after a skipped one. Sequential rank-order pass
+    * semantics are bit-identical to the naive loop: the set is derived
+    * from the current string, so present ⇒ the replace fires and
+    * absent ⇒ the replace was a no-op; ScaleSpec measures the 30k
+    * boundary and OpsSpec pins naive-vs-indexed equality.
     */
   def bpeApply(df: DataFrame, merges: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -1150,11 +1192,29 @@ object TextOps {
             "delimiter encoding requires non-empty symbols — normalize " +
             "whitespace first")
         var c = BpeDelim + text.replace(" ", BpeDelim + BpeDelim) + BpeDelim
+        // adjacent-pair presence index over the CURRENT symbol
+        // sequence; l + '\1' + r is a collision-free pair key because
+        // symbols never contain the delimiter (guarded above)
+        var pairs = new java.util.HashSet[String]()
+        def reindex(): Unit = {
+          pairs = new java.util.HashSet[String]()
+          val syms = c.substring(1, c.length - 1)
+            .split(java.util.regex.Pattern.quote(BpeDelim + BpeDelim), -1)
+          var k = 1
+          while (k < syms.length) {
+            pairs.add(syms(k - 1) + BpeDelim + syms(k)): Unit
+            k += 1
+          }
+        }
+        reindex()
         var i = 0
         while (i < ms.length) {
           val (l, r) = ms(i)
-          c = c.replace(BpeDelim + l + BpeDelim + BpeDelim + r + BpeDelim,
-            BpeDelim + l + " " + r + BpeDelim)
+          if (pairs.contains(l + BpeDelim + r)) {
+            c = c.replace(BpeDelim + l + BpeDelim + BpeDelim + r + BpeDelim,
+              BpeDelim + l + " " + r + BpeDelim)
+            reindex()
+          }
           i += 1
         }
         val stripped = c.substring(1, c.length - 1)

@@ -44,6 +44,17 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     },
 
+    "name_typo_pairs_d2" -> { (spark, dir) =>
+      // FastSS at typo distance 2 (Bocek §3 recursive deletion
+      // neighborhoods): same blocking, composed twice, verified by
+      // levenshtein ≤ 2. The oracle is the BRUTE-FORCE all-pairs
+      // levenshtein — independent of the blocking, so it proves the
+      // d=2 neighborhood is recall-exact, not merely self-consistent.
+      import spark.implicits._
+      Dedup.editDistancePairs(Tables.part(spark, dir), "p_name", maxDist = 2)
+        .orderBy("name_a", "name_b")
+    },
+
     "name_canonical_map" -> { (spark, dir) =>
       // The complete short-field cleanup: typo pairs → connected
       // components → (dirty value → canonical value) dictionary, the
@@ -455,6 +466,16 @@ object DedupQueries {
         |         FROM vr a JOIN vr b ON a.var = b.var AND a.v < b.v)
         |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // brute-force all-pairs levenshtein — deliberately NOT the deletion
+    // blocking, so a recall hole in the d=2 neighborhood hash-mismatches
+    "name_typo_pairs_d2" ->
+      """WITH n AS (SELECT DISTINCT p_name AS v FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.v AS name_a, b.v AS name_b,
+        |       levenshtein(a.v, b.v)::BIGINT AS dist
+        |FROM n a JOIN n b ON a.v < b.v
+        |WHERE levenshtein(a.v, b.v) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
 
     "dedup_minhash" ->

@@ -548,7 +548,8 @@ object TextQueries {
     "priority_sample" -> { (spark, dir) =>
       // Exact-k weighted sampling without replacement (DLT priority
       // sampling) with the unbiased subset-sum estimator: top-50
-      // priorities w/u over md5 uniforms, est_w = max(w, τ). The fixed
+      // priorities w/U over md5 uniforms U ∈ (0,1], est_w = max(w, τ)
+      // with τ in w-units (the (k+1)-th priority). The fixed
       // output size is what a training-budget subsample needs;
       // importance_sample is the Bernoulli (random-size) cousin.
       import spark.implicits._
@@ -1107,15 +1108,16 @@ object TextQueries {
          |ORDER BY bucket""".stripMargin
     },
 
-    // DLT priority sampling: priority = w / md5-uniform (one IEEE
-    // division — bit-identical per row), τ = the (k+1)-th priority,
-    // est_w = greatest(w, τ)
+    // DLT priority sampling: priority = w/U with U = u/65536 uniform on
+    // (0,1], computed as (w*65536)/u — one IEEE division of two exact
+    // integers, bit-identical per row; τ = the (k+1)-th priority IN
+    // W-UNITS, est_w = greatest(w, τ) the unbiased DLT estimator
     "priority_sample" ->
       """WITH s AS (SELECT doc_id, n_chars AS w,
         |                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1) AS u
         |           FROM documents),
-        |p AS (SELECT doc_id, w, w::DOUBLE / u::DOUBLE AS priority,
-        |             row_number() OVER (ORDER BY w::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
+        |p AS (SELECT doc_id, w, (w * 65536)::DOUBLE / u::DOUBLE AS priority,
+        |             row_number() OVER (ORDER BY (w * 65536)::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
         |      FROM s),
         |t AS (SELECT coalesce(min(CASE WHEN rk = 51 THEN priority END), 0.0) AS tau
         |      FROM p WHERE rk <= 51)
@@ -1128,9 +1130,9 @@ object TextQueries {
       """WITH s AS (SELECT doc_id, lang, n_chars AS w,
         |                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1) AS u
         |           FROM documents),
-        |p AS (SELECT doc_id, lang, w, w::DOUBLE / u::DOUBLE AS priority,
+        |p AS (SELECT doc_id, lang, w, (w * 65536)::DOUBLE / u::DOUBLE AS priority,
         |             row_number() OVER (PARTITION BY lang
-        |               ORDER BY w::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
+        |               ORDER BY (w * 65536)::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
         |      FROM s),
         |t AS (SELECT lang,
         |             coalesce(min(CASE WHEN rk = 21 THEN priority END), 0.0) AS tau

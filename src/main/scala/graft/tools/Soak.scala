@@ -40,7 +40,11 @@ object Soak {
     "curate_corpus", "containment_pairs", "entity_clusters",
     // r8 additions: the trained-index serving chain and the classifier
     // trainer — both corpus-pass-per-round shapes whose growth matters
-    "ann_stored_search", "classifier_train")
+    "ann_stored_search", "classifier_train",
+    // r9: the sessionization CORE — the operator a reference user runs
+    // every hour (SessionizationBuiltIn.scala:31-66). Expected ≈ linear:
+    // one hash exchange on user_id + an in-partition sort.
+    "sessionize_counts", "sessionize_ids", "sessionize_hour_job")
 
   /** Stage the factor× corpus into `outDir` (parquet, same filenames as
     * a testdata sf dir, so SparkEntry queries run against it unchanged).
@@ -100,13 +104,65 @@ object Soak {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // events: user_id + event_id offset per replica → `factor`× USERS,
+    // each with the original per-user event/session shape (10× more
+    // traffic of the same shape, never 10 identical event streams —
+    // which would collapse into the same user keys and deepen every
+    // per-user sort instead of widening the corpus). `ts` is carried
+    // verbatim whatever its physical type (TIMESTAMP or nanos-as-long;
+    // Tables.events normalizes at read), so the two soaked hours of
+    // sessionize_hour_job carry factor× their original volume.
+    val ev = src("events")
+    val (eStride, uStride) = {
+      val r = ev.agg(max(col("event_id")), max(col("user_id"))).head()
+      (r.getLong(0) + 1, r.getLong(1) + 1)
+    }
+    reps(ev).select(
+        (col("event_id") + col("__rep") * eStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__rep") * uStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     // passthrough copies so every Tables.* resolves at the soak dir
-    Seq("orders", "customer", "supplier", "region", "nation", "events")
+    Seq("orders", "customer", "supplier", "region", "nation")
       .foreach { t =>
         val from = new java.io.File(s"$srcDir/$t.parquet")
         if (from.exists)
           src(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       }
+  }
+
+  /** The stored-index INCREMENTAL lifecycle (r8 verdict #6): build a
+    * frozen model + base index over the first half of `dir`'s
+    * embeddings, then TIME (append the second half against the frozen
+    * model → read the merged store back → search it). The timed span is
+    * the path a production corpus exercises daily — ingest into a
+    * built index plus the serving read — never the one-time base build.
+    */
+  private def annAppendSearchTime(spark: SparkSession, dir: String): Double = {
+    val base = java.nio.file.Files.createTempDirectory("graft-soak-ann").toString
+    val out = s"$base/ann"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val mid = (emb.agg(max(col("vec_id"))).head().getLong(0) + 1) / 2
+    val half1 = s"$base/h1"; val half2 = s"$base/h2"
+    emb.filter(col("vec_id") < mid).write.parquet(half1)
+    emb.filter(col("vec_id") >= mid).write.parquet(half2)
+    graft.jobs.BuildIndex.run(spark, half1, out)
+    graft.ops.Similarity.releaseCaches()
+    val t0 = System.nanoTime()
+    graft.jobs.BuildIndex.append(spark, half2, out)
+    val idx = spark.read.parquet(s"$out/index")
+      .select(col("vec_id"), col("cluster"), col("codes"))
+    val cent = spark.read.parquet(s"$out/centroids")
+    val book = spark.read.parquet(s"$out/codebook")
+    graft.ops.Similarity.searchStoredIndex(idx,
+      emb.filter(col("vec_id") < 10), cent, book, k = 3).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    graft.ops.Similarity.releaseCaches()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    dt
   }
 
   private def minTime(spark: SparkSession, name: String, dir: String,
@@ -146,6 +202,16 @@ object Soak {
       val ratio = big / math.max(small, 0.001)
       println(f"[soak] $q%-22s sf0.1 $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
       (q, small, big, ratio)
+    } :+ {
+      // the stored-index incremental lifecycle — not a SparkEntry query
+      // (it owns its temp store), so it's timed by its own helper
+      val small = math.min(annAppendSearchTime(spark, srcDir),
+        annAppendSearchTime(spark, srcDir))
+      val big = math.min(annAppendSearchTime(spark, outDir),
+        annAppendSearchTime(spark, outDir))
+      val ratio = big / math.max(small, 0.001)
+      println(f"[soak] ann_append_search     sf0.1 $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
+      ("ann_append_search", small, big, ratio)
     }
     val load = graft.Bench.loadAvg1m()
     val md = new StringBuilder

@@ -55,6 +55,49 @@ class BenchSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("a task killed mid-write lands in the killed counter, not in failures") {
+    // The r6–r8 bench tails carried anonymous FileFormatWriter ERROR
+    // stacks from tasks KILLED while writing (cleanup of a cancelled
+    // job) with task_failures: {} — correct (a kill is not a fault)
+    // but unaccounted. The lifetime `killed` counter gives every such
+    // stack a named home in the artifact (r8 verdict #1).
+    val listener = new TaskFailureListener
+    spark.sparkContext.addSparkListener(listener)
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-killed").toString
+    try {
+      val killedBefore = listener.killed
+      // a 32-task write whose every task sleeps, cancelled mid-flight:
+      // the cancel arrives while tasks are inside the parquet writer —
+      // the exact killed-mid-write shape behind the tail stacks
+      import spark.implicits._
+      val slow = sc.parallelize(0 until 32, 32)
+        .map { i => Thread.sleep(10000); i }.toDF("v")
+      sc.setJobGroup("graft-bench-kill-test", "killed-mid-write", true)
+      val canceller = new Thread(() => {
+        Thread.sleep(1500); sc.cancelJobGroup("graft-bench-kill-test")
+      })
+      canceller.start()
+      intercept[Throwable] {
+        slow.write.mode("overwrite").parquet(s"$dir/out")
+      }
+      canceller.join()
+      sc.clearJobGroup()
+      // a measured window AFTER the cancel quiesces + drains the bus;
+      // the kills must be counted but NOT charged as failures there
+      val (_, failed, _) = Bench.measure(spark, listener) {
+        spark.range(1000L).agg(sum(col("id"))).count(): Unit
+      }
+      assert(listener.killed > killedBefore,
+        s"killed-mid-write tasks went uncounted (killed=${listener.killed})")
+      assert(failed == 0L,
+        s"kills must not be charged as task failures, got $failed")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
+
   test("loadAvg1m reads a plausible host load") {
     val l = Bench.loadAvg1m()
     assert(l >= 0.0 && l < 10000.0, s"loadavg $l")

@@ -94,10 +94,12 @@ class JobsSpec extends SparkSpec {
     val state = s"$base/state"
     Ingest.run(spark, writeCsv(base), logs)
 
-    // fresh deployment: catchup from `start` runs every hour through
-    // `now`, strictly in order, and the output equals the manual flow
+    // fresh deployment at wall-clock hour 12: catchup runs every
+    // CLOSED hour (10, 11) strictly in order — the open hour 12 is
+    // excluded (its events may still be arriving; Airflow runs hour H
+    // at H+1:10) — and the output equals the manual flow
     val ran = graft.jobs.Scheduler.catchup(spark, logs, sessions, state,
-      "2019-10-01 10", "2019-10-01 11")
+      "2019-10-01 10", "2019-10-01 12")
     assert(ran == Seq("2019-10-01 10", "2019-10-01 11"))
     assert(spark.read.schema(Schemas.session).parquet(sessions).count() == 5)
     assert(graft.jobs.Scheduler.readMarker(spark, state)
@@ -105,12 +107,13 @@ class JobsSpec extends SparkSpec {
 
     // nothing new due: an immediate relaunch commits zero hours
     assert(graft.jobs.Scheduler.catchup(spark, logs, sessions, state,
-      "2019-10-01 10", "2019-10-01 11").isEmpty)
+      "2019-10-01 10", "2019-10-01 12").isEmpty)
 
     // catchup window advances from the MARKER, not from `start`: one
-    // new wall-clock hour → exactly one (empty-traffic) hour runs
+    // new wall-clock hour closes hour 12 → exactly one (empty-traffic)
+    // hour runs
     val ran2 = graft.jobs.Scheduler.catchup(spark, logs, sessions, state,
-      "2019-10-01 10", "2019-10-01 12")
+      "2019-10-01 10", "2019-10-01 13")
     assert(ran2 == Seq("2019-10-01 12"))
     assert(graft.jobs.Scheduler.readMarker(spark, state)
       .contains("2019-10-01 12"))
@@ -120,7 +123,7 @@ class JobsSpec extends SparkSpec {
     // so the next launch resumes exactly there
     val e = intercept[IllegalStateException] {
       graft.jobs.Scheduler.catchup(spark, s"$base/nope", sessions, state,
-        "2019-10-01 10", "2019-10-01 13", retries = 2)
+        "2019-10-01 10", "2019-10-01 14", retries = 2)
     }
     // Airflow semantics: retries = 2 means 3 total attempts
     assert(e.getMessage.contains("failed after 3 attempts (1 + 2 retries)"))
@@ -129,35 +132,109 @@ class JobsSpec extends SparkSpec {
     // repaired: the resume commits the failed hour and the lock was
     // released by the failed run (no stale-lock deadlock)
     assert(graft.jobs.Scheduler.catchup(spark, logs, sessions, state,
-      "2019-10-01 10", "2019-10-01 13") == Seq("2019-10-01 13"))
+      "2019-10-01 10", "2019-10-01 14") == Seq("2019-10-01 13"))
 
     // max_active_runs=1: with the lock held, a second launch refuses
     Files.createFile(java.nio.file.Paths.get(state, "running.lock"))
     val e2 = intercept[IllegalStateException] {
       graft.jobs.Scheduler.catchup(spark, logs, sessions, state,
-        "2019-10-01 10", "2019-10-01 14")
+        "2019-10-01 10", "2019-10-01 15")
     }
     assert(e2.getMessage.contains("max_active_runs=1"))
     Files.delete(java.nio.file.Paths.get(state, "running.lock"))
   }
 
+  test("scheduler: 2-stage hour chain resumes byte-identical after a mid-chain failure") {
+    // The marker-after-commit contract must compose BEYOND a single job
+    // (r8 verdict #4): hour H's chain is sessionize → curate that
+    // hour's sessions; the curate stage fails on the first launch, the
+    // marker must stay at H−1 (the whole chain re-runs, not just the
+    // failed stage), and the resumed flow must equal a never-failed run.
+    val base = Files.createTempDirectory("graft-sched-chain").toString
+    val logs = s"$base/logs"
+    Ingest.run(spark, writeCsv(base), logs)
+    // stage 2: per-user event counts for ONE hour's sessions, written
+    // hour-partitioned with dynamic overwrite — idempotent per hour,
+    // the same contract as stage 1
+    def curate(sessions: String, curated: String, hh: String): Unit =
+      spark.read.schema(Schemas.session).parquet(sessions)
+        .filter($"event_hour" === hh)
+        .groupBy($"user_id", $"event_hour")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+        .write.partitionBy("event_hour")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(curated)
+    def chain(sessions: String, curated: String,
+        failOnceAt11: java.util.concurrent.atomic.AtomicBoolean)(
+        d: String, hh: String): Unit = {
+      graft.jobs.SessionizeHour.run(spark, logs, sessions, d, hh)
+      // reference-equality trap: AtomicReference.compareAndSet(hh, ...)
+      // would compare the split-derived string by eq and never fire —
+      // value-compare the hour, CAS only the once-flag
+      if (hh == "11" && failOnceAt11.compareAndSet(true, false))
+        throw new RuntimeException(s"curate stage down for hour $hh")
+      curate(sessions, curated, hh)
+    }
+    // flow A: curate stage fails mid-chain at hour 11, retries = 0
+    val sA = s"$base/a/sessions"; val cA = s"$base/a/curated"
+    val stateA = s"$base/a/state"
+    val failAt11 = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val e = intercept[IllegalStateException] {
+      graft.jobs.Scheduler.catchupWith(spark, stateA,
+        "2019-10-01 10", "2019-10-01 12", retries = 0)(
+        chain(sA, cA, failAt11))
+    }
+    assert(e.getCause.getMessage.contains("curate stage down"))
+    // hour 10's chain committed; hour 11 FAILED AFTER its sessionize
+    // stage — the marker must sit at 10 so the re-launch re-runs the
+    // whole hour-11 chain, not just the curate stage
+    assert(graft.jobs.Scheduler.readMarker(spark, stateA)
+      .contains("2019-10-01 10"),
+      "marker must stay at H-1 after a mid-chain failure")
+    assert(!new java.io.File(s"$cA/event_hour=11").exists,
+      "failed hour's curate output must not exist yet")
+    // re-launch (stage repaired): exactly the failed hour runs
+    assert(graft.jobs.Scheduler.catchupWith(spark, stateA,
+      "2019-10-01 10", "2019-10-01 12", retries = 0)(
+      chain(sA, cA, failAt11)) == Seq("2019-10-01 11"))
+    // flow B: the never-failed run
+    val sB = s"$base/b/sessions"; val cB = s"$base/b/curated"
+    assert(graft.jobs.Scheduler.catchupWith(spark, s"$base/b/state",
+      "2019-10-01 10", "2019-10-01 12", retries = 0)(
+      chain(sB, cB, new java.util.concurrent.atomic.AtomicBoolean(false)))
+      == Seq("2019-10-01 10", "2019-10-01 11"))
+    // resumed flow == never-failed flow, both stages
+    def rows(p: String, schema: Option[org.apache.spark.sql.types.StructType]) = {
+      val r = schema.fold(spark.read)(spark.read.schema).parquet(p)
+      r.collect().map(_.toString).sorted.toSeq
+    }
+    assert(rows(sA, Some(Schemas.session)) == rows(sB, Some(Schemas.session)))
+    assert(rows(cA, None) == rows(cB, None))
+    assert(rows(cA, None).nonEmpty)
+  }
+
   test("scheduler dueHours: catchup-window arithmetic at the edges") {
     import graft.jobs.Scheduler.dueHours
-    // fresh deployment: from `start` through `now` inclusive
+    // fresh deployment: from `start` up to — but EXCLUDING — the hour
+    // containing `now` (still open; only closed intervals run)
     assert(dueHours("2019-10-01 10", None, "2019-10-01 12") ==
-      Seq("2019-10-01 10", "2019-10-01 11", "2019-10-01 12"))
-    // marker at now: nothing due
+      Seq("2019-10-01 10", "2019-10-01 11"))
+    // marker at the last closed hour: nothing due until `now` advances
+    assert(dueHours("2019-10-01 10", Some("2019-10-01 11"), "2019-10-01 12").isEmpty)
+    // marker AT now (written by a pre-fix deployment that ran the open
+    // hour): nothing due, never negative windows
     assert(dueHours("2019-10-01 10", Some("2019-10-01 12"), "2019-10-01 12").isEmpty)
     // marker ahead of now (clock skew / re-launch with an old `now`):
     // nothing due, never negative windows
     assert(dueHours("2019-10-01 10", Some("2019-10-01 13"), "2019-10-01 12").isEmpty)
-    // day boundary: 23:00 -> next day's 01:00
+    // day boundary: 23:00 closed -> only 00:00 closed at now = 01:xx
     assert(dueHours("2019-10-01 10", Some("2019-10-01 23"), "2019-10-02 01") ==
-      Seq("2019-10-02 00", "2019-10-02 01"))
+      Seq("2019-10-02 00"))
     // the window advances from the MARKER even when start is later
     // (a redeployment with a new start must not skip committed history)
     assert(dueHours("2019-10-01 20", Some("2019-10-01 15"), "2019-10-01 17") ==
-      Seq("2019-10-01 16", "2019-10-01 17"))
+      Seq("2019-10-01 16"))
   }
 
   test("backfill runs hours in order and matches the manual two-run flow") {
@@ -344,6 +421,19 @@ class JobsSpec extends SparkSpec {
       .orderBy("query_id", "rk").collect().toSeq
     graft.ops.Similarity.releaseCaches()
     assert(fromStore == fromMemory && fromStore.nonEmpty)
+    // loud guard: append into an EMPTY stored index names the problem
+    // and the fix, instead of a bare NoSuchElementException from the
+    // subspace probe
+    val empty = s"$base/ann-empty"
+    spark.read.parquet(s"$out/centroids").write.parquet(s"$empty/centroids")
+    spark.read.parquet(s"$out/codebook").write.parquet(s"$empty/codebook")
+    idx.limit(0).select("vec_id", "cluster", "d2", "codes")
+      .write.parquet(s"$empty/index")
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildIndex.append(spark, half2, empty)
+    }
+    assert(e.getMessage.contains("is empty") &&
+      e.getMessage.contains("BuildIndex.run first"), e.getMessage)
   }
 
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {

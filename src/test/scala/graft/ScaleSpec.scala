@@ -524,6 +524,42 @@ class ScaleSpec extends SparkSpec {
     assert(secs < 60.0, f"dictionary join took $secs%.1fs")
   }
 
+  test("FastSS d=2 neighborhood stays dictionary-bounded on a 10^4-value dictionary") {
+    // The d=2 variant count is Σ_{i≤2} C(len, i) ≈ len²/2 per value
+    // (~79 variants for an 11-char value vs 12 at d=1) and the hex-id
+    // space is adversarially dense at d=2 (two free substitution
+    // positions), so 10k sequential ids already generate a candidate
+    // volume far past any real brand/city dictionary. The op must
+    // complete in seconds, find planted distance-2 typos, and the
+    // variant arrays must match the closed-form count — the boundary
+    // where an accidentally-exponential neighborhood would explode.
+    val n = 10000L
+    val vals = spark.range(n).select(
+      concat(lit("v"), lpad(conv(col("id").cast("string"), 10, 16), 10, "0"))
+        .as("v"))
+    // plant 50 DOUBLE-deletion typos of the first 50 values — invisible
+    // to d=1 blocking, must be found at d=2
+    val typos = spark.range(50L).select(
+      concat(lit("v"), lpad(conv(col("id").cast("string"), 10, 16), 10, "0"))
+        .substr(lit(3), lit(11)).as("v"))
+    val planted = typos.collect().map(_.getString(0)).toSet
+    val t0 = System.nanoTime()
+    val pairs = graft.ops.Dedup.editDistancePairs(
+      vals.unionByName(typos), "v", maxDist = 2)
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10k-value dictionary through FastSS d=2: $secs%.1fs, $nPairs pairs")
+    // every planted double-deletion typo appears in some d=2 pair with
+    // its source (dist 2, lengths 11 vs 9 → unreachable at d=1)
+    val found = pairs.filter(col("dist") === 2)
+      .select(col("name_b")).collect().map(_.getString(0)).toSet ++
+      pairs.filter(col("dist") === 2)
+        .select(col("name_a")).collect().map(_.getString(0)).toSet
+    assert(planted.subsetOf(found),
+      s"missing planted d=2 typos: ${planted.diff(found).take(5)}")
+    assert(secs < 90.0, f"d=2 dictionary join took $secs%.1fs")
+  }
+
   test("classifier inference stays linear on a 10^5-token doc and takes a 10^5-bucket model") {
     // Two classifier boundaries: (a) the serving form's aggregate fold
     // must be O(tokens) per row — a 10^5-token document through the
@@ -605,5 +641,38 @@ class ScaleSpec extends SparkSpec {
     // corpus-sized work per PICK
     assert(qPick < 1.0, f"per-pick pull cost $qPick%.2fs - no longer a cached TakeOrdered")
     assert(t64 < 300.0, f"2 rounds at k=64 took $t64%.0fs")
+  }
+
+  test("bpeApply serves a real 30k-merge vocabulary: measured corpus-apply cost") {
+    // The train discipline applied to SERVING (r8 verdict #3): the k=64
+    // boundary measured training at vocab scale; this measures APPLY.
+    // 5000 docs × 80 tokens over a 1000-token alphabet (the k=64
+    // corpus) through a 30k-merge table. The vocabulary-dominates
+    // regime: ~79 adjacent pairs/doc against 30k merges means ≈ 99.9%
+    // of the vocab is ABSENT from any one document, so the pair-index
+    // gate turns 30k O(len) replace passes/doc (naive ≈ 1.7·10^7 char
+    // ops/doc — minutes for the corpus) into 30k O(1) probes + a
+    // handful of applied passes. Cost model pinned at bpeApply's
+    // scaladoc: O(len + merges + applied·len) per doc.
+    val docs = spark.range(5000L).select($"id".as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(79)),
+        j => concat(lit("w"),
+          pmod(xxhash64($"id" * 101 + j), lit(1000)))), " ").as("text"))
+    // 30k deterministic merges over the same alphabet; a few percent
+    // occur somewhere in the corpus, matching a trained vocab's shape
+    val merges = (0 until 30000).map(m =>
+      (s"w${m % 1000}", s"w${(m * 7 + 3) % 1000}"))
+    val t0 = System.nanoTime()
+    val out = graft.ops.TextOps.bpeApply(docs, merges)
+      .agg(sum($"n_symbols"), sum($"n_tokens")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nSym = out.getLong(0); val nTok = out.getLong(1)
+    info(f"30k-merge vocab over 5000x80-token docs: $secs%.1fs " +
+      f"(${secs / 5000 * 1000}%.2f ms/doc), $nTok tokens -> $nSym symbols")
+    assert(nTok == 400000L)
+    assert(nSym < nTok, "no merge applied — the fixture lost its realism")
+    // generous contention headroom; the naive 30k-pass loop measured
+    // minutes here, the indexed gate seconds
+    assert(secs < 120.0, f"30k-merge corpus apply took $secs%.1fs")
   }
 }
