@@ -63,11 +63,12 @@ object Graft {
   def duplicateClusters(pairs: DataFrame): DataFrame =
     Dedup.connectedComponents(pairs)
   /** Typo-level near-dup over a short string field's distinct VALUES
-    * (FastSS d=1 deletion neighborhoods + levenshtein verify) — the
-    * canonicalization primitive for names/brands/cities.
+    * (FastSS deletion neighborhoods + levenshtein verify, exact for
+    * `maxDist` ≤ 2) — the canonicalization primitive for
+    * names/brands/cities.
     */
-  def typoPairs(df: DataFrame, valueCol: String): DataFrame =
-    Dedup.editDistancePairs(df, valueCol)
+  def typoPairs(df: DataFrame, valueCol: String, maxDist: Int = 1): DataFrame =
+    Dedup.editDistancePairs(df, valueCol, maxDist = maxDist)
   /** The full cleanup: typo pairs → components → (dirty value →
     * canonical value) dictionary to broadcast back onto the facts.
     */

@@ -1803,6 +1803,32 @@ class OpsSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("short-field")), e.toString)
+    // maxDist = 2 (through the facade): the composed neighborhood now
+    // reaches abc~abd e (2 edits) and ab~abd e... enumerate exactly —
+    // every pair within levenshtein ≤ 2 of the dictionary, nothing else
+    val got2 = graft.Graft.typoPairs(df, "v", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val dict = Seq("abc", "abd", "ab", "xyz", "abde")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want2 = (for {
+      a <- dict; b <- dict if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got2 == want2, s"got $got2\nwant $want2")
+    // d invariants: maxDist=2 is a superset of d=1; distance labels exact
+    assert(want.subsetOf(got2))
+    // refusal beyond the supported neighborhood depth
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "v", maxDist = 3)
+    }
+    assert(e3.getMessage.contains("maxDist must be 1 or 2"))
   }
 
   test("canonicalizeValues: transitive typo cluster maps to its most frequent member") {
