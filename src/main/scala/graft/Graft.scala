@@ -75,6 +75,18 @@ object Graft {
   def canonicalizeValues(df: DataFrame, valueCol: String): DataFrame =
     Dedup.canonicalizeValues(df, valueCol)
   def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
+  /** Bloom-pruned incremental EXACT dedup: which increment docs are
+    * verbatim copies of anything in `seen`, without shuffling `seen` —
+    * the daily-crawl-vs-100TB-corpus shape. Exact despite the bloom
+    * (false positives only reach the verify join).
+    */
+  def novelDocuments(increment: DataFrame, seen: DataFrame): DataFrame =
+    Dedup.bloomNovelDocuments(increment, seen)
+  /** The broadcastable seen-side text-hash Bloom filter (≤ mBits/64
+    * rows), built distributed via bit_or — persist next to the corpus.
+    */
+  def bloomFilterTable(seen: DataFrame, mBits: Int = 65536): DataFrame =
+    Dedup.bloomTextFilter(seen, mBits)
 
   // similarity
   def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =

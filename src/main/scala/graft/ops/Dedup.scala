@@ -1008,6 +1008,99 @@ object Dedup {
     verifyAgainstSource(cand, spread, idCol, textCol)
   }
 
+  /** Distributed Bloom filter over a corpus's EXACT text hashes — the
+    * seen-side index for [[bloomNovelDocuments]]. Built without any
+    * driver-side state: each seen doc contributes `kProbes` (word, bit)
+    * positions derived from disjoint md5 slices, and one `bit_or`
+    * hash-aggregate folds them into `mBits / 64` long words — a table
+    * of at most `mBits / 64` rows (8 KiB of payload at the default
+    * 2^16 bits) that broadcasts to every executor. Persist it next to
+    * the corpus and a daily increment never touches the seen rows at
+    * all until the exact verify.
+    *
+    * All positions are md5-derived (the repo's portability rule), so
+    * the filter is deterministic and rebuildable bit-for-bit by any
+    * engine — but no oracle ever needs to reproduce it: membership is
+    * only a PRUNE, never an answer (see [[bloomNovelDocuments]]).
+    */
+  def bloomTextFilter(seen: DataFrame, mBits: Int = 65536, kProbes: Int = 4,
+      textCol: String = "text"): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"bloomTextFilter: mBits must be a power of two >= 64, got $mBits")
+    require(kProbes >= 1 && kProbes <= 4,
+      s"bloomTextFilter: kProbes must be 1..4 (disjoint 32-bit md5 slices), got $kProbes")
+    val probes = array((0 until kProbes).map { i =>
+      pmod(conv(substring(md5(col(textCol)), 1 + 8 * i, 8), 16, 10)
+        .cast("long"), lit(mBits.toLong))
+    }: _*)
+    seen.select(explode(probes).as("__pos"))
+      .select((col("__pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, cast(__pos % 64 as int))").as("__mask"))
+      .groupBy(col("word"))
+      .agg(bit_or(col("__mask")).as("bits"))
+  }
+
+  /** Incremental EXACT dedup against a huge seen corpus, Bloom-pruned —
+    * the daily-crawl shape at 100 TB: "which of today's documents are
+    * verbatim copies of anything we already hold?" answered WITHOUT
+    * shuffling the seen corpus. The increment's docs probe the
+    * broadcast [[bloomTextFilter]] (kProbes bit tests per doc, a
+    * per-row projection against an ≤ mBits/64-row table); only
+    * bloom-positive docs — true duplicates plus the filter's false
+    * positives — reach the exact text semi-join against `seen`, and
+    * the join broadcasts the (tiny) candidate side, so the seen corpus
+    * is scanned once and never exchanged. False positives cost one
+    * extra candidate row each and CANNOT change the answer: the final
+    * duplicate/novel verdict always comes from the exact join, which
+    * is why the result oracles as a plain NOT EXISTS in any engine
+    * while the bloom itself stays engine-internal.
+    *
+    * Output: every increment row's (idCol, is_novel) — `is_novel`
+    * false iff the text exists verbatim in `seen`.
+    */
+  def bloomNovelDocuments(increment: DataFrame, seen: DataFrame,
+      mBits: Int = 65536, kProbes: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bloom = bloomTextFilter(seen, mBits, kProbes, textCol)
+    val probes = array((0 until kProbes).map { i =>
+      pmod(conv(substring(md5(col(textCol)), 1 + 8 * i, 8), 16, 10)
+        .cast("long"), lit(mBits.toLong))
+    }: _*)
+    // per-doc bloom test: every probe bit set ⇔ hit count == kProbes.
+    // explode + broadcast-join on the word index + one doc-keyed agg —
+    // the increment is batch-sized by contract, the bloom table tiny.
+    val hits = increment
+      .select(col(idCol), col(textCol), explode(probes).as("__pos"))
+      .select(col(idCol), col(textCol),
+        (col("__pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, cast(__pos % 64 as int))").as("__mask"))
+      .join(broadcast(bloom), Seq("word"), "left_outer")
+      .groupBy(col(idCol), col(textCol))
+      .agg(sum(when(coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("__mask")) === col("__mask"), 1L).otherwise(0L))
+        .as("__hits"))
+    // cached: the candidate set feeds BOTH the verify's broadcast build
+    // and the dup-id projection — uncached, the whole probe subtree
+    // (increment scan + bloom build) runs twice (observed in the plan)
+    val candidates = registerDf(hits.filter(col("__hits") === kProbes)
+      .select(col(idCol), col(textCol)).cache())
+    // exact verify: candidates (true dups + FPs, tiny) semi-join seen on
+    // the text — broadcast the candidate side so seen is scanned once
+    // and never exchanged on its full width; the post-semi distinct
+    // shuffles only candidate-matching texts (bounded by the increment,
+    // not by seen — a hot text with 10^6 seen copies must not ride a
+    // broadcast un-deduped)
+    val confirmed = seen.select(col(textCol))
+      .join(broadcast(candidates.select(col(textCol)).distinct()),
+        Seq(textCol), "left_semi")
+      .distinct()
+    val dupIds = candidates.join(broadcast(confirmed), Seq(textCol), "left_semi")
+      .select(col(idCol), lit(true).as("__dup"))
+    increment.select(col(idCol))
+      .join(dupIds, Seq(idCol), "left_outer")
+      .select(col(idCol), (!coalesce(col("__dup"), lit(false))).as("is_novel"))
+  }
+
   /** End-to-end near-dup removal: keep one representative per near-dup
     * cluster (the minimum doc id) plus every doc not in any pair. The
     * "switch your corpus to deduped" one-liner: MinHash+LSH pairs →

@@ -44,6 +44,26 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     },
 
+    "dedup_bloom_increment" -> { (spark, dir) =>
+      // Bloom-pruned incremental EXACT dedup (the daily-crawl shape):
+      // the increment is a synthetic re-crawl — verbatim copies of every
+      // id%10==0 doc (must come back is_novel=false) plus modified
+      // copies of every id%10==5 doc (novel). The bloom (distributed
+      // bit_or build, broadcast ≤ mBits/64 rows) prunes the exact
+      // verify; false positives can only add candidates, so the result
+      // oracles as a plain NOT EXISTS — the bloom never reaches the
+      // oracle surface.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val increment = docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .unionByName(docs.filter($"doc_id" % 10 === 5)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" r9novel")).as("text")))
+      Dedup.bloomNovelDocuments(increment, docs)
+        .orderBy("doc_id")
+    },
+
     "name_typo_pairs_d2" -> { (spark, dir) =>
       // FastSS at typo distance 2 (Bocek §3 recursive deletion
       // neighborhoods): same blocking, composed twice, verified by
@@ -467,6 +487,20 @@ object DedupQueries {
         |SELECT name_a, name_b, levenshtein(name_a, name_b)::BIGINT AS dist
         |FROM cand WHERE levenshtein(name_a, name_b) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // the bloom is engine-internal pruning; the answer is a plain exact
+    // NOT EXISTS — any false-positive leak into the output hash-mismatches
+    "dedup_bloom_increment" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' r9novel' AS text
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT i.doc_id,
+        |       NOT EXISTS (SELECT 1 FROM documents s WHERE s.text = i.text) AS is_novel
+        |FROM inc i
+        |ORDER BY doc_id""".stripMargin,
 
     // brute-force all-pairs levenshtein — deliberately NOT the deletion
     // blocking, so a recall hole in the d=2 neighborhood hash-mismatches

@@ -51,6 +51,12 @@ object Soak {
     */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
+    // Pin NTZ inference off BEFORE the first raw read (the Tables.load
+    // choke-point note): an unpinned first read infers events.ts as
+    // TIMESTAMP_NTZ and the rewritten copy then carries Spark's NTZ
+    // schema metadata — which read-back honors regardless of this conf,
+    // breaking every unix_micros over the soak corpus.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def reps(df: DataFrame): DataFrame =
       df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))
@@ -196,11 +202,12 @@ object Soak {
     println(s"[soak] generating ${factor}x corpus at $outDir")
     generate(spark, srcDir, outDir, factor)
 
+    val srcLabel = new java.io.File(srcDir).getName
     val rows = Heavies.map { q =>
       val small = minTime(spark, q, srcDir, 2)
       val big = minTime(spark, q, outDir, 2)
       val ratio = big / math.max(small, 0.001)
-      println(f"[soak] $q%-22s sf0.1 $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
+      println(f"[soak] $q%-22s $srcLabel $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
       (q, small, big, ratio)
     } :+ {
       // the stored-index incremental lifecycle — not a SparkEntry query
@@ -210,7 +217,7 @@ object Soak {
       val big = math.min(annAppendSearchTime(spark, outDir),
         annAppendSearchTime(spark, outDir))
       val ratio = big / math.max(small, 0.001)
-      println(f"[soak] ann_append_search     sf0.1 $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
+      println(f"[soak] ann_append_search     $srcLabel $small%7.2fs  ${factor}x $big%7.2fs  ratio ${ratio}%5.1fx")
       ("ann_append_search", small, big, ratio)
     }
     val load = graft.Bench.loadAvg1m()
@@ -218,7 +225,7 @@ object Soak {
     md.append(s"# Scale-up soak: sf0.1 -> ${factor}x (generated), local[32]\n\n")
     md.append(s"Generated corpus: `$outDir` (distribution-preserving ${factor}x — see `graft.tools.Soak` scaladoc). ")
     md.append(s"Min of 2 passes per scale per query. loadavg at finish: $load.\n\n")
-    md.append("| query | sf0.1 (s) | " + factor + "x (s) | ratio |\n|---|---|---|---|\n")
+    md.append("| query | " + srcLabel + " (s) | " + factor + "x (s) | ratio |\n|---|---|---|---|\n")
     rows.foreach { case (q, s, b, r) =>
       md.append(f"| $q | $s%.2f | $b%.2f | $r%.1fx |\n")
     }

@@ -1831,6 +1831,46 @@ class OpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("maxDist must be 1 or 2"))
   }
 
+  test("bloomNovelDocuments: exact under forced false positives; filter bits verified") {
+    // mBits = 64 (one word) with 50 seen docs saturates the filter, so
+    // nearly every novel doc is a bloom FALSE POSITIVE — the exact
+    // verify must still return it as novel. Dups must always be found
+    // (a bloom has no false negatives).
+    val seen = (0L until 50L).map(i => (i, s"seen doc number $i"))
+      .toDF("doc_id", "text")
+    val inc = ((100L until 110L).map(i => (i, s"seen doc number ${i - 100}")) ++
+      (200L until 210L).map(i => (i, s"fresh doc $i")))
+      .toDF("doc_id", "text")
+    val got = Dedup.bloomNovelDocuments(inc, seen, mBits = 64, kProbes = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = ((100L until 110L).map(_ -> false) ++
+      (200L until 210L).map(_ -> true)).toMap
+    assert(got == want, s"got $got")
+    // with one 64-bit word and 100 set positions the saturated filter
+    // proves the FP path actually ran (not vacuous): at least one fresh
+    // doc must have been a bloom candidate — count hits directly
+    val bloom = Dedup.bloomTextFilter(seen, mBits = 64, kProbes = 2).collect()
+    assert(bloom.length == 1 && java.lang.Long.bitCount(bloom(0).getLong(1)) >= 30,
+      s"expected a near-saturated single word, got ${bloom.toSeq}")
+    // empty seen corpus: no filter rows, everything novel, no throw
+    val empty = seen.filter(col("doc_id") < 0)
+    val allNovel = Dedup.bloomNovelDocuments(inc, empty, mBits = 64, kProbes = 2)
+      .collect().map(_.getBoolean(1))
+    assert(allNovel.length == 20 && allNovel.forall(identity))
+    // default-size filter: a planted text's probe bits are all set
+    val big = Dedup.bloomTextFilter(seen, mBits = 65536, kProbes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val h = md5hex("seen doc number 7")
+    (0 until 4).foreach { i =>
+      val pos = java.lang.Long.parseLong(h.substring(8 * i, 8 * i + 8), 16) % 65536L
+      val word = pos / 64; val mask = 1L << (pos % 64).toInt
+      assert((big.getOrElse(word, 0L) & mask) == mask,
+        s"probe $i of planted text not set (word $word)")
+    }
+  }
+
   test("canonicalizeValues: transitive typo cluster maps to its most frequent member") {
     // {ab, abc, abd, abde} chain into one cluster (abde joins only
     // through abd — TRANSITIVE closure, not direct pairs); canonical is
