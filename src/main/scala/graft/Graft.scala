@@ -75,6 +75,18 @@ object Graft {
   def canonicalizeValues(df: DataFrame, valueCol: String): DataFrame =
     Dedup.canonicalizeValues(df, valueCol)
   def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
+  /** The persistable LSH bucket table of a corpus ([[graft.jobs.BuildDedupIndex]]
+    * layout) — build once, probe every batch.
+    */
+  def dedupBandTable(docs: DataFrame): DataFrame =
+    graft.jobs.BuildDedupIndex.bandTable(docs)
+  /** Probe a stored bucket table with a new batch: near-dup pairs with
+    * at least one side in the batch, signatures computed for the batch
+    * only — the hourly shape that never re-hashes the corpus.
+    */
+  def nearDuplicatesStored(newDocs: DataFrame, storedBuckets: DataFrame,
+      corpus: DataFrame): DataFrame =
+    graft.jobs.BuildDedupIndex.probe(newDocs, storedBuckets, corpus)
   /** Bloom-pruned incremental EXACT dedup: which increment docs are
     * verbatim copies of anything in `seen`, without shuffling `seen` —
     * the daily-crawl-vs-100TB-corpus shape. Exact despite the bloom

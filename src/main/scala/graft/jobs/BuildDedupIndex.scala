@@ -1,0 +1,137 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Stored MinHash-LSH index production job — the dedup counterpart of
+  * [[BuildIndex]]. `Dedup.minhashPairsIncremental` is the right QUERY
+  * shape for an hourly batch (only new-vs-seen pairs verify), but it
+  * still recomputes shingles + signatures + band keys for the WHOLE
+  * corpus every batch — at 100 TB that is a full corpus pass per hour
+  * for state that never changes. This job persists the corpus's LSH
+  * bucket table once and each batch then:
+  *
+  *   signature + band rows for the NEW docs only (batch-sized)
+  *   → probe the STORED buckets by band key (join on the band — the
+  *     stored side shuffles only its matching buckets; at 100 TB the
+  *     bucket table is also bucketed-by-band on disk so the probe is a
+  *     co-located join)
+  *   → exact-Jaccard verify against the corpus, re-shingling only
+  *     candidate docs (semi-join pruned scan — the
+  *     `verifyAgainstSource` contract)
+  *   → commit the new docs' band rows into the stored table, so the
+  *     NEXT batch sees this one as history
+  *
+  * The band definition is [[Dedup.bandRows]] — the same function the
+  * fused path self-joins — so stored and fused candidates cannot
+  * drift; JobsSpec pins stored-probe ≡ fused-incremental equality.
+  * Like [[BuildIndex.append]], a batch append is NOT idempotent
+  * (re-appending duplicates bucket rows); callers own batch-level
+  * idempotence (stage each batch once, or route continuous ingest
+  * through streaming). Candidate DISTINCT dedups any double-counted
+  * bucket row, so a duplicated append degrades cost, never
+  * correctness.
+  */
+object BuildDedupIndex {
+
+  /** Pure core: the persistable (band, doc_id) bucket table of a
+    * corpus. Unit-testable without storage.
+    */
+  def bandTable(docs: DataFrame, bands: Int = 8, rowsPerBand: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spread = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism)
+    Dedup.bandRows(
+      Dedup.minhashSignatureRows(Dedup.shingleRows(spread, idCol, textCol),
+        idCol),
+      idCol, bands, rowsPerBand)
+  }
+
+  /** Pure core: probe a bucket table with a new batch and verify — the
+    * shared body of the disk path ([[append]]) and the in-memory
+    * oracled query, so the two cannot drift. Candidates are
+    * new-vs-seen AND new-vs-new (the batch must also dedup against
+    * itself), normalized doc_a < doc_b; the verify re-shingles only
+    * candidate docs from `corpus` (seen ∪ new).
+    */
+  def probe(newDocs: DataFrame, storedBuckets: DataFrame,
+      corpus: DataFrame, bands: Int = 8, rowsPerBand: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newBands = bandTable(newDocs, bands, rowsPerBand, idCol, textCol)
+    val seenSide = storedBuckets.select(col(idCol), col("band"))
+      .unionByName(newBands)
+    val cand = Dedup.registerDf(newBands.as("a")
+      .join(seenSide.as("b"),
+        col("a.band") === col("b.band") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(
+        least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
+      .distinct()
+      .cache())
+    Dedup.verifyAgainstSource(cand, corpus, idCol, textCol)
+  }
+
+  /** Build the stored bucket index for a corpus: `outPath/buckets`
+    * (band, doc_id) plus `outPath/meta` pinning the (bands,
+    * rows_per_band) convention — a probe with a different split would
+    * generate band keys from different signature slices and silently
+    * miss every true pair, so [[append]] guards on it loudly.
+    */
+  def run(spark: SparkSession, docsPath: String, outPath: String,
+      bands: Int = 8, rowsPerBand: Int = 3): Unit = {
+    import spark.implicits._
+    val docs = spark.read.parquet(docsPath)
+    bandTable(docs, bands, rowsPerBand)
+      .write.mode("overwrite").parquet(s"$outPath/buckets")
+    Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$outPath/meta")
+  }
+
+  /** One batch through the stored index: probe + verify the new docs
+    * against everything indexed so far, then COMMIT the batch's band
+    * rows so the next append sees it as history. Returns the verified
+    * near-dup pairs (doc_a, doc_b, inter, uni) — every pair with at
+    * least one side in the batch. `corpusPath` must hold seen ∪ new
+    * text (the verify re-shingles candidate docs from it; the index
+    * stores band keys, never text).
+    */
+  def append(spark: SparkSession, newDocsPath: String, corpusPath: String,
+      outPath: String): DataFrame = {
+    val meta = spark.read.parquet(s"$outPath/meta")
+      .select(col("bands"), col("rows_per_band")).head(1).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"BuildDedupIndex.append: stored index at $outPath is empty — " +
+          "run BuildDedupIndex.run first; append only probes a built index"))
+    val (bands, rowsPerBand) = (meta.getInt(0), meta.getInt(1))
+    val newDocs = spark.read.parquet(newDocsPath)
+    val stored = spark.read.parquet(s"$outPath/buckets")
+    val pairs = probe(newDocs, stored,
+      spark.read.parquet(corpusPath), bands, rowsPerBand)
+    // force the probe's candidate cache BEFORE committing the batch's
+    // bands: the returned frame must reflect this batch against the
+    // PRE-append store even if the caller executes it later (the
+    // normalization + distinct make post-append re-reads equivalent,
+    // but the cache removes the dependence on re-listing semantics)
+    pairs.cache().count(): Unit
+    Dedup.registerDf(pairs)
+    bandTable(newDocs, bands, rowsPerBand)
+      .write.mode("append").parquet(s"$outPath/buckets")
+    pairs
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BuildDedupIndex <docsParquet> <outPath> [bands] [rowsPerBand]")
+    val spark = SparkSession.builder()
+      .appName("graft-build-dedup-index")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 8,
+      if (args.length > 3) args(3).toInt else 3)
+    spark.stop()
+  }
+}

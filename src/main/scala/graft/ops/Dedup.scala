@@ -38,7 +38,10 @@ object Dedup {
   private def registerRdd[T](rdd: org.apache.spark.rdd.RDD[T]): rdd.type =
     synchronized { liveCaches += (() => { rdd.unpersist(blocking = false); () }); rdd }
 
-  private def registerDf(df: DataFrame): df.type =
+  /** Package-visible so the jobs layer ([[graft.jobs.BuildDedupIndex]])
+    * can enroll its own bounded candidate caches in the same registry.
+    */
+  private[graft] def registerDf(df: DataFrame): df.type =
     synchronized { liveCaches += (() => { df.unpersist(blocking = false); () }); df }
 
   /** Free every cache registered by dedup ops since the last release.
@@ -650,13 +653,23 @@ object Dedup {
     * collides with P ≈ 8e-6, keeping false candidates (and therefore the
     * quadratic verify work) near zero even on low-entropy corpora.
     */
-  def lshCandidates(sig: DataFrame, idCol: String = "doc_id",
+  /** The LSH band rows (band, idCol) of a signature table — the
+    * PERSISTABLE bucket index [[graft.jobs.BuildDedupIndex]] stores and
+    * probes; [[lshCandidates]] self-joins the same rows fused, so the
+    * stored and fused paths share one band definition and cannot drift.
+    */
+  def bandRows(sig: DataFrame, idCol: String = "doc_id",
       bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       val ins = lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       md5(concat_ws("|", ins: _*))
     }
-    val long = sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+    sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
+  }
+
+  def lshCandidates(sig: DataFrame, idCol: String = "doc_id",
+      bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
+    val long = bandRows(sig, idCol, bands, rowsPerBand)
     val a = long.as("a"); val b = long.as("b")
     a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))

@@ -270,6 +270,25 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    "dedup_stored_increment" -> { (spark, dir) =>
+      // The STORED-index variant of dedup_incremental: the seen corpus's
+      // LSH buckets are a persisted table (BuildDedupIndex layout), and
+      // the batch probes them — signatures computed for the batch only,
+      // never the corpus (the 100 TB hourly shape). Same probe body as
+      // the disk path (JobsSpec pins disk ≡ memory ≡ fused), same
+      // semantics as dedup_incremental, so the same oracle pins the
+      // whole store-then-probe composition.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val seenBuckets = graft.jobs.BuildDedupIndex.bandTable(
+        docs.filter($"doc_id" < 400))
+      graft.jobs.BuildDedupIndex.probe(
+          docs.filter($"doc_id" >= 400), seenBuckets, docs)
+        .select($"doc_a", $"doc_b", $"inter".cast("long").as("inter"),
+          $"uni".cast("long").as("uni"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     "decontaminate" -> { (spark, dir) =>
       // Benchmark decontamination — the train/eval n-gram overlap check
       // every LLM data pipeline runs before training: flag training
@@ -681,6 +700,18 @@ object DedupQueries {
          |GROUP BY 1, 2 ORDER BY doc_id, perm""".stripMargin,
 
     "dedup_incremental" ->
+      s"""WITH $ShinglesCte,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             len(list_intersect(a.s, b.s))::BIGINT AS inter,
+         |             len(list_distinct(list_concat(a.s, b.s)))::BIGINT AS uni
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id >= 400)
+         |SELECT doc_a, doc_b, inter, uni FROM p
+         |WHERE inter * 2 > uni ORDER BY doc_a, doc_b""".stripMargin,
+
+    // identical oracle semantics to dedup_incremental: every >1/2-Jaccard
+    // pair whose later doc is in the batch — the stored-bucket probe must
+    // reproduce the fused path's answer exactly
+    "dedup_stored_increment" ->
       s"""WITH $ShinglesCte,
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |             len(list_intersect(a.s, b.s))::BIGINT AS inter,

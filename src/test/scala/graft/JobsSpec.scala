@@ -436,6 +436,62 @@ class JobsSpec extends SparkSpec {
       e.getMessage.contains("BuildIndex.run first"), e.getMessage)
   }
 
+  test("dedup-index lifecycle: stored probe == fused incremental; second batch sees the first") {
+    // The MinHash analogue of the build-index append test: the stored
+    // bucket layout probed from disk must equal BOTH the in-memory
+    // probe (shared body — the oracled query path) and the fused
+    // minhashPairsIncremental (independent formulation), and a SECOND
+    // append must treat the first batch as history.
+    val base = Files.createTempDirectory("graft-dedup-index").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seen = s"$base/seen"; val b1 = s"$base/b1"; val b2 = s"$base/b2"
+    val all1 = s"$base/all1"; val all2 = s"$base/all2"
+    docs.filter($"doc_id" < 30).write.parquet(seen)
+    docs.filter($"doc_id" >= 30 && $"doc_id" < 40).write.parquet(b1)
+    docs.filter($"doc_id" >= 40).write.parquet(b2)
+    docs.filter($"doc_id" < 40).write.parquet(all1)
+    docs.write.parquet(all2)
+    val out = s"$base/index"
+    graft.jobs.BuildDedupIndex.run(spark, seen, out)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "inter", "uni")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // batch 1 from DISK == in-memory probe == fused incremental
+    val fromDisk1 = rows(graft.jobs.BuildDedupIndex.append(spark, b1, all1, out))
+    val mem = rows(graft.jobs.BuildDedupIndex.probe(
+      docs.filter($"doc_id" >= 30 && $"doc_id" < 40),
+      graft.jobs.BuildDedupIndex.bandTable(docs.filter($"doc_id" < 30)),
+      docs.filter($"doc_id" < 40)))
+    val fused = rows(graft.ops.Dedup.minhashPairsIncremental(
+      docs.filter($"doc_id" < 40), newFromId = 30L))
+    graft.ops.Dedup.releaseCaches()
+    assert(fromDisk1 == mem, "disk probe diverged from the in-memory probe")
+    assert(fromDisk1 == fused, "stored-index probe diverged from the fused path")
+
+    // batch 2: the first batch is now HISTORY — pairs spanning b1×b2
+    // must be found, and the union of both appends equals one fused
+    // incremental over everything-new-from-30
+    val fromDisk2 = rows(graft.jobs.BuildDedupIndex.append(spark, b2, all2, out))
+    val fusedAll = rows(graft.ops.Dedup.minhashPairsIncremental(
+      docs, newFromId = 30L))
+    graft.ops.Dedup.releaseCaches()
+    assert((fromDisk1 ++ fromDisk2).sortBy(_.toString) == fusedAll,
+      "two stored-index batches must partition the fused incremental's pairs")
+
+    // loud guard: an EMPTY meta table (e.g. a partially-deleted store)
+    // names the problem and the fix instead of a bare head() crash
+    val hollow = s"$base/hollow"
+    spark.read.parquet(s"$out/meta").limit(0)
+      .write.parquet(s"$hollow/meta")
+    spark.read.parquet(s"$out/buckets").limit(0)
+      .write.parquet(s"$hollow/buckets")
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildDedupIndex.append(spark, b1, all1, hollow)
+    }
+    assert(e.getMessage.contains("run BuildDedupIndex.run first"), e.getMessage)
+  }
+
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
     val base = Files.createTempDirectory("graft-curate").toString
     val out = s"$base/curated"

@@ -643,6 +643,33 @@ class ScaleSpec extends SparkSpec {
     assert(t64 < 300.0, f"2 rounds at k=64 took $t64%.0fs")
   }
 
+  test("bloom-pruned incremental dedup stays increment-bounded against a 10^6-doc seen corpus") {
+    // The daily-crawl boundary: 10^6 seen docs, a 10^4-doc increment
+    // (1% verbatim re-crawls). The bloom build is one explode +
+    // bit_or aggregate over seen (linear, no driver state); the probe
+    // and verify touch increment-sized data only — seen is scanned,
+    // never exchanged. At 2^20 bits / 4 probes the FP rate at 10^6
+    // keys is ~7%-ish per probe-set — the exact verify must absorb
+    // whatever FPs occur and still return the exact answer.
+    val seen = spark.range(1000000L).select($"id".as("doc_id"),
+      concat(lit("seen corpus document body "), $"id").as("text"))
+    val inc = spark.range(10000L).select(($"id" + 2000000L).as("doc_id"),
+      when($"id" % 100 === 0, concat(lit("seen corpus document body "), $"id"))
+        .otherwise(concat(lit("genuinely novel increment doc "), $"id"))
+        .as("text"))
+    val t0 = System.nanoTime()
+    val out = graft.ops.Dedup.bloomNovelDocuments(inc, seen,
+      mBits = 1 << 20, kProbes = 4)
+    val novel = out.filter(!$"is_novel").count()
+    val total = out.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    graft.ops.Dedup.releaseCaches()
+    info(f"10^6-seen / 10^4-increment bloom dedup: $secs%.1fs, $novel dups of $total")
+    assert(total == 10000L && novel == 100L,
+      s"exactness lost at scale: $novel dups (want 100) of $total")
+    assert(secs < 60.0, f"bloom incremental dedup took $secs%.1fs")
+  }
+
   test("bpeApply serves a real 30k-merge vocabulary: measured corpus-apply cost") {
     // The train discipline applied to SERVING (r8 verdict #3): the k=64
     // boundary measured training at vocab scale; this measures APPLY.
