@@ -653,6 +653,30 @@ object Dedup {
     * collides with P ≈ 8e-6, keeping false candidates (and therefore the
     * quadratic verify work) near zero even on low-entropy corpora.
     */
+  /** The STATELESS per-row form of [[minhashSignatureRows]]: the same
+    * h0..h{n-1} universal-hash minimums computed as array folds over a
+    * per-doc shingle ARRAY — no explode, no groupBy, so the projection
+    * is legal in an append-mode stream with no watermark (the streaming
+    * band-ingest path) and exactly equals the batch aggregate form
+    * (pinned in OpsSpec). The md5 base hash is materialized ONCE in its
+    * own array column; inlining it in all `numHashes` lambdas would
+    * re-hash every shingle per permutation (the repo's lambda-CSE rule).
+    * Docs with empty shingle arrays get null signatures — callers
+    * filter them first (the batch form simply has no rows for them).
+    */
+  def perRowSignature(df: DataFrame, idCol: String = "doc_id",
+      shinglesCol: String = "shingles", numHashes: Int = 24): DataFrame = {
+    val withX = df.select(col(idCol),
+      transform(col(shinglesCol),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long") % MinhashP)
+        .as("__xs"))
+    val hs = (0 until numHashes).map { i =>
+      val a = 2L * i + 1; val b = 7919L * (i + 1)
+      array_min(transform(col("__xs"), v => (v * a + b) % MinhashP)).as(s"h$i")
+    }
+    withX.select(col(idCol) +: hs: _*)
+  }
+
   /** The LSH band rows (band, idCol) of a signature table — the
     * PERSISTABLE bucket index [[graft.jobs.BuildDedupIndex]] stores and
     * probes; [[lshCandidates]] self-joins the same rows fused, so the

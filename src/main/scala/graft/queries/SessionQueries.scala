@@ -491,6 +491,36 @@ object SessionQueries {
         .orderBy("event_id")
     },
 
+    "streaming_band_ingest" -> { (spark, dir) =>
+      // Continuous ingest into the STORED dedup index: arriving docs →
+      // shingles → PER-ROW MinHash signature (the stateless restatement
+      // of the batch aggregate — array folds, no explode-groupBy, so
+      // append-legal with no watermark) → the shared bandRows → append
+      // (band, doc_id) parquet, i.e. BuildDedupIndex's buckets layout.
+      // This is the first query that oracles the LSH BAND MATH itself
+      // (dedup_* oracle only the verified pairs): DuckDB recomputes the
+      // 24 universal-hash minimums and the 8 md5 band keys and must
+      // hash-match every key.
+      import spark.implicits._
+      val in = stagedDocsInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-band-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runBandIngest(spark, schema, in,
+          out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out).orderBy("doc_id", "band")
+    },
+
     "streaming_ivf_assign" -> { (spark, dir) =>
       // Streaming ingestion into the IVF index, closing the loop between
       // the batch ANN stack and the streaming surface: new vectors
@@ -718,6 +748,39 @@ object SessionQueries {
     // the streaming literal-map scorer must land on the identical
     // integer logits as the batch broadcast-join form — one oracle
     "streaming_classify" -> graft.queries.TextQueries.oracles("classifier_score"),
+
+    // the LSH band math itself, recomputed end-to-end: 24 universal-hash
+    // minimums over md5 shingle hashes, 8 md5 band keys — every key must
+    // hash-match the streaming per-row fold
+    "streaming_band_ingest" -> {
+      val P = 999999937L
+      val mins = (0 until 24).map { i =>
+        val a = 2L * i + 1; val b = 7919L * (i + 1)
+        s"min((x * $a + $b) % $P) AS h$i"
+      }.mkString(",\n             ")
+      val bandExprs = (0 until 8).map { b =>
+        val hs = (b * 3 until b * 3 + 3).map(i => s"h$i::VARCHAR")
+          .mkString(" || '|' || ")
+        s"md5('$b' || '|' || $hs)"
+      }.mkString(",\n        ")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |                  len(string_split(text, ' ')) AS nt FROM documents),
+         |sh AS (SELECT doc_id,
+         |              list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |                             for i in range(1, nt - 1)]) AS s
+         |       FROM d),
+         |x AS (SELECT doc_id,
+         |             ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $P AS x
+         |      FROM (SELECT doc_id, unnest(s) AS shingle FROM sh)),
+         |h AS (SELECT doc_id,
+         |             $mins
+         |      FROM x GROUP BY doc_id)
+         |SELECT doc_id, band FROM (
+         |  SELECT doc_id, unnest([
+         |        $bandExprs]) AS band
+         |  FROM h)
+         |ORDER BY doc_id, band""".stripMargin
+    },
 
     "sessionize_counts" ->
       """WITH d AS (

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, size}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
 
@@ -223,6 +224,35 @@ object StreamingJob {
     * batch/stream parity is the oracle of the driver-gated
     * `streaming_classify` query.
     */
+  /** Streaming ingest into the STORED dedup index
+    * ([[graft.jobs.BuildDedupIndex]] layout): arriving documents →
+    * distinct 3-shingles → per-row MinHash signature
+    * ([[graft.ops.Dedup.perRowSignature]], the stateless restatement of
+    * the batch aggregate — no explode-groupBy, so append-legal with no
+    * watermark) → the same [[graft.ops.Dedup.bandRows]] every other
+    * path uses → append parquet (band, doc_id). Pointing `outPath` at
+    * a BuildDedupIndex `buckets/` dir makes newly streamed docs
+    * probe-able without re-hashing the corpus — the continuous-ingest
+    * closure of the stored-index lifecycle. Docs with fewer than 3
+    * tokens have no shingles and are filtered (the batch form has no
+    * rows for them either).
+    */
+  def runBandIngest(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val withSh = graft.ops.Dedup.withShingles(in)
+    val sig = graft.ops.Dedup.perRowSignature(
+      withSh.filter(size(col("shingles")) >= 1))
+    val q = graft.ops.Dedup.bandRows(sig).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runClassify(spark: SparkSession, schema: StructType, inPath: String,
       weights: Map[Long, Long], nBuckets: Int, outPath: String,
       checkpointPath: String): Unit = {

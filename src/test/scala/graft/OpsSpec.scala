@@ -1831,6 +1831,27 @@ class OpsSpec extends SparkSpec {
     assert(e3.getMessage.contains("maxDist must be 1 or 2"))
   }
 
+  test("perRowSignature equals the batch aggregate signature (all 24 mins)") {
+    // The streaming band-ingest path computes signatures as per-row
+    // array folds (append-legal, no groupBy); the batch path aggregates
+    // exploded shingle rows. Same universal hashes, same minimums —
+    // byte-equal on the real corpus, and the empty-shingle doc (< 3
+    // tokens) is ABSENT from the batch form and null-signatured in the
+    // per-row form (which is why the stream filters size >= 1 first).
+    val docs = Dedup.withShingles(
+      Tables.documents(spark, Sf0001).select(col("doc_id"), col("text")))
+    val perRow = Dedup.perRowSignature(docs.filter(size(col("shingles")) >= 1))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = Dedup.minhashSignatureRows(
+        Dedup.shingleRows(Tables.documents(spark, Sf0001)))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(perRow.nonEmpty && perRow == batch,
+      s"per-row/batch signature divergence (${perRow.size} vs ${batch.size} rows)")
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.perRowSignature(Dedup.withShingles(short))
+      .filter(col("h0").isNotNull).count() == 0)
+  }
+
   test("bloomNovelDocuments: exact under forced false positives; filter bits verified") {
     // mBits = 64 (one word) with 50 seen docs saturates the filter, so
     // nearly every novel doc is a bloom FALSE POSITIVE — the exact
