@@ -230,12 +230,17 @@ object StreamingJob {
     * ([[graft.ops.Dedup.perRowSignature]], the stateless restatement of
     * the batch aggregate — no explode-groupBy, so append-legal with no
     * watermark) → the same [[graft.ops.Dedup.bandRows]] every other
-    * path uses → append parquet (band, doc_id). Pointing `outPath` at
-    * a BuildDedupIndex `buckets/` dir makes newly streamed docs
-    * probe-able without re-hashing the corpus — the continuous-ingest
-    * closure of the stored-index lifecycle. Docs with fewer than 3
-    * tokens have no shingles and are filtered (the batch form has no
-    * rows for them either).
+    * path uses → append parquet (band, doc_id) — the continuous-ingest
+    * closure of the stored-index lifecycle. `outPath` must be its OWN
+    * directory, never the batch-built `buckets/` dir: a streaming
+    * parquet sink keeps a `_spark_metadata` commit log, and a batch
+    * read of a directory containing one trusts ONLY the logged files —
+    * silently dropping every batch-written bucket. Probe with the
+    * union instead (`BuildDedupIndex.probe(newDocs,
+    * stored.unionByName(streamed), corpus)`); JobsSpec pins streamed ≡
+    * batch band rows, so the union is exactly one corpus's bucket
+    * table. Docs with fewer than 3 tokens have no shingles and are
+    * filtered (the batch form has no rows for them either).
     */
   def runBandIngest(spark: SparkSession, schema: StructType, inPath: String,
       outPath: String, checkpointPath: String): Unit = {

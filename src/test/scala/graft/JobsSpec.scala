@@ -492,6 +492,51 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("run BuildDedupIndex.run first"), e.getMessage)
   }
 
+  test("streamed band rows feed the stored dedup index: union probe equals fused") {
+    // The continuous-ingest closure: batch-build buckets for the seen
+    // corpus, STREAM a batch's band rows via runBandIngest (its own
+    // dir — a streaming sink's _spark_metadata log would shadow
+    // batch-written files in a shared dir), then probe the NEXT batch
+    // against stored ∪ streamed. Streamed rows must be byte-equal to
+    // the batch bandTable, and the probe must equal the fused
+    // incremental — proving a streamed doc is real history.
+    val base = Files.createTempDirectory("graft-stream-bands").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"; val b1P = s"$base/b1"
+    docs.filter($"doc_id" < 30).write.parquet(seenP)
+    docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+      .select($"doc_id", $"text").write.parquet(b1P)
+    val out = s"$base/index"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    graft.streaming.StreamingJob.runBandIngest(spark, schema, b1P,
+      s"$base/streamed", s"$base/ckpt")
+    val streamed = spark.read.parquet(s"$base/streamed")
+    // streamed ≡ batch band rows for the same docs
+    val batchBands = graft.jobs.BuildDedupIndex.bandTable(
+      docs.filter($"doc_id" >= 30 && $"doc_id" < 40))
+    assert(streamed.select("doc_id", "band").collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      == batchBands.collect().map(_.toSeq).toSeq.sortBy(_.toString),
+      "streamed band rows diverged from the batch bandTable")
+    // next batch probes stored ∪ streamed — equals the fused incremental
+    val stored = spark.read.parquet(s"$out/buckets")
+    val got = graft.jobs.BuildDedupIndex.probe(
+        docs.filter($"doc_id" >= 40),
+        stored.unionByName(streamed.select($"doc_id", $"band")), docs)
+      .select("doc_a", "doc_b", "inter", "uni")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val fused = graft.ops.Dedup.minhashPairsIncremental(docs, newFromId = 40L)
+      .select("doc_a", "doc_b", "inter", "uni")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    graft.ops.Dedup.releaseCaches()
+    assert(got == fused,
+      "probe against streamed history diverged from the fused incremental")
+  }
+
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
     val base = Files.createTempDirectory("graft-curate").toString
     val out = s"$base/curated"
