@@ -44,7 +44,11 @@ object Soak {
     // r9: the sessionization CORE — the operator a reference user runs
     // every hour (SessionizationBuiltIn.scala:31-66). Expected ≈ linear:
     // one hash exchange on user_id + an in-partition sort.
-    "sessionize_counts", "sessionize_ids", "sessionize_hour_job")
+    "sessionize_counts", "sessionize_ids", "sessionize_hour_job",
+    // r9: the two incremental-dedup paths — at the soaked scale the
+    // fixed doc_id split boundaries make the "batch" ~99% of the
+    // corpus, so these measure near-full-corpus probe/verify growth
+    "dedup_stored_increment", "dedup_bloom_increment")
 
   /** Stage the factor× corpus into `outDir` (parquet, same filenames as
     * a testdata sf dir, so SparkEntry queries run against it unchanged).
