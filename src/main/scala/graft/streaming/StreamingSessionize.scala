@@ -170,7 +170,16 @@ object StreamingSessionize {
 
   case class EvCents(user_id: Long, event_id: Long, cents: Long)
   case class UserTotals(user_id: Long, n_events: Long, cents_sum: Long)
-  private case class Tot(n: Long, s: Long)
+  /** Deliberately PUBLIC: this is a codegen boundary, not an API leak.
+    * As a `private` case class, Janino's accessibility filter rejects
+    * the accessor candidates when compiling the state encoder's
+    * generated serializer ("No applicable constructor/method found …
+    * candidates are: public long n()"), and Spark silently falls back
+    * to interpreted encoding — a per-micro-batch ERROR stack in every
+    * bench tail (r9) and a slower state path. Any class an Encoder
+    * touches must be visible to generated code.
+    */
+  case class Tot(n: Long, s: Long)
 
   /** Per-user running totals on Spark 4's `transformWithState` — the
     * arbitrary-state API that supersedes flatMapGroupsWithState (typed
