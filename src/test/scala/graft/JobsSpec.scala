@@ -535,6 +535,15 @@ class JobsSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
     assert(got == fused,
       "probe against streamed history diverged from the fused incremental")
+    // exactly-once re-launch: the same checkpoint means a second run
+    // processes nothing — the bucket table must be byte-identical, not
+    // doubled (the production cadence re-launches AvailableNow hourly)
+    val before = streamed.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    graft.streaming.StreamingJob.runBandIngest(spark, schema, b1P,
+      s"$base/streamed", s"$base/ckpt")
+    val after = spark.read.parquet(s"$base/streamed")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(after == before, "re-launch duplicated streamed band rows")
   }
 
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
