@@ -122,6 +122,36 @@ object BuildDedupIndex {
     pairs
   }
 
+  /** Fold a streaming band-ingest directory into the stored bucket
+    * table — the maintenance step that closes the stream → store loop.
+    * [[graft.streaming.StreamingJob.runBandIngest]] must write to its
+    * own directory (its `_spark_metadata` log would shadow batch files
+    * in a shared one) and produces one small file per micro-batch; at
+    * 100 TB a day of those is tens of thousands of files whose listing
+    * alone dominates the probe. Compaction reads the streamed rows
+    * (the batch read honors the sink's commit log, so only committed
+    * files fold in), appends them to `buckets/` in `numFiles` large
+    * files, and the caller then retires the streamed dir AND the
+    * stream's checkpoint together (a restart from the old checkpoint
+    * would re-write — and a fresh checkpoint re-ingest — rows that now
+    * live in the store; the band-row probe is duplicate-tolerant via
+    * its DISTINCT, so an overlap degrades cost, never correctness).
+    * Loud meta guard like [[append]]: compaction into an unbuilt store
+    * has nothing to fold into.
+    */
+  def compact(spark: SparkSession, streamedPath: String, outPath: String,
+      numFiles: Int = 8): Unit = {
+    spark.read.parquet(s"$outPath/meta")
+      .select(col("bands")).head(1).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"BuildDedupIndex.compact: stored index at $outPath is empty — " +
+          "run BuildDedupIndex.run first; compact only folds into a built index"))
+    spark.read.parquet(streamedPath)
+      .select(col("doc_id"), col("band"))
+      .repartition(numFiles)
+      .write.mode("append").parquet(s"$outPath/buckets")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BuildDedupIndex <docsParquet> <outPath> [bands] [rowsPerBand]")

@@ -544,6 +544,24 @@ class JobsSpec extends SparkSpec {
     val after = spark.read.parquet(s"$base/streamed")
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     assert(after == before, "re-launch duplicated streamed band rows")
+    // compaction closes the loop: streamed rows fold into buckets/, and
+    // a stored-ONLY probe now equals the union probe (and the fused)
+    graft.jobs.BuildDedupIndex.compact(spark, s"$base/streamed", out)
+    val gotCompacted = graft.jobs.BuildDedupIndex.probe(
+        docs.filter($"doc_id" >= 40),
+        spark.read.parquet(s"$out/buckets"), docs)
+      .select("doc_a", "doc_b", "inter", "uni")
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    graft.ops.Dedup.releaseCaches()
+    assert(gotCompacted == fused,
+      "post-compaction stored-only probe diverged from the fused incremental")
+    // compacting into an unbuilt store refuses loudly
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildDedupIndex.compact(spark, s"$base/streamed",
+        { val h = s"$base/hollow2"
+          spark.read.parquet(s"$out/meta").limit(0).write.parquet(s"$h/meta"); h })
+    }
+    assert(e.getMessage.contains("run BuildDedupIndex.run first"), e.getMessage)
   }
 
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
