@@ -78,15 +78,23 @@ object Graft {
   /** The persistable LSH bucket table of a corpus ([[graft.jobs.BuildDedupIndex]]
     * layout) — build once, probe every batch.
     */
-  def dedupBandTable(docs: DataFrame): DataFrame =
-    graft.jobs.BuildDedupIndex.bandTable(docs)
+  def dedupBandTable(docs: DataFrame, bands: Int = 8,
+      rowsPerBand: Int = 3): DataFrame =
+    graft.jobs.BuildDedupIndex.bandTable(docs, bands, rowsPerBand)
   /** Probe a stored bucket table with a new batch: near-dup pairs with
     * at least one side in the batch, signatures computed for the batch
     * only — the hourly shape that never re-hashes the corpus.
+    * `bands`/`rowsPerBand` MUST match the convention the bucket table
+    * was built with (the store's `meta` table records it) — a
+    * mismatched split generates band keys from different signature
+    * slices and silently misses every true pair, which is why the
+    * disk-path [[graft.jobs.BuildDedupIndex.append]] guards on meta;
+    * this in-memory form takes the caller's word.
     */
   def nearDuplicatesStored(newDocs: DataFrame, storedBuckets: DataFrame,
-      corpus: DataFrame): DataFrame =
-    graft.jobs.BuildDedupIndex.probe(newDocs, storedBuckets, corpus)
+      corpus: DataFrame, bands: Int = 8, rowsPerBand: Int = 3): DataFrame =
+    graft.jobs.BuildDedupIndex.probe(newDocs, storedBuckets, corpus,
+      bands, rowsPerBand)
   /** Bloom-pruned incremental EXACT dedup: which increment docs are
     * verbatim copies of anything in `seen`, without shuffling `seen` —
     * the daily-crawl-vs-100TB-corpus shape. Exact despite the bloom

@@ -58,10 +58,20 @@ object BuildDedupIndex {
     */
   def probe(newDocs: DataFrame, storedBuckets: DataFrame,
       corpus: DataFrame, bands: Int = 8, rowsPerBand: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val newBands = bandTable(newDocs, bands, rowsPerBand, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    probeBands(bandTable(newDocs, bands, rowsPerBand, idCol, textCol),
+      storedBuckets, corpus, idCol, textCol)
+
+  /** [[probe]] with the batch's band rows PRECOMPUTED — so a caller
+    * that also needs the rows for something else ([[append]] commits
+    * them to the store) computes the shingle + 24-hash MinHash pass
+    * once, not once per consumer.
+    */
+  def probeBands(newBands: DataFrame, storedBuckets: DataFrame,
+      corpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val seenSide = storedBuckets.select(col(idCol), col("band"))
-      .unionByName(newBands)
+      .unionByName(newBands.select(col(idCol), col("band")))
     val cand = Dedup.registerDf(newBands.as("a")
       .join(seenSide.as("b"),
         col("a.band") === col("b.band") &&
@@ -108,8 +118,13 @@ object BuildDedupIndex {
     val (bands, rowsPerBand) = (meta.getInt(0), meta.getInt(1))
     val newDocs = spark.read.parquet(newDocsPath)
     val stored = spark.read.parquet(s"$outPath/buckets")
-    val pairs = probe(newDocs, stored,
-      spark.read.parquet(corpusPath), bands, rowsPerBand)
+    // ONE shingle + 24-hash MinHash pass for the batch: the cached band
+    // rows feed both the probe and the commit write (uncached, the
+    // whole signature pipeline ran twice per hourly append)
+    val newBands = Dedup.registerDf(
+      bandTable(newDocs, bands, rowsPerBand).cache())
+    val pairs = probeBands(newBands, stored,
+      spark.read.parquet(corpusPath))
     // force the probe's candidate cache BEFORE committing the batch's
     // bands: the returned frame must reflect this batch against the
     // PRE-append store even if the caller executes it later (the
@@ -117,8 +132,7 @@ object BuildDedupIndex {
     // but the cache removes the dependence on re-listing semantics)
     pairs.cache().count(): Unit
     Dedup.registerDf(pairs)
-    bandTable(newDocs, bands, rowsPerBand)
-      .write.mode("append").parquet(s"$outPath/buckets")
+    newBands.write.mode("append").parquet(s"$outPath/buckets")
     pairs
   }
 

@@ -538,13 +538,22 @@ object Dedup {
     * op by contract, not a document-text op (that family is the
     * shingle/MinHash stack). Output: (name_a, name_b, dist),
     * name_a < name_b.
+    *
+    * `maxLen = 0` (the default) picks the distance-scaled cap: 256 at
+    * d=1 (variants ≈ len+1 short strings per value) but 64 at d=2,
+    * where the variant VOLUME is ~len²/2 strings × len chars ≈ len³/2
+    * bytes per value — at 256 chars that is ~8 MB per value, the
+    * silent blowup the cap exists to refuse. An explicit `maxLen` is
+    * honored as the caller's informed budget.
     */
   def editDistancePairs(df: DataFrame, valueCol: String,
-      maxLen: Int = 256, maxDist: Int = 1): DataFrame = {
+      maxLen: Int = 0, maxDist: Int = 1): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"editDistancePairs: maxDist must be 1 or 2, got $maxDist — " +
         "d>2 deletion neighborhoods are |v|^d per value; beyond typo " +
         "distance use the shingle/MinHash stack")
+    require(maxLen >= 0, s"editDistancePairs: maxLen must be >= 0, got $maxLen")
+    val effMaxLen = if (maxLen > 0) maxLen else if (maxDist >= 2) 64 else 256
     // all single-char deletions of x, PLUS x itself (the i = len slot
     // deletes nothing) — so k applications yield every variant with
     // ≤ k deletions, not exactly-k
@@ -559,9 +568,9 @@ object Dedup {
       // O(len²) bytes per value at d=1, O(len³) at d=2. Refuse instead
       // of silently blowing up the variant join; document-scale text
       // belongs to the shingle/MinHash stack.
-      .withColumn("v", when(length(col("v")) > maxLen,
+      .withColumn("v", when(length(col("v")) > effMaxLen,
         raise_error(concat(lit("editDistancePairs: value longer than "),
-          lit(maxLen.toString), lit(" chars — this is a short-field " +
+          lit(effMaxLen.toString), lit(" chars — this is a short-field " +
             "canonicalization op; use the shingle/MinHash stack for " +
             "document text"))))
         .otherwise(col("v")))
@@ -644,15 +653,6 @@ object Dedup {
     withX.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: band key = md5(band_index | its r signature
-    * mins); docs sharing any band key become candidates. Returns
-    * (doc_a, doc_b) with doc_a < doc_b, distinct.
-    */
-  /** Band shape r=3, b=8: catch probability at jaccard j is
-    * 1−(1−j³)^8 — ≥ 1−2e-7 at j=0.95, while a background pair at j≈0.1
-    * collides with P ≈ 8e-6, keeping false candidates (and therefore the
-    * quadratic verify work) near zero even on low-entropy corpora.
-    */
   /** The STATELESS per-row form of [[minhashSignatureRows]]: the same
     * h0..h{n-1} universal-hash minimums computed as array folds over a
     * per-doc shingle ARRAY — no explode, no groupBy, so the projection
@@ -681,6 +681,11 @@ object Dedup {
     * PERSISTABLE bucket index [[graft.jobs.BuildDedupIndex]] stores and
     * probes; [[lshCandidates]] self-joins the same rows fused, so the
     * stored and fused paths share one band definition and cannot drift.
+    * Band shape r=3, b=8 (the defaults): catch probability at jaccard j
+    * is 1−(1−j³)^8 — ≥ 1−2e-7 at j=0.95, while a background pair at
+    * j≈0.1 collides with P ≈ 8e-6, keeping false candidates (and
+    * therefore the quadratic verify work) near zero even on low-entropy
+    * corpora.
     */
   def bandRows(sig: DataFrame, idCol: String = "doc_id",
       bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
@@ -691,6 +696,10 @@ object Dedup {
     sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
   }
 
+  /** LSH candidate pairs: band key = md5(band_index | its r signature
+    * mins); docs sharing any band key become candidates. Returns
+    * (doc_a, doc_b) with doc_a < doc_b, distinct.
+    */
   def lshCandidates(sig: DataFrame, idCol: String = "doc_id",
       bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
     val long = bandRows(sig, idCol, bands, rowsPerBand)

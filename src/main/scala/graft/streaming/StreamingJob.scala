@@ -244,6 +244,23 @@ object StreamingJob {
     */
   def runBandIngest(spark: SparkSession, schema: StructType, inPath: String,
       outPath: String, checkpointPath: String): Unit = {
+    // Loud guard for the catastrophic mistake the scaladoc warns about:
+    // pointing the sink at a BATCH-written directory (e.g. the store's
+    // buckets/). The sink would create _spark_metadata there, and every
+    // later batch read would trust only the commit log — silently
+    // dropping the whole indexed history. A directory that already
+    // holds parquet files WITHOUT a _spark_metadata log is exactly that
+    // case; a prior streaming dir (log present) is a legal resume.
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outP) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(outPath, "_spark_metadata")) &&
+        fs.listStatus(outP).exists(_.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"runBandIngest: $outPath already holds batch-written parquet " +
+          "files; a streaming sink's _spark_metadata log would shadow " +
+          "them in every later batch read. Stream to a FRESH directory " +
+          "and fold it into the store with BuildDedupIndex.compact.")
     val in = spark.readStream.schema(schema).parquet(inPath)
     val withSh = graft.ops.Dedup.withShingles(in)
     val sig = graft.ops.Dedup.perRowSignature(

@@ -55,12 +55,18 @@ object Soak {
     */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
       factor: Int): Unit = {
-    // Pin NTZ inference off BEFORE the first raw read (the Tables.load
-    // choke-point note): an unpinned first read infers events.ts as
-    // TIMESTAMP_NTZ and the rewritten copy then carries Spark's NTZ
-    // schema metadata — which read-back honors regardless of this conf,
-    // breaking every unix_micros over the soak corpus.
+    // Pin BOTH timestamp confs BEFORE the first raw read (the
+    // Tables.load choke-point note): an unpinned first read infers
+    // events.ts as TIMESTAMP_NTZ and the rewritten copy then carries
+    // Spark's NTZ schema metadata — which read-back honors regardless
+    // of this conf, breaking every unix_micros over the soak corpus —
+    // and a nanos-generation events.ts (TIMESTAMP(NANOS) parquet) would
+    // throw PARQUET_TYPE_ILLEGAL here without the legacy conf, since
+    // generate() runs before anything routed through Tables.events has
+    // set it. The nanos copy stays a raw long; Tables.events normalizes
+    // it at read like any testdata dir.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def reps(df: DataFrame): DataFrame =
       df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))

@@ -74,14 +74,28 @@ class BenchSpec extends SparkSpec {
       val slow = sc.parallelize(0 until 32, 32)
         .map { i => Thread.sleep(10000); i }.toDF("v")
       sc.setJobGroup("graft-bench-kill-test", "killed-mid-write", true)
+      // gate the cancel on a task ACTUALLY running — a fixed timer
+      // races job startup under host contention and can cancel a job
+      // with zero launched tasks (no TaskKilled to count) or miss the
+      // group entirely
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val startGate = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          started.countDown()
+      }
+      sc.addSparkListener(startGate)
       val canceller = new Thread(() => {
-        Thread.sleep(1500); sc.cancelJobGroup("graft-bench-kill-test")
+        started.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+        Thread.sleep(500) // let siblings reach their sleep (mid-"write")
+        sc.cancelJobGroup("graft-bench-kill-test")
       })
       canceller.start()
       intercept[Throwable] {
         slow.write.mode("overwrite").parquet(s"$dir/out")
       }
       canceller.join()
+      sc.removeSparkListener(startGate)
       sc.clearJobGroup()
       // a measured window AFTER the cancel quiesces + drains the bus;
       // the kills must be counted but NOT charged as failures there

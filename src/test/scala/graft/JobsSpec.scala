@@ -562,6 +562,13 @@ class JobsSpec extends SparkSpec {
           spark.read.parquet(s"$out/meta").limit(0).write.parquet(s"$h/meta"); h })
     }
     assert(e.getMessage.contains("run BuildDedupIndex.run first"), e.getMessage)
+    // and the sink refuses to point at a BATCH-written dir (its
+    // _spark_metadata log would silently shadow the indexed history)
+    val e2 = intercept[IllegalStateException] {
+      graft.streaming.StreamingJob.runBandIngest(spark, schema, b1P,
+        s"$out/buckets", s"$base/ckpt2")
+    }
+    assert(e2.getMessage.contains("_spark_metadata"), e2.getMessage)
   }
 
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
