@@ -108,6 +108,13 @@ object Graft {
   def bloomFilterTable(seen: DataFrame, mBits: Int = 65536): DataFrame =
     Dedup.bloomTextFilter(seen, mBits)
 
+  /** Deterministic BERT-style MLM masking (15% of positions, 80/10/10
+    * mask/random/keep, every choice md5(doc_id#pos)-derived) — re-runs
+    * and corpus growth never re-mask old documents.
+    */
+  def maskForMlm(docs: DataFrame, perMille: Int = 150): DataFrame =
+    ops.TextOps.mlmMask(docs, perMille)
+
   // similarity
   def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceTopK(corpus, queries, k)

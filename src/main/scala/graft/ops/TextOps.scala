@@ -194,6 +194,49 @@ object TextOps {
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col(idCol)).as("n_docs"))
 
+  /** Deterministic MLM masking — the BERT pretraining data-prep recipe
+    * (Devlin et al. 2018, arXiv:1810.04805 §3.1): select `perMille`/1000
+    * of token positions, and of those give 80% the [MASK] token, 10% a
+    * pseudo-random vocabulary token, 10% the original (so the encoder
+    * cannot rely on [MASK] marking every corrupted slot). Every choice
+    * is a pure function of (doc_id, position) via DISJOINT md5 hex
+    * slices — selection h1 (chars 1-4), action h2 (5-8), random-token
+    * draw h3 (9-12) — so masking a growing corpus never re-masks old
+    * documents differently (the splitCol determinism argument), re-runs
+    * are byte-identical, and a SQL oracle reproduces every row. The
+    * 80/10/10 split compares as integer cross-products (h2·10 <
+    * 65536·8), never float thresholds. Positions are 1-based (matching
+    * SQL ordinality). Output: (idCol, pos, token, action ∈
+    * mask|random|keep, replacement) for SELECTED positions only —
+    * per-row explode + filter, zero shuffle before the caller's sort;
+    * at 100 TB this is a free pass over the scan like [[gopherRules]].
+    */
+  def mlmMask(df: DataFrame, perMille: Int = 150,
+      maskToken: String = "[MASK]", randomVocab: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(perMille >= 1 && perMille <= 1000,
+      s"mlmMask: perMille must be 1..1000, got $perMille")
+    require(randomVocab >= 1, s"mlmMask: randomVocab must be >= 1")
+    val toks = df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__p0", "token")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        col("token"))
+    def slice(from: Int): Column =
+      conv(substring(md5(concat_ws("#", col(idCol).cast("string"),
+        col("pos").cast("string"))), from, 4), 16, 10).cast("long")
+    val h1 = slice(1); val h2 = slice(5); val h3 = slice(9)
+    toks.filter(h1 * 1000 < lit(65536L) * perMille)
+      .withColumn("action",
+        when(h2 * 10 < lit(65536L) * 8, "mask")
+          .when(h2 * 10 < lit(65536L) * 9, "random")
+          .otherwise("keep"))
+      .withColumn("replacement",
+        when(col("action") === "mask", lit(maskToken))
+          .when(col("action") === "random",
+            concat(lit("tok"), pmod(h3, lit(randomVocab.toLong))))
+          .otherwise(col("token")))
+  }
+
   /** Heuristic language ID: score = marker-token hit count per language;
     * prediction = argmax score with lexicographic tie-break. Markers are
     * n-gram-style surface cues; deterministic and engine-portable.

@@ -545,6 +545,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "mlm_mask" -> { (spark, dir) =>
+      // Deterministic BERT MLM masking (80/10/10 mask/random/keep over
+      // 15% of positions, all choices md5(doc_id#pos)-derived) — the
+      // pretraining data-prep step that must never re-mask old docs
+      // differently as the corpus grows. Every selected position, its
+      // action, and its replacement token oracle exactly.
+      import spark.implicits._
+      TextOps.mlmMask(Tables.documents(spark, dir))
+        .orderBy("doc_id", "pos")
+    },
+
     "priority_sample" -> { (spark, dir) =>
       // Exact-k weighted sampling without replacement (DLT priority
       // sampling) with the unbiased subset-sum estimator: top-50
@@ -1107,6 +1118,29 @@ object TextQueries {
          |SELECT bucket, w AS w_micros FROM w2 WHERE w <> 0
          |ORDER BY bucket""".stripMargin
     },
+
+    // the full MLM recipe recomputed: selection, action, and the random
+    // draw from three disjoint md5 hex slices of doc_id#pos
+    "mlm_mask" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS nt FROM documents),
+        |t AS (SELECT doc_id,
+        |             unnest([{'pos': i, 'tok': toks[i]} for i in range(1, nt + 1)]) AS u
+        |      FROM d),
+        |h AS (SELECT doc_id, u.pos AS pos, u.tok AS token,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || '#' || u.pos::VARCHAR), 1, 4))::BIGINT AS h1,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || '#' || u.pos::VARCHAR), 5, 4))::BIGINT AS h2,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || '#' || u.pos::VARCHAR), 9, 4))::BIGINT AS h3
+        |      FROM t)
+        |SELECT doc_id, pos::BIGINT AS pos, token,
+        |       CASE WHEN h2 * 10 < 65536 * 8 THEN 'mask'
+        |            WHEN h2 * 10 < 65536 * 9 THEN 'random'
+        |            ELSE 'keep' END AS action,
+        |       CASE WHEN h2 * 10 < 65536 * 8 THEN '[MASK]'
+        |            WHEN h2 * 10 < 65536 * 9 THEN 'tok' || (h3 % 1000)::VARCHAR
+        |            ELSE token END AS replacement
+        |FROM h WHERE h1 * 1000 < 65536 * 150
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // DLT priority sampling: priority = w/U with U = u/65536 uniform on
     // (0,1], computed as (w*65536)/u — one IEEE division of two exact

@@ -2034,6 +2034,49 @@ class OpsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("buckets must be unique")), e.toString)
   }
 
+  test("mlmMask: driver recompute, 80/10/10 proportions, corpus-growth stability") {
+    // Independent recompute of selection + action + replacement from
+    // the same md5 slices, driver-side, on the real corpus.
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def expect(id: Long, text: String): Seq[(Long, Long, String, String, String)] =
+      text.split(" ", -1).toSeq.zipWithIndex.flatMap { case (tok, p0) =>
+        val pos = p0 + 1L
+        val h = md5hex(s"$id#$pos")
+        val h1 = java.lang.Long.parseLong(h.substring(0, 4), 16)
+        val h2 = java.lang.Long.parseLong(h.substring(4, 8), 16)
+        val h3 = java.lang.Long.parseLong(h.substring(8, 12), 16)
+        if (h1 * 1000 >= 65536L * 150) None
+        else {
+          val (action, repl) =
+            if (h2 * 10 < 65536L * 8) ("mask", "[MASK]")
+            else if (h2 * 10 < 65536L * 9) ("random", s"tok${h3 % 1000}")
+            else ("keep", tok)
+          Some((id, pos, tok, action, repl))
+        }
+      }
+    val want = docs.collect()
+      .flatMap(r => expect(r.getLong(0), r.getString(1))).toSeq.sortBy(_.toString)
+    val got = TextOps.mlmMask(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSeq.sortBy(_.toString)
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    // proportions at corpus size: ~15% selected, of those ~80/10/10
+    val nTok = docs.collect().map(_.getString(1).split(" ", -1).length.toLong).sum
+    assert(got.size > nTok * 10 / 100 && got.size < nTok * 20 / 100,
+      s"selection rate off: ${got.size} of $nTok")
+    val byAction = got.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(byAction("mask") > got.size * 7 / 10, s"mask share off: $byAction")
+    assert(byAction.getOrElse("random", 0) > 0 && byAction.getOrElse("keep", 0) > 0)
+    // growth stability: masking doc 0 alone equals its rows in the full
+    // corpus run — a grown corpus never re-masks old docs differently
+    val solo = TextOps.mlmMask(docs.filter(col("doc_id") === 0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4))).toSeq.sortBy(_.toString)
+    assert(solo == got.filter(_._1 == 0L))
+  }
+
   test("sketch bounds hold at sf0.01 — a sketch regression is a red test") {
     // CI-grade enforcement of the two no-oracle queries' error bands
     // (r8 verdict #7): SketchBounds runs under Verify but its result was
