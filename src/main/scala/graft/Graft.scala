@@ -114,6 +114,13 @@ object Graft {
     */
   def maskForMlm(docs: DataFrame, perMille: Int = 150): DataFrame =
     ops.TextOps.mlmMask(docs, perMille)
+  /** Deterministic T5-style span corruption (5% md5-selected starts ×
+    * 3 tokens ≈ the 15% baseline budget), overlapping spans merged per
+    * document — same corpus-growth stability as [[maskForMlm]].
+    */
+  def corruptionSpans(docs: DataFrame, perMille: Int = 50,
+      spanLen: Int = 3): DataFrame =
+    ops.TextOps.corruptionSpans(docs, perMille, spanLen)
 
   // similarity
   def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =

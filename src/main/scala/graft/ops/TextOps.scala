@@ -237,6 +237,55 @@ object TextOps {
           .otherwise(col("token")))
   }
 
+  /** Deterministic T5-style span corruption (Raffel et al. 2020,
+    * arXiv:1910.10683 §3.1.4): select span START positions at
+    * `perMille`/1000 of token positions (the [[mlmMask]] md5 slice
+    * discipline — a pure function of doc_id#pos, so corpus growth and
+    * re-runs never re-corrupt old documents differently), extend each
+    * to `spanLen` tokens clamped at the document end, and MERGE
+    * overlapping-or-adjacent spans per document (a contiguous corrupted
+    * run collapses to one sentinel at training time, so it is one span
+    * here). At the defaults (5% starts × 3 tokens) ≈ 15% of tokens are
+    * corrupted — the T5 baseline.
+    *
+    * The merge is the island device: a span opens a new island iff its
+    * start exceeds (running max of prior ends) + 1, islands are numbered
+    * by a running sum, and each island aggregates to one
+    * (span_start, span_end). Both windows partition by DOCUMENT —
+    * fully parallel, no global ordering — and the whole op is one
+    * explode + two per-doc windows + one groupBy: no self-join, no
+    * quadratic interval pairing. Output: (idCol, span_start, span_end,
+    * n_corrupted), 1-based inclusive positions, ordered by caller.
+    */
+  def corruptionSpans(df: DataFrame, perMille: Int = 50, spanLen: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(perMille >= 1 && perMille <= 1000,
+      s"corruptionSpans: perMille must be 1..1000, got $perMille")
+    require(spanLen >= 1, s"corruptionSpans: spanLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), size(split(col(textCol), " ")).as("__nt"),
+        posexplode(split(col(textCol), " ")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), col("__nt"),
+        (col("__p0") + 1).cast("long").as("s"))
+    val h1 = conv(substring(md5(concat_ws("#", col(idCol).cast("string"),
+      col("s").cast("string"))), 1, 4), 16, 10).cast("long")
+    val sel = toks.filter(h1 * 1000 < lit(65536L) * perMille)
+      .select(col(idCol), col("s"),
+        least(col("s") + (spanLen - 1), col("__nt").cast("long")).as("e"))
+    val prior = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ordered = Window.partitionBy(col(idCol)).orderBy(col("s"))
+    sel
+      .withColumn("__brk",
+        when(col("s") > coalesce(max(col("e")).over(prior), lit(-1L)) + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(ordered))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_corrupted"))
+  }
+
   /** Heuristic language ID: score = marker-token hit count per language;
     * prediction = argmax score with lexicographic tie-break. Markers are
     * n-gram-style surface cues; deterministic and engine-portable.

@@ -545,6 +545,17 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t5_spans" -> { (spark, dir) =>
+      // Deterministic T5 span corruption: md5-selected 5% span starts ×
+      // 3 tokens (≈ 15% corruption), overlapping-or-adjacent spans
+      // merged per doc by the island device — two per-doc windows, no
+      // interval self-join. Start selection, clamping, and the merge
+      // all oracle exactly.
+      import spark.implicits._
+      TextOps.corruptionSpans(Tables.documents(spark, dir))
+        .orderBy("doc_id", "span_start")
+    },
+
     "mlm_mask" -> { (spark, dir) =>
       // Deterministic BERT MLM masking (80/10/10 mask/random/keep over
       // 15% of positions, all choices md5(doc_id#pos)-derived) — the
@@ -1118,6 +1129,26 @@ object TextQueries {
          |SELECT bucket, w AS w_micros FROM w2 WHERE w <> 0
          |ORDER BY bucket""".stripMargin
     },
+
+    // span starts from the same md5 slice, clamped ends, island merge —
+    // the whole T5 device recomputed in SQL windows
+    "t5_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS nt FROM documents),
+        |t AS (SELECT doc_id, nt, unnest(range(1, nt + 1)) AS pos FROM d),
+        |sel AS (SELECT doc_id, pos AS s, least(pos + 2, nt) AS e
+        |        FROM t
+        |        WHERE ('0x' || substr(md5(doc_id::VARCHAR || '#' || pos::VARCHAR), 1, 4))::BIGINT * 1000 < 65536 * 50),
+        |m AS (SELECT doc_id, s, e,
+        |             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM sel),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM m)
+        |SELECT doc_id, min(s)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+        |       (max(e) - min(s) + 1)::BIGINT AS n_corrupted
+        |FROM g GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // the full MLM recipe recomputed: selection, action, and the random
     // draw from three disjoint md5 hex slices of doc_id#pos

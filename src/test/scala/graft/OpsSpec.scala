@@ -2077,6 +2077,47 @@ class OpsSpec extends SparkSpec {
     assert(solo == got.filter(_._1 == 0L))
   }
 
+  test("corruptionSpans: recomputed starts, island merge, clamped ends") {
+    // Driver recompute on the corpus: the same md5 start selection,
+    // clamp, and overlapping-or-adjacent interval union per doc.
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def expect(id: Long, text: String): Seq[(Long, Long, Long, Long)] = {
+      val n = text.split(" ", -1).length.toLong
+      val starts = (1L to n).filter { pos =>
+        java.lang.Long.parseLong(md5hex(s"$id#$pos").substring(0, 4), 16) *
+          1000 < 65536L * 50
+      }
+      val spans = starts.map(s => (s, math.min(s + 2, n)))
+      val merged = spans.foldLeft(Vector.empty[(Long, Long)]) {
+        case (acc, (s, e)) if acc.nonEmpty && s <= acc.last._2 + 1 =>
+          acc.init :+ (acc.last._1, math.max(acc.last._2, e))
+        case (acc, span) => acc :+ span
+      }
+      merged.map { case (s, e) => (id, s, e, e - s + 1) }
+    }
+    val want = docs.collect()
+      .flatMap(r => expect(r.getLong(0), r.getString(1))).toSeq.sortBy(_.toString)
+    val got = TextOps.corruptionSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_.toString)
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+    // the corruption budget lands near the design point: ~15% of tokens
+    val nTok = docs.collect().map(_.getString(1).split(" ", -1).length.toLong).sum
+    val corrupted = got.map(_._4).sum
+    assert(corrupted > nTok * 8 / 100 && corrupted < nTok * 25 / 100,
+      s"corruption rate off: $corrupted of $nTok")
+    // spans are disjoint and non-adjacent after the merge, per doc
+    got.groupBy(_._1).values.foreach { spans =>
+      spans.sortBy(_._2).sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 > a._3 + 1, s"unmerged adjacency: $a $b")
+        case _ => ()
+      }
+    }
+  }
+
   test("sketch bounds hold at sf0.01 — a sketch regression is a red test") {
     // CI-grade enforcement of the two no-oracle queries' error bands
     // (r8 verdict #7): SketchBounds runs under Verify but its result was
