@@ -670,6 +670,27 @@ class ScaleSpec extends SparkSpec {
     assert(secs < 60.0, f"bloom incremental dedup took $secs%.1fs")
   }
 
+  test("MLM/T5 corruption prep stays linear on a 10^5-token document") {
+    // Both ops are per-position md5 projections; the boundary pins that
+    // a hot document costs O(n) — one explode, no per-position rescans
+    // of the text (the lambda-CSE trap), and for t5_spans the island
+    // windows stay per-doc.
+    val nTok = 100000
+    val hot = (0 until nTok).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, hot), (2L, "a b c")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val masked = graft.ops.TextOps.mlmMask(docs).count()
+    val spans = graft.ops.TextOps.corruptionSpans(docs)
+      .agg(sum($"n_corrupted")).head().getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10^5-token doc through mlmMask+corruptionSpans: $secs%.1fs, " +
+      f"$masked masked, $spans span-corrupted")
+    // ~15% of positions each, ±5% absolute at n = 10^5
+    assert(masked > nTok * 10 / 100 && masked < nTok * 20 / 100)
+    assert(spans > nTok * 10 / 100 && spans < nTok * 20 / 100)
+    assert(secs < 60.0, f"corruption prep took $secs%.1fs on a 10^5-token doc")
+  }
+
   test("bpeApply serves a real 30k-merge vocabulary: measured corpus-apply cost") {
     // The train discipline applied to SERVING (r8 verdict #3): the k=64
     // boundary measured training at vocab scale; this measures APPLY.
