@@ -121,6 +121,18 @@ object Graft {
   def corruptionSpans(docs: DataFrame, perMille: Int = 50,
       spanLen: Int = 3): DataFrame =
     ops.TextOps.corruptionSpans(docs, perMille, spanLen)
+  /** Deterministic fill-in-the-middle (PSM serialization around two
+    * md5(doc_id)-derived cuts, 50% of docs by default) — the infilling
+    * objective prep, same corpus-growth stability as [[maskForMlm]].
+    */
+  def fillInMiddle(docs: DataFrame, perMille: Int = 500): DataFrame =
+    ops.TextOps.fimTransform(docs, perMille)
+  /** Per-source data epochs: replicate each source's rows epochs(source)
+    * times (default 1) with an epoch column — the mixture upsampling
+    * step before shuffling/packing.
+    */
+  def epochMix(docs: DataFrame, epochs: Map[String, Int]): DataFrame =
+    ops.TextOps.epochMix(docs, epochs)
 
   // similarity
   def nearestNeighbors(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =

@@ -294,6 +294,69 @@ object TextOps {
         (col("span_end") - col("span_start") + 1).as("n_corrupted"))
   }
 
+  /** Deterministic fill-in-the-middle transform (Bavarian et al. 2022,
+    * arXiv:2207.14255): for `perMille`/1000 of documents, two
+    * md5-derived token cuts split the doc into prefix/middle/suffix and
+    * the output is re-serialized PSM-style — sentinel, prefix,
+    * sentinel, suffix, sentinel, middle — so an autoregressive model
+    * learns infilling from plain left-to-right prediction. Selection
+    * and both cuts are pure functions of doc_id (the [[mlmMask]]
+    * determinism discipline: corpus growth and re-runs never re-cut old
+    * documents). Serialization goes through ONE array concat +
+    * array_join, so empty prefixes/suffixes introduce no stray spaces
+    * and the output oracles byte-exactly. Pure per-row projection,
+    * zero shuffle. Output: (idCol, fim_applied, text_out) — text_out is
+    * the original text for unselected docs.
+    */
+  def fimTransform(df: DataFrame, perMille: Int = 500,
+      preTok: String = "<PRE>", sufTok: String = "<SUF>",
+      midTok: String = "<MID>", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(perMille >= 0 && perMille <= 1000,
+      s"fimTransform: perMille must be 0..1000, got $perMille")
+    val base = df.select(col(idCol), col(textCol),
+        split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col(textCol), col("__toks"),
+        size(col("__toks")).cast("long").as("__nt"))
+    def slice4(from: Int): Column =
+      conv(substring(md5(concat_ws("#", col(idCol).cast("string"),
+        lit("fim"))), from, 4), 16, 10).cast("long")
+    val applied = slice4(1) * 1000 < lit(65536L) * perMille
+    val c1r = pmod(slice4(5), col("__nt")) + 1
+    val c2r = pmod(slice4(9), col("__nt")) + 1
+    val c1 = least(c1r, c2r); val c2 = greatest(c1r, c2r)
+    // prefix [1, c1-1], middle [c1, c2], suffix [c2+1, n] — 1-based
+    // inclusive token spans; the three sentinels ride the same array
+    // so the join handles empty segments uniformly
+    val psm = array_join(concat(
+      array(lit(preTok)), slice(col("__toks"), lit(1), c1 - 1),
+      array(lit(sufTok)), slice(col("__toks"), c2 + 1, col("__nt") - c2),
+      array(lit(midTok)), slice(col("__toks"), c1, c2 - c1 + 1)), " ")
+    base.select(col(idCol), applied.as("fim_applied"),
+      when(applied, psm).otherwise(col(textCol)).as("text_out"))
+  }
+
+  /** Deterministic per-source data EPOCHS — the mixture upsampling
+    * every LLM run applies (small high-quality sources repeat; the big
+    * crawl passes once). Each row replicates `epochs(source)` times
+    * (default 1 for unlisted sources) with an `epoch` column 0..k-1 —
+    * downstream shuffling/packing treats (doc, epoch) as the training
+    * unit. A pure per-row explode of a literal-map lookup: zero
+    * shuffle, and the replication factor is bounded by the map the
+    * caller ships, never by data.
+    */
+  def epochMix(df: DataFrame, epochs: Map[String, Int],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(epochs.values.forall(k => k >= 1 && k <= 1000),
+      "epochMix: epochs per source must be 1..1000")
+    val k =
+      if (epochs.isEmpty) lit(1)
+      else coalesce(element_at(
+        typedLit(epochs), col(sourceCol)), lit(1))
+    df.select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0L), k.cast("long") - 1)).as("epoch"))
+  }
+
   /** Heuristic language ID: score = marker-token hit count per language;
     * prediction = argmax score with lexicographic tie-break. Markers are
     * n-gram-style surface cues; deterministic and engine-portable.

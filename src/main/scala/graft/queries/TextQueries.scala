@@ -545,6 +545,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "fim_transform" -> { (spark, dir) =>
+      // Deterministic fill-in-the-middle: 50% of docs re-serialized
+      // PSM-style around two md5(doc_id)-derived token cuts. One array
+      // concat + join per row — empty prefixes/suffixes introduce no
+      // stray spaces, so the transformed text oracles byte-exactly.
+      import spark.implicits._
+      TextOps.fimTransform(Tables.documents(spark, dir))
+        .orderBy("doc_id")
+    },
+
+    "epoch_mix" -> { (spark, dir) =>
+      // Per-source data epochs: src0 passes 3x, src3/src7 2x, the rest
+      // once — the high-quality-upsampling mixture primitive. A per-row
+      // literal-map explode; replication is bounded by the shipped map.
+      import spark.implicits._
+      TextOps.epochMix(Tables.documents(spark, dir),
+          Map("src0" -> 3, "src3" -> 2, "src7" -> 2))
+        .orderBy("doc_id", "epoch")
+    },
+
     "t5_spans" -> { (spark, dir) =>
       // Deterministic T5 span corruption: md5-selected 5% span starts ×
       // 3 tokens (≈ 15% corruption), overlapping-or-adjacent spans
@@ -1129,6 +1149,39 @@ object TextQueries {
          |SELECT bucket, w AS w_micros FROM w2 WHERE w <> 0
          |ORDER BY bucket""".stripMargin
     },
+
+    // the whole FIM serialization recomputed: selection + both cuts from
+    // disjoint md5 slices of doc_id#fim, list concat with the sentinels
+    "fim_transform" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS nt FROM documents),
+        |h AS (SELECT doc_id, text, toks, nt,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || '#fim'), 1, 4))::BIGINT AS h0,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || '#fim'), 5, 4))::BIGINT AS h1,
+        |             ('0x' || substr(md5(doc_id::VARCHAR || '#fim'), 9, 4))::BIGINT AS h2
+        |      FROM d),
+        |c AS (SELECT doc_id, text, toks, nt,
+        |             h0 * 1000 < 65536 * 500 AS applied,
+        |             least(h1 % nt + 1, h2 % nt + 1) AS c1,
+        |             greatest(h1 % nt + 1, h2 % nt + 1) AS c2
+        |      FROM h)
+        |SELECT doc_id, applied AS fim_applied,
+        |       CASE WHEN applied THEN array_to_string(
+        |              ['<PRE>'] || toks[1:c1-1] || ['<SUF>'] || toks[c2+1:nt] ||
+        |              ['<MID>'] || toks[c1:c2], ' ')
+        |            ELSE text END AS text_out
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // per-source epoch counts as a CASE, replicated by range unnest
+    "epoch_mix" ->
+      """WITH k AS (SELECT doc_id, source,
+        |                  CASE source WHEN 'src0' THEN 3
+        |                              WHEN 'src3' THEN 2
+        |                              WHEN 'src7' THEN 2
+        |                              ELSE 1 END AS n
+        |           FROM documents)
+        |SELECT doc_id, source, unnest(range(0, n)) AS epoch
+        |FROM k ORDER BY doc_id, epoch""".stripMargin,
 
     // span starts from the same md5 slice, clamped ends, island merge —
     // the whole T5 device recomputed in SQL windows

@@ -2118,6 +2118,58 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("fimTransform: recomputed cuts, clean empty-segment serialization; epochMix counts") {
+    // Driver recompute of selection + cuts on the corpus, PSM
+    // serialization compared byte-for-byte (empty prefix/suffix must
+    // not leave stray spaces — the sentinels ride the same array join).
+    val docs = Tables.documents(spark, Sf0001).select(col("doc_id"), col("text"))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def expect(id: Long, text: String): (Long, Boolean, String) = {
+      val toks = text.split(" ", -1).toVector
+      val n = toks.length.toLong
+      val h = md5hex(s"$id#fim")
+      val h0 = java.lang.Long.parseLong(h.substring(0, 4), 16)
+      val h1 = java.lang.Long.parseLong(h.substring(4, 8), 16)
+      val h2 = java.lang.Long.parseLong(h.substring(8, 12), 16)
+      if (h0 * 1000 >= 65536L * 500) (id, false, text)
+      else {
+        val (a, b) = (h1 % n + 1, h2 % n + 1)
+        val c1 = math.min(a, b).toInt; val c2 = math.max(a, b).toInt
+        val out = (Vector("<PRE>") ++ toks.slice(0, c1 - 1) ++
+          Vector("<SUF>") ++ toks.slice(c2, toks.length) ++
+          Vector("<MID>") ++ toks.slice(c1 - 1, c2)).mkString(" ")
+        (id, true, out)
+      }
+    }
+    val want = docs.collect()
+      .map(r => expect(r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    val got = TextOps.fimTransform(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    val applied = got.count(_._2)
+    assert(applied > got.size * 35 / 100 && applied < got.size * 65 / 100,
+      s"FIM rate off: $applied of ${got.size}")
+    // single-token doc: prefix and suffix both empty, no double spaces
+    val one = Seq((7L, "solo")).toDF("doc_id", "text")
+    val soloOut = TextOps.fimTransform(one, perMille = 1000).collect()(0).getString(2)
+    assert(soloOut == "<PRE> <SUF> <MID> solo", soloOut)
+
+    // epochMix: exact replication per the map, epoch numbering 0..k-1,
+    // unlisted sources default to one pass
+    val mix = TextOps.epochMix(Tables.documents(spark, Sf0001),
+      Map("src0" -> 3, "src3" -> 2))
+    val bySrc = mix.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), max(col("epoch")).as("maxe"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val baseCounts = Tables.documents(spark, Sf0001).groupBy(col("source"))
+      .agg(count(lit(1))).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    baseCounts.foreach { case (src, n) =>
+      val k = Map("src0" -> 3L, "src3" -> 2L).getOrElse(src, 1L)
+      assert(bySrc(src) == (n * k, k - 1), s"$src: ${bySrc(src)} want ${(n * k, k - 1)}")
+    }
+  }
+
   test("sketch bounds hold at sf0.01 — a sketch regression is a red test") {
     // CI-grade enforcement of the two no-oracle queries' error bands
     // (r8 verdict #7): SketchBounds runs under Verify but its result was

@@ -208,7 +208,9 @@ class PlanSpec extends SparkSpec {
       "priority_sample_lang" -> 4, // measured 4: per-group rank window (WindowGroupLimit-pruned) + tiny tau agg + tau join + final sort
       "dedup_bloom_increment" -> 11, // measured 9 (+2 cached-pipeline slack): bloom bit_or agg + hits agg + confirmed distinct + final sort — every JOIN is broadcast, so the seen scan never exchanges
       "mlm_mask" -> 1,  // measured 1: pure explode + filter, the only exchange is the final sort
-      "t5_spans" -> 2)  // measured 2: ONE per-doc exchange shared by both windows and the island groupBy + final sort
+      "t5_spans" -> 2,  // measured 2: ONE per-doc exchange shared by both windows and the island groupBy + final sort
+      "fim_transform" -> 1, // measured 1: per-row projection; sort only
+      "epoch_mix" -> 1)     // measured 1: per-row literal-map explode; sort only
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
