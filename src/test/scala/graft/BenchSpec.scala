@@ -112,6 +112,57 @@ class BenchSpec extends SparkSpec {
     }
   }
 
+  test("a STREAM stopped mid-write lands its killed tasks in the counter") {
+    // The exact shape behind the r6–r8 tail stacks: an AvailableNow
+    // stream's parquet-sink task killed by stop() while writing
+    // (FileFormatWriter ERROR stack, no task failure). The lifetime
+    // killed counter must name it.
+    val listener = new TaskFailureListener
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    val base = java.nio.file.Files.createTempDirectory("graft-skill").toString
+    try {
+      import spark.implicits._
+      spark.range(0, 8, 1, 8).write.parquet(s"$base/in")
+      val killedBefore = listener.killed
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val startGate = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            e: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          started.countDown()
+      }
+      sc.addSparkListener(startGate)
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(s"$base/in").as[Long]
+        .map { v => Thread.sleep(10000); v }
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // stop once a sink task is genuinely mid-write
+      assert(started.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "no stream task started within 60s")
+      Thread.sleep(500)
+      q.stop()
+      sc.removeSparkListener(startGate)
+      // quiesce + drain via a measured window; the stream's killed
+      // write tasks must be counted but never charged as failures
+      val (_, failed, _) = Bench.measure(spark, listener) {
+        spark.range(1000L).agg(sum(col("id"))).count(): Unit
+      }
+      assert(listener.killed > killedBefore,
+        s"stream-stop kills went uncounted (killed=${listener.killed})")
+      assert(failed == 0L, s"stream kills charged as failures: $failed")
+    } finally {
+      sc.removeSparkListener(listener)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base)): Unit
+    }
+  }
+
   test("loadAvg1m reads a plausible host load") {
     val l = Bench.loadAvg1m()
     assert(l >= 0.0 && l < 10000.0, s"loadavg $l")
