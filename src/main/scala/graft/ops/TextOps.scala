@@ -862,6 +862,16 @@ object TextOps {
         col(idCol).cast("string"),
         lit(" is null or negative — priority sampling requires" +
           " non-negative weights"))))
+      // upper bound: the priority numerator is w·65536 in LONG
+      // arithmetic (exact-integer determinism is the point), so any
+      // w > 2^47−1 would silently wrap negative and corrupt the
+      // sample AND τ — refuse loudly instead (weights are counts;
+      // 2^47 chars/tokens per row is beyond any real document)
+      .when(col(weightCol).cast("long") > lit(Long.MaxValue >> 16),
+        raise_error(concat(lit(s"$op: weight for id "),
+          col(idCol).cast("string"),
+          lit(s" exceeds 2^47-1 — w*65536 would overflow the exact" +
+            " long priority numerator; rescale the weight column"))))
       .otherwise(col(weightCol).cast("long")).as("w")
 
   def prioritySample(df: DataFrame, k: Int, weightCol: String = "n_chars",

@@ -253,9 +253,19 @@ object StreamingJob {
     // case; a prior streaming dir (log present) is a legal resume.
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the parquet probe must RECURSE: a partitioned batch dataset nests
+    // its files under key=value subdirectories, and a top-level-only
+    // listStatus would wave exactly the layout the guard exists to stop
+    def holdsBatchParquet: Boolean = {
+      val it = fs.listFiles(outP, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
     if (fs.exists(outP) &&
         !fs.exists(new org.apache.hadoop.fs.Path(outPath, "_spark_metadata")) &&
-        fs.listStatus(outP).exists(_.getPath.getName.endsWith(".parquet")))
+        holdsBatchParquet)
       throw new IllegalStateException(
         s"runBandIngest: $outPath already holds batch-written parquet " +
           "files; a streaming sink's _spark_metadata log would shadow " +

@@ -65,8 +65,24 @@ object Soak {
     // generate() runs before anything routed through Tables.events has
     // set it. The nanos copy stays a raw long; Tables.events normalizes
     // it at read like any testdata dir.
+    // ...and RESTORED after staging (finally below): these are
+    // session-global confs, and leaving them flipped would run every
+    // subsequently timed query under parquet-read settings a standalone
+    // bench session doesn't use.
+    val prevConfs = Seq("spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.legacy.parquet.nanosAsLong")
+      .map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try generateStaged(spark, srcDir, outDir, factor)
+    finally prevConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def generateStaged(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Unit = {
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def reps(df: DataFrame): DataFrame =
       df.withColumn("__rep", explode(sequence(lit(0L), lit(factor - 1L))))

@@ -569,6 +569,17 @@ class JobsSpec extends SparkSpec {
         s"$out/buckets", s"$base/ckpt2")
     }
     assert(e2.getMessage.contains("_spark_metadata"), e2.getMessage)
+    // ...including a PARTITIONED batch dataset, whose parquet files nest
+    // under key=value subdirectories — a top-level-only probe would wave
+    // it through and the sink's commit log would then shadow all of it
+    val partitioned = s"$base/partitioned"
+    docs.filter($"doc_id" < 5).withColumn("lang2", lit("en"))
+      .write.partitionBy("lang2").parquet(partitioned)
+    val e3 = intercept[IllegalStateException] {
+      graft.streaming.StreamingJob.runBandIngest(spark, schema, b1P,
+        partitioned, s"$base/ckpt3")
+    }
+    assert(e3.getMessage.contains("_spark_metadata"), e3.getMessage)
   }
 
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {

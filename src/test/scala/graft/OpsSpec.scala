@@ -1962,6 +1962,21 @@ class OpsSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("non-negative")), e.toString)
+    // ...and the UPPER bound: w > 2^47-1 would silently wrap the exact
+    // long numerator w*65536 negative (corrupting the sample and tau
+    // with no error) — refused just as loudly
+    val huge = Seq((1L, "x", 10L), (2L, "y", (Long.MaxValue >> 16) + 1))
+      .toDF("doc_id", "text", "n_chars")
+    val e2 = intercept[Exception] { TextOps.prioritySample(huge, 1).count() }
+    assert(msgs(e2).exists(_.contains("overflow")), e2.toString)
+    val e3 = intercept[Exception] {
+      TextOps.prioritySamplePerGroup(
+        huge.withColumn("grp", lit("a")), 1, groupCol = "grp").count()
+    }
+    assert(msgs(e3).exists(_.contains("overflow")), e3.toString)
+    // the exact boundary value 2^47-1 is still legal — no false refusal
+    val edge = Seq((1L, "x", Long.MaxValue >> 16)).toDF("doc_id", "text", "n_chars")
+    assert(TextOps.prioritySample(edge, 1).count() == 1L)
   }
 
   test("prioritySamplePerGroup: per-group top-k, per-group tau, small groups exact") {
