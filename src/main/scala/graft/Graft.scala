@@ -62,6 +62,16 @@ object Graft {
     Dedup.simhashNearDup(docs, maxDist = maxDist)
   def duplicateClusters(pairs: DataFrame): DataFrame =
     Dedup.connectedComponents(pairs)
+  /** The hot-band overflow counter: bucket census + pairs the LSH cap
+    * avoided (see [[graft.ops.Dedup.lshCandidates]]'s cap contract).
+    * Non-zero `n_hot_bands` on a corpus that should not contain
+    * mega-duplicate clusters is a data-quality alarm.
+    */
+  def hotBandReport(docs: DataFrame,
+      maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame =
+    Dedup.hotBandStats(
+      Dedup.minhashSignatureRows(Dedup.shingleRows(docs)),
+      maxBandSize = maxBandSize)
   /** Typo-level near-dup over a short string field's distinct VALUES
     * (FastSS deletion neighborhoods + levenshtein verify, exact for
     * `maxDist` ≤ 2) — the canonicalization primitive for

@@ -696,18 +696,119 @@ object Dedup {
     sig.select(col(idCol), explode(array(bandCols: _*)).as("band"))
   }
 
+  /** Default per-bucket membership cap for the LSH candidate stage
+    * (see [[lshCandidates]]): far above anything a healthy corpus
+    * produces (sf0.1 documents max out at 18 members/bucket; real
+    * near-dup clusters are tens), so the chain path only ever fires on
+    * the pathological buckets it exists for — the million-copy
+    * boilerplate cluster whose identical signatures land k docs in one
+    * band key and would emit O(k²) candidate pairs.
+    */
+  val DefaultMaxBandSize = 256
+
+  /** Salt-group count for the two-level chain inside an over-full band
+    * bucket — fixed (not cluster-dependent) so the emitted pairs are
+    * deterministic and cross-engine oracle-able.
+    */
+  val HotBandSaltGroups = 64
+
+  /** Component-preserving O(k) replacement for an over-full bucket's
+    * O(k²) all-pairs: chain the bucket's members instead of pairing
+    * them all. Two deterministic levels so no single task ever sorts
+    * the whole bucket: members split into [[HotBandSaltGroups]] salt
+    * groups by md5(id) (level 1: consecutive-id pairs within each
+    * (band, salt) group), then each group's minimum id chains across
+    * groups (level 2: ≤ 63 pairs per band). Exactly k−1 edges per
+    * k-member bucket, spanning the same connected component as the
+    * all-pairs clique — so downstream [[connectedComponents]] clusters
+    * are identical, which is the contract the cap rides on. Input:
+    * (band, idCol) rows, one per member; output (doc_a < doc_b).
+    */
+  private[graft] def chainBucketMembers(members: DataFrame,
+      idCol: String): DataFrame = {
+    val salt = pmod(conv(substring(md5(col(idCol).cast("string")), 1, 8),
+      16, 10).cast("long"), lit(HotBandSaltGroups.toLong))
+    val salted = members.select(col("band"), col(idCol), salt.as("__salt"))
+    val wIn = Window.partitionBy(col("band"), col("__salt")).orderBy(col(idCol))
+    val within = salted
+      .withColumn("__next", lead(col(idCol), 1).over(wIn))
+      .filter(col("__next").isNotNull)
+      .select(col(idCol).as("doc_a"), col("__next").as("doc_b"))
+    val reps = salted.groupBy(col("band"), col("__salt"))
+      .agg(min(col(idCol)).as("__rep"))
+    val wRep = Window.partitionBy(col("band")).orderBy(col("__rep"))
+    val across = reps
+      .withColumn("__next", lead(col("__rep"), 1).over(wRep))
+      .filter(col("__next").isNotNull)
+      .select(col("__rep").as("doc_a"), col("__next").as("doc_b"))
+    within.union(across)
+  }
+
   /** LSH candidate pairs: band key = md5(band_index | its r signature
     * mins); docs sharing any band key become candidates. Returns
     * (doc_a, doc_b) with doc_a < doc_b, distinct.
+    *
+    * Hot-band cap (`maxBandSize`, 0 disables): a bucket whose
+    * membership k exceeds the cap — the million-copy boilerplate
+    * cluster, whose members share identical signatures and therefore
+    * identical band keys — would emit O(k²) pairs from the self-join
+    * (10¹² candidates from ONE bucket at k = 10⁶). Over the cap the
+    * bucket instead emits the k−1 [[chainBucketMembers]] edges, which
+    * span the same component, so [[connectedComponents]]-based results
+    * (clusters, keep-lists, keepers) are IDENTICAL while candidate
+    * volume stays linear. What changes above the cap: the pair LIST for
+    * that bucket is no longer exhaustive, and post-verify connectivity
+    * relies on chained neighbors verifying (true for the near-identical
+    * content that creates over-full buckets; a pair whose only
+    * collision is a hot band and which is non-adjacent in the chain is
+    * not re-verified). Membership counting is groupBy + join-back, the
+    * same skew-safe shape as every df-cap in this file — never a
+    * window over the hot key.
     */
   def lshCandidates(sig: DataFrame, idCol: String = "doc_id",
-      bands: Int = 8, rowsPerBand: Int = 3): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 3,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val long = bandRows(sig, idCol, bands, rowsPerBand)
-    val a = long.as("a"); val b = long.as("b")
-    a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    if (maxBandSize <= 0) {
+      val a = long.as("a"); val b = long.as("b")
+      a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        .distinct()
+    } else {
+      val counts = long.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
+      val withN = long.join(counts, "band")
+      val cold = withN.filter(col("__bn") <= maxBandSize)
+        .select(col("band"), col(idCol))
+      val a = cold.as("a"); val b = cold.as("b")
+      val coldPairs = a
+        .join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      val hot = withN.filter(col("__bn") > maxBandSize)
+        .select(col("band"), col(idCol))
+      coldPairs.union(chainBucketMembers(hot, idCol)).distinct()
+    }
   }
+
+  /** The overflow COUNTER for the hot-band cap — one row per corpus:
+    * total band buckets, buckets over `maxBandSize`, the largest
+    * bucket, and the candidate pairs the cap avoided
+    * (Σ_hot k·(k−1)/2 − (k−1)). Run it alongside any capped dedup to
+    * see whether (and how hard) the cap fired; a non-zero
+    * `n_hot_bands` on a corpus that should not contain mega-clusters
+    * is a data-quality alarm in itself.
+    */
+  def hotBandStats(sig: DataFrame, idCol: String = "doc_id",
+      bands: Int = 8, rowsPerBand: Int = 3,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    bandRows(sig, idCol, bands, rowsPerBand)
+      .groupBy(col("band")).agg(count(lit(1)).as("n_members"))
+      .agg(count(lit(1)).as("n_bands"),
+        sum(when(col("n_members") > maxBandSize, 1L).otherwise(0L))
+          .as("n_hot_bands"),
+        max(col("n_members")).as("max_band_size"),
+        sum(when(col("n_members") > maxBandSize,
+          expr("n_members * (n_members - 1) DIV 2 - (n_members - 1)"))
+          .otherwise(0L)).as("pairs_avoided"))
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * sets; keeps pairs with jaccard > threshold using the integer form
@@ -747,10 +848,12 @@ object Dedup {
     * rate × corpus) is cached, since two consumers need it.
     */
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
-    val cand = registerDf(lshCandidates(sig, idCol).cache())
+    val cand = registerDf(
+      lshCandidates(sig, idCol, maxBandSize = maxBandSize).cache())
     verifyAgainstSource(cand, spread, idCol, textCol)
   }
 
@@ -1045,10 +1148,11 @@ object Dedup {
     * O(batch × collision rate), not O(corpus²).
     */
   def minhashPairsIncremental(df: DataFrame, newFromId: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
-    val cand = registerDf(lshCandidates(sig, idCol)
+    val cand = registerDf(lshCandidates(sig, idCol, maxBandSize = maxBandSize)
       .filter(col("doc_b") >= newFromId)
       .cache())
     verifyAgainstSource(cand, spread, idCol, textCol)

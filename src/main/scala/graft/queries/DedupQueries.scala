@@ -289,6 +289,45 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    "lsh_hot_band_chain" -> { (spark, dir) =>
+      // The hot-band cap's EXACT pair semantics, oracled: docs < 100
+      // plus ten verbatim copies of each of docs 0..2 (identical text →
+      // identical signatures → 11+-member band buckets). With the cap
+      // forced down to 4, those buckets emit the deterministic
+      // two-level chain (salt groups by md5(id), consecutive-id edges,
+      // then the rep chain) while every cold bucket keeps its all-pairs
+      // — both reproduced verbatim in DuckDB, so a drift in EITHER
+      // path (the chain order, the salt, the cap trigger, the cold
+      // join) hash-mismatches.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).filter($"doc_id" < 100)
+      val copies = docs.filter($"doc_id" < 3)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0L), lit(9L))).as("r"))
+        .select(($"doc_id" * 100 + $"r" + 10000L).as("doc_id"), $"text")
+      val corpus = docs.select($"doc_id", $"text").unionByName(copies)
+      Dedup.lshCandidates(
+          Dedup.minhashSignatureRows(Dedup.shingleRows(corpus)),
+          maxBandSize = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    "hot_band_stats" -> { (spark, dir) =>
+      // The cap's loud overflow counter on the same synthetic hot
+      // corpus: bucket census plus the pair-exact count of candidates
+      // the cap avoided (Σ_hot k(k−1)/2 − (k−1)).
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).filter($"doc_id" < 100)
+      val copies = docs.filter($"doc_id" < 3)
+        .select($"doc_id", $"text",
+          explode(sequence(lit(0L), lit(9L))).as("r"))
+        .select(($"doc_id" * 100 + $"r" + 10000L).as("doc_id"), $"text")
+      val corpus = docs.select($"doc_id", $"text").unionByName(copies)
+      Dedup.hotBandStats(
+        Dedup.minhashSignatureRows(Dedup.shingleRows(corpus)),
+        maxBandSize = 4)
+    },
+
     "decontaminate" -> { (spark, dir) =>
       // Benchmark decontamination — the train/eval n-gram overlap check
       // every LLM data pipeline runs before training: flag training
@@ -348,6 +387,42 @@ object DedupQueries {
           $"uni".cast("long").as("uni"))
         .orderBy("doc_a", "doc_b")
     })
+
+  /** Shared DuckDB CTE for the two hot-band queries: the synthetic hot
+    * corpus (docs < 100 plus ten verbatim copies of docs 0..2), its
+    * 24-permutation MinHash signatures, the 8 r=3 band keys
+    * (md5(b|h₃ᵦ|h₃ᵦ₊₁|h₃ᵦ₊₂), exactly Dedup.bandRows' concat_ws), and
+    * the per-bucket membership census.
+    */
+  private val HotBandCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id * 100 + r + 10000 AS doc_id, text
+      |  FROM documents, range(10) t(r) WHERE doc_id < 3),
+      |hd AS (SELECT doc_id, string_split(text, ' ') AS toks,
+      |              len(string_split(text, ' ')) AS nt FROM corpus),
+      |hsh AS (SELECT doc_id,
+      |               unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |                                     for i in range(1, nt - 1)])) AS shingle
+      |        FROM hd WHERE nt >= 3),
+      |hx AS (SELECT doc_id,
+      |              ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 999999937 AS x
+      |       FROM hsh),
+      |hsig AS (SELECT doc_id, perm,
+      |                min((x * (2 * perm + 1) + 7919 * (perm + 1)) % 999999937) AS h
+      |         FROM hx CROSS JOIN (SELECT unnest(range(24)) AS perm) p
+      |         GROUP BY 1, 2),
+      |hbw AS (SELECT doc_id, perm // 3 AS b,
+      |               max(CASE WHEN perm % 3 = 0 THEN h END) AS h0,
+      |               max(CASE WHEN perm % 3 = 1 THEN h END) AS h1,
+      |               max(CASE WHEN perm % 3 = 2 THEN h END) AS h2
+      |        FROM hsig GROUP BY 1, 2),
+      |hbands AS (SELECT doc_id,
+      |                  md5(b::VARCHAR || '|' || h0::VARCHAR || '|' ||
+      |                      h1::VARCHAR || '|' || h2::VARCHAR) AS band
+      |           FROM hbw),
+      |hcnt AS (SELECT band, count(*) AS bn FROM hbands GROUP BY 1)""".stripMargin
 
   private def simhashOracleBits: String =
     (0 until 32).map(j =>
@@ -719,6 +794,42 @@ object DedupQueries {
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND b.doc_id >= 400)
          |SELECT doc_a, doc_b, inter, uni FROM p
          |WHERE inter * 2 > uni ORDER BY doc_a, doc_b""".stripMargin,
+
+    // both the cold all-pairs path and the hot two-level chain (salt by
+    // md5(id) % 64, consecutive-id edges, then the group-min rep chain)
+    // reproduced verbatim — any drift in cap trigger, salt, or chain
+    // order hash-mismatches
+    "lsh_hot_band_chain" ->
+      s"""WITH $HotBandCte,
+         |cold AS (SELECT doc_id, band FROM hbands JOIN hcnt USING (band)
+         |         WHERE bn <= 4),
+         |coldp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM cold a JOIN cold b
+         |            ON a.band = b.band AND a.doc_id < b.doc_id),
+         |hot AS (SELECT doc_id, band,
+         |               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 64 AS salt
+         |        FROM hbands JOIN hcnt USING (band) WHERE bn > 4),
+         |w1 AS (SELECT doc_id,
+         |              lead(doc_id) OVER (PARTITION BY band, salt ORDER BY doc_id) AS nxt
+         |       FROM hot),
+         |reps AS (SELECT band, min(doc_id) AS rep FROM hot GROUP BY band, salt),
+         |w2 AS (SELECT rep,
+         |              lead(rep) OVER (PARTITION BY band ORDER BY rep) AS nxt
+         |       FROM reps)
+         |SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT doc_a, doc_b FROM coldp
+         |  UNION ALL SELECT doc_id AS doc_a, nxt AS doc_b FROM w1 WHERE nxt IS NOT NULL
+         |  UNION ALL SELECT rep AS doc_a, nxt AS doc_b FROM w2 WHERE nxt IS NOT NULL)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "hot_band_stats" ->
+      s"""WITH $HotBandCte
+         |SELECT count(*)::BIGINT AS n_bands,
+         |       SUM(CASE WHEN bn > 4 THEN 1 ELSE 0 END)::BIGINT AS n_hot_bands,
+         |       max(bn)::BIGINT AS max_band_size,
+         |       SUM(CASE WHEN bn > 4 THEN bn * (bn - 1) // 2 - (bn - 1)
+         |                ELSE 0 END)::BIGINT AS pairs_avoided
+         |FROM hcnt""".stripMargin,
 
     "decontaminate" ->
       s"""WITH $ShinglesCte,

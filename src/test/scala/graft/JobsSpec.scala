@@ -492,6 +492,45 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("run BuildDedupIndex.run first"), e.getMessage)
   }
 
+  test("stored-index probe caps hot buckets: chain + one link instead of k_new x k_seen") {
+    // The probe form of the hot-band cap: 200 identical seen docs
+    // already indexed, 150 identical copies arriving as the batch —
+    // every band bucket holds 350 distinct members (> 256), the hourly
+    // arrival shape of a web boilerplate cluster. Uncapped this emits
+    // k_new·(k_seen + k_new − 1) ≈ 52k candidate pairs per band; capped
+    // it must emit the batch's 149 chain edges plus ONE link into the
+    // seen cluster — every new doc still joins the component, every
+    // pair keeps a new side (the probe contract).
+    val text = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    val seen = spark.range(200).select($"id".as("doc_id"), lit(text).as("text"))
+    val newDocs = spark.range(150)
+      .select(($"id" + 1000L).as("doc_id"), lit(text).as("text"))
+    val corpus = seen.unionByName(newDocs)
+    val stored = graft.jobs.BuildDedupIndex.bandTable(seen)
+    val pairs = graft.jobs.BuildDedupIndex.probe(newDocs, stored, corpus)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Dedup.releaseCaches()
+    assert(pairs.size == 150, s"expected 149 chain + 1 link pairs, got ${pairs.size}")
+    assert(pairs.count(p => p._1 < 1000L) == 1,
+      "exactly one link pair into the seen side")
+    assert(pairs.find(_._1 < 1000L).contains((0L, 1000L)),
+      "the link must join min(new) to the seen bucket's min member")
+    val covered = pairs.flatMap(p => Seq(p._1, p._2)).filter(_ >= 1000L)
+    assert(covered == (1000L until 1150L).toSet,
+      "every batch doc must appear in a verified pair")
+    assert(pairs.forall(p => p._1 >= 1000L || p._2 >= 1000L),
+      "probe pairs must keep at least one new side")
+    // cold-path regression: the same probe UNCAPPED returns the full
+    // bipartite+batch clique — proving the fixture would have exploded
+    val uncapped = graft.jobs.BuildDedupIndex.probeBands(
+      graft.jobs.BuildDedupIndex.bandTable(newDocs), stored, corpus,
+      maxBandSize = 0)
+    assert(uncapped.count() == 150L * 349L - 150L * 149L / 2L,
+      "uncapped fixture should be the full k_new-sided clique")
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("streamed band rows feed the stored dedup index: union probe equals fused") {
     // The continuous-ingest closure: batch-build buckets for the seen
     // corpus, STREAM a batch's band rows via runBandIngest (its own

@@ -1852,6 +1852,55 @@ class OpsSpec extends SparkSpec {
       .filter(col("h0").isNotNull).count() == 0)
   }
 
+  test("hot-band cap preserves clusters: capped == uncapped components end-to-end") {
+    // A 300-member identical-text cluster (over the 256 default cap →
+    // the chain path fires in every band bucket) plus background
+    // near-dup structure (cold buckets → the all-pairs path runs
+    // unchanged). The cap's contract is COMPONENT preservation: the
+    // verified pair LIST shrinks for the hot cluster (k−1 chain edges
+    // instead of k·(k−1)/2), but connectedComponents over capped pairs
+    // must label every doc identically to the uncapped run.
+    val hot = spark.range(300).select(($"id" + 1000L).as("doc_id"),
+      lit("omega phi chi psi sigma tau upsilon rho pi omicron").as("text"))
+    // bgA/bgB docs share tokens 2..10, so they form one background
+    // near-dup component of their own through ordinary cold buckets
+    val bgA = spark.range(10).select(($"id" * 2).as("doc_id"),
+      concat(lit("base"), $"id",
+        lit(" one two three four five six seven eight nine")).as("text"))
+    val bgB = spark.range(10).select(($"id" * 2 + 1).as("doc_id"),
+      concat(lit("base"), $"id",
+        lit(" one two three four five six seven eight ten")).as("text"))
+    val solo = spark.range(5).select(($"id" + 5000L).as("doc_id"),
+      concat(lit("lonely"), $"id", lit("a lonely"), $"id",
+        lit("b lonely"), $"id", lit("c end")).as("text"))
+    val docs = hot.unionByName(bgA).unionByName(bgB).unionByName(solo)
+
+    val capped = Dedup.minhashPairs(docs) // default cap 256
+    val cappedPairs = capped.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedCC = Dedup.connectedComponents(capped.select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    val uncapped = Dedup.minhashPairs(docs, maxBandSize = 0)
+    val uncappedPairs = uncapped.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncappedCC = Dedup.connectedComponents(uncapped.select(col("doc_a"), col("doc_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+
+    // the cap actually fired (identical docs verify at jaccard 1, so
+    // uncapped emits the full clique) and emitted a strict subset
+    assert(uncappedPairs.count(p => p._1 >= 1000L) == 300 * 299 / 2)
+    assert(cappedPairs.count(p => p._1 >= 1000L) == 299)
+    assert(cappedPairs.subsetOf(uncappedPairs),
+      "capped pairs must be a subset of the uncapped clique")
+    // ...while components — the dedup-semantics surface — are identical
+    assert(cappedCC == uncappedCC,
+      "hot-band cap changed connected components")
+    // and the hot cluster is one component labeled by its min id
+    assert(cappedCC.filter(_._1 >= 1000L).forall(_._2 == 1000L))
+  }
+
   test("bloomNovelDocuments: exact under forced false positives; filter bits verified") {
     // mBits = 64 (one word) with 50 seen docs saturates the filter, so
     // nearly every novel doc is a bloom FALSE POSITIVE — the exact

@@ -421,6 +421,47 @@ class ScaleSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("hot LSH band (10^4 near-identical docs in one bucket) stays linear: chain replaces all-pairs") {
+    import graft.ops.Dedup
+    // r9 verdict item 1 boundary pin: a cluster of near-identical
+    // documents shares identical MinHash signatures → identical band
+    // keys → ONE bucket holds all k members in every band. Uncapped,
+    // the band self-join emits 8·k·(k−1)/2 = 4·10⁸ candidate rows from
+    // this fixture (10¹² at the web-corpus k = 10⁶ the cap targets);
+    // capped, each bucket emits the k−1 two-level chain edges and the
+    // whole stage is linear in k.
+    val k = 10000L
+    val docs = spark.range(k).select($"id".as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+    val sig = Dedup.minhashSignatureRows(Dedup.shingleRows(docs))
+      .cache()
+    sig.count()
+    val t0 = System.nanoTime()
+    val pairs = Dedup.lshCandidates(sig) // default cap 256
+    // all 8 buckets hold the same members, the chain depends only on
+    // ids → every band emits the SAME k−1 edges; distinct → k−1
+    val nPairs = pairs.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"hot-band $k%d-doc cluster: capped candidates in $secs%.1fs")
+    assert(nPairs == k - 1, s"chain must emit exactly k-1 edges, got $nPairs")
+    // the loud overflow counter: all 8 buckets report hot, and the
+    // avoided quadratic is accounted pair-exactly
+    val stats = Dedup.hotBandStats(sig).head()
+    assert(stats.getAs[Long]("n_bands") == 8L)
+    assert(stats.getAs[Long]("n_hot_bands") == 8L)
+    assert(stats.getAs[Long]("max_band_size") == k)
+    assert(stats.getAs[Long]("pairs_avoided") == 8L * (k * (k - 1) / 2 - (k - 1)))
+    // component preserved: the k−1 edges span ONE component covering
+    // every doc, labeled by the minimum id — exactly what the all-pairs
+    // clique would have produced
+    val cc = Dedup.connectedComponents(pairs)
+    val agg = cc.agg(count(lit(1)), countDistinct($"cluster_id"),
+      min($"cluster_id")).head()
+    assert(agg.getLong(0) == k && agg.getLong(1) == 1L && agg.getLong(2) == 0L)
+    sig.unpersist()
+    Dedup.releaseCaches()
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
