@@ -27,12 +27,13 @@ import graft.ops.Dedup
   * The band definition is [[Dedup.bandRows]] — the same function the
   * fused path self-joins — so stored and fused candidates cannot
   * drift; JobsSpec pins stored-probe ≡ fused-incremental equality.
-  * Like [[BuildIndex.append]], a batch append is NOT idempotent
-  * (re-appending duplicates bucket rows); callers own batch-level
-  * idempotence (stage each batch once, or route continuous ingest
-  * through streaming). Candidate DISTINCT dedups any double-counted
-  * bucket row, so a duplicated append degrades cost, never
-  * correctness.
+  * Every writer owns a `buckets/batch=<id>/` partition directory
+  * (overwrite-on-retry), so [[append]] and [[compact]] are IDEMPOTENT
+  * per batch id — the property the Scheduler's marker-after-work
+  * retry contract needs (JobsSpec pins the crash-between-append-and-
+  * marker chain). Candidate DISTINCT additionally dedups any
+  * double-counted bucket row (e.g. streamed/compacted overlap), so
+  * residual duplication degrades cost, never correctness.
   */
 object BuildDedupIndex {
 
@@ -139,13 +140,26 @@ object BuildDedupIndex {
     * rows_per_band) convention — a probe with a different split would
     * generate band keys from different signature slices and silently
     * miss every true pair, so [[append]] guards on it loudly.
+    *
+    * Layout: every writer owns a `buckets/batch=<id>/` partition
+    * directory — the base build is `batch=base`, each [[append]] its
+    * batch id, each [[compact]] its fold label. A batch RE-write is
+    * then an overwrite of its own directory, which is what makes
+    * [[append]] idempotent per batch id (the Scheduler retry
+    * contract); readers just `read.parquet(outPath/buckets)` and get
+    * an extra `batch` partition column they are free to ignore (every
+    * probe selects only (doc_id, band)). `run` clears any previous
+    * store first so a rebuild never inherits stale batch directories.
     */
   def run(spark: SparkSession, docsPath: String, outPath: String,
       bands: Int = 8, rowsPerBand: Int = 3): Unit = {
     import spark.implicits._
+    val bucketsRoot = new org.apache.hadoop.fs.Path(s"$outPath/buckets")
+    val fs = bucketsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(bucketsRoot)) fs.delete(bucketsRoot, true)
     val docs = spark.read.parquet(docsPath)
     bandTable(docs, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$outPath/buckets")
+      .write.mode("overwrite").parquet(s"$outPath/buckets/batch=base")
     Seq((bands, rowsPerBand)).toDF("bands", "rows_per_band")
       .write.mode("overwrite").parquet(s"$outPath/meta")
   }
@@ -157,15 +171,32 @@ object BuildDedupIndex {
     * least one side in the batch. `corpusPath` must hold seen ∪ new
     * text (the verify re-shingles candidate docs from it; the index
     * stores band keys, never text).
+    *
+    * IDEMPOTENT per `batchId`: the batch's band rows land in their own
+    * `buckets/batch=<id>/` directory via overwrite, so a retry after a
+    * crash between the append and the caller's commit marker (the
+    * Scheduler's marker-after-work contract, JobsSpec-pinned) rewrites
+    * the same directory instead of duplicating bucket rows — the store
+    * converges byte-identically however many times the hour re-runs.
+    * The default id is md5 of `newDocsPath` — re-running THE SAME
+    * input path is the retry shape; callers that reuse one path for
+    * different content must pass an explicit per-batch id (e.g. the
+    * hour string).
     */
   def append(spark: SparkSession, newDocsPath: String, corpusPath: String,
-      outPath: String): DataFrame = {
+      outPath: String, batchId: String = ""): DataFrame = {
     val meta = spark.read.parquet(s"$outPath/meta")
       .select(col("bands"), col("rows_per_band")).head(1).headOption
       .getOrElse(throw new IllegalStateException(
         s"BuildDedupIndex.append: stored index at $outPath is empty — " +
           "run BuildDedupIndex.run first; append only probes a built index"))
     val (bands, rowsPerBand) = (meta.getInt(0), meta.getInt(1))
+    val id = if (batchId.nonEmpty) batchId
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(newDocsPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildDedupIndex.append: batchId '$id' must be a plain partition value")
     val newDocs = spark.read.parquet(newDocsPath)
     val stored = spark.read.parquet(s"$outPath/buckets")
     // ONE shingle + 24-hash MinHash pass for the batch: the cached band
@@ -173,7 +204,13 @@ object BuildDedupIndex {
     // whole signature pipeline ran twice per hourly append)
     val newBands = Dedup.registerDf(
       bandTable(newDocs, bands, rowsPerBand).cache())
-    val pairs = probeBands(newBands, stored,
+    // a RETRY probes against a store that already holds this batch's
+    // own band rows (the crashed attempt committed them) — exclude the
+    // batch's own directory from the seen side so the probe is
+    // byte-identical on first run and every retry
+    val seen = stored.filter(col("batch").cast("string") =!= lit(id))
+      .select(col("doc_id"), col("band"))
+    val pairs = probeBands(newBands, seen,
       spark.read.parquet(corpusPath))
     // force the probe's candidate cache BEFORE committing the batch's
     // bands: the returned frame must reflect this batch against the
@@ -182,7 +219,7 @@ object BuildDedupIndex {
     // but the cache removes the dependence on re-listing semantics)
     pairs.cache().count(): Unit
     Dedup.registerDf(pairs)
-    newBands.write.mode("append").parquet(s"$outPath/buckets")
+    newBands.write.mode("overwrite").parquet(s"$outPath/buckets/batch=$id")
     pairs
   }
 
@@ -204,16 +241,25 @@ object BuildDedupIndex {
     * has nothing to fold into.
     */
   def compact(spark: SparkSession, streamedPath: String, outPath: String,
-      numFiles: Int = 8): Unit = {
+      numFiles: Int = 8, label: String = ""): Unit = {
     spark.read.parquet(s"$outPath/meta")
       .select(col("bands")).head(1).headOption
       .getOrElse(throw new IllegalStateException(
         s"BuildDedupIndex.compact: stored index at $outPath is empty — " +
           "run BuildDedupIndex.run first; compact only folds into a built index"))
+    // same per-writer partition-directory idempotence as [[append]]:
+    // re-compacting the same streamed dir overwrites its own fold
+    // instead of appending a second copy
+    val id = if (label.nonEmpty) label
+      else "fold-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(streamedPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildDedupIndex.compact: label '$id' must be a plain partition value")
     spark.read.parquet(streamedPath)
       .select(col("doc_id"), col("band"))
       .repartition(numFiles)
-      .write.mode("append").parquet(s"$outPath/buckets")
+      .write.mode("overwrite").parquet(s"$outPath/buckets/batch=$id")
   }
 
   def main(args: Array[String]): Unit = {

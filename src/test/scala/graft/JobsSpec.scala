@@ -492,6 +492,88 @@ class JobsSpec extends SparkSpec {
     assert(e.getMessage.contains("run BuildDedupIndex.run first"), e.getMessage)
   }
 
+  test("scheduler x index append: crash after append, before marker — retry converges byte-identical") {
+    // r9 verdict #2: the Scheduler's marker-after-work contract meets
+    // the stored dedup index. Hour 11's chain CRASHES after
+    // BuildDedupIndex.append committed its bucket rows but before the
+    // marker advanced — the exact window where a non-idempotent append
+    // would double the hour's rows on re-run. The per-batch partition
+    // directory makes the retry overwrite its own commit: the store
+    // converges byte-identically to a never-failed flow, and the
+    // re-run's probe returns pair-identical results (append excludes
+    // the batch's own directory from the seen side, so a retry probes
+    // the same history the first attempt did).
+    val base = Files.createTempDirectory("graft-sched-append").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"; docs.filter($"doc_id" < 30).write.parquet(seenP)
+    val h10 = s"$base/h10"
+    docs.filter($"doc_id" >= 30 && $"doc_id" < 40).write.parquet(h10)
+    val h11 = s"$base/h11"; docs.filter($"doc_id" >= 40).write.parquet(h11)
+    val all40 = s"$base/all40"; docs.filter($"doc_id" < 40).write.parquet(all40)
+    val allP = s"$base/all"; docs.write.parquet(allP)
+    def hourPath(hh: String) = if (hh == "10") h10 else h11
+    def corpusPath(hh: String) = if (hh == "10") all40 else allP
+
+    def flow(out: String, state: String,
+        failOnce: java.util.concurrent.atomic.AtomicBoolean,
+        got: scala.collection.mutable.Map[String, Seq[Seq[Any]]]): Seq[String] =
+      graft.jobs.Scheduler.catchupWith(spark, state,
+        "2019-10-01 10", "2019-10-01 12", retries = 0) { (d, hh) =>
+        val pairs = graft.jobs.BuildDedupIndex.append(spark, hourPath(hh),
+            corpusPath(hh), out, batchId = s"${d}T$hh")
+          .select("doc_a", "doc_b", "inter", "uni")
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+        graft.ops.Dedup.releaseCaches()
+        if (hh == "11" && failOnce.compareAndSet(true, false))
+          throw new RuntimeException("post-append crash before marker")
+        got(hh) = pairs
+      }
+
+    // flow A: hour 11 crashes AFTER its append committed
+    val outA = s"$base/a/index"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, outA)
+    val gotA = scala.collection.mutable.Map.empty[String, Seq[Seq[Any]]]
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val e = intercept[IllegalStateException] {
+      flow(outA, s"$base/a/state", failOnce, gotA)
+    }
+    assert(e.getCause.getMessage.contains("post-append crash"))
+    assert(graft.jobs.Scheduler.readMarker(spark, s"$base/a/state")
+      .contains("2019-10-01 10"), "marker must stay at H-1")
+    // the crashed attempt really did commit — this is the retry hazard
+    assert(new java.io.File(s"$outA/buckets/batch=2019-10-01T11").exists,
+      "fixture must exercise the committed-but-unmarked window")
+    val rowsAfterCrash = spark.read.parquet(s"$outA/buckets").count()
+    // re-launch: exactly hour 11 re-runs; its append overwrites its own
+    // partition directory instead of appending a second copy
+    assert(flow(outA, s"$base/a/state", failOnce, gotA)
+      == Seq("2019-10-01 11"))
+    val rowsAfterRetry = spark.read.parquet(s"$outA/buckets").count()
+    assert(rowsAfterRetry == rowsAfterCrash,
+      "retry must not duplicate the crashed batch's bucket rows")
+    // exact accounting: base + each hour's band rows, nothing more
+    val expect = Seq(docs.filter($"doc_id" < 30),
+      docs.filter($"doc_id" >= 30 && $"doc_id" < 40),
+      docs.filter($"doc_id" >= 40))
+      .map(d => graft.jobs.BuildDedupIndex.bandTable(d).count()).sum
+    assert(rowsAfterRetry == expect, s"store must hold exactly $expect rows")
+
+    // flow B: the never-failed run — pair-identical probes, byte-equal store
+    val outB = s"$base/b/index"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, outB)
+    val gotB = scala.collection.mutable.Map.empty[String, Seq[Seq[Any]]]
+    assert(flow(outB, s"$base/b/state",
+      new java.util.concurrent.atomic.AtomicBoolean(false), gotB)
+      == Seq("2019-10-01 10", "2019-10-01 11"))
+    assert(gotA("11").nonEmpty, "fixture must produce cross-batch pairs")
+    assert(gotA == gotB, "retried flow's probe results must equal the clean flow's")
+    def storeRows(p: String) = spark.read.parquet(s"$p/buckets")
+      .select($"doc_id", $"band", $"batch".cast("string"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(storeRows(outA) == storeRows(outB),
+      "retried store must converge byte-identical to the clean store")
+  }
+
   test("stored-index probe caps hot buckets: chain + one link instead of k_new x k_seen") {
     // The probe form of the hot-band cap: 200 identical seen docs
     // already indexed, 150 identical copies arriving as the batch —
@@ -562,7 +644,10 @@ class JobsSpec extends SparkSpec {
       == batchBands.collect().map(_.toSeq).toSeq.sortBy(_.toString),
       "streamed band rows diverged from the batch bandTable")
     // next batch probes stored ∪ streamed — equals the fused incremental
+    // (the batch partition column the layout adds is dropped: probes
+    // only ever need (doc_id, band))
     val stored = spark.read.parquet(s"$out/buckets")
+      .select($"doc_id", $"band")
     val got = graft.jobs.BuildDedupIndex.probe(
         docs.filter($"doc_id" >= 40),
         stored.unionByName(streamed.select($"doc_id", $"band")), docs)
@@ -588,7 +673,7 @@ class JobsSpec extends SparkSpec {
     graft.jobs.BuildDedupIndex.compact(spark, s"$base/streamed", out)
     val gotCompacted = graft.jobs.BuildDedupIndex.probe(
         docs.filter($"doc_id" >= 40),
-        spark.read.parquet(s"$out/buckets"), docs)
+        spark.read.parquet(s"$out/buckets").select($"doc_id", $"band"), docs)
       .select("doc_a", "doc_b", "inter", "uni")
       .collect().map(_.toSeq).toSeq.sortBy(_.toString)
     graft.ops.Dedup.releaseCaches()
