@@ -706,6 +706,89 @@ class JobsSpec extends SparkSpec {
     assert(e3.getMessage.contains("_spark_metadata"), e3.getMessage)
   }
 
+  test("duplicate-heavy stream: ingest -> compact -> retire -> probe equals batch-built; overlap absorbed") {
+    // r9 verdict #3: the full stored-index lifecycle under the
+    // boilerplate-cluster arrival shape — 300 verbatim copies of one
+    // text streaming in over four AvailableNow launches (the hourly
+    // re-launch cadence), folded into the store, the streamed dir and
+    // checkpoint retired, then a batch of five MORE copies probing the
+    // stored-only index. The probe must equal a batch-built index over
+    // the identical corpus (both via the capped path: the bucket holds
+    // 305 members > 256, so the hot-band chain+link fires on BOTH
+    // sides), and a full duplicate re-fold (fresh checkpoint re-ingest
+    // of everything, compacted under its own label) must change
+    // nothing: candidate DISTINCT absorbs duplicate bucket rows and
+    // the probe's DISTINCT membership census keeps the bucket hot
+    // exactly once.
+    val base = Files.createTempDirectory("graft-stream-hot").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val boiler = "golf hotel india juliett kilo lima mike november oscar papa"
+    val seenDocs = docs.filter($"doc_id" < 30).select($"doc_id", $"text")
+    val seenP = s"$base/seen"; seenDocs.write.parquet(seenP)
+    val out = s"$base/index"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val streamIn = s"$base/in"
+    val streamed = s"$base/streamed"; val ckpt = s"$base/ckpt"
+    (0 until 4).foreach { wave =>
+      spark.range(75)
+        .select(($"id" + 2000L + wave * 75L).as("doc_id"),
+          lit(boiler).as("text"))
+        .coalesce(1).write.mode("append").parquet(streamIn)
+      graft.streaming.StreamingJob.runBandIngest(spark, schema, streamIn,
+        streamed, ckpt)
+    }
+    // exactly-once across the four launches: 300 docs × 8 bands
+    assert(spark.read.parquet(streamed).count() == 2400L)
+    // fold the stream into the store, then retire dir + checkpoint
+    graft.jobs.BuildDedupIndex.compact(spark, streamed, out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamed))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+
+    val streamDocs = spark.range(300)
+      .select(($"id" + 2000L).as("doc_id"), lit(boiler).as("text"))
+    val corpusSoFar = seenDocs.unionByName(streamDocs)
+    val batch = spark.range(5)
+      .select(($"id" + 3000L).as("doc_id"), lit(boiler).as("text"))
+      .unionByName(Seq((4000L, "totally fresh content words alpha beta gamma"))
+        .toDF("doc_id", "text"))
+    val corpusAll = corpusSoFar.unionByName(batch)
+    def pairsOf(stored: org.apache.spark.sql.DataFrame) = {
+      val p = graft.jobs.BuildDedupIndex.probe(batch, stored, corpusAll)
+        .select("doc_a", "doc_b", "inter", "uni")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      graft.ops.Dedup.releaseCaches()
+      p
+    }
+    def bucketsOf(p: String) = spark.read.parquet(s"$p/buckets")
+      .select($"doc_id", $"band")
+    val fromStore = pairsOf(bucketsOf(out))
+    // capped shape: 4 chain edges among the 5 new copies + 1 link into
+    // the 300-member streamed cluster; the fresh doc pairs with nothing
+    assert(fromStore.size == 5, s"expected 4 chain + 1 link, got $fromStore")
+    // reference: a batch-BUILT index over the identical corpus
+    val refP = s"$base/ref"; corpusSoFar.write.parquet(refP)
+    val outRef = s"$base/refidx"
+    graft.jobs.BuildDedupIndex.run(spark, refP, outRef)
+    assert(fromStore == pairsOf(bucketsOf(outRef)),
+      "streamed+compacted store must probe identically to a batch-built index")
+    // overlap: a fresh-checkpoint re-ingest re-writes every row the
+    // store already holds; compacted under its own label it DOUBLES the
+    // bucket rows — and must change nothing downstream
+    val streamed2 = s"$base/streamed2"
+    graft.streaming.StreamingJob.runBandIngest(spark, schema, streamIn,
+      streamed2, s"$base/ckpt2")
+    graft.jobs.BuildDedupIndex.compact(spark, streamed2, out)
+    assert(bucketsOf(out).count() > bucketsOf(outRef).count(),
+      "fixture must really hold duplicated bucket rows")
+    assert(pairsOf(bucketsOf(out)) == fromStore,
+      "duplicate fold must be absorbed by the DISTINCT census and candidates")
+  }
+
   test("curate-corpus job: split-partitioned layout, idempotent, pruned read") {
     val base = Files.createTempDirectory("graft-curate").toString
     val out = s"$base/curated"
