@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   * long as no single user exceeds a partition (true for clickstreams) —
   * MEASURED boundary: a single 10^6-event user (a bot, ~100× a heavy
   * human) completes the whole W1–W4 chain in one window task in ~5 s
-  * (ScaleSpec "hot user" pins this). Low-cardinality rollups DOWNSTREAM
+  * (ScaleSpec "hot user" pins this), and a 10^7-event user — past any
+  * sane in-memory window buffer — completes in ~14 s WITH the buffer
+  * spilling ~270 MiB to disk (ScaleSpec "window spill boundary" pins
+  * disk bytes > 0). The knobs that govern that regime:
+  * `spark.sql.windowExec.buffer.in.memory.threshold` (rows buffered as
+  * JVM objects before switching to the unsafe sorter) and
+  * `spark.sql.windowExec.buffer.spill.threshold` (sorter rows per disk
+  * spill) — size them DOWN on memory-tight executors; the chain
+  * degrades to disk gracefully instead of OOMing, so a bot user at
+  * 100 TB is a slow task, never a dead one. Low-cardinality rollups DOWNSTREAM
   * of sessionization (histogram-style groupBys) must not re-serialize
   * the hot key into one reducer: route them through the salted
   * two-phase pre-aggregation ([[Skew.saltedSumCount]], equivalence

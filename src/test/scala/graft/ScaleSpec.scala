@@ -203,6 +203,64 @@ class ScaleSpec extends SparkSpec {
     plain.foreach { case (k, c) => assert(salted(k) == c, s"bucket $k") }
   }
 
+  test("window spill boundary: a 10^7-event single user spills to disk and completes") {
+    // r9 verdict #6: past the 10^6 in-memory hot-user point, the real
+    // bot-user bound at 100 TB is a single key whose window buffer
+    // exceeds executor memory — ExternalAppendOnlyUnsafeRowArray must
+    // SPILL, not OOM. The two knobs (documented in the Sessionize
+    // scaladoc): spark.sql.windowExec.buffer.in.memory.threshold (rows
+    // held as objects before switching to the unsafe sorter) and
+    // spark.sql.windowExec.buffer.spill.threshold (rows in the sorter
+    // before each disk spill). The spill threshold is pinned low here so
+    // the test proves the DISK path deterministically rather than
+    // depending on the test JVM's heap; the listener asserts bytes
+    // actually hit disk.
+    val n = 10000000L
+    val baseUs = 1700000000000000L
+    val prev = Seq("spark.sql.windowExec.buffer.in.memory.threshold",
+      "spark.sql.windowExec.buffer.spill.threshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "262144")
+    val spilledBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          spilledBytes.addAndGet(te.taskMetrics.diskBytesSpilled): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hot = spark.range(n).select(
+        lit(9L).as("user_id"),
+        timestamp_micros(lit(baseUs) + $"id" * 1000000L +
+          expr("id DIV 1000") * 2000000000L).as("ts"),
+        $"id".as("event_id"))
+      val t0 = System.nanoTime()
+      val agg = graft.ops.Sessionize.withSessionNo(hot)
+        .groupBy($"user_id")
+        .agg(max($"session_no").as("n_sessions"), count(lit(1)).as("n_events"))
+        .head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"hot-user 10^7-event spilled chain: $secs%.1fs")
+      assert(agg.getLong(1) == 10000L, s"expected 10000 sessions, got $agg")
+      assert(agg.getLong(2) == n)
+      // listener bus is async — poll briefly for the metrics to land
+      val deadline = System.nanoTime() + 10000000000L
+      while (spilledBytes.get() == 0L && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(spilledBytes.get() > 0L,
+        "the window buffer must have spilled to disk at this scale")
+      info(f"disk bytes spilled: ${spilledBytes.get() / 1048576.0}%.0f MiB")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("sequence packing completes on a hot shard (10^6 docs in one window task)") {
     // pack_sequences' 100 TB assumption is "shards pack independently and
     // no shard exceeds a partition" — this pins the boundary, exactly
