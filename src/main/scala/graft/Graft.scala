@@ -39,6 +39,17 @@ object Graft {
     Sessionize.withCarriedSessionId(unioned, gapSec = gapSec)
   def activeSessions(sessions: DataFrame, boundaryUs: Long): DataFrame =
     Sessionize.activeLatestPerSession(sessions, boundaryUs)
+  /** 1-based per-user session ordinal (no id minting) — the lightweight
+    * form when only session COUNTS/boundaries are needed.
+    */
+  def sessionNumbers(events: DataFrame): DataFrame =
+    Sessionize.withSessionNo(events)
+  /** The aggregation-shaped sessionization (collect_list + HOF fold —
+    * the reference's deprecated-path operator surface, SURVEY §2 A1/
+    * F10–F16), kept as a first-class alternative formulation.
+    */
+  def sessionNumbersViaArrays(events: DataFrame): DataFrame =
+    SessionizeArrays.sessionNumbers(events)
 
   // dedup
   def exactDuplicates(docs: DataFrame): DataFrame = Dedup.exact(docs)
@@ -85,6 +96,23 @@ object Graft {
   def canonicalizeValues(df: DataFrame, valueCol: String): DataFrame =
     Dedup.canonicalizeValues(df, valueCol)
   def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
+  /** Raw LSH candidate pairs (band-collision, hot-band-capped, before
+    * the exact-Jaccard verify) — for pipelines that verify with their
+    * own metric or feed candidates to a downstream ranker.
+    */
+  def lshCandidatePairs(docs: DataFrame,
+      maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame =
+    Dedup.lshCandidates(
+      Dedup.minhashSignatureRows(Dedup.shingleRows(docs)),
+      maxBandSize = maxBandSize)
+  /** Blocked exact near-dup pairs: same language, |Δlen| ≤ maxLenDiff,
+    * shingle Jaccard above the threshold — the deterministic
+    * complement of the probabilistic MinHash path.
+    */
+  def nearDuplicatesBlocked(docs: DataFrame, maxLenDiff: Int = 32,
+      thresholdNum: Int = 3, thresholdDen: Int = 10): DataFrame =
+    Dedup.ngramJaccardPairs(docs, maxLenDiff = maxLenDiff,
+      thresholdNum = thresholdNum, thresholdDen = thresholdDen)
   /** The persistable LSH bucket table of a corpus ([[graft.jobs.BuildDedupIndex]]
     * layout) — build once, probe every batch.
     */
@@ -150,10 +178,30 @@ object Graft {
   def nearestNeighborsIVF(corpus: DataFrame, queries: DataFrame,
       centroids: DataFrame, k: Int): DataFrame =
     Similarity.ivfTopK(corpus, queries, centroids, k)
+  /** Multi-probe IVF: search the `nprobe` nearest coarse cells —
+    * recall recovers toward brute force at probe-linear cost.
+    */
+  def nearestNeighborsIVFMultiProbe(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame =
+    Similarity.ivfTopKMultiProbe(corpus, queries, centroids, k, nprobe)
 
   // text
   def quality(docs: DataFrame): DataFrame = TextOps.qualityMetrics(docs)
   def tokenStats(docs: DataFrame): DataFrame = TextOps.tokenCounts(docs)
+  /** BPE-ish regex tokenization (adds a `tokens` array column). */
+  def regexTokens(docs: DataFrame): DataFrame = TextOps.tokenizeRegex(docs)
+  def tokenStatsRegex(docs: DataFrame): DataFrame =
+    TextOps.tokenCountsRegex(docs)
+  /** Exact-integer TF-IDF components per (doc, token); callers pick
+    * their idf flavour.
+    */
+  def tfidf(docs: DataFrame): DataFrame = TextOps.tfidf(docs)
+  /** Lowercase/strip/collapse text normalization (adds `text_norm`). */
+  def normalizeText(docs: DataFrame): DataFrame = TextOps.normalize(docs)
+  /** Regex-only PII scrub (email + long digit runs → placeholders) —
+    * the lightweight cousin of [[scrubPii]]'s counting redaction.
+    */
+  def scrubPiiBasic(docs: DataFrame): DataFrame = TextOps.scrubPii(docs)
   def languageId(docs: DataFrame): DataFrame = TextOps.languageId(docs)
   def languageIdTrained(docs: DataFrame): DataFrame = TextOps.languageIdTrained(docs)
   def languageIdChargram(docs: DataFrame): DataFrame = TextOps.languageIdChargram(docs)
@@ -214,6 +262,11 @@ object Graft {
   def trainBpeBatched(docs: DataFrame, nRounds: Int = 2,
       batchSize: Int = 2): TextOps.BpeBatchResult =
     TextOps.bpeTrainBatched(docs, nRounds, batchSize)
+  /** Post-merge symbol vocabulary (occurrence + doc counts) of a BPE
+    * encoding — what a tokenizer ships after training.
+    */
+  def bpeVocabulary(encoded: DataFrame): DataFrame =
+    TextOps.bpeVocab(encoded)
   def bpeSegmentation(encoded: DataFrame): DataFrame =
     TextOps.bpeSegments(encoded)
   /** Tokenizer serving: apply a trained merge table (rank order) to
@@ -344,6 +397,31 @@ object Graft {
   def mergeScd2(history: DataFrame, batch: DataFrame, keyCol: String,
       attrCol: String, tsCol: String, tieCol: String): DataFrame =
     Cdc.scd2Merge(history, batch, keyCol, attrCol, tsCol, tieCol)
+  /** Latest row per key from a change log (ts desc, tie desc). */
+  def latestPerKey(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String): DataFrame =
+    Cdc.latestPerKey(changes, keyCols, tsCol, tieCol)
+  /** Fold a change batch into a snapshot, latest-wins — the
+    * foreachBatch merge body of the streaming CDC-upsert job.
+    */
+  def upsertLatest(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], tsCol: String, tieCol: String): DataFrame =
+    Cdc.upsertLatest(snapshot, changes, keyCols, tsCol, tieCol)
+  /** Merge overlapping [start, end) intervals per key into islands. */
+  def mergeIntervals(iv: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame =
+    Intervals.merge(iv, keyCol, startCol, endCol)
+  /** Total covered span + island count per key. */
+  def intervalCoverage(iv: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame =
+    Intervals.coverage(iv, keyCol, startCol, endCol)
+  /** Z-order (Morton) layout on two dimensions: range-partitioned,
+    * sorted-within-files — parquet min/max stats then prune on BOTH
+    * columns.
+    */
+  def zOrderLayout(df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, numFiles: Int): DataFrame =
+    Layout.zOrderBy(df, a, b, numFiles)
   def diffTables(a: DataFrame, b: DataFrame, keyCols: Seq[String],
       compareCols: Seq[String]): DataFrame =
     Diff.tableDiff(a, b, keyCols, compareCols)
@@ -385,4 +463,16 @@ object Graft {
     Multimodal.aHash(media)
   def audioFingerprints(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow]) =
     Multimodal.audioHash(media)
+  /** Catalyst-native frame sampling: fixed-size binary slices, every
+    * `stride`-th kept.
+    */
+  def sampleMediaFrames(media: DataFrame, stride: Int = 4): DataFrame =
+    Multimodal.sampleFrames(media, stride = stride)
+  /** Batched decode (mapPartitions grouped) — same contract as
+    * [[decodeMedia]], amortizing per-call overhead the way a vectorized
+    * UDF would.
+    */
+  def decodeMediaBatched(media: org.apache.spark.sql.Dataset[Multimodal.MediaRow],
+      batchSize: Int = 128) =
+    Multimodal.decodeBatched(media, batchSize)
 }
