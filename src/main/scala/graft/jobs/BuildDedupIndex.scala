@@ -68,7 +68,11 @@ object BuildDedupIndex {
   def probe(newDocs: DataFrame, storedBuckets: DataFrame,
       corpus: DataFrame, bands: Int = 8, rowsPerBand: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    probeBands(bandTable(newDocs, bands, rowsPerBand, idCol, textCol),
+    // the batch's band rows feed four probeBands consumers (union,
+    // cold anti, hot semi, link anti) — ONE shingle+signature pass,
+    // cached narrow, like append's precomputed bands
+    probeBands(Dedup.registerDf(
+        bandTable(newDocs, bands, rowsPerBand, idCol, textCol).cache()),
       storedBuckets, corpus, idCol, textCol)
 
   /** [[probe]] with the batch's band rows PRECOMPUTED — so a caller
@@ -106,30 +110,61 @@ object BuildDedupIndex {
         // the bucket's candidate volume is k_new + 1 instead of
         // k_new · k_seen — the figure that explodes when a boilerplate
         // cluster's 10⁶th copy arrives hourly.
-        val members = seenSide.distinct()
-        val counts = members.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
-        val newWithN = newB.join(counts, "band")
-        val coldNew = newWithN.filter(col("__bn") <= maxBandSize)
-          .select(col("band"), col(idCol))
-        val coldPairs = coldNew.as("a").join(members.as("b"),
-            col("a.band") === col("b.band") &&
-              col(s"a.$idCol") =!= col(s"b.$idCol"))
-          .select(
-            least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
-            greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
-        val hotNew = newWithN.filter(col("__bn") > maxBandSize)
-          .select(col("band"), col(idCol))
-        val hotBands = hotNew.select(col("band")).distinct()
-        val chained = Dedup.chainBucketMembers(hotNew, idCol)
-        val minNew = hotNew.groupBy(col("band")).agg(min(col(idCol)).as("__mn"))
-        val seenOnlyHot = members.join(hotBands, "band")
-          .join(newB, Seq("band", idCol), "left_anti")
-        val link = minNew
-          .join(seenOnlyHot.groupBy(col("band")).agg(min(col(idCol)).as("__ms")),
-            "band")
-          .select(least(col("__mn"), col("__ms")).as("doc_a"),
-            greatest(col("__mn"), col("__ms")).as("doc_b"))
-        coldPairs.union(chained).union(link)
+        // The census, the join, and the hot machinery all operate on
+        // PROBED buckets only: hot detection matters solely for bands
+        // the batch touches, so the seen side is first semi-joined to
+        // the batch's (small, distinct) band set — the same stored-side
+        // reduction the plain probe join performs, done once into a
+        // narrow cache that then backs the main join's probe side.
+        // Everything downstream is bounded by the batch's probe
+        // fan-out, never the corpus. The census (one two-phase
+        // countDistinct — duplicate bucket rows from overlapping
+        // compactions must not flip a bucket hot) runs EAGERLY like
+        // Dedup.lshCandidates': an empty hot list (the common case)
+        // builds exactly the uncapped join over the cache; a small
+        // list becomes InSet filters; only an adversarial bucket-count
+        // falls back to distributed anti/semi gating — LIMIT-bounded
+        // driver pull either way. Hot filters apply to the BATCH side
+        // only (a pair needs both sides in the same band), so the
+        // probed-seen side stays unfiltered and its duplicates
+        // collapse in the pair DISTINCT, as before.
+        val batchBands = newB.select(col("band")).distinct()
+        val probedSeen = Dedup.registerDf(
+          seenSide.join(batchBands, Seq("band"), "left_semi").cache())
+        val census = probedSeen.groupBy(col("band"))
+          .agg(countDistinct(col(idCol)).as("__bn"))
+          .filter(col("__bn") > maxBandSize).select(col("band"))
+        val hotList = census.limit(Dedup.MaxDriverHotBands + 1)
+          .collect().map(_.getString(0))
+        def probeJoin(aSide: DataFrame): DataFrame =
+          aSide.as("a").join(probedSeen.as("b"),
+              col("a.band") === col("b.band") &&
+                col(s"a.$idCol") =!= col(s"b.$idCol"))
+            .select(
+              least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+              greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
+        def withHot(coldNew: DataFrame, hotNew0: DataFrame,
+            seenHot: DataFrame): DataFrame = {
+          val hotNew = hotNew0.select(col("band"), col(idCol))
+          val chained = Dedup.chainBucketMembers(hotNew, idCol)
+          val minNew = hotNew.groupBy(col("band")).agg(min(col(idCol)).as("__mn"))
+          val seenOnlyHot = seenHot.join(newB, Seq("band", idCol), "left_anti")
+          val link = minNew
+            .join(seenOnlyHot.groupBy(col("band")).agg(min(col(idCol)).as("__ms")),
+              "band")
+            .select(least(col("__mn"), col("__ms")).as("doc_a"),
+              greatest(col("__mn"), col("__ms")).as("doc_b"))
+          probeJoin(coldNew).union(chained).union(link)
+        }
+        if (hotList.isEmpty) probeJoin(newB)
+        else if (hotList.length <= Dedup.MaxDriverHotBands) {
+          val inHot = col("band").isin(hotList.toIndexedSeq: _*)
+          withHot(newB.filter(!inHot), newB.filter(inHot),
+            probedSeen.filter(inHot))
+        } else
+          withHot(newB.join(census, Seq("band"), "left_anti"),
+            newB.join(census, Seq("band"), "left_semi"),
+            probedSeen.join(census, Seq("band"), "left_semi"))
       }
     val cand = Dedup.registerDf(rawPairs.distinct().cache())
     Dedup.verifyAgainstSource(cand, corpus, idCol, textCol)

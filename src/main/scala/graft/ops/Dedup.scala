@@ -768,22 +768,58 @@ object Dedup {
   def lshCandidates(sig: DataFrame, idCol: String = "doc_id",
       bands: Int = 8, rowsPerBand: Int = 3,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    val long = bandRows(sig, idCol, bands, rowsPerBand)
+    val longPlain = bandRows(sig, idCol, bands, rowsPerBand)
     if (maxBandSize <= 0) {
-      val a = long.as("a"); val b = long.as("b")
+      val a = longPlain.as("a"); val b = longPlain.as("b")
       a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
         .distinct()
     } else {
-      val counts = long.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
-      val withN = long.join(counts, "band")
-      val cold = withN.filter(col("__bn") <= maxBandSize)
-        .select(col("band"), col(idCol))
-      val a = cold.as("a"); val b = cold.as("b")
-      val coldPairs = a
-        .join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      // The capped path runs an EAGER census (one map-combined
+      // aggregate over the cached narrow (id, band) table — the
+      // ngramJaccardPairs cache precedent; freed by releaseCaches) and
+      // branches on the result, so the COMMON case — no bucket hot —
+      // pays exactly the census and then builds the uncapped plan over
+      // the cache, with zero extra joins. A small hot list becomes two
+      // InSet FILTERS (codegen'd, no shuffle); only an adversarial
+      // corpus with more than [[MaxDriverHotBands]] over-full buckets
+      // falls back to the fully-distributed anti/semi form — the
+      // driver pull is LIMIT-bounded either way.
+      val long = registerDf(longPlain.cache())
+      val census = long.groupBy(col("band")).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > maxBandSize).select(col("band"))
+      cappedPairsFromCensus(long, census, idCol, maxBandSize)
+    }
+  }
+
+  /** Driver-pull bound for the eager hot-band list: above this the cap
+    * logic stays fully distributed (anti/semi joins) instead of InSet
+    * filters. 4096 bands × 32 chars is a ~128 KiB pull; real corpora
+    * carry a handful of mega-clusters, not thousands.
+    */
+  val MaxDriverHotBands = 4096
+
+  /** Shared capped-pair assembly: census → (empty | InSet | join) plan.
+    * `rows` are (…, band, idCol, …) member rows of the buckets in
+    * play; `census` must select the over-cap band keys.
+    */
+  private[graft] def cappedPairsFromCensus(rows: DataFrame, census: DataFrame,
+      idCol: String, maxBandSize: Int): DataFrame = {
+    val hotList = census.limit(MaxDriverHotBands + 1).collect().map(_.getString(0))
+    def selfJoin(side: DataFrame): DataFrame = {
+      val a = side.as("a"); val b = rows.as("b")
+      a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
         .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      val hot = withN.filter(col("__bn") > maxBandSize)
+    }
+    if (hotList.isEmpty) selfJoin(rows).distinct()
+    else if (hotList.length <= MaxDriverHotBands) {
+      val inHot = col("band").isin(hotList.toIndexedSeq: _*)
+      val coldPairs = selfJoin(rows.filter(!inHot))
+      val hot = rows.filter(inHot).select(col("band"), col(idCol))
+      coldPairs.union(chainBucketMembers(hot, idCol)).distinct()
+    } else {
+      val coldPairs = selfJoin(rows.join(census, Seq("band"), "left_anti"))
+      val hot = rows.join(census, Seq("band"), "left_semi")
         .select(col("band"), col(idCol))
       coldPairs.union(chainBucketMembers(hot, idCol)).distinct()
     }

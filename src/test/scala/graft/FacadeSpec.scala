@@ -48,6 +48,9 @@ class FacadeSpec extends AnyFunSuite {
     // lshCandidatePairs / runBandIngest — the composed ops are facaded
     "withShingles", "shingleArrays", "minhashSignature", "perRowSignature",
     "bandRows", "chainBucketMembers", "verifyJaccard", "verifyAgainstSource",
+    // shared census→(empty|InSet|join) assembly behind lshCandidates
+    // and BuildDedupIndex.probeBands — both composed forms are facaded
+    "cappedPairsFromCensus",
     // per-stage internals of the facaded PQ/SRP/IVF entries
     "assignClusters", "assignClustersL2", "pqSubVectors", "pqCodeTuple",
     "quantVectors", "srpBands", "srpBitsCentered",
