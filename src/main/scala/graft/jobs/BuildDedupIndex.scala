@@ -128,14 +128,44 @@ object BuildDedupIndex {
         // only (a pair needs both sides in the same band), so the
         // probed-seen side stays unfiltered and its duplicates
         // collapse in the pair DISTINCT, as before.
-        val batchBands = newB.select(col("band")).distinct()
+        // No pre-distinct on the batch band set: the broadcast hash
+        // relation dedups keys itself, so a distinct here would only
+        // add a shuffle stage before the broadcast.
+        val batchBands = newB.select(col("band"))
+        // Semi-join the STORED side only: every batch row trivially
+        // matches its own band, so running the union through the
+        // broadcast probe would filter nothing on that branch.
         val probedSeen = Dedup.registerDf(
-          seenSide.join(batchBands, Seq("band"), "left_semi").cache())
-        val census = probedSeen.groupBy(col("band"))
-          .agg(countDistinct(col(idCol)).as("__bn"))
+          storedBuckets.select(col(idCol), col("band"))
+            .join(batchBands, Seq("band"), "left_semi")
+            .unionByName(newB).cache())
+        // Two-phase census: a raw count(*) (map-side combined — the
+        // cheap aggregate) first, since distinct members ≤ raw rows
+        // makes raw ≤ cap a proof of cold; only bands over the cap by
+        // raw count (rare: a genuine hot cluster, or heavy duplicate
+        // bucket rows from overlapping compactions) pay the
+        // countDistinct that decides hotness authoritatively.
+        val rawCensus = probedSeen.groupBy(col("band"))
+          .agg(count(lit(1)).as("__bn"))
           .filter(col("__bn") > maxBandSize).select(col("band"))
-        val hotList = census.limit(Dedup.MaxDriverHotBands + 1)
+        val rawHot = rawCensus.limit(Dedup.MaxDriverHotBands + 1)
           .collect().map(_.getString(0))
+        val census =
+          if (rawHot.isEmpty) rawCensus // empty by proof; never re-run
+          else {
+            val scope =
+              if (rawHot.length <= Dedup.MaxDriverHotBands)
+                probedSeen.filter(
+                  col("band").isin(rawHot.toIndexedSeq: _*))
+              else probedSeen.join(rawCensus, Seq("band"), "left_semi")
+            scope.groupBy(col("band"))
+              .agg(countDistinct(col(idCol)).as("__bn"))
+              .filter(col("__bn") > maxBandSize).select(col("band"))
+          }
+        val hotList =
+          if (rawHot.isEmpty) Array.empty[String]
+          else census.limit(Dedup.MaxDriverHotBands + 1)
+            .collect().map(_.getString(0))
         def probeJoin(aSide: DataFrame): DataFrame =
           aSide.as("a").join(probedSeen.as("b"),
               col("a.band") === col("b.band") &&
