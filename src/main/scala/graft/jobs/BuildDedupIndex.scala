@@ -48,9 +48,26 @@ object BuildDedupIndex {
     // build, already many scan splits — must not pay a full corpus
     // exchange it doesn't need (r9 judge note); the signature groupBy
     // downstream redistributes by id anyway.
+    // The check must not EXECUTE the input: `.rdd` on an AQE plan with
+    // upstream shuffles materializes those stages at plan-construction
+    // time, and the band table's own execution then runs them AGAIN.
+    // So first inspect the logical plan — any shuffle-inducing operator
+    // means the input already lands at spark.sql.shuffle.partitions
+    // and needs no spread; only a narrow plan (scan + filters/projects,
+    // where `.rdd` builds lazily from file splits without running jobs)
+    // pays the partition-count probe.
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val alreadyShuffled = docs.queryExecution.logical.find {
+      // coalesce is Repartition(shuffle=false): it NARROWS the layout
+      // (possibly to one task) and must still qualify for the spread
+      case r: Repartition => r.shuffle
+      case _: Join | _: Aggregate | _: Distinct | _: Deduplicate |
+           _: Window | _: Sort | _: RepartitionOperation => true
+      case _ => false
+    }.isDefined
     val spread =
-      if (docs.rdd.getNumPartitions >= parallelism) docs
+      if (alreadyShuffled || docs.rdd.getNumPartitions >= parallelism) docs
       else docs.repartition(parallelism)
     Dedup.bandRows(
       Dedup.minhashSignatureRows(Dedup.shingleRows(spread, idCol, textCol),
@@ -101,15 +118,13 @@ object BuildDedupIndex {
         // (band, id) members of stored ∪ new — stored may legally carry
         // duplicate bucket rows from overlapping compactions, and a
         // duplicate must not flip a bucket hot. An over-full bucket
-        // emits its batch members' chain plus ONE link pair
-        // (min new, min stored-only member): every new doc joins the
-        // bucket's component (stored members are mutually connected by
-        // the appends that inserted them — each batch linked its docs
-        // into the bucket when it was history's "new" side), all
-        // emitted pairs keep ≥ one new side (the probe's contract), and
-        // the bucket's candidate volume is k_new + 1 instead of
-        // k_new · k_seen — the figure that explodes when a boilerplate
-        // cluster's 10⁶th copy arrives hourly.
+        // emits its batch members' chain plus a STAR from min(new) to
+        // every stored-only member: each stored member surfaces in
+        // exactly one verified pair, every emitted pair keeps ≥ one new
+        // side (the probe's contract), and the bucket's candidate
+        // volume is k_new + k_seen instead of k_new · k_seen — the
+        // figure that explodes when a boilerplate cluster's 10⁶th copy
+        // arrives hourly.
         // The census, the join, and the hot machinery all operate on
         // PROBED buckets only: hot detection matters solely for bands
         // the batch touches, so the seen side is first semi-joined to
@@ -179,12 +194,25 @@ object BuildDedupIndex {
           val chained = Dedup.chainBucketMembers(hotNew, idCol)
           val minNew = hotNew.groupBy(col("band")).agg(min(col(idCol)).as("__mn"))
           val seenOnlyHot = seenHot.join(newB, Seq("band", idCol), "left_anti")
-          val link = minNew
-            .join(seenOnlyHot.groupBy(col("band")).agg(min(col(idCol)).as("__ms")),
-              "band")
-            .select(least(col("__mn"), col("__ms")).as("doc_a"),
-              greatest(col("__mn"), col("__ms")).as("doc_b"))
-          probeJoin(coldNew).union(chained).union(link)
+          // STAR, not a single link: min(new) pairs with EVERY
+          // stored-only member of the hot bucket. A single
+          // (min new, min stored) link would rely on the stored members
+          // being mutually connected by earlier pair emissions — false
+          // for the two writers that add band rows without ever
+          // emitting pairs (run()'s base build and compact()'s streamed
+          // folds), whose cluster members would then silently never
+          // surface as duplicates of anything. The star keeps every
+          // pair on the probe's ≥-one-batch-side contract, covers each
+          // stored member exactly once, and adds no new asymptotic
+          // term: k_seen pairs per hot bucket per batch, the same
+          // order as the probedSeen rows the semi-join already
+          // materializes to look at the bucket at all (vs. the
+          // k_new · k_seen the cap exists to avoid). minNew is ~one
+          // row per hot band — broadcast side of the star join.
+          val star = seenOnlyHot.join(broadcast(minNew), "band")
+            .select(least(col(idCol), col("__mn")).as("doc_a"),
+              greatest(col(idCol), col("__mn")).as("doc_b"))
+          probeJoin(coldNew).union(chained).union(star)
         }
         if (hotList.isEmpty) probeJoin(newB)
         else if (hotList.length <= Dedup.MaxDriverHotBands) {
@@ -248,13 +276,58 @@ object BuildDedupIndex {
     * different content must pass an explicit per-batch id (e.g. the
     * hour string).
     */
+  /** Loud guard for a store built by the pre-batch FLAT layout (bucket
+    * files directly under `buckets/`, no `batch=<id>` partition dirs).
+    * Reading one would otherwise surface as an unresolved-`batch`
+    * AnalysisException from deep inside [[append]]'s retry filter, and
+    * a [[compact]] into it would leave a mixed flat+partitioned layout
+    * that partition discovery rejects — neither message tells the
+    * operator what happened or how to fix it.
+    */
+  private def requirePartitionedLayout(spark: SparkSession,
+      outPath: String, op: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$outPath/buckets")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root) && fs.listStatus(root).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"BuildDedupIndex.$op: stored index at $outPath uses the flat " +
+          "pre-batch layout (bucket files directly under buckets/). Run " +
+          "BuildDedupIndex.migrateFlatStore(spark, outPath) once — it " +
+          "moves the flat files into buckets/batch=base/ — or rebuild " +
+          "the index with BuildDedupIndex.run.")
+  }
+
+  /** One-time, retry-safe migration of a flat pre-batch store: moves
+    * every data file under `buckets/` into `buckets/batch=base/`
+    * (pure renames — no data rewrite). A crash mid-move leaves a flat
+    * remainder the layout guard still detects; re-running moves the
+    * rest, so the migration converges however many times it runs.
+    */
+  def migrateFlatStore(spark: SparkSession, outPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$outPath/buckets")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root),
+      s"BuildDedupIndex.migrateFlatStore: no bucket table at $outPath")
+    val base = new org.apache.hadoop.fs.Path(root, "batch=base")
+    fs.mkdirs(base)
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && !n.startsWith("_") && !n.startsWith("."))
+        fs.rename(s.getPath, new org.apache.hadoop.fs.Path(base, n))
+    }
+  }
+
   def append(spark: SparkSession, newDocsPath: String, corpusPath: String,
       outPath: String, batchId: String = ""): DataFrame = {
+    // meta guard first: an empty/half-deleted store is the more
+    // fundamental problem than its bucket layout
     val meta = spark.read.parquet(s"$outPath/meta")
       .select(col("bands"), col("rows_per_band")).head(1).headOption
       .getOrElse(throw new IllegalStateException(
         s"BuildDedupIndex.append: stored index at $outPath is empty — " +
           "run BuildDedupIndex.run first; append only probes a built index"))
+    requirePartitionedLayout(spark, outPath, "append")
     val (bands, rowsPerBand) = (meta.getInt(0), meta.getInt(1))
     val id = if (batchId.nonEmpty) batchId
       else java.security.MessageDigest.getInstance("MD5")
@@ -312,13 +385,44 @@ object BuildDedupIndex {
       .getOrElse(throw new IllegalStateException(
         s"BuildDedupIndex.compact: stored index at $outPath is empty — " +
           "run BuildDedupIndex.run first; compact only folds into a built index"))
-    // same per-writer partition-directory idempotence as [[append]]:
-    // re-compacting the same streamed dir overwrites its own fold
-    // instead of appending a second copy
+    requirePartitionedLayout(spark, outPath, "compact")
+    // Same per-writer partition-directory idempotence as [[append]],
+    // but the default label hashes the streamed dir's DATA FILE NAMES,
+    // not its path: a crash-retry sees the identical file set (the
+    // checkpoint is only retired after a successful fold) and
+    // overwrites its own fold, while the NEXT cycle re-using the same
+    // streaming directory path — the normal config shape — carries new
+    // file names and gets a fresh fold directory. A path-derived label
+    // would make that second fold silently OVERWRITE the first,
+    // deleting every band row whose only copy lived there; a
+    // content-derived label turns the worst case (a still-running
+    // stream adding files between folds) into duplicate rows the
+    // probe's DISTINCT absorbs — cost, never loss.
     val id = if (label.nonEmpty) label
-      else "fold-" + java.security.MessageDigest.getInstance("MD5")
-        .digest(streamedPath.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(12)
+      else {
+        // Recursive, root-RELATIVE listing: a flat streamed dir (the
+        // runBandIngest shape) and a partitioned one both hash every
+        // data file, and identically-named files in different
+        // subdirectories stay distinct. A top-level-only listing
+        // would hash a partitioned dir to the constant empty label —
+        // re-introducing the cross-cycle overwrite for that layout.
+        val p = new org.apache.hadoop.fs.Path(streamedPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rootUri = fs.makeQualified(p).toUri
+        val it = fs.listFiles(p, true)
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          val rel = rootUri.relativize(s.getPath.toUri).getPath
+          if (!rel.split('/').exists(seg =>
+              seg.startsWith("_") || seg.startsWith(".")))
+            names += rel
+        }
+        names.sortInPlace()
+        "fold-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(names.mkString("\n").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+      }
     require(!id.contains("/") && !id.contains("="),
       s"BuildDedupIndex.compact: label '$id' must be a plain partition value")
     spark.read.parquet(streamedPath)

@@ -261,19 +261,28 @@ object Soak {
     }
     // 3-point growth curves for the super-linear soakers: reuse the 1×
     // and factor× times already measured above, add the 3× point, fit
-    // the exponent on each span
-    val threeDir = s"${outDir}_3x"
-    println(s"[soak] generating 3x corpus at $threeDir")
-    generate(spark, srcDir, threeDir, 3)
-    val byName = rows.map(r => r._1 -> r).toMap
-    val curves = Curves.map { q =>
-      val (_, t1, tN, _) = byName(q)
-      val t3 = minTime(spark, q, threeDir, 2)
-      val e13 = math.log(t3 / t1) / math.log(3.0)
-      val e3N = math.log(tN / t3) / math.log(factor / 3.0)
-      val e1N = math.log(tN / t1) / math.log(factor.toDouble)
-      println(f"[soak] curve $q%-18s 1x $t1%6.2fs  3x $t3%6.2fs  ${factor}x $tN%6.2fs  e(1-3)=$e13%4.2f e(3-$factor)=$e3N%4.2f e(1-$factor)=$e1N%4.2f")
-      (q, t1, t3, tN, e13, e3N, e1N)
+    // the exponent on each span. Only meaningful when the 3× point
+    // sits strictly INSIDE the span — factor ≤ 3 (a legal CLI arg)
+    // would divide by log(factor/3) ≤ 0 and print a ±Infinity or
+    // sign-flipped exponent as the red-flag metric.
+    val curves = if (factor <= 3) {
+      println(s"[soak] skipping growth curves: factor $factor <= 3 " +
+        "leaves no 3x midpoint")
+      Seq.empty
+    } else {
+      val threeDir = s"${outDir}_3x"
+      println(s"[soak] generating 3x corpus at $threeDir")
+      generate(spark, srcDir, threeDir, 3)
+      val byName = rows.map(r => r._1 -> r).toMap
+      Curves.map { q =>
+        val (_, t1, tN, _) = byName(q)
+        val t3 = minTime(spark, q, threeDir, 2)
+        val e13 = math.log(t3 / t1) / math.log(3.0)
+        val e3N = math.log(tN / t3) / math.log(factor / 3.0)
+        val e1N = math.log(tN / t1) / math.log(factor.toDouble)
+        println(f"[soak] curve $q%-18s 1x $t1%6.2fs  3x $t3%6.2fs  ${factor}x $tN%6.2fs  e(1-3)=$e13%4.2f e(3-$factor)=$e3N%4.2f e(1-$factor)=$e1N%4.2f")
+        (q, t1, t3, tN, e13, e3N, e1N)
+      }
     }
 
     val load = graft.Bench.loadAvg1m()
@@ -286,14 +295,16 @@ object Soak {
       md.append(f"| $q | $s%.2f | $b%.2f | $r%.1fx |\n")
     }
     md.append(f"\nGeometric-mean ratio: ${math.exp(rows.map(r => math.log(math.max(r._4, 0.01))).sum / rows.size)}%.1fx\n")
-    md.append("\n## Growth curves (1x / 3x / " + factor + "x, fitted exponent t ∝ m^e)\n\n")
-    md.append("Theory for this replica generator: ~linear (e ≈ 1.0) for both —\n")
-    md.append("disjoint copies preserve degree/block distributions, so the m^1.5\n")
-    md.append("triangle worst-case (density growing with size) does not apply; an\n")
-    md.append("exponent above ~1.3 on any span would be the 100x red flag.\n\n")
-    md.append("| query | 1x (s) | 3x (s) | " + factor + "x (s) | e(1→3) | e(3→" + factor + ") | e(1→" + factor + ") |\n|---|---|---|---|---|---|---|\n")
-    curves.foreach { case (q, t1, t3, tN, e13, e3N, e1N) =>
-      md.append(f"| $q | $t1%.2f | $t3%.2f | $tN%.2f | $e13%.2f | $e3N%.2f | $e1N%.2f |\n")
+    if (curves.nonEmpty) {
+      md.append("\n## Growth curves (1x / 3x / " + factor + "x, fitted exponent t ∝ m^e)\n\n")
+      md.append("Theory for this replica generator: ~linear (e ≈ 1.0) for both —\n")
+      md.append("disjoint copies preserve degree/block distributions, so the m^1.5\n")
+      md.append("triangle worst-case (density growing with size) does not apply; an\n")
+      md.append("exponent above ~1.3 on any span would be the 100x red flag.\n\n")
+      md.append("| query | 1x (s) | 3x (s) | " + factor + "x (s) | e(1→3) | e(3→" + factor + ") | e(1→" + factor + ") |\n|---|---|---|---|---|---|---|\n")
+      curves.foreach { case (q, t1, t3, tN, e13, e3N, e1N) =>
+        md.append(f"| $q | $t1%.2f | $t3%.2f | $tN%.2f | $e13%.2f | $e3N%.2f | $e1N%.2f |\n")
+      }
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SOAK.md"), md.toString)
     println(s"[soak] wrote SOAK.md")

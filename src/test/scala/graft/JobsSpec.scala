@@ -574,15 +574,18 @@ class JobsSpec extends SparkSpec {
       "retried store must converge byte-identical to the clean store")
   }
 
-  test("stored-index probe caps hot buckets: chain + one link instead of k_new x k_seen") {
+  test("stored-index probe caps hot buckets: chain + star instead of k_new x k_seen") {
     // The probe form of the hot-band cap: 200 identical seen docs
     // already indexed, 150 identical copies arriving as the batch —
     // every band bucket holds 350 distinct members (> 256), the hourly
     // arrival shape of a web boilerplate cluster. Uncapped this emits
     // k_new·(k_seen + k_new − 1) ≈ 52k candidate pairs per band; capped
-    // it must emit the batch's 149 chain edges plus ONE link into the
-    // seen cluster — every new doc still joins the component, every
-    // pair keeps a new side (the probe contract).
+    // it must emit the batch's 149 chain edges plus the STAR from
+    // min(new) to each of the 200 seen members — every new doc joins
+    // the component, every SEEN member surfaces in exactly one pair
+    // (the base build emitted none — a single link would orphan
+    // s₁..s₁₉₉ forever), every pair keeps a new side (the probe
+    // contract).
     val text = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
     val seen = spark.range(200).select($"id".as("doc_id"), lit(text).as("text"))
     val newDocs = spark.range(150)
@@ -593,14 +596,17 @@ class JobsSpec extends SparkSpec {
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     graft.ops.Dedup.releaseCaches()
-    assert(pairs.size == 150, s"expected 149 chain + 1 link pairs, got ${pairs.size}")
-    assert(pairs.count(p => p._1 < 1000L) == 1,
-      "exactly one link pair into the seen side")
-    assert(pairs.find(_._1 < 1000L).contains((0L, 1000L)),
-      "the link must join min(new) to the seen bucket's min member")
+    assert(pairs.size == 349, s"expected 149 chain + 200 star pairs, got ${pairs.size}")
+    assert(pairs.count(p => p._1 < 1000L) == 200,
+      "the star must pair min(new) with every seen member")
+    assert(pairs.filter(_._1 < 1000L) == (0L until 200L).map(s => (s, 1000L)).toSet,
+      "every star pair must join min(new) to one distinct seen member")
     val covered = pairs.flatMap(p => Seq(p._1, p._2)).filter(_ >= 1000L)
     assert(covered == (1000L until 1150L).toSet,
       "every batch doc must appear in a verified pair")
+    val coveredSeen = pairs.flatMap(p => Seq(p._1, p._2)).filter(_ < 1000L)
+    assert(coveredSeen == (0L until 200L).toSet,
+      "every seen member must appear in a verified pair")
     assert(pairs.forall(p => p._1 >= 1000L || p._2 >= 1000L),
       "probe pairs must keep at least one new side")
     // cold-path regression: the same probe UNCAPPED returns the full
@@ -714,7 +720,7 @@ class JobsSpec extends SparkSpec {
     // checkpoint retired, then a batch of five MORE copies probing the
     // stored-only index. The probe must equal a batch-built index over
     // the identical corpus (both via the capped path: the bucket holds
-    // 305 members > 256, so the hot-band chain+link fires on BOTH
+    // 305 members > 256, so the hot-band chain+star fires on BOTH
     // sides), and a full duplicate re-fold (fresh checkpoint re-ingest
     // of everything, compacted under its own label) must change
     // nothing: candidate DISTINCT absorbs duplicate bucket rows and
@@ -767,9 +773,13 @@ class JobsSpec extends SparkSpec {
     def bucketsOf(p: String) = spark.read.parquet(s"$p/buckets")
       .select($"doc_id", $"band")
     val fromStore = pairsOf(bucketsOf(out))
-    // capped shape: 4 chain edges among the 5 new copies + 1 link into
-    // the 300-member streamed cluster; the fresh doc pairs with nothing
-    assert(fromStore.size == 5, s"expected 4 chain + 1 link, got $fromStore")
+    // capped shape: 4 chain edges among the 5 new copies + the star
+    // from min(new) to each of the 300 streamed members (whose pairs
+    // were never emitted — the stream ingests band rows only, so a
+    // single link would leave 299 of them unlinked forever); the fresh
+    // doc pairs with nothing
+    assert(fromStore.size == 304,
+      s"expected 4 chain + 300 star, got ${fromStore.size}")
     // reference: a batch-BUILT index over the identical corpus
     val refP = s"$base/ref"; corpusSoFar.write.parquet(refP)
     val outRef = s"$base/refidx"
@@ -819,5 +829,130 @@ class JobsSpec extends SparkSpec {
       .map(_.toString).mkString("\n")
     assert(!scanned.contains("split=val") && !scanned.contains("split=test"))
     assert(trainOnly.count() == a("train"))
+  }
+
+  test("flat pre-batch store: loud layout guard, convergent migration") {
+    // A store persisted by the pre-partitioned layout (bucket files
+    // directly under buckets/) must fail append/compact with the
+    // migration recipe — not an unresolved-`batch` AnalysisException
+    // from deep inside the probe's retry filter — and
+    // migrateFlatStore must leave a store append probes identically
+    // to a fresh partitioned build.
+    val base = Files.createTempDirectory("graft-flat").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"
+    docs.filter($"doc_id" < 30).select($"doc_id", $"text").write.parquet(seenP)
+    val out = s"$base/index"
+    // hand-build the OLD layout: flat band rows + meta
+    graft.jobs.BuildDedupIndex.bandTable(spark.read.parquet(seenP))
+      .write.parquet(s"$out/buckets")
+    Seq((8, 3)).toDF("bands", "rows_per_band")
+      .write.parquet(s"$out/meta")
+    // the batch carries a verbatim copy of seen doc 1 so the probe has
+    // a pair to find (real sf0.001 docs are mutually non-duplicate)
+    val newDocs = docs.filter($"doc_id" >= 30 && $"doc_id" < 40)
+      .select($"doc_id", $"text")
+      .unionByName(docs.filter($"doc_id" === 1)
+        .select(lit(999L).as("doc_id"), $"text"))
+    val newP = s"$base/new"
+    newDocs.write.parquet(newP)
+    val corpusP = s"$base/corpus"
+    docs.filter($"doc_id" < 40).select($"doc_id", $"text")
+      .unionByName(newDocs.filter($"doc_id" === 999L))
+      .write.parquet(corpusP)
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildDedupIndex.append(spark, newP, corpusP, out, "h1")
+    }
+    assert(e.getMessage.contains("migrateFlatStore"), e.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      graft.jobs.BuildDedupIndex.compact(spark, newP, out)
+    }
+    assert(e2.getMessage.contains("migrateFlatStore"), e2.getMessage)
+    // migrate (twice — it must converge, the mid-crash re-run shape),
+    // then append works and equals a fresh partitioned build
+    graft.jobs.BuildDedupIndex.migrateFlatStore(spark, out)
+    graft.jobs.BuildDedupIndex.migrateFlatStore(spark, out)
+    def normalized(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.select("doc_a", "doc_b", "inter", "uni")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      graft.ops.Dedup.releaseCaches(); r
+    }
+    val migrated = normalized(
+      graft.jobs.BuildDedupIndex.append(spark, newP, corpusP, out, "h1"))
+    val freshOut = s"$base/fresh"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, freshOut)
+    val fresh = normalized(
+      graft.jobs.BuildDedupIndex.append(spark, newP, corpusP, freshOut, "h1"))
+    assert(migrated == fresh,
+      "migrated store must probe identically to a fresh partitioned build")
+    assert(migrated.nonEmpty, "fixture must produce pairs")
+  }
+
+  test("compact default label is content-derived: same path re-used next cycle never overwrites the previous fold") {
+    // The streamed-dir path is typically a FIXED config value: cycle 1
+    // folds its files, the dir is retired and re-created, cycle 2 folds
+    // NEW files from the same path. A path-derived label would make the
+    // second fold overwrite the first, silently deleting every band row
+    // whose only copy lived there; the content-derived label gives each
+    // cycle its own fold while a byte-identical retry still overwrites
+    // its own directory.
+    val base = Files.createTempDirectory("graft-fold").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"
+    docs.filter($"doc_id" < 10).select($"doc_id", $"text").write.parquet(seenP)
+    val out = s"$base/index"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, out)
+    val streamed = s"$base/streamed"
+    def cycle(lo: Int, hi: Int): Unit = {
+      // same path each cycle, fresh content (the retire+recreate shape)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamed))
+      graft.jobs.BuildDedupIndex.bandTable(
+          docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+            .select($"doc_id", $"text"))
+        .coalesce(1).write.parquet(streamed)
+      graft.jobs.BuildDedupIndex.compact(spark, streamed, out, numFiles = 1)
+    }
+    def storedIds() = spark.read.parquet(s"$out/buckets")
+      .select("doc_id").distinct().count()
+    def docsIn(lo: Int, hi: Int) =
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select("doc_id").distinct().count()
+    assert(docsIn(10, 20) > 0 && docsIn(20, 30) > 0, "fixture needs docs")
+    cycle(10, 20)
+    val afterFirst = storedIds()
+    assert(afterFirst == docsIn(0, 20), "cycle 1 fold must land")
+    // a crash-retry of the SAME file set overwrites its own fold
+    graft.jobs.BuildDedupIndex.compact(spark, streamed, out, numFiles = 1)
+    assert(storedIds() == afterFirst, "identical retry must be idempotent")
+    cycle(20, 30)
+    assert(storedIds() == docsIn(0, 30),
+      "cycle 2 must ADD its fold, not overwrite cycle 1's")
+  }
+
+  test("bandTable partition probe never executes a shuffled input plan") {
+    // `.rdd` on an AQE plan with upstream shuffles materializes those
+    // stages at plan-CONSTRUCTION time and the band table's own
+    // execution then runs them again — so the under-partitioning probe
+    // must be skipped (statically, via the logical plan) for any input
+    // that already went through a shuffle.
+    val docs = Tables.documents(spark, Sf0001)
+      .groupBy($"doc_id").agg(first($"text").as("text"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val table = graft.jobs.BuildDedupIndex.bandTable(docs)
+      // the buggy path ran whole shuffle stages synchronously inside
+      // bandTable; their listener events land within milliseconds
+      Thread.sleep(1000)
+      assert(jobs.get() == 0,
+        s"plan construction must not execute the input (ran ${jobs.get()} jobs)")
+      assert(table.select("doc_id", "band").count() > 0L)
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
