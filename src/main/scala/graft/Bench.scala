@@ -215,6 +215,7 @@ object Bench {
       graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches()
       graft.ops.TextOps.releaseCaches()
+      graft.ops.Search.releaseCaches()
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load

@@ -315,6 +315,29 @@ object Graft {
     kept.withColumn("split", TextOps.splitCol())
   }
 
+  // full-text retrieval (corpus audit / RAG passage pull)
+  def invertedPostings(docs: DataFrame): DataFrame = Search.postings(docs)
+  def positionalIndex(docs: DataFrame): DataFrame =
+    Search.positionalPostings(docs)
+  def documentLengths(docs: DataFrame): DataFrame = Search.docLengths(docs)
+  def searchRanked(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+    Search.rankedSearch(docs, terms, k)
+  def searchBoolean(docs: DataFrame, all: Seq[String],
+      none: Seq[String] = Seq.empty): DataFrame =
+    Search.booleanSearch(docs, all, none)
+  def searchPhrase(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    Search.phraseSearch(docs, phrase)
+
+  // sketch-accelerated exact counting
+  def heavyHitters(items: DataFrame, threshold: Long,
+      itemCol: String = "item"): DataFrame =
+    Sketches.cmsHeavyHitters(items, threshold, itemCol)
+  def sketchCounters(items: DataFrame, itemCol: String = "item"): DataFrame =
+    Sketches.cmsCounters(items, itemCol)
+  def sketchEstimates(items: DataFrame, counters: DataFrame,
+      itemCol: String = "item"): DataFrame =
+    Sketches.cmsEstimates(items, counters, itemCol)
+
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int): DataFrame =

@@ -24,7 +24,8 @@ object SparkEntry {
       SimilarityQueries.queries ++
       TextQueries.queries ++
       FunctionQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      SearchQueries.queries
 
   def oracleSql: Map[String, String] =
     SessionQueries.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++
       TextQueries.oracles ++
       FunctionQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      SearchQueries.oracles
 }

@@ -36,6 +36,7 @@ object Verify {
       graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches()
       graft.ops.TextOps.releaseCaches()
+      graft.ops.Search.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -335,6 +335,12 @@ object BuildDedupIndex {
         .map("%02x".format(_)).mkString.take(12)
     require(!id.contains("/") && !id.contains("="),
       s"BuildDedupIndex.append: batchId '$id' must be a plain partition value")
+    // 'base' is the run() builder's own partition directory: an append
+    // under that id would silently OVERWRITE the base corpus's bucket
+    // rows — every base doc would vanish from all future probes
+    require(id != "base",
+      "BuildDedupIndex.append: batchId 'base' is reserved for the initial " +
+        "build (appending under it would overwrite the base bucket rows)")
     val newDocs = spark.read.parquet(newDocsPath)
     val stored = spark.read.parquet(s"$outPath/buckets")
     // ONE shingle + 24-hash MinHash pass for the batch: the cached band
@@ -425,6 +431,9 @@ object BuildDedupIndex {
       }
     require(!id.contains("/") && !id.contains("="),
       s"BuildDedupIndex.compact: label '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildDedupIndex.compact: label 'base' is reserved for the initial " +
+        "build (folding under it would overwrite the base bucket rows)")
     spark.read.parquet(streamedPath)
       .select(col("doc_id"), col("band"))
       .repartition(numFiles)

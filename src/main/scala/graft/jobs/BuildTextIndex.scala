@@ -1,0 +1,155 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Search
+
+/** Stored inverted-index production job — the retrieval counterpart of
+  * [[BuildIndex]] (ANN) and [[BuildDedupIndex]] (LSH buckets).
+  * `Search.rankedSearch` is the right QUERY shape, but it re-tokenizes
+  * the whole corpus per query — at 100 TB that is a full corpus pass
+  * to answer a 3-term question. This job persists the postings ONCE,
+  * laid out so a query term's lookup is a partition-pruned scan:
+  *
+  *   postings/batch=<id>/tbucket=<hash(token) % 64>/  (token, doc, dl, tf)
+  *   meta/batch=<id>/                                 (n_docs, n_tokens)
+  *
+  * A search reads ONLY its terms' tbucket partitions (the terms are
+  * literals, so their buckets are computed up front and the scan
+  * prunes on the partition column), filters to the exact tokens inside
+  * them (pushed to the row-group stats), and scores with
+  * [[Search.scoredTopK]] — the same body as the in-memory path, so the
+  * two cannot drift. Corpus stats are ADDITIVE meta rows summed at
+  * read, and per-term document frequency falls out of the pruned
+  * postings themselves (all of a token's rows live in its bucket), so
+  * a query never touches the corpus at all.
+  *
+  * Writer discipline is [[BuildDedupIndex]]'s: every writer owns a
+  * `batch=<id>` partition directory (overwrite-on-retry ⇒ idempotent
+  * per batch id; `base` reserved for [[run]]), and batches must carry
+  * DISJOINT doc sets — a doc split across batches would double its
+  * postings rows and inflate df/tf.
+  */
+object BuildTextIndex {
+
+  /** Token-hash partition fan-out. 64 keeps directory counts tame at
+    * any corpus size while a typical query (≤ a handful of terms)
+    * still skips ≥ 90% of the data; raise it only with millions of
+    * postings files per bucket.
+    */
+  val Buckets = 64
+
+  private def tbucketOf(token: Column): Column =
+    pmod(hash(token), lit(Buckets))
+
+  /** Pure core: the persistable postings of a corpus — (token, doc,
+    * dl, tf, tbucket), one row per distinct token per doc. dl rides
+    * the grouping keys (functionally dependent on the doc) so scoring
+    * never joins a separate length table.
+    */
+  def postingsTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__arr"))
+      .select(col(idCol), size(col("__arr")).as("dl"),
+        explode(col("__arr")).as("token"))
+      .groupBy(col("token"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket", tbucketOf(col("token")))
+
+  /** Pure core: one additive stats row for a batch of docs. */
+  def statsTable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).as("n_tokens"))
+
+  /** Pure core: fold any number of additive [[statsTable]] rows into
+    * the (n_docs, avgdl_milli) scoring row — the read side of the meta
+    * table, shared by [[searchStored]] and the oracled in-memory twin
+    * so the two cannot drift.
+    */
+  def summedStats(meta: DataFrame): DataFrame =
+    meta.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("n_docs"),
+        Search.idiv(lit(1000L) * col("n_tokens"), col("n_docs"))
+          .as("avgdl_milli"))
+
+  /** Build the stored index for a corpus. Clears any previous store
+    * first so a rebuild never inherits stale batch directories.
+    */
+  def run(spark: SparkSession, docsPath: String, outPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val docs = spark.read.parquet(docsPath)
+    writeBatch(docs, outPath, "base")
+  }
+
+  /** Add a batch of NEW docs (disjoint from everything indexed so
+    * far). IDEMPOTENT per `batchId` — a retry overwrites its own
+    * partition directories; the default id is md5 of the input path
+    * (the retry shape), callers reusing one path for different content
+    * must pass an explicit per-batch id.
+    */
+  def append(spark: SparkSession, newDocsPath: String, outPath: String,
+      batchId: String = ""): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP),
+      s"BuildTextIndex.append: no index at $outPath — run BuildTextIndex.run first")
+    val id = if (batchId.nonEmpty) batchId
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(newDocsPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildTextIndex.append: batchId '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildTextIndex.append: batchId 'base' is reserved for the initial " +
+        "build (appending under it would overwrite the base postings)")
+    writeBatch(spark.read.parquet(newDocsPath), outPath, id)
+  }
+
+  private def writeBatch(docs: DataFrame, outPath: String, id: String): Unit = {
+    postingsTable(docs)
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$outPath/postings/batch=$id")
+    statsTable(docs)
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+  }
+
+  /** Ranked retrieval against the stored index — identical scores to
+    * `Search.rankedSearch` over the same corpus (JobsSpec pins the
+    * equality), with ZERO corpus access: the terms' tbuckets are
+    * computed up front (one row-per-term local job, the driver-side
+    * model-pull pattern), the postings read prunes to those partition
+    * directories plus a pushed `token IN (…)` filter, stats are the
+    * summed meta rows, and df is a count over the pruned postings.
+    */
+  def searchStored(spark: SparkSession, outPath: String,
+      terms: Seq[String], k: Int = 10): DataFrame = {
+    val q = terms.distinct
+    require(q.nonEmpty && q.forall(t => t.nonEmpty && !t.contains(" ")),
+      "searchStored: terms must be non-empty single tokens")
+    import spark.implicits._
+    val buckets = q.toDF("token")
+      .select(tbucketOf(col("token"))).collect().map(_.getInt(0))
+      .distinct.toSeq
+    val stats = summedStats(spark.read.parquet(s"$outPath/meta"))
+    val post = spark.read.parquet(s"$outPath/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(q: _*))
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+    Search.scoredTopK(post, stats, k, "doc_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BuildTextIndex <docsParquet> <outPath>")
+    val spark = SparkSession.builder()
+      .appName("graft-build-text-index")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    run(spark, args(0), args(1))
+    spark.stop()
+  }
+}

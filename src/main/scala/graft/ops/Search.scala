@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a tokenized corpus — the query side of a
+  * training-data platform (find the documents that mention X, pull the
+  * passages for a RAG eval set, audit what the corpus says about a
+  * topic). Tokenization is the repo-wide whitespace convention
+  * (`split(text, ' ')` ≡ DuckDB `string_split`), so every operator here
+  * oracles exactly.
+  *
+  * Design for 100 TB:
+  *   - The index unit is the (token, doc, tf) POSTING ROW, never a
+  *     materialized per-token posting list: rows partition by token
+  *     hash like any fact table, a mega-token (stopword) is just a
+  *     skewed key the usual remedies apply to (AQE skew split, or
+  *     [[Dedup.stripBoilerplate]] upstream), and Parquet+bucketing by
+  *     token makes term lookup a pruned scan.
+  *   - Query terms are a tiny literal set: every search is
+  *     postings-side `isin` filter (codegen'd, pushed to the scan) →
+  *     partial-agg per doc → TakeOrdered(k). The corpus never
+  *     re-shuffles for a query.
+  *   - Scoring is exact int64 fixed-point (micros), the repo's
+  *     established device ([[TextOps.hashedLinearScore]]): no
+  *     transcendental functions, so Spark and DuckDB agree bit-for-bit
+  *     and rank ties break deterministically.
+  */
+object Search {
+
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  private def registerDf(df: DataFrame): df.type =
+    synchronized { liveCaches += (() => { df.unpersist(blocking = false); () }); df }
+
+  /** Free every cache registered by search ops since the last release —
+    * the [[Dedup.releaseCaches]] registry contract (`Verify`/`Bench`/
+    * `Probe`/`Soak` call it between queries).
+    */
+  def releaseCaches(): Unit = synchronized {
+    liveCaches.foreach(_.apply())
+    liveCaches.clear()
+  }
+
+  /** Exact floor division of two non-negative longs as Columns.
+    * `a - pmod(a, b)` is long arithmetic; the final `/` sees an
+    * integral value whose quotient is far below 2^53 everywhere this
+    * file uses it, so the double round-trip is exact — and DuckDB's
+    * `//` computes the identical value on the oracle side.
+    */
+  private[graft] def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Frequency postings — the inverted-index core: one row per
+    * (token, doc) with the term frequency. One explode + one
+    * partial-agg groupBy; at rest, write this bucketed by `token` and
+    * term lookups become pruned scans.
+    */
+  def postings(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Positional postings (token, doc, pos) with pos the 0-based token
+    * index — the structure phrase and proximity queries consume.
+    * Pure map-side (posexplode of the split array); no shuffle.
+    */
+  def positionalPostings(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .select(col("token"), col(idCol), col("pos"))
+
+  /** Per-document token length — `dl` in ranking formulas. Map-side. */
+  def docLengths(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), size(split(col(textCol), " ")).as("dl"))
+
+  /** Ranked retrieval with BM25's term-saturation and length
+    * normalization (k1 = 1.2, b = 0.75 — Robertson et al., Okapi at
+    * TREC-3) and an exact RATIONAL rarity weight in place of the
+    * log-idf: rarity(t) = (N − df + 1)/(N + 1), the fraction of the
+    * corpus NOT containing the term. The log is the one BM25 component
+    * that cannot be computed identically across engines (libm vs
+    * java.lang.Math differ in the last ulp, and one ulp breaks a
+    * hash-match); the rational weight is monotone in df like the log,
+    * bounded in (0, 1], and keeps every score an exact integer, so
+    * ranking is bit-reproducible anywhere. Scores are
+    * micro·micro = pico units:
+    *
+    *   tfsat_micros = 22·10⁹·tf DIV (10⁴·tf + 3·10³ + (9·10⁶·dl) DIV avgdl_milli)
+    *     — exactly tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) in micros,
+    *       with avgdl_milli = 10³·T DIV N (T total tokens, N docs)
+    *   score_pico(d) = Σ_terms rarity_micros · tfsat_micros
+    *
+    * Overflow bounds (int64): tf, dl < 4·10⁸ (a 400M-token single doc),
+    * N − df + 1 < 9·10¹², |terms| ≤ 4000 — all far past any real input;
+    * the corpus-size terms (T, N) only ever meet each other inside
+    * avgdl_milli.
+    *
+    * Plan shape: the corpus aggregates once into two broadcast scalars
+    * (N, T); postings filter to the literal term set BEFORE any join
+    * (pushed to the scan); df-per-term and the final top-k are
+    * partial-agg + TakeOrdered. Duplicate query terms are collapsed —
+    * a repeated term must not double-score.
+    */
+  def rankedSearch(df: DataFrame, terms: Seq[String], k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val q = terms.distinct
+    require(q.nonEmpty && q.forall(t => t.nonEmpty && !t.contains(" ")),
+      "rankedSearch: terms must be non-empty single tokens")
+    val toks = df.select(col(idCol), col(textCol))
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(split(col(textCol), " "))).as("n_tokens"))
+      .select(col("n_docs"), col("n_tokens"),
+        idiv(lit(1000L) * col("n_tokens"), col("n_docs")).as("avgdl_milli"))
+    // dl rides the postings pass (it is functionally dependent on the
+    // doc, so adding it to the grouping keys is free) — a separate
+    // docLengths join would shuffle one row per CORPUS doc to score a
+    // handful of matching ones
+    val post = toks
+      .select(col(idCol), split(col(textCol), " ").as("__arr"))
+      .select(col(idCol), size(col("__arr")).as("dl"),
+        explode(col("__arr")).as("token"))
+      .filter(col("token").isin(q: _*))
+      .groupBy(col("token"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    scoredTopK(post, stats, k, idCol)
+  }
+
+  /** The ONE scoring body (see [[rankedSearch]] for the formula) —
+    * shared by the in-memory path and the stored-index path
+    * ([[graft.jobs.BuildTextIndex.searchStored]]) so the two cannot
+    * drift. `post` must be the query terms' (token, idCol, dl, tf)
+    * rows (one per token × doc); `stats` one row of (n_docs,
+    * avgdl_milli). Caches `post`: two consumers (the per-term df and
+    * the score join) would otherwise each re-run its lineage.
+    */
+  private[graft] def scoredTopK(post0: DataFrame, stats: DataFrame,
+      k: Int, idCol: String): DataFrame = {
+    val post = registerDf(post0.cache())
+    val dfreq = post.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    post
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (idiv(lit(1000000L) * (col("n_docs") - col("df") + lit(1L)),
+          col("n_docs") + lit(1L)) *
+          idiv(lit(22000000000L) * col("tf"),
+            lit(10000L) * col("tf") + lit(3000L) +
+              idiv(lit(9000000L) * col("dl"), col("avgdl_milli"))))
+          .as("term_score"))
+      .groupBy(col(idCol))
+      .agg(sum(col("term_score")).as("score_pico"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_pico").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Conjunctive boolean retrieval with negation: documents containing
+    * EVERY `all` term and NONE of the `none` terms, with the summed
+    * term frequency of the required terms as a relevance hint. One
+    * postings pass filtered to the literal term set, one partial-agg
+    * groupBy — the corpus never shuffles.
+    */
+  def booleanSearch(df: DataFrame, all: Seq[String],
+      none: Seq[String] = Seq.empty, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val need = all.distinct
+    val ban = none.distinct
+    require(need.nonEmpty,
+      "booleanSearch: `all` must be non-empty (a pure negation would " +
+        "return the whole corpus — filter that explicitly)")
+    require((need ++ ban).forall(t => t.nonEmpty && !t.contains(" ")),
+      "booleanSearch: terms must be non-empty single tokens")
+    require(need.intersect(ban).isEmpty,
+      s"booleanSearch: terms ${need.intersect(ban).mkString(",")} are " +
+        "both required and banned")
+    postings(df, idCol, textCol)
+      .filter(col("token").isin((need ++ ban): _*))
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("token").isin(need: _*), 1)).as("__hit"),
+        count(when(col("token").isin(ban: _*), 1)).as("__ban"),
+        sum(when(col("token").isin(need: _*), col("tf"))
+          .otherwise(0L)).as("tf_sum"))
+      .filter(col("__hit") === lit(need.size.toLong) &&
+        col("__ban") === lit(0L))
+      .select(col(idCol), col("tf_sum"))
+  }
+
+  /** Exact phrase occurrences: every (doc, start_pos) where the tokens
+    * `phrase(0) … phrase(m−1)` appear consecutively (0-based start).
+    * Positions for the phrase's (few, literal) tokens are joined
+    * term-by-term on (doc, pos + i) — each side is a scan-pruned
+    * filter, the join keys are fine-grained (doc, position), and the
+    * candidate volume after the first join is bounded by the rarer
+    * term's postings. A stopword inside the phrase fattens one input
+    * but never squares anything.
+    */
+  def phraseSearch(df: DataFrame, phrase: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.nonEmpty &&
+      phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      "phraseSearch: phrase must be non-empty single tokens")
+    // cached: each of the m phrase terms re-filters this frame; it
+    // holds only the phrase tokens' positions
+    val pos = registerDf(positionalPostings(df, idCol, textCol)
+      .filter(col("token").isin(phrase.distinct: _*))
+      .cache())
+    val first = pos.filter(col("token") === lit(phrase.head))
+      .select(col(idCol), col("pos").as("start_pos"))
+    phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        pos.filter(col("token") === lit(t))
+          .select(col(idCol), (col("pos") - lit(i)).as("start_pos")),
+        Seq(idCol, "start_pos"))
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min-Sketch-accelerated EXACT heavy hitters (Cormode &
+  * Muthukrishnan 2005) — the "sketch to prune, exact to verify" shape
+  * the dedup stack uses for Bloom filters, applied to frequency
+  * counting. The naive exact heavy-hitter query shuffles the entire
+  * item universe (every n-gram of a 100 TB corpus) through one hash
+  * aggregate; the sketch path instead:
+  *
+  *   pass 1: fold every occurrence into a d×w counter table — the
+  *           shuffle after map-side combine is at most d·w rows per
+  *           task, regardless of universe size;
+  *   pass 2: re-hash each item against the broadcast counters; its
+  *           estimate min_i(counter[i][h_i(item)]) NEVER undercounts
+  *           (every occurrence of the item hit those d cells), so
+  *           `estimate < threshold` is a PROOF of lightness — only the
+  *           surviving occurrences (true heavies + hash-collision
+  *           false positives) enter the exact hash aggregate, which
+  *           trims the false positives.
+  *
+  * The output is therefore EXACT — identical to the naive GROUP BY
+  * HAVING — while the full-universe shuffle is replaced by one bounded
+  * counter fold plus an aggregate over survivors. All hashing is the
+  * repo's portable md5 device, so the sketch itself (not just the
+  * final answer) reproduces bit-for-bit in the DuckDB oracle.
+  */
+object Sketches {
+
+  /** Default sketch geometry: ε ≈ e/w ≈ 1% of total count, δ ≈ e^−d. */
+  val DefaultWidth = 256
+  val DefaultDepth = 3
+
+  /** Row-i bucket of an item: first 15 md5 nibbles (sign bit clear in
+    * both engines) of `i:item`, mod the width. The ONE definition the
+    * counter fold, the estimate probe, and every oracle share.
+    */
+  private def bucket(item: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$row:"), item)), 1, 15),
+      16, 10).cast("long"), lit(width.toLong))
+
+  /** Pass 1: the d×w counter table of an item column — (row, bucket,
+    * cnt), at most d·w rows. The posexplode fans each occurrence into
+    * its d cells BEFORE the partial aggregate, so the map-side combine
+    * caps every task's shuffle contribution at d·w counter rows.
+    */
+  def cmsCounters(items: DataFrame, itemCol: String = "item",
+      width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
+    require(width > 0 && depth > 0, "cmsCounters: width and depth must be positive")
+    items.select(posexplode(array(
+        (0 until depth).map(i => bucket(col(itemCol), i, width)): _*))
+        .as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Pass 2 probe: each distinct item of `items` with its sketch
+    * estimate — min over the d broadcast-joined counter cells. The
+    * estimate is ≥ the item's true count, always. Exposed mostly for
+    * audit queries; [[cmsHeavyHitters]] is the production composition.
+    * NOTE this does aggregate the full universe (it reports every
+    * distinct item) — use it on bounded-cardinality audits, not as the
+    * pruning path.
+    */
+  def cmsEstimates(items: DataFrame, counters: DataFrame,
+      itemCol: String = "item", width: Int = DefaultWidth,
+      depth: Int = DefaultDepth): DataFrame = {
+    val exact = items.groupBy(col(itemCol)).agg(count(lit(1)).as("n_true"))
+    estimated(exact, counters, itemCol, width, depth)
+      .select(col(itemCol), col("est"), col("n_true"))
+  }
+
+  /** Join `rows`' item column to the d counter cells and append the
+    * min-estimate. Counters broadcast (≤ d·w rows); missing cells —
+    * impossible when the counters were built over a superset of
+    * `rows`' items, possible on a fresh item against stale counters —
+    * estimate as 0 (a never-seen item's true historical count).
+    */
+  private def estimated(rows: DataFrame, counters: DataFrame,
+      itemCol: String, width: Int, depth: Int): DataFrame = {
+    val b = broadcast(counters)
+    val joined = (0 until depth).foldLeft(rows) { (acc, i) =>
+      acc.join(b.filter(col("row") === i)
+          .select(col("bucket").as(s"__b$i"), col("cnt").as(s"__c$i")),
+        bucket(col(itemCol), i, width) === col(s"__b$i"), "left")
+        .drop(s"__b$i")
+    }
+    joined.withColumn("est",
+      least((0 until depth).map(i => coalesce(col(s"__c$i"), lit(0L))): _*))
+      .drop((0 until depth).map(i => s"__c$i"): _*)
+  }
+
+  /** EXACT heavy hitters via CMS pruning: every item occurring at
+    * least `threshold` times, with its exact count — byte-identical to
+    * `GROUP BY item HAVING count(*) >= threshold`, but the only items
+    * that pay the exact aggregate's shuffle are those the sketch could
+    * not prove light. Two passes over the occurrence stream (the
+    * sketch fold, then the probe+filter) — at 100 TB that trade, two
+    * scans for no universe-wide shuffle, is the entire point.
+    */
+  def cmsHeavyHitters(items: DataFrame, threshold: Long,
+      itemCol: String = "item", width: Int = DefaultWidth,
+      depth: Int = DefaultDepth): DataFrame = {
+    require(threshold > 0, "cmsHeavyHitters: threshold must be positive")
+    val counters = cmsCounters(items, itemCol, width, depth)
+    estimated(items, counters, itemCol, width, depth)
+      .filter(col("est") >= threshold)
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= threshold)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Search, Sketches}
+
+/** Full-text retrieval + sketch-accelerated counting over `documents`:
+  * the corpus-query side of a training-data platform (audit what the
+  * corpus contains, pull passages, find every mention) and the
+  * Count-Min prune→exact-verify heavy-hitter pattern. Scoring is exact
+  * int64 fixed-point and every hash is the portable md5 device, so all
+  * queries — including the sketch internals — hash-match their DuckDB
+  * oracles.
+  */
+object SearchQueries {
+
+  /** The one query-term set the ranked/boolean examples share. */
+  private val Terms = Seq("join", "vector", "spark")
+
+  /** Token-bigram item stream — the heavy-hitter unit (916 distinct
+    * bigrams at sf0.01 vs the ~30-word unigram vocabulary where
+    * everything is heavy; bigrams actually exercise the CMS width-256
+    * collision behavior). zip_with over a MATERIALIZED split array (the
+    * lambda-CSE rule: inline split inside a HOF re-splits per element).
+    */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("s"))
+      .select(explode(zip_with(
+        slice(col("s"), lit(1), size(col("s")) - 1),
+        slice(col("s"), lit(2), size(col("s")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("item"))
+
+  private val BigramCte =
+    """b AS (SELECT unnest([s[k] || ' ' || s[k+1] for k in range(1, len(s))]) AS item
+      |      FROM (SELECT string_split(text, ' ') AS s FROM documents))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inverted_postings" -> { (spark, dir) =>
+      // The inverted-index core as rows: (token, doc, tf). Restricted
+      // to 40 docs so the dump stays bounded; the op itself is one
+      // explode + partial-agg groupBy at any scale.
+      import spark.implicits._
+      Search.postings(Tables.documents(spark, dir).filter($"doc_id" < 40))
+        .orderBy("token", "doc_id")
+    },
+
+    "ranked_search" -> { (spark, dir) =>
+      // BM25-shaped ranked retrieval (k1/b saturation + length norm,
+      // rational rarity weight — see Search.rankedSearch for why the
+      // log stays out) over the whole corpus for a 3-term query.
+      Search.rankedSearch(Tables.documents(spark, dir), Terms, k = 20)
+    },
+
+    "boolean_search" -> { (spark, dir) =>
+      // Conjunction + negation: docs with BOTH 'join' and 'vector' and
+      // no 'spark', relevance hint = summed tf of the required terms.
+      import spark.implicits._
+      Search.booleanSearch(Tables.documents(spark, dir),
+          all = Seq("join", "vector"), none = Seq("spark"))
+        .orderBy("doc_id")
+    },
+
+    "phrase_search" -> { (spark, dir) =>
+      // Exact consecutive-token phrase occurrences (0-based start
+      // position) via the positional postings join chain.
+      import spark.implicits._
+      Search.phraseSearch(Tables.documents(spark, dir),
+          Seq("join", "hash"))
+        .orderBy("doc_id", "start_pos")
+    },
+
+    "ranked_search_stored" -> { (spark, dir) =>
+      // The STORED-index variant of ranked_search (the
+      // dedup_stored_increment pattern): postings + additive stats
+      // built as two separate batches (BuildTextIndex's batch layout),
+      // folded by the same summedStats/scoredTopK bodies the disk path
+      // uses (JobsSpec pins disk = memory), and searched WITHOUT
+      // touching the corpus — the oracle recomputes from raw text, so
+      // any drift in the postings layout, the additive meta fold, or
+      // the shared scorer hash-mismatches.
+      import spark.implicits._
+      import graft.jobs.BuildTextIndex
+      val docs = Tables.documents(spark, dir)
+      val h1 = docs.filter($"doc_id" < 250)
+      val h2 = docs.filter($"doc_id" >= 250)
+      val terms = Seq("hash", "scan", "stream")
+      val post = BuildTextIndex.postingsTable(h1)
+        .unionByName(BuildTextIndex.postingsTable(h2))
+        .filter($"token".isin(terms: _*))
+        .select($"token", $"doc_id", $"dl", $"tf")
+      val stats = BuildTextIndex.summedStats(
+        BuildTextIndex.statsTable(h1).unionByName(BuildTextIndex.statsTable(h2)))
+      graft.ops.Search.scoredTopK(post, stats, k = 15, "doc_id")
+    },
+
+    "heavy_hitters_cms" -> { (spark, dir) =>
+      // EXACT heavy hitters with the Count-Min prune: bigrams at or
+      // above 1/1024 of the stream, counted exactly — only occurrences
+      // the sketch cannot prove light enter the exact aggregate. The
+      // threshold is corpus-relative so the query is non-trivial at
+      // every SF (the eager count is the driver-side model pull
+      // pattern; the oracle's scalar subquery is its SQL twin).
+      import spark.implicits._
+      val items = bigrams(Tables.documents(spark, dir))
+      val thr = math.max(1L, items.count() / 1024L)
+      Sketches.cmsHeavyHitters(items, thr)
+        .orderBy($"n_occurrences".desc, $"item")
+    },
+
+    "cms_token_estimates" -> { (spark, dir) =>
+      // The sketch ITSELF, cross-engine pinned: every distinct bigram's
+      // CMS estimate next to its true count (est >= n_true always —
+      // OpsSpec asserts it; the oracle recomputes the identical d x w
+      // counter table from the same md5 buckets). Top 30 by estimate =
+      // the most collision-inflated cells first.
+      import spark.implicits._
+      val items = bigrams(Tables.documents(spark, dir))
+      Sketches.cmsEstimates(items, Sketches.cmsCounters(items))
+        .orderBy($"est".desc, $"item")
+        .limit(30)
+    })
+
+  val oracles: Map[String, String] = Map(
+    "inverted_postings" ->
+      """SELECT token, doc_id, count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents WHERE doc_id < 40)
+        |GROUP BY token, doc_id ORDER BY token, doc_id""".stripMargin,
+
+    "ranked_search" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+         |stats AS (SELECT count(*) AS n_docs,
+         |                 (1000 * sum(len(s))) // count(*) AS avgdl_milli FROM toks),
+         |post AS (SELECT doc_id, dl, token, count(*) AS tf
+         |         FROM (SELECT doc_id, len(s) AS dl, unnest(s) AS token FROM toks)
+         |         WHERE token IN (${Terms.map(t => s"'$t'").mkString(", ")})
+         |         GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY 1)
+         |SELECT doc_id,
+         |       sum(((1000000 * (n_docs - df + 1)) // (n_docs + 1)) *
+         |           ((22000000000 * tf) //
+         |            (10000 * tf + 3000 + (9000000 * dl) // avgdl_milli)))::BIGINT AS score_pico,
+         |       count(*)::BIGINT AS n_terms_hit
+         |FROM post JOIN dfreq USING (token) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY score_pico DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    "ranked_search_stored" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 (1000 * sum(len(s))) // count(*) AS avgdl_milli FROM toks),
+        |post AS (SELECT doc_id, dl, token, count(*) AS tf
+        |         FROM (SELECT doc_id, len(s) AS dl, unnest(s) AS token FROM toks)
+        |         WHERE token IN ('hash', 'scan', 'stream')
+        |         GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY 1)
+        |SELECT doc_id,
+        |       sum(((1000000 * (n_docs - df + 1)) // (n_docs + 1)) *
+        |           ((22000000000 * tf) //
+        |            (10000 * tf + 3000 + (9000000 * dl) // avgdl_milli)))::BIGINT AS score_pico,
+        |       count(*)::BIGINT AS n_terms_hit
+        |FROM post JOIN dfreq USING (token) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score_pico DESC, doc_id
+        |LIMIT 15""".stripMargin,
+
+    "boolean_search" ->
+      """WITH p AS (SELECT doc_id, token, count(*) AS tf
+        |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |           WHERE token IN ('join', 'vector', 'spark')
+        |           GROUP BY 1, 2)
+        |SELECT doc_id, sum(CASE WHEN token IN ('join', 'vector') THEN tf ELSE 0 END)::BIGINT AS tf_sum
+        |FROM p GROUP BY doc_id
+        |HAVING count(CASE WHEN token IN ('join', 'vector') THEN 1 END) = 2
+        |   AND count(CASE WHEN token = 'spark' THEN 1 END) = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "phrase_search" ->
+      """WITH tk AS (SELECT doc_id, generate_subscripts(s, 1) AS pos, unnest(s) AS tok
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+        |SELECT a.doc_id, (a.pos - 1)::INTEGER AS start_pos
+        |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'join' AND b.tok = 'hash'
+        |ORDER BY a.doc_id, start_pos""".stripMargin,
+
+    "heavy_hitters_cms" ->
+      s"""WITH $BigramCte
+         |SELECT item, count(*) AS n_occurrences
+         |FROM b GROUP BY item
+         |HAVING count(*) >= greatest(1, (SELECT count(*) FROM b) // 1024)
+         |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "cms_token_estimates" ->
+      s"""WITH $BigramCte,
+         |c AS (SELECT r, ('0x' || substr(md5('cms' || r || ':' || item), 1, 15))::BIGINT % 256 AS bucket,
+         |             count(*) AS cnt
+         |      FROM b CROSS JOIN (SELECT unnest(range(3)) AS r)
+         |      GROUP BY 1, 2),
+         |e AS (SELECT item, count(*) AS n_true FROM b GROUP BY 1)
+         |SELECT item, min(cnt)::BIGINT AS est, n_true
+         |FROM e JOIN c ON c.bucket = ('0x' || substr(md5('cms' || c.r || ':' || item), 1, 15))::BIGINT % 256
+         |GROUP BY item, n_true
+         |ORDER BY est DESC, item
+         |LIMIT 30""".stripMargin)
+}

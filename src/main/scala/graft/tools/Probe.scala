@@ -97,6 +97,8 @@ object Probe {
         graft.ops.Dedup.releaseCaches()
         graft.ops.Similarity.releaseCaches()
         graft.ops.Graph.releaseCaches()
+        graft.ops.TextOps.releaseCaches()
+        graft.ops.Search.releaseCaches()
       }
     }
     spark.stop()
@@ -144,7 +146,9 @@ object Probe {
       // the next query's plan
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
-        graft.ops.Graph.releaseCaches()
+      graft.ops.Graph.releaseCaches()
+      graft.ops.TextOps.releaseCaches()
+      graft.ops.Search.releaseCaches()
     }
     spark.stop()
   }

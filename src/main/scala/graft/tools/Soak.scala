@@ -218,6 +218,7 @@ object Soak {
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ops.Dedup.releaseCaches(); graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches(); graft.ops.TextOps.releaseCaches()
+      graft.ops.Search.releaseCaches()
       dt
     }
     times.min

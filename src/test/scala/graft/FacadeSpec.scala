@@ -35,7 +35,9 @@ class FacadeSpec extends AnyFunSuite {
     "Intervals" -> graft.ops.Intervals,
     "Layout" -> graft.ops.Layout,
     "Skew" -> graft.ops.Skew,
-    "TopK" -> graft.ops.TopK)
+    "TopK" -> graft.ops.TopK,
+    "Search" -> graft.ops.Search,
+    "Sketches" -> graft.ops.Sketches)
 
   /** Deliberately unfacaded: internals of a public op's pipeline
     * (callers go through the composed op), plus per-stage forms whose
@@ -51,6 +53,10 @@ class FacadeSpec extends AnyFunSuite {
     // shared census→(empty|InSet|join) assembly behind lshCandidates
     // and BuildDedupIndex.probeBands — both composed forms are facaded
     "cappedPairsFromCensus",
+    // shared scoring body behind Search.rankedSearch and
+    // BuildTextIndex.searchStored — both composed forms are facaded
+    // (searchRanked; the stored job is a jobs entry point)
+    "scoredTopK",
     // per-stage internals of the facaded PQ/SRP/IVF entries
     "assignClusters", "assignClustersL2", "pqSubVectors", "pqCodeTuple",
     "quantVectors", "srpBands", "srpBitsCentered",

@@ -955,4 +955,85 @@ class JobsSpec extends SparkSpec {
       assert(table.select("doc_id", "band").count() > 0L)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("batch id 'base' is reserved: append and compact refuse it loudly") {
+    // 'base' is run()'s own partition directory; a caller passing the
+    // hour label 'base' (or a config typo) would otherwise OVERWRITE
+    // the base corpus's bucket rows and every base doc would silently
+    // vanish from all future probes.
+    val base = Files.createTempDirectory("graft-resv").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"
+    docs.filter($"doc_id" < 10).select($"doc_id", $"text").write.parquet(seenP)
+    val out = s"$base/index"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, out)
+    val e = intercept[IllegalArgumentException] {
+      graft.jobs.BuildDedupIndex.append(spark, seenP, seenP, out, "base")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.jobs.BuildDedupIndex.compact(spark, seenP, out, label = "base")
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
+  test("stored text index: two-batch lifecycle, pruned search, disk == memory, retry-idempotent") {
+    val base = Files.createTempDirectory("graft-textidx").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val h1P = s"$base/h1"; val h2P = s"$base/h2"
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text").write.parquet(h1P)
+    docs.filter($"doc_id" >= 250).select($"doc_id", $"text").write.parquet(h2P)
+    val out = s"$base/index"
+    graft.jobs.BuildTextIndex.run(spark, h1P, out)
+    graft.jobs.BuildTextIndex.append(spark, h2P, out, "h2")
+    val terms = Seq("hash", "scan", "stream")
+    def collected(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    val stored = collected(
+      graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15))
+    // disk == memory: byte-identical scores to the direct corpus pass
+    val direct = collected(
+      graft.ops.Search.rankedSearch(docs, terms, k = 15))
+    assert(stored == direct,
+      "stored-index search must equal the in-memory corpus pass exactly")
+    assert(stored.nonEmpty)
+    // the search scan is partition-pruned to the terms' tbuckets: no
+    // other bucket directory appears among the scanned files
+    import org.apache.spark.sql.functions.{col => c, pmod, hash, lit}
+    val wanted = terms.toDF("token")
+      .select(pmod(hash(c("token")), lit(graft.jobs.BuildTextIndex.Buckets)))
+      .collect().map(_.getInt(0)).toSet
+    val pruned = spark.read.parquet(s"$out/postings")
+      .filter(c("tbucket").isin(wanted.toSeq: _*) && c("token").isin(terms: _*))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    val partFilter = "PartitionFilters: \\[tbucket#\\d+ IN \\(([\\d,]+)\\)\\]".r
+      .findFirstMatchIn(scanned)
+    assert(partFilter.isDefined,
+      s"search scan must carry a tbucket partition filter:\n$scanned")
+    assert(partFilter.get.group(1).split(",").map(_.toInt).toSet == wanted,
+      "the partition filter must be exactly the terms' buckets")
+    assert(scanned.contains("PushedFilters: [In(token"),
+      "the token filter must push into the parquet scan")
+    // retry idempotence: re-appending the same batch id overwrites its
+    // own directories — search results and row counts are unchanged
+    val rowsBefore = spark.read.parquet(s"$out/postings").count()
+    graft.jobs.BuildTextIndex.append(spark, h2P, out, "h2")
+    assert(spark.read.parquet(s"$out/postings").count() == rowsBefore)
+    assert(collected(
+      graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15))
+      == stored, "append retry must not change search results")
+    // reserved base id refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.jobs.BuildTextIndex.append(spark, h2P, out, "base")
+    }
+    assert(e.getMessage.contains("reserved"), e.getMessage)
+    // unbuilt store refuses loudly
+    val e2 = intercept[IllegalArgumentException] {
+      graft.jobs.BuildTextIndex.append(spark, h2P, s"$base/nowhere")
+    }
+    assert(e2.getMessage.contains("run BuildTextIndex.run first"), e2.getMessage)
+  }
 }

@@ -229,13 +229,22 @@ class PlanSpec extends SparkSpec {
       "mlm_mask" -> 1,  // measured 1: pure explode + filter, the only exchange is the final sort
       "t5_spans" -> 2,  // measured 2: ONE per-doc exchange shared by both windows and the island groupBy + final sort
       "fim_transform" -> 1, // measured 1: per-row projection; sort only
-      "epoch_mix" -> 1)     // measured 1: per-row literal-map explode; sort only
+      "epoch_mix" -> 1,     // measured 1: per-row literal-map explode; sort only
+      // round-10 retrieval + sketch family
+      "ranked_search" -> 6,  // measured 6: cached postings agg + df agg (broadcast side) + stats agg (1 row) + doc-score agg; top-k is TakeOrdered
+      "boolean_search" -> 3, // measured 3: postings agg + per-doc agg + final sort; term filters are scan-side
+      "phrase_search" -> 2,  // measured 2: the (doc,pos) position joins share ONE exchange of the cached filtered positions + final sort
+      "heavy_hitters_cms" -> 8, // measured 8: two occurrence passes (counter fold d x w + survivor exact agg), d broadcast cell joins cost nothing, + sort; the UNIVERSE-wide agg is what's absent
+      "inverted_postings" -> 2, // agg + sort
+      "cms_token_estimates" -> 7, // measured 7: counter fold + distinct-item agg + top-30 sort; cell joins broadcast
+      "ranked_search_stored" -> 8) // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
       assert(ex <= n, s"$q: $ex exchanges exceed budget $n\n${planOf(df)}")
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
+      graft.ops.Search.releaseCaches()
     }
   }
 

@@ -822,4 +822,52 @@ class ScaleSpec extends SparkSpec {
     // minutes here, the indexed gate seconds
     assert(secs < 120.0, f"30k-merge corpus apply took $secs%.1fs")
   }
+
+  test("stopword query term (df = 10^6) stays partial-agg bounded in search ops") {
+    import graft.ops.{Search, Sketches}
+    // A query containing a stopword makes that term's postings
+    // corpus-sized. The postings aggregate keys on (token, doc) —
+    // distinct per doc, so the hot TOKEN never lands in one task — and
+    // the top-k is TakeOrdered, never a global sort. Phrase search on
+    // the same corpus joins on (doc, pos): fine-grained keys, bounded
+    // by the fixture's one true match.
+    val n = 1000000L
+    val docs = spark.range(n).select(
+      $"id".as("doc_id"),
+      concat(lit("u"), $"id", lit("a the u"), $"id", lit("b")).as("text"))
+    val ranked = Search.rankedSearch(docs, Seq("the", "u5a"), k = 10)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must be TakeOrdered, not a global sort")
+    assert(!plan.contains("windowspecdefinition"),
+      "scoring must never window over the hot token")
+    val t0 = System.nanoTime()
+    val top = ranked.collect()
+    val secsRank = (System.nanoTime() - t0) / 1e9
+    // doc 5 matches BOTH terms; everyone else only 'the' with identical
+    // tf/dl, so ties break on doc_id
+    assert(top.head.getLong(0) == 5L && top.head.getLong(2) == 2L)
+    assert(top.drop(1).map(_.getLong(0)).toSeq ==
+      (0L until 10L).filterNot(_ == 5L).take(9))
+    Search.releaseCaches()
+    val t1 = System.nanoTime()
+    val phrase = Search.phraseSearch(docs, Seq("u5a", "the")).collect()
+    val secsPhrase = (System.nanoTime() - t1) / 1e9
+    assert(phrase.toSeq.map(r => (r.getLong(0), r.getInt(1))) == Seq((5L, 0)))
+    Search.releaseCaches()
+    // CMS over the same skewed stream: the counter table is bounded by
+    // d x w REGARDLESS of the 10^6-item universe, and the heavy-hitter
+    // answer is exact
+    val items = docs.select(explode(split($"text", " ")).as("item"))
+    val counters = Sketches.cmsCounters(items, width = 1024, depth = 3)
+    assert(counters.count() <= 3L * 1024L,
+      "counter table must stay d*w regardless of universe size")
+    val t2 = System.nanoTime()
+    val hh = Sketches.cmsHeavyHitters(items, n / 2, width = 1024, depth = 3)
+      .collect()
+    val secsHh = (System.nanoTime() - t2) / 1e9
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("the", n)))
+    info(f"10^6-doc search family: ranked $secsRank%.1fs, phrase $secsPhrase%.1fs, cms-heavy $secsHh%.1fs")
+  }
 }

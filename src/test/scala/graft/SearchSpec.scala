@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Search, Sketches}
+
+/** Full-text retrieval + CMS heavy-hitter semantics. The DuckDB gate
+  * covers corpus-level parity; these fixtures pin the semantics a
+  * hash-match cannot localize — hand-computed scores, overlap/edge
+  * shapes, the sketch's overestimate invariant, and loud guards.
+  */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs2 = Seq(
+    // doc 1: dl 4, 'cat' x2; doc 2: dl 2, 'cat' x1; doc 3: no hits
+    (1L, "cat dog cat bird"),
+    (2L, "cat fish"),
+    (3L, "bird bird")).toDF("doc_id", "text")
+
+  test("rankedSearch: hand-computed fixed-point scores, exact") {
+    // N = 3, T = 8, avgdl_milli = 8000/3 = 2666.
+    // 'cat': df 2, rarity = 1000000*(3-2+1)//4 = 500000
+    // 'dog': df 1, rarity = 1000000*(3-1+1)//4 = 750000
+    // doc 1 (dl 4): dlnorm = 9000000*4 // 2666 = 13503
+    //   cat tf 2: sat = 44e9 // (20000+3000+13503) = 44e9 // 36503 = 1205380
+    //   dog tf 1: sat = 22e9 // (10000+3000+13503) = 22e9 // 26503 = 830094
+    //   score = 500000*1205380 + 750000*830094
+    // doc 2 (dl 2): dlnorm = 9000000*2 // 2666 = 6751
+    //   cat tf 1: sat = 22e9 // (10000+3000+6751) = 22e9 // 19751 = 1113867
+    //   score = 500000*1113867
+    val r = Search.rankedSearch(docs2, Seq("cat", "dog"), k = 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq(
+      (1L, 500000L * 1205380L + 750000L * 830094L, 2L),
+      (2L, 500000L * 1113867L, 1L)))
+  }
+
+  test("rankedSearch: duplicate query terms collapse; k truncates; guards fire") {
+    val dup = Search.rankedSearch(docs2, Seq("cat", "cat", "dog"), k = 10).collect()
+    val one = Search.rankedSearch(docs2, Seq("cat", "dog"), k = 10).collect()
+    assert(dup.toSeq == one.toSeq, "a repeated term must not double-score")
+    assert(Search.rankedSearch(docs2, Seq("cat", "dog"), k = 1).count() == 1)
+    intercept[IllegalArgumentException] {
+      Search.rankedSearch(docs2, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Search.rankedSearch(docs2, Seq("two words"))
+    }
+  }
+
+  test("booleanSearch: conjunction, negation, tf_sum; guards") {
+    val r = Search.booleanSearch(docs2, all = Seq("cat", "bird"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r.toSeq == Seq((1L, 3L)), "doc 1 has cat x2 + bird x1")
+    val neg = Search.booleanSearch(docs2, all = Seq("cat"), none = Seq("bird"))
+      .collect().map(_.getLong(0))
+    assert(neg.toSeq == Seq(2L), "doc 1 banned by 'bird', doc 3 lacks 'cat'")
+    intercept[IllegalArgumentException] {
+      Search.booleanSearch(docs2, all = Seq.empty, none = Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Search.booleanSearch(docs2, all = Seq("cat"), none = Seq("cat"))
+    }
+  }
+
+  test("phraseSearch: overlapping matches, m=3, single term, absent phrase") {
+    val d = Seq((1L, "a a a b c"), (2L, "a b c a"), (3L, "c b a"))
+      .toDF("doc_id", "text")
+    // overlapping starts: 'a a' occurs at 0 and 1 in doc 1
+    val aa = Search.phraseSearch(d, Seq("a", "a"))
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(aa == Set((1L, 0), (1L, 1)))
+    val abc = Search.phraseSearch(d, Seq("a", "b", "c"))
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(abc == Set((1L, 2), (2L, 0)))
+    val single = Search.phraseSearch(d, Seq("c"))
+      .collect().map(x => (x.getLong(0), x.getInt(1))).toSet
+    assert(single == Set((1L, 4), (2L, 2), (3L, 0)))
+    assert(Search.phraseSearch(d, Seq("c", "c")).count() == 0)
+    graft.ops.Search.releaseCaches()
+  }
+
+  test("postings and positionalPostings agree with each other") {
+    val p = Search.postings(docs2)
+    val fromPos = Search.positionalPostings(docs2)
+      .groupBy($"token", $"doc_id").agg(count(lit(1)).as("tf"))
+    assert(p.exceptAll(fromPos).count() == 0 &&
+      fromPos.exceptAll(p).count() == 0)
+  }
+
+  test("CMS estimate never undercounts, even at adversarial width") {
+    // width 2, depth 2: massive collisions — the overestimate
+    // invariant est >= n_true must hold regardless
+    val items = Tables.documents(spark, Sf0001).limit(50)
+      .select(explode(split($"text", " ")).as("item"))
+    val est = Sketches.cmsEstimates(items,
+      Sketches.cmsCounters(items, width = 2, depth = 2),
+      width = 2, depth = 2)
+    assert(est.filter($"est" < $"n_true").count() == 0)
+    assert(est.count() > 10, "fixture must have a real vocabulary")
+  }
+
+  test("cmsHeavyHitters equals brute force under forced collisions") {
+    val items = Tables.documents(spark, Sf0001).limit(80)
+      .select(explode(split($"text", " ")).as("item"))
+    val thr = 40L
+    val viaCms = Sketches.cmsHeavyHitters(items, thr, width = 4, depth = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val brute = items.groupBy($"item").agg(count(lit(1)).as("n_occurrences"))
+      .filter($"n_occurrences" >= thr)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaCms == brute,
+      "collision false-positives must be trimmed by the exact verify")
+    assert(brute.nonEmpty, "fixture must contain heavies")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsHeavyHitters(items, 0L)
+    }
+  }
+
+  test("CMS prune actually prunes: light items never reach the exact aggregate") {
+    // Skewed fixture: one mega-item + a long unique tail. With an
+    // adequate width, every tail item's estimate stays below the
+    // threshold, so the exact aggregate's input is just the mega-item's
+    // occurrences — THE claim that replaces the universe-wide shuffle.
+    val items = spark.range(10000)
+      .select(when($"id" < 5000, lit("mega"))
+        .otherwise(concat(lit("tail"), $"id")).as("item"))
+    val counters = Sketches.cmsCounters(items, width = 4096, depth = 3)
+    val est = Sketches.cmsEstimates(items, counters, width = 4096, depth = 3)
+    val survivors = est.filter($"est" >= 1000L)
+    assert(survivors.count() < 50,
+      "width 4096 must prove almost every tail item light")
+    val hh = Sketches.cmsHeavyHitters(items, 1000L, width = 4096, depth = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hh.toSeq == Seq(("mega", 5000L)))
+  }
+
+  test("fresh item against stale counters estimates 0, not null") {
+    val seen = Seq("a", "a", "b").toDF("item")
+    val counters = Sketches.cmsCounters(seen, width = 8, depth = 2)
+    val fresh = Seq("zzz-never-seen").toDF("item")
+    val est = Sketches.cmsEstimates(fresh, counters, width = 8, depth = 2)
+      .collect()
+    assert(est.length == 1 && !est(0).isNullAt(1) &&
+      est(0).getLong(1) == 0L)
+  }
+}
