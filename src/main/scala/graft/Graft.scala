@@ -320,6 +320,8 @@ object Graft {
   def positionalIndex(docs: DataFrame): DataFrame =
     Search.positionalPostings(docs)
   def documentLengths(docs: DataFrame): DataFrame = Search.docLengths(docs)
+  def invertedPostingsPerRow(docs: DataFrame): DataFrame =
+    Search.perRowPostings(docs)
   def searchRanked(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
     Search.rankedSearch(docs, terms, k)
   def searchBoolean(docs: DataFrame, all: Seq[String],

@@ -384,6 +384,36 @@ object BuildDedupIndex {
     * Loud meta guard like [[append]]: compaction into an unbuilt store
     * has nothing to fold into.
     */
+  /** Content-derived fold label: md5 over the SORTED, root-relative
+    * data file names of a streamed directory. Recursive and
+    * root-relative so a flat streamed dir and a partitioned one both
+    * hash every data file, and identically-named files in different
+    * subdirectories stay distinct — a top-level-only listing would
+    * hash a partitioned dir to the constant empty label, re-
+    * introducing the cross-cycle overwrite. Shared with
+    * [[BuildTextIndex.compactStreamed]]: one definition of "same
+    * streamed content" across every store.
+    */
+  private[jobs] def contentLabel(spark: SparkSession,
+      streamedPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(streamedPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(p).toUri
+    val it = fs.listFiles(p, true)
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = rootUri.relativize(s.getPath.toUri).getPath
+      if (!rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith(".")))
+        names += rel
+    }
+    names.sortInPlace()
+    "fold-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(names.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   def compact(spark: SparkSession, streamedPath: String, outPath: String,
       numFiles: Int = 8, label: String = ""): Unit = {
     spark.read.parquet(s"$outPath/meta")
@@ -404,31 +434,7 @@ object BuildDedupIndex {
     // content-derived label turns the worst case (a still-running
     // stream adding files between folds) into duplicate rows the
     // probe's DISTINCT absorbs — cost, never loss.
-    val id = if (label.nonEmpty) label
-      else {
-        // Recursive, root-RELATIVE listing: a flat streamed dir (the
-        // runBandIngest shape) and a partitioned one both hash every
-        // data file, and identically-named files in different
-        // subdirectories stay distinct. A top-level-only listing
-        // would hash a partitioned dir to the constant empty label —
-        // re-introducing the cross-cycle overwrite for that layout.
-        val p = new org.apache.hadoop.fs.Path(streamedPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val rootUri = fs.makeQualified(p).toUri
-        val it = fs.listFiles(p, true)
-        val names = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          val s = it.next()
-          val rel = rootUri.relativize(s.getPath.toUri).getPath
-          if (!rel.split('/').exists(seg =>
-              seg.startsWith("_") || seg.startsWith(".")))
-            names += rel
-        }
-        names.sortInPlace()
-        "fold-" + java.security.MessageDigest.getInstance("MD5")
-          .digest(names.mkString("\n").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-      }
+    val id = if (label.nonEmpty) label else contentLabel(spark, streamedPath)
     require(!id.contains("/") && !id.contains("="),
       s"BuildDedupIndex.compact: label '$id' must be a plain partition value")
     require(id != "base",

@@ -118,6 +118,50 @@ object BuildTextIndex {
       .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 
+  /** Fold a streaming postings-ingest directory
+    * ([[graft.streaming.StreamingJob.runPostingsIngest]]'s output)
+    * into the stored index: the streamed (token, doc, dl, tf) rows
+    * land as ONE bucket-partitioned batch directory, and the batch's
+    * additive meta row is derived from the rows themselves
+    * (n_docs = distinct docs, n_tokens = Σ tf — the identities the
+    * postings already carry), so searches over the folded store score
+    * exactly as if the docs had arrived via [[append]]. Same writer
+    * discipline as [[BuildDedupIndex.compact]]: the default label
+    * hashes the streamed DATA FILE NAMES (a crash-retry of the same
+    * file set overwrites its own fold; the next cycle re-using the
+    * same path gets a fresh fold), `base` is reserved, and the caller
+    * retires the streamed dir + the stream's checkpoint together after
+    * a successful fold. Unlike the dedup store's probe, postings have
+    * no duplicate-absorbing DISTINCT — an overlapping re-fold of a
+    * still-running stream would double tf — so retire the stream
+    * BEFORE folding (the lifecycle JobsSpec pins).
+    */
+  def compactStreamed(spark: SparkSession, streamedPath: String,
+      outPath: String, label: String = ""): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP),
+      s"BuildTextIndex.compactStreamed: no index at $outPath — run " +
+        "BuildTextIndex.run first")
+    val id = if (label.nonEmpty) label
+      else BuildDedupIndex.contentLabel(spark, streamedPath)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildTextIndex.compactStreamed: label '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildTextIndex.compactStreamed: label 'base' is reserved for the " +
+        "initial build (folding under it would overwrite the base postings)")
+    val streamed = spark.read.parquet(streamedPath)
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+    streamed
+      .withColumn("tbucket", tbucketOf(col("token")))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$outPath/postings/batch=$id")
+    streamed
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+  }
+
   /** Ranked retrieval against the stored index — identical scores to
     * `Search.rankedSearch` over the same corpus (JobsSpec pins the
     * equality), with ZERO corpus access: the terms' tbuckets are

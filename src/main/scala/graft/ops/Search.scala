@@ -72,6 +72,43 @@ object Search {
         posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
       .select(col("token"), col(idCol), col("pos"))
 
+  /** [[postings]] restated as a PURE PER-ROW computation — no
+    * cross-row aggregate, so it is append-legal on a stream with no
+    * watermark (the [[Dedup.perRowSignature]] precedent; feeds
+    * [[graft.streaming.StreamingJob.runPostingsIngest]]). Exactly
+    * equals the batch groupBy form, pinned in SearchSpec.
+    *
+    * Per row: sort the token array, find each run's start position
+    * (`filter` over the index sequence — position 0 or a token change),
+    * pair starts with the next start (`zip_with` against the shifted
+    * starts) to get run lengths. Three linear HOF passes over
+    * MATERIALIZED columns plus one O(n log n) sort — never the
+    * O(n·distinct) shape of probing `filter(arr, equals-token)` per
+    * distinct token, which degrades to O(n²) on high-entropy docs.
+    * Output (token, idCol, dl, tf) like [[postings]] plus dl.
+    */
+  def perRowPostings(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val arr = df.select(col(idCol), split(col(textCol), " ").as("__arr"))
+      .select(col(idCol), size(col("__arr")).as("dl"),
+        array_sort(col("__arr")).as("__srt"))
+    val starts = arr.withColumn("__starts",
+      filter(sequence(lit(0), col("dl") - 1),
+        i => (i === 0) ||
+          element_at(col("__srt"), i + 1) =!= element_at(col("__srt"), i)))
+    starts
+      .select(col(idCol), col("dl"),
+        explode(zip_with(
+          col("__starts"),
+          concat(slice(col("__starts"), lit(2), size(col("__starts")) - 1),
+            array(col("dl"))),
+          (s, e) => struct(
+            element_at(col("__srt"), s + 1).as("token"),
+            (e - s).cast("long").as("tf")))).as("__run"))
+      .select(col("__run.token").as("token"), col(idCol), col("dl"),
+        col("__run.tf").as("tf"))
+  }
+
   /** Per-document token length — `dl` in ranking formulas. Map-side. */
   def docLengths(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =

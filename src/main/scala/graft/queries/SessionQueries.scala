@@ -521,6 +521,35 @@ object SessionQueries {
       spark.read.parquet(out).orderBy("doc_id", "band")
     },
 
+    "streaming_postings_ingest" -> { (spark, dir) =>
+      // Continuous ingest into the STORED text index: arriving docs →
+      // per-row postings (sorted-run-length encoding — the stateless
+      // restatement of the batch groupBy, append-legal with no
+      // watermark) → append (token, doc, dl, tf) parquet, the row
+      // shape BuildTextIndex.compactStreamed folds into the
+      // bucket-partitioned store. The oracle recomputes every posting
+      // row from raw text, so a drift in the run-length fold (a lost
+      // run, an off-by-one length) hash-mismatches.
+      import spark.implicits._
+      val in = stagedDocsInput(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-post-q")
+      deleteRecursivelyOnExit(base)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runPostingsIngest(spark, schema,
+          in, out, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      spark.read.parquet(out).orderBy("token", "doc_id")
+    },
+
     "streaming_ivf_assign" -> { (spark, dir) =>
       // Streaming ingestion into the IVF index, closing the loop between
       // the batch ANN stack and the streaming surface: new vectors
@@ -781,6 +810,16 @@ object SessionQueries {
          |  FROM h)
          |ORDER BY doc_id, band""".stripMargin
     },
+
+    // every posting row recomputed from raw text — a drift in the
+    // streaming run-length fold hash-mismatches
+    "streaming_postings_ingest" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::INTEGER AS dl,
+        |                  unnest(string_split(text, ' ')) AS token
+        |           FROM documents)
+        |SELECT token, doc_id, dl, count(*) AS tf
+        |FROM t GROUP BY token, doc_id, dl
+        |ORDER BY token, doc_id""".stripMargin,
 
     "sessionize_counts" ->
       """WITH d AS (

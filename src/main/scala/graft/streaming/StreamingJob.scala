@@ -242,20 +242,22 @@ object StreamingJob {
     * table. Docs with fewer than 3 tokens have no shingles and are
     * filtered (the batch form has no rows for them either).
     */
-  def runBandIngest(spark: SparkSession, schema: StructType, inPath: String,
-      outPath: String, checkpointPath: String): Unit = {
-    // Loud guard for the catastrophic mistake the scaladoc warns about:
-    // pointing the sink at a BATCH-written directory (e.g. the store's
-    // buckets/). The sink would create _spark_metadata there, and every
-    // later batch read would trust only the commit log — silently
-    // dropping the whole indexed history. A directory that already
-    // holds parquet files WITHOUT a _spark_metadata log is exactly that
-    // case; a prior streaming dir (log present) is a legal resume.
+  /** Loud guard for the catastrophic sink mistake both store-ingest
+    * paths warn about: pointing the stream at a BATCH-written
+    * directory (e.g. the store's own buckets/ or postings/). The sink
+    * would create _spark_metadata there, and every later batch read
+    * would trust only the commit log — silently dropping the whole
+    * indexed history. A directory that already holds parquet files
+    * WITHOUT a _spark_metadata log is exactly that case; a prior
+    * streaming dir (log present) is a legal resume. The parquet probe
+    * must RECURSE: a partitioned batch dataset nests its files under
+    * key=value subdirectories, and a top-level-only listStatus would
+    * wave exactly the layout the guard exists to stop.
+    */
+  private def guardFreshSinkDir(spark: SparkSession, outPath: String,
+      op: String, foldAdvice: String): Unit = {
     val outP = new org.apache.hadoop.fs.Path(outPath)
     val fs = outP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // the parquet probe must RECURSE: a partitioned batch dataset nests
-    // its files under key=value subdirectories, and a top-level-only
-    // listStatus would wave exactly the layout the guard exists to stop
     def holdsBatchParquet: Boolean = {
       val it = fs.listFiles(outP, true)
       var found = false
@@ -267,15 +269,44 @@ object StreamingJob {
         !fs.exists(new org.apache.hadoop.fs.Path(outPath, "_spark_metadata")) &&
         holdsBatchParquet)
       throw new IllegalStateException(
-        s"runBandIngest: $outPath already holds batch-written parquet " +
+        s"$op: $outPath already holds batch-written parquet " +
           "files; a streaming sink's _spark_metadata log would shadow " +
           "them in every later batch read. Stream to a FRESH directory " +
-          "and fold it into the store with BuildDedupIndex.compact.")
+          s"and fold it into the store with $foldAdvice.")
+  }
+
+  def runBandIngest(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String): Unit = {
+    guardFreshSinkDir(spark, outPath, "runBandIngest",
+      "BuildDedupIndex.compact")
     val in = spark.readStream.schema(schema).parquet(inPath)
     val withSh = graft.ops.Dedup.withShingles(in)
     val sig = graft.ops.Dedup.perRowSignature(
       withSh.filter(size(col("shingles")) >= 1))
     val q = graft.ops.Dedup.bandRows(sig).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Continuous ingest into the STORED text index: arriving docs →
+    * per-row postings (the stateless restatement of the batch
+    * groupBy — sorted-run length encoding, so append-legal with no
+    * watermark) → append (token, doc, dl, tf) parquet to a FRESH
+    * streamed directory, which
+    * [[graft.jobs.BuildTextIndex.compactStreamed]] later folds into
+    * the bucket-partitioned store together with its additive meta row.
+    */
+  def runPostingsIngest(spark: SparkSession, schema: StructType,
+      inPath: String, outPath: String, checkpointPath: String): Unit = {
+    guardFreshSinkDir(spark, outPath, "runPostingsIngest",
+      "BuildTextIndex.compactStreamed")
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = graft.ops.Search.perRowPostings(in).writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outPath)

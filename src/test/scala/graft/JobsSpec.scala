@@ -1036,4 +1036,56 @@ class JobsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("run BuildTextIndex.run first"), e2.getMessage)
   }
+
+  test("text index streaming lifecycle: ingest -> fold -> search equals batch-built") {
+    // The stream -> store loop for the text index: half the corpus is
+    // batch-built, the other half arrives as a stream, is folded by
+    // compactStreamed (postings + DERIVED additive meta), and a stored
+    // search must then equal both the direct corpus pass and an index
+    // where the same docs arrived via append. Then a byte-identical
+    // re-fold (crash-retry shape: same streamed file set) must change
+    // nothing.
+    val base = Files.createTempDirectory("graft-textstream").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val h1P = s"$base/h1"; val h2P = s"$base/h2"
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text").write.parquet(h1P)
+    docs.filter($"doc_id" >= 250).select($"doc_id", $"text").write.parquet(h2P)
+    val out = s"$base/index"
+    graft.jobs.BuildTextIndex.run(spark, h1P, out)
+    val streamed = s"$base/streamed"; val ckpt = s"$base/ckpt"
+    val schema = spark.read.parquet(h2P).schema
+    graft.streaming.StreamingJob.runPostingsIngest(spark, schema, h2P,
+      streamed, ckpt)
+    graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out)
+    val terms = Seq("hash", "scan", "stream")
+    def collected(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    val stored = collected(
+      graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15))
+    assert(stored == collected(
+      graft.ops.Search.rankedSearch(docs, terms, k = 15)),
+      "stream-folded store must search identically to the direct pass")
+    val refOut = s"$base/refidx"
+    graft.jobs.BuildTextIndex.run(spark, h1P, refOut)
+    graft.jobs.BuildTextIndex.append(spark, h2P, refOut, "h2")
+    assert(stored == collected(
+      graft.jobs.BuildTextIndex.searchStored(spark, refOut, terms, k = 15)),
+      "stream-folded store must equal the append-built store")
+    // crash-retry: identical streamed content -> identical label ->
+    // fold overwrites itself; rows and results unchanged
+    val rows = spark.read.parquet(s"$out/postings").count()
+    graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out)
+    assert(spark.read.parquet(s"$out/postings").count() == rows,
+      "re-folding the same streamed files must overwrite, not append")
+    assert(stored == collected(
+      graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15)))
+    // the streaming sink guard refuses the store's own postings dir
+    val e = intercept[IllegalStateException] {
+      graft.streaming.StreamingJob.runPostingsIngest(spark, schema, h2P,
+        s"$out/postings", s"$base/ckpt2")
+    }
+    assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
+  }
 }

@@ -145,4 +145,26 @@ class SearchSpec extends SparkSpec {
     assert(est.length == 1 && !est(0).isNullAt(1) &&
       est(0).getLong(1) == 0L)
   }
+
+  test("perRowPostings exactly equals the batch postings aggregate") {
+    // the streaming ingest rides this equivalence: a lost run or an
+    // off-by-one run length would desync the stored index from the
+    // batch path
+    val docs = Tables.documents(spark, Sf0001).limit(120)
+    val perRow = Search.perRowPostings(docs)
+      .select($"token", $"doc_id", $"dl", $"tf")
+    val batch = graft.jobs.BuildTextIndex.postingsTable(docs)
+      .select($"token", $"doc_id", $"dl", $"tf")
+    assert(perRow.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(perRow).count() == 0)
+    // edge shapes: empty text (one "" token), single token, all-same,
+    // all-distinct
+    val edges = Seq((1L, ""), (2L, "x"), (3L, "y y y"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val e = Search.perRowPostings(edges)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(e == Set(("", 1L, 1, 1L), ("x", 2L, 1, 1L), ("y", 3L, 3, 3L),
+      ("a", 4L, 3, 1L), ("b", 4L, 3, 1L), ("c", 4L, 3, 1L)))
+  }
 }
