@@ -329,6 +329,9 @@ object Graft {
     Search.booleanSearch(docs, all, none)
   def searchPhrase(docs: DataFrame, phrase: Seq[String]): DataFrame =
     Search.phraseSearch(docs, phrase)
+  def searchProximity(docs: DataFrame, termA: String, termB: String,
+      window: Int): DataFrame =
+    Search.proximitySearch(docs, termA, termB, window)
 
   // sketch-accelerated exact counting
   def heavyHitters(items: DataFrame, threshold: Long,

@@ -237,6 +237,50 @@ object Search {
     * term's postings. A stopword inside the phrase fattens one input
     * but never squares anything.
     */
+  /** Proximity (NEAR) retrieval: documents where `termA` and `termB`
+    * occur within `window` token positions of each other, with the
+    * co-occurrence count and the closest distance. The position join
+    * keys on the doc with the distance bound as a residual predicate —
+    * both inputs are scan-pruned literal filters, and the per-doc pair
+    * fan-out is bounded by that doc's own occurrence counts (a
+    * stopword term fattens one input linearly; nothing squares across
+    * docs). With termA == termB the pair is unordered (pos_a < pos_b),
+    * so a single occurrence never matches itself.
+    */
+  def proximitySearch(df: DataFrame, termA: String, termB: String,
+      window: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, "proximitySearch: window must be >= 1")
+    require(Seq(termA, termB).forall(t => t.nonEmpty && !t.contains(" ")),
+      "proximitySearch: terms must be non-empty single tokens")
+    val pos = registerDf(positionalPostings(df, idCol, textCol)
+      .filter(col("token").isin(Seq(termA, termB).distinct: _*))
+      .cache())
+    val a = pos.filter(col("token") === lit(termA))
+      .select(col(idCol), col("pos").as("__pa"))
+    val b = pos.filter(col("token") === lit(termB))
+      .select(col(idCol), col("pos").as("__pb"))
+    val dist =
+      if (termA == termB) col("__pb") - col("__pa")
+      else abs(col("__pa") - col("__pb"))
+    val pairCond =
+      if (termA == termB) col("__pa") < col("__pb") && dist <= window
+      else dist <= window
+    a.join(b, Seq(idCol)).filter(pairCond)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(dist).cast("long").as("min_dist"))
+  }
+
+  /** Exact phrase occurrences: every (doc, start_pos) where the tokens
+    * `phrase(0) … phrase(m−1)` appear consecutively (0-based start).
+    * Positions for the phrase's (few, literal) tokens are joined
+    * term-by-term on (doc, pos + i) — each side is a scan-pruned
+    * filter, the join keys are fine-grained (doc, position), and the
+    * candidate volume after the first join is bounded by the rarer
+    * term's postings. A stopword inside the phrase fattens one input
+    * but never squares anything.
+    */
   def phraseSearch(df: DataFrame, phrase: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(phrase.nonEmpty &&

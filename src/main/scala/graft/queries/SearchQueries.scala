@@ -95,6 +95,15 @@ object SearchQueries {
       graft.ops.Search.scoredTopK(post, stats, k = 15, "doc_id")
     },
 
+    "proximity_search" -> { (spark, dir) =>
+      // NEAR retrieval: 'data' within 3 tokens of 'vector', with the
+      // co-occurrence count and the closest distance per doc.
+      import spark.implicits._
+      Search.proximitySearch(Tables.documents(spark, dir),
+          "data", "vector", window = 3)
+        .orderBy("doc_id")
+    },
+
     "heavy_hitters_cms" -> { (spark, dir) =>
       // EXACT heavy hitters with the Count-Min prune: bigrams at or
       // above 1/1024 of the stream, counted exactly — only occurrences
@@ -185,6 +194,14 @@ object SearchQueries {
         |FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |WHERE a.tok = 'join' AND b.tok = 'hash'
         |ORDER BY a.doc_id, start_pos""".stripMargin,
+
+    "proximity_search" ->
+      """WITH tk AS (SELECT doc_id, generate_subscripts(s, 1) AS pos, unnest(s) AS tok
+        |            FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+        |SELECT a.doc_id, count(*) AS n_pairs, min(abs(a.pos - b.pos))::BIGINT AS min_dist
+        |FROM tk a JOIN tk b ON a.doc_id = b.doc_id
+        |WHERE a.tok = 'data' AND b.tok = 'vector' AND abs(a.pos - b.pos) <= 3
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
 
     "heavy_hitters_cms" ->
       s"""WITH $BigramCte

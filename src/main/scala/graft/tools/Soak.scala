@@ -48,7 +48,13 @@ object Soak {
     // r9: the two incremental-dedup paths — at the soaked scale the
     // fixed doc_id split boundaries make the "batch" ~99% of the
     // corpus, so these measure near-full-corpus probe/verify growth
-    "dedup_stored_increment", "dedup_bloom_increment")
+    "dedup_stored_increment", "dedup_bloom_increment",
+    // r10: the retrieval + sketch family — ranked search is two corpus
+    // passes (stats + filtered postings) and must grow ≈ linearly;
+    // heavy_hitters_cms is the two-pass sketch-prune shape whose whole
+    // point is that the counter fold stays d·w-bounded as the corpus
+    // grows (only the survivor aggregate scales with true heavies)
+    "ranked_search", "heavy_hitters_cms")
 
   /** The super-linear soakers (r9 verdict #4): one 10× point can't
     * distinguish m^1.2 from m^1.5 — for these two, the soak adds a 3×

@@ -237,7 +237,8 @@ class PlanSpec extends SparkSpec {
       "heavy_hitters_cms" -> 8, // measured 8: two occurrence passes (counter fold d x w + survivor exact agg), d broadcast cell joins cost nothing, + sort; the UNIVERSE-wide agg is what's absent
       "inverted_postings" -> 2, // agg + sort
       "cms_token_estimates" -> 7, // measured 7: counter fold + distinct-item agg + top-30 sort; cell joins broadcast
-      "ranked_search_stored" -> 8) // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered
+      "ranked_search_stored" -> 8, // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered
+      "proximity_search" -> 3) // measured 3: cached position join (one exchange per side) + per-doc agg + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)

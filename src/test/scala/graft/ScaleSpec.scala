@@ -594,6 +594,19 @@ class ScaleSpec extends SparkSpec {
     // generous contention headroom; the old quadratic form would take
     // minutes-to-hours here, not seconds
     assert(secs < 60.0, f"trigram ops took $secs%.1fs on a 10^5-token doc")
+    // the streaming postings fold is per-row too: its sorted-run-length
+    // encoding must stay O(n log n) on the same hot doc (the rejected
+    // probe-per-distinct-token form is O(n·u) — fine at u=31, quadratic
+    // on high-entropy docs, so the fixture alone can't catch it; the
+    // shape is pinned structurally by using only starts/zip_with)
+    val t1 = System.nanoTime()
+    val posts = graft.ops.Search.perRowPostings(df)
+      .groupBy($"doc_id").agg(count(lit(1)).as("u"), sum($"tf").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val secsPost = (System.nanoTime() - t1) / 1e9
+    assert(posts(1L) == (31L, nTok.toLong) && posts(2L) == (6L, 6L))
+    info(f"10^5-token doc through perRowPostings: $secsPost%.1fs")
+    assert(secsPost < 60.0)
   }
 
   test("FastSS typo pairs stay dictionary-bounded on a 5·10^4-value dictionary") {

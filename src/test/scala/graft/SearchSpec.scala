@@ -167,4 +167,23 @@ class SearchSpec extends SparkSpec {
     assert(e == Set(("", 1L, 1, 1L), ("x", 2L, 1, 1L), ("y", 3L, 3, 3L),
       ("a", 4L, 3, 1L), ("b", 4L, 3, 1L), ("c", 4L, 3, 1L)))
   }
+
+  test("proximitySearch: window semantics, same-term pairs, guards") {
+    val d = Seq(
+      (1L, "x a b y"),      // dist(a,y) = 2
+      (2L, "a q q q q y"),  // dist 5 > window
+      (3L, "y a y"),        // two pairs at dist 1; min 1
+      (4L, "a a a")).toDF("doc_id", "text")
+    val r = Search.proximitySearch(d, "a", "y", window = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 1L, 2L), (3L, 2L, 1L)))
+    // same term: unordered occurrence pairs, never self-pairs
+    val same = Search.proximitySearch(d, "a", "a", window = 1)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(same == Set((4L, 2L, 1L)), "doc 4 has (0,1) and (1,2); never (i,i)")
+    intercept[IllegalArgumentException] {
+      Search.proximitySearch(d, "a", "y", window = 0)
+    }
+    graft.ops.Search.releaseCaches()
+  }
 }
