@@ -179,14 +179,30 @@ object Search {
     val post = registerDf(post0.cache())
     val dfreq = post.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
+    // loud NAMED overflow guard (the guardedWeight posture): 22·10⁹·tf
+    // and 9·10⁶·dl are exact LONG arithmetic, so a tf or dl past 4·10⁸
+    // (a 400M-token single document) cannot score. ANSI mode would
+    // throw its own ARITHMETIC_OVERFLOW — correct but anonymous, and
+    // gone if a caller's session disables ANSI (then it wraps NEGATIVE
+    // and silently corrupts the ranking). The guard wraps tf at its
+    // FIRST use so the named error — which identifies the document and
+    // the remedy — wins the evaluation order. One branch per MATCHING
+    // posting row, not per corpus token.
+    val tfG = when(col("dl").cast("long") > lit(400000000L) ||
+        col("tf") > lit(400000000L),
+      raise_error(concat(lit("rankedSearch: doc "),
+        col(idCol).cast("string"),
+        lit(" has tf/dl past 4e8 — the int64 fixed-point score would " +
+          "overflow; chunk the document first"))))
+      .otherwise(col("tf"))
     post
       .join(broadcast(dfreq), "token")
       .crossJoin(broadcast(stats))
       .select(col(idCol),
         (idiv(lit(1000000L) * (col("n_docs") - col("df") + lit(1L)),
           col("n_docs") + lit(1L)) *
-          idiv(lit(22000000000L) * col("tf"),
-            lit(10000L) * col("tf") + lit(3000L) +
+          idiv(lit(22000000000L) * tfG,
+            lit(10000L) * tfG + lit(3000L) +
               idiv(lit(9000000L) * col("dl"), col("avgdl_milli"))))
           .as("term_score"))
       .groupBy(col(idCol))

@@ -49,6 +49,14 @@ object Sketches {
   def cmsCounters(items: DataFrame, itemCol: String = "item",
       width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
     require(width > 0 && depth > 0, "cmsCounters: width and depth must be positive")
+    // the counter table is the BROADCAST side of every estimate probe —
+    // a geometry that cannot broadcast defeats the design, so refuse
+    // loudly instead of OOMing the driver later
+    require(width.toLong * depth <= 16000000L,
+      s"cmsCounters: ${width}x$depth = ${width.toLong * depth} cells — " +
+        "the counter table must stay broadcastable (<= 16M cells); " +
+        "CMS error is e/width of the TOTAL count, not the universe " +
+        "size, so width rarely needs to grow past tens of thousands")
     items.select(posexplode(array(
         (0 until depth).map(i => bucket(col(itemCol), i, width)): _*))
         .as(Seq("row", "bucket")))

@@ -186,4 +186,28 @@ class SearchSpec extends SparkSpec {
     }
     graft.ops.Search.releaseCaches()
   }
+
+  test("fixed-point overflow guard refuses a 4e8-token document loudly") {
+    // 22e9 * tf in long arithmetic wraps negative past tf ~ 4.2e8; the
+    // guard must refuse BEFORE a silently corrupted ranking ships. A
+    // real 4e8-token doc won't fit a fixture, so the guard is driven
+    // through a hand-built postings row via the shared scorer.
+    val post = Seq(("cat", 1L, 500000001, 500000001L))
+      .toDF("token", "doc_id", "dl", "tf")
+    val stats = Seq((1L, 1000L)).toDF("n_docs", "avgdl_milli")
+    val e = intercept[Exception] {
+      graft.ops.Search.scoredTopK(post, stats, 5, "doc_id").collect()
+    }
+    graft.ops.Search.releaseCaches()
+    assert(e.getMessage != null && e.getMessage.contains("4e8"),
+      s"expected the loud fixed-point guard, got: ${e.getMessage}")
+  }
+
+  test("CMS geometry that cannot broadcast is refused loudly") {
+    val items = Seq("a").toDF("item")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsCounters(items, width = 20000000, depth = 3)
+    }
+    assert(e.getMessage.contains("broadcastable"))
+  }
 }
