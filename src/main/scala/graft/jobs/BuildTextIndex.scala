@@ -43,18 +43,24 @@ object BuildTextIndex {
   private def tbucketOf(token: Column): Column =
     pmod(hash(token), lit(Buckets))
 
-  /** Pure core: the persistable postings of a corpus — (token, doc,
-    * dl, tf, tbucket), one row per distinct token per doc. dl rides
-    * the grouping keys (functionally dependent on the doc) so scoring
-    * never joins a separate length table.
+  /** Pure core: the persistable POSITIONAL postings of a corpus —
+    * (token, doc, dl, tf, positions, tbucket), one row per distinct
+    * token per doc, `positions` the sorted 0-based occurrence list.
+    * dl rides the grouping keys (functionally dependent on the doc)
+    * so scoring never joins a separate length table; positions make
+    * the store serve phrase/proximity queries too ([[searchPhrase]] /
+    * [[searchProximity]]) — the standard positional inverted index.
+    * Consumers that only rank select past `positions`, so parquet
+    * column pruning keeps their scans as narrow as before.
     */
   def postingsTable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
     docs.select(col(idCol), split(col(textCol), " ").as("__arr"))
       .select(col(idCol), size(col("__arr")).as("dl"),
-        explode(col("__arr")).as("token"))
+        posexplode(col("__arr")).as(Seq("pos", "token")))
       .groupBy(col("token"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tbucket", tbucketOf(col("token")))
 
   /** Pure core: one additive stats row for a batch of docs. */
@@ -151,7 +157,8 @@ object BuildTextIndex {
       "BuildTextIndex.compactStreamed: label 'base' is reserved for the " +
         "initial build (folding under it would overwrite the base postings)")
     val streamed = spark.read.parquet(streamedPath)
-      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+      .select(col("token"), col("doc_id"), col("dl"), col("tf"),
+        col("positions"))
     streamed
       .withColumn("tbucket", tbucketOf(col("token")))
       .write.mode("overwrite").partitionBy("tbucket")
@@ -170,21 +177,67 @@ object BuildTextIndex {
     * directories plus a pushed `token IN (…)` filter, stats are the
     * summed meta rows, and df is a count over the pruned postings.
     */
+  /** The terms' tbucket literals, computed up front (one row-per-term
+    * local job — the driver-side model-pull pattern) so the postings
+    * read can PRUNE on the partition column.
+    */
+  private def termBuckets(spark: SparkSession, terms: Seq[String]): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("token")
+      .select(tbucketOf(col("token"))).collect().map(_.getInt(0))
+      .distinct.toSeq
+  }
+
+  /** The stored postings rows for a literal term set: partition-pruned
+    * to the terms' tbuckets plus the pushed token filter — the ONE
+    * pruned-read every stored search goes through.
+    */
+  private def prunedPostings(spark: SparkSession, outPath: String,
+      terms: Seq[String]): DataFrame =
+    spark.read.parquet(s"$outPath/postings")
+      .filter(col("tbucket").isin(termBuckets(spark, terms): _*) &&
+        col("token").isin(terms: _*))
+
   def searchStored(spark: SparkSession, outPath: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
     val q = terms.distinct
     require(q.nonEmpty && q.forall(t => t.nonEmpty && !t.contains(" ")),
       "searchStored: terms must be non-empty single tokens")
-    import spark.implicits._
-    val buckets = q.toDF("token")
-      .select(tbucketOf(col("token"))).collect().map(_.getInt(0))
-      .distinct.toSeq
     val stats = summedStats(spark.read.parquet(s"$outPath/meta"))
-    val post = spark.read.parquet(s"$outPath/postings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(q: _*))
+    val post = prunedPostings(spark, outPath, q)
       .select(col("token"), col("doc_id"), col("dl"), col("tf"))
     Search.scoredTopK(post, stats, k, "doc_id")
   }
+
+  /** Exact phrase occurrences against the stored POSITIONAL postings —
+    * zero corpus access: the phrase terms' bucket directories are the
+    * only data read; their position lists explode back into the
+    * (token, doc, pos) frame the shared phrase body consumes, so
+    * stored ≡ corpus-path results by construction (JobsSpec pins it).
+    */
+  def searchPhrase(spark: SparkSession, outPath: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty &&
+      phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      "searchPhrase: phrase must be non-empty single tokens")
+    Search.phraseFromPositions(
+      prunedPostings(spark, outPath, phrase.distinct)
+        .select(col("token"), col("doc_id"),
+          explode(col("positions")).as("pos")),
+      phrase, "doc_id")
+  }
+
+  /** Proximity (NEAR) retrieval against the stored positional
+    * postings — the [[searchPhrase]] read path with the shared
+    * proximity body.
+    */
+  def searchProximity(spark: SparkSession, outPath: String,
+      termA: String, termB: String, window: Int): DataFrame =
+    Search.proximityFromPositions(
+      prunedPostings(spark, outPath, Seq(termA, termB).distinct)
+        .select(col("token"), col("doc_id"),
+          explode(col("positions")).as("pos")),
+      termA, termB, window, "doc_id")
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

@@ -78,24 +78,35 @@ object Search {
     * [[graft.streaming.StreamingJob.runPostingsIngest]]). Exactly
     * equals the batch groupBy form, pinned in SearchSpec.
     *
-    * Per row: sort the token array, find each run's start position
-    * (`filter` over the index sequence — position 0 or a token change),
-    * pair starts with the next start (`zip_with` against the shifted
-    * starts) to get run lengths. Three linear HOF passes over
-    * MATERIALIZED columns plus one O(n log n) sort — never the
-    * O(n·distinct) shape of probing `filter(arr, equals-token)` per
-    * distinct token, which degrades to O(n²) on high-entropy docs.
-    * Output (token, idCol, dl, tf) like [[postings]] plus dl.
+    * Per row: sort the (token, pos) pairs, find each run's start
+    * (`filter` over the index sequence — position 0 or a token
+    * change), pair starts with the next start (`zip_with` against the
+    * shifted starts) to get run lengths and each run's original
+    * position slice. Linear HOF passes over MATERIALIZED columns plus
+    * one O(n log n) sort — never the O(n·distinct) shape of probing
+    * `filter(arr, equals-token)` per distinct token, which degrades
+    * to O(n²) on high-entropy docs. Output (token, idCol, dl, tf,
+    * positions) — [[graft.jobs.BuildTextIndex.postingsTable]]'s full
+    * positional payload.
     */
   def perRowPostings(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // sort (token, pos) PAIRS, not bare tokens: struct ordering is
+    // field-lexicographic, so runs group by token while each run's
+    // slice carries the ORIGINAL ascending positions — which is what
+    // makes the output carry the same positional payload as the batch
+    // collect_list + sort_array
     val arr = df.select(col(idCol), split(col(textCol), " ").as("__arr"))
-      .select(col(idCol), size(col("__arr")).as("dl"),
-        array_sort(col("__arr")).as("__srt"))
+      .select(col(idCol), size(col("__arr")).as("dl"), col("__arr"))
+      .select(col(idCol), col("dl"),
+        array_sort(transform(sequence(lit(0), col("dl") - 1),
+          i => struct(element_at(col("__arr"), i + 1).as("token"),
+            i.as("pos")))).as("__srt"))
     val starts = arr.withColumn("__starts",
       filter(sequence(lit(0), col("dl") - 1),
         i => (i === 0) ||
-          element_at(col("__srt"), i + 1) =!= element_at(col("__srt"), i)))
+          element_at(col("__srt"), i + 1).getField("token") =!=
+            element_at(col("__srt"), i).getField("token")))
     starts
       .select(col(idCol), col("dl"),
         explode(zip_with(
@@ -103,10 +114,12 @@ object Search {
           concat(slice(col("__starts"), lit(2), size(col("__starts")) - 1),
             array(col("dl"))),
           (s, e) => struct(
-            element_at(col("__srt"), s + 1).as("token"),
-            (e - s).cast("long").as("tf")))).as("__run"))
+            element_at(col("__srt"), s + 1).getField("token").as("token"),
+            (e - s).cast("long").as("tf"),
+            transform(slice(col("__srt"), s + 1, e - s),
+              p => p.getField("pos")).as("positions")))).as("__run"))
       .select(col("__run.token").as("token"), col(idCol), col("dl"),
-        col("__run.tf").as("tf"))
+        col("__run.tf").as("tf"), col("__run.positions").as("positions"))
   }
 
   /** Per-document token length — `dl` in ranking formulas. Map-side. */
@@ -265,13 +278,23 @@ object Search {
     */
   def proximitySearch(df: DataFrame, termA: String, termB: String,
       window: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    proximityFromPositions(
+      positionalPostings(df, idCol, textCol)
+        .filter(col("token").isin(Seq(termA, termB).distinct: _*)),
+      termA, termB, window, idCol)
+
+  /** The ONE proximity body over any (token, idCol, pos) frame already
+    * filtered to the two terms — shared by the corpus path and the
+    * stored positional index ([[graft.jobs.BuildTextIndex
+    * .searchProximity]]) so the two cannot drift.
+    */
+  private[graft] def proximityFromPositions(pos0: DataFrame, termA: String,
+      termB: String, window: Int, idCol: String): DataFrame = {
     require(window >= 1, "proximitySearch: window must be >= 1")
     require(Seq(termA, termB).forall(t => t.nonEmpty && !t.contains(" ")),
       "proximitySearch: terms must be non-empty single tokens")
-    val pos = registerDf(positionalPostings(df, idCol, textCol)
-      .filter(col("token").isin(Seq(termA, termB).distinct: _*))
-      .cache())
+    val pos = registerDf(pos0.cache())
     val a = pos.filter(col("token") === lit(termA))
       .select(col(idCol), col("pos").as("__pa"))
     val b = pos.filter(col("token") === lit(termB))
@@ -302,11 +325,21 @@ object Search {
     require(phrase.nonEmpty &&
       phrase.forall(t => t.nonEmpty && !t.contains(" ")),
       "phraseSearch: phrase must be non-empty single tokens")
-    // cached: each of the m phrase terms re-filters this frame; it
-    // holds only the phrase tokens' positions
-    val pos = registerDf(positionalPostings(df, idCol, textCol)
-      .filter(col("token").isin(phrase.distinct: _*))
-      .cache())
+    phraseFromPositions(
+      positionalPostings(df, idCol, textCol)
+        .filter(col("token").isin(phrase.distinct: _*)),
+      phrase, idCol)
+  }
+
+  /** The ONE phrase body over any (token, idCol, pos) frame already
+    * filtered to the phrase's tokens — shared by the corpus path and
+    * the stored positional index so the two cannot drift. Cached: each
+    * of the m phrase terms re-filters the frame, which holds only the
+    * phrase tokens' positions.
+    */
+  private[graft] def phraseFromPositions(pos0: DataFrame,
+      phrase: Seq[String], idCol: String): DataFrame = {
+    val pos = registerDf(pos0.cache())
     val first = pos.filter(col("token") === lit(phrase.head))
       .select(col(idCol), col("pos").as("start_pos"))
     phrase.zipWithIndex.drop(1).foldLeft(first) { case (acc, (t, i)) =>

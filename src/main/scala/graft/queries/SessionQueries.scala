@@ -547,7 +547,13 @@ object SessionQueries {
           in, out, ckpt)
         finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       }
-      spark.read.parquet(out).orderBy("token", "doc_id")
+      // positions travel as a '|'-joined key so the ARRAY payload of
+      // the positional postings is pinned cross-engine too
+      spark.read.parquet(out)
+        .select(col("token"), col("doc_id"), col("dl"), col("tf"),
+          concat_ws("|", transform(col("positions"),
+            p => p.cast("string"))).as("pos_key"))
+        .orderBy("token", "doc_id")
     },
 
     "streaming_ivf_assign" -> { (spark, dir) =>
@@ -814,10 +820,12 @@ object SessionQueries {
     // every posting row recomputed from raw text — a drift in the
     // streaming run-length fold hash-mismatches
     "streaming_postings_ingest" ->
-      """WITH t AS (SELECT doc_id, len(string_split(text, ' '))::INTEGER AS dl,
-        |                  unnest(string_split(text, ' ')) AS token
-        |           FROM documents)
-        |SELECT token, doc_id, dl, count(*) AS tf
+      """WITH t AS (SELECT doc_id, len(s)::INTEGER AS dl,
+        |                  generate_subscripts(s, 1) - 1 AS pos,
+        |                  unnest(s) AS token
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents))
+        |SELECT token, doc_id, dl, count(*) AS tf,
+        |       string_agg(pos::VARCHAR, '|' ORDER BY pos) AS pos_key
         |FROM t GROUP BY token, doc_id, dl
         |ORDER BY token, doc_id""".stripMargin,
 

@@ -53,10 +53,11 @@ class FacadeSpec extends AnyFunSuite {
     // shared census→(empty|InSet|join) assembly behind lshCandidates
     // and BuildDedupIndex.probeBands — both composed forms are facaded
     "cappedPairsFromCensus",
-    // shared scoring body behind Search.rankedSearch and
-    // BuildTextIndex.searchStored — both composed forms are facaded
-    // (searchRanked; the stored job is a jobs entry point)
-    "scoredTopK",
+    // shared scoring/phrase/proximity bodies behind Search.* and the
+    // BuildTextIndex stored read paths — both composed forms of each
+    // are facaded (searchRanked/searchPhrase/searchProximity; the
+    // stored job is a jobs entry point)
+    "scoredTopK", "phraseFromPositions", "proximityFromPositions",
     // per-stage internals of the facaded PQ/SRP/IVF entries
     "assignClusters", "assignClustersL2", "pqSubVectors", "pqCodeTuple",
     "quantVectors", "srpBands", "srpBitsCentered",

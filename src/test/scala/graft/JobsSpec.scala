@@ -1017,6 +1017,20 @@ class JobsSpec extends SparkSpec {
       "the partition filter must be exactly the terms' buckets")
     assert(scanned.contains("PushedFilters: [In(token"),
       "the token filter must push into the parquet scan")
+    // the POSITIONAL store serves phrase and proximity with zero
+    // corpus access, identically to the corpus path
+    def pairs(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      graft.ops.Search.releaseCaches(); r
+    }
+    assert(pairs(graft.jobs.BuildTextIndex.searchPhrase(spark, out,
+        Seq("join", "hash"))) ==
+      pairs(graft.ops.Search.phraseSearch(docs, Seq("join", "hash"))),
+      "stored phrase search must equal the corpus pass")
+    assert(pairs(graft.jobs.BuildTextIndex.searchProximity(spark, out,
+        "data", "vector", 3)) ==
+      pairs(graft.ops.Search.proximitySearch(docs, "data", "vector", 3)),
+      "stored proximity search must equal the corpus pass")
     // retry idempotence: re-appending the same batch id overwrites its
     // own directories — search results and row counts are unchanged
     val rowsBefore = spark.read.parquet(s"$out/postings").count()

@@ -151,10 +151,14 @@ class SearchSpec extends SparkSpec {
     // off-by-one run length would desync the stored index from the
     // batch path
     val docs = Tables.documents(spark, Sf0001).limit(120)
-    val perRow = Search.perRowPostings(docs)
-      .select($"token", $"doc_id", $"dl", $"tf")
-    val batch = graft.jobs.BuildTextIndex.postingsTable(docs)
-      .select($"token", $"doc_id", $"dl", $"tf")
+    // positions compare as '|'-joined keys: exceptAll's array equality
+    // is fine, but a string key makes a mismatch readable
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"token", $"doc_id", $"dl", $"tf",
+        concat_ws("|", transform($"positions", p => p.cast("string")))
+          .as("pos_key"))
+    val perRow = keyed(Search.perRowPostings(docs))
+    val batch = keyed(graft.jobs.BuildTextIndex.postingsTable(docs))
     assert(perRow.exceptAll(batch).count() == 0 &&
       batch.exceptAll(perRow).count() == 0)
     // edge shapes: empty text (one "" token), single token, all-same,
