@@ -332,6 +332,8 @@ object Graft {
   def searchProximity(docs: DataFrame, termA: String, termB: String,
       window: Int): DataFrame =
     Search.proximitySearch(docs, termA, termB, window)
+  def pullPassages(docs: DataFrame, term: String, window: Int = 16): DataFrame =
+    Search.passages(docs, term, window)
 
   // sketch-accelerated exact counting
   def heavyHitters(items: DataFrame, threshold: Long,

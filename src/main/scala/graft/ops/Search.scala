@@ -225,6 +225,30 @@ object Search {
       .limit(k)
   }
 
+  /** Passage extraction — the RAG pull: for every occurrence of `term`,
+    * the ±`window`-token context around it, clamped to the document.
+    * Entirely MAP-SIDE: the occurrence positions come from the same
+    * row that holds the token array, so there is no join and no
+    * shuffle at all — the corpus streams through one projection and
+    * only matching rows emit. Output (idCol, center, passage), center
+    * the 0-based occurrence position.
+    */
+  def passages(df: DataFrame, term: String, window: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(term.nonEmpty && !term.contains(" "),
+      "passages: term must be a non-empty single token")
+    require(window >= 0, "passages: window must be >= 0")
+    val start = greatest(col("pos") - window, lit(0))
+    df.select(col(idCol), split(col(textCol), " ").as("__arr"))
+      .select(col(idCol), col("__arr"), size(col("__arr")).as("dl"),
+        posexplode(col("__arr")).as(Seq("pos", "token")))
+      .filter(col("token") === lit(term))
+      .select(col(idCol), col("pos").as("center"),
+        array_join(slice(col("__arr"), start + 1,
+          least(col("pos") + window, col("dl") - 1) - start + 1), " ")
+          .as("passage"))
+  }
+
   /** Conjunctive boolean retrieval with negation: documents containing
     * EVERY `all` term and NONE of the `none` terms, with the summed
     * term frequency of the required terms as a relevance hint. One

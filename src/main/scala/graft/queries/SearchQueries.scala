@@ -104,6 +104,16 @@ object SearchQueries {
         .orderBy("doc_id")
     },
 
+    "passage_pull" -> { (spark, dir) =>
+      // The RAG pull: every occurrence of 'vector' with its +-3-token
+      // context. Entirely map-side — no join, no shuffle beyond the
+      // presentation sort; restricted to 50 docs to bound the dump.
+      import spark.implicits._
+      Search.passages(Tables.documents(spark, dir).filter($"doc_id" < 50),
+          "vector", window = 3)
+        .orderBy("doc_id", "center")
+    },
+
     "heavy_hitters_cms" -> { (spark, dir) =>
       // EXACT heavy hitters with the Count-Min prune: bigrams at or
       // above 1/1024 of the stream, counted exactly — only occurrences
@@ -202,6 +212,16 @@ object SearchQueries {
         |FROM tk a JOIN tk b ON a.doc_id = b.doc_id
         |WHERE a.tok = 'data' AND b.tok = 'vector' AND abs(a.pos - b.pos) <= 3
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
+
+    "passage_pull" ->
+      """WITH t AS (SELECT doc_id, s, len(s) AS dl,
+        |                  generate_subscripts(s, 1) - 1 AS pos, unnest(s) AS token
+        |           FROM (SELECT doc_id, string_split(text, ' ') AS s
+        |                 FROM documents WHERE doc_id < 50))
+        |SELECT doc_id, pos::INTEGER AS center,
+        |       array_to_string(s[greatest(pos - 3, 0) + 1 : least(pos + 3, dl - 1) + 1], ' ') AS passage
+        |FROM t WHERE token = 'vector'
+        |ORDER BY doc_id, center""".stripMargin,
 
     "heavy_hitters_cms" ->
       s"""WITH $BigramCte

@@ -238,7 +238,8 @@ class PlanSpec extends SparkSpec {
       "inverted_postings" -> 2, // agg + sort
       "cms_token_estimates" -> 7, // measured 7: counter fold + distinct-item agg + top-30 sort; cell joins broadcast
       "ranked_search_stored" -> 8, // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered
-      "proximity_search" -> 3) // measured 3: cached position join (one exchange per side) + per-doc agg + sort
+      "proximity_search" -> 3, // measured 3: cached position join (one exchange per side) + per-doc agg + sort
+      "passage_pull" -> 1) // measured 1: pure map-side extraction; the only exchange is the presentation sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)

@@ -214,4 +214,16 @@ class SearchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("broadcastable"))
   }
+
+  test("passages: window clamps at both document edges; zero-shuffle plan") {
+    val d = Seq((1L, "a b T c d"), (2L, "T x"), (3L, "y T")).toDF("doc_id", "text")
+    val r = Search.passages(d, "T", window = 2)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet
+    assert(r == Set((1L, 2, "a b T c d"), (2L, 0, "T x"), (3L, 1, "y T")))
+    // map-side only: no Exchange anywhere in the plan
+    val plan = Search.passages(d, "T", 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"passages must not shuffle:\n$plan")
+    intercept[IllegalArgumentException] { Search.passages(d, "", 2) }
+    intercept[IllegalArgumentException] { Search.passages(d, "T", -1) }
+  }
 }
