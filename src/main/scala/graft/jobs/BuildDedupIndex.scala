@@ -446,6 +446,69 @@ object BuildDedupIndex {
       .write.mode("overwrite").parquet(s"$outPath/buckets/batch=$id")
   }
 
+  /** Fold many small batch directories into ONE consolidated partition
+    * — the file-count maintenance step for a store taking hourly
+    * appends (a year of hours is ~10⁴ batch directories whose listing
+    * alone starts to dominate the probe). Duplicate-TOLERANT by the
+    * probe's candidate DISTINCT, which is what makes a crash-safe
+    * protocol possible without a manifest:
+    *
+    *   1. if the consolidated directory already exists COMPLETE
+    *      (_SUCCESS present), skip the write — it is the finished
+    *      artifact of a prior attempt;
+    *   2. else require EVERY source batch directory present and write
+    *      the consolidated partition from them (overwrite — a partial
+    *      dir from a mid-write crash is simply rewritten);
+    *   3. delete the source directories.
+    *
+    * Crash between 2 and 3 leaves sources + consolidated readable
+    * together: duplicate band rows, degraded cost, never wrong
+    * results; the re-run skips to the deletions. A retry with some
+    * sources already deleted and NO complete consolidated dir is the
+    * one unrecoverable state and fails loudly. The consolidated label
+    * is content-addressed (md5 of the sorted batch list), so re-runs
+    * converge and two different consolidations never collide. Only
+    * consolidate CLOSED batches (hours the Scheduler can no longer
+    * retry): an hour retried AFTER consolidation re-appends its rows
+    * under the original id — DISTINCT-absorbed again, but unbounded
+    * if the hour is still live.
+    */
+  def consolidate(spark: SparkSession, outPath: String,
+      batches: Seq[String], numFiles: Int = 8): Unit = {
+    require(batches.nonEmpty && batches.distinct == batches,
+      "BuildDedupIndex.consolidate: batches must be non-empty and distinct")
+    spark.read.parquet(s"$outPath/meta").select(col("bands")).head(1)
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"BuildDedupIndex.consolidate: stored index at $outPath is empty"))
+    requirePartitionedLayout(spark, outPath, "consolidate")
+    val label = "consol-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    require(!batches.contains(label),
+      s"BuildDedupIndex.consolidate: label $label collides with a source")
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirOf(b: String) =
+      new org.apache.hadoop.fs.Path(s"$outPath/buckets/batch=$b")
+    val consol = dirOf(label)
+    val complete = fs.exists(
+      new org.apache.hadoop.fs.Path(consol, "_SUCCESS"))
+    if (!complete) {
+      val missing = batches.filterNot(b => fs.exists(dirOf(b)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"BuildDedupIndex.consolidate: source batches ${missing.mkString(",")} " +
+            s"are gone and $label is incomplete — the store cannot prove " +
+            "their rows live anywhere; restore the sources or rebuild")
+      spark.read.parquet(s"$outPath/buckets")
+        .filter(col("batch").cast("string").isin(batches: _*))
+        .select(col("doc_id"), col("band"))
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(consol.toString)
+    }
+    batches.foreach(b => fs.delete(dirOf(b), true))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BuildDedupIndex <docsParquet> <outPath> [bands] [rowsPerBand]")

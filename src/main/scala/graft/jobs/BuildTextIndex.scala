@@ -137,10 +137,11 @@ object BuildTextIndex {
     * file set overwrites its own fold; the next cycle re-using the
     * same path gets a fresh fold), `base` is reserved, and the caller
     * retires the streamed dir + the stream's checkpoint together after
-    * a successful fold. Unlike the dedup store's probe, postings have
-    * no duplicate-absorbing DISTINCT — an overlapping re-fold of a
-    * still-running stream would double tf — so retire the stream
-    * BEFORE folding (the lifecycle JobsSpec pins).
+    * a successful fold. An overlapping re-fold of a still-running
+    * stream duplicates EXACT posting rows, which the stored read
+    * paths' DISTINCT absorbs (cost, never wrong scores) — same
+    * contract as the dedup store; still retire the stream before
+    * folding so the cost stays bounded.
     */
   def compactStreamed(spark: SparkSession, streamedPath: String,
       outPath: String, label: String = ""): Unit = {
@@ -189,14 +190,22 @@ object BuildTextIndex {
   }
 
   /** The stored postings rows for a literal term set: partition-pruned
-    * to the terms' tbuckets plus the pushed token filter — the ONE
-    * pruned-read every stored search goes through.
+    * to the terms' tbuckets plus the pushed token filter, projected to
+    * `cols` and DISTINCT'd — the ONE pruned-read every stored search
+    * goes through. The DISTINCT is the duplicate-tolerance device the
+    * dedup store's probe uses: a crash between [[consolidate]]'s write
+    * and its deletions (or an overlapping re-fold of a streamed dir)
+    * leaves EXACT duplicate posting rows, which must degrade cost,
+    * never scores or matches. It runs over the query-term-sized pruned
+    * set, not the corpus.
     */
   private def prunedPostings(spark: SparkSession, outPath: String,
-      terms: Seq[String]): DataFrame =
+      terms: Seq[String], cols: Seq[String]): DataFrame =
     spark.read.parquet(s"$outPath/postings")
       .filter(col("tbucket").isin(termBuckets(spark, terms): _*) &&
         col("token").isin(terms: _*))
+      .select(cols.map(col): _*)
+      .distinct()
 
   def searchStored(spark: SparkSession, outPath: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
@@ -204,8 +213,8 @@ object BuildTextIndex {
     require(q.nonEmpty && q.forall(t => t.nonEmpty && !t.contains(" ")),
       "searchStored: terms must be non-empty single tokens")
     val stats = summedStats(spark.read.parquet(s"$outPath/meta"))
-    val post = prunedPostings(spark, outPath, q)
-      .select(col("token"), col("doc_id"), col("dl"), col("tf"))
+    val post = prunedPostings(spark, outPath, q,
+      Seq("token", "doc_id", "dl", "tf"))
     Search.scoredTopK(post, stats, k, "doc_id")
   }
 
@@ -221,7 +230,8 @@ object BuildTextIndex {
       phrase.forall(t => t.nonEmpty && !t.contains(" ")),
       "searchPhrase: phrase must be non-empty single tokens")
     Search.phraseFromPositions(
-      prunedPostings(spark, outPath, phrase.distinct)
+      prunedPostings(spark, outPath, phrase.distinct,
+          Seq("token", "doc_id", "positions"))
         .select(col("token"), col("doc_id"),
           explode(col("positions")).as("pos")),
       phrase, "doc_id")
@@ -234,10 +244,56 @@ object BuildTextIndex {
   def searchProximity(spark: SparkSession, outPath: String,
       termA: String, termB: String, window: Int): DataFrame =
     Search.proximityFromPositions(
-      prunedPostings(spark, outPath, Seq(termA, termB).distinct)
+      prunedPostings(spark, outPath, Seq(termA, termB).distinct,
+          Seq("token", "doc_id", "positions"))
         .select(col("token"), col("doc_id"),
           explode(col("positions")).as("pos")),
       termA, termB, window, "doc_id")
+
+  /** Fold many small postings batch directories into one consolidated
+    * partition — [[BuildDedupIndex.consolidate]]'s protocol verbatim
+    * (complete-dir skip, all-sources-or-loud, delete last; crash
+    * between write and deletions leaves exact duplicate rows the read
+    * paths' DISTINCT absorbs). META DIRECTORIES ARE LEFT ALONE: each
+    * is one tiny additive row, the file-count problem is the postings,
+    * and folding meta would make the crash window double-count n_docs
+    * — a score error, not a cost one. Only consolidate CLOSED batches.
+    */
+  def consolidate(spark: SparkSession, outPath: String,
+      batches: Seq[String], numFiles: Int = 8): Unit = {
+    require(batches.nonEmpty && batches.distinct == batches,
+      "BuildTextIndex.consolidate: batches must be non-empty and distinct")
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP),
+      s"BuildTextIndex.consolidate: no index at $outPath")
+    val label = "consol-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    require(!batches.contains(label),
+      s"BuildTextIndex.consolidate: label $label collides with a source")
+    def dirOf(b: String) =
+      new org.apache.hadoop.fs.Path(s"$outPath/postings/batch=$b")
+    val consol = dirOf(label)
+    val complete = fs.exists(
+      new org.apache.hadoop.fs.Path(consol, "_SUCCESS"))
+    if (!complete) {
+      val missing = batches.filterNot(b => fs.exists(dirOf(b)))
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"BuildTextIndex.consolidate: source batches ${missing.mkString(",")} " +
+            s"are gone and $label is incomplete — the store cannot prove " +
+            "their rows live anywhere; restore the sources or rebuild")
+      spark.read.parquet(s"$outPath/postings")
+        .filter(col("batch").cast("string").isin(batches: _*))
+        .select(col("token"), col("doc_id"), col("dl"), col("tf"),
+          col("positions"), col("tbucket"))
+        .repartition(numFiles, col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(consol.toString)
+    }
+    batches.foreach(b => fs.delete(dirOf(b), true))
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,

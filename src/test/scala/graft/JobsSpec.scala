@@ -1102,4 +1102,100 @@ class JobsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_spark_metadata"), e.getMessage)
   }
+
+  test("dedup-store consolidation: fold batch dirs, crash-tolerant, probe-identical") {
+    val base = Files.createTempDirectory("graft-consol").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def slice(lo: Int, hi: Int, p: String) = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", $"text").write.parquet(p); p
+    }
+    val out = s"$base/index"
+    graft.jobs.BuildDedupIndex.run(spark, slice(0, 200, s"$base/h0"), out)
+    val corpusP = slice(0, 500, s"$base/corpus")
+    graft.jobs.BuildDedupIndex.append(spark, slice(200, 300, s"$base/h1"), corpusP, out, "h1")
+    graft.jobs.BuildDedupIndex.append(spark, slice(300, 400, s"$base/h2"), corpusP, out, "h2")
+    val probeP = slice(400, 500, s"$base/h3")
+    def probe() = {
+      val r = graft.jobs.BuildDedupIndex.append(spark, probeP, corpusP, out, "h3")
+        .select("doc_a", "doc_b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      graft.ops.Dedup.releaseCaches()
+      // retract the probe batch so each probe() sees the same store
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$out/buckets/batch=h3"), true)
+      r
+    }
+    val before = probe()
+    graft.jobs.BuildDedupIndex.consolidate(spark, out, Seq("h1", "h2"))
+    val dirs = new java.io.File(s"$out/buckets").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains("batch=h1") && !dirs.contains("batch=h2"),
+      s"sources must be retired: $dirs")
+    assert(dirs.exists(_.startsWith("batch=consol-")), dirs.mkString(","))
+    assert(probe() == before, "consolidation must not change probe results")
+    // idempotent re-run: sources gone, consolidated complete -> no-op
+    graft.jobs.BuildDedupIndex.consolidate(spark, out, Seq("h1", "h2"))
+    assert(probe() == before)
+    // the crash window (consolidated written, sources not yet deleted)
+    // is duplicate rows, which the probe DISTINCT absorbs: simulate by
+    // re-appending one consolidated hour under its original id
+    graft.jobs.BuildDedupIndex.append(spark, s"$base/h1", corpusP, out, "h1")
+    assert(probe() == before,
+      "duplicate bucket rows must degrade cost only, never results")
+    // unrecoverable state is loud: a source gone AND no complete
+    // consolidated dir for THAT batch list
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildDedupIndex.consolidate(spark, out, Seq("h2", "nope"))
+    }
+    assert(e.getMessage.contains("cannot prove"), e.getMessage)
+  }
+
+  test("text-index consolidation: postings fold, meta untouched, duplicates absorbed") {
+    val base = Files.createTempDirectory("graft-tconsol").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def slice(lo: Int, hi: Int, p: String) = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", $"text").write.parquet(p); p
+    }
+    val out = s"$base/index"
+    graft.jobs.BuildTextIndex.run(spark, slice(0, 200, s"$base/h0"), out)
+    graft.jobs.BuildTextIndex.append(spark, slice(200, 350, s"$base/h1"), out, "h1")
+    graft.jobs.BuildTextIndex.append(spark, slice(350, 500, s"$base/h2"), out, "h2")
+    val terms = Seq("hash", "scan", "stream")
+    def results() = {
+      val r = graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      val ph = graft.jobs.BuildTextIndex.searchPhrase(spark, out, Seq("join", "hash"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      graft.ops.Search.releaseCaches(); (r, ph)
+    }
+    val before = results()
+    assert(before._1 == {
+      val d = graft.ops.Search.rankedSearch(docs, terms, k = 15)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      graft.ops.Search.releaseCaches(); d
+    }, "sanity: stored == direct before consolidation")
+    graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("h1", "h2"))
+    val dirs = new java.io.File(s"$out/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains("batch=h1") && !dirs.contains("batch=h2"), dirs.mkString(","))
+    assert(dirs.exists(_.startsWith("batch=consol-")), dirs.mkString(","))
+    // meta untouched: still one additive row per original batch
+    val metaDirs = new java.io.File(s"$out/meta").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(metaDirs == Set("batch=base", "batch=h1", "batch=h2"), metaDirs.mkString(","))
+    assert(results() == before, "consolidation must not change any search result")
+    // crash window: consolidated + a source both present = exact
+    // duplicate posting rows; the read-side DISTINCT must absorb them
+    graft.jobs.BuildTextIndex.append(spark, s"$base/h1", out, "h1")
+    // h1's meta row is now duplicated too (append rewrites the same
+    // dir, overwrite -> unchanged), so scores stay identical
+    assert(results() == before,
+      "duplicate posting rows must degrade cost only, never results")
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("h2", "nope"))
+    }
+    assert(e.getMessage.contains("cannot prove"), e.getMessage)
+  }
 }
