@@ -237,6 +237,19 @@ object BuildTextIndex {
       phrase, "doc_id")
   }
 
+  /** Conjunction + negation against the stored postings — the fourth
+    * and last query shape, so EVERY search the corpus path answers
+    * runs off the pruned bucket read with zero corpus access.
+    */
+  def searchBoolean(spark: SparkSession, outPath: String,
+      all: Seq[String], none: Seq[String] = Seq.empty): DataFrame = {
+    val (need, ban) = Search.booleanTerms(all, none)
+    Search.booleanFromPostings(
+      prunedPostings(spark, outPath, need ++ ban,
+        Seq("token", "doc_id", "tf")),
+      need, ban, "doc_id")
+  }
+
   /** Proximity (NEAR) retrieval against the stored positional
     * postings — the [[searchPhrase]] read path with the shared
     * proximity body.

@@ -258,6 +258,18 @@ object Search {
   def booleanSearch(df: DataFrame, all: Seq[String],
       none: Seq[String] = Seq.empty, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    val (need, ban) = booleanTerms(all, none)
+    booleanFromPostings(
+      postings(df, idCol, textCol)
+        .filter(col("token").isin((need ++ ban): _*)),
+      need, ban, idCol)
+  }
+
+  /** Shared guards of the two boolean entry points; returns the
+    * distinct (required, banned) term lists.
+    */
+  private[graft] def booleanTerms(all: Seq[String],
+      none: Seq[String]): (Seq[String], Seq[String]) = {
     val need = all.distinct
     val ban = none.distinct
     require(need.nonEmpty,
@@ -268,8 +280,16 @@ object Search {
     require(need.intersect(ban).isEmpty,
       s"booleanSearch: terms ${need.intersect(ban).mkString(",")} are " +
         "both required and banned")
-    postings(df, idCol, textCol)
-      .filter(col("token").isin((need ++ ban): _*))
+    (need, ban)
+  }
+
+  /** The ONE boolean body over any (token, idCol, tf) frame already
+    * filtered to the query's tokens — shared by the corpus path and
+    * the stored index so the two cannot drift.
+    */
+  private[graft] def booleanFromPostings(post: DataFrame,
+      need: Seq[String], ban: Seq[String], idCol: String): DataFrame =
+    post
       .groupBy(col(idCol))
       .agg(
         count(when(col("token").isin(need: _*), 1)).as("__hit"),
@@ -279,7 +299,6 @@ object Search {
       .filter(col("__hit") === lit(need.size.toLong) &&
         col("__ban") === lit(0L))
       .select(col(idCol), col("tf_sum"))
-  }
 
   /** Exact phrase occurrences: every (doc, start_pos) where the tokens
     * `phrase(0) … phrase(m−1)` appear consecutively (0-based start).

@@ -58,6 +58,7 @@ class FacadeSpec extends AnyFunSuite {
     // are facaded (searchRanked/searchPhrase/searchProximity; the
     // stored job is a jobs entry point)
     "scoredTopK", "phraseFromPositions", "proximityFromPositions",
+    "booleanFromPostings",
     // per-stage internals of the facaded PQ/SRP/IVF entries
     "assignClusters", "assignClustersL2", "pqSubVectors", "pqCodeTuple",
     "quantVectors", "srpBands", "srpBitsCentered",

@@ -1031,6 +1031,11 @@ class JobsSpec extends SparkSpec {
         "data", "vector", 3)) ==
       pairs(graft.ops.Search.proximitySearch(docs, "data", "vector", 3)),
       "stored proximity search must equal the corpus pass")
+    assert(pairs(graft.jobs.BuildTextIndex.searchBoolean(spark, out,
+        Seq("join", "vector"), Seq("spark"))) ==
+      pairs(graft.ops.Search.booleanSearch(docs,
+        Seq("join", "vector"), Seq("spark"))),
+      "stored boolean search must equal the corpus pass")
     // retry idempotence: re-appending the same batch id overwrites its
     // own directories — search results and row counts are unchanged
     val rowsBefore = spark.read.parquet(s"$out/postings").count()
