@@ -339,6 +339,9 @@ object Graft {
   def heavyHitters(items: DataFrame, threshold: Long,
       itemCol: String = "item"): DataFrame =
     Sketches.cmsHeavyHitters(items, threshold, itemCol)
+  def heavyHittersAtFraction(items: DataFrame, divisor: Long,
+      itemCol: String = "item"): DataFrame =
+    Sketches.cmsHeavyHittersAtFraction(items, divisor, itemCol)
   def sketchCounters(items: DataFrame, itemCol: String = "item"): DataFrame =
     Sketches.cmsCounters(items, itemCol)
   def sketchEstimates(items: DataFrame, counters: DataFrame,

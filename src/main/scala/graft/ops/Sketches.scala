@@ -113,10 +113,39 @@ object Sketches {
       depth: Int = DefaultDepth): DataFrame = {
     require(threshold > 0, "cmsHeavyHitters: threshold must be positive")
     val counters = cmsCounters(items, itemCol, width, depth)
+    pruneAndVerify(items, counters, threshold, itemCol, width, depth)
+  }
+
+  /** [[cmsHeavyHitters]] with the threshold RELATIVE to the stream:
+    * every item at or above `1/divisor` of the total count. The total
+    * falls out of the counter table itself (any one sketch row sums
+    * every occurrence), so unlike `items.count()` + absolute-threshold
+    * this costs NO extra pass over the occurrence stream — two corpus
+    * passes total (the fold, then the probe+exact-verify). The counter
+    * pull is the driver-side model-pull pattern: ≤ d·w rows, bounded
+    * by [[cmsCounters]]' broadcastability guard, re-planted as a local
+    * relation so the probe's d joins never recompute the fold.
+    */
+  def cmsHeavyHittersAtFraction(items: DataFrame, divisor: Long,
+      itemCol: String = "item", width: Int = DefaultWidth,
+      depth: Int = DefaultDepth): DataFrame = {
+    require(divisor > 0, "cmsHeavyHittersAtFraction: divisor must be positive")
+    val spark = items.sparkSession
+    val counterRows = cmsCounters(items, itemCol, width, depth).collect()
+    val total = counterRows.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
+    val threshold = math.max(1L, total / divisor)
+    import spark.implicits._
+    val counters = counterRows
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("row", "bucket", "cnt")
+    pruneAndVerify(items, counters, threshold, itemCol, width, depth)
+  }
+
+  private def pruneAndVerify(items: DataFrame, counters: DataFrame,
+      threshold: Long, itemCol: String, width: Int, depth: Int): DataFrame =
     estimated(items, counters, itemCol, width, depth)
       .filter(col("est") >= threshold)
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= threshold)
-  }
 }

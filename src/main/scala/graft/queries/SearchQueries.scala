@@ -118,13 +118,14 @@ object SearchQueries {
       // EXACT heavy hitters with the Count-Min prune: bigrams at or
       // above 1/1024 of the stream, counted exactly — only occurrences
       // the sketch cannot prove light enter the exact aggregate. The
-      // threshold is corpus-relative so the query is non-trivial at
-      // every SF (the eager count is the driver-side model pull
-      // pattern; the oracle's scalar subquery is its SQL twin).
+      // threshold is corpus-relative (non-trivial at every SF) and
+      // derived FROM the counter table itself — any one sketch row
+      // sums every occurrence — so the whole query is two corpus
+      // passes, never three; the oracle's scalar subquery is the SQL
+      // twin of that total.
       import spark.implicits._
-      val items = bigrams(Tables.documents(spark, dir))
-      val thr = math.max(1L, items.count() / 1024L)
-      Sketches.cmsHeavyHitters(items, thr)
+      Sketches.cmsHeavyHittersAtFraction(
+          bigrams(Tables.documents(spark, dir)), divisor = 1024L)
         .orderBy($"n_occurrences".desc, $"item")
     },
 

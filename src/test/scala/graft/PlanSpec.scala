@@ -234,7 +234,7 @@ class PlanSpec extends SparkSpec {
       "ranked_search" -> 6,  // measured 6: cached postings agg + df agg (broadcast side) + stats agg (1 row) + doc-score agg; top-k is TakeOrdered
       "boolean_search" -> 3, // measured 3: postings agg + per-doc agg + final sort; term filters are scan-side
       "phrase_search" -> 2,  // measured 2: the (doc,pos) position joins share ONE exchange of the cached filtered positions + final sort
-      "heavy_hitters_cms" -> 8, // measured 8: two occurrence passes (counter fold d x w + survivor exact agg), d broadcast cell joins cost nothing, + sort; the UNIVERSE-wide agg is what's absent
+      "heavy_hitters_cms" -> 5, // measured 5 (was 8): the relative threshold now derives from the pulled counter table, so the plan is ONE counter fold + the survivor exact agg + sort — two occurrence passes, never three; the UNIVERSE-wide agg is what's absent
       "inverted_postings" -> 2, // agg + sort
       "cms_token_estimates" -> 7, // measured 7: counter fold + distinct-item agg + top-30 sort; cell joins broadcast
       "ranked_search_stored" -> 8, // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered

@@ -226,4 +226,22 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Search.passages(d, "", 2) }
     intercept[IllegalArgumentException] { Search.passages(d, "T", -1) }
   }
+
+  test("cmsHeavyHittersAtFraction equals the absolute-threshold path") {
+    // the fraction form derives total + threshold from the counter
+    // table (no extra corpus pass); the answers must be identical
+    val items = Tables.documents(spark, Sf0001).limit(100)
+      .select(explode(split($"text", " ")).as("item"))
+    val total = items.count()
+    val divisor = 64L
+    val viaFraction = Sketches.cmsHeavyHittersAtFraction(items, divisor)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaAbsolute = Sketches.cmsHeavyHitters(items,
+        math.max(1L, total / divisor))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaFraction == viaAbsolute && viaFraction.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsHeavyHittersAtFraction(items, 0L)
+    }
+  }
 }
