@@ -500,8 +500,14 @@ object BuildDedupIndex {
           s"BuildDedupIndex.consolidate: source batches ${missing.mkString(",")} " +
             s"are gone and $label is incomplete — the store cannot prove " +
             "their rows live anywhere; restore the sources or rebuild")
-      spark.read.parquet(s"$outPath/buckets")
-        .filter(col("batch").cast("string").isin(batches: _*))
+      // read the source DIRECTORIES, never `filter(batch.isin(...))`
+      // over the discovered partition column: partition-value type
+      // inference would read a numeric label with leading zeros
+      // (batch=010) back as the int 10, the filter would MISS its rows,
+      // and the delete below would still remove the directory — silent
+      // data loss. Direct paths cannot mis-round-trip (and skip the
+      // full-store listing).
+      spark.read.parquet(batches.map(b => dirOf(b).toString): _*)
         .select(col("doc_id"), col("band"))
         .repartition(numFiles)
         .write.mode("overwrite").parquet(consol.toString)

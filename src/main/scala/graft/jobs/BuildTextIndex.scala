@@ -297,8 +297,18 @@ object BuildTextIndex {
           s"BuildTextIndex.consolidate: source batches ${missing.mkString(",")} " +
             s"are gone and $label is incomplete — the store cannot prove " +
             "their rows live anywhere; restore the sources or rebuild")
-      spark.read.parquet(s"$outPath/postings")
-        .filter(col("batch").cast("string").isin(batches: _*))
+      // read the source DIRECTORIES, never `filter(batch.isin(...))`
+      // over the discovered partition column: partition-value type
+      // inference would read a numeric label with leading zeros
+      // (batch=010) back as the int 10, the filter would MISS its rows,
+      // and the delete below would still remove the directory — silent
+      // data loss (BuildDedupIndex.consolidate carries the same note).
+      // basePath anchors discovery above the sibling batch dirs (their
+      // nested tbucket= levels otherwise trip the conflicting-structure
+      // check); WHICH files are read is still fixed by the explicit
+      // paths, so no inference decision can drop a source's rows.
+      spark.read.option("basePath", s"$outPath/postings")
+        .parquet(batches.map(b => dirOf(b).toString): _*)
         .select(col("token"), col("doc_id"), col("dl"), col("tf"),
           col("positions"), col("tbucket"))
         .repartition(numFiles, col("tbucket"))

@@ -1154,6 +1154,30 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildDedupIndex.consolidate(spark, out, Seq("h2", "nope"))
     }
     assert(e.getMessage.contains("cannot prove"), e.getMessage)
+    // leading-zeros label: partition-value inference would round-trip
+    // batch=010 to the int 10 and a partition-column filter would MISS
+    // its rows while the delete removed the directory — the planted
+    // duplicate below only survives consolidation if the direct-path
+    // read preserved batch 010's band rows
+    val copySeen = docs.filter($"doc_id" === 1)
+      .select(lit(9010L).as("doc_id"), $"text")
+    val copyNew = docs.filter($"doc_id" === 1)
+      .select(lit(9990L).as("doc_id"), $"text")
+    copySeen.write.parquet(s"$base/b010")
+    copyNew.write.parquet(s"$base/p2")
+    val corpus2P = s"$base/corpus2"
+    docs.filter($"doc_id" < 500).select($"doc_id", $"text")
+      .unionByName(copySeen).unionByName(copyNew).write.parquet(corpus2P)
+    graft.jobs.BuildDedupIndex.append(spark, s"$base/b010", corpus2P, out, "010")
+    graft.jobs.BuildDedupIndex.consolidate(spark, out, Seq("010"))
+    val after010 = graft.jobs.BuildDedupIndex
+      .append(spark, s"$base/p2", corpus2P, out, "h9")
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    graft.ops.Dedup.releaseCaches()
+    assert(after010.contains((9010L, 9990L)),
+      "batch '010' rows must survive consolidation (partition-value " +
+        "inference must not be in the read path)")
   }
 
   test("text-index consolidation: postings fold, meta untouched, duplicates absorbed") {
@@ -1202,5 +1226,13 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("h2", "nope"))
     }
     assert(e.getMessage.contains("cannot prove"), e.getMessage)
+    // leading-zeros label: the explicit-path read (anchored by
+    // basePath) must preserve batch 010's rows; a partition-column
+    // filter would round-trip 010 -> 10 and silently drop them
+    graft.jobs.BuildTextIndex.append(spark, s"$base/h1", out, "010")
+    val with010 = results()
+    graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("010"))
+    assert(results() == with010,
+      "batch '010' rows must survive consolidation")
   }
 }
