@@ -347,6 +347,11 @@ object Graft {
   def sketchEstimates(items: DataFrame, counters: DataFrame,
       itemCol: String = "item"): DataFrame =
     Sketches.cmsEstimates(items, counters, itemCol)
+  def mergeSketchCounters(tables: Seq[DataFrame]): DataFrame =
+    Sketches.mergeCounters(tables)
+  def heavyHittersWithCounters(items: DataFrame, counters: DataFrame,
+      threshold: Long, itemCol: String = "item"): DataFrame =
+    Sketches.cmsHeavyHittersWithCounters(items, counters, threshold, itemCol)
 
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,

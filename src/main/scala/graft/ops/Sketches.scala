@@ -64,6 +64,50 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge counter tables built over disjoint slices of one stream —
+    * the defining sketch property: count-min is mergeable by CELL-WISE
+    * ADDITION when every table shares one geometry and hash family
+    * (both fixed here: the md5 bucket definition is the module's one
+    * constant). Enables incremental heavy hitters: fold each hourly
+    * batch once, persist its tiny counter table, merge at read, probe
+    * — no historical batch is ever re-scanned. The merged table is
+    * bit-identical to folding the concatenated stream directly
+    * (red-tested). Geometry is validated against `width`/`depth`: a
+    * WIDER or DEEPER table carries out-of-range cells and refuses
+    * loudly (one aggregate over ≤ tables·d·w counter rows). A
+    * NARROWER table is indistinguishable by range — callers persisting
+    * counter tables own geometry discipline (store (width, depth)
+    * beside them, as [[graft.jobs.BuildDedupIndex]] stores its band
+    * convention in meta for exactly this reason).
+    */
+  def mergeCounters(tables: Seq[DataFrame], width: Int = DefaultWidth,
+      depth: Int = DefaultDepth): DataFrame = {
+    require(tables.nonEmpty, "mergeCounters: no counter tables")
+    val all = tables.map(_.select(col("row"), col("bucket"), col("cnt")))
+      .reduce(_ unionByName _)
+    val bad = all.filter(col("row") >= depth || col("row") < 0 ||
+      col("bucket") >= width || col("bucket") < 0).count()
+    require(bad == 0L,
+      s"mergeCounters: $bad counter cells fall outside ${depth}x$width — " +
+        "the tables were built with a different geometry and cannot merge")
+    all.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** [[cmsHeavyHitters]] against PREBUILT counters (stored per-batch
+    * tables folded by [[mergeCounters]]): `items` must be the full
+    * occurrence stream the counters cover — the exact verify needs
+    * every occurrence of a surviving item, and the sketch estimates
+    * are only ≥-bounds for counts within the covered stream.
+    */
+  def cmsHeavyHittersWithCounters(items: DataFrame, counters: DataFrame,
+      threshold: Long, itemCol: String = "item",
+      width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
+    require(threshold > 0,
+      "cmsHeavyHittersWithCounters: threshold must be positive")
+    pruneAndVerify(items, counters, threshold, itemCol, width, depth)
+  }
+
   /** Pass 2 probe: each distinct item of `items` with its sketch
     * estimate — min over the d broadcast-joined counter cells. The
     * estimate is ≥ the item's true count, always. Exposed mostly for

@@ -244,4 +244,33 @@ class SearchSpec extends SparkSpec {
       Sketches.cmsHeavyHittersAtFraction(items, 0L)
     }
   }
+
+  test("CMS counters merge cell-wise: halves == whole, incremental heavy hitters exact") {
+    // mergeability is THE sketch property: per-batch counter tables
+    // fold once and merge at read, so no historical batch re-scans
+    val docs = Tables.documents(spark, Sf0001).limit(120)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("item"))
+    val a = toks(docs.filter($"doc_id" < 60))
+    val b = toks(docs.filter($"doc_id" >= 60))
+    val whole = toks(docs)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.mergeCounters(
+      Seq(Sketches.cmsCounters(a), Sketches.cmsCounters(b)))
+    assert(cells(merged) == cells(Sketches.cmsCounters(whole)),
+      "merged halves must equal the whole-stream fold cell-for-cell")
+    // incremental heavy hitters over merged counters == direct
+    val viaMerged = Sketches.cmsHeavyHittersWithCounters(whole, merged, 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = Sketches.cmsHeavyHitters(whole, 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaMerged == direct && direct.nonEmpty)
+    // geometry mismatch refuses loudly instead of merging garbage
+    val e = intercept[IllegalArgumentException] {
+      Sketches.mergeCounters(
+        Seq(Sketches.cmsCounters(a, width = 4096), Sketches.cmsCounters(b)))
+    }
+    assert(e.getMessage.contains("geometry"), e.getMessage)
+  }
 }
