@@ -129,6 +129,24 @@ object SearchQueries {
         .orderBy($"n_occurrences".desc, $"item")
     },
 
+    "heavy_hitters_merged" -> { (spark, dir) =>
+      // The INCREMENTAL form: two per-batch counter tables (the hourly
+      // fold-once shape) merged cell-wise, then probed over the full
+      // stream — exactly the plain GROUP BY HAVING answer, pinned by
+      // the same oracle family as heavy_hitters_cms. A merge that
+      // dropped or double-added any cell could only ever lose true
+      // heavies (under-estimate) or admit fake ones the exact verify
+      // can't trim below threshold... either way a hash mismatch.
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val items = bigrams(docs)
+      val counters = Sketches.mergeCounters(Seq(
+        Sketches.cmsCounters(bigrams(docs.filter($"doc_id" < 250))),
+        Sketches.cmsCounters(bigrams(docs.filter($"doc_id" >= 250)))))
+      Sketches.cmsHeavyHittersWithCounters(items, counters, threshold = 40L)
+        .orderBy($"n_occurrences".desc, $"item")
+    },
+
     "cms_token_estimates" -> { (spark, dir) =>
       // The sketch ITSELF, cross-engine pinned: every distinct bigram's
       // CMS estimate next to its true count (est >= n_true always —
@@ -229,6 +247,13 @@ object SearchQueries {
          |SELECT item, count(*) AS n_occurrences
          |FROM b GROUP BY item
          |HAVING count(*) >= greatest(1, (SELECT count(*) FROM b) // 1024)
+         |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "heavy_hitters_merged" ->
+      s"""WITH $BigramCte
+         |SELECT item, count(*) AS n_occurrences
+         |FROM b GROUP BY item
+         |HAVING count(*) >= 40
          |ORDER BY n_occurrences DESC, item""".stripMargin,
 
     "cms_token_estimates" ->

@@ -239,7 +239,8 @@ class PlanSpec extends SparkSpec {
       "cms_token_estimates" -> 7, // measured 7: counter fold + distinct-item agg + top-30 sort; cell joins broadcast
       "ranked_search_stored" -> 8, // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered
       "proximity_search" -> 3, // measured 3: cached position join (one exchange per side) + per-doc agg + sort
-      "passage_pull" -> 1) // measured 1: pure map-side extraction; the only exchange is the presentation sort
+      "passage_pull" -> 1, // measured 1: pure map-side extraction; the only exchange is the presentation sort
+      "heavy_hitters_merged" -> 11) // measured 11: two per-batch counter folds + the merge agg + validity agg + survivor exact agg + sort — per-batch folds replace ONE whole-stream fold, the price of incrementality at query scale (stored tables pay it once)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
