@@ -62,8 +62,14 @@ object BuildDedupIndex {
       // coalesce is Repartition(shuffle=false): it NARROWS the layout
       // (possibly to one task) and must still qualify for the spread
       case r: Repartition => r.shuffle
+      // SetOperation = Except/Intersect (Union is narrow and must NOT
+      // count); GlobalLimit plans a single-partition exchange. Both
+      // would otherwise fall through to the `.rdd` probe and execute
+      // their shuffle stages at plan-construction time — the exact
+      // double-execution this branch exists to prevent.
       case _: Join | _: Aggregate | _: Distinct | _: Deduplicate |
-           _: Window | _: Sort | _: RepartitionOperation => true
+           _: Window | _: Sort | _: RepartitionOperation |
+           _: SetOperation | _: GlobalLimit => true
       case _ => false
     }.isDefined
     val spread =
@@ -394,8 +400,13 @@ object BuildDedupIndex {
     * [[BuildTextIndex.compactStreamed]]: one definition of "same
     * streamed content" across every store.
     */
-  private[jobs] def contentLabel(spark: SparkSession,
-      streamedPath: String): String = {
+  /** The sorted, root-relative data file names of a streamed
+    * directory — the identity [[contentLabel]] hashes and
+    * [[BuildTextIndex.compactStreamed]] persists as each fold's
+    * supersession sidecar.
+    */
+  private[jobs] def streamedFileList(spark: SparkSession,
+      streamedPath: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(streamedPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootUri = fs.makeQualified(p).toUri
@@ -409,10 +420,15 @@ object BuildDedupIndex {
         names += rel
     }
     names.sortInPlace()
-    "fold-" + java.security.MessageDigest.getInstance("MD5")
-      .digest(names.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
+    names.toSeq
   }
+
+  private[jobs] def contentLabel(spark: SparkSession,
+      streamedPath: String): String =
+    "fold-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(streamedFileList(spark, streamedPath).mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   def compact(spark: SparkSession, streamedPath: String, outPath: String,
       numFiles: Int = 8, label: String = ""): Unit = {
@@ -475,21 +491,43 @@ object BuildDedupIndex {
     */
   def consolidate(spark: SparkSession, outPath: String,
       batches: Seq[String], numFiles: Int = 8): Unit = {
-    require(batches.nonEmpty && batches.distinct == batches,
-      "BuildDedupIndex.consolidate: batches must be non-empty and distinct")
     spark.read.parquet(s"$outPath/meta").select(col("bands")).head(1)
       .headOption.getOrElse(throw new IllegalStateException(
         s"BuildDedupIndex.consolidate: stored index at $outPath is empty"))
     requirePartitionedLayout(spark, outPath, "consolidate")
+    consolidateBatches(spark, s"$outPath/buckets",
+        "BuildDedupIndex.consolidate", batches) { (srcDirs, consol) =>
+      spark.read.parquet(srcDirs: _*)
+        .select(col("doc_id"), col("band"))
+        .repartition(numFiles)
+        .write.mode("overwrite").parquet(consol.toString)
+    }
+  }
+
+  /** The ONE crash-safe consolidation protocol (scaladoc on
+    * [[consolidate]]), shared with [[BuildTextIndex.consolidate]] so
+    * the two stores' guarantees cannot diverge: content-addressed
+    * label, complete-dir skip, all-sources-or-loud, write via the
+    * caller's lambda over EXPLICIT source directory paths (never a
+    * partition-column filter — partition-value inference round-trips a
+    * leading-zeros label like 010 to the int 10, the filter would MISS
+    * its rows, and the deletions below would still remove the
+    * directory: silent data loss), delete sources last.
+    */
+  private[jobs] def consolidateBatches(spark: SparkSession,
+      tableRoot: String, op: String, batches: Seq[String])(
+      write: (Seq[String], org.apache.hadoop.fs.Path) => Unit): Unit = {
+    require(batches.nonEmpty && batches.distinct == batches,
+      s"$op: batches must be non-empty and distinct")
     val label = "consol-" + java.security.MessageDigest.getInstance("MD5")
       .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     require(!batches.contains(label),
-      s"BuildDedupIndex.consolidate: label $label collides with a source")
-    val fs = new org.apache.hadoop.fs.Path(outPath)
+      s"$op: label $label collides with a source")
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dirOf(b: String) =
-      new org.apache.hadoop.fs.Path(s"$outPath/buckets/batch=$b")
+      new org.apache.hadoop.fs.Path(s"$tableRoot/batch=$b")
     val consol = dirOf(label)
     val complete = fs.exists(
       new org.apache.hadoop.fs.Path(consol, "_SUCCESS"))
@@ -497,20 +535,10 @@ object BuildDedupIndex {
       val missing = batches.filterNot(b => fs.exists(dirOf(b)))
       if (missing.nonEmpty)
         throw new IllegalStateException(
-          s"BuildDedupIndex.consolidate: source batches ${missing.mkString(",")} " +
+          s"$op: source batches ${missing.mkString(",")} " +
             s"are gone and $label is incomplete — the store cannot prove " +
             "their rows live anywhere; restore the sources or rebuild")
-      // read the source DIRECTORIES, never `filter(batch.isin(...))`
-      // over the discovered partition column: partition-value type
-      // inference would read a numeric label with leading zeros
-      // (batch=010) back as the int 10, the filter would MISS its rows,
-      // and the delete below would still remove the directory — silent
-      // data loss. Direct paths cannot mis-round-trip (and skip the
-      // full-store listing).
-      spark.read.parquet(batches.map(b => dirOf(b).toString): _*)
-        .select(col("doc_id"), col("band"))
-        .repartition(numFiles)
-        .write.mode("overwrite").parquet(consol.toString)
+      write(batches.map(b => dirOf(b).toString), consol)
     }
     batches.foreach(b => fs.delete(dirOf(b), true))
   }

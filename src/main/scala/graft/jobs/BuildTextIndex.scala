@@ -137,11 +137,23 @@ object BuildTextIndex {
     * file set overwrites its own fold; the next cycle re-using the
     * same path gets a fresh fold), `base` is reserved, and the caller
     * retires the streamed dir + the stream's checkpoint together after
-    * a successful fold. An overlapping re-fold of a still-running
-    * stream duplicates EXACT posting rows, which the stored read
-    * paths' DISTINCT absorbs (cost, never wrong scores) — same
-    * contract as the dedup store; still retire the stream before
-    * folding so the cost stays bounded.
+    * a successful fold.
+    *
+    * Re-folding the SAME streaming directory after the stream added
+    * files (the crash-or-early-fold shape) is handled by SUPERSESSION,
+    * not by duplicate absorption alone: posting-row duplicates are
+    * DISTINCT-absorbed by the read paths, but each fold also carries
+    * an additive meta row, and two folds sharing files would
+    * double-count those files' docs/tokens in n_docs/avgdl — a SCORE
+    * error, not a cost one. So every fold records its streamed file
+    * set in a `_folded_files` sidecar; a new fold whose file set is a
+    * SUPERSET of a prior fold's deletes that fold's postings AND meta
+    * after its own write commits, and a partial overlap that is not a
+    * superset refuses loudly (two folds that each own files the other
+    * lacks cannot be reconciled). Crash between the new write and the
+    * stale deletion leaves a TRANSIENT double-count — ranked scores
+    * inflated, matches still exact — that the re-run heals (same file
+    * set ⇒ same label ⇒ rewrite, then the stale deletion retries).
     */
   def compactStreamed(spark: SparkSession, streamedPath: String,
       outPath: String, label: String = ""): Unit = {
@@ -150,6 +162,7 @@ object BuildTextIndex {
     require(fs.exists(metaP),
       s"BuildTextIndex.compactStreamed: no index at $outPath — run " +
         "BuildTextIndex.run first")
+    val files = BuildDedupIndex.streamedFileList(spark, streamedPath)
     val id = if (label.nonEmpty) label
       else BuildDedupIndex.contentLabel(spark, streamedPath)
     require(!id.contains("/") && !id.contains("="),
@@ -157,6 +170,35 @@ object BuildTextIndex {
     require(id != "base",
       "BuildTextIndex.compactStreamed: label 'base' is reserved for the " +
         "initial build (folding under it would overwrite the base postings)")
+    // supersession census BEFORE writing: prior folds whose file sets
+    // this fold covers get retired after the new write commits; a
+    // partial overlap is unreconcilable and must refuse before any
+    // state changes
+    val postRoot = new org.apache.hadoop.fs.Path(s"$outPath/postings")
+    val mine = files.toSet
+    val superseded = (if (fs.exists(postRoot)) fs.listStatus(postRoot).toSeq
+      else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap { s =>
+        val b = s.getPath.getName.stripPrefix("batch=")
+        val sidecar = new org.apache.hadoop.fs.Path(s.getPath, "_folded_files")
+        if (b == id || !fs.exists(sidecar)) None
+        else {
+          val in = fs.open(sidecar)
+          val theirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty).toSet
+          finally in.close()
+          if (theirs.subsetOf(mine)) Some(b)
+          else if (theirs.intersect(mine).nonEmpty)
+            throw new IllegalStateException(
+              s"BuildTextIndex.compactStreamed: prior fold batch=$b shares " +
+                s"${theirs.intersect(mine).size} streamed files with this fold " +
+                "but also owns files this fold lacks — the two cannot be " +
+                "reconciled; fold the union, or retire the streamed dir " +
+                "between cycles as documented")
+          else None
+        }
+      }
     val streamed = spark.read.parquet(streamedPath)
       .select(col("token"), col("doc_id"), col("dl"), col("tf"),
         col("positions"))
@@ -168,6 +210,14 @@ object BuildTextIndex {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         sum(col("tf")).as("n_tokens"))
       .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$outPath/postings/batch=$id/_folded_files"), true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    superseded.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/postings/batch=$b"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
+    }
   }
 
   /** Ranked retrieval against the stored index — identical scores to
@@ -274,48 +324,24 @@ object BuildTextIndex {
     */
   def consolidate(spark: SparkSession, outPath: String,
       batches: Seq[String], numFiles: Int = 8): Unit = {
-    require(batches.nonEmpty && batches.distinct == batches,
-      "BuildTextIndex.consolidate: batches must be non-empty and distinct")
     val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
     val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaP),
       s"BuildTextIndex.consolidate: no index at $outPath")
-    val label = "consol-" + java.security.MessageDigest.getInstance("MD5")
-      .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    require(!batches.contains(label),
-      s"BuildTextIndex.consolidate: label $label collides with a source")
-    def dirOf(b: String) =
-      new org.apache.hadoop.fs.Path(s"$outPath/postings/batch=$b")
-    val consol = dirOf(label)
-    val complete = fs.exists(
-      new org.apache.hadoop.fs.Path(consol, "_SUCCESS"))
-    if (!complete) {
-      val missing = batches.filterNot(b => fs.exists(dirOf(b)))
-      if (missing.nonEmpty)
-        throw new IllegalStateException(
-          s"BuildTextIndex.consolidate: source batches ${missing.mkString(",")} " +
-            s"are gone and $label is incomplete — the store cannot prove " +
-            "their rows live anywhere; restore the sources or rebuild")
-      // read the source DIRECTORIES, never `filter(batch.isin(...))`
-      // over the discovered partition column: partition-value type
-      // inference would read a numeric label with leading zeros
-      // (batch=010) back as the int 10, the filter would MISS its rows,
-      // and the delete below would still remove the directory — silent
-      // data loss (BuildDedupIndex.consolidate carries the same note).
+    BuildDedupIndex.consolidateBatches(spark, s"$outPath/postings",
+        "BuildTextIndex.consolidate", batches) { (srcDirs, consol) =>
       // basePath anchors discovery above the sibling batch dirs (their
       // nested tbucket= levels otherwise trip the conflicting-structure
       // check); WHICH files are read is still fixed by the explicit
-      // paths, so no inference decision can drop a source's rows.
+      // paths the shared protocol hands over
       spark.read.option("basePath", s"$outPath/postings")
-        .parquet(batches.map(b => dirOf(b).toString): _*)
+        .parquet(srcDirs: _*)
         .select(col("token"), col("doc_id"), col("dl"), col("tf"),
           col("positions"), col("tbucket"))
         .repartition(numFiles, col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(consol.toString)
     }
-    batches.foreach(b => fs.delete(dirOf(b), true))
   }
 
   def main(args: Array[String]): Unit = {

@@ -42,14 +42,23 @@ object Search {
     liveCaches.clear()
   }
 
-  /** Exact floor division of two non-negative longs as Columns.
-    * `a - pmod(a, b)` is long arithmetic; the final `/` sees an
-    * integral value whose quotient is far below 2^53 everywhere this
-    * file uses it, so the double round-trip is exact — and DuckDB's
-    * `//` computes the identical value on the oracle side.
+  /** Exact floor division of two non-negative longs as Columns —
+    * through DECIMAL, never double: `a - pmod(a, b)` makes the
+    * dividend exactly divisible, and decimal division of an exactly
+    * divisible pair is exact at any int64 magnitude. The earlier
+    * double form happened to be exact for in-domain inputs, but only
+    * by ACCIDENT: past a 2^53 dividend, double(D) stays exact solely
+    * because every scale constant in this file (22·10⁹, 10⁶, 9·10⁶,
+    * 10³) carries enough trailing-zero binary factors to out-pace the
+    * growing ulp — a property no caller should have to re-derive, and
+    * one that genuinely runs out for a >2^56-token corpus in
+    * avgdl_milli (≈350 TB of text) or N > 5·10¹¹ docs in the rarity
+    * weight. The decimal form is exact unconditionally; SearchSpec
+    * pins a 1000-value band past 2^53 against BigInt arithmetic.
     */
   private[graft] def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+    ((a - pmod(a, b)).cast("decimal(38,0)") / b.cast("decimal(38,0)"))
+      .cast("long")
 
   /** Frequency postings — the inverted-index core: one row per
     * (token, doc) with the term frequency. One explode + one

@@ -300,12 +300,7 @@ object DedupQueries {
       // path (the chain order, the salt, the cap trigger, the cold
       // join) hash-mismatches.
       import spark.implicits._
-      val docs = Tables.documents(spark, dir).filter($"doc_id" < 100)
-      val copies = docs.filter($"doc_id" < 3)
-        .select($"doc_id", $"text",
-          explode(sequence(lit(0L), lit(9L))).as("r"))
-        .select(($"doc_id" * 100 + $"r" + 10000L).as("doc_id"), $"text")
-      val corpus = docs.select($"doc_id", $"text").unionByName(copies)
+      val corpus = hotCorpus(spark, dir)
       Dedup.lshCandidates(
           Dedup.minhashSignatureRows(Dedup.shingleRows(corpus)),
           maxBandSize = 4)
@@ -317,12 +312,7 @@ object DedupQueries {
       // corpus: bucket census plus the pair-exact count of candidates
       // the cap avoided (Σ_hot k(k−1)/2 − (k−1)).
       import spark.implicits._
-      val docs = Tables.documents(spark, dir).filter($"doc_id" < 100)
-      val copies = docs.filter($"doc_id" < 3)
-        .select($"doc_id", $"text",
-          explode(sequence(lit(0L), lit(9L))).as("r"))
-        .select(($"doc_id" * 100 + $"r" + 10000L).as("doc_id"), $"text")
-      val corpus = docs.select($"doc_id", $"text").unionByName(copies)
+      val corpus = hotCorpus(spark, dir)
       Dedup.hotBandStats(
         Dedup.minhashSignatureRows(Dedup.shingleRows(corpus)),
         maxBandSize = 4)
@@ -387,6 +377,21 @@ object DedupQueries {
           $"uni".cast("long").as("uni"))
         .orderBy("doc_a", "doc_b")
     })
+
+  /** The SPARK side of [[HotBandCte]]'s synthetic hot corpus — one
+    * definition shared by `lsh_hot_band_chain` and `hot_band_stats`,
+    * mirroring the CTE so a fixture tweak applied to one query cannot
+    * silently diverge the other's oracle.
+    */
+  private def hotCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).filter($"doc_id" < 100)
+    val copies = docs.filter($"doc_id" < 3)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0L), lit(9L))).as("r"))
+      .select(($"doc_id" * 100 + $"r" + 10000L).as("doc_id"), $"text")
+    docs.select($"doc_id", $"text").unionByName(copies)
+  }
 
   /** Shared DuckDB CTE for the two hot-band queries: the synthetic hot
     * corpus (docs < 100 plus ten verbatim copies of docs 0..2), its

@@ -525,7 +525,7 @@ object SessionQueries {
       // Continuous ingest into the STORED text index: arriving docs →
       // per-row postings (sorted-run-length encoding — the stateless
       // restatement of the batch groupBy, append-legal with no
-      // watermark) → append (token, doc, dl, tf) parquet, the row
+      // watermark) → append (token, doc, dl, tf, positions) parquet, the row
       // shape BuildTextIndex.compactStreamed folds into the
       // bucket-partitioned store. The oracle recomputes every posting
       // row from raw text, so a drift in the run-length fold (a lost

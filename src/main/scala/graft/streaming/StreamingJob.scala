@@ -296,7 +296,7 @@ object StreamingJob {
   /** Continuous ingest into the STORED text index: arriving docs →
     * per-row postings (the stateless restatement of the batch
     * groupBy — sorted-run length encoding, so append-legal with no
-    * watermark) → append (token, doc, dl, tf) parquet to a FRESH
+    * watermark) → append (token, doc, dl, tf, positions) parquet to a FRESH
     * streamed directory, which
     * [[graft.jobs.BuildTextIndex.compactStreamed]] later folds into
     * the bucket-partitioned store together with its additive meta row.

@@ -935,8 +935,16 @@ class JobsSpec extends SparkSpec {
     // execution then runs them again — so the under-partitioning probe
     // must be skipped (statically, via the logical plan) for any input
     // that already went through a shuffle.
-    val docs = Tables.documents(spark, Sf0001)
-      .groupBy($"doc_id").agg(first($"text").as("text"))
+    val base = Tables.documents(spark, Sf0001)
+    // three shuffle-inducing input shapes the gate must catch:
+    // aggregate, set-difference (SetOperation), and a global limit —
+    // each would otherwise run its shuffle stages synchronously inside
+    // the `.rdd` probe
+    val shapes = Seq(
+      "aggregate" -> base.groupBy($"doc_id").agg(first($"text").as("text")),
+      "except" -> base.select($"doc_id", $"text")
+        .except(base.filter($"doc_id" < 5).select($"doc_id", $"text")),
+      "limit" -> base.select($"doc_id", $"text").limit(100))
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
@@ -945,13 +953,15 @@ class JobsSpec extends SparkSpec {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    try {
+    try shapes.foreach { case (name, docs) =>
+      jobs.set(0)
       val table = graft.jobs.BuildDedupIndex.bandTable(docs)
       // the buggy path ran whole shuffle stages synchronously inside
       // bandTable; their listener events land within milliseconds
       Thread.sleep(1000)
       assert(jobs.get() == 0,
-        s"plan construction must not execute the input (ran ${jobs.get()} jobs)")
+        s"$name: plan construction must not execute the input " +
+          s"(ran ${jobs.get()} jobs)")
       assert(table.select("doc_id", "band").count() > 0L)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -1234,5 +1244,73 @@ class JobsSpec extends SparkSpec {
     graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("010"))
     assert(results() == with010,
       "batch '010' rows must survive consolidation")
+  }
+
+  test("re-folding a grown stream supersedes the stale fold: scores exact, meta never double-counts") {
+    // The crash-or-early-fold shape: fold at t1, the stream commits
+    // more files, fold again at t2. Posting duplicates alone are
+    // DISTINCT-absorbed, but each fold carries an additive meta row —
+    // without supersession the shared files' docs/tokens would count
+    // twice in n_docs/avgdl and searchStored would mis-rank. The t2
+    // fold must retire the t1 fold (postings AND meta) and the store
+    // must score byte-identically to the direct corpus pass.
+    val base = Files.createTempDirectory("graft-refold").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val h1P = s"$base/h1"
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text").write.parquet(h1P)
+    val out = s"$base/index"
+    graft.jobs.BuildTextIndex.run(spark, h1P, out)
+    val inDir = s"$base/in"; val streamed = s"$base/streamed"
+    val ckpt = s"$base/ckpt"
+    docs.filter($"doc_id" >= 250 && $"doc_id" < 400)
+      .select($"doc_id", $"text").write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    graft.streaming.StreamingJob.runPostingsIngest(spark, schema, inDir,
+      streamed, ckpt)
+    graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out)
+    val folds0 = new java.io.File(s"$out/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=fold-")).toSet
+    assert(folds0.size == 1, folds0.mkString(","))
+    // the stream commits more files into the SAME streamed dir
+    docs.filter($"doc_id" >= 400).select($"doc_id", $"text")
+      .write.mode("append").parquet(inDir)
+    graft.streaming.StreamingJob.runPostingsIngest(spark, schema, inDir,
+      streamed, ckpt)
+    graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out)
+    val folds1 = new java.io.File(s"$out/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=fold-")).toSet
+    assert(folds1.size == 1 && folds1 != folds0,
+      s"the grown fold must replace the stale one: $folds0 -> $folds1")
+    val metaDirs = new java.io.File(s"$out/meta").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=fold-")).toSet
+    assert(metaDirs == folds1, "stale fold's meta must be retired with it")
+    val terms = Seq("hash", "scan", "stream")
+    def collected(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    assert(collected(
+        graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15)) ==
+      collected(graft.ops.Search.rankedSearch(docs, terms, k = 15)),
+      "post-supersession store must score exactly like the direct pass")
+    // an unreconcilable overlap (each side owns files the other lacks)
+    // refuses loudly before any state changes
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(
+      s"$out/postings/${folds1.head}/_folded_files")
+    val prevLines = {
+      val in = hfs.open(sidecar)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val o = hfs.create(sidecar, true)
+    try o.write((prevLines + "phantom-file.parquet\n").getBytes("UTF-8"))
+    finally o.close()
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out,
+        label = "fold-retry2")
+    }
+    assert(e.getMessage.contains("cannot be reconciled"), e.getMessage)
   }
 }

@@ -273,4 +273,33 @@ class SearchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("geometry"), e.getMessage)
   }
+
+  test("fixed-point scores stay exact past the 2^53 double boundary") {
+    // tfsat's dividend 22e9*tf crosses 2^53 at tf ~ 4.1e5 — an
+    // in-domain spam document. A double-division idiv is exact there
+    // ONLY because 22e9's trailing-zero binary factors out-pace the
+    // ulp (an accident the decimal form does not rely on); this pins
+    // the band against exact BigInt arithmetic so any future idiv
+    // change that loses unconditional exactness fails here.
+    val nDocs = 1000L; val avgdlMilli = 50000L
+    val dl = 500000
+    val post = spark.range(1000).select(
+      lit("t").as("token"), $"id".as("doc_id"), lit(dl).as("dl"),
+      ($"id" + 410000L).as("tf"))
+    val stats = Seq((nDocs, avgdlMilli)).toDF("n_docs", "avgdl_milli")
+    val got = graft.ops.Search.scoredTopK(post, stats, 1000, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    graft.ops.Search.releaseCaches()
+    def exact(tf: Long): Long = {
+      val df = BigInt(1000) // every doc carries token t
+      val rarity = (BigInt(1000000) * (BigInt(nDocs) - df + 1)) / (BigInt(nDocs) + 1)
+      val dln = (BigInt(9000000) * dl) / avgdlMilli
+      val sat = (BigInt("22000000000") * tf) / (BigInt(10000) * tf + 3000 + dln)
+      (rarity * sat).toLong
+    }
+    (0L until 1000L).foreach { i =>
+      assert(got(i) == exact(i + 410000L),
+        s"doc $i tf ${i + 410000L}: got ${got(i)}, exact ${exact(i + 410000L)}")
+    }
+  }
 }
