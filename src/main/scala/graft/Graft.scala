@@ -96,15 +96,32 @@ object Graft {
   def canonicalizeValues(df: DataFrame, valueCol: String): DataFrame =
     Dedup.canonicalizeValues(df, valueCol)
   def deduplicate(docs: DataFrame): DataFrame = Dedup.dropNearDuplicates(docs)
-  /** Raw LSH candidate pairs (band-collision, hot-band-capped, before
-    * the exact-Jaccard verify) — for pipelines that verify with their
-    * own metric or feed candidates to a downstream ranker.
+  /** Raw LSH candidate pairs (band-collision, before the exact-Jaccard
+    * verify) — for pipelines that verify with their own metric or feed
+    * candidates to a downstream ranker.
+    *
+    * '''Default mode is COMPONENTS-exact, not pairs-exact.''' Buckets
+    * over `Dedup.DefaultMaxBandSize` members emit a component-spanning
+    * CHAIN (k−1 edges) instead of all k·(k−1)/2 colliding pairs, so a
+    * pair whose ONLY collision is an over-full band and which is
+    * non-adjacent in that band's chain never surfaces. Consumers that
+    * cluster (connected components, keep-lists, canonical picks) are
+    * unaffected — the chain spans the same component — but a consumer
+    * of the RAW pair list (a pair-level audit, a similarity-graph
+    * export, a downstream ranker scoring every candidate edge) gets a
+    * non-exhaustive subset in exactly the buckets that matter most.
+    * Those callers must set `pairsExact = true`, which disables the
+    * cap (`maxBandSize = 0`) and restores the every-colliding-pair
+    * contract at O(k²) cost in hot buckets — the trade is theirs to
+    * make knowingly, not silently. [[hotBandReport]] shows whether the
+    * corpus has any bucket over the cap at all.
     */
   def lshCandidatePairs(docs: DataFrame,
-      maxBandSize: Int = Dedup.DefaultMaxBandSize): DataFrame =
+      maxBandSize: Int = Dedup.DefaultMaxBandSize,
+      pairsExact: Boolean = false): DataFrame =
     Dedup.lshCandidates(
       Dedup.minhashSignatureRows(Dedup.shingleRows(docs)),
-      maxBandSize = maxBandSize)
+      maxBandSize = if (pairsExact) 0 else maxBandSize)
   /** Blocked exact near-dup pairs: same language, |Δlen| ≤ maxLenDiff,
     * shingle Jaccard above the threshold — the deterministic
     * complement of the probabilistic MinHash path.

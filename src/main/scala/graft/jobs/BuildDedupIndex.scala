@@ -58,10 +58,19 @@ object BuildDedupIndex {
     // pays the partition-count probe.
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     import org.apache.spark.sql.catalyst.plans.logical._
-    val alreadyShuffled = docs.queryExecution.logical.find {
-      // coalesce is Repartition(shuffle=false): it NARROWS the layout
-      // (possibly to one task) and must still qualify for the spread
-      case r: Repartition => r.shuffle
+    // Layout-DETERMINING operators. `find` is pre-order, so the first
+    // match is the TOPMOST such node — the one whose output layout the
+    // band stage actually inherits. That matters for coalesce
+    // (Repartition(shuffle=false)): it NARROWS whatever runs below it
+    // (possibly to one task), so a coalesce sitting ON TOP of an
+    // Aggregate/Join must not let the shuffle below report "already
+    // spread" — a coalesce(1)-after-aggregate input would then pin the
+    // whole shingle+hash stage to one task (r10 advice). Its own
+    // numPartitions bounds the layout from above, so the spread
+    // decision reads that number instead of the (unsafe-to-probe)
+    // runtime partition count.
+    def layoutOp(p: LogicalPlan): Option[LogicalPlan] = p.find {
+      case _: Repartition => true
       // SetOperation = Except/Intersect (Union is narrow and must NOT
       // count); GlobalLimit plans a single-partition exchange. Both
       // would otherwise fall through to the `.rdd` probe and execute
@@ -71,9 +80,28 @@ object BuildDedupIndex {
            _: Window | _: Sort | _: RepartitionOperation |
            _: SetOperation | _: GlobalLimit => true
       case _ => false
-    }.isDefined
+    }
+    // Peel non-shuffle Repartitions (coalesce can only NARROW, so the
+    // running min of their numPartitions caps the layout) until the
+    // first genuine shuffle or a narrow remainder.
+    @scala.annotation.tailrec
+    def wideEnough(p: LogicalPlan, cap: Int): Boolean = layoutOp(p) match {
+      case Some(r: Repartition) if !r.shuffle =>
+        wideEnough(r.child, math.min(cap, r.numPartitions))
+      case Some(_) =>
+        // shuffle below: it lands at spark.sql.shuffle.partitions
+        // (sized to parallelism), so the coalesce caps decide — and the
+        // `.rdd` probe is NOT safe (it would execute those stages at
+        // plan-construction time)
+        cap >= parallelism
+      case None =>
+        // narrow remainder (scan + filters/projects): `.rdd` builds
+        // lazily from file splits without running jobs — the probe is
+        // safe and exact (it reflects the coalesce caps too)
+        docs.rdd.getNumPartitions >= parallelism
+    }
     val spread =
-      if (alreadyShuffled || docs.rdd.getNumPartitions >= parallelism) docs
+      if (wideEnough(docs.queryExecution.logical, Int.MaxValue)) docs
       else docs.repartition(parallelism)
     Dedup.bandRows(
       Dedup.minhashSignatureRows(Dedup.shingleRows(spread, idCol, textCol),

@@ -146,7 +146,7 @@ object BuildTextIndex {
     * an additive meta row, and two folds sharing files would
     * double-count those files' docs/tokens in n_docs/avgdl — a SCORE
     * error, not a cost one. So every fold records its streamed file
-    * set in a `_folded_files` sidecar; a new fold whose file set is a
+    * set in a `folded/<id>` sidecar; a new fold whose file set is a
     * SUPERSET of a prior fold's deletes that fold's postings AND meta
     * after its own write commits, and a partial overlap that is not a
     * superset refuses loudly (two folds that each own files the other
@@ -154,6 +154,20 @@ object BuildTextIndex {
     * stale deletion leaves a TRANSIENT double-count — ranked scores
     * inflated, matches still exact — that the re-run heals (same file
     * set ⇒ same label ⇒ rewrite, then the stale deletion retries).
+    *
+    * The sidecar lives OUTSIDE every Spark-written directory and is
+    * written FIRST (sidecar → postings → meta), so no crash window can
+    * produce a meta row without a sidecar: a fold that counts in
+    * n_docs/n_tokens is always retirable by a later superset fold. The
+    * r10 layout kept the sidecar inside the postings batch directory
+    * and wrote it LAST — a crash between the meta write and the
+    * sidecar write (or during a retry's postings overwrite, which
+    * transiently deletes the in-dir sidecar) left a fold whose meta
+    * double-counted forever because the supersession census skips
+    * sidecar-less batches (append batches legitimately have none).
+    * Legacy in-dir sidecars are still honored at read; run
+    * [[migrateFoldSidecars]] once to relocate them so [[consolidate]]
+    * (which deletes source batch directories) can accept fold batches.
     */
   def compactStreamed(spark: SparkSession, streamedPath: String,
       outPath: String, label: String = ""): Unit = {
@@ -174,31 +188,36 @@ object BuildTextIndex {
     // this fold covers get retired after the new write commits; a
     // partial overlap is unreconcilable and must refuse before any
     // state changes
-    val postRoot = new org.apache.hadoop.fs.Path(s"$outPath/postings")
     val mine = files.toSet
-    val superseded = (if (fs.exists(postRoot)) fs.listStatus(postRoot).toSeq
-      else Seq.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .flatMap { s =>
-        val b = s.getPath.getName.stripPrefix("batch=")
-        val sidecar = new org.apache.hadoop.fs.Path(s.getPath, "_folded_files")
-        if (b == id || !fs.exists(sidecar)) None
-        else {
-          val in = fs.open(sidecar)
-          val theirs = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().filter(_.nonEmpty).toSet
-          finally in.close()
-          if (theirs.subsetOf(mine)) Some(b)
-          else if (theirs.intersect(mine).nonEmpty)
-            throw new IllegalStateException(
-              s"BuildTextIndex.compactStreamed: prior fold batch=$b shares " +
-                s"${theirs.intersect(mine).size} streamed files with this fold " +
-                "but also owns files this fold lacks — the two cannot be " +
-                "reconciled; fold the union, or retire the streamed dir " +
-                "between cycles as documented")
-          else None
-        }
+    val superseded = foldSidecars(fs, outPath).flatMap { case (b, sidecar) =>
+      if (b == id) None
+      else {
+        val theirs = readSidecar(fs, sidecar)
+        if (theirs.subsetOf(mine)) Some(b)
+        else if (theirs.intersect(mine).nonEmpty)
+          throw new IllegalStateException(
+            s"BuildTextIndex.compactStreamed: prior fold batch=$b shares " +
+              s"${theirs.intersect(mine).size} streamed files with this fold " +
+              "but also owns files this fold lacks — the two cannot be " +
+              "reconciled; fold the union, or retire the streamed dir " +
+              "between cycles as documented")
+        else None
       }
+    }
+    // sidecar FIRST (sidecar → postings → meta): the sidecar is what
+    // makes a fold supersedable, the meta row is what makes it
+    // double-countable, so the retire handle must exist before any
+    // state worth retiring. A crash after the sidecar alone leaves a
+    // handle to nothing (a later retire deletes directories that are
+    // not there — harmless); a crash after the postings leaves
+    // DISTINCT-absorbed duplicate rows; only the full sequence counts
+    // in n_docs/n_tokens, and by then the fold is retirable. The
+    // sidecar lives in folded/, not inside the postings batch dir,
+    // so neither a retry's postings overwrite nor consolidation can
+    // strip it.
+    val out = fs.create(foldSidecarPath(outPath, id), true)
+    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
     val streamed = spark.read.parquet(streamedPath)
       .select(col("token"), col("doc_id"), col("dl"), col("tf"),
         col("positions"))
@@ -210,14 +229,89 @@ object BuildTextIndex {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         sum(col("tf")).as("n_tokens"))
       .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
-    val out = fs.create(new org.apache.hadoop.fs.Path(
-      s"$outPath/postings/batch=$id/_folded_files"), true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
     superseded.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/postings/batch=$b"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
+      // the retired fold's own sidecar goes last: if the deletes above
+      // crash mid-way, the surviving sidecar lets the re-run finish
+      // the retirement (its file set is still a subset of ours)
+      fs.delete(foldSidecarPath(outPath, b), false)
     }
+  }
+
+  /** `folded/<id>` — a fold's streamed-file-set sidecar, outside every
+    * Spark-written directory so no overwrite or consolidation touches
+    * it.
+    */
+  private def foldSidecarPath(outPath: String, id: String) =
+    new org.apache.hadoop.fs.Path(s"$outPath/folded/$id")
+
+  /** Every fold sidecar of a store as (batchId, path): the `folded/`
+    * files plus any LEGACY r10 `_folded_files` still inside a postings
+    * batch directory.
+    */
+  private def foldSidecars(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
+    val foldedRoot = new org.apache.hadoop.fs.Path(s"$outPath/folded")
+    val relocated = (if (fs.exists(foldedRoot))
+        fs.listStatus(foldedRoot).toSeq else Seq.empty)
+      .filter(_.isFile).map(s => s.getPath.getName -> s.getPath)
+    val postRoot = new org.apache.hadoop.fs.Path(s"$outPath/postings")
+    val legacy = (if (fs.exists(postRoot)) fs.listStatus(postRoot).toSeq
+      else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .flatMap { s =>
+        val p = new org.apache.hadoop.fs.Path(s.getPath, "_folded_files")
+        if (fs.exists(p)) Some(s.getPath.getName.stripPrefix("batch=") -> p)
+        else None
+      }
+    // a batch with both forms (mid-migration crash) counts once — the
+    // relocated copy wins, the migration re-run removes the legacy one
+    val seen = relocated.map(_._1).toSet
+    relocated ++ legacy.filterNot { case (b, _) => seen(b) }
+  }
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Set[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toSet
+    finally in.close()
+  }
+
+  /** One-time, retry-safe relocation of LEGACY r10 in-dir
+    * `_folded_files` sidecars to `folded/<id>`: copy out, then delete
+    * the in-dir original. A crash between the two leaves both — the
+    * census counts the batch once (relocated copy wins) and the re-run
+    * removes the leftover — so the migration converges however many
+    * times it runs. Required before [[consolidate]] will accept a fold
+    * batch (consolidation deletes source directories, which would
+    * strip an in-dir sidecar and silently disable supersession).
+    */
+  def migrateFoldSidecars(spark: SparkSession, outPath: String): Unit = {
+    val postRoot = new org.apache.hadoop.fs.Path(s"$outPath/postings")
+    val fs = postRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(postRoot)) return
+    fs.listStatus(postRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .foreach { s =>
+        val legacy = new org.apache.hadoop.fs.Path(s.getPath, "_folded_files")
+        if (fs.exists(legacy)) {
+          val b = s.getPath.getName.stripPrefix("batch=")
+          val dest = foldSidecarPath(outPath, b)
+          if (!fs.exists(dest)) {
+            val in = fs.open(legacy)
+            val bytes = try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536)
+              buf.toByteArray
+            } finally in.close()
+            val out = fs.create(dest, true)
+            try out.write(bytes) finally out.close()
+          }
+          fs.delete(legacy, false)
+        }
+      }
   }
 
   /** Ranked retrieval against the stored index — identical scores to
@@ -321,6 +415,17 @@ object BuildTextIndex {
     * is one tiny additive row, the file-count problem is the postings,
     * and folding meta would make the crash window double-count n_docs
     * — a score error, not a cost one. Only consolidate CLOSED batches.
+    *
+    * Fold batches (streamed compactions) are safe to consolidate once
+    * their sidecars live in `folded/` (the r11 layout): consolidation
+    * deletes the source POSTINGS directory but the sidecar and the
+    * fold's meta row survive, so a later superset re-fold still
+    * retires the meta (the score hazard) while the fold's rows inside
+    * the consolidated directory become DISTINCT-absorbed duplicates
+    * (cost, never correctness). A LEGACY in-dir `_folded_files`
+    * sidecar would be silently stripped with its directory —
+    * permanently disabling supersession for that fold — so it refuses
+    * loudly until [[migrateFoldSidecars]] has run.
     */
   def consolidate(spark: SparkSession, outPath: String,
       batches: Seq[String], numFiles: Int = 8): Unit = {
@@ -328,6 +433,15 @@ object BuildTextIndex {
     val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaP),
       s"BuildTextIndex.consolidate: no index at $outPath")
+    val legacy = batches.filter(b => fs.exists(new org.apache.hadoop.fs.Path(
+      s"$outPath/postings/batch=$b/_folded_files")))
+    if (legacy.nonEmpty)
+      throw new IllegalStateException(
+        s"BuildTextIndex.consolidate: batches ${legacy.mkString(",")} carry " +
+          "legacy in-directory _folded_files sidecars; consolidating them " +
+          "would strip their supersession protection (a later superset " +
+          "re-fold could then silently double-count their meta). Run " +
+          "BuildTextIndex.migrateFoldSidecars(spark, outPath) once, then retry.")
     BuildDedupIndex.consolidateBatches(spark, s"$outPath/postings",
         "BuildTextIndex.consolidate", batches) { (srcDirs, consol) =>
       // basePath anchors discovery above the sibling batch dirs (their

@@ -105,7 +105,18 @@ object Sketches {
       width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
     require(threshold > 0,
       "cmsHeavyHittersWithCounters: threshold must be positive")
-    pruneAndVerify(items, counters, threshold, itemCol, width, depth)
+    // Defensive cell re-aggregation: the estimate probe joins each item
+    // row to its d cells, so a DUPLICATE (row, bucket) cell — a caller
+    // passing a raw union of per-batch tables instead of
+    // [[mergeCounters]] — would multiply occurrence rows and silently
+    // inflate the exact counts this API documents as byte-identical to
+    // GROUP BY HAVING. One aggregate over ≤ d·w rows makes the probe
+    // side canonical regardless of what the caller supplied; note it
+    // also SUMS the duplicates (the mergeCounters semantics), so a raw
+    // union degrades to the merged answer instead of a corrupted one.
+    val canonical = counters.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    pruneAndVerify(items, canonical, threshold, itemCol, width, depth)
   }
 
   /** Pass 2 probe: each distinct item of `items` with its sketch

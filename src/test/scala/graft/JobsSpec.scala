@@ -1298,7 +1298,7 @@ class JobsSpec extends SparkSpec {
     val hfs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sidecar = new org.apache.hadoop.fs.Path(
-      s"$out/postings/${folds1.head}/_folded_files")
+      s"$out/folded/${folds1.head.stripPrefix("batch=")}")
     val prevLines = {
       val in = hfs.open(sidecar)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1312,5 +1312,87 @@ class JobsSpec extends SparkSpec {
         label = "fold-retry2")
     }
     assert(e.getMessage.contains("cannot be reconciled"), e.getMessage)
+  }
+
+  test("consolidating a fold keeps supersession alive; legacy in-dir sidecars refuse until migrated") {
+    // r10 advice: consolidation deletes source batch DIRECTORIES, which
+    // used to strip the fold's in-dir _folded_files sidecar and
+    // silently disable supersession — a later superset re-fold would
+    // then double-count the fold's additive meta forever. The r11
+    // layout keeps sidecars in folded/ (consolidation never touches
+    // them); this pins the full interplay: consolidate a fold, grow the
+    // stream, re-fold — the stale fold's META must still retire and the
+    // store must score exactly like the direct pass. Then the legacy
+    // layout is simulated and must refuse until migrateFoldSidecars.
+    val base = Files.createTempDirectory("graft-consfold").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val h1P = s"$base/h1"
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text").write.parquet(h1P)
+    val out = s"$base/index"
+    graft.jobs.BuildTextIndex.run(spark, h1P, out)
+    val inDir = s"$base/in"; val streamed = s"$base/streamed"
+    val ckpt = s"$base/ckpt"
+    docs.filter($"doc_id" >= 250 && $"doc_id" < 400)
+      .select($"doc_id", $"text").write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    graft.streaming.StreamingJob.runPostingsIngest(spark, schema, inDir,
+      streamed, ckpt)
+    graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out)
+    def folds() = new java.io.File(s"$out/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=fold-"))
+      .map(_.stripPrefix("batch=")).toSet
+    val fold0 = folds().head
+    assert(new java.io.File(s"$out/folded/$fold0").isFile,
+      "fold sidecar must live in folded/, outside the postings dir")
+    // consolidate the fold with the base batch: postings dirs fold into
+    // one consol partition, the sidecar and the fold's meta survive
+    graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("base", fold0))
+    assert(folds().isEmpty, "source postings dirs must be gone")
+    assert(new java.io.File(s"$out/folded/$fold0").isFile,
+      "consolidation must not strip the relocated sidecar")
+    assert(new java.io.File(s"$out/meta/batch=$fold0").isDirectory)
+    // the stream grows; the re-fold must supersede the consolidated
+    // fold's META (the score hazard) even though its postings now live
+    // inside the consolidated dir as DISTINCT-absorbed duplicates
+    docs.filter($"doc_id" >= 400).select($"doc_id", $"text")
+      .write.mode("append").parquet(inDir)
+    graft.streaming.StreamingJob.runPostingsIngest(spark, schema, inDir,
+      streamed, ckpt)
+    graft.jobs.BuildTextIndex.compactStreamed(spark, streamed, out)
+    val fold1 = folds().head
+    assert(fold1 != fold0)
+    assert(!new java.io.File(s"$out/meta/batch=$fold0").exists(),
+      "superseded fold's meta must retire even after consolidation")
+    assert(!new java.io.File(s"$out/folded/$fold0").exists(),
+      "superseded fold's sidecar must retire with it")
+    val terms = Seq("hash", "scan", "stream")
+    def collected(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    assert(collected(
+        graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15)) ==
+      collected(graft.ops.Search.rankedSearch(docs, terms, k = 15)),
+      "post-consolidation supersession must score exactly like the direct pass")
+    // LEGACY layout: an r10-built store carries the sidecar INSIDE the
+    // postings dir — consolidating it would strip supersession, so it
+    // must refuse loudly until the one-time migration has run
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.rename(new org.apache.hadoop.fs.Path(s"$out/folded/$fold1"),
+      new org.apache.hadoop.fs.Path(s"$out/postings/batch=$fold1/_folded_files"))
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildTextIndex.consolidate(spark, out, Seq(fold1))
+    }
+    assert(e.getMessage.contains("migrateFoldSidecars"), e.getMessage)
+    graft.jobs.BuildTextIndex.migrateFoldSidecars(spark, out)
+    assert(new java.io.File(s"$out/folded/$fold1").isFile &&
+      !new java.io.File(s"$out/postings/batch=$fold1/_folded_files").exists(),
+      "migration must relocate the legacy sidecar")
+    graft.jobs.BuildTextIndex.consolidate(spark, out, Seq(fold1))
+    assert(collected(
+        graft.jobs.BuildTextIndex.searchStored(spark, out, terms, k = 15)) ==
+      collected(graft.ops.Search.rankedSearch(docs, terms, k = 15)),
+      "post-migration consolidation must not change scores")
   }
 }

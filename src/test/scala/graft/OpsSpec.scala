@@ -1901,6 +1901,30 @@ class OpsSpec extends SparkSpec {
     assert(cappedCC.filter(_._1 >= 1000L).forall(_._2 == 1000L))
   }
 
+  test("lshCandidatePairs pairsExact restores the exhaustive pair contract on hot buckets") {
+    // r10 verdict: above the cap the facade's raw pair list is
+    // COMPONENTS-exact, not pairs-exact — a silent subset for raw-pair
+    // consumers (pair audits, similarity-graph exports). pairsExact
+    // must restore every colliding pair; the default must stay the
+    // k−1 chain so the contract difference is visible, not vibes.
+    val docs = spark.range(20).select(($"id" + 100L).as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").as("text"))
+    val chained = graft.Graft.lshCandidatePairs(docs, maxBandSize = 8)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    val exhaustive = graft.Graft.lshCandidatePairs(docs, maxBandSize = 8,
+        pairsExact = true)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.releaseCaches()
+    assert(exhaustive.size == 20 * 19 / 2,
+      s"pairsExact must emit the full clique, got ${exhaustive.size}")
+    assert(chained.size == 19,
+      s"default mode must emit the component-spanning chain, got ${chained.size}")
+    assert(chained.subsetOf(exhaustive))
+  }
+
   test("bloomNovelDocuments: exact under forced false positives; filter bits verified") {
     // mBits = 64 (one word) with 50 seen docs saturates the filter, so
     // nearly every novel doc is a bloom FALSE POSITIVE — the exact

@@ -40,6 +40,21 @@ class PlanSpec extends SparkSpec {
       docs.coalesce(1)))
     assert("RoundRobinPartitioning".r.findAllIn(narrow).size == 1,
       s"single-partition input must be spread before the shingle stage:\n$narrow")
+    // r10 advice: a coalesce ON TOP of a shuffle must not let the
+    // shuffle below report "already spread" — coalesce(1) after an
+    // aggregate pins the whole shingle+hash stage to one task unless
+    // the gate reads the coalesce's own partition cap
+    val coalescedAgg = docs.groupBy($"doc_id")
+      .agg(first($"text").as("text")).coalesce(1)
+    val pinned = planOf(graft.jobs.BuildDedupIndex.bandTable(coalescedAgg))
+    assert("RoundRobinPartitioning".r.findAllIn(pinned).size == 1,
+      s"coalesce(1)-after-aggregate must still take the spread:\n$pinned")
+    // ...while a WIDE coalesce cap over the same shuffle needs none
+    val wideCap = docs.groupBy($"doc_id")
+      .agg(first($"text").as("text")).coalesce(parallelism * 4)
+    val unpinned = planOf(graft.jobs.BuildDedupIndex.bandTable(wideCap))
+    assert(!unpinned.contains("RoundRobinPartitioning"),
+      s"a wide coalesce cap over a shuffle must not be re-exchanged:\n$unpinned")
   }
 
   test("q1 scan reads only the referenced columns") {

@@ -266,6 +266,17 @@ class SearchSpec extends SparkSpec {
     val direct = Sketches.cmsHeavyHitters(whole, 30L)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(viaMerged == direct && direct.nonEmpty)
+    // r10 advice: a RAW UNION of per-batch tables (the caller skipping
+    // mergeCounters) carries duplicate (row, bucket) cells — the d
+    // estimate joins would multiply occurrence rows and inflate the
+    // "exact" counts. The defensive re-aggregation inside
+    // cmsHeavyHittersWithCounters must make the raw union degrade to
+    // the merged answer, not a corrupted one.
+    val rawUnion = Sketches.cmsCounters(a).unionByName(Sketches.cmsCounters(b))
+    val viaRaw = Sketches.cmsHeavyHittersWithCounters(whole, rawUnion, 30L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaRaw == direct,
+      "raw-union counter tables must not inflate the exact counts")
     // geometry mismatch refuses loudly instead of merging garbage
     val e = intercept[IllegalArgumentException] {
       Sketches.mergeCounters(
