@@ -147,6 +147,33 @@ object SearchQueries {
         .orderBy($"n_occurrences".desc, $"item")
     },
 
+    "heavy_hitters_stored" -> { (spark, dir) =>
+      // The DURABLE incremental form (r10 verdict top item): THREE
+      // per-batch counter tables persisted to a real BuildSketchStore
+      // (counters/batch=<id>/ + per-batch geometry meta), merged at
+      // read through the loud geometry gate, probed over the full
+      // stream — exactly the plain GROUP BY HAVING answer. Any drift
+      // in the store layout, the per-batch fold, the meta discipline,
+      // or the merge hash-mismatches against the raw-text oracle.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-sketch-store")
+      val docs = Tables.documents(spark, dir)
+      val out = s"$base/store"
+      def slice(lo: Int, hi: Int, p: String): String = {
+        bigrams(docs.filter($"doc_id" >= lo && $"doc_id" < hi))
+          .write.mode("overwrite").parquet(p); p
+      }
+      graft.jobs.BuildSketchStore.run(spark,
+        slice(0, 200, s"$base/h0"), out)
+      graft.jobs.BuildSketchStore.append(spark,
+        slice(200, 350, s"$base/h1"), out, "h1")
+      graft.jobs.BuildSketchStore.append(spark,
+        slice(350, Int.MaxValue, s"$base/h2"), out, "h2")
+      graft.jobs.BuildSketchStore.heavyHitters(spark, out,
+          bigrams(docs), threshold = 35L)
+        .orderBy($"n_occurrences".desc, $"item")
+    },
+
     "cms_token_estimates" -> { (spark, dir) =>
       // The sketch ITSELF, cross-engine pinned: every distinct bigram's
       // CMS estimate next to its true count (est >= n_true always —
@@ -254,6 +281,13 @@ object SearchQueries {
          |SELECT item, count(*) AS n_occurrences
          |FROM b GROUP BY item
          |HAVING count(*) >= 40
+         |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "heavy_hitters_stored" ->
+      s"""WITH $BigramCte
+         |SELECT item, count(*) AS n_occurrences
+         |FROM b GROUP BY item
+         |HAVING count(*) >= 35
          |ORDER BY n_occurrences DESC, item""".stripMargin,
 
     "cms_token_estimates" ->

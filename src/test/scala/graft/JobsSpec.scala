@@ -1395,4 +1395,142 @@ class JobsSpec extends SparkSpec {
       collected(graft.ops.Search.rankedSearch(docs, terms, k = 15)),
       "post-migration consolidation must not change scores")
   }
+
+  test("sketch store: persisted folds merge to the whole-stream answer; bad geometry refuses by name") {
+    import graft.ops.Sketches
+    val base = Files.createTempDirectory("graft-sketch").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("item"))
+    def slice(lo: Int, hi: Int, p: String): String = {
+      toks(docs.filter($"doc_id" >= lo && $"doc_id" < hi))
+        .write.mode("overwrite").parquet(p); p
+    }
+    val out = s"$base/store"
+    graft.jobs.BuildSketchStore.run(spark, slice(0, 200, s"$base/h0"), out)
+    graft.jobs.BuildSketchStore.append(spark, slice(200, 350, s"$base/h1"),
+      out, "h1")
+    graft.jobs.BuildSketchStore.append(spark,
+      slice(350, Int.MaxValue, s"$base/h2"), out, "h2")
+    val whole = toks(docs)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val stored = cells(graft.jobs.BuildSketchStore.mergedCounters(spark, out))
+    assert(stored == cells(Sketches.cmsCounters(whole)),
+      "persisted per-batch folds must merge cell-for-cell to the whole-stream fold")
+    def hh(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val direct = hh(Sketches.cmsHeavyHitters(whole, 30L))
+    assert(hh(graft.jobs.BuildSketchStore.heavyHitters(spark, out, whole, 30L))
+      == direct && direct.nonEmpty,
+      "stored heavy hitters must equal the direct GROUP BY HAVING answer")
+    // retry shape: re-appending a batch id overwrites its own fold —
+    // the merged table must not change by a single cell
+    graft.jobs.BuildSketchStore.append(spark, s"$base/h1", out, "h1")
+    assert(cells(graft.jobs.BuildSketchStore.mergedCounters(spark, out))
+      == stored, "a batch retry must not change the merged counters")
+
+    // RED: a NARROWER-geometry batch is in-range cell-wise (the hole
+    // mergeCounters' range check cannot see) — the per-batch meta row
+    // must refuse it loudly by batch id before any cell merges
+    Sketches.cmsCounters(toks(docs.filter($"doc_id" < 50)), width = 128)
+      .write.mode("overwrite").parquet(s"$out/counters/batch=evil")
+    Seq((128, 3, "md5-cms-v1")).toDF("width", "depth", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=evil")
+    val eNarrow = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+    }
+    assert(eNarrow.getMessage.contains("evil") &&
+      eNarrow.getMessage.contains("128x3"), eNarrow.getMessage)
+    // a counter directory with NO meta row (raw table dropped in, or a
+    // fold that crashed between its counter and meta writes) is equally
+    // unknowable and refuses
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=evil"), true)
+    val eOrphan = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+    }
+    assert(eOrphan.getMessage.contains("no meta row"), eOrphan.getMessage)
+    // ...and the inverse half-deleted state (meta without counters)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/counters/batch=evil"), true)
+    Seq((256, 3, "md5-cms-v1")).toDF("width", "depth", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=ghost")
+    val eGhost = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+    }
+    assert(eGhost.getMessage.contains("no counter table"), eGhost.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=ghost"), true)
+    // a DIFFERENT HASH DEVICE with the right (width, depth) would mix
+    // hash families undetectably by range — the meta fingerprint refuses
+    Sketches.cmsCounters(toks(docs.filter($"doc_id" < 50)))
+      .write.mode("overwrite").parquet(s"$out/counters/batch=dev2")
+    Seq((256, 3, "xxhash-cms-v2")).toDF("width", "depth", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=dev2")
+    val eDev = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+    }
+    assert(eDev.getMessage.contains("dev2") &&
+      eDev.getMessage.contains("xxhash-cms-v2"), eDev.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/counters/batch=dev2"), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=dev2"), true)
+    // the store heals once the offenders are gone
+    assert(cells(graft.jobs.BuildSketchStore.mergedCounters(spark, out))
+      == stored)
+  }
+
+  test("scheduler x sketch append: crash after append, before marker — retry converges byte-identical") {
+    // The marker-after-work contract meets the sketch store, same
+    // window as the dedup-store pin: hour 11 crashes after its counter
+    // fold committed but before the marker advanced. A non-idempotent
+    // append would double every one of the hour's cells on re-run —
+    // silently inflating all estimates. The per-batch overwrite makes
+    // the retry converge byte-identically to a never-failed flow.
+    val base = Files.createTempDirectory("graft-sched-sketch").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("item"))
+    val h10 = s"$base/h10"
+    toks(docs.filter($"doc_id" < 300)).write.parquet(h10)
+    val h11 = s"$base/h11"
+    toks(docs.filter($"doc_id" >= 300)).write.parquet(h11)
+    val seed = s"$base/seed"
+    toks(docs.limit(0)).write.parquet(seed)
+    def hourPath(hh: String) = if (hh == "10") h10 else h11
+
+    def flow(out: String, state: String,
+        failOnce: java.util.concurrent.atomic.AtomicBoolean): Seq[String] =
+      graft.jobs.Scheduler.catchupWith(spark, state,
+        "2019-10-01 10", "2019-10-01 12", retries = 0) { (d, hh) =>
+        graft.jobs.BuildSketchStore.append(spark, hourPath(hh), out,
+          batchId = s"${d}T$hh")
+        if (hh == "11" && failOnce.compareAndSet(true, false))
+          throw new RuntimeException("post-append crash before marker")
+      }
+
+    def cells(out: String) =
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val outA = s"$base/a/store"
+    graft.jobs.BuildSketchStore.run(spark, seed, outA)
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val e = intercept[IllegalStateException] {
+      flow(outA, s"$base/a/state", failOnce)
+    }
+    assert(e.getCause.getMessage.contains("post-append crash"))
+    assert(new java.io.File(s"$outA/counters/batch=2019-10-01T11").exists,
+      "fixture must exercise the committed-but-unmarked window")
+    assert(flow(outA, s"$base/a/state", failOnce) == Seq("2019-10-01 11"))
+    // flow B: never fails
+    val outB = s"$base/b/store"
+    graft.jobs.BuildSketchStore.run(spark, seed, outB)
+    flow(outB, s"$base/b/state",
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    assert(cells(outA) == cells(outB),
+      "crash-retried store must merge cell-identically to the clean flow")
+    assert(cells(outA) == graft.ops.Sketches.cmsCounters(toks(docs))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      "...and both must equal the whole-stream fold")
+  }
 }
