@@ -284,6 +284,11 @@ object BuildDedupIndex {
     val bucketsRoot = new org.apache.hadoop.fs.Path(s"$outPath/buckets")
     val fs = bucketsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(bucketsRoot)) fs.delete(bucketsRoot, true)
+    // a rebuild must not inherit the previous store's tombstones —
+    // they referred to the OLD corpus and would silently hide any new
+    // doc that reuses a deleted id
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    if (fs.exists(delRoot)) fs.delete(delRoot, true)
     val docs = spark.read.parquet(docsPath)
     bandTable(docs, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$outPath/buckets/batch=base")
@@ -385,9 +390,13 @@ object BuildDedupIndex {
     // a RETRY probes against a store that already holds this batch's
     // own band rows (the crashed attempt committed them) — exclude the
     // batch's own directory from the seen side so the probe is
-    // byte-identical on first run and every retry
-    val seen = stored.filter(col("batch").cast("string") =!= lit(id))
+    // byte-identical on first run and every retry; tombstoned docs
+    // leave the seen side the same way ([[deleteDocs]]), so a deleted
+    // doc can never resurface as somebody's near-duplicate
+    val seen0 = stored.filter(col("batch").cast("string") =!= lit(id))
       .select(col("doc_id"), col("band"))
+    val seen = deletedIds(spark, outPath)
+      .map(d => seen0.join(d, Seq("doc_id"), "left_anti")).getOrElse(seen0)
     val pairs = probeBands(newBands, seen,
       spark.read.parquet(corpusPath))
     // force the probe's candidate cache BEFORE committing the batch's
@@ -458,6 +467,47 @@ object BuildDedupIndex {
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
 
+  /** Every tombstoned doc_id of a store, or None when it has no
+    * deletes directory (the common case pays zero cost).
+    */
+  private def deletedIds(spark: SparkSession,
+      outPath: String): Option[DataFrame] = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delRoot))
+      Some(spark.read.parquet(s"$outPath/deletes").select(col("doc_id")))
+    else None
+  }
+
+  /** Tombstone a batch of documents — the takedown verb (PII,
+    * copyright): after it returns, [[append]]'s probe behaves exactly
+    * as if the docs' band rows had never been committed (JobsSpec pins
+    * probe-after-delete ≡ rebuild-without-docs), and [[consolidate]]
+    * physically drops their bucket rows when it next runs. Unlike the
+    * text store there is no stats row to decrement — the bucket table
+    * carries no corpus statistics — so a delete is ONE tombstone
+    * write: `deletes/batch=<id>/` (doc_id), idempotent per batchId.
+    * Read-side cost is an anti-join on the seen side, which AQE
+    * broadcasts at takedown-sized delete lists. The caller must also
+    * drop the docs from the CORPUS table the verify re-shingles
+    * against — the store never held text.
+    */
+  def deleteDocs(spark: SparkSession, docIdsPath: String, outPath: String,
+      batchId: String = ""): Unit = {
+    spark.read.parquet(s"$outPath/meta")
+      .select(col("bands")).head(1).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"BuildDedupIndex.deleteDocs: stored index at $outPath is empty"))
+    val id = if (batchId.nonEmpty) batchId
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(docIdsPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildDedupIndex.deleteDocs: batchId '$id' must be a plain partition value")
+    spark.read.parquet(docIdsPath).select(col("doc_id")).distinct()
+      .write.mode("overwrite").parquet(s"$outPath/deletes/batch=$id")
+  }
+
   def compact(spark: SparkSession, streamedPath: String, outPath: String,
       numFiles: Int = 8, label: String = ""): Unit = {
     spark.read.parquet(s"$outPath/meta")
@@ -525,8 +575,13 @@ object BuildDedupIndex {
     requirePartitionedLayout(spark, outPath, "consolidate")
     consolidateBatches(spark, s"$outPath/buckets",
         "BuildDedupIndex.consolidate", batches) { (srcDirs, consol) =>
-      spark.read.parquet(srcDirs: _*)
+      val src = spark.read.parquet(srcDirs: _*)
         .select(col("doc_id"), col("band"))
+      // physical tombstone apply — same free-rewrite argument as the
+      // text store's consolidate; the tombstones stay for the batches
+      // not in this consolidation
+      deletedIds(spark, outPath)
+        .map(d => src.join(d, Seq("doc_id"), "left_anti")).getOrElse(src)
         .repartition(numFiles)
         .write.mode("overwrite").parquet(consol.toString)
     }

@@ -113,6 +113,10 @@ object BuildTextIndex {
     require(id != "base",
       "BuildTextIndex.append: batchId 'base' is reserved for the initial " +
         "build (appending under it would overwrite the base postings)")
+    require(id != "deletes",
+      "BuildTextIndex.append: batchId 'deletes' is reserved for the " +
+        "tombstone decrement row (appending under it would overwrite it " +
+        "and un-delete every tombstoned doc's stats)")
     writeBatch(spark.read.parquet(newDocsPath), outPath, id)
   }
 
@@ -184,6 +188,9 @@ object BuildTextIndex {
     require(id != "base",
       "BuildTextIndex.compactStreamed: label 'base' is reserved for the " +
         "initial build (folding under it would overwrite the base postings)")
+    require(id != "deletes",
+      "BuildTextIndex.compactStreamed: label 'deletes' is reserved for " +
+        "the tombstone decrement row")
     // supersession census BEFORE writing: prior folds whose file sets
     // this fold covers get retired after the new write commits; a
     // partial overlap is unreconcilable and must refuse before any
@@ -335,21 +342,110 @@ object BuildTextIndex {
 
   /** The stored postings rows for a literal term set: partition-pruned
     * to the terms' tbuckets plus the pushed token filter, projected to
-    * `cols` and DISTINCT'd — the ONE pruned-read every stored search
-    * goes through. The DISTINCT is the duplicate-tolerance device the
-    * dedup store's probe uses: a crash between [[consolidate]]'s write
-    * and its deletions (or an overlapping re-fold of a streamed dir)
-    * leaves EXACT duplicate posting rows, which must degrade cost,
-    * never scores or matches. It runs over the query-term-sized pruned
-    * set, not the corpus.
+    * `cols`, DISTINCT'd, and TOMBSTONE-FILTERED — the ONE pruned-read
+    * every stored search goes through. The DISTINCT is the
+    * duplicate-tolerance device the dedup store's probe uses: a crash
+    * between [[consolidate]]'s write and its deletions (or an
+    * overlapping re-fold of a streamed dir) leaves EXACT duplicate
+    * posting rows, which must degrade cost, never scores or matches.
+    * It runs over the query-term-sized pruned set, not the corpus —
+    * and so does the deletes anti-join: the postings side is already
+    * term-sized when deleted docs filter out, so a takedown costs a
+    * tiny join per query, never a rebuild.
     */
   private def prunedPostings(spark: SparkSession, outPath: String,
-      terms: Seq[String], cols: Seq[String]): DataFrame =
-    spark.read.parquet(s"$outPath/postings")
+      terms: Seq[String], cols: Seq[String]): DataFrame = {
+    val post = spark.read.parquet(s"$outPath/postings")
       .filter(col("tbucket").isin(termBuckets(spark, terms): _*) &&
         col("token").isin(terms: _*))
       .select(cols.map(col): _*)
       .distinct()
+    deletedIds(spark, outPath)
+      .map(d => post.join(d, Seq("doc_id"), "left_anti"))
+      .getOrElse(post)
+  }
+
+  /** Every tombstoned doc_id, or None when the store has no deletes
+    * directory (the common case pays zero cost).
+    */
+  private def deletedIds(spark: SparkSession,
+      outPath: String): Option[DataFrame] = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delRoot))
+      Some(spark.read.parquet(s"$outPath/deletes").select(col("doc_id")))
+    else None
+  }
+
+  /** Tombstone a batch of documents — the takedown verb (PII,
+    * copyright) the stored lifecycle was missing: build / append /
+    * stream / compact / consolidate grow the store, this shrinks it
+    * WITHOUT a rebuild. `docIdsPath` is a parquet table with a
+    * `doc_id` column. After it returns, all four query shapes behave
+    * exactly as if the docs had never been indexed (JobsSpec pins
+    * search-after-delete ≡ rebuild-without-docs), and
+    * [[consolidate]] physically drops the docs' postings when it next
+    * runs.
+    *
+    * Mechanics — two writes, both idempotent per `batchId`:
+    *
+    *   1. `deletes/batch=<id>/` (doc_id, dl): the tombstones, with
+    *      each doc's length FROZEN at delete time (dl null for docs
+    *      not in the store). Every read path anti-joins these ids on
+    *      its already-pruned, query-term-sized postings set.
+    *   2. `meta/batch=deletes/` — ONE reserved decrement row
+    *      recomputed from ALL delete batches: n_docs = −(distinct
+    *      tombstoned docs that were actually indexed), n_tokens =
+    *      −(Σ of their frozen dl). Recompute-from-tombstones (never
+    *      from live postings) makes the row order-independent and
+    *      immune to physical removal: overlapping delete batches
+    *      collapse in the distinct, and a doc whose rows consolidation
+    *      already dropped still decrements exactly once because its dl
+    *      rode the tombstone, not the postings.
+    *
+    * The dl lookup is ONE column-pruned postings scan (doc_id, dl) per
+    * delete batch — maintenance-class, same order as a consolidation;
+    * queries pay only the anti-join on their pruned set. Crash between
+    * the two writes leaves matches suppressed but stats transiently
+    * counting the deleted docs (scores conservative, matches already
+    * correct); the retry — or ANY later delete — heals the decrement
+    * row, since it is always recomputed from the full tombstone set.
+    */
+  def deleteDocs(spark: SparkSession, docIdsPath: String, outPath: String,
+      batchId: String = ""): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP),
+      s"BuildTextIndex.deleteDocs: no index at $outPath")
+    val id = if (batchId.nonEmpty) batchId
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(docIdsPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildTextIndex.deleteDocs: batchId '$id' must be a plain partition value")
+    val ids = spark.read.parquet(docIdsPath).select(col("doc_id")).distinct()
+    // freeze each doc's dl now: semi-join FIRST so the aggregate is
+    // delete-batch-sized, not corpus-sized (the scan is still one full
+    // column-pruned pass — postings partition by token bucket, not
+    // doc); max() collapses crash-duplicate posting rows (dl is
+    // functionally dependent on the doc); a doc not in the store keeps
+    // a null dl and never decrements
+    val frozen = ids.join(
+      spark.read.parquet(s"$outPath/postings")
+        .select(col("doc_id"), col("dl"))
+        .join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")),
+      Seq("doc_id"), "left_outer")
+    frozen.write.mode("overwrite").parquet(s"$outPath/deletes/batch=$id")
+    // the ONE decrement row, recomputed from all tombstones: distinct
+    // docs so overlapping delete batches never double-decrement
+    spark.read.parquet(s"$outPath/deletes")
+      .filter(col("dl").isNotNull)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("n_tokens"))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=deletes")
+  }
 
   def searchStored(spark: SparkSession, outPath: String,
       terms: Seq[String], k: Int = 10): DataFrame = {
@@ -448,10 +544,19 @@ object BuildTextIndex {
       // nested tbucket= levels otherwise trip the conflicting-structure
       // check); WHICH files are read is still fixed by the explicit
       // paths the shared protocol hands over
-      spark.read.option("basePath", s"$outPath/postings")
+      val src = spark.read.option("basePath", s"$outPath/postings")
         .parquet(srcDirs: _*)
         .select(col("token"), col("doc_id"), col("dl"), col("tf"),
           col("positions"), col("tbucket"))
+      // physical tombstone apply: consolidation is the one pass that
+      // rewrites postings anyway, so deleted docs' rows drop here for
+      // free. The tombstones and the decrement row STAY (batches not
+      // in this consolidation may still hold the docs, and the
+      // additive batch metas that counted them are untouched) — the
+      // frozen-dl decrement is immune to this removal by design.
+      val live = deletedIds(spark, outPath)
+        .map(d => src.join(d, Seq("doc_id"), "left_anti")).getOrElse(src)
+      live
         .repartition(numFiles, col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(consol.toString)

@@ -147,6 +147,28 @@ object SearchQueries {
         .orderBy($"n_occurrences".desc, $"item")
     },
 
+    "ranked_search_deleted" -> { (spark, dir) =>
+      // The takedown lifecycle under a full oracle: a REAL stored index
+      // is built on disk, every doc_id % 5 == 0 is tombstoned via
+      // deleteDocs, and the pruned-read search runs. The oracle
+      // recomputes BM25 from raw text over only the SURVIVING docs, so
+      // both the match set and the shifted corpus statistics
+      // (n_docs / avgdl / df all change when docs leave) hash-match —
+      // a wrong decrement row or a leaky anti-join mis-ranks here.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-del-store")
+      val docs = Tables.documents(spark, dir)
+      val allP = s"$base/all"; val delP = s"$base/dels"
+      docs.select($"doc_id", $"text").write.mode("overwrite").parquet(allP)
+      docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+        .write.mode("overwrite").parquet(delP)
+      val out = s"$base/index"
+      graft.jobs.BuildTextIndex.run(spark, allP, out)
+      graft.jobs.BuildTextIndex.deleteDocs(spark, delP, out, "takedown")
+      graft.jobs.BuildTextIndex.searchStored(spark, out,
+        Seq("hash", "scan", "stream"), k = 15)
+    },
+
     "heavy_hitters_stored" -> { (spark, dir) =>
       // The DURABLE incremental form (r10 verdict top item): THREE
       // per-batch counter tables persisted to a real BuildSketchStore
@@ -282,6 +304,26 @@ object SearchQueries {
          |FROM b GROUP BY item
          |HAVING count(*) >= 40
          |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "ranked_search_deleted" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS s
+        |              FROM documents WHERE doc_id % 5 <> 0),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 (1000 * sum(len(s))) // count(*) AS avgdl_milli FROM toks),
+        |post AS (SELECT doc_id, dl, token, count(*) AS tf
+        |         FROM (SELECT doc_id, len(s) AS dl, unnest(s) AS token FROM toks)
+        |         WHERE token IN ('hash', 'scan', 'stream')
+        |         GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT token, count(*) AS df FROM post GROUP BY 1)
+        |SELECT doc_id,
+        |       sum(((1000000 * (n_docs - df + 1)) // (n_docs + 1)) *
+        |           ((22000000000 * tf) //
+        |            (10000 * tf + 3000 + (9000000 * dl) // avgdl_milli)))::BIGINT AS score_pico,
+        |       count(*)::BIGINT AS n_terms_hit
+        |FROM post JOIN dfreq USING (token) CROSS JOIN stats
+        |GROUP BY doc_id
+        |ORDER BY score_pico DESC, doc_id
+        |LIMIT 15""".stripMargin,
 
     "heavy_hitters_stored" ->
       s"""WITH $BigramCte

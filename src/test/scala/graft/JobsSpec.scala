@@ -1396,6 +1396,140 @@ class JobsSpec extends SparkSpec {
       "post-migration consolidation must not change scores")
   }
 
+  test("text-store deletion: all four query shapes == rebuild-without-docs; consolidation applies physically") {
+    // The takedown lifecycle (r10 verdict missing #3): tombstone a doc
+    // set, and every query shape must behave EXACTLY as if the docs
+    // had never been indexed — matches AND scores (the BM25 stats
+    // n_docs/avgdl/df all shift when docs leave, so a wrong decrement
+    // row mis-ranks even though the deleted docs themselves are
+    // filtered). The pin is equality against a fresh store built
+    // without the docs.
+    val base = Files.createTempDirectory("graft-txtdel").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val allP = s"$base/all"
+    docs.select($"doc_id", $"text").write.parquet(allP)
+    val keepP = s"$base/keep"
+    docs.filter($"doc_id" % 5 =!= 0).select($"doc_id", $"text")
+      .write.parquet(keepP)
+    val out = s"$base/index"; val ref = s"$base/ref"
+    graft.jobs.BuildTextIndex.run(spark, allP, out)
+    graft.jobs.BuildTextIndex.run(spark, keepP, ref)
+    val delP = s"$base/dels"
+    docs.filter($"doc_id" % 5 === 0).select($"doc_id").write.parquet(delP)
+    graft.jobs.BuildTextIndex.deleteDocs(spark, delP, out, "takedown1")
+    val terms = Seq("hash", "scan", "stream")
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(_.toSeq).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == rows(graft.jobs.BuildTextIndex.searchStored(spark, ref, terms, 15)),
+      "ranked: post-delete store must score identically to rebuild-without-docs")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      rows(df.orderBy(df.columns.map(col): _*))
+    assert(sorted(graft.jobs.BuildTextIndex.searchPhrase(spark, out,
+        Seq("join", "hash")))
+      == sorted(graft.jobs.BuildTextIndex.searchPhrase(spark, ref,
+        Seq("join", "hash"))), "phrase: post-delete != rebuild")
+    assert(sorted(graft.jobs.BuildTextIndex.searchBoolean(spark, out,
+        Seq("join", "vector"), Seq("spark")))
+      == sorted(graft.jobs.BuildTextIndex.searchBoolean(spark, ref,
+        Seq("join", "vector"), Seq("spark"))), "boolean: post-delete != rebuild")
+    assert(sorted(graft.jobs.BuildTextIndex.searchProximity(spark, out,
+        "data", "vector", 3))
+      == sorted(graft.jobs.BuildTextIndex.searchProximity(spark, ref,
+        "data", "vector", 3)), "proximity: post-delete != rebuild")
+    // delete is idempotent per batch id (the Scheduler retry shape)
+    graft.jobs.BuildTextIndex.deleteDocs(spark, delP, out, "takedown1")
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == rows(graft.jobs.BuildTextIndex.searchStored(spark, ref, terms, 15)))
+    // overlapping second delete batch must not double-decrement stats
+    val delP2 = s"$base/dels2"
+    docs.filter($"doc_id" % 10 === 0).select($"doc_id").write.parquet(delP2)
+    graft.jobs.BuildTextIndex.deleteDocs(spark, delP2, out, "takedown2")
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == rows(graft.jobs.BuildTextIndex.searchStored(spark, ref, terms, 15)),
+      "an overlapping delete batch must not change stats")
+    // consolidation physically drops the tombstoned docs' rows...
+    graft.jobs.BuildTextIndex.consolidate(spark, out, Seq("base"))
+    val consolRows = spark.read.parquet(s"$out/postings")
+    assert(consolRows.join(
+        spark.read.parquet(delP), Seq("doc_id"), "left_semi").count() == 0,
+      "consolidation must physically drop tombstoned docs")
+    // ...and queries still match the rebuild afterwards (the frozen-dl
+    // decrement row is immune to the physical removal)
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == rows(graft.jobs.BuildTextIndex.searchStored(spark, ref, terms, 15)),
+      "post-physical-apply scores must still match the rebuild")
+    // crash window: tombstones written, decrement row not yet — matches
+    // are already correct (the anti-join reads tombstones), and the
+    // retry heals the stats
+    val delP3 = s"$base/dels3"
+    docs.filter($"doc_id" % 7 === 0).select($"doc_id").write.parquet(delP3)
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash by writing ONLY the tombstone batch (the first
+    // of deleteDocs' two writes)
+    spark.read.parquet(delP3).select($"doc_id")
+      .withColumn("dl", lit(null).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/deletes/batch=takedown3")
+    val refP2 = s"$base/keep2"
+    docs.filter($"doc_id" % 5 =!= 0 && $"doc_id" % 10 =!= 0 && $"doc_id" % 7 =!= 0)
+      .select($"doc_id", $"text").write.parquet(refP2)
+    val ref2 = s"$base/ref2"
+    graft.jobs.BuildTextIndex.run(spark, refP2, ref2)
+    val crashDocs = rows(graft.jobs.BuildTextIndex.searchStored(spark, out,
+      terms, 15)).map(_.head)
+    val refDocs = rows(graft.jobs.BuildTextIndex.searchStored(spark, ref2,
+      terms, 15)).map(_.head)
+    assert(!crashDocs.exists(d =>
+        spark.read.parquet(delP3).filter($"doc_id" === d).count() > 0),
+      "mid-crash: tombstoned docs must already be suppressed")
+    graft.jobs.BuildTextIndex.deleteDocs(spark, delP3, out, "takedown3")
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == rows(graft.jobs.BuildTextIndex.searchStored(spark, ref2, terms, 15)),
+      s"retry must heal the decrement row (ref docs $refDocs)")
+  }
+
+  test("dedup-store deletion: probe-after-delete == rebuild-without-docs; consolidation applies physically") {
+    // A tombstoned doc must never resurface as somebody's
+    // near-duplicate: the next append's probe over the post-delete
+    // store must emit exactly the pairs a store REBUILT without the
+    // docs emits.
+    val base = Files.createTempDirectory("graft-deddel").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"
+    docs.filter($"doc_id" < 400).write.parquet(seenP)
+    val keepP = s"$base/keep"
+    docs.filter($"doc_id" < 400 && $"doc_id" % 4 =!= 0).write.parquet(keepP)
+    val batchP = s"$base/batch"
+    docs.filter($"doc_id" >= 400).write.parquet(batchP)
+    val corpusKeep = s"$base/corpuskeep"
+    docs.filter($"doc_id" >= 400 || $"doc_id" % 4 =!= 0).write.parquet(corpusKeep)
+    val out = s"$base/index"; val ref = s"$base/ref"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, out)
+    graft.jobs.BuildDedupIndex.run(spark, keepP, ref)
+    val delP = s"$base/dels"
+    docs.filter($"doc_id" < 400 && $"doc_id" % 4 === 0)
+      .select($"doc_id").write.parquet(delP)
+    graft.jobs.BuildDedupIndex.deleteDocs(spark, delP, out, "takedown1")
+    def pairs(store: String) = {
+      val p = graft.jobs.BuildDedupIndex.append(spark, batchP, corpusKeep,
+          store, batchId = "h1")
+        .select("doc_a", "doc_b", "inter", "uni")
+        .collect().map(_.toSeq).toSet
+      graft.ops.Dedup.releaseCaches(); p
+    }
+    val got = pairs(out); val want = pairs(ref)
+    assert(got == want && want.nonEmpty,
+      s"probe-after-delete must equal rebuild-without-docs (${got.size} vs ${want.size})")
+    // consolidation physically drops the tombstoned docs' bucket rows
+    graft.jobs.BuildDedupIndex.consolidate(spark, out, Seq("base", "h1"))
+    assert(spark.read.parquet(s"$out/buckets").join(
+        spark.read.parquet(delP), Seq("doc_id"), "left_semi").count() == 0,
+      "consolidation must physically drop tombstoned docs' bucket rows")
+  }
+
   test("sketch store: persisted folds merge to the whole-stream answer; bad geometry refuses by name") {
     import graft.ops.Sketches
     val base = Files.createTempDirectory("graft-sketch").toString
