@@ -596,6 +596,14 @@ object BuildDedupIndex {
     * leading-zeros label like 010 to the int 10, the filter would MISS
     * its rows, and the deletions below would still remove the
     * directory: silent data loss), delete sources last.
+    *
+    * Fan-in boundary (measured, ScaleSpec "consolidation at realistic
+    * fan-in"): 10³ real batch directories consolidate in ~5 s on
+    * local[32] — the cost is the explicit-path scan plan and grows
+    * linearly in the directory count (driver work is one existence
+    * check per source plus the path seq), so the scaladocs' ~10⁴
+    * motivating scale extrapolates to ~1 minute, far below the hourly
+    * cadence that produces the directories.
     */
   private[jobs] def consolidateBatches(spark: SparkSession,
       tableRoot: String, op: String, batches: Seq[String])(

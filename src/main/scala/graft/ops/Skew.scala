@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * fan-in at the cost of one extra (tiny) shuffle.
   *
   * AQE's skew-join handling covers JOINS automatically; this covers
-  * aggregation skew, which AQE does not rebalance.
+  * aggregation skew, which AQE does not rebalance. The join half of
+  * that claim is not taken on faith: ScaleSpec ("AQE splits a skewed
+  * join partition at runtime") plants a 100×-skewed join key and
+  * asserts the final adaptive plan actually carries the skew=true
+  * split — the 100 TB insurance is regression-tested, not assumed.
   */
 object Skew {
 

@@ -1396,6 +1396,141 @@ class JobsSpec extends SparkSpec {
       "post-migration consolidation must not change scores")
   }
 
+  test("scheduler: one hourly chain across ALL THREE stores survives a crash at every stage boundary") {
+    // r10 verdict task 6: the stores' crash contracts were pinned
+    // pairwise but never end-to-end. One chain per hour — sessionize →
+    // dedup-index append → text-index append → sketch-store append —
+    // driven over three hours with an injected crash at a DIFFERENT
+    // stage boundary each hour (after dedup commit, after text commit,
+    // after sketch commit i.e. the committed-but-unmarked window). The
+    // resumed flow must leave every store byte-identical to a
+    // never-failed run: each append is idempotent per batch id, so the
+    // whole-hour re-run the marker forces must converge everywhere.
+    val base = Files.createTempDirectory("graft-sched-3stores").toString
+    val logs = s"$base/logs"
+    Ingest.run(spark, writeCsv(base), logs)
+    val docs = Tables.documents(spark, Sf0001)
+    // per-hour doc batches + cumulative corpora (the dedup verify reads
+    // seen ∪ new text)
+    val cuts = Map("10" -> (300, 360), "11" -> (360, 420),
+      "12" -> (420, Int.MaxValue))
+    val seenP = s"$base/seen"
+    docs.filter($"doc_id" < 300).select($"doc_id", $"text").write.parquet(seenP)
+    cuts.foreach { case (hh, (lo, hi)) =>
+      val slice = docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", $"text")
+      slice.write.parquet(s"$base/docs$hh")
+      slice.select(explode(split($"text", " ")).as("item"))
+        .write.parquet(s"$base/items$hh")
+      docs.filter($"doc_id" < hi).select($"doc_id", $"text")
+        .write.parquet(s"$base/corpus$hh")
+    }
+    val emptyItems = s"$base/items0"
+    docs.limit(0).select(explode(split($"text", " ")).as("item"))
+      .write.parquet(emptyItems)
+
+    // crashAfter(hour) = the stage index whose completion triggers the
+    // one injected crash for that hour (0-based stages: 0 sessionize,
+    // 1 dedup, 2 text, 3 sketch)
+    def chain(root: String,
+        crashAfter: scala.collection.mutable.Map[String, Int])(
+        d: String, hh: String): Unit = {
+      def maybeCrash(stage: Int): Unit =
+        if (crashAfter.get(hh).contains(stage)) {
+          crashAfter.remove(hh)
+          throw new RuntimeException(s"chain down after stage $stage of $hh")
+        }
+      graft.jobs.SessionizeHour.run(spark, logs, s"$root/sessions", d, hh)
+      maybeCrash(0)
+      graft.jobs.BuildDedupIndex.append(spark, s"$base/docs$hh",
+        s"$base/corpus$hh", s"$root/dedup", batchId = s"${d}T$hh")
+      graft.ops.Dedup.releaseCaches()
+      maybeCrash(1)
+      graft.jobs.BuildTextIndex.append(spark, s"$base/docs$hh",
+        s"$root/text", batchId = s"${d}T$hh")
+      maybeCrash(2)
+      graft.jobs.BuildSketchStore.append(spark, s"$base/items$hh",
+        s"$root/sketch", batchId = s"${d}T$hh")
+      maybeCrash(3)
+    }
+    def build(root: String): Unit = {
+      graft.jobs.BuildDedupIndex.run(spark, seenP, s"$root/dedup")
+      graft.jobs.BuildTextIndex.run(spark, seenP, s"$root/text")
+      graft.jobs.BuildSketchStore.run(spark, emptyItems, s"$root/sketch")
+    }
+    def drive(root: String, state: String,
+        crashAfter: scala.collection.mutable.Map[String, Int]): Unit = {
+      // relaunch until the window completes: each launch either crashes
+      // at one injected boundary (marker stays at H-1, the whole hour
+      // re-runs next launch) or finishes the remaining hours
+      var done = false
+      var guard = 0
+      while (!done && guard < 10) {
+        guard += 1
+        try {
+          graft.jobs.Scheduler.catchupWith(spark, state,
+            "2019-10-01 10", "2019-10-01 13", retries = 0)(
+            chain(root, crashAfter))
+          done = true
+        } catch { case e: IllegalStateException
+            if e.getCause != null &&
+              e.getCause.getMessage.startsWith("chain down") => () }
+      }
+      assert(done, "chain never completed")
+    }
+    // flow A: hour 10 crashes after its dedup commit, hour 11 after its
+    // text commit, hour 12 after its sketch commit (committed-but-
+    // unmarked — the widest window)
+    build(s"$base/a")
+    drive(s"$base/a", s"$base/a/state",
+      scala.collection.mutable.Map("10" -> 1, "11" -> 2, "12" -> 3))
+    // flow B: never fails
+    build(s"$base/b")
+    drive(s"$base/b", s"$base/b/state",
+      scala.collection.mutable.Map.empty)
+    // byte-identical everywhere
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(spark.read.schema(Schemas.session)
+        .parquet(s"$base/a/sessions"))
+      == sortedRows(spark.read.schema(Schemas.session)
+        .parquet(s"$base/b/sessions")), "sessions diverged")
+    assert(sortedRows(spark.read.parquet(s"$base/a/dedup/buckets")
+        .select($"doc_id", $"band"))
+      == sortedRows(spark.read.parquet(s"$base/b/dedup/buckets")
+        .select($"doc_id", $"band")), "dedup store diverged")
+    assert(sortedRows(spark.read.parquet(s"$base/a/text/postings")
+        .select($"token", $"doc_id", $"dl", $"tf"))
+      == sortedRows(spark.read.parquet(s"$base/b/text/postings")
+        .select($"token", $"doc_id", $"dl", $"tf")), "text postings diverged")
+    def stats(root: String) = graft.jobs.BuildTextIndex.summedStats(
+      spark.read.parquet(s"$root/text/meta")).collect().map(_.toSeq).toSeq
+    assert(stats(s"$base/a") == stats(s"$base/b"), "text meta diverged")
+    def cells(root: String) =
+      graft.jobs.BuildSketchStore.mergedCounters(spark, s"$root/sketch")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(s"$base/a") == cells(s"$base/b"), "sketch store diverged")
+    // and the crash flow's stores equal ground truth built in one shot
+    val terms = Seq("hash", "scan", "stream")
+    def ranked(root: String) = {
+      val r = graft.jobs.BuildTextIndex.searchStored(spark, s"$root/text",
+        terms, 15).collect().map(_.toSeq).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    val direct = {
+      val r = graft.ops.Search.rankedSearch(docs, terms, 15)
+        .collect().map(_.toSeq).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    assert(ranked(s"$base/a") == direct,
+      "crash-flow text store must score like the direct corpus pass")
+    assert(cells(s"$base/a") == graft.ops.Sketches.cmsCounters(
+        docs.filter($"doc_id" >= 300)
+          .select(explode(split($"text", " ")).as("item")))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap,
+      "crash-flow sketch store must equal the whole-stream fold")
+  }
+
   test("text-store deletion: all four query shapes == rebuild-without-docs; consolidation applies physically") {
     // The takedown lifecycle (r10 verdict missing #3): tombstone a doc
     // set, and every query shape must behave EXACTLY as if the docs

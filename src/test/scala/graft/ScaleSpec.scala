@@ -520,6 +520,68 @@ class ScaleSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("consolidation at realistic fan-in: 10^3 batch dirs fold in one pass, driver-bounded") {
+    // The consolidate scaladocs claim ~10^4 hourly batch directories as
+    // the motivating scale but the protocol was only ever tested at a
+    // handful (r10 verdict task 5). This pins 10^3 REAL directories:
+    // the listing + explicit-path read must complete in one job, the
+    // row accounting must be exact, and the wall-clock and driver
+    // memory stay bounded (the protocol's driver work is one
+    // fs.listStatus per source plus the path seq — O(batches), no
+    // per-dir Spark job).
+    val base = Files.createTempDirectory("graft-fanin").toString
+    val out = s"$base/index"
+    val docs = Tables.documents(spark, Sf0001).limit(40)
+    val docsP = s"$base/docs"; docs.write.parquet(docsP)
+    graft.jobs.BuildDedupIndex.run(spark, docsP, out)
+    // one template batch dir, then 999 filesystem copies — the store
+    // tolerates duplicate band rows by contract, and copying exercises
+    // exactly what fan-in stresses (directory count), not row volume
+    val t = spark.range(50).select(concat(lit("band"), $"id").as("band"),
+      $"id".as("doc_id"))
+    t.select($"doc_id", $"band").coalesce(1)
+      .write.parquet(s"$out/buckets/batch=b0000")
+    val tplDir = new java.io.File(s"$out/buckets/batch=b0000")
+    val dataFiles = tplDir.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val nDirs = 1000
+    val t0 = System.nanoTime()
+    (1 until nDirs).foreach { i =>
+      val d = new java.io.File(f"$out/buckets/batch=b$i%04d")
+      d.mkdirs()
+      dataFiles.foreach(f => java.nio.file.Files.copy(f.toPath,
+        new java.io.File(d, f.getName).toPath))
+    }
+    val secsGen = (System.nanoTime() - t0) / 1e9
+    val before = spark.read.parquet(s"$out/buckets").count()
+    val batches = (0 until nDirs).map(i => f"b$i%04d")
+    val mem0 = {
+      System.gc()
+      val rt = Runtime.getRuntime; rt.totalMemory() - rt.freeMemory()
+    }
+    val t1 = System.nanoTime()
+    graft.jobs.BuildDedupIndex.consolidate(spark, out, batches)
+    val secs = (System.nanoTime() - t1) / 1e9
+    val mem1 = {
+      val rt = Runtime.getRuntime; rt.totalMemory() - rt.freeMemory()
+    }
+    // exact accounting: every source row lives in the consolidated
+    // partition, sources are gone, base is untouched
+    assert(spark.read.parquet(s"$out/buckets").count() == before,
+      "consolidation must preserve every row")
+    val dirs = new java.io.File(s"$out/buckets").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs.count(_.startsWith("batch=consol-")) == 1 &&
+      dirs.contains("batch=base") && dirs.size == 2,
+      s"expected base + one consol dir, got ${dirs.size}")
+    // boundary documented at consolidateBatches: measured ~5 s for
+    // 10^3 dirs on local[32] (the 10^3-path scan plan, linear in
+    // dirs) — extrapolates to ~1 min at the scaladoc's 10^4 claim
+    assert(secs < 300, f"10^3-dir consolidate took $secs%.1f s")
+    info(f"10^3-dir consolidate: $secs%.1f s (gen $secsGen%.1f s), " +
+      f"driver heap delta ${(mem1 - mem0) / 1e6}%.0f MB, rows $before")
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
