@@ -1,0 +1,166 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+/** Persisted bucket-histogram store — the numeric-profile member of
+  * the stored-summary family ([[BuildSketchStore]] is its counting
+  * sibling; both exist because a 100 TB pipeline cannot re-scan
+  * history to answer "what is the p99 now"). Each batch of a numeric
+  * column folds ONCE into a tiny (bucket, cnt) histogram
+  * ([[Sketches.bucketHistogram]]); histories merge at read by
+  * cell-wise addition; any nearest-rank quantile falls out of the
+  * merged table as a [lo, hi] bound with error < the bucket width
+  * ([[Sketches.bucketedQuantiles]]) — no corpus sort, ever.
+  *
+  * Layout (the [[BuildSketchStore]] discipline verbatim):
+  *
+  *   hist/batch=<id>/   (bucket, cnt) — one fold per batch
+  *   meta/batch=<id>/   (bucket_width, device) — one row
+  *
+  * Writers own their `batch=<id>` dirs (overwrite-on-retry ⇒
+  * idempotent, Scheduler-safe; `base` reserved for [[run]]); batches
+  * must cover DISJOINT row slices. The per-batch meta row is the
+  * merge-soundness guard: bucket addition is only meaningful under ONE
+  * width, and unlike CMS geometry a wrong-width table has no
+  * detectable cell-range signature at all (the bucket space is
+  * unbounded) — so [[mergedHistogram]] compares every batch's claimed
+  * width and bucket device against the store convention EXACTLY and
+  * refuses mismatches, orphan histogram dirs, and meta-only ghosts by
+  * batch id.
+  */
+object BuildProfileStore {
+
+  /** Bucket-definition fingerprint: [[Sketches.floorDiv]] (true floor
+    * toward −∞ for either sign). A future bucketing change must bump
+    * this so old stores refuse to merge with new folds.
+    */
+  val Device = "floor-div-v1"
+
+  def run(spark: SparkSession, valuesPath: String, outPath: String,
+      valueCol: String = "value", width: Long = 100L): Unit = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    writeBatch(spark, spark.read.parquet(valuesPath), outPath, "base",
+      valueCol, width)
+  }
+
+  /** Fold one NEW batch (disjoint rows) into its own histogram.
+    * IDEMPOTENT per `batchId`; width comes from the STORE meta, never
+    * the caller, so appended folds cannot diverge.
+    */
+  def append(spark: SparkSession, valuesPath: String, outPath: String,
+      batchId: String = "", valueCol: String = "value"): Unit = {
+    val width = storeWidth(spark, outPath, "append")
+    val id = if (batchId.nonEmpty) batchId
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(valuesPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildProfileStore.append: batchId '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildProfileStore.append: batchId 'base' is reserved for the initial " +
+        "build (appending under it would overwrite the base histogram)")
+    writeBatch(spark, spark.read.parquet(valuesPath), outPath, id,
+      valueCol, width)
+  }
+
+  private def writeBatch(spark: SparkSession, values: DataFrame,
+      outPath: String, id: String, valueCol: String, width: Long): Unit = {
+    import spark.implicits._
+    // histogram before meta — same ordering argument as the sketch
+    // store: a histogram dir without a meta row refuses LOUDLY at
+    // merge, a meta row without its fold would under-count silently
+    Sketches.bucketHistogram(values, valueCol, width)
+      .write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
+    Seq((width, Device)).toDF("bucket_width", "device")
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+  }
+
+  /** The store's pinned bucket width, from the base meta row. */
+  def storeWidth(spark: SparkSession, outPath: String,
+      op: String = "storeWidth"): Long = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaP),
+      s"BuildProfileStore.$op: no profile store at $outPath — run " +
+        "BuildProfileStore.run first")
+    val base = spark.read.parquet(s"$outPath/meta")
+      .filter(col("batch").cast("string") === "base")
+      .select(col("bucket_width"), col("device")).head(1).headOption
+      .getOrElse(throw new IllegalStateException(
+        s"BuildProfileStore.$op: store at $outPath has no base meta row — " +
+          "rebuild with BuildProfileStore.run"))
+    require(base.getString(1) == Device,
+      s"BuildProfileStore.$op: store at $outPath uses bucket device " +
+        s"'${base.getString(1)}', this build uses '$Device' — rebuild")
+    base.getLong(0)
+  }
+
+  /** Every persisted batch merged to one histogram, behind the loud
+    * per-batch width/device gate (scaladoc above).
+    */
+  def mergedHistogram(spark: SparkSession, outPath: String): DataFrame = {
+    val width = storeWidth(spark, outPath, "mergedHistogram")
+    val meta = spark.read.parquet(s"$outPath/meta")
+      .select(col("batch").cast("string").as("batch"),
+        col("bucket_width"), col("device"))
+      .collect()
+    val mismatched = meta.filter(r =>
+      r.getLong(1) != width || r.getString(2) != Device)
+    if (mismatched.nonEmpty)
+      throw new IllegalStateException(
+        "BuildProfileStore.mergedHistogram: batches " +
+          mismatched.map(r => s"${r.getString(0)} (width ${r.getLong(1)}, " +
+            s"${r.getString(2)})").mkString(", ") +
+          s" were folded with a different bucketing than the store's " +
+          s"width $width/$Device — bucket addition would silently " +
+          "corrupt every quantile; re-fold them with append")
+    val metaIds = meta.map(_.getString(0)).toSet
+    val histRoot = new org.apache.hadoop.fs.Path(s"$outPath/hist")
+    val fs = histRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val histIds = (if (fs.exists(histRoot))
+        fs.listStatus(histRoot).toSeq else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+    val orphans = histIds.filterNot(metaIds)
+    if (orphans.nonEmpty)
+      throw new IllegalStateException(
+        s"BuildProfileStore.mergedHistogram: histogram batches " +
+          s"${orphans.mkString(", ")} carry no meta row — a raw table was " +
+          "dropped in (its width is unknowable) or a fold crashed between " +
+          "its histogram and meta writes; re-run the append or delete them")
+    val missing = metaIds -- histIds
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"BuildProfileStore.mergedHistogram: batches ${missing.mkString(", ")} " +
+          "have meta rows but no histogram — re-run the append for those ids")
+    Sketches.mergeHistograms(Seq(
+      spark.read.parquet(s"$outPath/hist")
+        .select(col("bucket"), col("cnt"))))
+  }
+
+  /** Nearest-rank quantile bounds over everything the store's batches
+    * cover — [[Sketches.bucketedQuantiles]] over [[mergedHistogram]],
+    * error < the store's bucket width, no source re-scan.
+    */
+  def quantiles(spark: SparkSession, outPath: String,
+      qs: Seq[(Int, Int)]): DataFrame =
+    Sketches.bucketedQuantiles(mergedHistogram(spark, outPath),
+      storeWidth(spark, outPath, "quantiles"), qs)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BuildProfileStore <valuesParquet> <outPath> [width]")
+    val spark = SparkSession.builder()
+      .appName("graft-build-profile-store")
+      .config("spark.sql.shuffle.partitions", 32)
+      .getOrCreate()
+    run(spark, args(0), args(1), "value",
+      if (args.length > 2) args(2).toLong else 100L)
+    spark.stop()
+  }
+}

@@ -203,4 +203,97 @@ object Sketches {
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= threshold)
+
+  // ── Mergeable bucket histograms: quantiles without a corpus sort ──
+  //
+  // The exact nearest-rank percentile (winsorized_stats' device) costs
+  // a full sort of the column — at 100 TB, a corpus-wide exchange per
+  // profile run. The histogram path is the mergeable-summary answer:
+  // ONE map-side-combining aggregate folds the column into (bucket,
+  // cnt) rows at fixed `width` resolution, per-batch histograms merge
+  // by cell-wise addition (the [[mergeCounters]] property, same
+  // discipline: one width everywhere — [[graft.jobs.BuildProfileStore]]
+  // pins it in per-batch meta), and any nearest-rank quantile falls
+  // out of the merged table as a BOUND pair [lo, hi] with error < width
+  // — deterministic integer arithmetic end-to-end, so the whole
+  // derivation hash-matches a DuckDB oracle.
+
+  /** True floor division for longs of either sign: `pmod` is
+    * non-negative, so subtracting it always rounds toward −∞, and
+    * [[Search.idiv]]'s decimal form keeps the division exact
+    * unconditionally (a double `/` drifts past 2^53). The ONE bucket
+    * definition the fold, the merge, the quantile derivation, and
+    * every oracle share.
+    */
+  private[graft] def floorDiv(v: Column, w: Long): Column =
+    Search.idiv(v, lit(w))
+
+  /** Fold a numeric column into its fixed-width bucket histogram:
+    * (bucket, cnt), bucket = floor(value / width). Map-side combine
+    * caps every task's shuffle contribution at the bucket-range size;
+    * callers own width sanity (range/width buckets must stay a small
+    * table — the quantile window below is single-partition by design).
+    */
+  def bucketHistogram(df: DataFrame, valueCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, "bucketHistogram: width must be positive")
+    df.select(floorDiv(col(valueCol).cast("long"), width).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge histograms built over disjoint slices of one column —
+    * cell-wise addition, bit-identical to folding the concatenated
+    * column directly (red-tested). All tables MUST share one bucket
+    * width: unlike CMS geometry there is no in-range check even
+    * possible (the bucket space is unbounded), so width discipline is
+    * entirely the caller's — persist width beside stored histograms,
+    * as [[graft.jobs.BuildProfileStore]] does with a loud exact guard.
+    */
+  def mergeHistograms(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "mergeHistograms: no histograms")
+    tables.map(_.select(col("bucket"), col("cnt")))
+      .reduce(_ unionByName _)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Nearest-rank quantile BOUNDS from a bucket histogram: for each
+    * q = num/den the row
+    * (q_num, q_den, n_total, rank, bucket, lo, hi) where
+    * rank = ⌈q·N⌉ (1-based nearest-rank, the winsorized_stats
+    * convention) and [lo, hi] is the value span of the bucket holding
+    * that rank — the true nearest-rank value provably lies inside
+    * (OpsSpec red-tests containment against the exact sort), so the
+    * error is < `width` by construction. All arithmetic is integer
+    * (DIV, not double division), so the answer hash-matches
+    * cross-engine. The cumulative window is single-partition over the
+    * histogram — ≤ range/width rows by the fold's contract, never the
+    * corpus.
+    */
+  def bucketedQuantiles(hist: DataFrame, width: Long,
+      qs: Seq[(Int, Int)]): DataFrame = {
+    require(width > 0, "bucketedQuantiles: width must be positive")
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n > 0 && n <= d },
+      "bucketedQuantiles: quantiles must be fractions in (0, 1]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val total = hist.agg(sum(col("cnt")).as("n_total"))
+    val targets = qs.toDF("q_num", "q_den")
+      .crossJoin(broadcast(total))
+      // ⌈q·N⌉ = (q_num·N + q_den − 1) DIV q_den — integer, exact
+      .withColumn("rank",
+        expr("(q_num * n_total + q_den - 1) DIV q_den"))
+    broadcast(targets)
+      .join(cum, col("prev") < col("rank") && col("rank") <= col("cum"))
+      .select(col("q_num"), col("q_den"), col("n_total"), col("rank"),
+        col("bucket"),
+        (col("bucket") * width).as("lo"),
+        (col("bucket") * width + width - 1).as("hi"))
+  }
 }

@@ -132,6 +132,59 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    "value_histogram" -> { (spark, dir) =>
+      // The mergeable profile fold: event cents in fixed $5 buckets —
+      // ONE map-side-combining aggregate whose output is bounded by the
+      // value range, never the row count; the unit the profile store
+      // persists per batch and merges by addition.
+      import spark.implicits._
+      graft.ops.Sketches.bucketHistogram(
+          Tables.events(spark, dir)
+            .select(round($"value" * 100).cast("long").as("cents")),
+          "cents", width = 500L)
+        .orderBy("bucket")
+    },
+
+    "bucketed_quantiles" -> { (spark, dir) =>
+      // Quantiles WITHOUT a corpus sort: p50/p90/p99/p999 of event
+      // cents as nearest-rank bucket bounds (error < width=100, i.e.
+      // < $1) derived from the histogram by pure integer arithmetic —
+      // the scale answer to winsorized_stats' full-sort percentiles.
+      import spark.implicits._
+      val hist = graft.ops.Sketches.bucketHistogram(
+        Tables.events(spark, dir)
+          .select(round($"value" * 100).cast("long").as("cents")),
+        "cents", width = 100L)
+      graft.ops.Sketches.bucketedQuantiles(hist, 100L,
+          Seq((1, 2), (9, 10), (99, 100), (999, 1000)))
+        .orderBy("rank", "q_den")
+    },
+
+    "quantiles_stored" -> { (spark, dir) =>
+      // The persisted form (BuildProfileStore): three per-batch
+      // histograms folded to disk with width pinned in per-batch meta,
+      // merged at read through the loud width/device gate, quantiles
+      // from the merged table — identical to the one-shot derivation,
+      // no source re-scan.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-prof-store")
+      val cents = Tables.events(spark, dir)
+        .select($"event_id", round($"value" * 100).cast("long").as("cents"))
+      def slice(p: String, f: org.apache.spark.sql.Column): String = {
+        cents.filter(f).select($"cents").write.mode("overwrite").parquet(p); p
+      }
+      val out = s"$base/store"
+      graft.jobs.BuildProfileStore.run(spark,
+        slice(s"$base/h0", $"event_id" % 3 === 0), out, "cents", 100L)
+      graft.jobs.BuildProfileStore.append(spark,
+        slice(s"$base/h1", $"event_id" % 3 === 1), out, "h1", "cents")
+      graft.jobs.BuildProfileStore.append(spark,
+        slice(s"$base/h2", $"event_id" % 3 === 2), out, "h2", "cents")
+      graft.jobs.BuildProfileStore.quantiles(spark, out,
+          Seq((1, 2), (9, 10), (99, 100), (999, 1000)))
+        .orderBy("rank", "q_den")
+    },
+
     "table_profile" -> { (spark, dir) =>
       // Single-pass column profile of the events table (the first audit
       // against any new table): per column, rows / non-nulls / exact
@@ -455,6 +508,46 @@ object EventQueries {
         |FROM r JOIN bounds USING (event_type)
         |GROUP BY r.event_type, p01, p99
         |ORDER BY event_type""".stripMargin,
+
+    "value_histogram" ->
+      """WITH b AS (SELECT round(value * 100)::BIGINT AS cents FROM events)
+        |SELECT (cents - ((cents % 500 + 500) % 500)) // 500 AS bucket,
+        |       count(*)::BIGINT AS cnt
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "bucketed_quantiles" ->
+      """WITH b AS (SELECT round(value * 100)::BIGINT AS cents FROM events),
+        |h AS (SELECT (cents - ((cents % 100 + 100) % 100)) // 100 AS bucket,
+        |             count(*)::BIGINT AS cnt
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum FROM h),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_total FROM h),
+        |t AS (SELECT q_num::INTEGER AS q_num, q_den::INTEGER AS q_den
+        |      FROM (VALUES (1, 2), (9, 10), (99, 100), (999, 1000)) AS v(q_num, q_den))
+        |SELECT q_num, q_den, n_total,
+        |       (q_num * n_total + q_den - 1) // q_den AS rank, bucket,
+        |       (bucket * 100)::BIGINT AS lo, (bucket * 100 + 99)::BIGINT AS hi
+        |FROM t CROSS JOIN n JOIN c
+        |  ON (c.cum - c.cnt) < ((q_num * n_total + q_den - 1) // q_den)
+        | AND ((q_num * n_total + q_den - 1) // q_den) <= c.cum
+        |ORDER BY rank, q_den""".stripMargin,
+
+    "quantiles_stored" ->
+      """WITH b AS (SELECT round(value * 100)::BIGINT AS cents FROM events),
+        |h AS (SELECT (cents - ((cents % 100 + 100) % 100)) // 100 AS bucket,
+        |             count(*)::BIGINT AS cnt
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum FROM h),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_total FROM h),
+        |t AS (SELECT q_num::INTEGER AS q_num, q_den::INTEGER AS q_den
+        |      FROM (VALUES (1, 2), (9, 10), (99, 100), (999, 1000)) AS v(q_num, q_den))
+        |SELECT q_num, q_den, n_total,
+        |       (q_num * n_total + q_den - 1) // q_den AS rank, bucket,
+        |       (bucket * 100)::BIGINT AS lo, (bucket * 100 + 99)::BIGINT AS hi
+        |FROM t CROSS JOIN n JOIN c
+        |  ON (c.cum - c.cnt) < ((q_num * n_total + q_den - 1) // q_den)
+        | AND ((q_num * n_total + q_den - 1) // q_den) <= c.cum
+        |ORDER BY rank, q_den""".stripMargin,
 
     "table_profile" ->
       """WITH b AS (SELECT event_id, user_id, event_type,

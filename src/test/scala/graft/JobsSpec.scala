@@ -1748,6 +1748,115 @@ class JobsSpec extends SparkSpec {
       == stored)
   }
 
+  test("profile store: persisted histograms merge to the whole-column answer; bad width refuses by name") {
+    import graft.ops.Sketches
+    val base = Files.createTempDirectory("graft-profile").toString
+    val vals = Tables.events(spark, Sf0001)
+      .select($"event_id", round($"value" * 100).cast("long").as("cents"))
+    def slice(m: Int, p: String): String = {
+      vals.filter($"event_id" % 3 === m).select($"cents")
+        .write.mode("overwrite").parquet(p); p
+    }
+    val out = s"$base/store"
+    graft.jobs.BuildProfileStore.run(spark, slice(0, s"$base/h0"), out,
+      "cents", 100L)
+    graft.jobs.BuildProfileStore.append(spark, slice(1, s"$base/h1"),
+      out, "h1", "cents")
+    graft.jobs.BuildProfileStore.append(spark, slice(2, s"$base/h2"),
+      out, "h2", "cents")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stored = cells(graft.jobs.BuildProfileStore.mergedHistogram(spark, out))
+    assert(stored == cells(Sketches.bucketHistogram(vals, "cents", 100L)),
+      "persisted per-batch histograms must merge cell-for-cell to the whole fold")
+    // quantiles from the store == quantiles from the one-shot histogram
+    val qs = Seq((1, 2), (99, 100))
+    def quant(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(quant(graft.jobs.BuildProfileStore.quantiles(spark, out, qs))
+      == quant(Sketches.bucketedQuantiles(
+        Sketches.bucketHistogram(vals, "cents", 100L), 100L, qs)))
+    // retry shape: re-appending a batch id leaves the merge unchanged
+    graft.jobs.BuildProfileStore.append(spark, s"$base/h1", out, "h1", "cents")
+    assert(cells(graft.jobs.BuildProfileStore.mergedHistogram(spark, out))
+      == stored)
+    // RED: a different-width batch has NO cell-range signature at all
+    // (bucket space is unbounded) — only the per-batch meta row can
+    // refuse it, by batch id
+    Sketches.bucketHistogram(vals.select($"cents"), "cents", 500L)
+      .write.mode("overwrite").parquet(s"$out/hist/batch=evil")
+    Seq((500L, "floor-div-v1")).toDF("bucket_width", "device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=evil")
+    val eW = intercept[IllegalStateException] {
+      graft.jobs.BuildProfileStore.mergedHistogram(spark, out)
+    }
+    assert(eW.getMessage.contains("evil") &&
+      eW.getMessage.contains("width 500"), eW.getMessage)
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=evil"), true)
+    // orphan histogram dir (no meta) and meta-only ghost both refuse
+    val eO = intercept[IllegalStateException] {
+      graft.jobs.BuildProfileStore.mergedHistogram(spark, out)
+    }
+    assert(eO.getMessage.contains("no meta row"), eO.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/hist/batch=evil"), true)
+    Seq((100L, "floor-div-v1")).toDF("bucket_width", "device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=ghost")
+    val eG = intercept[IllegalStateException] {
+      graft.jobs.BuildProfileStore.mergedHistogram(spark, out)
+    }
+    assert(eG.getMessage.contains("no histogram"), eG.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=ghost"), true)
+    assert(cells(graft.jobs.BuildProfileStore.mergedHistogram(spark, out))
+      == stored, "the store heals once offenders are gone")
+  }
+
+  test("scheduler x profile append: crash after append, before marker — retry converges byte-identical") {
+    // same committed-but-unmarked window as the other three stores: a
+    // non-idempotent histogram append would double the hour's bucket
+    // counts and shift every quantile silently
+    val base = Files.createTempDirectory("graft-sched-prof").toString
+    val vals = Tables.events(spark, Sf0001)
+      .select($"event_id", round($"value" * 100).cast("long").as("cents"))
+    vals.filter($"event_id" % 2 === 0).select($"cents")
+      .write.parquet(s"$base/h10")
+    vals.filter($"event_id" % 2 === 1).select($"cents")
+      .write.parquet(s"$base/h11")
+    vals.limit(0).select($"cents").write.parquet(s"$base/seed")
+    def flow(out: String, state: String,
+        failOnce: java.util.concurrent.atomic.AtomicBoolean): Seq[String] =
+      graft.jobs.Scheduler.catchupWith(spark, state,
+        "2019-10-01 10", "2019-10-01 12", retries = 0) { (d, hh) =>
+        graft.jobs.BuildProfileStore.append(spark,
+          s"$base/h$hh", out, batchId = s"${d}T$hh", valueCol = "cents")
+        if (hh == "11" && failOnce.compareAndSet(true, false))
+          throw new RuntimeException("post-append crash before marker")
+      }
+    def cells(out: String) =
+      graft.jobs.BuildProfileStore.mergedHistogram(spark, out)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val outA = s"$base/a/store"
+    graft.jobs.BuildProfileStore.run(spark, s"$base/seed", outA, "cents", 100L)
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val e = intercept[IllegalStateException] {
+      flow(outA, s"$base/a/state", failOnce)
+    }
+    assert(e.getCause.getMessage.contains("post-append crash"))
+    assert(new java.io.File(s"$outA/hist/batch=2019-10-01T11").exists,
+      "fixture must exercise the committed-but-unmarked window")
+    assert(flow(outA, s"$base/a/state", failOnce) == Seq("2019-10-01 11"))
+    val outB = s"$base/b/store"
+    graft.jobs.BuildProfileStore.run(spark, s"$base/seed", outB, "cents", 100L)
+    flow(outB, s"$base/b/state",
+      new java.util.concurrent.atomic.AtomicBoolean(false))
+    assert(cells(outA) == cells(outB),
+      "crash-retried store must merge cell-identically to the clean flow")
+    assert(cells(outA) == graft.ops.Sketches.bucketHistogram(vals, "cents", 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "...and both must equal the whole-column fold")
+  }
+
   test("scheduler x sketch append: crash after append, before marker — retry converges byte-identical") {
     // The marker-after-work contract meets the sketch store, same
     // window as the dedup-store pin: hour 11 crashes after its counter

@@ -255,7 +255,12 @@ class PlanSpec extends SparkSpec {
       "ranked_search_stored" -> 8, // measured 8: two per-batch postings aggs + two stats aggs (the batch layout) + cached-post df agg + doc-score agg; top-k is TakeOrdered
       "proximity_search" -> 3, // measured 3: cached position join (one exchange per side) + per-doc agg + sort
       "passage_pull" -> 1, // measured 1: pure map-side extraction; the only exchange is the presentation sort
-      "heavy_hitters_merged" -> 11) // measured 11: two per-batch counter folds + the merge agg + validity agg + survivor exact agg + sort — per-batch folds replace ONE whole-stream fold, the price of incrementality at query scale (stored tables pay it once)
+      "heavy_hitters_merged" -> 11, // measured 11: two per-batch counter folds + the merge agg + validity agg + survivor exact agg + sort — per-batch folds replace ONE whole-stream fold, the price of incrementality at query scale (stored tables pay it once)
+      // round-11 stored-lifecycle additions (both queries BUILD their
+      // store in a temp dir inside the closure, so the count includes
+      // the build half — at scale that half is the persisted table)
+      "heavy_hitters_stored" -> 8, // measured 8: three per-batch folds ran at build; read side is merge agg + validity agg + defensive re-agg + survivor exact agg + sort
+      "ranked_search_deleted" -> 7) // measured 7: build wrote base postings+stats; read side is pruned-post distinct + deletes anti + df agg + stats sum + doc-score agg; top-k is TakeOrdered
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)

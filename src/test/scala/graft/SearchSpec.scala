@@ -285,6 +285,53 @@ class SearchSpec extends SparkSpec {
     assert(e.getMessage.contains("geometry"), e.getMessage)
   }
 
+  test("bucket histograms merge cell-wise; quantile bounds contain the exact nearest-rank value") {
+    // the mergeable-profile contract: per-slice histograms fold once
+    // and merge by addition (halves == whole), and every quantile
+    // bound [lo, hi] derived from the histogram must CONTAIN the value
+    // an exact full-sort nearest-rank pick returns — the containment
+    // is what makes the width the honest error bound
+    val vals = Tables.events(spark, Sf0001)
+      .select($"event_id", round($"value" * 100).cast("long").as("cents"))
+    val width = 100L
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Sketches.bucketHistogram(vals, "cents", width)
+    val merged = Sketches.mergeHistograms(Seq(
+      Sketches.bucketHistogram(vals.filter($"event_id" % 2 === 0), "cents", width),
+      Sketches.bucketHistogram(vals.filter($"event_id" % 2 === 1), "cents", width)))
+    assert(cells(merged) == cells(whole),
+      "merged slice histograms must equal the whole-column fold")
+    val qs = Seq((1, 4), (1, 2), (9, 10), (99, 100), (999, 1000), (1, 1))
+    val got = Sketches.bucketedQuantiles(whole, width, qs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6))).toMap
+    val sortedVals = vals.select($"cents").orderBy($"cents")
+      .collect().map(_.getLong(0))
+    val n = sortedVals.length.toLong
+    qs.foreach { case (num, den) =>
+      val (nTotal, rank, lo, hi) = got((num, den))
+      assert(nTotal == n)
+      assert(rank == (num.toLong * n + den - 1) / den)
+      val exact = sortedVals((rank - 1).toInt) // 1-based nearest rank
+      assert(lo <= exact && exact <= hi,
+        s"q=$num/$den: exact $exact outside [$lo, $hi]")
+      assert(hi - lo == width - 1)
+    }
+    // floor bucketing is toward -inf on BOTH signs (a truncating div
+    // would fold [-99, 99] into one bucket and shift every negative
+    // quantile)
+    val negs = Seq(-250L, -100L, -1L, 0L, 99L, 100L).toDF("cents")
+    assert(cells(Sketches.bucketHistogram(negs, "cents", 100L)) ==
+      Map(-3L -> 1L, -1L -> 2L, 0L -> 2L, 1L -> 1L))
+    intercept[IllegalArgumentException] {
+      Sketches.bucketedQuantiles(whole, width, Seq((0, 2)))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.bucketHistogram(vals, "cents", 0L)
+    }
+  }
+
   test("fixed-point scores stay exact past the 2^53 double boundary") {
     // tfsat's dividend 22e9*tf crosses 2^53 at tf ~ 4.1e5 — an
     // in-domain spam document. A double-division idiv is exact there
