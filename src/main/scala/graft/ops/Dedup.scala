@@ -1246,8 +1246,24 @@ object Dedup {
     */
   def bloomNovelDocuments(increment: DataFrame, seen: DataFrame,
       mBits: Int = 65536, kProbes: Int = 4, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val bloom = bloomTextFilter(seen, mBits, kProbes, textCol)
+      textCol: String = "text"): DataFrame =
+    bloomNovelWithFilter(increment,
+      bloomTextFilter(seen, mBits, kProbes, textCol),
+      seen, mBits, kProbes, idCol, textCol)
+
+  /** [[bloomNovelDocuments]] against a PREBUILT filter — the shared
+    * probe+verify body behind the in-memory form above and the stored
+    * form ([[graft.jobs.BuildBloomStore.novelDocuments]]), so disk ≡
+    * memory is structural. `bloom` must have been built by
+    * [[bloomTextFilter]] with the same (mBits, kProbes) over exactly
+    * the docs `seen` holds: a filter MISSING a seen doc's bits can
+    * return a false "novel" (the one error the exact verify cannot
+    * catch — it only checks candidates the bloom admits), which is why
+    * the stored job gates merges on per-batch geometry meta.
+    */
+  private[graft] def bloomNovelWithFilter(increment: DataFrame,
+      bloom: DataFrame, seen: DataFrame, mBits: Int, kProbes: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val probes = array((0 until kProbes).map { i =>
       pmod(conv(substring(md5(col(textCol)), 1 + 8 * i, 8), 16, 10)
         .cast("long"), lit(mBits.toLong))

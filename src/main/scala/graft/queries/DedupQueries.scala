@@ -64,6 +64,34 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    "novel_docs_stored" -> { (spark, dir) =>
+      // dedup_bloom_increment's STORED form (BuildBloomStore): the seen
+      // corpus's filter is persisted as two per-batch word tables and
+      // bit_or-merged at read — the daily increment never rebuilds it.
+      // Same synthetic re-crawl fixture; the exact verify keeps the
+      // bloom off the oracle surface, so this oracles as NOT EXISTS
+      // while pinning the whole store layout + merge + probe chain.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-bloom-store")
+      val docs = Tables.documents(spark, dir)
+      val seenP = s"$base/seen"
+      docs.select($"doc_id", $"text").write.mode("overwrite").parquet(seenP)
+      docs.filter($"doc_id" < 250).select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(s"$base/h0")
+      docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(s"$base/h1")
+      val out = s"$base/store"
+      graft.jobs.BuildBloomStore.run(spark, s"$base/h0", out)
+      graft.jobs.BuildBloomStore.append(spark, s"$base/h1", out, "h1")
+      val increment = docs.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+        .unionByName(docs.filter($"doc_id" % 10 === 5)
+          .select(($"doc_id" + 2000000L).as("doc_id"),
+            concat($"text", lit(" r11novel")).as("text")))
+      graft.jobs.BuildBloomStore.novelDocuments(spark, out, increment, seenP)
+        .orderBy("doc_id")
+    },
+
     "name_typo_pairs_d2" -> { (spark, dir) =>
       // FastSS at typo distance 2 (Bocek §3 recursive deletion
       // neighborhoods): same blocking, composed twice, verified by
@@ -595,6 +623,18 @@ object DedupQueries {
         |  FROM documents WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 2000000 AS doc_id, text || ' r9novel' AS text
+        |  FROM documents WHERE doc_id % 10 = 5)
+        |SELECT i.doc_id,
+        |       NOT EXISTS (SELECT 1 FROM documents s WHERE s.text = i.text) AS is_novel
+        |FROM inc i
+        |ORDER BY doc_id""".stripMargin,
+
+    "novel_docs_stored" ->
+      """WITH inc AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text || ' r11novel' AS text
         |  FROM documents WHERE doc_id % 10 = 5)
         |SELECT i.doc_id,
         |       NOT EXISTS (SELECT 1 FROM documents s WHERE s.text = i.text) AS is_novel

@@ -59,6 +59,10 @@ class FacadeSpec extends AnyFunSuite {
     // stored job is a jobs entry point)
     "scoredTopK", "phraseFromPositions", "proximityFromPositions",
     "booleanFromPostings",
+    // shared probe+verify body behind bloomNovelDocuments (facaded) and
+    // the stored BuildBloomStore.novelDocuments (a jobs entry point) —
+    // private[graft], public only in bytecode
+    "bloomNovelWithFilter",
     // per-stage internals of the facaded PQ/SRP/IVF entries
     "assignClusters", "assignClustersL2", "pqSubVectors", "pqCodeTuple",
     "quantVectors", "srpBands", "srpBitsCentered",

@@ -1748,6 +1748,78 @@ class JobsSpec extends SparkSpec {
       == stored)
   }
 
+  test("bloom store: merged slice filters == whole-corpus filter bit-for-bit; stored probe == in-memory") {
+    import graft.ops.Dedup
+    val base = Files.createTempDirectory("graft-bloom").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val seenP = s"$base/seen"
+    docs.select($"doc_id", $"text").write.parquet(seenP)
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text")
+      .write.parquet(s"$base/h0")
+    docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
+      .write.parquet(s"$base/h1")
+    val out = s"$base/store"
+    graft.jobs.BuildBloomStore.run(spark, s"$base/h0", out)
+    graft.jobs.BuildBloomStore.append(spark, s"$base/h1", out, "h1")
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the defining property: OR of slice filters == whole-corpus filter
+    assert(bits(graft.jobs.BuildBloomStore.mergedFilter(spark, out))
+      == bits(Dedup.bloomTextFilter(docs)),
+      "merged slice filters must equal the whole-corpus filter bit-for-bit")
+    // stored probe == in-memory probe, including bloom false positives
+    // (the exact verify erases them identically on both paths)
+    val increment = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      .unionByName(docs.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat($"text", lit(" fresh")).as("text")))
+    def novel(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      Dedup.releaseCaches(); r
+    }
+    val stored = novel(graft.jobs.BuildBloomStore.novelDocuments(
+      spark, out, increment, seenP))
+    assert(stored == novel(Dedup.bloomNovelDocuments(increment, docs)),
+      "stored probe must equal the in-memory probe")
+    assert(stored.exists(_._2) && stored.exists(!_._2),
+      "fixture must exercise both verdicts")
+    // retry shape: re-appending a batch id leaves the merged bits alone
+    graft.jobs.BuildBloomStore.append(spark, s"$base/h1", out, "h1")
+    assert(bits(graft.jobs.BuildBloomStore.mergedFilter(spark, out))
+      == bits(Dedup.bloomTextFilter(docs)))
+    // RED: a smaller-mBits batch has in-range words but a different
+    // probe geometry entirely — only the meta row can refuse it; a
+    // missing filter (meta ghost) could mint false 'novel' verdicts
+    // and refuses even louder
+    Dedup.bloomTextFilter(docs.filter($"doc_id" < 50), mBits = 1024)
+      .write.mode("overwrite").parquet(s"$out/bloom/batch=evil")
+    Seq((1024, 4, "md5-bloom-v1")).toDF("m_bits", "k_probes", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=evil")
+    val eG = intercept[IllegalStateException] {
+      graft.jobs.BuildBloomStore.mergedFilter(spark, out)
+    }
+    assert(eG.getMessage.contains("evil") &&
+      eG.getMessage.contains("1024 bits"), eG.getMessage)
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=evil"), true)
+    val eO = intercept[IllegalStateException] {
+      graft.jobs.BuildBloomStore.mergedFilter(spark, out)
+    }
+    assert(eO.getMessage.contains("no meta row"), eO.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/bloom/batch=evil"), true)
+    Seq((65536, 4, "md5-bloom-v1")).toDF("m_bits", "k_probes", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=ghost")
+    val eGh = intercept[IllegalStateException] {
+      graft.jobs.BuildBloomStore.mergedFilter(spark, out)
+    }
+    assert(eGh.getMessage.contains("false 'novel'"), eGh.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=ghost"), true)
+    assert(bits(graft.jobs.BuildBloomStore.mergedFilter(spark, out))
+      == bits(Dedup.bloomTextFilter(docs)), "store heals once offenders are gone")
+  }
+
   test("profile store: persisted histograms merge to the whole-column answer; bad width refuses by name") {
     import graft.ops.Sketches
     val base = Files.createTempDirectory("graft-profile").toString
