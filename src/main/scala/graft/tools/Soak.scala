@@ -54,7 +54,15 @@ object Soak {
     // heavy_hitters_cms is the two-pass sketch-prune shape whose whole
     // point is that the counter fold stays d·w-bounded as the corpus
     // grows (only the survivor aggregate scales with true heavies)
-    "ranked_search", "heavy_hitters_cms")
+    "ranked_search", "heavy_hitters_cms",
+    // r11: the stored-lifecycle family — each builds its store in a
+    // temp dir from the soaked corpus, so the measurement is exactly
+    // the claim under test: store MAINTENANCE (per-batch folds, the
+    // takedown's one postings pass) grows linearly with the corpus
+    // while the read side stays summary-bounded (merge over tiny
+    // tables, pruned term buckets)
+    "heavy_hitters_stored", "quantiles_stored", "novel_docs_stored",
+    "ranked_search_deleted")
 
   /** The super-linear soakers (r9 verdict #4): one 10× point can't
     * distinguish m^1.2 from m^1.5 — for these two, the soak adds a 3×

@@ -1396,16 +1396,17 @@ class JobsSpec extends SparkSpec {
       "post-migration consolidation must not change scores")
   }
 
-  test("scheduler: one hourly chain across ALL THREE stores survives a crash at every stage boundary") {
-    // r10 verdict task 6: the stores' crash contracts were pinned
-    // pairwise but never end-to-end. One chain per hour — sessionize →
-    // dedup-index append → text-index append → sketch-store append —
+  test("scheduler: one hourly chain across ALL FIVE stores survives a crash at every stage boundary") {
+    // r10 verdict task 6, widened to the full store family: the crash
+    // contracts were pinned pairwise but never end-to-end. One chain
+    // per hour — sessionize → dedup-index append → text-index append →
+    // sketch-store append → profile-store append → bloom-store append —
     // driven over three hours with an injected crash at a DIFFERENT
-    // stage boundary each hour (after dedup commit, after text commit,
-    // after sketch commit i.e. the committed-but-unmarked window). The
-    // resumed flow must leave every store byte-identical to a
-    // never-failed run: each append is idempotent per batch id, so the
-    // whole-hour re-run the marker forces must converge everywhere.
+    // stage boundary each hour (early, middle, and after the last
+    // commit i.e. the committed-but-unmarked window). The resumed flow
+    // must leave every store byte-identical to a never-failed run:
+    // each append is idempotent per batch id, so the whole-hour re-run
+    // the marker forces must converge everywhere.
     val base = Files.createTempDirectory("graft-sched-3stores").toString
     val logs = s"$base/logs"
     Ingest.run(spark, writeCsv(base), logs)
@@ -1422,16 +1423,21 @@ class JobsSpec extends SparkSpec {
       slice.write.parquet(s"$base/docs$hh")
       slice.select(explode(split($"text", " ")).as("item"))
         .write.parquet(s"$base/items$hh")
+      slice.select(size(split($"text", " ")).cast("long").as("doc_len"))
+        .write.parquet(s"$base/lens$hh")
       docs.filter($"doc_id" < hi).select($"doc_id", $"text")
         .write.parquet(s"$base/corpus$hh")
     }
     val emptyItems = s"$base/items0"
     docs.limit(0).select(explode(split($"text", " ")).as("item"))
       .write.parquet(emptyItems)
+    docs.filter($"doc_id" < 300)
+      .select(size(split($"text", " ")).cast("long").as("doc_len"))
+      .write.parquet(s"$base/lens0")
 
     // crashAfter(hour) = the stage index whose completion triggers the
     // one injected crash for that hour (0-based stages: 0 sessionize,
-    // 1 dedup, 2 text, 3 sketch)
+    // 1 dedup, 2 text, 3 sketch, 4 profile, 5 bloom)
     def chain(root: String,
         crashAfter: scala.collection.mutable.Map[String, Int])(
         d: String, hh: String): Unit = {
@@ -1452,11 +1458,20 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildSketchStore.append(spark, s"$base/items$hh",
         s"$root/sketch", batchId = s"${d}T$hh")
       maybeCrash(3)
+      graft.jobs.BuildProfileStore.append(spark, s"$base/lens$hh",
+        s"$root/profile", batchId = s"${d}T$hh", valueCol = "doc_len")
+      maybeCrash(4)
+      graft.jobs.BuildBloomStore.append(spark, s"$base/docs$hh",
+        s"$root/bloom", batchId = s"${d}T$hh")
+      maybeCrash(5)
     }
     def build(root: String): Unit = {
       graft.jobs.BuildDedupIndex.run(spark, seenP, s"$root/dedup")
       graft.jobs.BuildTextIndex.run(spark, seenP, s"$root/text")
       graft.jobs.BuildSketchStore.run(spark, emptyItems, s"$root/sketch")
+      graft.jobs.BuildProfileStore.run(spark, s"$base/lens0",
+        s"$root/profile", "doc_len", 16L)
+      graft.jobs.BuildBloomStore.run(spark, seenP, s"$root/bloom")
     }
     def drive(root: String, state: String,
         crashAfter: scala.collection.mutable.Map[String, Int]): Unit = {
@@ -1479,11 +1494,11 @@ class JobsSpec extends SparkSpec {
       assert(done, "chain never completed")
     }
     // flow A: hour 10 crashes after its dedup commit, hour 11 after its
-    // text commit, hour 12 after its sketch commit (committed-but-
-    // unmarked — the widest window)
+    // profile commit, hour 12 after its bloom commit (committed-but-
+    // unmarked everywhere — the widest window)
     build(s"$base/a")
     drive(s"$base/a", s"$base/a/state",
-      scala.collection.mutable.Map("10" -> 1, "11" -> 2, "12" -> 3))
+      scala.collection.mutable.Map("10" -> 1, "11" -> 4, "12" -> 5))
     // flow B: never fails
     build(s"$base/b")
     drive(s"$base/b", s"$base/b/state",
@@ -1510,6 +1525,17 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildSketchStore.mergedCounters(spark, s"$root/sketch")
         .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(cells(s"$base/a") == cells(s"$base/b"), "sketch store diverged")
+    def hcells(root: String) =
+      graft.jobs.BuildProfileStore.mergedHistogram(spark, s"$root/profile")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hcells(s"$base/a") == hcells(s"$base/b"), "profile store diverged")
+    def fbits(root: String) =
+      graft.jobs.BuildBloomStore.mergedFilter(spark, s"$root/bloom")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fbits(s"$base/a") == fbits(s"$base/b"), "bloom store diverged")
+    assert(fbits(s"$base/a") == graft.ops.Dedup.bloomTextFilter(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "crash-flow bloom store must equal the whole-corpus filter")
     // and the crash flow's stores equal ground truth built in one shot
     val terms = Seq("hash", "scan", "stream")
     def ranked(root: String) = {

@@ -260,7 +260,11 @@ class PlanSpec extends SparkSpec {
       // store in a temp dir inside the closure, so the count includes
       // the build half — at scale that half is the persisted table)
       "heavy_hitters_stored" -> 8, // measured 8: three per-batch folds ran at build; read side is merge agg + validity agg + defensive re-agg + survivor exact agg + sort
-      "ranked_search_deleted" -> 7) // measured 7: build wrote base postings+stats; read side is pruned-post distinct + deletes anti + df agg + stats sum + doc-score agg; top-k is TakeOrdered
+      "ranked_search_deleted" -> 7, // measured 7: build wrote base postings+stats; read side is pruned-post distinct + deletes anti + df agg + stats sum + doc-score agg; top-k is TakeOrdered
+      "value_histogram" -> 2,   // measured 2: ONE bucket agg (map-side combined) + presentation sort
+      "bucketed_quantiles" -> 6, // measured 6: bucket agg + single-partition cum window + total agg + target/bucket range join + sort — every post-histogram stage runs over ≤ range/width rows
+      "quantiles_stored" -> 6,   // measured 6: same read shape; the three per-batch folds ran at build time
+      "novel_docs_stored" -> 9)  // measured 9: merged-filter bit_or agg + increment probe agg + confirmed distinct + verdict sort; every join is broadcast, the seen corpus never exchanges
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
