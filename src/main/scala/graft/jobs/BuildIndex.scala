@@ -127,6 +127,104 @@ object BuildIndex {
     graft.ops.Similarity.releaseCaches()
   }
 
+  /** The stored index AS A READ PATH: the cluster-partitioned code
+    * rows minus any tombstoned vectors. Every consumer must come
+    * through here (not a raw `read.parquet`) or deleted vectors
+    * resurface as neighbors.
+    */
+  def storedIndex(spark: SparkSession, outPath: String): DataFrame = {
+    val idx = spark.read.parquet(s"$outPath/index")
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delRoot))
+      idx.join(spark.read.parquet(s"$outPath/deletes").select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+    else idx
+  }
+
+  /** Tombstone a batch of vectors — the takedown verb for the ANN
+    * store: after it returns, [[storedIndex]] (and so [[searchStored]])
+    * behaves as if the vectors were never ingested, and
+    * [[applyDeletes]] physically rewrites their cluster partitions on
+    * its next run. The FROZEN MODEL is deliberately untouched: the
+    * centroids and codebook were trained over the original corpus and
+    * removing a vector's rows does not untrain its influence — that is
+    * the standard ANN-index takedown contract (exact influence removal
+    * is a rebuild), and it keeps every other vector's codes and
+    * assignments byte-stable under deletion (JobsSpec pins
+    * search-after-delete ≡ search-over-filtered-index). IDEMPOTENT per
+    * `batchId` (overwrite of its own tombstone directory).
+    */
+  def deleteVectors(spark: SparkSession, idsPath: String, outPath: String,
+      batchId: String = ""): Unit = {
+    val idxRoot = new org.apache.hadoop.fs.Path(s"$outPath/index")
+    val fs = idxRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(idxRoot),
+      s"BuildIndex.deleteVectors: no index at $outPath — run BuildIndex.run first")
+    val id = if (batchId.nonEmpty) batchId
+      else java.security.MessageDigest.getInstance("MD5")
+        .digest(idsPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildIndex.deleteVectors: batchId '$id' must be a plain partition value")
+    spark.read.parquet(idsPath).select(col("vec_id")).distinct()
+      .write.mode("overwrite").parquet(s"$outPath/deletes/batch=$id")
+  }
+
+  /** Physically drop tombstoned vectors from the index — rewrites ONLY
+    * the affected cluster partitions (dynamic partition overwrite over
+    * a partition-pruned read), then retires exactly the tombstone
+    * batches that existed when the apply STARTED (a delete landing
+    * mid-apply keeps its tombstone and stays logically deleted).
+    * Staged through `apply-staging/` because Spark refuses to
+    * dynamic-overwrite partitions it is concurrently reading. Crash
+    * anywhere leaves the tombstones in place, so reads stay correct
+    * and the re-run converges.
+    */
+  def applyDeletes(spark: SparkSession, outPath: String): Unit = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delRoot)) return
+    val batches = fs.listStatus(delRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath).toSeq
+    if (batches.isEmpty) return
+    val dels = spark.read.parquet(batches.map(_.toString): _*)
+      .select(col("vec_id")).distinct()
+    val idx = spark.read.parquet(s"$outPath/index")
+    val affected = idx.join(dels, Seq("vec_id"), "left_semi")
+      .select(col("cluster")).distinct()
+      .collect().map(_.get(0)) // ≤ nSeeds rows — the K-cluster model
+    if (affected.nonEmpty) {
+      val staging = s"$outPath/apply-staging"
+      idx.filter(col("cluster").isin(affected.toIndexedSeq: _*))
+        .join(dels, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging)
+      spark.read.parquet(staging)
+        .write.partitionBy("cluster")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$outPath/index")
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    batches.foreach(p => fs.delete(p, true))
+    // retire the root too when nothing is left — an EMPTY deletes dir
+    // would fail schema inference on the next storedIndex read
+    if (!fs.listStatus(delRoot).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch=")))
+      fs.delete(delRoot, true)
+  }
+
+  /** ADC search against the stored layout through the tombstone-aware
+    * read path — the disk twin of `Similarity.searchStoredIndex` over
+    * [[built]]'s in-memory triple.
+    */
+  def searchStored(spark: SparkSession, outPath: String,
+      queries: DataFrame, k: Int, subspaces: Int = 4,
+      nprobe: Int = 1): DataFrame =
+    Similarity.searchStoredIndex(storedIndex(spark, outPath), queries,
+      spark.read.parquet(s"$outPath/centroids"),
+      spark.read.parquet(s"$outPath/codebook"), k, subspaces, nprobe)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BuildIndex <embeddingsParquet> <outPath> [nSeeds] [maxIter]")

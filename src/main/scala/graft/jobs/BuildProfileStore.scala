@@ -69,15 +69,41 @@ object BuildProfileStore {
   }
 
   private def writeBatch(spark: SparkSession, values: DataFrame,
-      outPath: String, id: String, valueCol: String, width: Long): Unit = {
+      outPath: String, id: String, valueCol: String, width: Long,
+      negate: Boolean = false): Unit = {
     import spark.implicits._
     // histogram before meta — same ordering argument as the sketch
     // store: a histogram dir without a meta row refuses LOUDLY at
     // merge, a meta row without its fold would under-count silently
-    Sketches.bucketHistogram(values, valueCol, width)
+    val hist = Sketches.bucketHistogram(values, valueCol, width)
+    (if (negate) hist.withColumn("cnt", -col("cnt")) else hist)
       .write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
     Seq((width, Device)).toDF("bucket_width", "device")
       .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+  }
+
+  /** The takedown verb: RETRACT a previously-folded slice by appending
+    * its NEGATED histogram — bucket counts are linear, so
+    * `hist(all) − hist(deleted) = hist(remaining)` exactly and every
+    * quantile bound is thereafter derived from the remaining rows as
+    * if the deleted ones had never been folded. Costs one fold of the
+    * DELETED values only; no history re-scan. Retracting values never
+    * folded drives merged buckets negative, which [[mergedHistogram]]
+    * refuses loudly (a negative count would corrupt the cumulative
+    * rank walk silently). IDEMPOTENT per `batchId`.
+    */
+  def retract(spark: SparkSession, valuesPath: String, outPath: String,
+      batchId: String = "", valueCol: String = "value"): Unit = {
+    val width = storeWidth(spark, outPath, "retract")
+    val id = if (batchId.nonEmpty) batchId
+      else "retract-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(valuesPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildProfileStore.retract: batchId '$id' must be a plain partition value")
+    require(id != "base", "BuildProfileStore.retract: batchId 'base' is reserved")
+    writeBatch(spark, spark.read.parquet(valuesPath), outPath, id,
+      valueCol, width, negate = true)
   }
 
   /** The store's pinned bucket width, from the base meta row. */
@@ -138,9 +164,23 @@ object BuildProfileStore {
       throw new IllegalStateException(
         s"BuildProfileStore.mergedHistogram: batches ${missing.mkString(", ")} " +
           "have meta rows but no histogram — re-run the append for those ids")
-    Sketches.mergeHistograms(Seq(
+    val merged = Sketches.mergeHistograms(Seq(
       spark.read.parquet(s"$outPath/hist")
         .select(col("bucket"), col("cnt"))))
+    // retraction sanity (see [[BuildSketchStore.mergedCounters]]): a
+    // negative merged bucket proves a retract removed values never
+    // folded — the cumulative rank walk would corrupt silently
+    val negs = merged.filter(col("cnt") < 0).count()
+    if (negs > 0)
+      throw new IllegalStateException(
+        s"BuildProfileStore.mergedHistogram: $negs merged buckets are " +
+          "negative — a retract batch removed values that were never " +
+          "folded (or was applied twice under different ids); delete the " +
+          "offending retract batch or re-fold the missing appends")
+    // drop exactly-cancelled buckets: a fully-retracted bucket must not
+    // survive as a zero row (it would be a no-op for ranks but a
+    // spurious row for cell-compare consumers and bucket counts)
+    merged.filter(col("cnt") > 0)
   }
 
   /** Nearest-rank quantile bounds over everything the store's batches

@@ -99,16 +99,47 @@ object BuildSketchStore {
 
   private def writeBatch(spark: SparkSession, items: DataFrame,
       outPath: String, id: String, itemCol: String,
-      width: Int, depth: Int): Unit = {
+      width: Int, depth: Int, negate: Boolean = false): Unit = {
     // counters before meta: a batch directory without a meta row is a
     // LOUD state ([[mergedCounters]] refuses it), so a crash between
     // the two writes can never silently count — the retry overwrites
     // both. The reverse order would leave a meta row claiming a fold
     // that doesn't exist: the merge would under-count without a trace.
-    Sketches.cmsCounters(items, itemCol, width, depth)
+    val counters = Sketches.cmsCounters(items, itemCol, width, depth)
+    (if (negate) counters.withColumn("cnt", -col("cnt")) else counters)
       .write.mode("overwrite").parquet(s"$outPath/counters/batch=$id")
     metaRow(spark, width, depth)
       .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+  }
+
+  /** The takedown verb: RETRACT a previously-folded slice of the
+    * occurrence stream by appending its NEGATED counter table —
+    * Count-Min counters are linear, so
+    * `counters(all) − counters(deleted) = counters(remaining)`
+    * EXACTLY, and every downstream guarantee (estimate ≥ true count,
+    * prune-is-a-proof, exact heavy hitters) holds for the remaining
+    * stream as if the deleted occurrences had never been folded. No
+    * historical batch is re-scanned; the retraction costs one fold of
+    * the DELETED items only. `itemsPath` must hold exactly the
+    * occurrences being removed (the deleted docs' item stream) — and
+    * the exact-verify callers must stop feeding those occurrences in
+    * `items`, as always. Retracting occurrences never folded drives
+    * merged cells negative, which [[mergedCounters]] refuses loudly.
+    * IDEMPOTENT per `batchId` like [[append]].
+    */
+  def retract(spark: SparkSession, itemsPath: String, outPath: String,
+      batchId: String = "", itemCol: String = "item"): Unit = {
+    val (width, depth) = storeGeometry(spark, outPath, "retract")
+    val id = if (batchId.nonEmpty) batchId
+      else "retract-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(itemsPath.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildSketchStore.retract: batchId '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildSketchStore.retract: batchId 'base' is reserved")
+    writeBatch(spark, spark.read.parquet(itemsPath), outPath, id,
+      itemCol, width, depth, negate = true)
   }
 
   /** The store's pinned (width, depth), from the base meta row. */
@@ -183,10 +214,27 @@ object BuildSketchStore {
         s"BuildSketchStore.mergedCounters: batches ${missing.mkString(", ")} " +
           "have meta rows but no counter table — the store lost their " +
           "folds; re-run the append for those ids")
-    Sketches.mergeCounters(
+    val merged = Sketches.mergeCounters(
       Seq(spark.read.parquet(s"$outPath/counters")
         .select(col("row"), col("bucket"), col("cnt"))),
       width, depth)
+    // retraction sanity: counters are linear, so a NEGATIVE merged cell
+    // proves a retract removed occurrences that were never folded —
+    // every estimate would silently under-count from here on (the one
+    // way the ≥-true guarantee can break), so refuse loudly. One
+    // aggregate over ≤ d·w rows.
+    val negs = merged.filter(col("cnt") < 0).count()
+    if (negs > 0)
+      throw new IllegalStateException(
+        s"BuildSketchStore.mergedCounters: $negs merged cells are negative " +
+          "— a retract batch removed occurrences that were never folded " +
+          "(or was applied twice under different ids); estimates would " +
+          "under-count and the prune proof no longer holds. Delete the " +
+          "offending retract batch or re-fold the missing appends")
+    // drop exactly-cancelled cells: a 0-count cell estimates identically
+    // to an absent one (the probe coalesces missing to 0), but must not
+    // survive as a spurious row for cell-compare consumers
+    merged.filter(col("cnt") > 0)
   }
 
   /** EXACT heavy hitters over the full occurrence stream the store's

@@ -196,6 +196,29 @@ object SearchQueries {
         .orderBy($"n_occurrences".desc, $"item")
     },
 
+    "heavy_hitters_retracted" -> { (spark, dir) =>
+      // The takedown form: Count-Min counters are LINEAR, so retracting
+      // the deleted docs' occurrence stream (one negated fold — no
+      // history re-scan) leaves exactly the remaining stream's
+      // counters, and the heavy hitters over the remaining stream are
+      // exact. The oracle is GROUP BY HAVING over surviving docs only —
+      // a leaky retraction (wrong sign, double-count, partial fold)
+      // changes survivors' estimates and hash-mismatches.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-retract-q")
+      val docs = Tables.documents(spark, dir)
+      val all = s"$base/all"; val deleted = s"$base/deleted"
+      bigrams(docs).write.mode("overwrite").parquet(all)
+      bigrams(docs.filter($"doc_id" % 5 === 0))
+        .write.mode("overwrite").parquet(deleted)
+      val out = s"$base/store"
+      graft.jobs.BuildSketchStore.run(spark, all, out)
+      graft.jobs.BuildSketchStore.retract(spark, deleted, out, "takedown")
+      graft.jobs.BuildSketchStore.heavyHitters(spark, out,
+          bigrams(docs.filter($"doc_id" % 5 =!= 0)), threshold = 30L)
+        .orderBy($"n_occurrences".desc, $"item")
+    },
+
     "cms_token_estimates" -> { (spark, dir) =>
       // The sketch ITSELF, cross-engine pinned: every distinct bigram's
       // CMS estimate next to its true count (est >= n_true always —
@@ -331,6 +354,15 @@ object SearchQueries {
          |FROM b GROUP BY item
          |HAVING count(*) >= 35
          |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "heavy_hitters_retracted" ->
+      """WITH b AS (SELECT unnest([s[k] || ' ' || s[k+1] for k in range(1, len(s))]) AS item
+        |           FROM (SELECT string_split(text, ' ') AS s FROM documents
+        |                 WHERE doc_id % 5 <> 0))
+        |SELECT item, count(*) AS n_occurrences
+        |FROM b GROUP BY item
+        |HAVING count(*) >= 30
+        |ORDER BY n_occurrences DESC, item""".stripMargin,
 
     "cms_token_estimates" ->
       s"""WITH $BigramCte,

@@ -1844,6 +1844,22 @@ class JobsSpec extends SparkSpec {
     hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=ghost"), true)
     assert(bits(graft.jobs.BuildBloomStore.mergedFilter(spark, out))
       == bits(Dedup.bloomTextFilter(docs)), "store heals once offenders are gone")
+    // DELETION FOR FREE: the bloom is only a prune — the verdict always
+    // comes from the exact verify against seenPath. Removing docs from
+    // the seen corpus makes their re-submissions novel again WITHOUT
+    // touching the stored bits (which cannot be unset anyway): the
+    // stale bits admit them as candidates, the verify rejects the
+    // match. Cost, never correctness — the takedown story the other
+    // stores need tombstones for, this one gets from its own shape.
+    val shrunkP = s"$base/seen-shrunk"
+    docs.filter($"doc_id" % 10 =!= 0).select($"doc_id", $"text")
+      .write.parquet(shrunkP)
+    val resubmit = docs.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
+    val afterDelete = novel(graft.jobs.BuildBloomStore.novelDocuments(
+      spark, out, resubmit, shrunkP))
+    assert(afterDelete.nonEmpty && afterDelete.values.forall(identity),
+      "deleted docs' texts must be novel again despite stale bloom bits")
   }
 
   test("profile store: persisted histograms merge to the whole-column answer; bad width refuses by name") {
@@ -1908,6 +1924,134 @@ class JobsSpec extends SparkSpec {
     hfs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=ghost"), true)
     assert(cells(graft.jobs.BuildProfileStore.mergedHistogram(spark, out))
       == stored, "the store heals once offenders are gone")
+  }
+
+  test("sketch+profile retraction: negative batches == rebuild-without; over-retract refuses") {
+    import graft.ops.Sketches
+    val base = Files.createTempDirectory("graft-retract").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("item"))
+    val all = s"$base/all"; toks(docs).write.parquet(all)
+    val deleted = s"$base/deleted"
+    toks(docs.filter($"doc_id" % 5 === 0)).write.parquet(deleted)
+    val remaining = docs.filter($"doc_id" % 5 =!= 0)
+    // sketch store: counters are linear — retracting the deleted docs'
+    // occurrence stream must leave EXACTLY the remaining stream's fold
+    val sOut = s"$base/sketch"
+    graft.jobs.BuildSketchStore.run(spark, all, sOut)
+    graft.jobs.BuildSketchStore.retract(spark, deleted, sOut, "takedown")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(graft.jobs.BuildSketchStore.mergedCounters(spark, sOut))
+      == cells(Sketches.cmsCounters(toks(remaining))),
+      "retracted counters must equal the remaining stream's fold cell-for-cell")
+    def hh(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(hh(graft.jobs.BuildSketchStore.heavyHitters(spark, sOut,
+        toks(remaining), 30L))
+      == hh(Sketches.cmsHeavyHitters(toks(remaining), 30L)),
+      "post-retraction heavy hitters must equal the rebuild-without answer")
+    // retraction is idempotent per batch id
+    graft.jobs.BuildSketchStore.retract(spark, deleted, sOut, "takedown")
+    assert(cells(graft.jobs.BuildSketchStore.mergedCounters(spark, sOut))
+      == cells(Sketches.cmsCounters(toks(remaining))))
+    // over-retraction drives cells negative — the one way the >=-true
+    // guarantee breaks — and refuses. (On the big store a double
+    // retract need not go negative cell-wise — other docs' occurrences
+    // mask it — so the red test uses a store whose entire content is
+    // retracted twice: every touched cell is then provably negative.)
+    val sTiny = s"$base/sketch-tiny"
+    graft.jobs.BuildSketchStore.run(spark, deleted, sTiny)
+    graft.jobs.BuildSketchStore.retract(spark, deleted, sTiny, "t1")
+    graft.jobs.BuildSketchStore.retract(spark, deleted, sTiny, "t2")
+    val eNeg = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, sTiny)
+    }
+    assert(eNeg.getMessage.contains("negative"), eNeg.getMessage)
+
+    // profile store: same linearity, quantiles shift to the remaining rows
+    val lensAll = s"$base/lensall"; val lensDel = s"$base/lensdel"
+    def lens(df: org.apache.spark.sql.DataFrame) =
+      df.select(size(split($"text", " ")).cast("long").as("doc_len"))
+    lens(docs).write.parquet(lensAll)
+    lens(docs.filter($"doc_id" % 5 === 0)).write.parquet(lensDel)
+    val pOut = s"$base/profile"
+    graft.jobs.BuildProfileStore.run(spark, lensAll, pOut, "doc_len", 16L)
+    graft.jobs.BuildProfileStore.retract(spark, lensDel, pOut, "takedown",
+      "doc_len")
+    def hcells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hcells(graft.jobs.BuildProfileStore.mergedHistogram(spark, pOut))
+      == hcells(Sketches.bucketHistogram(lens(remaining), "doc_len", 16L)),
+      "retracted histogram must equal the remaining rows' fold")
+    val qs = Seq((1, 2), (99, 100))
+    assert(graft.jobs.BuildProfileStore.quantiles(spark, pOut, qs)
+        .collect().map(_.toSeq).toSet
+      == Sketches.bucketedQuantiles(
+          Sketches.bucketHistogram(lens(remaining), "doc_len", 16L), 16L, qs)
+        .collect().map(_.toSeq).toSet,
+      "post-retraction quantiles must equal the rebuild-without answer")
+    // same provably-negative shape for the profile store
+    val pTiny = s"$base/profile-tiny"
+    graft.jobs.BuildProfileStore.run(spark, lensDel, pTiny, "doc_len", 16L)
+    graft.jobs.BuildProfileStore.retract(spark, lensDel, pTiny, "t1", "doc_len")
+    graft.jobs.BuildProfileStore.retract(spark, lensDel, pTiny, "t2", "doc_len")
+    val ePNeg = intercept[IllegalStateException] {
+      graft.jobs.BuildProfileStore.mergedHistogram(spark, pTiny)
+    }
+    assert(ePNeg.getMessage.contains("negative"), ePNeg.getMessage)
+  }
+
+  test("ann-store deletion: search-after-delete == filtered-index search; applyDeletes rewrites only affected clusters") {
+    import graft.ops.Similarity
+    val base = Files.createTempDirectory("graft-anndel").toString
+    val emb = Tables.embeddings(spark, Sf0001)
+    val embP = s"$base/emb"; emb.write.parquet(embP)
+    val out = s"$base/index"
+    graft.jobs.BuildIndex.run(spark, embP, out)
+    // tombstone every vec_id % 7 == 3 (never the model seeds < 8: the
+    // frozen centroids/codebook stay — the documented contract)
+    val delP = s"$base/dels"
+    emb.filter($"vec_id" % 7 === 3 && $"vec_id" >= 8)
+      .select($"vec_id").write.parquet(delP)
+    graft.jobs.BuildIndex.deleteVectors(spark, delP, out, "takedown")
+    val queries = emb.filter($"vec_id" < 6)
+    def searched() = {
+      val r = graft.jobs.BuildIndex.searchStored(spark, out, queries, k = 5)
+        .collect().map(_.toSeq).toSet
+      Similarity.releaseCaches(); r
+    }
+    val got = searched()
+    val deletedIds = spark.read.parquet(delP)
+      .collect().map(_.get(0)).toSet
+    // output shape is (query_id, rk, neighbor_id, adc)
+    assert(!got.exists(r => deletedIds(r(2))),
+      "no deleted vector may surface as a neighbor")
+    // == search over the manually filtered index with the SAME frozen model
+    val want = {
+      val r = Similarity.searchStoredIndex(
+        spark.read.parquet(s"$out/index")
+          .filter(!($"vec_id" % 7 === 3 && $"vec_id" >= 8)),
+        queries, spark.read.parquet(s"$out/centroids"),
+        spark.read.parquet(s"$out/codebook"), k = 5)
+        .collect().map(_.toSeq).toSet
+      Similarity.releaseCaches(); r
+    }
+    assert(got == want,
+      "tombstone-aware search must equal search over the filtered index")
+    // physical apply: rows gone, tombstones retired, results unchanged
+    graft.jobs.BuildIndex.applyDeletes(spark, out)
+    assert(spark.read.parquet(s"$out/index").join(
+        spark.read.parquet(delP), Seq("vec_id"), "left_semi").count() == 0,
+      "applyDeletes must physically drop the tombstoned rows")
+    assert(new java.io.File(s"$out/deletes").listFiles() == null ||
+      !new java.io.File(s"$out/deletes").listFiles()
+        .exists(_.getName.startsWith("batch=")),
+      "applied tombstone batches must retire")
+    assert(searched() == want, "post-apply search must be unchanged")
+    graft.jobs.BuildIndex.applyDeletes(spark, out) // idempotent no-op
+    assert(searched() == want)
   }
 
   test("scheduler x profile append: crash after append, before marker — retry converges byte-identical") {
