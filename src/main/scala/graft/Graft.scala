@@ -369,6 +369,18 @@ object Graft {
   def heavyHittersWithCounters(items: DataFrame, counters: DataFrame,
       threshold: Long, itemCol: String = "item"): DataFrame =
     Sketches.cmsHeavyHittersWithCounters(items, counters, threshold, itemCol)
+  /** Mergeable numeric profile: fixed-width bucket histogram (one
+    * map-side-combining fold), cell-wise merge, and nearest-rank
+    * quantile BOUNDS with error < `width` — the no-corpus-sort quantile
+    * path; persisted form in [[graft.jobs.BuildProfileStore]].
+    */
+  def valueHistogram(df: DataFrame, valueCol: String, width: Long): DataFrame =
+    Sketches.bucketHistogram(df, valueCol, width)
+  def mergeValueHistograms(tables: Seq[DataFrame]): DataFrame =
+    Sketches.mergeHistograms(tables)
+  def histogramQuantiles(hist: DataFrame, width: Long,
+      qs: Seq[(Int, Int)]): DataFrame =
+    Sketches.bucketedQuantiles(hist, width, qs)
 
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,

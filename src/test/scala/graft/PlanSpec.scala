@@ -264,7 +264,8 @@ class PlanSpec extends SparkSpec {
       "value_histogram" -> 2,   // measured 2: ONE bucket agg (map-side combined) + presentation sort
       "bucketed_quantiles" -> 6, // measured 6: bucket agg + single-partition cum window + total agg + target/bucket range join + sort — every post-histogram stage runs over ≤ range/width rows
       "quantiles_stored" -> 6,   // measured 6: same read shape; the three per-batch folds ran at build time
-      "novel_docs_stored" -> 9)  // measured 9: merged-filter bit_or agg + increment probe agg + confirmed distinct + verdict sort; every join is broadcast, the seen corpus never exchanges
+      "novel_docs_stored" -> 9,  // measured 9: merged-filter bit_or agg + increment probe agg + confirmed distinct + verdict sort; every join is broadcast, the seen corpus never exchanges
+      "heavy_hitters_retracted" -> 8) // measured 8: base fold + negated retract fold ran at build; read side matches heavy_hitters_stored (merge + validity + re-agg + survivor agg + sort)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
