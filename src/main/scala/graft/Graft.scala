@@ -374,6 +374,12 @@ object Graft {
     * quantile BOUNDS with error < `width` — the no-corpus-sort quantile
     * path; persisted form in [[graft.jobs.BuildProfileStore]].
     */
+  /** Per-occurrence sketch cells — the streaming-legal restatement of
+    * [[sketchCounters]] ([[graft.streaming.StreamingJob.runSketchIngest]]
+    * streams exactly this).
+    */
+  def sketchCellsPerRow(items: DataFrame, itemCol: String = "item"): DataFrame =
+    Sketches.perRowCells(items, itemCol)
   def valueHistogram(df: DataFrame, valueCol: String, width: Long): DataFrame =
     Sketches.bucketHistogram(df, valueCol, width)
   def mergeValueHistograms(tables: Seq[DataFrame]): DataFrame =

@@ -142,6 +142,67 @@ object BuildSketchStore {
       itemCol, width, depth, negate = true)
   }
 
+  /** Fold a streaming cell-ingest directory
+    * ([[graft.streaming.StreamingJob.runSketchIngest]]'s output — the
+    * per-occurrence (row, bucket, cnt=1) restatement of the counter
+    * fold) into the store as ONE summed batch: the stream → store loop
+    * for counting, closing the same lifecycle the text store's
+    * postings ingest has. Writer discipline is shared ([[Folds]]):
+    * content-derived label (a crash-retry of the same file set
+    * overwrites its own fold; the next cycle gets a fresh one),
+    * sidecar FIRST, and SUPERSESSION for the grown-stream re-fold —
+    * counters are ADDITIVE, so two folds sharing files would
+    * double-count their cells (unlike postings rows there is no
+    * DISTINCT to absorb them); the superset fold retires the stale
+    * one. The crash window between the new write and the stale
+    * deletion is a transient OVER-count: estimates stay ≥ true, the
+    * prune proof holds, and the only cost is extra candidates in the
+    * exact verify — categorically safer than the text store's same
+    * window (which skews scores until healed).
+    *
+    * The streamed cells MUST have been produced with the STORE's
+    * geometry: wider/deeper cells refuse at merge by range, but a
+    * narrower ingest is undetectable in the data (the standing
+    * narrower-hole) — the ingest job takes (width, depth) from the
+    * caller, so point it at the store's pinned values.
+    */
+  def compactStreamed(spark: SparkSession, streamedPath: String,
+      outPath: String, label: String = ""): Unit = {
+    val (width, depth) = storeGeometry(spark, outPath, "compactStreamed")
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = BuildDedupIndex.streamedFileList(spark, streamedPath)
+    val id = if (label.nonEmpty) label
+      else BuildDedupIndex.contentLabel(spark, streamedPath)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildSketchStore.compactStreamed: label '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildSketchStore.compactStreamed: label 'base' is reserved")
+    val superseded = Folds.superseded(fs, outPath, id, files.toSet,
+      "BuildSketchStore.compactStreamed")
+    Folds.writeSidecar(fs, outPath, id, files)
+    val cells = spark.read.parquet(streamedPath)
+      .select(col("row"), col("bucket"), col("cnt"))
+    // eager range guard BEFORE the batch lands: a wider/deeper ingest
+    // is detectable here and must refuse while the store is untouched
+    val bad = cells.filter(col("row") >= depth || col("row") < 0 ||
+      col("bucket") >= width || col("bucket") < 0).count()
+    require(bad == 0L,
+      s"BuildSketchStore.compactStreamed: $bad streamed cells fall outside " +
+        s"${depth}x$width — the ingest ran with a different geometry " +
+        "than the store; re-ingest with the store's pinned (width, depth)")
+    cells.groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$outPath/counters/batch=$id")
+    metaRow(spark, width, depth)
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    superseded.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/counters/batch=$b"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
+      fs.delete(Folds.sidecarPath(outPath, b), false)
+    }
+  }
+
   /** The store's pinned (width, depth), from the base meta row. */
   private def storeGeometry(spark: SparkSession, outPath: String,
       op: String): (Int, Int) = {

@@ -196,21 +196,8 @@ object BuildTextIndex {
     // partial overlap is unreconcilable and must refuse before any
     // state changes
     val mine = files.toSet
-    val superseded = foldSidecars(fs, outPath).flatMap { case (b, sidecar) =>
-      if (b == id) None
-      else {
-        val theirs = readSidecar(fs, sidecar)
-        if (theirs.subsetOf(mine)) Some(b)
-        else if (theirs.intersect(mine).nonEmpty)
-          throw new IllegalStateException(
-            s"BuildTextIndex.compactStreamed: prior fold batch=$b shares " +
-              s"${theirs.intersect(mine).size} streamed files with this fold " +
-              "but also owns files this fold lacks — the two cannot be " +
-              "reconciled; fold the union, or retire the streamed dir " +
-              "between cycles as documented")
-        else None
-      }
-    }
+    val superseded = Folds.superseded(fs, outPath, id, mine,
+      "BuildTextIndex.compactStreamed", Some(s"$outPath/postings"))
     // sidecar FIRST (sidecar → postings → meta): the sidecar is what
     // makes a fold supersedable, the meta row is what makes it
     // double-countable, so the retire handle must exist before any
@@ -222,9 +209,7 @@ object BuildTextIndex {
     // sidecar lives in folded/, not inside the postings batch dir,
     // so neither a retry's postings overwrite nor consolidation can
     // strip it.
-    val out = fs.create(foldSidecarPath(outPath, id), true)
-    try out.write((files.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
+    Folds.writeSidecar(fs, outPath, id, files)
     val streamed = spark.read.parquet(streamedPath)
       .select(col("token"), col("doc_id"), col("dl"), col("tf"),
         col("positions"))
@@ -242,48 +227,8 @@ object BuildTextIndex {
       // the retired fold's own sidecar goes last: if the deletes above
       // crash mid-way, the surviving sidecar lets the re-run finish
       // the retirement (its file set is still a subset of ours)
-      fs.delete(foldSidecarPath(outPath, b), false)
+      fs.delete(Folds.sidecarPath(outPath, b), false)
     }
-  }
-
-  /** `folded/<id>` — a fold's streamed-file-set sidecar, outside every
-    * Spark-written directory so no overwrite or consolidation touches
-    * it.
-    */
-  private def foldSidecarPath(outPath: String, id: String) =
-    new org.apache.hadoop.fs.Path(s"$outPath/folded/$id")
-
-  /** Every fold sidecar of a store as (batchId, path): the `folded/`
-    * files plus any LEGACY r10 `_folded_files` still inside a postings
-    * batch directory.
-    */
-  private def foldSidecars(fs: org.apache.hadoop.fs.FileSystem,
-      outPath: String): Seq[(String, org.apache.hadoop.fs.Path)] = {
-    val foldedRoot = new org.apache.hadoop.fs.Path(s"$outPath/folded")
-    val relocated = (if (fs.exists(foldedRoot))
-        fs.listStatus(foldedRoot).toSeq else Seq.empty)
-      .filter(_.isFile).map(s => s.getPath.getName -> s.getPath)
-    val postRoot = new org.apache.hadoop.fs.Path(s"$outPath/postings")
-    val legacy = (if (fs.exists(postRoot)) fs.listStatus(postRoot).toSeq
-      else Seq.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .flatMap { s =>
-        val p = new org.apache.hadoop.fs.Path(s.getPath, "_folded_files")
-        if (fs.exists(p)) Some(s.getPath.getName.stripPrefix("batch=") -> p)
-        else None
-      }
-    // a batch with both forms (mid-migration crash) counts once — the
-    // relocated copy wins, the migration re-run removes the legacy one
-    val seen = relocated.map(_._1).toSet
-    relocated ++ legacy.filterNot { case (b, _) => seen(b) }
-  }
-
-  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Set[String] = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.nonEmpty).toSet
-    finally in.close()
   }
 
   /** One-time, retry-safe relocation of LEGACY r10 in-dir
@@ -305,7 +250,7 @@ object BuildTextIndex {
         val legacy = new org.apache.hadoop.fs.Path(s.getPath, "_folded_files")
         if (fs.exists(legacy)) {
           val b = s.getPath.getName.stripPrefix("batch=")
-          val dest = foldSidecarPath(outPath, b)
+          val dest = Folds.sidecarPath(outPath, b)
           if (!fs.exists(dest)) {
             val in = fs.open(legacy)
             val bytes = try {

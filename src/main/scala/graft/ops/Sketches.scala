@@ -47,21 +47,35 @@ object Sketches {
     * caps every task's shuffle contribution at d·w counter rows.
     */
   def cmsCounters(items: DataFrame, itemCol: String = "item",
+      width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame =
+    perRowCells(items, itemCol, width, depth)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-occurrence sketch cells — the STATELESS restatement of
+    * [[cmsCounters]]' pre-aggregate fan-out: each occurrence emits its
+    * d (row, bucket, cnt=1) cells and nothing else, so the projection
+    * is append-legal for Structured Streaming with no watermark (the
+    * `perRowPostings` device applied to counting). The batch fold is
+    * exactly `groupBy(row, bucket).sum(cnt)` over these rows —
+    * [[cmsCounters]] IS that composition, so the streamed and batch
+    * paths share one cell definition and cannot drift.
+    */
+  def perRowCells(items: DataFrame, itemCol: String = "item",
       width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
-    require(width > 0 && depth > 0, "cmsCounters: width and depth must be positive")
+    require(width > 0 && depth > 0, "perRowCells: width and depth must be positive")
     // the counter table is the BROADCAST side of every estimate probe —
     // a geometry that cannot broadcast defeats the design, so refuse
     // loudly instead of OOMing the driver later
     require(width.toLong * depth <= 16000000L,
-      s"cmsCounters: ${width}x$depth = ${width.toLong * depth} cells — " +
+      s"perRowCells: ${width}x$depth = ${width.toLong * depth} cells — " +
         "the counter table must stay broadcastable (<= 16M cells); " +
         "CMS error is e/width of the TOTAL count, not the universe " +
         "size, so width rarely needs to grow past tens of thousands")
     items.select(posexplode(array(
         (0 until depth).map(i => bucket(col(itemCol), i, width)): _*))
         .as(Seq("row", "bucket")))
-      .groupBy(col("row"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cnt", lit(1L))
   }
 
   /** Merge counter tables built over disjoint slices of one stream —

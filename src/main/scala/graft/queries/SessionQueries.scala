@@ -556,6 +556,42 @@ object SessionQueries {
         .orderBy("token", "doc_id")
     },
 
+    "streaming_sketch_ingest" -> { (spark, dir) =>
+      // The stream → counter-store loop end-to-end: occurrences arrive
+      // as files, stream out as per-row sketch cells (the stateless
+      // restatement of the counter fold — append-legal, no watermark),
+      // fold into a real BuildSketchStore batch via compactStreamed,
+      // and the stored incremental heavy hitters must equal plain
+      // GROUP BY HAVING over the raw tokens — any drift in the cell
+      // restatement, the streamed fold, the supersession layout, or
+      // the merge hash-mismatches.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-sketch-q")
+      deleteRecursivelyOnExit(base)
+      val items = graft.Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("item"))
+      val in = s"$base/in"
+      items.repartition(4).write.parquet(in)
+      val streamed = s"$base/streamed"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType)))
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runSketchIngest(spark, schema,
+          in, streamed, ckpt)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val out = s"$base/store"
+      val empty = s"$base/empty"
+      items.limit(0).write.parquet(empty)
+      graft.jobs.BuildSketchStore.run(spark, empty, out)
+      graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out)
+      graft.jobs.BuildSketchStore.heavyHitters(spark, out, items, 40L)
+        .orderBy(col("n_occurrences").desc, col("item"))
+    },
+
     "streaming_ivf_assign" -> { (spark, dir) =>
       // Streaming ingestion into the IVF index, closing the loop between
       // the batch ANN stack and the streaming surface: new vectors
@@ -828,6 +864,13 @@ object SessionQueries {
         |       string_agg(pos::VARCHAR, '|' ORDER BY pos) AS pos_key
         |FROM t GROUP BY token, doc_id, dl
         |ORDER BY token, doc_id""".stripMargin,
+
+    "streaming_sketch_ingest" ->
+      """WITH b AS (SELECT unnest(string_split(text, ' ')) AS item FROM documents)
+        |SELECT item, count(*) AS n_occurrences
+        |FROM b GROUP BY item
+        |HAVING count(*) >= 40
+        |ORDER BY n_occurrences DESC, item""".stripMargin,
 
     "sessionize_counts" ->
       """WITH d AS (

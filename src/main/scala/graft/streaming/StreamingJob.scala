@@ -316,6 +316,37 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Continuous ingest into the STORED Count-Min counter table:
+    * arriving occurrences → per-row sketch cells
+    * ([[graft.ops.Sketches.perRowCells]] — each occurrence's d
+    * (row, bucket, cnt=1) cells, stateless so append-legal with no
+    * watermark) → parquet to a FRESH streamed directory, which
+    * [[graft.jobs.BuildSketchStore.compactStreamed]] later folds into
+    * one summed batch with its geometry meta. `width`/`depth` MUST be
+    * the target store's pinned values — the fold refuses wider/deeper
+    * cells by range, but a narrower ingest is undetectable in the
+    * data (the standing narrower-hole the stores' meta rows exist
+    * for).
+    */
+  def runSketchIngest(spark: SparkSession, schema: StructType,
+      inPath: String, outPath: String, checkpointPath: String,
+      itemCol: String = "item",
+      width: Int = graft.ops.Sketches.DefaultWidth,
+      depth: Int = graft.ops.Sketches.DefaultDepth): Unit = {
+    guardFreshSinkDir(spark, outPath, "runSketchIngest",
+      "BuildSketchStore.compactStreamed")
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = graft.ops.Sketches.perRowCells(in, itemCol, width, depth)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runClassify(spark: SparkSession, schema: StructType, inPath: String,
       weights: Map[Long, Long], nBuckets: Int, outPath: String,
       checkpointPath: String): Unit = {

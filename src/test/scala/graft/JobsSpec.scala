@@ -1926,6 +1926,52 @@ class JobsSpec extends SparkSpec {
       == stored, "the store heals once offenders are gone")
   }
 
+  test("sketch stream->store loop: fold == batch append; grown-stream re-fold supersedes (counters are additive)") {
+    import graft.ops.Sketches
+    val base = Files.createTempDirectory("graft-sketch-stream").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("item"))
+    val inDir = s"$base/in"; val streamed = s"$base/streamed"
+    val ckpt = s"$base/ckpt"
+    toks(docs.filter($"doc_id" < 250)).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val empty = s"$base/empty"
+    toks(docs.limit(0)).write.parquet(empty)
+    val out = s"$base/store"
+    graft.jobs.BuildSketchStore.run(spark, empty, out)
+    graft.streaming.StreamingJob.runSketchIngest(spark, schema, inDir,
+      streamed, ckpt)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells(graft.jobs.BuildSketchStore.mergedCounters(spark, out))
+      == cells(Sketches.cmsCounters(toks(docs.filter($"doc_id" < 250)))),
+      "stream-folded counters must equal the batch fold cell-for-cell")
+    // the stream grows; the re-fold must SUPERSEDE the stale fold —
+    // counters are additive, so without supersession every shared
+    // file's occurrences would count twice (no DISTINCT absorbs cells)
+    toks(docs.filter($"doc_id" >= 250)).write.mode("append").parquet(inDir)
+    graft.streaming.StreamingJob.runSketchIngest(spark, schema, inDir,
+      streamed, ckpt)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out)
+    val foldDirs = new java.io.File(s"$out/counters").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=fold-")).toSet
+    assert(foldDirs.size == 1, foldDirs.mkString(","))
+    assert(cells(graft.jobs.BuildSketchStore.mergedCounters(spark, out))
+      == cells(Sketches.cmsCounters(toks(docs))),
+      "post-supersession counters must equal the whole-stream fold")
+    // a wrong-geometry ingest refuses at the fold by range (wider is
+    // detectable; narrower is the documented meta-discipline hole)
+    val streamed2 = s"$base/streamed2"; val ckpt2 = s"$base/ckpt2"
+    graft.streaming.StreamingJob.runSketchIngest(spark, schema, inDir,
+      streamed2, ckpt2, width = 4096)
+    val eGeom = intercept[IllegalArgumentException] {
+      graft.jobs.BuildSketchStore.compactStreamed(spark, streamed2, out)
+    }
+    assert(eGeom.getMessage.contains("different geometry"), eGeom.getMessage)
+  }
+
   test("sketch+profile retraction: negative batches == rebuild-without; over-retract refuses") {
     import graft.ops.Sketches
     val base = Files.createTempDirectory("graft-retract").toString
