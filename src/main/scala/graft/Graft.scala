@@ -382,6 +382,13 @@ object Graft {
     Sketches.perRowCells(items, itemCol)
   def valueHistogram(df: DataFrame, valueCol: String, width: Long): DataFrame =
     Sketches.bucketHistogram(df, valueCol, width)
+  /** Per-row histogram cells — the streaming-legal restatement of
+    * [[valueHistogram]] ([[graft.streaming.StreamingJob.runProfileIngest]]
+    * streams exactly this).
+    */
+  def valueBucketsPerRow(df: DataFrame, valueCol: String,
+      width: Long): DataFrame =
+    Sketches.perRowBuckets(df, valueCol, width)
   def mergeValueHistograms(tables: Seq[DataFrame]): DataFrame =
     Sketches.mergeHistograms(tables)
   def histogramQuantiles(hist: DataFrame, width: Long,

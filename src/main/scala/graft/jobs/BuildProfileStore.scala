@@ -106,6 +106,51 @@ object BuildProfileStore {
       valueCol, width, negate = true)
   }
 
+  /** Fold a streaming bucket-ingest directory
+    * ([[graft.streaming.StreamingJob.runProfileIngest]]'s per-row
+    * (bucket, cnt=1) cells) into one summed batch — the stream → store
+    * loop for profiling, under the SHARED fold-sidecar supersession
+    * protocol ([[Folds]]): histograms are additive like counters, so a
+    * grown-stream re-fold must retire the stale fold or every shared
+    * file's values count twice. Crash window between the new write and
+    * the stale deletion transiently over-counts — quantile bounds
+    * shift at most one rank-walk step until the retirement retries.
+    *
+    * Geometry is ENTIRELY meta discipline here: a wrong-width ingest
+    * has no detectable range signature at all (the bucket space is
+    * unbounded in both directions), so `runProfileIngest`'s width MUST
+    * be the store's pinned value — the fold writes the batch meta with
+    * the STORE width it cannot verify.
+    */
+  def compactStreamed(spark: SparkSession, streamedPath: String,
+      outPath: String, label: String = ""): Unit = {
+    val width = storeWidth(spark, outPath, "compactStreamed")
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = BuildDedupIndex.streamedFileList(spark, streamedPath)
+    val id = if (label.nonEmpty) label
+      else BuildDedupIndex.contentLabel(spark, streamedPath)
+    require(!id.contains("/") && !id.contains("="),
+      s"BuildProfileStore.compactStreamed: label '$id' must be a plain partition value")
+    require(id != "base",
+      "BuildProfileStore.compactStreamed: label 'base' is reserved")
+    val superseded = Folds.superseded(fs, outPath, id, files.toSet,
+      "BuildProfileStore.compactStreamed")
+    Folds.writeSidecar(fs, outPath, id, files)
+    import spark.implicits._
+    spark.read.parquet(streamedPath)
+      .select(col("bucket"), col("cnt"))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
+    Seq((width, Device)).toDF("bucket_width", "device")
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    superseded.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/hist/batch=$b"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
+      fs.delete(Folds.sidecarPath(outPath, b), false)
+    }
+  }
+
   /** The store's pinned bucket width, from the base meta row. */
   def storeWidth(spark: SparkSession, outPath: String,
       op: String = "storeWidth"): Long = {

@@ -249,10 +249,21 @@ object Sketches {
     * table — the quantile window below is single-partition by design).
     */
   def bucketHistogram(df: DataFrame, valueCol: String,
+      width: Long): DataFrame =
+    perRowBuckets(df, valueCol, width)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-row histogram cells — the STATELESS restatement of
+    * [[bucketHistogram]]'s projection: each value emits its
+    * (bucket, cnt=1) cell, append-legal for Structured Streaming; the
+    * batch fold is exactly the grouped sum over these rows, so the
+    * streamed and batch paths share one bucket definition.
+    */
+  def perRowBuckets(df: DataFrame, valueCol: String,
       width: Long): DataFrame = {
-    require(width > 0, "bucketHistogram: width must be positive")
+    require(width > 0, "perRowBuckets: width must be positive")
     df.select(floorDiv(col(valueCol).cast("long"), width).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cnt", lit(1L))
   }
 
   /** Merge histograms built over disjoint slices of one column —

@@ -592,6 +592,41 @@ object SessionQueries {
         .orderBy(col("n_occurrences").desc, col("item"))
     },
 
+    "streaming_profile_ingest" -> { (spark, dir) =>
+      // The stream → profile-store loop: event cents stream out as
+      // per-row (bucket, cnt=1) cells, fold into a BuildProfileStore
+      // batch, and the stored quantile bounds must equal the one-shot
+      // histogram derivation — recomputed from raw values in the
+      // oracle, so any drift in the per-row restatement, the streamed
+      // fold, or the width discipline hash-mismatches.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-prof-stream-q")
+      deleteRecursivelyOnExit(base)
+      val cents = graft.Tables.events(spark, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+      val in = s"$base/in"
+      cents.repartition(4).write.parquet(in)
+      val streamed = s"$base/streamed"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runProfileIngest(spark, schema,
+          in, streamed, ckpt, valueCol = "cents", width = 100L)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      val out = s"$base/store"
+      val empty = s"$base/empty"
+      cents.limit(0).write.parquet(empty)
+      graft.jobs.BuildProfileStore.run(spark, empty, out, "cents", 100L)
+      graft.jobs.BuildProfileStore.compactStreamed(spark, streamed, out)
+      graft.jobs.BuildProfileStore.quantiles(spark, out,
+          Seq((1, 2), (9, 10), (99, 100), (999, 1000)))
+        .orderBy("rank", "q_den")
+    },
+
     "streaming_ivf_assign" -> { (spark, dir) =>
       // Streaming ingestion into the IVF index, closing the loop between
       // the batch ANN stack and the streaming surface: new vectors
@@ -871,6 +906,23 @@ object SessionQueries {
         |FROM b GROUP BY item
         |HAVING count(*) >= 40
         |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "streaming_profile_ingest" ->
+      """WITH b AS (SELECT round(value * 100)::BIGINT AS cents FROM events),
+        |h AS (SELECT (cents - ((cents % 100 + 100) % 100)) // 100 AS bucket,
+        |             count(*)::BIGINT AS cnt
+        |      FROM b GROUP BY 1),
+        |c AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket)::BIGINT AS cum FROM h),
+        |n AS (SELECT sum(cnt)::BIGINT AS n_total FROM h),
+        |t AS (SELECT q_num::INTEGER AS q_num, q_den::INTEGER AS q_den
+        |      FROM (VALUES (1, 2), (9, 10), (99, 100), (999, 1000)) AS v(q_num, q_den))
+        |SELECT q_num, q_den, n_total,
+        |       (q_num * n_total + q_den - 1) // q_den AS rank, bucket,
+        |       (bucket * 100)::BIGINT AS lo, (bucket * 100 + 99)::BIGINT AS hi
+        |FROM t CROSS JOIN n JOIN c
+        |  ON (c.cum - c.cnt) < ((q_num * n_total + q_den - 1) // q_den)
+        | AND ((q_num * n_total + q_den - 1) // q_den) <= c.cum
+        |ORDER BY rank, q_den""".stripMargin,
 
     "sessionize_counts" ->
       """WITH d AS (

@@ -347,6 +347,32 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Continuous ingest into the STORED profile histogram: arriving
+    * values → per-row (bucket, cnt=1) cells
+    * ([[graft.ops.Sketches.perRowBuckets]], stateless/append-legal) →
+    * parquet to a FRESH streamed directory for
+    * [[graft.jobs.BuildProfileStore.compactStreamed]]. `width` MUST be
+    * the target store's pinned value — a wrong width has NO detectable
+    * signature in the cells (the bucket space is unbounded), the
+    * strongest form of the meta-discipline rule.
+    */
+  def runProfileIngest(spark: SparkSession, schema: StructType,
+      inPath: String, outPath: String, checkpointPath: String,
+      valueCol: String = "value", width: Long = 100L): Unit = {
+    guardFreshSinkDir(spark, outPath, "runProfileIngest",
+      "BuildProfileStore.compactStreamed")
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = graft.ops.Sketches.perRowBuckets(in, valueCol, width)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runClassify(spark: SparkSession, schema: StructType, inPath: String,
       weights: Map[Long, Long], nBuckets: Int, outPath: String,
       checkpointPath: String): Unit = {

@@ -1972,6 +1972,42 @@ class JobsSpec extends SparkSpec {
     assert(eGeom.getMessage.contains("different geometry"), eGeom.getMessage)
   }
 
+  test("profile stream->store loop: fold == batch; grown-stream re-fold supersedes") {
+    import graft.ops.Sketches
+    val base = Files.createTempDirectory("graft-prof-stream").toString
+    val vals = Tables.events(spark, Sf0001)
+      .select($"event_id", round($"value" * 100).cast("long").as("cents"))
+    val inDir = s"$base/in"; val streamed = s"$base/streamed"
+    val ckpt = s"$base/ckpt"
+    vals.filter($"event_id" % 2 === 0).select($"cents").write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val empty = s"$base/empty"
+    vals.limit(0).select($"cents").write.parquet(empty)
+    val out = s"$base/store"
+    graft.jobs.BuildProfileStore.run(spark, empty, out, "cents", 100L)
+    graft.streaming.StreamingJob.runProfileIngest(spark, schema, inDir,
+      streamed, ckpt, valueCol = "cents", width = 100L)
+    graft.jobs.BuildProfileStore.compactStreamed(spark, streamed, out)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hist(f: org.apache.spark.sql.DataFrame) =
+      cells(Sketches.bucketHistogram(f.select($"cents"), "cents", 100L))
+    assert(cells(graft.jobs.BuildProfileStore.mergedHistogram(spark, out))
+      == hist(vals.filter($"event_id" % 2 === 0)),
+      "stream-folded histogram must equal the batch fold")
+    // grown stream: the re-fold must supersede or shared files'
+    // values double-count (addition has no DISTINCT)
+    vals.filter($"event_id" % 2 === 1).select($"cents")
+      .write.mode("append").parquet(inDir)
+    graft.streaming.StreamingJob.runProfileIngest(spark, schema, inDir,
+      streamed, ckpt, valueCol = "cents", width = 100L)
+    graft.jobs.BuildProfileStore.compactStreamed(spark, streamed, out)
+    assert(new java.io.File(s"$out/hist").listFiles()
+      .count(_.getName.startsWith("batch=fold-")) == 1)
+    assert(cells(graft.jobs.BuildProfileStore.mergedHistogram(spark, out))
+      == hist(vals), "post-supersession histogram must equal the whole fold")
+  }
+
   test("sketch+profile retraction: negative batches == rebuild-without; over-retract refuses") {
     import graft.ops.Sketches
     val base = Files.createTempDirectory("graft-retract").toString
