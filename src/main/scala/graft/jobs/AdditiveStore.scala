@@ -1,0 +1,161 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Consolidation for ADDITIVE stores ([[BuildSketchStore]] counters,
+  * [[BuildProfileStore]] histograms) — the fan-in maintenance step
+  * (~10⁴ hourly batch directories) that the dedup/text protocol
+  * ([[BuildDedupIndex.consolidateBatches]]) CANNOT serve: that
+  * protocol's crash window leaves sources + consolidated readable
+  * together and relies on the read paths' DISTINCT to absorb the
+  * duplicates, but additive cells SUM — the same window would
+  * double-count every consolidated cell. So this protocol has a single
+  * atomic COMMIT POINT instead:
+  *
+  *   1. (skip if the manifest already exists) require every source
+  *      batch present, write the merged table + one meta row under
+  *      `batch=consol-<md5(sources)>` via plain Spark overwrite —
+  *      these directories are INERT: readers ignore a consol batch
+  *      with no manifest;
+  *   2. create `consolidated/<label>` listing the source ids — ONE
+  *      atomic file create. From this instant readers count the
+  *      consolidated batch and ignore the sources (present or not);
+  *   3. delete the source table + meta directories (any order — they
+  *      are already invisible).
+  *
+  * Every crash window reads correctly: before 2 the sources count once
+  * and the half-written consol dirs are ignored; after 2 the consol
+  * batch counts once and partially-deleted sources are ignored. A
+  * re-run skips to the missing step. The one loud state is a manifest
+  * whose consol table is GONE (only manual tampering can produce it —
+  * the manifest is written strictly after the data): readers refuse
+  * rather than silently resurrect the excluded sources.
+  *
+  * Batches carrying a live fold sidecar (`folded/<id>`) REFUSE: a
+  * later superset re-fold retires a fold by batch id, which cannot
+  * reach cells blended into a consolidated batch — the double-count
+  * supersession exists to prevent. Retire the streamed dir, then
+  * [[seal]] the fold (drops its sidecar, making it a normal batch).
+  */
+private[jobs] object AdditiveStore {
+
+  private def manifestDir(outPath: String) =
+    new org.apache.hadoop.fs.Path(s"$outPath/consolidated")
+
+  /** (label, sources) for every committed consolidation manifest. */
+  def manifests(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String): Seq[(String, Set[String])] = {
+    val root = manifestDir(outPath)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isFile).map { s =>
+      s.getPath.getName -> Folds.readSidecar(fs, s.getPath)
+    }
+  }
+
+  /** The batch ids a reader must COUNT, given what is on disk: all
+    * table-dir ids, minus manifest-covered sources, minus uncommitted
+    * consol leftovers; refuses loudly if a committed manifest's table
+    * is gone (the only silently-wrong state this protocol could have —
+    * made loud instead).
+    */
+  def activeBatchIds(fs: org.apache.hadoop.fs.FileSystem, outPath: String,
+      tableDir: String, op: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$outPath/$tableDir")
+    val present = (if (fs.exists(root)) fs.listStatus(root).toSeq
+      else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).toSet
+    val ms = manifests(fs, outPath)
+    val missing = ms.collect { case (l, _) if !present(l) => l }
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$op: consolidation manifests ${missing.mkString(", ")} are " +
+          "committed but their consolidated tables are gone — the " +
+          "sources were already retired, so their cells live nowhere; " +
+          "restore the consolidated directories or rebuild the store")
+    val covered = ms.flatMap(_._2).toSet
+    val committed = ms.map(_._1).toSet
+    // uncommitted consol leftovers (crash before the manifest) are
+    // inert — the re-run overwrites them
+    present -- covered -- (present.filter(_.startsWith("consol-")) -- committed)
+  }
+
+  /** Drop a fold's supersession sidecar, turning it into a normal
+    * batch eligible for consolidation. ONLY after the streamed
+    * directory that produced it has been retired — with the sidecar
+    * gone, a grown-stream re-fold can no longer retire this fold and
+    * would double-count every shared file.
+    */
+  def seal(spark: SparkSession, outPath: String, id: String,
+      op: String): Unit = {
+    val fs = manifestDir(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = Folds.sidecarPath(outPath, id)
+    require(fs.exists(p),
+      s"$op: batch $id carries no fold sidecar — nothing to seal")
+    fs.delete(p, false)
+  }
+
+  def consolidate(spark: SparkSession, outPath: String, tableDir: String,
+      op: String, batches: Seq[String], metaRow: DataFrame)(
+      merge: Seq[String] => DataFrame): Unit = {
+    require(batches.nonEmpty && batches.distinct == batches,
+      s"$op: batches must be non-empty and distinct")
+    require(!batches.contains("base"),
+      s"$op: 'base' is the store's convention anchor (its meta row is " +
+        "where every reader gets the pinned geometry) and one directory " +
+        "never contributes to the fan-in problem — consolidate the " +
+        "appended batches around it")
+    val fs = manifestDir(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = batches.filter(b => fs.exists(Folds.sidecarPath(outPath, b)))
+    if (live.nonEmpty)
+      throw new IllegalStateException(
+        s"$op: batches ${live.mkString(", ")} carry live fold sidecars — " +
+          "consolidating them would blend cells a superset re-fold can " +
+          "only retire by batch id, double-counting every shared file. " +
+          "Retire the streamed dir, then seal the fold first.")
+    val label = "consol-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    require(!batches.contains(label), s"$op: label $label collides with a source")
+    val manifest = new org.apache.hadoop.fs.Path(manifestDir(outPath), label)
+    // a batch covered by a DIFFERENT committed manifest is a leftover
+    // awaiting deletion, not a countable source; THIS consolidation's
+    // own manifest means the crash-mid-deletion retry shape — skip
+    // straight to the deletions below
+    val coveredElsewhere = manifests(fs, outPath)
+      .filterNot(_._1 == label).flatMap(_._2).toSet
+    val covered = batches.filter(coveredElsewhere)
+    if (covered.nonEmpty)
+      throw new IllegalStateException(
+        s"$op: batches ${covered.mkString(", ")} are already covered by a " +
+          "committed consolidation — their directories are leftovers " +
+          "awaiting deletion, not countable sources")
+    def tablePath(b: String) =
+      new org.apache.hadoop.fs.Path(s"$outPath/$tableDir/batch=$b")
+    def metaPath(b: String) =
+      new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b")
+    if (!fs.exists(manifest)) {
+      val gone = batches.filterNot(b => fs.exists(tablePath(b)))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"$op: source batches ${gone.mkString(",")} are gone and no " +
+            s"manifest commits $label — their cells live nowhere; restore " +
+            "the sources or rebuild")
+      // inert until the manifest lands — readers ignore an uncommitted
+      // consol batch, so these overwrites are safe to crash anywhere
+      merge(batches.map(b => tablePath(b).toString))
+        .write.mode("overwrite").parquet(tablePath(label).toString)
+      metaRow.write.mode("overwrite").parquet(metaPath(label).toString)
+      // THE commit point
+      val out = fs.create(manifest, true)
+      try out.write((batches.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    batches.foreach { b =>
+      fs.delete(tablePath(b), true)
+      fs.delete(metaPath(b), true)
+    }
+  }
+}

@@ -111,8 +111,17 @@ object BuildBloomStore {
     * rows — the broadcast side of every probe.
     */
   def mergedFilter(spark: SparkSession, outPath: String): DataFrame = {
+    val op = "BuildBloomStore.mergedFilter"
     val (mBits, kProbes) = storeGeometry(spark, outPath, "mergedFilter")
-    val meta = spark.read.parquet(s"$outPath/meta")
+    val fs = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest-aware activity ([[AdditiveStore]]): OR would actually
+    // absorb a double-counted source, but the shared protocol keeps
+    // all three summary stores on one consolidation contract
+    val bloomIds = AdditiveStore.activeBatchIds(fs, outPath, "bloom", op)
+    val metaIds = AdditiveStore.activeBatchIds(fs, outPath, "meta", op)
+    val meta = spark.read.option("basePath", s"$outPath/meta")
+      .parquet(metaIds.toSeq.map(b => s"$outPath/meta/batch=$b"): _*)
       .select(col("batch").cast("string").as("batch"),
         col("m_bits"), col("k_probes"), col("hash_device"))
       .collect()
@@ -127,14 +136,7 @@ object BuildBloomStore {
           s"$mBits bits/k=$kProbes/$HashDevice — their bits would OR in " +
           "as noise and the probe could mint false 'novel' verdicts the " +
           "exact verify cannot catch; re-fold them with append")
-    val metaIds = meta.map(_.getString(0)).toSet
-    val bloomRoot = new org.apache.hadoop.fs.Path(s"$outPath/bloom")
-    val fs = bloomRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bloomIds = (if (fs.exists(bloomRoot))
-        fs.listStatus(bloomRoot).toSeq else Seq.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-    val orphans = bloomIds.filterNot(metaIds)
+    val orphans = bloomIds -- metaIds
     if (orphans.nonEmpty)
       throw new IllegalStateException(
         s"BuildBloomStore.mergedFilter: bloom batches " +
@@ -148,8 +150,28 @@ object BuildBloomStore {
           "have meta rows but no filter — their docs' bits are GONE and " +
           "every probe could mint false 'novel' verdicts; re-run the " +
           "append for those ids")
-    spark.read.parquet(s"$outPath/bloom")
+    spark.read.option("basePath", s"$outPath/bloom")
+      .parquet(bloomIds.toSeq.map(b => s"$outPath/bloom/batch=$b"): _*)
       .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+  }
+
+  /** Fold many filter batch directories into ONE — the fan-in step,
+    * under [[AdditiveStore]]'s manifest-commit protocol for uniformity
+    * with the other summary stores (OR would even absorb the classic
+    * crash window's duplicates, but one contract beats two).
+    */
+  def consolidate(spark: SparkSession, outPath: String,
+      batches: Seq[String]): Unit = {
+    import spark.implicits._
+    val (mBits, kProbes) = storeGeometry(spark, outPath, "consolidate")
+    AdditiveStore.consolidate(spark, outPath, "bloom",
+        "BuildBloomStore.consolidate", batches,
+        Seq((mBits, kProbes, HashDevice))
+          .toDF("m_bits", "k_probes", "hash_device")) { srcDirs =>
+      spark.read.parquet(srcDirs: _*)
+        .select(col("word"), col("bits"))
+        .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
+    }
   }
 
   /** Exact novelty of an increment against everything the store's

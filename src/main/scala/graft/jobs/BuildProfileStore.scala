@@ -175,8 +175,16 @@ object BuildProfileStore {
     * per-batch width/device gate (scaladoc above).
     */
   def mergedHistogram(spark: SparkSession, outPath: String): DataFrame = {
+    val op = "BuildProfileStore.mergedHistogram"
     val width = storeWidth(spark, outPath, "mergedHistogram")
-    val meta = spark.read.parquet(s"$outPath/meta")
+    val fs = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest-aware activity ([[AdditiveStore]]) — see the sketch
+    // store's mergedCounters for the single-counted-window argument
+    val histIds = AdditiveStore.activeBatchIds(fs, outPath, "hist", op)
+    val metaIds = AdditiveStore.activeBatchIds(fs, outPath, "meta", op)
+    val meta = spark.read.option("basePath", s"$outPath/meta")
+      .parquet(metaIds.toSeq.map(b => s"$outPath/meta/batch=$b"): _*)
       .select(col("batch").cast("string").as("batch"),
         col("bucket_width"), col("device"))
       .collect()
@@ -190,14 +198,7 @@ object BuildProfileStore {
           s" were folded with a different bucketing than the store's " +
           s"width $width/$Device — bucket addition would silently " +
           "corrupt every quantile; re-fold them with append")
-    val metaIds = meta.map(_.getString(0)).toSet
-    val histRoot = new org.apache.hadoop.fs.Path(s"$outPath/hist")
-    val fs = histRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val histIds = (if (fs.exists(histRoot))
-        fs.listStatus(histRoot).toSeq else Seq.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-    val orphans = histIds.filterNot(metaIds)
+    val orphans = histIds -- metaIds
     if (orphans.nonEmpty)
       throw new IllegalStateException(
         s"BuildProfileStore.mergedHistogram: histogram batches " +
@@ -210,7 +211,8 @@ object BuildProfileStore {
         s"BuildProfileStore.mergedHistogram: batches ${missing.mkString(", ")} " +
           "have meta rows but no histogram — re-run the append for those ids")
     val merged = Sketches.mergeHistograms(Seq(
-      spark.read.parquet(s"$outPath/hist")
+      spark.read.option("basePath", s"$outPath/hist")
+        .parquet(histIds.toSeq.map(b => s"$outPath/hist/batch=$b"): _*)
         .select(col("bucket"), col("cnt"))))
     // retraction sanity (see [[BuildSketchStore.mergedCounters]]): a
     // negative merged bucket proves a retract removed values never
@@ -227,6 +229,30 @@ object BuildProfileStore {
     // spurious row for cell-compare consumers and bucket counts)
     merged.filter(col("cnt") > 0)
   }
+
+  /** Fold many histogram batch directories into ONE — the fan-in step,
+    * under [[AdditiveStore]]'s manifest-commit protocol (histograms
+    * SUM; see [[BuildSketchStore.consolidate]]). Live folds refuse
+    * until [[sealFold]].
+    */
+  def consolidate(spark: SparkSession, outPath: String,
+      batches: Seq[String]): Unit = {
+    import spark.implicits._
+    val width = storeWidth(spark, outPath, "consolidate")
+    AdditiveStore.consolidate(spark, outPath, "hist",
+        "BuildProfileStore.consolidate", batches,
+        Seq((width, Device)).toDF("bucket_width", "device")) { srcDirs =>
+      spark.read.parquet(srcDirs: _*)
+        .select(col("bucket"), col("cnt"))
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** Drop a fold's supersession sidecar so it can consolidate — ONLY
+    * after its streamed directory is retired ([[AdditiveStore.seal]]).
+    */
+  def sealFold(spark: SparkSession, outPath: String, id: String): Unit =
+    AdditiveStore.seal(spark, outPath, id, "BuildProfileStore.sealFold")
 
   /** Nearest-rank quantile bounds over everything the store's batches
     * cover — [[Sketches.bucketedQuantiles]] over [[mergedHistogram]],

@@ -236,8 +236,17 @@ object BuildSketchStore {
     * ≤ batches·d·w rows.
     */
   def mergedCounters(spark: SparkSession, outPath: String): DataFrame = {
+    val op = "BuildSketchStore.mergedCounters"
     val (width, depth) = storeGeometry(spark, outPath, "mergedCounters")
-    val meta = spark.read.parquet(s"$outPath/meta")
+    val fs = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest-aware activity ([[AdditiveStore]]): consolidated sources
+    // and uncommitted consol leftovers are invisible, so every
+    // consolidation crash window reads single-counted
+    val counterIds = AdditiveStore.activeBatchIds(fs, outPath, "counters", op)
+    val metaIds = AdditiveStore.activeBatchIds(fs, outPath, "meta", op)
+    val meta = spark.read.option("basePath", s"$outPath/meta")
+      .parquet(metaIds.toSeq.map(b => s"$outPath/meta/batch=$b"): _*)
       .select(col("batch").cast("string").as("batch"),
         col("width"), col("depth"), col("hash_device"))
       .collect()
@@ -251,14 +260,7 @@ object BuildSketchStore {
           s" were folded with a different geometry than the store's " +
           s"${width}x$depth/$HashDevice — cell-wise addition would " +
           "silently corrupt every estimate; re-fold them with append")
-    val metaIds = meta.map(_.getString(0)).toSet
-    val countersRoot = new org.apache.hadoop.fs.Path(s"$outPath/counters")
-    val fs = countersRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val counterIds = (if (fs.exists(countersRoot))
-        fs.listStatus(countersRoot).toSeq else Seq.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-    val orphans = counterIds.filterNot(metaIds)
+    val orphans = counterIds -- metaIds
     if (orphans.nonEmpty)
       throw new IllegalStateException(
         s"BuildSketchStore.mergedCounters: counter batches " +
@@ -276,7 +278,8 @@ object BuildSketchStore {
           "have meta rows but no counter table — the store lost their " +
           "folds; re-run the append for those ids")
     val merged = Sketches.mergeCounters(
-      Seq(spark.read.parquet(s"$outPath/counters")
+      Seq(spark.read.option("basePath", s"$outPath/counters")
+        .parquet(counterIds.toSeq.map(b => s"$outPath/counters/batch=$b"): _*)
         .select(col("row"), col("bucket"), col("cnt"))),
       width, depth)
     // retraction sanity: counters are linear, so a NEGATIVE merged cell
@@ -297,6 +300,32 @@ object BuildSketchStore {
     // survive as a spurious row for cell-compare consumers
     merged.filter(col("cnt") > 0)
   }
+
+  /** Fold many counter batch directories into ONE — the fan-in
+    * maintenance step, under [[AdditiveStore]]'s manifest-commit
+    * protocol (counters SUM, so the dedup/text crash window of
+    * sources + consolidated readable together would double-count every
+    * cell; here a single atomic manifest create flips the reads).
+    * Retraction batches consolidate like any other — the merged cells
+    * carry their subtraction. Live folds refuse until [[sealFold]].
+    */
+  def consolidate(spark: SparkSession, outPath: String,
+      batches: Seq[String]): Unit = {
+    val (width, depth) = storeGeometry(spark, outPath, "consolidate")
+    AdditiveStore.consolidate(spark, outPath, "counters",
+        "BuildSketchStore.consolidate", batches,
+        metaRow(spark, width, depth)) { srcDirs =>
+      spark.read.parquet(srcDirs: _*)
+        .select(col("row"), col("bucket"), col("cnt"))
+        .groupBy(col("row"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    }
+  }
+
+  /** Drop a fold's supersession sidecar so it can consolidate — ONLY
+    * after its streamed directory is retired ([[AdditiveStore.seal]]).
+    */
+  def sealFold(spark: SparkSession, outPath: String, id: String): Unit =
+    AdditiveStore.seal(spark, outPath, id, "BuildSketchStore.sealFold")
 
   /** EXACT heavy hitters over the full occurrence stream the store's
     * batches cover, using the persisted folds — byte-identical to

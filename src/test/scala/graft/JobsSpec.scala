@@ -1972,6 +1972,142 @@ class JobsSpec extends SparkSpec {
     assert(eGeom.getMessage.contains("different geometry"), eGeom.getMessage)
   }
 
+  test("additive-store consolidation: manifest commit keeps every crash window single-counted") {
+    // Counters/histograms SUM, so the dedup/text consolidation protocol
+    // (sources + consolidated readable together in the crash window,
+    // DISTINCT absorbs) would double-count here. AdditiveStore's
+    // manifest is the single atomic commit: this pins each window —
+    // uncommitted consol leftovers are invisible, committed manifests
+    // hide their sources even when half-deleted, the retry converges,
+    // and live folds refuse until sealed.
+    import graft.ops.Sketches
+    val base = Files.createTempDirectory("graft-addconsol").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(split($"text", " ")).as("item"))
+    def slice(m: Int, p: String): String = {
+      toks(docs.filter($"doc_id" % 3 === m))
+        .write.mode("overwrite").parquet(p); p
+    }
+    val out = s"$base/store"
+    graft.jobs.BuildSketchStore.run(spark, slice(0, s"$base/h0"), out)
+    graft.jobs.BuildSketchStore.append(spark, slice(1, s"$base/h1"), out, "h1")
+    graft.jobs.BuildSketchStore.append(spark, slice(2, s"$base/h2"), out, "h2")
+    // a retraction batch consolidates like any other
+    toks(docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 === 0))
+      .write.parquet(s"$base/ret")
+    graft.jobs.BuildSketchStore.retract(spark, s"$base/ret", out, "r1")
+    def cells() = graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val truth = cells()
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cp(src: String, dst: String): Unit =
+      org.apache.hadoop.fs.FileUtil.copy(hfs,
+        new org.apache.hadoop.fs.Path(src), hfs,
+        new org.apache.hadoop.fs.Path(dst), false, true,
+        spark.sparkContext.hadoopConfiguration)
+    // back up the sources so crash states can be reconstructed
+    Seq("h1", "h2", "r1").foreach { b =>
+      cp(s"$out/counters/batch=$b", s"$base/bak/counters/batch=$b")
+      cp(s"$out/meta/batch=$b", s"$base/bak/meta/batch=$b")
+    }
+    // WINDOW A (pre-manifest): consol dirs written, manifest missing —
+    // simulate by planting a foreign uncommitted consol batch; readers
+    // must ignore it entirely
+    cp(s"$out/counters/batch=h1", s"$out/counters/batch=consol-deadbeef")
+    cp(s"$out/meta/batch=h1", s"$out/meta/batch=consol-deadbeef")
+    assert(cells() == truth,
+      "an uncommitted consol leftover must be invisible to readers")
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$out/counters/batch=consol-deadbeef"), true)
+    hfs.delete(new org.apache.hadoop.fs.Path(
+      s"$out/meta/batch=consol-deadbeef"), true)
+    // full consolidation: h1 + h2 + the retraction fold into one batch
+    graft.jobs.BuildSketchStore.consolidate(spark, out, Seq("h1", "h2", "r1"))
+    assert(cells() == truth, "consolidation must not change a single cell")
+    val dirs = new java.io.File(s"$out/counters").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs.size == 2 && dirs.contains("batch=base") &&
+      dirs.count(_.startsWith("batch=consol-")) == 1, dirs.mkString(","))
+    // WINDOW B (post-manifest, deletions unfinished): restore a source —
+    // the committed manifest must keep it invisible
+    cp(s"$base/bak/counters/batch=h1", s"$out/counters/batch=h1")
+    cp(s"$base/bak/meta/batch=h1", s"$out/meta/batch=h1")
+    assert(cells() == truth,
+      "a manifest-covered source must stay invisible even when present")
+    // the retry shape: re-running the SAME consolidation finishes the
+    // deletions instead of refusing
+    graft.jobs.BuildSketchStore.consolidate(spark, out, Seq("h1", "h2", "r1"))
+    assert(!new java.io.File(s"$out/counters/batch=h1").exists())
+    assert(cells() == truth)
+    // ...but consolidating a covered batch under a DIFFERENT set refuses
+    cp(s"$base/bak/counters/batch=h2", s"$out/counters/batch=h2")
+    val eCov = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.consolidate(spark, out, Seq("h2"))
+    }
+    assert(eCov.getMessage.contains("already covered"), eCov.getMessage)
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$out/counters/batch=h2"), true)
+    // heavy hitters ride the consolidated store unchanged
+    val remaining = toks(docs.filter($"doc_id" % 3 =!= 2))
+      .unionByName(toks(docs.filter($"doc_id" % 3 === 2 && $"doc_id" % 2 =!= 0)))
+    assert(graft.jobs.BuildSketchStore.heavyHitters(spark, out, remaining, 30L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Sketches.cmsHeavyHitters(remaining, 30L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // LIVE FOLDS refuse until sealed (their supersession handle is by
+    // batch id, which a blended consol batch cannot honor)
+    val inDir = s"$base/in"; val streamed = s"$base/streamed"
+    toks(docs.filter($"doc_id" < 50)).write.parquet(inDir)
+    graft.streaming.StreamingJob.runSketchIngest(spark,
+      spark.read.parquet(inDir).schema, inDir, streamed, s"$base/ckpt")
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out)
+    val foldId = new java.io.File(s"$out/counters").listFiles()
+      .map(_.getName).find(_.startsWith("batch=fold-")).get
+      .stripPrefix("batch=")
+    val eFold = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.consolidate(spark, out, Seq(foldId))
+    }
+    assert(eFold.getMessage.contains("seal"), eFold.getMessage)
+    graft.jobs.BuildSketchStore.sealFold(spark, out, foldId)
+    graft.jobs.BuildSketchStore.consolidate(spark, out, Seq(foldId))
+    // profile + bloom stores share the protocol: one smoke each
+    def lens(df: org.apache.spark.sql.DataFrame) =
+      df.select(size(split($"text", " ")).cast("long").as("doc_len"))
+    lens(docs.filter($"doc_id" < 250)).write.parquet(s"$base/l0")
+    lens(docs.filter($"doc_id" >= 250)).write.parquet(s"$base/l1")
+    val pOut = s"$base/profile"
+    graft.jobs.BuildProfileStore.run(spark, s"$base/l0", pOut, "doc_len", 16L)
+    graft.jobs.BuildProfileStore.append(spark, s"$base/l1", pOut, "h1", "doc_len")
+    lens(docs.filter($"doc_id" < 100)).write.parquet(s"$base/l2")
+    graft.jobs.BuildProfileStore.retract(spark, s"$base/l2", pOut, "r1", "doc_len")
+    val pTruth = graft.jobs.BuildProfileStore.mergedHistogram(spark, pOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 'base' anchors the store convention and refuses to consolidate
+    val eBase = intercept[IllegalArgumentException] {
+      graft.jobs.BuildProfileStore.consolidate(spark, pOut, Seq("base", "h1"))
+    }
+    assert(eBase.getMessage.contains("convention anchor"), eBase.getMessage)
+    graft.jobs.BuildProfileStore.consolidate(spark, pOut, Seq("h1", "r1"))
+    assert(graft.jobs.BuildProfileStore.mergedHistogram(spark, pOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == pTruth)
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text")
+      .write.parquet(s"$base/b0")
+    docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
+      .write.parquet(s"$base/b1")
+    docs.filter($"doc_id" >= 100 && $"doc_id" < 200).select($"doc_id", $"text")
+      .write.parquet(s"$base/b2")
+    val bOut = s"$base/bloom"
+    graft.jobs.BuildBloomStore.run(spark, s"$base/b0", bOut)
+    graft.jobs.BuildBloomStore.append(spark, s"$base/b1", bOut, "h1")
+    graft.jobs.BuildBloomStore.append(spark, s"$base/b2", bOut, "h2")
+    val bTruth = graft.jobs.BuildBloomStore.mergedFilter(spark, bOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.jobs.BuildBloomStore.consolidate(spark, bOut, Seq("h1", "h2"))
+    assert(graft.jobs.BuildBloomStore.mergedFilter(spark, bOut)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == bTruth)
+  }
+
   test("profile stream->store loop: fold == batch; grown-stream re-fold supersedes") {
     import graft.ops.Sketches
     val base = Files.createTempDirectory("graft-prof-stream").toString
