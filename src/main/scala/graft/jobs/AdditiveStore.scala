@@ -66,14 +66,21 @@ private[jobs] object AdditiveStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=")).toSet
     val ms = manifests(fs, outPath)
-    val missing = ms.collect { case (l, _) if !present(l) => l }
+    // coverage persists across GENERATIONS: a committed consol batch
+    // may itself be consolidated later (consol-of-consols — the
+    // compounding fan-in shape), which makes the older manifest
+    // OBSOLETE: its sources stay invisible, but its own table is gone
+    // by design and must not trip the missing-table refusal
+    val covered = ms.flatMap(_._2).toSet
+    val missing = ms.collect {
+      case (l, _) if !present(l) && !covered(l) => l
+    }
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"$op: consolidation manifests ${missing.mkString(", ")} are " +
           "committed but their consolidated tables are gone — the " +
           "sources were already retired, so their cells live nowhere; " +
           "restore the consolidated directories or rebuild the store")
-    val covered = ms.flatMap(_._2).toSet
     val committed = ms.map(_._1).toSet
     // uncommitted consol leftovers (crash before the manifest) are
     // inert — the re-run overwrites them

@@ -2055,6 +2055,21 @@ class JobsSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       == Sketches.cmsHeavyHitters(remaining, 30L)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // CONSOL-OF-CONSOLS (the compounding fan-in shape): the committed
+    // consol batch is itself a legit source; the older manifest goes
+    // OBSOLETE (its table is gone by design) without tripping the
+    // missing-table refusal, while its coverage persists
+    graft.jobs.BuildSketchStore.append(spark, s"$base/h1", out, "h3")
+    val truth2 = cells() // truth + the re-appended slice's fold
+    val consolId = new java.io.File(s"$out/counters").listFiles()
+      .map(_.getName).find(_.startsWith("batch=consol-")).get
+      .stripPrefix("batch=")
+    graft.jobs.BuildSketchStore.consolidate(spark, out, Seq(consolId, "h3"))
+    assert(cells() == truth2,
+      "second-generation consolidation must not change a single cell")
+    assert(new java.io.File(s"$out/counters").listFiles()
+      .map(_.getName).count(_.startsWith("batch=consol-")) == 1,
+      "the second-generation consol must replace the first")
     // LIVE FOLDS refuse until sealed (their supersession handle is by
     // batch id, which a blended consol batch cannot honor)
     val inDir = s"$base/in"; val streamed = s"$base/streamed"
