@@ -69,6 +69,10 @@ object BuildBloomStore {
     require(id != "base",
       "BuildBloomStore.append: batchId 'base' is reserved for the initial " +
         "build (appending under it would overwrite the base filter)")
+    require(!id.startsWith("consol-"),
+      "BuildBloomStore.append: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(docsPath), outPath, id,
       mBits, kProbes)
   }

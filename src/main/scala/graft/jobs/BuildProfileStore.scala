@@ -64,6 +64,10 @@ object BuildProfileStore {
     require(id != "base",
       "BuildProfileStore.append: batchId 'base' is reserved for the initial " +
         "build (appending under it would overwrite the base histogram)")
+    require(!id.startsWith("consol-"),
+      "BuildProfileStore.append: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(valuesPath), outPath, id,
       valueCol, width)
   }
@@ -102,6 +106,10 @@ object BuildProfileStore {
     require(!id.contains("/") && !id.contains("="),
       s"BuildProfileStore.retract: batchId '$id' must be a plain partition value")
     require(id != "base", "BuildProfileStore.retract: batchId 'base' is reserved")
+    require(!id.startsWith("consol-"),
+      "BuildProfileStore.retract: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(valuesPath), outPath, id,
       valueCol, width, negate = true)
   }
@@ -134,6 +142,10 @@ object BuildProfileStore {
       s"BuildProfileStore.compactStreamed: label '$id' must be a plain partition value")
     require(id != "base",
       "BuildProfileStore.compactStreamed: label 'base' is reserved")
+    require(!id.startsWith("consol-"),
+      "BuildProfileStore.compactStreamed: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     val superseded = Folds.superseded(fs, outPath, id, files.toSet,
       "BuildProfileStore.compactStreamed")
     Folds.writeSidecar(fs, outPath, id, files)

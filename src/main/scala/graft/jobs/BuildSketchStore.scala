@@ -93,6 +93,10 @@ object BuildSketchStore {
     require(id != "base",
       "BuildSketchStore.append: batchId 'base' is reserved for the initial " +
         "build (appending under it would overwrite the base counters)")
+    require(!id.startsWith("consol-"),
+      "BuildSketchStore.append: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(itemsPath), outPath, id,
       itemCol, width, depth)
   }
@@ -138,6 +142,10 @@ object BuildSketchStore {
       s"BuildSketchStore.retract: batchId '$id' must be a plain partition value")
     require(id != "base",
       "BuildSketchStore.retract: batchId 'base' is reserved")
+    require(!id.startsWith("consol-"),
+      "BuildSketchStore.retract: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(itemsPath), outPath, id,
       itemCol, width, depth, negate = true)
   }
@@ -178,6 +186,10 @@ object BuildSketchStore {
       s"BuildSketchStore.compactStreamed: label '$id' must be a plain partition value")
     require(id != "base",
       "BuildSketchStore.compactStreamed: label 'base' is reserved")
+    require(!id.startsWith("consol-"),
+      "BuildSketchStore.compactStreamed: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     val superseded = Folds.superseded(fs, outPath, id, files.toSet,
       "BuildSketchStore.compactStreamed")
     Folds.writeSidecar(fs, outPath, id, files)

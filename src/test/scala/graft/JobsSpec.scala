@@ -2070,6 +2070,13 @@ class JobsSpec extends SparkSpec {
     assert(new java.io.File(s"$out/counters").listFiles()
       .map(_.getName).count(_.startsWith("batch=consol-")) == 1,
       "the second-generation consol must replace the first")
+    // a user batch id in the reserved consol- namespace would be
+    // treated as an uncommitted leftover and silently IGNORED by the
+    // manifest-aware readers — every writer refuses it up front
+    val eNs = intercept[IllegalArgumentException] {
+      graft.jobs.BuildSketchStore.append(spark, s"$base/h1", out, "consol-mine")
+    }
+    assert(eNs.getMessage.contains("reserved"), eNs.getMessage)
     // LIVE FOLDS refuse until sealed (their supersession handle is by
     // batch id, which a blended consol batch cannot honor)
     val inDir = s"$base/in"; val streamed = s"$base/streamed"
