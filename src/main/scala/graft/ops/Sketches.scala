@@ -64,6 +64,11 @@ object Sketches {
   def perRowCells(items: DataFrame, itemCol: String = "item",
       width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
     require(width > 0 && depth > 0, "perRowCells: width and depth must be positive")
+    // NULL occurrences are dropped, explicitly: md5(null) buckets to
+    // null, which would ride the counter table as null cells that pass
+    // the range guard (null comparisons filter false) while the
+    // estimate probe can never match them — count non-null or nothing
+    val nonNull = items.filter(col(itemCol).isNotNull)
     // the counter table is the BROADCAST side of every estimate probe —
     // a geometry that cannot broadcast defeats the design, so refuse
     // loudly instead of OOMing the driver later
@@ -72,7 +77,7 @@ object Sketches {
         "the counter table must stay broadcastable (<= 16M cells); " +
         "CMS error is e/width of the TOTAL count, not the universe " +
         "size, so width rarely needs to grow past tens of thousands")
-    items.select(posexplode(array(
+    nonNull.select(posexplode(array(
         (0 until depth).map(i => bucket(col(itemCol), i, width)): _*))
         .as(Seq("row", "bucket")))
       .withColumn("cnt", lit(1L))
@@ -262,7 +267,11 @@ object Sketches {
   def perRowBuckets(df: DataFrame, valueCol: String,
       width: Long): DataFrame = {
     require(width > 0, "perRowBuckets: width must be positive")
-    df.select(floorDiv(col(valueCol).cast("long"), width).as("bucket"))
+    // NULL values are dropped, explicitly: a null bucket would sort
+    // engine-differently in the cumulative rank walk (Spark nulls
+    // first, DuckDB nulls last) — histograms count non-null or nothing
+    df.filter(col(valueCol).isNotNull)
+      .select(floorDiv(col(valueCol).cast("long"), width).as("bucket"))
       .withColumn("cnt", lit(1L))
   }
 

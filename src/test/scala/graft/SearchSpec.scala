@@ -324,6 +324,16 @@ class SearchSpec extends SparkSpec {
     val negs = Seq(-250L, -100L, -1L, 0L, 99L, 100L).toDF("cents")
     assert(cells(Sketches.bucketHistogram(negs, "cents", 100L)) ==
       Map(-3L -> 1L, -1L -> 2L, 0L -> 2L, 1L -> 1L))
+    // NULLs drop explicitly — a null bucket would sort engine-
+    // differently in the rank walk; same rule in the sketch fold
+    val withNulls = Seq(Some(5L), None, Some(105L), None).toDF("cents")
+    assert(cells(Sketches.bucketHistogram(withNulls, "cents", 100L)) ==
+      Map(0L -> 1L, 1L -> 1L))
+    assert(Sketches.cmsCounters(
+        Seq(Some("a"), None, Some("a")).toDF("item"), "item",
+        width = 16, depth = 2)
+      .agg(sum($"cnt")).head.getLong(0) == 4L,
+      "null items must not contribute sketch cells (2 items x 2 rows = 4)")
     intercept[IllegalArgumentException] {
       Sketches.bucketedQuantiles(whole, width, Seq((0, 2)))
     }
