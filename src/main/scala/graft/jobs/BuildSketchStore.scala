@@ -215,9 +215,12 @@ object BuildSketchStore {
     }
   }
 
-  /** The store's pinned (width, depth), from the base meta row. */
-  private def storeGeometry(spark: SparkSession, outPath: String,
-      op: String): (Int, Int) = {
+  /** The store's pinned (width, depth), from the base meta row. Public
+    * so the streaming ingest can take its geometry FROM the store
+    * instead of trusting the caller (the narrower-hole rule).
+    */
+  def storeGeometry(spark: SparkSession, outPath: String,
+      op: String = "storeGeometry"): (Int, Int) = {
     val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta")
     val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaP),

@@ -332,11 +332,19 @@ object StreamingJob {
       inPath: String, outPath: String, checkpointPath: String,
       itemCol: String = "item",
       width: Int = graft.ops.Sketches.DefaultWidth,
-      depth: Int = graft.ops.Sketches.DefaultDepth): Unit = {
+      depth: Int = graft.ops.Sketches.DefaultDepth,
+      storePath: String = ""): Unit = {
     guardFreshSinkDir(spark, outPath, "runSketchIngest",
       "BuildSketchStore.compactStreamed")
+    // prefer the TARGET STORE's pinned geometry over the caller's word
+    // — a narrower ingest is undetectable at the fold, so closing the
+    // gap at the source is the only complete fix
+    val (w, d) = if (storePath.nonEmpty)
+        graft.jobs.BuildSketchStore.storeGeometry(spark, storePath,
+          "runSketchIngest")
+      else (width, depth)
     val in = spark.readStream.schema(schema).parquet(inPath)
-    val q = graft.ops.Sketches.perRowCells(in, itemCol, width, depth)
+    val q = graft.ops.Sketches.perRowCells(in, itemCol, w, d)
       .writeStream
       .outputMode("append")
       .format("parquet")
@@ -358,11 +366,18 @@ object StreamingJob {
     */
   def runProfileIngest(spark: SparkSession, schema: StructType,
       inPath: String, outPath: String, checkpointPath: String,
-      valueCol: String = "value", width: Long = 100L): Unit = {
+      valueCol: String = "value", width: Long = 100L,
+      storePath: String = ""): Unit = {
     guardFreshSinkDir(spark, outPath, "runProfileIngest",
       "BuildProfileStore.compactStreamed")
+    // prefer the TARGET STORE's pinned width — a wrong-width ingest has
+    // NO detectable signature downstream at all
+    val w = if (storePath.nonEmpty)
+        graft.jobs.BuildProfileStore.storeWidth(spark, storePath,
+          "runProfileIngest")
+      else width
     val in = spark.readStream.schema(schema).parquet(inPath)
-    val q = graft.ops.Sketches.perRowBuckets(in, valueCol, width)
+    val q = graft.ops.Sketches.perRowBuckets(in, valueCol, w)
       .writeStream
       .outputMode("append")
       .format("parquet")

@@ -1952,8 +1952,10 @@ class JobsSpec extends SparkSpec {
     // counters are additive, so without supersession every shared
     // file's occurrences would count twice (no DISTINCT absorbs cells)
     toks(docs.filter($"doc_id" >= 250)).write.mode("append").parquet(inDir)
+    // the storePath form: geometry comes from the TARGET store's meta,
+    // not the caller — the complete fix for the narrower-ingest hole
     graft.streaming.StreamingJob.runSketchIngest(spark, schema, inDir,
-      streamed, ckpt)
+      streamed, ckpt, storePath = out)
     graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out)
     val foldDirs = new java.io.File(s"$out/counters").listFiles()
       .map(_.getName).filter(_.startsWith("batch=fold-")).toSet
