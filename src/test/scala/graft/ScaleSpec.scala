@@ -582,6 +582,53 @@ class ScaleSpec extends SparkSpec {
       f"driver heap delta ${(mem1 - mem0) / 1e6}%.0f MB, rows $before")
   }
 
+  test("additive-store consolidation at 10^3 batch fan-in: one merge pass, cells exact") {
+    // the manifest protocol's own fan-in measurement (the dedup-store
+    // test covers the explicit-path read shape; this adds the
+    // per-batch fs work the additive protocol does on top — sidecar
+    // checks, meta dirs, manifest commit — all O(batches))
+    val base = Files.createTempDirectory("graft-addfanin").toString
+    val out = s"$base/store"
+    val items = spark.range(2000)
+      .select(concat(lit("tok"), $"id" % 97).as("item"))
+    val itemsP = s"$base/items"; items.write.parquet(itemsP)
+    graft.jobs.BuildSketchStore.run(spark, itemsP, out)
+    // one template append, then filesystem copies — fan-in stresses
+    // directory count, not row volume
+    graft.jobs.BuildSketchStore.append(spark, itemsP, out, "b0000")
+    val cDir = new java.io.File(s"$out/counters/batch=b0000")
+    val mDir = new java.io.File(s"$out/meta/batch=b0000")
+    def dataFiles(d: java.io.File) = d.listFiles().filter(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val nDirs = 1000
+    (1 until nDirs).foreach { i =>
+      Seq((cDir, s"$out/counters"), (mDir, s"$out/meta")).foreach {
+        case (tpl, root) =>
+          val d = new java.io.File(f"$root/batch=b$i%04d"); d.mkdirs()
+          dataFiles(tpl).foreach(f => java.nio.file.Files.copy(f.toPath,
+            new java.io.File(d, f.getName).toPath))
+      }
+    }
+    def cells() = graft.jobs.BuildSketchStore.mergedCounters(spark, out)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val before = cells()
+    val t0 = System.nanoTime()
+    graft.jobs.BuildSketchStore.consolidate(spark, out,
+      (0 until nDirs).map(i => f"b$i%04d"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cells() == before,
+      "10^3-batch consolidation must not change a single cell")
+    val dirs = new java.io.File(s"$out/counters").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs.size == 2 && dirs.contains("batch=base"),
+      s"expected base + one consol dir, got ${dirs.size}")
+    // measured ~7 s on local[32]: the 10^3-path merge read plus
+    // ~3*10^3 fs existence checks — linear in batches, comfortably
+    // under any hourly cadence
+    assert(secs < 300, f"10^3-batch additive consolidate took $secs%.1f s")
+    info(f"10^3-batch additive consolidate: $secs%.1f s")
+  }
+
   test("range-partitioned sorted write produces non-overlapping sorted files") {
     // The data-skipping layout: repartitionByRange gives files with
     // disjoint key ranges, sortWithinPartitions orders rows inside each —
