@@ -25,7 +25,8 @@ object SparkEntry {
       TextQueries.queries ++
       FunctionQueries.queries ++
       PipelineQueries.queries ++
-      SearchQueries.queries
+      SearchQueries.queries ++
+      HllQueries.queries
 
   def oracleSql: Map[String, String] =
     SessionQueries.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       TextQueries.oracles ++
       FunctionQueries.oracles ++
       PipelineQueries.oracles ++
-      SearchQueries.oracles
+      SearchQueries.oracles ++
+      HllQueries.oracles
 }

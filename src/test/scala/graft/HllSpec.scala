@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Hll
+
+/** Deterministic HyperLogLog ([[graft.ops.Hll]]): device pinned against
+  * a from-scratch JVM recompute, the merge laws, the exact-integer
+  * estimator against BigInt arithmetic, and the accuracy band the raw
+  * estimator promises in its design regime.
+  */
+class HllSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** From-scratch JVM twin of the md5 device — java.security digest,
+    * not Spark functions, so a Spark-side expression bug cannot hide.
+    */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def h60(salt: String, item: String): Long =
+    java.lang.Long.parseLong(md5hex(salt + item).take(15), 16)
+
+  private def regOf(item: String, p: Int): Long =
+    h60("hllreg:", item) % (1L << p)
+
+  private def rhoOf(item: String): Long = {
+    val h = h60("hllrho:", item)
+    if (h == 0L) 61L else 61L - (64 - java.lang.Long.numberOfLeadingZeros(h))
+  }
+
+  /** BigInt twin of [[Hll.estimate]]'s rational arithmetic. */
+  private def estimateBig(regs: Map[Long, Long], p: Int): (Long, Long) = {
+    val m = 1L << p
+    val s = regs.values.map(r => BigInt(1) << (61 - r.toInt)).sum +
+      BigInt(m - regs.size) * (BigInt(1) << 61)
+    val num = BigInt(7213) * BigInt(m).pow(3) * (BigInt(1) << 61)
+    val den = BigInt(10) * (BigInt(1000) * m + 1079) * s
+    ((num / den).toLong, m - regs.size)
+  }
+
+  private def items(n: Int, tag: String = "it"): DataFrame =
+    spark.range(n.toLong).select(concat(lit(tag), col("id")).as("item"))
+
+  test("register fold matches the from-scratch JVM device") {
+    val names = (0 until 500).map(i => s"it$i")
+    val expected = names.groupBy(n => regOf(n, 8))
+      .map { case (r, grp) => (r, grp.map(rhoOf).max) }
+    val got = Hll.registers(items(500), "item", p = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("rho is 1 + leading zeros: hand-checked magnitudes") {
+    // the device is fixed, so specific items have fixed rho; verify the
+    // RELATION (not just equality with another implementation): rho = k
+    // iff the 60-bit hash is in [2^(61-k-1), 2^(61-k)) for k < 61
+    (0 until 200).map(i => s"x$i").foreach { it =>
+      val h = h60("hllrho:", it)
+      val rho = rhoOf(it)
+      assert(h < (1L << (61 - rho)) &&
+        (rho == 61L || h >= (1L << (60 - rho))),
+        s"item $it: h=$h rho=$rho")
+    }
+    val got = Hll.registers(items(200, "x"), "item", p = 8)
+      .agg(sum($"rho")).as[Long].head()
+    val want = (0 until 200).map(i => s"x$i").groupBy(n => regOf(n, 8))
+      .map { case (_, g) => g.map(rhoOf).max }.sum
+    assert(got === want)
+  }
+
+  test("merge of disjoint slices equals the fold of the union") {
+    val whole = items(3000)
+    val slices = (0 until 3).map(k =>
+      Hll.registers(whole.filter(pmod(crc32($"item"), lit(3)) === k), "item"))
+    val merged = Hll.mergeRegisters(slices).as[(Long, Long)].collect().toMap
+    val direct = Hll.registers(whole, "item").as[(Long, Long)].collect().toMap
+    assert(merged === direct)
+  }
+
+  test("merge is idempotent: overlapping batches cannot skew the sketch") {
+    val r = Hll.registers(items(1000), "item")
+    val overlapA = Hll.registers(items(700), "item")       // it0..699
+    val merged = Hll.mergeRegisters(Seq(r, r, overlapA))
+      .as[(Long, Long)].collect().toMap
+    assert(merged === r.as[(Long, Long)].collect().toMap)
+  }
+
+  test("estimate matches BigInt arithmetic exactly") {
+    for (p <- Seq(8, 12)) {
+      val regs = Hll.registers(items(2500), "item", p = p)
+      val (wantEst, wantZero) = estimateBig(
+        regs.as[(Long, Long)].collect().toMap, p)
+      val got = Hll.estimate(regs, p = p).as[(Long, Long)].head()
+      assert(got === ((wantEst, wantZero)), s"p=$p")
+    }
+  }
+
+  test("raw estimator lands within its error band in the design regime") {
+    // n >> 5/2·m so the raw estimator is in its unbiased regime; the
+    // device is fixed, so these are deterministic pins of REAL accuracy,
+    // red if the sketch math (not the data) ever changes.
+    // p=8: sigma = 1.04/16 = 6.5%; assert 3 sigma.
+    val est8 = Hll.distinctEstimate(items(20000), "item", p = 8)
+      .select($"est_distinct").as[Long].head()
+    assert(math.abs(est8 - 20000L) < 20000L * 0.195, s"p=8 est=$est8")
+    // p=12: sigma = 1.04/64 = 1.6%; assert 3 sigma.
+    val est12 = Hll.distinctEstimate(items(50000), "item", p = 12)
+      .select($"est_distinct").as[Long].head()
+    assert(math.abs(est12 - 50000L) < 50000L * 0.049, s"p=12 est=$est12")
+  }
+
+  test("null items are dropped, not folded") {
+    val withNulls = items(300).unionAll(
+      spark.range(5).select(lit(null: String).as("item")))
+    val a = Hll.registers(withNulls, "item").as[(Long, Long)].collect().toSet
+    val b = Hll.registers(items(300), "item").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("grouped registers and estimates stay per-group") {
+    val df = items(2000).withColumn("grp", pmod(crc32($"item"), lit(2)))
+    val est = Hll.distinctEstimate(df, "item", groupCols = Seq("grp"))
+      .orderBy($"grp").as[(Long, Long, Long)].collect()
+    assert(est.length === 2)
+    // per-group estimate equals the estimate of that group alone
+    val solo = Hll.distinctEstimate(
+      df.filter($"grp" === 0).select($"item"), "item")
+      .as[(Long, Long)].head()
+    assert((est(0)._2, est(0)._3) === solo)
+  }
+
+  test("a wider-p register table refuses to merge at a narrower p") {
+    val wide = Hll.registers(items(5000), "item", p = 12)
+    val e = intercept[IllegalArgumentException] {
+      Hll.mergeRegisters(Seq(wide), p = 8).count()
+    }
+    assert(e.getMessage.contains("fall outside"))
+  }
+
+  test("p outside the exact-arithmetic window refuses loudly") {
+    val df = items(10)
+    intercept[IllegalArgumentException] { Hll.registers(df, "item", p = 3) }
+    intercept[IllegalArgumentException] { Hll.registers(df, "item", p = 15) }
+    intercept[IllegalArgumentException] {
+      Hll.estimate(Hll.registers(df, "item"), p = 15)
+    }
+  }
+
+  test("per-row cells compose to the register fold (streaming restatement)") {
+    val cells = Hll.perRowRegisterCells(items(400), "item")
+    val folded = cells.groupBy($"reg").agg(max($"rho").as("rho"))
+      .as[(Long, Long)].collect().toMap
+    val direct = Hll.registers(items(400), "item")
+      .as[(Long, Long)].collect().toMap
+    assert(folded === direct)
+  }
+}
