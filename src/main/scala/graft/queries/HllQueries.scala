@@ -16,6 +16,24 @@ import graft.ops.Hll
   */
 object HllQueries {
 
+  /** Serializes the shuffle-partitions mutation around streaming runs
+    * (session-global conf — the SessionQueries pattern).
+    */
+  private object ConfLock
+
+  private def deleteRecursivelyOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import scala.util.Try
+      Try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Try(Files.delete(f)); () })
+        finally walk.close()
+      }
+      ()
+    }))
+
   /** DuckDB twin of [[Hll.registers]] over `src(grpExpr, itemExpr)`:
     * CTE `r(grp, reg, rho)`. One definition shared by every oracle so
     * the device cannot drift between them.
@@ -113,6 +131,67 @@ object HllQueries {
           $"est_view" + $"est_purchase" - $"est_union")
     },
 
+    "hll_stored" -> { (spark, dir) =>
+      // The DURABLE form: three per-batch register folds persisted to a
+      // real BuildHllStore (registers/batch=<id>/ + per-batch geometry
+      // meta), max-merged at read through the loud geometry gate. The
+      // slices OVERLAP deliberately — event_id % 3 ∈ {0,1}, {1,2},
+      // {2,0} — because max-fold idempotence makes overlap harmless,
+      // the property the additive CMS store must forbid; the oracle
+      // estimates over ALL events directly, so a store that
+      // double-weighted (or lost) an overlapping slice hash-mismatches.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-hll-store-q")
+      deleteRecursivelyOnExit(base)
+      val ev = Tables.events(spark, dir)
+      def slice(ks: Seq[Int], p: String): String = {
+        ev.filter(pmod($"event_id", lit(3)).isin(ks.map(_.toLong): _*))
+          .select($"user_id".as("item"))
+          .write.mode("overwrite").parquet(p); p
+      }
+      val out = s"$base/store"
+      graft.jobs.BuildHllStore.run(spark, slice(Seq(0, 1), s"$base/s0"), out)
+      graft.jobs.BuildHllStore.append(spark, slice(Seq(1, 2), s"$base/s1"), out, "b")
+      graft.jobs.BuildHllStore.append(spark, slice(Seq(2, 0), s"$base/s2"), out, "c")
+      graft.jobs.BuildHllStore.estimate(spark, out)
+        .select($"est_distinct", $"n_zero_regs")
+    },
+
+    "streaming_hll_ingest" -> { (spark, dir) =>
+      // The stream → register-store loop end-to-end: tokens arrive as
+      // files, stream out as per-occurrence (reg, rho) cells (stateless
+      // restatement — append-legal, no watermark, p taken FROM the
+      // target store), max-fold into a real BuildHllStore batch via
+      // compactStreamed, and the stored estimate must equal the direct
+      // register fold the oracle recomputes from raw text. No sidecar,
+      // no supersession — the idempotent-fold contrast made runnable.
+      import spark.implicits._
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-hll-stream-q")
+      deleteRecursivelyOnExit(baseDir)
+      val items = Tables.documents(spark, dir)
+        .select(explode(split($"text", " ")).as("item"))
+      val in = s"$baseDir/in"
+      items.repartition(4).write.parquet(in)
+      val out = s"$baseDir/store"
+      val empty = s"$baseDir/empty"
+      items.limit(0).write.parquet(empty)
+      graft.jobs.BuildHllStore.run(spark, empty, out)
+      val streamed = s"$baseDir/streamed"; val ckpt = s"$baseDir/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("item",
+          org.apache.spark.sql.types.StringType)))
+      ConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try graft.streaming.StreamingJob.runHllIngest(spark, schema,
+          in, streamed, ckpt, storePath = out)
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
+      graft.jobs.BuildHllStore.compactStreamed(spark, streamed, out)
+      graft.jobs.BuildHllStore.estimate(spark, out)
+        .select($"est_distinct", $"n_zero_regs")
+    },
+
     "hll_distinct_tokens" -> { (spark, dir) =>
       // The corpus-shaped use: distinct-token cardinality of the
       // documents table — the vocabulary-size probe a tokenizer-
@@ -171,6 +250,20 @@ object HllQueries {
          |FROM (SELECT est FROM e WHERE grp = 'a') a,
          |     (SELECT est FROM e WHERE grp = 'b') b,
          |     (SELECT est FROM e WHERE grp = 'u') u""".stripMargin,
+
+    // overlapping slices union to ALL events — the direct estimate IS
+    // the idempotence law, cross-engine
+    "hll_stored" ->
+      s"""WITH ${registersCte("events", "1", "user_id")},
+         |$estimateCte
+         |SELECT est_distinct, n_zero_regs FROM e""".stripMargin,
+
+    "streaming_hll_ingest" ->
+      s"""WITH ${registersCte(
+             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents)",
+             "1", "token")},
+         |$estimateCte
+         |SELECT est_distinct, n_zero_regs FROM e""".stripMargin,
 
     "hll_distinct_tokens" ->
       s"""WITH ${registersCte(

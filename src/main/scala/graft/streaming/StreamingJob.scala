@@ -388,6 +388,38 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Continuous ingest into the STORED HyperLogLog register table:
+    * arriving items → per-occurrence (reg, rho) cells
+    * ([[graft.ops.Hll.perRowRegisterCells]] — stateless, so
+    * append-legal with no watermark) → parquet to a FRESH streamed
+    * directory, which [[graft.jobs.BuildHllStore.compactStreamed]]
+    * later max-folds into one batch. p is taken FROM the target store
+    * when given (the narrower-hole rule: a smaller-p ingest is
+    * undetectable at the fold); unlike the additive ingests, a
+    * re-folded or overlapping cell stream cannot skew anything —
+    * register max is idempotent.
+    */
+  def runHllIngest(spark: SparkSession, schema: StructType,
+      inPath: String, outPath: String, checkpointPath: String,
+      itemCol: String = "item", p: Int = graft.ops.Hll.DefaultP,
+      storePath: String = ""): Unit = {
+    guardFreshSinkDir(spark, outPath, "runHllIngest",
+      "BuildHllStore.compactStreamed")
+    val pp = if (storePath.nonEmpty)
+        graft.jobs.BuildHllStore.storeP(spark, storePath, "runHllIngest")
+      else p
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = graft.ops.Hll.perRowRegisterCells(in, itemCol, pp)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runClassify(spark: SparkSession, schema: StructType, inPath: String,
       weights: Map[Long, Long], nBuckets: Int, outPath: String,
       checkpointPath: String): Unit = {

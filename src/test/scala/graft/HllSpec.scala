@@ -157,4 +157,137 @@ class HllSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(folded === direct)
   }
+
+  // ---- the persisted store ----
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  private def write(df: DataFrame, p: String): String = {
+    df.write.mode("overwrite").parquet(p); p
+  }
+
+  private def storeRegs(out: String): Map[Long, Long] =
+    graft.jobs.BuildHllStore.mergedRegisters(spark, out)
+      .as[(Long, Long)].collect().toMap
+
+  test("store lifecycle: run + overlapping appends ≡ one fold of the union") {
+    val base = tmp("hll-store")
+    val out = s"$base/store"
+    // overlapping slices — max-fold idempotence means union semantics
+    graft.jobs.BuildHllStore.run(spark, write(items(600), s"$base/a"), out)
+    graft.jobs.BuildHllStore.append(spark, write(items(900), s"$base/b"), out, "b")
+    graft.jobs.BuildHllStore.append(spark, write(items(1200), s"$base/c"), out, "c")
+    val direct = Hll.registers(items(1200), "item")
+      .as[(Long, Long)].collect().toMap
+    assert(storeRegs(out) === direct)
+    val (est, zero) = graft.jobs.BuildHllStore.estimate(spark, out)
+      .as[(Long, Long)].head()
+    val (wantEst, wantZero) = estimateBig(direct, 8)
+    assert((est, zero) === ((wantEst, wantZero)))
+  }
+
+  test("store: append takes p from the store — a caller cannot diverge") {
+    val base = tmp("hll-storep")
+    val out = s"$base/store"
+    graft.jobs.BuildHllStore.run(spark, write(items(300), s"$base/a"), out, p = 12)
+    graft.jobs.BuildHllStore.append(spark, write(items(500), s"$base/b"), out, "b")
+    assert(graft.jobs.BuildHllStore.storeP(spark, out) === 12)
+    assert(storeRegs(out) ===
+      Hll.registers(items(500), "item", p = 12).as[(Long, Long)].collect().toMap)
+  }
+
+  test("store: a batch claiming a different p refuses by id at merge") {
+    val base = tmp("hll-geom")
+    val out = s"$base/store"
+    graft.jobs.BuildHllStore.run(spark, write(items(300), s"$base/a"), out)
+    // smuggle in a SMALLER-p fold: cells all in range — only the meta
+    // row can catch it
+    Hll.registers(items(200), "item", p = 4)
+      .write.mode("overwrite").parquet(s"$out/registers/batch=rogue")
+    Seq((4, graft.jobs.BuildHllStore.HashDevice)).toDF("p", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=rogue")
+    val e = intercept[IllegalStateException] { storeRegs(out) }
+    assert(e.getMessage.contains("rogue") &&
+      e.getMessage.contains("different geometry"))
+  }
+
+  test("store: orphan register dirs and meta-only ghosts refuse loudly") {
+    val base = tmp("hll-orphan")
+    val out = s"$base/store"
+    graft.jobs.BuildHllStore.run(spark, write(items(300), s"$base/a"), out)
+    Hll.registers(items(100), "item")
+      .write.mode("overwrite").parquet(s"$out/registers/batch=orphan")
+    val e1 = intercept[IllegalStateException] { storeRegs(out) }
+    assert(e1.getMessage.contains("orphan") && e1.getMessage.contains("no meta row"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/registers/batch=orphan"), true)
+    Seq((8, graft.jobs.BuildHllStore.HashDevice)).toDF("p", "hash_device")
+      .write.mode("overwrite").parquet(s"$out/meta/batch=ghost")
+    val e2 = intercept[IllegalStateException] { storeRegs(out) }
+    assert(e2.getMessage.contains("ghost") && e2.getMessage.contains("UNDER-count"))
+  }
+
+  test("store consolidation: fan-in, crash-window reads identical, base kept") {
+    val base = tmp("hll-consol")
+    val out = s"$base/store"
+    graft.jobs.BuildHllStore.run(spark, write(items(400), s"$base/a"), out)
+    graft.jobs.BuildHllStore.append(spark, write(items(800), s"$base/b"), out, "b")
+    graft.jobs.BuildHllStore.append(spark, write(items(1100), s"$base/c"), out, "c")
+    val before = storeRegs(out)
+    // simulate the crash window: copy sources aside, consolidate,
+    // restore the copies — consolidated AND sources readable together
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("b", "c").foreach { b =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$out/registers/batch=$b"), fs,
+        new org.apache.hadoop.fs.Path(s"$base/save-reg-$b"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$out/meta/batch=$b"), fs,
+        new org.apache.hadoop.fs.Path(s"$base/save-meta-$b"), false, conf)
+    }
+    graft.jobs.BuildHllStore.consolidate(spark, out, Seq("b", "c"))
+    assert(storeRegs(out) === before, "post-consolidation merge changed")
+    Seq("b", "c").foreach { b =>
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$base/save-reg-$b"), fs,
+        new org.apache.hadoop.fs.Path(s"$out/registers/batch=$b"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$base/save-meta-$b"), fs,
+        new org.apache.hadoop.fs.Path(s"$out/meta/batch=$b"), false, conf)
+    }
+    assert(storeRegs(out) === before,
+      "sources + consolidated readable together must merge identically " +
+        "(the idempotence property that makes a manifest unnecessary)")
+    intercept[IllegalArgumentException] {
+      graft.jobs.BuildHllStore.consolidate(spark, out, Seq("base", "b"))
+    }
+  }
+
+  test("store: dropBatches is the takedown verb; base is undroppable") {
+    val base = tmp("hll-drop")
+    val out = s"$base/store"
+    graft.jobs.BuildHllStore.run(spark, write(items(400), s"$base/a"), out)
+    graft.jobs.BuildHllStore.append(spark,
+      write(items(900, "zz"), s"$base/b"), out, "takedown-me")
+    graft.jobs.BuildHllStore.dropBatches(spark, out, Seq("takedown-me"))
+    assert(storeRegs(out) ===
+      Hll.registers(items(400), "item").as[(Long, Long)].collect().toMap)
+    intercept[IllegalArgumentException] {
+      graft.jobs.BuildHllStore.dropBatches(spark, out, Seq("base"))
+    }
+  }
+
+  test("store: duplicated appends under two ids cannot skew the estimate") {
+    val base = tmp("hll-dup")
+    val out = s"$base/store"
+    graft.jobs.BuildHllStore.run(spark, write(items(500), s"$base/a"), out)
+    graft.jobs.BuildHllStore.append(spark, write(items(500), s"$base/b"), out, "retry1")
+    graft.jobs.BuildHllStore.append(spark, write(items(500), s"$base/c"), out, "retry2")
+    assert(storeRegs(out) ===
+      Hll.registers(items(500), "item").as[(Long, Long)].collect().toMap)
+  }
 }
