@@ -307,6 +307,19 @@ object Graft {
   /** `sampleExactK` per group — exactly k weighted samples from every
     * domain/language, each with its own τ estimator.
     */
+  /** The MERGEABLE state of [[sampleExactK]]: this slice's top-(k+1)
+    * candidate rows — per-batch tables merge exactly (order-statistic
+    * fold law); persisted form in [[graft.jobs.BuildSampleStore]].
+    */
+  def sampleCandidates(docs: DataFrame, k: Int,
+      weightCol: String = "n_chars"): DataFrame =
+    TextOps.priorityCandidates(docs, k, weightCol)
+  /** Per-row (doc_id, w) sample cells — the streaming-legal restatement
+    * ([[graft.streaming.StreamingJob.runSampleIngest]] streams this).
+    */
+  def sampleCellsPerRow(docs: DataFrame,
+      weightCol: String = "n_chars"): DataFrame =
+    TextOps.sampleCells(docs, weightCol)
   def sampleExactKPerGroup(docs: DataFrame, k: Int,
       groupCol: String = "source", weightCol: String = "n_chars"): DataFrame =
     TextOps.prioritySamplePerGroup(docs, k, groupCol, weightCol)
@@ -394,6 +407,32 @@ object Graft {
   def histogramQuantiles(hist: DataFrame, width: Long,
       qs: Seq[(Int, Int)]): DataFrame =
     Sketches.bucketedQuantiles(hist, width, qs)
+
+  /** Deterministic HyperLogLog distinct counting ([[graft.ops.Hll]]):
+    * md5 register device + exact-integer raw estimator, so the sketch
+    * AND the estimate reproduce cross-engine. Registers merge by
+    * cell-wise max (idempotent — overlapping folds are harmless);
+    * persisted form in [[graft.jobs.BuildHllStore]].
+    */
+  def hllRegisters(df: DataFrame, itemCol: String = "item",
+      p: Int = Hll.DefaultP, groupCols: Seq[String] = Nil): DataFrame =
+    Hll.registers(df, itemCol, p, groupCols)
+  def mergeHllRegisters(tables: Seq[DataFrame], p: Int = Hll.DefaultP,
+      groupCols: Seq[String] = Nil): DataFrame =
+    Hll.mergeRegisters(tables, p, groupCols)
+  def hllEstimate(registerTable: DataFrame, p: Int = Hll.DefaultP,
+      groupCols: Seq[String] = Nil): DataFrame =
+    Hll.estimate(registerTable, p, groupCols)
+  def distinctEstimate(df: DataFrame, itemCol: String = "item",
+      p: Int = Hll.DefaultP, groupCols: Seq[String] = Nil): DataFrame =
+    Hll.distinctEstimate(df, itemCol, p, groupCols)
+  /** Per-occurrence register cells — the streaming-legal restatement of
+    * [[hllRegisters]] ([[graft.streaming.StreamingJob.runHllIngest]]
+    * streams exactly this).
+    */
+  def hllRegisterCellsPerRow(df: DataFrame, itemCol: String = "item",
+      p: Int = Hll.DefaultP, groupCols: Seq[String] = Nil): DataFrame =
+    Hll.perRowRegisterCells(df, itemCol, p, groupCols)
 
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,

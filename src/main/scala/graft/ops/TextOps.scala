@@ -874,22 +874,48 @@ object TextOps {
             " long priority numerator; rescale the weight column"))))
       .otherwise(col(weightCol).cast("long")).as("w")
 
-  def prioritySample(df: DataFrame, k: Int, weightCol: String = "n_chars",
-      idCol: String = "doc_id"): DataFrame = {
-    require(k >= 1, s"prioritySample: k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
+  /** The DLT priority of a (idCol, w) table — the ONE definition of the
+    * device (md5 uniform u ∈ [1, 65536], priority = w·65536/u in ONE
+    * IEEE division of exact integers) shared by the in-memory sampler,
+    * the per-group sampler's restatement, and the stored candidate
+    * read path, so the ordering cannot drift between them.
+    */
+  private[graft] def withPriority(df: DataFrame, idCol: String): DataFrame = {
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("long") + 1
-    val topk1 = df.select(col(idCol), guardedWeight(weightCol, idCol,
-        "prioritySample"))
-      .withColumn("priority",
-        (col("w") * 65536L).cast("double") / u.cast("double"))
+    df.withColumn("priority",
+      (col("w") * 65536L).cast("double") / u.cast("double"))
+  }
+
+  /** The MERGEABLE state of a priority sample: the top-(k+1) candidate
+    * rows (idCol, w, priority) of this slice. Order-statistic fold law:
+    * the top-(k+1) of a union is contained in the union of per-slice
+    * top-(k+1)s, so per-batch candidate tables merge EXACTLY (dedup
+    * identical rows, re-rank, cut) — the persistence unit
+    * [[graft.jobs.BuildSampleStore]] stores, and the restatement
+    * [[prioritySample]] composes over. Rides TakeOrderedAndProject
+    * (bounded, distributed — never a full sort).
+    */
+  def priorityCandidates(df: DataFrame, k: Int,
+      weightCol: String = "n_chars", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"priorityCandidates: k must be >= 1, got $k")
+    withPriority(df.select(col(idCol),
+        guardedWeight(weightCol, idCol, "priorityCandidates")), idCol)
       .orderBy(col("priority").desc, col(idCol))
       .limit(k + 1)
+  }
+
+  /** Rank candidates, derive τ (the (k+1)-th priority over EVERYTHING
+    * given — 0 when ≤ k rows exist, then est_w = w exactly), and emit
+    * the sample rows. Accepts MORE than k+1 candidates (the merged
+    * multi-batch read path) — the window and τ then run over the merged
+    * set, which is exactly the DLT estimator over the union.
+    */
+  private[graft] def sampleFromCandidates(cands: DataFrame, k: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(col("priority").desc, col(idCol))
-    val ranked = topk1.withColumn("rk", row_number().over(w))
-    // τ = the (k+1)-th priority; 0 when the corpus has ≤ k rows (then
-    // every row is sampled and est_w = w exactly)
+    val ranked = cands.withColumn("rk", row_number().over(w))
     val tau = ranked.agg(coalesce(min(when(col("rk") === k + 1,
       col("priority"))), lit(0.0)).as("tau"))
     ranked.filter(col("rk") <= k)
@@ -898,6 +924,25 @@ object TextOps {
         greatest(col("w").cast("double"), col("tau")).as("est_w"),
         col("rk").cast("long").as("rk"))
   }
+
+  def prioritySample(df: DataFrame, k: Int, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"prioritySample: k must be >= 1, got $k")
+    sampleFromCandidates(priorityCandidates(df, k, weightCol, idCol),
+      k, idCol)
+  }
+
+  /** Per-row (doc_id, w) sample cells — the streaming-legal restatement
+    * of [[priorityCandidates]] (a stateless guarded projection;
+    * [[graft.streaming.StreamingJob.runSampleIngest]] streams exactly
+    * this, and [[graft.jobs.BuildSampleStore.compactStreamed]] folds it
+    * with the shared top-(k+1) cut). Weights are guarded here so a bad
+    * row refuses at the source, not after it has skewed a fold.
+    */
+  def sampleCells(df: DataFrame, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      guardedWeight(weightCol, idCol, "sampleCells"))
 
   /** Per-GROUP priority sampling — exactly `k` weighted samples from
     * EVERY group (per-domain/per-language training budgets), with the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,35 @@ object TextQueries {
       java.security.MessageDigest.getInstance("MD5")
         .digest(seed.getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString.substring(0, 15), 16)
+
+  /** Shared one-shot DLT oracle (k = 25) for the stored and streamed
+    * sample-store queries — one definition so the two cannot drift.
+    */
+  private val SampleK25Oracle: String =
+    """WITH s AS (SELECT doc_id, n_chars AS w,
+      |                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT + 1) AS u
+      |           FROM documents),
+      |p AS (SELECT doc_id, w, (w * 65536)::DOUBLE / u::DOUBLE AS priority,
+      |             row_number() OVER (ORDER BY (w * 65536)::DOUBLE / u::DOUBLE DESC, doc_id) AS rk
+      |      FROM s),
+      |t AS (SELECT coalesce(min(CASE WHEN rk = 26 THEN priority END), 0.0) AS tau
+      |      FROM p WHERE rk <= 26)
+      |SELECT doc_id, w, priority, greatest(w::DOUBLE, tau) AS est_w, rk::BIGINT AS rk
+      |FROM p CROSS JOIN t WHERE rk <= 25
+      |ORDER BY rk""".stripMargin
+
+  private def deleteRecursivelyOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import scala.util.Try
+      Try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Try(Files.delete(f)); () })
+        finally walk.close()
+      }
+      ()
+    }))
 
   /** One unrolled BPE round for the `bpe_train_merges`/`bpe_encode`
     * oracles: count adjacent symbol pairs of round i−1's canonical
@@ -608,6 +637,66 @@ object TextQueries {
       TextOps.prioritySamplePerGroup(Tables.documents(spark, dir),
           k = 20, groupCol = "lang")
         .orderBy("lang", "rk")
+    },
+
+    "priority_sample_stored" -> { (spark, dir) =>
+      // The DURABLE form of the exact-k weighted sample: three
+      // per-batch top-(k+1) candidate folds persisted to a real
+      // BuildSampleStore (the ORDER-STATISTIC member of the summary
+      // family — idempotent like the HLL max-fold, so the middle slice
+      // deliberately OVERLAPS the base), merged at read through the
+      // loud (k, device) gate, re-ranked, τ derived from the merged
+      // (k+1)-th. The oracle runs the one-shot DLT sampler over ALL
+      // documents — equality IS the order-statistic fold law
+      // cross-engine: est_w depends on τ, so a store that lost or
+      // double-kept any candidate row mismatches.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-sample-store-q")
+      deleteRecursivelyOnExit(base)
+      val docs = Tables.documents(spark, dir)
+      def slice(cond: Column, p: String): String = {
+        docs.filter(cond).select($"doc_id", $"n_chars")
+          .write.mode("overwrite").parquet(p); p
+      }
+      val out = s"$base/store"
+      graft.jobs.BuildSampleStore.run(spark,
+        slice($"doc_id" % 3 === 0, s"$base/s0"), out, k = 25)
+      graft.jobs.BuildSampleStore.append(spark,
+        slice($"doc_id" % 3 <= 1, s"$base/s1"), out, "b")
+      graft.jobs.BuildSampleStore.append(spark,
+        slice($"doc_id" % 3 === 2, s"$base/s2"), out, "c")
+      graft.jobs.BuildSampleStore.sample(spark, out).orderBy("rk")
+    },
+
+    "streaming_sample_ingest" -> { (spark, dir) =>
+      // The stream → sample-store loop: docs arrive as files, stream
+      // out as rank-free guarded (doc_id, w) cells (no k exists at
+      // ingest — the family's one geometry hazard cannot arise on this
+      // path), fold into a BuildSampleStore batch via the shared
+      // top-(k+1) cut, and the stored sample must equal the one-shot
+      // DLT sampler the oracle recomputes.
+      import spark.implicits._
+      val baseDir = java.nio.file.Files.createTempDirectory("graft-sample-stream-q")
+      deleteRecursivelyOnExit(baseDir)
+      val docs = Tables.documents(spark, dir)
+      val in = s"$baseDir/in"
+      docs.select($"doc_id", $"n_chars").repartition(4)
+        .write.mode("overwrite").parquet(in)
+      val out = s"$baseDir/store"
+      val empty = s"$baseDir/empty"
+      docs.limit(0).select($"doc_id", $"n_chars")
+        .write.mode("overwrite").parquet(empty)
+      graft.jobs.BuildSampleStore.run(spark, empty, out, k = 25)
+      val streamed = s"$baseDir/streamed"; val ckpt = s"$baseDir/ckpt"
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      graft.streaming.StreamingJob.runSampleIngest(spark, schema,
+        in, streamed, ckpt)
+      graft.jobs.BuildSampleStore.compactStreamed(spark, streamed, out)
+      graft.jobs.BuildSampleStore.sample(spark, out).orderBy("rk")
     },
 
     "classifier_score" -> { (spark, dir) =>
@@ -1259,6 +1348,12 @@ object TextQueries {
         |       greatest(w::DOUBLE, tau) AS est_w, rk::BIGINT AS rk
         |FROM p JOIN t ON p.lang = t.lang WHERE rk <= 20
         |ORDER BY p.lang, rk""".stripMargin,
+
+    // the one-shot DLT sampler over ALL documents at k=25 — equality
+    // with the three-batch store IS the order-statistic fold law
+    "priority_sample_stored" -> SampleK25Oracle,
+
+    "streaming_sample_ingest" -> SampleK25Oracle,
 
     // the same md5 bucket + md5-derived weight table, exact integer sum
     "classifier_score" ->

@@ -420,6 +420,32 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** Continuous ingest into the STORED priority sample: arriving docs →
+    * guarded (doc_id, w) cells ([[graft.ops.TextOps.sampleCells]],
+    * stateless/append-legal) → parquet to a FRESH streamed directory
+    * for [[graft.jobs.BuildSampleStore.compactStreamed]]'s top-(k+1)
+    * fold. No k at ingest at all — the cells are rank-free, so the one
+    * geometry hazard of the family (a smaller-k fold under-covering
+    * silently) cannot even arise on this path; the store applies its
+    * pinned k at the fold.
+    */
+  def runSampleIngest(spark: SparkSession, schema: StructType,
+      inPath: String, outPath: String, checkpointPath: String,
+      weightCol: String = "n_chars", idCol: String = "doc_id"): Unit = {
+    guardFreshSinkDir(spark, outPath, "runSampleIngest",
+      "BuildSampleStore.compactStreamed")
+    val in = spark.readStream.schema(schema).parquet(inPath)
+    val q = graft.ops.TextOps.sampleCells(in, weightCol, idCol)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   def runClassify(spark: SparkSession, schema: StructType, inPath: String,
       weights: Map[Long, Long], nBuckets: Int, outPath: String,
       checkpointPath: String): Unit = {

@@ -62,7 +62,16 @@ object Soak {
     // while the read side stays summary-bounded (merge over tiny
     // tables, pruned term buckets)
     "heavy_hitters_stored", "quantiles_stored", "novel_docs_stored",
-    "ranked_search_deleted")
+    "ranked_search_deleted",
+    // r11 HLL: the register fold is the extreme case of the summary
+    // bound — ≤ 2^p rows per task whatever the corpus — so the token
+    // sketch should grow with exactly the one corpus pass (≈ linear,
+    // dominated by the explode+scan), and the stored form measures
+    // three overlapping persisted folds plus the max-merge read
+    "hll_distinct_tokens", "hll_stored",
+    // r11 sample store: three TakeOrderedAndProject folds (top-(k+1)
+    // each, never a full sort) + the tiny merged re-rank
+    "priority_sample_stored")
 
   /** The super-linear soakers (r9 verdict #4): one 10× point can't
     * distinguish m^1.2 from m^1.5 — for these two, the soak adds a 3×

@@ -37,7 +37,8 @@ class FacadeSpec extends AnyFunSuite {
     "Skew" -> graft.ops.Skew,
     "TopK" -> graft.ops.TopK,
     "Search" -> graft.ops.Search,
-    "Sketches" -> graft.ops.Sketches)
+    "Sketches" -> graft.ops.Sketches,
+    "Hll" -> graft.ops.Hll)
 
   /** Deliberately unfacaded: internals of a public op's pipeline
     * (callers go through the composed op), plus per-stage forms whose
@@ -67,7 +68,11 @@ class FacadeSpec extends AnyFunSuite {
     "assignClusters", "assignClustersL2", "pqSubVectors", "pqCodeTuple",
     "quantVectors", "srpBands", "srpBitsCentered",
     // binary-ingest constructor used by tests/fixtures, not an engine op
-    "fromText")
+    "fromText",
+    // shared DLT bodies behind prioritySample (facaded) and the stored
+    // BuildSampleStore read path — private[graft], public only in
+    // bytecode
+    "withPriority", "sampleFromCandidates")
 
   test("every public Dataset-returning op is reachable from Graft/Functions") {
     val facadeSrc = Seq("src/main/scala/graft/Graft.scala",

@@ -1396,14 +1396,15 @@ class JobsSpec extends SparkSpec {
       "post-migration consolidation must not change scores")
   }
 
-  test("scheduler: one hourly chain across ALL FIVE stores survives a crash at every stage boundary") {
+  test("scheduler: one hourly chain across ALL SEVEN stores survives a crash at every stage boundary") {
     // r10 verdict task 6, widened to the full store family: the crash
     // contracts were pinned pairwise but never end-to-end. One chain
     // per hour — sessionize → dedup-index append → text-index append →
-    // sketch-store append → profile-store append → bloom-store append —
-    // driven over three hours with an injected crash at a DIFFERENT
-    // stage boundary each hour (early, middle, and after the last
-    // commit i.e. the committed-but-unmarked window). The resumed flow
+    // sketch-store append → profile-store append → bloom-store append →
+    // hll-store append → sample-store append — driven over three hours
+    // with an injected crash at a DIFFERENT stage boundary each hour
+    // (early, middle, and after the last commit i.e. the
+    // committed-but-unmarked window). The resumed flow
     // must leave every store byte-identical to a never-failed run:
     // each append is idempotent per batch id, so the whole-hour re-run
     // the marker forces must converge everywhere.
@@ -1425,19 +1426,22 @@ class JobsSpec extends SparkSpec {
         .write.parquet(s"$base/items$hh")
       slice.select(size(split($"text", " ")).cast("long").as("doc_len"))
         .write.parquet(s"$base/lens$hh")
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", $"n_chars").write.parquet(s"$base/weights$hh")
       docs.filter($"doc_id" < hi).select($"doc_id", $"text")
         .write.parquet(s"$base/corpus$hh")
     }
     val emptyItems = s"$base/items0"
     docs.limit(0).select(explode(split($"text", " ")).as("item"))
       .write.parquet(emptyItems)
+    docs.limit(0).select($"doc_id", $"n_chars").write.parquet(s"$base/weights0")
     docs.filter($"doc_id" < 300)
       .select(size(split($"text", " ")).cast("long").as("doc_len"))
       .write.parquet(s"$base/lens0")
 
     // crashAfter(hour) = the stage index whose completion triggers the
     // one injected crash for that hour (0-based stages: 0 sessionize,
-    // 1 dedup, 2 text, 3 sketch, 4 profile, 5 bloom)
+    // 1 dedup, 2 text, 3 sketch, 4 profile, 5 bloom, 6 hll, 7 sample)
     def chain(root: String,
         crashAfter: scala.collection.mutable.Map[String, Int])(
         d: String, hh: String): Unit = {
@@ -1464,6 +1468,15 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildBloomStore.append(spark, s"$base/docs$hh",
         s"$root/bloom", batchId = s"${d}T$hh")
       maybeCrash(5)
+      // the max-fold member: idempotent per id AND across ids, so the
+      // whole-hour re-run the marker forces is trivially convergent
+      graft.jobs.BuildHllStore.append(spark, s"$base/items$hh",
+        s"$root/hll", batchId = s"${d}T$hh")
+      maybeCrash(6)
+      // the order-statistic member: same idempotence argument as hll
+      graft.jobs.BuildSampleStore.append(spark, s"$base/weights$hh",
+        s"$root/sample", batchId = s"${d}T$hh")
+      maybeCrash(7)
     }
     def build(root: String): Unit = {
       graft.jobs.BuildDedupIndex.run(spark, seenP, s"$root/dedup")
@@ -1472,6 +1485,9 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildProfileStore.run(spark, s"$base/lens0",
         s"$root/profile", "doc_len", 16L)
       graft.jobs.BuildBloomStore.run(spark, seenP, s"$root/bloom")
+      graft.jobs.BuildHllStore.run(spark, emptyItems, s"$root/hll")
+      graft.jobs.BuildSampleStore.run(spark, s"$base/weights0",
+        s"$root/sample", k = 10)
     }
     def drive(root: String, state: String,
         crashAfter: scala.collection.mutable.Map[String, Int]): Unit = {
@@ -1494,11 +1510,11 @@ class JobsSpec extends SparkSpec {
       assert(done, "chain never completed")
     }
     // flow A: hour 10 crashes after its dedup commit, hour 11 after its
-    // profile commit, hour 12 after its bloom commit (committed-but-
+    // profile commit, hour 12 after its sample commit (committed-but-
     // unmarked everywhere — the widest window)
     build(s"$base/a")
     drive(s"$base/a", s"$base/a/state",
-      scala.collection.mutable.Map("10" -> 1, "11" -> 4, "12" -> 5))
+      scala.collection.mutable.Map("10" -> 1, "11" -> 4, "12" -> 7))
     // flow B: never fails
     build(s"$base/b")
     drive(s"$base/b", s"$base/b/state",
@@ -1555,6 +1571,23 @@ class JobsSpec extends SparkSpec {
           .select(explode(split($"text", " ")).as("item")))
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap,
       "crash-flow sketch store must equal the whole-stream fold")
+    def hregs(root: String) =
+      graft.jobs.BuildHllStore.mergedRegisters(spark, s"$root/hll")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hregs(s"$base/a") == hregs(s"$base/b"), "hll store diverged")
+    assert(hregs(s"$base/a") == graft.ops.Hll.registers(
+        docs.filter($"doc_id" >= 300)
+          .select(explode(split($"text", " ")).as("item")), "item")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "crash-flow hll store must equal the whole-stream register fold")
+    def samp(root: String) =
+      graft.jobs.BuildSampleStore.sample(spark, s"$root/sample")
+        .collect().map(_.toSeq).toSeq
+    assert(samp(s"$base/a") == samp(s"$base/b"), "sample store diverged")
+    assert(samp(s"$base/a") == graft.ops.TextOps.prioritySample(
+        docs.filter($"doc_id" >= 300).select($"doc_id", $"n_chars"), 10)
+      .collect().map(_.toSeq).toSeq,
+      "crash-flow sample store must equal the one-shot DLT sample")
   }
 
   test("text-store deletion: all four query shapes == rebuild-without-docs; consolidation applies physically") {

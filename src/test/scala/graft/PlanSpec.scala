@@ -265,7 +265,16 @@ class PlanSpec extends SparkSpec {
       "bucketed_quantiles" -> 6, // measured 6: bucket agg + single-partition cum window + total agg + target/bucket range join + sort — every post-histogram stage runs over ≤ range/width rows
       "quantiles_stored" -> 6,   // measured 6: same read shape; the three per-batch folds ran at build time
       "novel_docs_stored" -> 9,  // measured 9: merged-filter bit_or agg + increment probe agg + confirmed distinct + verdict sort; every join is broadcast, the seen corpus never exchanges
-      "heavy_hitters_retracted" -> 8) // measured 8: base fold + negated retract fold ran at build; read side matches heavy_hitters_stored (merge + validity + re-agg + survivor agg + sort)
+      "heavy_hitters_retracted" -> 8, // measured 8: base fold + negated retract fold ran at build; read side matches heavy_hitters_stored (merge + validity + re-agg + survivor agg + sort)
+      // deterministic-HLL family: the register fold is ONE map-side-
+      // combined agg (≤ 2^p rows per task reach the exchange)
+      "hll_registers" -> 2,      // measured 2: register fold + presentation sort
+      "hll_distinct_tokens" -> 2, // measured 2: register fold + 1-row estimate agg
+      "hll_merge_slices" -> 4,   // measured 4: three slice folds + merged fold; the estimate agg rides the merged exchange
+      "hll_distinct_users" -> 6, // measured 6: grouped fold + estimate agg + exact countDistinct (2) + join + sort
+      "hll_intersect_types" -> 9, // measured 9: two side folds + union re-fold + three 1-row estimate aggs; joins broadcast
+      "hll_stored" -> 2,          // measured 2 (read side; the three folds ran at build): merged max agg + 1-row estimate agg
+      "priority_sample_stored" -> 4) // measured 4: merged distinct + conflict agg + single-partition rank window + presentation sort — all over ≤ batches·(k+1) rows
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
