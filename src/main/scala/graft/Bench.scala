@@ -216,6 +216,7 @@ object Bench {
       graft.ops.Graph.releaseCaches()
       graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
+      graft.ops.Associations.releaseCaches()
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load

@@ -434,6 +434,14 @@ object Graft {
       p: Int = Hll.DefaultP, groupCols: Seq[String] = Nil): DataFrame =
     Hll.perRowRegisterCells(df, itemCol, p, groupCols)
 
+  // market-basket association mining
+  def basketPairCounts(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 1024): DataFrame =
+    Associations.pairCounts(df, basketCol, itemCol, maxBasket)
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, maxBasket: Int = 1024): DataFrame =
+    Associations.rules(df, basketCol, itemCol, minSupport, maxBasket)
+
   // embedding dedup / layout
   def embeddingNearDuplicates(corpus: DataFrame, centroids: DataFrame,
       thresholdPct: Int): DataFrame =

@@ -37,6 +37,7 @@ object Verify {
       graft.ops.Graph.releaseCaches()
       graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
+      graft.ops.Associations.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

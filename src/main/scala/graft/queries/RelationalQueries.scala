@@ -596,6 +596,32 @@ object RelationalQueries {
         .limit(20)
     },
 
+    "basket_pair_support" -> { (spark, dir) =>
+      // Market-basket pair supports: parts bought together in >= 2
+      // orders, counted by ONE fact shuffle + in-row pair expansion
+      // (never a two-sided self-join) — the coPurchaseEdges shape
+      // promoted to a mining op with a LOUD basket-size cap.
+      import spark.implicits._
+      graft.ops.Associations.pairCounts(Tables.lineitem(spark, dir),
+          "l_orderkey", "l_partkey")
+        .filter($"n_both" >= 2)
+        .orderBy($"item_a", $"item_b")
+    },
+
+    "basket_rules" -> { (spark, dir) =>
+      // Directed association rules at support >= 3 with exact integer
+      // confidence (milli) and lift (micro, decimal-formed so
+      // 10^6·n_both·N cannot overflow at 10^9-basket scale): the
+      // a-priori prune applies support BEFORE any per-rule statistics,
+      // and the per-item support table broadcasts. Both engines run
+      // the identical floor divisions, so even the lift ORDERING is
+      // cross-engine exact.
+      import spark.implicits._
+      graft.ops.Associations.rules(Tables.lineitem(spark, dir),
+          "l_orderkey", "l_partkey", minSupport = 3L)
+        .orderBy($"lift_micro".desc, $"antecedent", $"consequent")
+    },
+
     "approx_distinct_parts" -> { (spark, dir) =>
       // HLL sketch — approximate by design, so no DuckDB oracle (driver
       // records a rows-only check). The 100 TB answer to COUNT(DISTINCT).
@@ -1007,6 +1033,35 @@ object RelationalQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "basket_pair_support" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |p AS (SELECT a.i AS item_a, bb.i AS item_b, count(*) AS n_both
+        |      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_both FROM p
+        |WHERE n_both >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |p AS (SELECT a.i AS item_a, bb.i AS item_b, count(*) AS n_both
+        |      FROM b a JOIN b bb ON a.o = bb.o AND a.i < bb.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |s AS (SELECT i, count(DISTINCT o) AS n_item FROM b GROUP BY 1),
+        |n AS (SELECT count(DISTINCT o) AS n_baskets FROM b),
+        |d AS (SELECT item_a AS antecedent, item_b AS consequent, n_both FROM p
+        |      UNION ALL
+        |      SELECT item_b, item_a, n_both FROM p)
+        |SELECT antecedent, consequent, n_both,
+        |       sa.n_item AS n_ante, sc.n_item AS n_cons, n_baskets,
+        |       ((1000 * n_both) // sa.n_item)::BIGINT AS confidence_milli,
+        |       ((1000000::HUGEINT * n_both * n_baskets) //
+        |        (sa.n_item::HUGEINT * sc.n_item))::BIGINT AS lift_micro
+        |FROM d JOIN s sa ON sa.i = d.antecedent
+        |       JOIN s sc ON sc.i = d.consequent
+        |       CROSS JOIN n
+        |ORDER BY lift_micro DESC, antecedent, consequent""".stripMargin,
+
     "pagerank_parts" ->
       s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
          |           FROM lineitem a JOIN lineitem b

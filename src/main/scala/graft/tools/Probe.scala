@@ -99,6 +99,8 @@ object Probe {
         graft.ops.Graph.releaseCaches()
         graft.ops.TextOps.releaseCaches()
         graft.ops.Search.releaseCaches()
+      graft.ops.Associations.releaseCaches()
+        graft.ops.Associations.releaseCaches()
       }
     }
     spark.stop()

@@ -242,6 +242,7 @@ object Soak {
       graft.ops.Dedup.releaseCaches(); graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches(); graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
+      graft.ops.Associations.releaseCaches()
       dt
     }
     times.min

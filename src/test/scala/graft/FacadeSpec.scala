@@ -38,7 +38,8 @@ class FacadeSpec extends AnyFunSuite {
     "TopK" -> graft.ops.TopK,
     "Search" -> graft.ops.Search,
     "Sketches" -> graft.ops.Sketches,
-    "Hll" -> graft.ops.Hll)
+    "Hll" -> graft.ops.Hll,
+    "Associations" -> graft.ops.Associations)
 
   /** Deliberately unfacaded: internals of a public op's pipeline
     * (callers go through the composed op), plus per-stage forms whose

@@ -2560,4 +2560,37 @@ class OpsSpec extends SparkSpec {
     assert(got(1L) == (5L, 3L))
     assert(got(2L) == (0L, 0L))
   }
+
+  test("association rules: hand-computed fixture, dedup, both directions") {
+    // b1:{1,2,3} (item 1 repeated — must dedup), b2:{1,2}, b3:{1,2},
+    // b4:{2,4}. Pairs: (1,2)=3, (1,3)=1, (2,3)=1, (2,4)=1.
+    val df = Seq((10L, 1L), (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L), (40L, 2L), (40L, 4L))
+      .toDF("basket", "item")
+    val pairs = graft.ops.Associations.pairCounts(df, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs === Map((1L, 2L) -> 3L, (1L, 3L) -> 1L,
+      (2L, 3L) -> 1L, (2L, 4L) -> 1L))
+    // rules at support 3: only (1,2) survives; supports 1→3, 2→4, N=4
+    val rules = graft.ops.Associations.rules(df, "basket", "item", 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // 1→2: conf = 1000·3/3 = 1000; lift = 10⁶·3·4/(3·4) = 10⁶
+    assert(rules === Map(
+      (1L, 2L) -> ((3L, 3L, 4L, 4L, 1000L, 1000000L)),
+      (2L, 1L) -> ((3L, 4L, 3L, 4L, 750L, 1000000L))))
+  }
+
+  test("association rules: oversized baskets raise in-row, never truncate") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L))
+      .toDF("basket", "item")
+    val e = intercept[Exception] {
+      graft.ops.Associations.pairCounts(df, "basket", "item",
+        maxBasket = 2).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("quadratic") ||
+        Option(e.getCause).exists(_.getMessage.contains("quadratic"))))
+  }
 }

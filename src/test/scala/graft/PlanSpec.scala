@@ -274,7 +274,12 @@ class PlanSpec extends SparkSpec {
       "hll_distinct_users" -> 6, // measured 6: grouped fold + estimate agg + exact countDistinct (2) + join + sort
       "hll_intersect_types" -> 9, // measured 9: two side folds + union re-fold + three 1-row estimate aggs; joins broadcast
       "hll_stored" -> 2,          // measured 2 (read side; the three folds ran at build): merged max agg + 1-row estimate agg
-      "priority_sample_stored" -> 4) // measured 4: merged distinct + conflict agg + single-partition rank window + presentation sort — all over ≤ batches·(k+1) rows
+      "priority_sample_stored" -> 4, // measured 4: merged distinct + conflict agg + single-partition rank window + presentation sort — all over ≤ batches·(k+1) rows
+      // basket mining: ONE fact pass (the distinct into the registered
+      // cache); every later exchange moves candidate- or catalog-sized
+      // rows read FROM the cache, never the fact again
+      "basket_pair_support" -> 3, // measured 3: basket collect_set + pair agg + presentation sort
+      "basket_rules" -> 11)       // measured 11: cached distinct + basket/pair aggs + item-support agg + 1-row basket count (2) + 3 broadcasts + sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
@@ -282,6 +287,7 @@ class PlanSpec extends SparkSpec {
       graft.ops.Dedup.releaseCaches()
       graft.ops.Similarity.releaseCaches()
       graft.ops.Search.releaseCaches()
+      graft.ops.Associations.releaseCaches()
     }
   }
 
