@@ -75,6 +75,24 @@ object SketchBounds {
         (k, q, got, lo, hi, got >= lo && got <= hi)
       }.sortBy(r => (r._1, r._2)).toSeq
 
+    // --- the repo's OWN deterministic HLL (graft.ops.Hll, p = 8) on the
+    // same column, beside its exact counts. Unlike the two entries
+    // above this family IS hash-oracled (the estimate is exact integer
+    // arithmetic) — these rows document its ACCURACY, which no oracle
+    // can: bound 3σ = 3·1.04/√256 ≈ 19.5%, applicable only in the raw
+    // estimator's design regime (exact ≥ 5/2·m; below it the raw form
+    // over-corrects by design and consumers apply linear counting on
+    // the emitted n_zero_regs).
+    val detEst = graft.ops.Hll.distinctEstimate(li, "l_partkey",
+        groupCols = Seq("l_returnflag")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val detGroups = exactD.toSeq.sortBy(_._1).map { case (k, ex) =>
+      val est = detEst(k)
+      val rel = if (ex == 0) 0.0 else math.abs(est - ex).toDouble / ex
+      val inRegime = ex >= 640L // 5/2 · 256
+      (k, ex, est, rel, inRegime, !inRegime || rel <= 0.195)
+    }
+
     val fmt = (d: Double) =>
       BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
     val hllJson = hllGroups.map { case (k, ex, ap, rel, ok) =>
@@ -83,9 +101,14 @@ object SketchBounds {
     val pctJson = pctGroups.map { case (k, q, got, lo, hi, ok) =>
       s"""{"key":"$k","q":$q,"approx":${fmt(got)},"rank_lo":${fmt(lo)},"rank_hi":${fmt(hi)},"ok":$ok}"""
     }.mkString("[", ",", "]")
-    val allOk = hllGroups.forall(_._5) && pctGroups.forall(_._6)
+    val detJson = detGroups.map { case (k, ex, est, rel, inRegime, ok) =>
+      s"""{"key":"$k","exact":$ex,"est":$est,"rel_err":${fmt(rel)},"in_design_regime":$inRegime,"ok":$ok}"""
+    }.mkString("[", ",", "]")
+    val allOk = hllGroups.forall(_._5) && pctGroups.forall(_._6) &&
+      detGroups.forall(_._6)
     s"""{"sf":"$sfDir","all_within_bounds":$allOk,""" +
       s""""approx_distinct_parts":{"sketch":"HLL++","rsd":0.05,"bound":"rel_err <= 0.15 (3*rsd)","groups":$hllJson},""" +
-      s""""approx_percentiles":{"sketch":"percentile_approx","accuracy":10000,"bound":"value between exact order stats at rank +/- (n/accuracy+1)","groups":$pctJson}}"""
+      s""""approx_percentiles":{"sketch":"percentile_approx","accuracy":10000,"bound":"value between exact order stats at rank +/- (n/accuracy+1)","groups":$pctJson},""" +
+      s""""hll_deterministic":{"sketch":"graft.ops.Hll raw estimator","p":8,"bound":"rel_err <= 0.195 (3*1.04/sqrt(256)) when exact >= 640","groups":$detJson}}"""
   }
 }

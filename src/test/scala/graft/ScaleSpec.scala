@@ -992,4 +992,31 @@ class ScaleSpec extends SparkSpec {
       Seq(("the", n)))
     info(f"10^6-doc search family: ranked $secsRank%.1fs, phrase $secsPhrase%.1fs, cms-heavy $secsHh%.1fs")
   }
+
+  test("HLL register fold stays 2^p-bounded on a 10^7-occurrence stream") {
+    import graft.ops.Hll
+    // the summary-bound claim at its extreme: 10^7 occurrences of 10^6
+    // distinct items fold to at most m = 4096 register rows, with the
+    // max collapsing map-side (partial_max below the exchange) so each
+    // task ships ≤ m rows whatever its input size. The estimate must
+    // land in the 3σ band (σ = 1.04/√4096 ≈ 1.6%) — measured accuracy
+    // at a scale the oracle fixtures never reach.
+    val n = 10000000L
+    val distinct = 1000000L
+    val occ = spark.range(n)
+      .select(concat(lit("item"), pmod($"id", lit(distinct))).as("item"))
+    val regs = Hll.registers(occ, "item", p = 12)
+    val plan = regs.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      "the register fold must collapse map-side via partial aggregation")
+    val t0 = System.nanoTime()
+    val nRegs = regs.count()
+    val secsFold = (System.nanoTime() - t0) / 1e9
+    assert(nRegs <= 4096L,
+      s"register table must stay <= 2^p rows regardless of input ($nRegs)")
+    val est = Hll.estimate(regs, p = 12).head().getLong(0)
+    val rel = math.abs(est - distinct).toDouble / distinct
+    info(f"10^7-occurrence HLL fold: $secsFold%.1fs, est=$est rel_err=$rel%.4f")
+    assert(rel <= 0.049, f"estimate outside the 3-sigma band: $rel%.4f")
+  }
 }
