@@ -175,10 +175,16 @@ object Hll {
     val dec = "decimal(38,0)"
     // 2^(61-rho) fits int64 for rho >= 1; the SUM is what needs decimal
     val term = expr("shiftleft(cast(1 as bigint), cast(61 - rho as int))")
+    // coalesce: a global estimate over an EMPTY register table (a
+    // fresh store before any fold) aggregates zero rows into one row
+    // whose sum is NULL — the coalesce makes S = m·2^61 and the
+    // estimate the raw form's genuine all-registers-empty value
+    // (⌊alpha_m·m⌋, with n_zero_regs = m flagging the linear-counting
+    // regime where LC gives the true 0), never a silent NULL
     val perGroup = registerTable
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_regs"),
-        sum(term.cast(dec)).as("s_present"))
+        coalesce(sum(term.cast(dec)), lit(0L).cast(dec)).as("s_present"))
     val two61 = lit(1L << 61).cast(dec)
     val s = col("s_present") +
       (lit(mm).cast(dec) - col("n_regs").cast(dec)) * two61

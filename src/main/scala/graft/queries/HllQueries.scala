@@ -192,6 +192,27 @@ object HllQueries {
         .select($"est_distinct", $"n_zero_regs")
     },
 
+    "hll_sliding_users" -> { (spark, dir) =>
+      // Sliding-window distinct counts WITHOUT rescans — the register-
+      // reuse pattern: fold once per day (≤ m rows each), then every
+      // 3-day window is a max-merge of three tiny tables + one
+      // estimate. At 100 TB the daily fold is the only corpus pass;
+      // 30/90/365-day windows all read the same persisted folds. The
+      // oracle recomputes the window merge from scratch, so the whole
+      // day-bucket + merge + estimate composition is pinned.
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .withColumn("day", date_format($"ts", "yyyy-MM-dd"))
+      val daily = Hll.registers(ev, "user_id", groupCols = Seq("day"))
+      val days = daily.select($"day".as("window_end")).distinct()
+      val merged = daily.join(broadcast(days),
+          datediff(to_date($"window_end"), to_date($"day"))
+            .between(0, 2))
+        .groupBy($"window_end", $"reg").agg(max($"rho").as("rho"))
+      Hll.estimate(merged, groupCols = Seq("window_end"))
+        .orderBy($"window_end")
+    },
+
     "hll_distinct_tokens" -> { (spark, dir) =>
       // The corpus-shaped use: distinct-token cardinality of the
       // documents table — the vocabulary-size probe a tokenizer-
@@ -264,6 +285,28 @@ object HllQueries {
              "1", "token")},
          |$estimateCte
          |SELECT est_distinct, n_zero_regs FROM e""".stripMargin,
+
+    "hll_sliding_users" ->
+      s"""WITH ${registersCte(
+             "(SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events)",
+             "day", "user_id")},
+         |days AS (SELECT DISTINCT grp AS window_end FROM r),
+         |w AS (SELECT d.window_end AS grp, r.reg, max(r.rho) AS rho
+         |      FROM days d JOIN r
+         |        ON r.grp::DATE BETWEEN d.window_end::DATE - 2 AND d.window_end::DATE
+         |      GROUP BY 1, 2),
+         |g AS (SELECT grp, count(*) AS n_regs,
+         |         sum((1::BIGINT << (61 - rho))::HUGEINT) AS s_present
+         |      FROM w GROUP BY grp),
+         |e AS (SELECT grp,
+         |         ((7213::HUGEINT * 256 * 256 * 256 * (1::BIGINT << 61)::HUGEINT) //
+         |          (10::HUGEINT * (1000 * 256 + 1079) *
+         |           (s_present + (256 - n_regs)::HUGEINT * (1::BIGINT << 61)::HUGEINT)))::BIGINT
+         |           AS est_distinct,
+         |         (256 - n_regs)::BIGINT AS n_zero_regs
+         |      FROM g)
+         |SELECT grp AS window_end, est_distinct, n_zero_regs
+         |FROM e ORDER BY window_end""".stripMargin,
 
     "hll_distinct_tokens" ->
       s"""WITH ${registersCte(

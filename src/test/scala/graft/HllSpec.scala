@@ -112,6 +112,17 @@ class HllSpec extends SparkSpec {
     assert(math.abs(est12 - 50000L) < 50000L * 0.049, s"p=12 est=$est12")
   }
 
+  test("the empty sketch estimates to floor(alpha_m * m), never NULL") {
+    // a fresh store before any fold: S = m·2^61, est = ⌊alpha_m·m⌋ =
+    // ⌊7213·m²/(10·(1000·m+1079))⌋ = 183 at m=256, with n_zero_regs = m
+    // telling consumers they are in the linear-counting regime (LC on
+    // V = m gives the true 0)
+    val empty = Hll.registers(items(0), "item")
+    val got = Hll.estimate(empty).as[(Long, Long)].head()
+    assert(got === ((183L, 256L)))
+    assert(got === estimateBig(Map.empty, 8))
+  }
+
   test("null items are dropped, not folded") {
     val withNulls = items(300).unionAll(
       spark.range(5).select(lit(null: String).as("item")))

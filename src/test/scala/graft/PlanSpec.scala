@@ -274,6 +274,7 @@ class PlanSpec extends SparkSpec {
       "hll_distinct_users" -> 6, // measured 6: grouped fold + estimate agg + exact countDistinct (2) + join + sort
       "hll_intersect_types" -> 9, // measured 9: two side folds + union re-fold + three 1-row estimate aggs; joins broadcast
       "hll_stored" -> 2,          // measured 2 (read side; the three folds ran at build): merged max agg + 1-row estimate agg
+      "hll_sliding_users" -> 6,   // measured 6: daily fold + day-spine distinct + window max-merge + estimate agg + sort — everything after the fold moves ≤ days·m rows
       "priority_sample_stored" -> 4, // measured 4: merged distinct + conflict agg + single-partition rank window + presentation sort — all over ≤ batches·(k+1) rows
       // basket mining: ONE fact pass (the distinct into the registered
       // cache); every later exchange moves candidate- or catalog-sized
