@@ -262,22 +262,33 @@ object BuildHllStore {
         "store convention from it; consolidate the non-base batches")
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = batchIds(fs, outPath, "registers")
-    val absent = batches.toSet -- present
-    require(absent.isEmpty,
-      s"BuildHllStore.consolidate: batches ${absent.mkString(", ")} do " +
-        "not exist in the store")
     val id = "merged-" + java.security.MessageDigest.getInstance("MD5")
       .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val merged = Hll.mergeRegisters(
-      Seq(spark.read.option("basePath", s"$outPath/registers")
-        .parquet(batches.map(b => s"$outPath/registers/batch=$b"): _*)
-        .select(col("reg"), col("rho"))),
-      p)
-    merged.write.mode("overwrite").parquet(s"$outPath/registers/batch=$id")
-    metaRow(spark, p)
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val present = batchIds(fs, outPath, "registers")
+    val absent = batches.toSet -- present
+    // re-run heal: a crash DURING the source deletions leaves this
+    // batch set's merged fold committed (its meta row exists — the
+    // content-derived id pins it to exactly these sources) with some
+    // sources already gone; recomputation is impossible and
+    // unnecessary — finish the deletions. Absent sources WITHOUT the
+    // committed merge are a caller error as before.
+    val committed = batchIds(fs, outPath, "meta").contains(id) &&
+      present.contains(id)
+    require(absent.isEmpty || committed,
+      s"BuildHllStore.consolidate: batches ${absent.mkString(", ")} do " +
+        "not exist in the store (and no committed consolidation of this " +
+        "batch set is present to finish)")
+    if (!committed) {
+      val merged = Hll.mergeRegisters(
+        Seq(spark.read.option("basePath", s"$outPath/registers")
+          .parquet(batches.map(b => s"$outPath/registers/batch=$b"): _*)
+          .select(col("reg"), col("rho"))),
+        p)
+      merged.write.mode("overwrite").parquet(s"$outPath/registers/batch=$id")
+      metaRow(spark, p)
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    }
     batches.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/registers/batch=$b"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)

@@ -267,26 +267,35 @@ object BuildSampleStore {
         "store convention from it; consolidate the non-base batches")
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = batchIds(fs, outPath, "candidates")
-    val absent = batches.toSet -- present
-    require(absent.isEmpty,
-      s"BuildSampleStore.consolidate: batches ${absent.mkString(", ")} do " +
-        "not exist in the store")
     val id = "merged-" + java.security.MessageDigest.getInstance("MD5")
       .digest(batches.sorted.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val merged = TextOps.withPriority(
-        spark.read.option("basePath", s"$outPath/candidates")
-          .parquet(batches.map(b => s"$outPath/candidates/batch=$b"): _*)
-          .select(col("doc_id"), col("w"))
-          .distinct(),
-        "doc_id")
-      .orderBy(col("priority").desc, col("doc_id"))
-      .limit(k + 1)
-      .select(col("doc_id"), col("w"))
-    merged.write.mode("overwrite").parquet(s"$outPath/candidates/batch=$id")
-    metaRow(spark, k)
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val present = batchIds(fs, outPath, "candidates")
+    val absent = batches.toSet -- present
+    // re-run heal ([[BuildHllStore.consolidate]]): a crash during the
+    // source deletions leaves this batch set's merge committed (the
+    // content-derived id pins it to exactly these sources) — finish
+    // the deletions instead of refusing forever
+    val committed = batchIds(fs, outPath, "meta").contains(id) &&
+      present.contains(id)
+    require(absent.isEmpty || committed,
+      s"BuildSampleStore.consolidate: batches ${absent.mkString(", ")} do " +
+        "not exist in the store (and no committed consolidation of this " +
+        "batch set is present to finish)")
+    if (!committed) {
+      val merged = TextOps.withPriority(
+          spark.read.option("basePath", s"$outPath/candidates")
+            .parquet(batches.map(b => s"$outPath/candidates/batch=$b"): _*)
+            .select(col("doc_id"), col("w"))
+            .distinct(),
+          "doc_id")
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(k + 1)
+        .select(col("doc_id"), col("w"))
+      merged.write.mode("overwrite").parquet(s"$outPath/candidates/batch=$id")
+      metaRow(spark, k)
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    }
     batches.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/candidates/batch=$b"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)

@@ -273,6 +273,21 @@ class HllSpec extends SparkSpec {
     assert(storeRegs(out) === before,
       "sources + consolidated readable together must merge identically " +
         "(the idempotence property that makes a manifest unnecessary)")
+    // the crash-during-deletion re-run: c deleted again, b still present
+    // — exactly the half-deleted state. Consolidate must FINISH the
+    // deletions (the committed merged id proves the fold landed), not
+    // refuse on the absent source.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/registers/batch=c"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=c"), true)
+    graft.jobs.BuildHllStore.consolidate(spark, out, Seq("b", "c"))
+    assert(storeRegs(out) === before, "re-run heal changed the merge")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/registers/batch=b")),
+      "the re-run must finish the interrupted source deletions")
+    // absent sources withOUT a committed merge stay a loud caller error
+    val e = intercept[IllegalArgumentException] {
+      graft.jobs.BuildHllStore.consolidate(spark, out, Seq("never-existed"))
+    }
+    assert(e.getMessage.contains("do not exist"))
     intercept[IllegalArgumentException] {
       graft.jobs.BuildHllStore.consolidate(spark, out, Seq("base", "b"))
     }

@@ -151,6 +151,17 @@ class SampleStoreSpec extends SparkSpec {
     assert(sampleRows(out) === before,
       "sources + consolidated together must read identically (order-" +
         "statistic idempotence — the property that makes a manifest unnecessary)")
+    // crash-during-deletion re-run: half-deleted sources + committed
+    // merge must finish the deletions, not refuse forever
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/candidates/batch=c"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/meta/batch=c"), true)
+    BuildSampleStore.consolidate(spark, out, Seq("b", "c"))
+    assert(sampleRows(out) === before, "re-run heal changed the sample")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$out/candidates/batch=b")),
+      "the re-run must finish the interrupted source deletions")
+    intercept[IllegalArgumentException] {
+      BuildSampleStore.consolidate(spark, out, Seq("never-existed"))
+    }
     intercept[IllegalArgumentException] {
       BuildSampleStore.consolidate(spark, out, Seq("base"))
     }
