@@ -213,6 +213,9 @@ object Graft {
     * their idf flavour.
     */
   def tfidf(docs: DataFrame): DataFrame = TextOps.tfidf(docs)
+  /** Top-k TF-IDF keywords per doc (fixed-point integer idf). */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame =
+    TextOps.docKeywords(docs, k)
   /** Lowercase/strip/collapse text normalization (adds `text_norm`). */
   def normalizeText(docs: DataFrame): DataFrame = TextOps.normalize(docs)
   /** Regex-only PII scrub (email + long digit runs → placeholders) —

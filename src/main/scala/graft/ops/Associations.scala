@@ -47,8 +47,10 @@ object Associations {
     liveCaches.clear()
   }
 
-  /** Distinct (basket, item) pairs — the support-counting base: a
-    * basket contributes an item once however many rows repeat it.
+  /** The (basket, item) projection, null-dropped — NOT yet deduped:
+    * [[pairsFromBasketItems]] dedupes via collect_set and [[rules]]
+    * dedupes once into its cache, so a distinct here would just add an
+    * exchange to the standalone [[pairCounts]] path.
     */
   private def basketItems(df: DataFrame, basketCol: String,
       itemCol: String): DataFrame =

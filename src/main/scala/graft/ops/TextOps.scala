@@ -496,6 +496,33 @@ object TextOps {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("n_docs"))
   }
 
+  /** Top-k TF-IDF keywords per document — [[tfidf]]'s exact-integer
+    * components ranked with the repo's fixed-point idf: score_micro =
+    * ⌊10⁶ · tf · N / df⌋ (the raw N/df rarity ratio in place of the
+    * log — ln is monotone in N/df, so the RANKING is the classic
+    * TF-IDF one while every score stays cross-engine exact; the ranked
+    * search op makes the same trade, `Search.rankedSearch`). The
+    * rank ≤ k filter rides WindowGroupLimit (map-side prune before the
+    * per-doc exchange); the df join shuffles by token — the vocabulary
+    * is not assumed broadcastable. Deterministic tie-break on token.
+    */
+  def docKeywords(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"docKeywords: k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val scored = tfidf(df, idCol, textCol)
+      .withColumn("score_micro", graft.ops.Search.idiv(
+        lit(1000000L).cast(dec) * col("tf").cast(dec) * col("n_docs").cast(dec),
+        col("df").cast(dec)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_micro").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("score_micro"), col("rk").cast("long").as("rk"))
+  }
+
   /** Text normalization for training corpora: lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim. Pure per-row
     * string ops (codegen'd, embarrassingly parallel).

@@ -900,6 +900,19 @@ object TextQueries {
         .orderBy("doc_id", "token")
     },
 
+    "doc_keywords" -> { (spark, dir) =>
+      // Top-3 TF-IDF keywords per document with the fixed-point
+      // integer idf (score = 10⁶·tf·N/df — ln is monotone in N/df, so
+      // the ranking is classic TF-IDF while staying cross-engine
+      // exact). df comes from the WHOLE corpus; the output restricts
+      // to doc_id < 100 (Catalyst pushes the partition-key filter
+      // below the window) so the artifact stays review-sized.
+      import spark.implicits._
+      TextOps.docKeywords(Tables.documents(spark, dir), k = 3)
+        .filter($"doc_id" < 100)
+        .orderBy($"doc_id", $"rk")
+    },
+
     "text_normalize" -> { (spark, dir) =>
       // Normalization + PII scrub over a constructed dirty column (the
       // corpus itself is already clean, so PII is planted to exercise
@@ -1590,6 +1603,22 @@ object TextQueries {
         |SELECT doc_id, token, tf, df, n_docs
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
+
+    "doc_keywords" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |           FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, token, tf, df,
+        |             ((1000000::HUGEINT * tf * n_docs) // df)::BIGINT AS score_micro
+        |      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |             ORDER BY score_micro DESC, token) AS rk
+        |      FROM s)
+        |SELECT doc_id, token, tf, df, score_micro, rk::BIGINT AS rk
+        |FROM r WHERE rk <= 3 AND doc_id < 100
+        |ORDER BY doc_id, rk""".stripMargin,
 
     "text_normalize" ->
       """WITH dirty AS (
