@@ -1682,8 +1682,12 @@ class OpsSpec extends SparkSpec {
     // row per (group, q), all within bounds on the gate corpus.
     val json = graft.tools.SketchBounds.reportJson(spark, Sf001)
     assert(json.contains("\"all_within_bounds\":true"), json.take(400))
-    assert("\"rel_err\"".r.findAllIn(json).size == 3, "3 HLL groups")
+    // 3 groups in the HLL++ section + 3 in the deterministic-HLL
+    // accuracy section (r11) share the rel_err key
+    assert("\"rel_err\"".r.findAllIn(json).size == 6, "2 x 3 HLL groups")
     assert("\"rank_lo\"".r.findAllIn(json).size == 9, "3 groups x 3 quantiles")
+    assert("\"in_design_regime\"".r.findAllIn(json).size == 3,
+      "3 deterministic-HLL groups carry the regime flag")
   }
 
   test("HLL sketches built per day merge into correct weekly estimates") {
