@@ -37,6 +37,13 @@ object Graft {
     Sessionize.withSessionId(events, gapSec = gapSec)
   def sessionizeIncremental(unioned: DataFrame, gapSec: Long = Sessionize.DefaultGapSec): DataFrame =
     Sessionize.withCarriedSessionId(unioned, gapSec = gapSec)
+  /** Time-constrained conversion funnel (ClickHouse `windowFunnel`
+    * shape): deepest step chain per user with every step inside
+    * `windowSec` of the chain's first step — one user-keyed exchange.
+    */
+  def windowFunnel(events: DataFrame, steps: Seq[String],
+      windowSec: Long): DataFrame =
+    Sessionize.windowFunnel(events, steps, windowSec)
   def activeSessions(sessions: DataFrame, boundaryUs: Long): DataFrame =
     Sessionize.activeLatestPerSession(sessions, boundaryUs)
   /** 1-based per-user session ordinal (no id minting) — the lightweight

@@ -156,4 +156,69 @@ object Sessionize {
       .filter(col("__rank") === 1)
       .drop("__rank")
   }
+
+  /** Time-constrained funnel (the ClickHouse `windowFunnel` shape): per
+    * user, the deepest step k reachable through an ordered event chain
+    * t₁ ≤ t₂ ≤ … ≤ t_k with every step inside `windowSec` of the
+    * chain's FIRST step (t_k − t₁ ≤ W suffices — intermediate steps
+    * precede t_k). [[graft.queries.SessionQueries]]' `session_funnel`
+    * is the session-scoped cousin; this one answers "converted within
+    * an hour" regardless of session boundaries.
+    *
+    * Exact one-pass formulation instead of per-step self-joins: chains
+    * that START LATEST dominate (a later t₁ can only make t_k − t₁
+    * smaller), so one conditional running max per step suffices —
+    * r₁ = running max of step-1 timestamps; rₛ = running max, over
+    * step-s rows, of r₍ₛ₋₁₎ at that row, kept only when the window
+    * still holds (the check applies at EVERY step, which also caps
+    * intermediate gaps). All k windows share ONE user-keyed sort
+    * (PlanSpec: a single exchange; the final per-user max reuses the
+    * partitioning). Ties on ts break by `tieCols` and a same-timestamp
+    * later step counts (t₂ = t₁ is a valid chain), identically in the
+    * DuckDB oracle.
+    *
+    * Output: (userCol, funnel_stage) with funnel_stage ∈ [0, k] — 0 =
+    * the user has events but never step 1. Users with no events don't
+    * appear (no rows, no stage).
+    */
+  def windowFunnel(
+      df: DataFrame,
+      steps: Seq[String],
+      windowSec: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type",
+      tieCols: Seq[String] = Seq("event_id")): DataFrame = {
+    require(steps.nonEmpty, "windowFunnel: steps must be non-empty")
+    require(steps.distinct.size == steps.size,
+      "windowFunnel: repeated step types are ambiguous — a row matching " +
+        "two stages would double-advance the chain; rename or dedupe steps")
+    require(windowSec > 0, s"windowFunnel: windowSec must be > 0, got $windowSec")
+    val wUs = windowSec * 1000000L
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsUs = unix_micros(col(tsCol))
+    // r1: latest step-1 start seen so far; rs (s>1): latest chain start
+    // among chains reaching step s by the current row
+    val withStarts = steps.zipWithIndex.foldLeft(
+        df.select(col(userCol) +: col(tsCol) +: col(typeCol) +:
+          tieCols.map(col): _*)) { case (acc, (step, i)) =>
+      val startAtRow =
+        if (i == 0) when(col(typeCol) === step, tsUs)
+        else when(col(typeCol) === step &&
+            tsUs - col(s"__r${i - 1}") <= wUs, col(s"__r${i - 1}"))
+      acc.withColumn(s"__r$i", max(startAtRow).over(w))
+    }
+    // deepest step with a surviving chain start, per user — the fold
+    // wraps later steps OUTERMOST (when(r_k)…otherwise(when(r_{k−1})…)),
+    // so the deepest reached stage wins
+    val stage = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"__r$i").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    withStarts
+      .select(col(userCol), stage.as("__stage"))
+      .groupBy(col(userCol))
+      .agg(max(col("__stage")).cast("long").as("funnel_stage"))
+  }
 }

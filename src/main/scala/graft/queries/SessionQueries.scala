@@ -319,6 +319,21 @@ object SessionQueries {
           sum($"s3".cast("long")).as("reached_purchase"))
     },
 
+    "window_funnel" -> { (spark, dir) =>
+      // Time-constrained funnel (the ClickHouse windowFunnel shape):
+      // per user, the deepest view → click → purchase chain whose
+      // every step lands within ONE HOUR of the chain's first step —
+      // session boundaries don't matter, the clock does. One exchange:
+      // the chains-that-start-latest-dominate argument turns the
+      // per-step self-joins into k conditional running maxes over one
+      // user-keyed sort; the oracle replays the same windows, so the
+      // dominance argument itself is cross-engine pinned per user.
+      import spark.implicits._
+      Sessionize.windowFunnel(Tables.events(spark, dir),
+          Seq("view", "click", "purchase"), windowSec = 3600L)
+        .orderBy($"user_id")
+    },
+
     "weekly_cohorts" -> { (spark, dir) =>
       // Cohort retention: users grouped by first-seen week, counted
       // distinct per (cohort, weeks-since) — day arithmetic on epoch
@@ -1004,6 +1019,22 @@ object SessionQueries {
         |       SUM((t_view IS NOT NULL AND t_click > t_view)::BIGINT)::BIGINT AS reached_click,
         |       SUM((t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click)::BIGINT)::BIGINT AS reached_purchase
         |FROM per""".stripMargin,
+
+    "window_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events),
+        |w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
+        |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS r0 FROM e),
+        |w2 AS (SELECT *, max(CASE WHEN event_type = 'click' AND tus - r0 <= 3600000000 THEN r0 END)
+        |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS r1 FROM w1),
+        |w3 AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND tus - r1 <= 3600000000 THEN r1 END)
+        |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS r2 FROM w2)
+        |SELECT user_id,
+        |       max(CASE WHEN r2 IS NOT NULL THEN 3 WHEN r1 IS NOT NULL THEN 2
+        |                WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "weekly_cohorts" ->
       """WITH ev AS (

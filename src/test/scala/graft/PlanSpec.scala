@@ -281,7 +281,8 @@ class PlanSpec extends SparkSpec {
       // rows read FROM the cache, never the fact again
       "basket_pair_support" -> 3, // measured 3: basket collect_set + pair agg + presentation sort
       "basket_rules" -> 11,       // measured 11: cached distinct + basket/pair aggs + item-support agg + 1-row basket count (2) + 3 broadcasts + sort
-      "doc_keywords" -> 9)        // measured 9: the doc_id<100 filter reaches the tf-side SCAN (below window AND aggregate) while df stays corpus-wide (2 aggs, broadcast); WindowGroupLimit partial+final around the per-doc exchange; + n_docs (2) + sort
+      "doc_keywords" -> 9,        // measured 9: the doc_id<100 filter reaches the tf-side SCAN (below window AND aggregate) while df stays corpus-wide (2 aggs, broadcast); WindowGroupLimit partial+final around the per-doc exchange; + n_docs (2) + sort
+      "window_funnel" -> 2)       // measured 2: ONE user-keyed exchange feeds all k running-max windows AND the per-user max (partitioning reuse); + presentation sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)

@@ -167,4 +167,49 @@ class SessionizeSpec extends SparkSpec {
       s.select("user_id", "session_no").distinct().count()) // id uniqueness
     s.unpersist()
   }
+
+  test("windowFunnel: latest-start dominance, window violations, ties, order") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    def ev(rows: (String, Long, String, Long)*) =
+      rows.toDF("user_id", "tus", "event_type", "event_id")
+        .select($"user_id", timestamp_micros($"tus" * 1000000L).as("ts"),
+          $"event_type", $"event_id")
+    val W = 3600L
+    val df = ev(
+      // A: clean chain inside the hour → 3
+      ("a", 0L, "view", 1L), ("a", 100L, "click", 2L), ("a", 3599L, "purchase", 3L),
+      // B: the DOMINANCE case — the early view would put the purchase
+      // outside the window (6500 − 0 > 3600); the LATER view at 3000
+      // rescues the chain (6500 − 3000 ≤ 3600). A first-occurrence
+      // analysis reports 2; the correct answer is 3.
+      ("b", 0L, "view", 1L), ("b", 3000L, "view", 2L),
+      ("b", 3500L, "click", 3L), ("b", 6500L, "purchase", 4L),
+      // C: purchase outside the window of every chain start → 2
+      ("c", 0L, "view", 1L), ("c", 100L, "click", 2L), ("c", 4000L, "purchase", 3L),
+      // D: click BEFORE the only view never chains → 1
+      ("d", 0L, "click", 1L), ("d", 10L, "view", 2L),
+      // E: no funnel steps at all → 0
+      ("e", 0L, "error", 1L),
+      // F: same-timestamp steps chain through the tie order
+      // (event_id) — t₂ = t₁ is a valid chain → 2
+      ("f", 50L, "view", 1L), ("f", 50L, "click", 2L))
+    val got = graft.ops.Sessionize.windowFunnel(
+        df, Seq("view", "click", "purchase"), W)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 2L, "d" -> 1L,
+      "e" -> 0L, "f" -> 2L))
+    // intermediate steps must ALSO sit inside the window of the start:
+    // view@0, click@5000 (outside), purchase@5100 → stage 1, even
+    // though purchase − click is tiny
+    val late = graft.ops.Sessionize.windowFunnel(
+        ev(("g", 0L, "view", 1L), ("g", 5000L, "click", 2L),
+          ("g", 5100L, "purchase", 3L)),
+        Seq("view", "click", "purchase"), W)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(late === Map("g" -> 1L))
+    // repeated step names refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.ops.Sessionize.windowFunnel(df, Seq("view", "view"), W)
+    }
+  }
 }
