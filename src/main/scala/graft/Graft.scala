@@ -392,6 +392,14 @@ object Graft {
   def heavyHittersWithCounters(items: DataFrame, counters: DataFrame,
       threshold: Long, itemCol: String = "item"): DataFrame =
     Sketches.cmsHeavyHittersWithCounters(items, counters, threshold, itemCol)
+  /** Equi-join cardinality estimate from two counter sketches (CMS
+    * inner product — never undercounts); the optimizer-statistics
+    * read on the persisted [[graft.jobs.BuildSketchStore]] tables.
+    */
+  def joinSizeEstimate(countersA: DataFrame, countersB: DataFrame,
+      width: Int = Sketches.DefaultWidth,
+      depth: Int = Sketches.DefaultDepth): DataFrame =
+    Sketches.cmsJoinSize(countersA, countersB, width, depth)
   /** Mergeable numeric profile: fixed-width bucket histogram (one
     * map-side-combining fold), cell-wise merge, and nearest-rank
     * quantile BOUNDS with error < `width` — the no-corpus-sort quantile

@@ -138,6 +138,62 @@ object Sketches {
     pruneAndVerify(items, canonical, threshold, itemCol, width, depth)
   }
 
+  /** Equi-join SIZE estimation from two counter tables — the CMS inner
+    * product (Cormode & Muthukrishnan 2005 §4.2, after AMS): the true
+    * join cardinality |A ⋈ₖ B| = Σ_k fA(k)·fB(k), and each sketch
+    * row's dot product Σ_b cA[i][b]·cB[i][b] NEVER undercounts it
+    * (hash collisions only ADD cross terms), so the min over the d
+    * rows is an always-≥ estimate with expected overshoot
+    * F1(A)·F1(B)/width per row. This is the optimizer-statistics move
+    * at 100 TB: two single-pass d·w summaries — already persisted
+    * per-batch by [[graft.jobs.BuildSketchStore]] and mergeable by
+    * [[mergeCounters]] — answer "how big is this join" without
+    * scanning either table again. Both inputs MUST share the module's
+    * geometry and hash device (the stored form pins them in meta).
+    *
+    * Exactness discipline: cell products are formed in decimal(38)
+    * (two 10¹²-count cells already overflow int64); the result returns
+    * as a long with a LOUD guard — an estimate past 2^63 is not a
+    * number an optimizer needs, it is the "do not run this join"
+    * verdict, and truncating it silently would report the opposite.
+    * Output: one row (est_join_size). Missing cells contribute zero —
+    * a sketch row with NO overlapping buckets correctly estimates 0.
+    */
+  def cmsJoinSize(countersA: DataFrame, countersB: DataFrame,
+      width: Int = DefaultWidth, depth: Int = DefaultDepth): DataFrame = {
+    val dec = "decimal(38,0)"
+    // canonicalize both sides (the cmsHeavyHittersWithCounters rule: a
+    // raw per-batch union would multiply joined cells)
+    def canon(c: DataFrame, side: String): DataFrame = {
+      val g = c.groupBy(col("row"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val bad = g.filter(col("row") >= depth || col("row") < 0 ||
+        col("bucket") >= width || col("bucket") < 0).count()
+      require(bad == 0L,
+        s"cmsJoinSize: $bad $side cells fall outside ${depth}x$width — " +
+          "the sketch was built with a different geometry; the inner " +
+          "product would be meaningless")
+      g
+    }
+    val a = canon(countersA, "left")
+    val b = canon(countersB, "right")
+    val dots = a.join(b.withColumnRenamed("cnt", "cntB"),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("cnt").cast(dec) * col("cntB").cast(dec)).as("dot"))
+    // every row index must vote — a row with zero overlapping buckets
+    // is the estimate 0, not an absent vote
+    val spine = countersA.sparkSession.range(depth)
+      .select(col("id").cast("int").as("row"))
+    spine.join(dots, Seq("row"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L).cast(dec))).as("est"))
+      .select(when(col("est") > lit(Long.MaxValue).cast(dec),
+          raise_error(lit("cmsJoinSize: estimate exceeds 2^63 — the " +
+            "join is astronomically large; treat this refusal as the " +
+            "optimizer verdict rather than truncating it")))
+        .otherwise(col("est").cast("long")).as("est_join_size"))
+  }
+
   /** Pass 2 probe: each distinct item of `items` with its sketch
     * estimate — min over the d broadcast-joined counter cells. The
     * estimate is ≥ the item's true count, always. Exposed mostly for

@@ -219,6 +219,25 @@ object SearchQueries {
         .orderBy($"n_occurrences".desc, $"item")
     },
 
+    "cms_join_size" -> { (spark, dir) =>
+      // Optimizer-statistics from sketches: the CMS inner product
+      // estimates an equi-join's cardinality from two d×w summaries —
+      // here the events self-join on user_id (Σ c(u)², the skew probe
+      // an optimizer actually wants) at width 4096, next to the exact
+      // answer. Per-row dot products never undercount (collisions only
+      // add), min over d rows; both engines run the identical integer
+      // arithmetic, so the ESTIMATE itself is cross-engine pinned, not
+      // just bounded.
+      import spark.implicits._
+      val users = Tables.events(spark, dir)
+        .select($"user_id".cast("string").as("item"))
+      val c = graft.ops.Sketches.cmsCounters(users, width = 4096)
+      val est = graft.ops.Sketches.cmsJoinSize(c, c, width = 4096)
+      val exact = users.groupBy($"item").count()
+        .agg(sum($"count" * $"count").cast("long").as("exact_join_size"))
+      est.crossJoin(exact)
+    },
+
     "cms_token_estimates" -> { (spark, dir) =>
       // The sketch ITSELF, cross-engine pinned: every distinct bigram's
       // CMS estimate next to its true count (est >= n_true always —
@@ -363,6 +382,18 @@ object SearchQueries {
         |FROM b GROUP BY item
         |HAVING count(*) >= 30
         |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "cms_join_size" ->
+      """WITH u AS (SELECT user_id::VARCHAR AS item FROM events),
+        |c AS (SELECT r, ('0x' || substr(md5('cms' || r || ':' || item), 1, 15))::BIGINT % 4096 AS bucket,
+        |             count(*) AS cnt
+        |      FROM u CROSS JOIN (SELECT unnest(range(3)) AS r)
+        |      GROUP BY 1, 2),
+        |d AS (SELECT r, sum((cnt::HUGEINT) * cnt) AS dot FROM c GROUP BY r),
+        |e AS (SELECT min(dot)::BIGINT AS est_join_size FROM d),
+        |x AS (SELECT sum((n::HUGEINT) * n)::BIGINT AS exact_join_size
+        |      FROM (SELECT count(*) AS n FROM u GROUP BY item))
+        |SELECT est_join_size, exact_join_size FROM e CROSS JOIN x""".stripMargin,
 
     "cms_token_estimates" ->
       s"""WITH $BigramCte,

@@ -2565,6 +2565,41 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
   }
 
+  test("cmsJoinSize: never undercounts, exact on single-key sketches, loud guards") {
+    import graft.ops.Sketches
+    // single shared key: every sketch row's dot is exactly fA·fB = 6 —
+    // no other key exists to collide with
+    val a = Seq.fill(3)("x").toDF("item")
+    val b = Seq.fill(2)("x").toDF("item")
+    val est = Sketches.cmsJoinSize(
+      Sketches.cmsCounters(a), Sketches.cmsCounters(b)).head().getLong(0)
+    assert(est === 6L)
+    // real data: the events self-join — estimate >= exact, always, and
+    // within the 3x-of-expected-overshoot band (F1² / width per row)
+    val users = Tables.events(spark, Sf0001)
+      .select($"user_id".cast("string").as("item"))
+    val c4k = Sketches.cmsCounters(users, width = 4096)
+    val got = Sketches.cmsJoinSize(c4k, c4k, width = 4096).head().getLong(0)
+    val exact = users.groupBy($"item").count()
+      .agg(sum($"count" * $"count")).head().getLong(0)
+    val f1 = users.count()
+    assert(got >= exact, s"CMS inner product must never undercount: $got < $exact")
+    assert(got - exact <= 3L * f1 * f1 / 4096L,
+      s"overshoot $got - $exact outside 3x the expected F1²/w band")
+    // geometry mismatch refuses (4096-wide cells at the default width)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.cmsJoinSize(c4k, c4k)
+    }
+    assert(e.getMessage.contains("different geometry"))
+    // an estimate past 2^63 refuses loudly instead of truncating
+    val huge = (0 until 3).map(r => (r, 0L, 1L << 40)).toDF("row", "bucket", "cnt")
+    val e2 = intercept[Exception] {
+      Sketches.cmsJoinSize(huge, huge).collect()
+    }
+    assert(e2.getMessage.contains("astronomically") ||
+      Option(e2.getCause).exists(_.getMessage.contains("astronomically")))
+  }
+
   test("association rules: hand-computed fixture, dedup, both directions") {
     // b1:{1,2,3} (item 1 repeated — must dedup), b2:{1,2}, b3:{1,2},
     // b4:{2,4}. Pairs: (1,2)=3, (1,3)=1, (2,3)=1, (2,4)=1.

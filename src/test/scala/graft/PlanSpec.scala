@@ -282,7 +282,8 @@ class PlanSpec extends SparkSpec {
       "basket_pair_support" -> 3, // measured 3: basket collect_set + pair agg + presentation sort
       "basket_rules" -> 11,       // measured 11: cached distinct + basket/pair aggs + item-support agg + 1-row basket count (2) + 3 broadcasts + sort
       "doc_keywords" -> 9,        // measured 9: the doc_id<100 filter reaches the tf-side SCAN (below window AND aggregate) while df stays corpus-wide (2 aggs, broadcast); WindowGroupLimit partial+final around the per-doc exchange; + n_docs (2) + sort
-      "window_funnel" -> 2)       // measured 2: ONE user-keyed exchange feeds all k running-max windows AND the per-user max (partitioning reuse); + presentation sort
+      "window_funnel" -> 2,       // measured 2: ONE user-keyed exchange feeds all k running-max windows AND the per-user max (partitioning reuse); + presentation sort
+      "cms_join_size" -> 9)       // measured 9: two in-query counter folds (the canonical use reads PERSISTED tables — zero corpus passes) + canon/dot/min aggs over ≤ d·w rows + the exact witness (2)
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
