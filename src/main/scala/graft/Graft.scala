@@ -533,6 +533,11 @@ object Graft {
     Graph.triangleCounts(edges)
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame =
     Graph.bfsHops(edges, seeds, rounds)
+  /** Deterministic synchronous label propagation — nodes sharing the
+    * returned label after `rounds` rounds are one community.
+    */
+  def communities(edges: DataFrame, rounds: Int = 3): DataFrame =
+    Graph.labelPropagation(edges, rounds)
 
   // pipeline maintenance: CDC apply / incremental SCD2 / diff / checks
   def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],

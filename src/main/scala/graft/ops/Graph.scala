@@ -192,4 +192,61 @@ object Graph {
     if (prevRdd != null) registerRdd(prevRdd)
     ranks.select(col("node"), col("rank").as("rank_micros"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * DETERMINISTIC): every node starts labeled with itself; each round,
+    * every node with in-neighbors adopts the most frequent label among
+    * them, ties broken by SMALLEST label — no randomness, so rounds
+    * unroll exactly in the DuckDB oracle and re-runs agree
+    * bit-for-bit. Direction matters: labels flow src → dst; pass an
+    * undirected graph as both edge directions (the co-purchase
+    * builders' `ordered = false` form). Nodes with no in-edges keep
+    * their own label. The classic community-detection sweep at 100 TB
+    * scale: each round is one join + one (node, label) count + one
+    * per-node argmax — all hash exchanges on node ids, no windows over
+    * skewed keys (argmax is a max_by aggregate, map-side combined),
+    * with the pageRank family's periodic lineage cuts.
+    *
+    * Output: (node, label) after `rounds` rounds — nodes sharing a
+    * label are one community.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val e = registerDf(edges.select(col(srcCol).as("src"),
+        col(dstCol).as("dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = registerDf(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache())
+    var labels = nodes.withColumn("label", col("node"))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var iter = 0
+    while (iter < rounds) {
+      // votes: each in-neighbor's CURRENT label, counted per (dst, label)
+      val votes = e.join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      // argmax with the smallest-label tie-break, as ONE max_by over an
+      // order-embedding struct (count desc ⇒ n first; label asc ⇒
+      // negated... labels are ids of unknown sign, so embed via a
+      // two-field struct compared lexicographically: (n, -1·rank) is
+      // unavailable without a total negate — use min_by on (-n, label))
+      val adopted = votes.groupBy(col("node"))
+        .agg(min_by(col("label"), struct((-col("n")).as("a"),
+          col("label").as("b"))).as("adopt"))
+      val next = labels.join(adopted, Seq("node"), "left")
+        .select(col("node"), coalesce(col("adopt"), col("label")).as("label"))
+      iter += 1
+      if (iter % CutEvery == 0 && iter < rounds) {
+        val rdd = next.rdd.cache()
+        rdd.count(): Unit // materialize (periodic lineage cut)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        labels = spark.createDataFrame(rdd, next.schema)
+        prevRdd = rdd
+      } else labels = next
+    }
+    if (prevRdd != null) registerRdd(prevRdd)
+    labels
+  }
 }

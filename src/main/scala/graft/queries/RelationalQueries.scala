@@ -934,6 +934,19 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    "label_propagation" -> { (spark, dir) =>
+      // Community detection over the co-purchase graph: 3 synchronous
+      // label-propagation rounds made DETERMINISTIC (most-frequent
+      // in-neighbor label, ties to the smallest), so the rounds unroll
+      // exactly in the oracle. The per-round argmax is a min_by
+      // aggregate over an order-embedding struct — map-side combined,
+      // no window over a possibly-skewed node key.
+      import spark.implicits._
+      graft.ops.Graph.labelPropagation(
+          coPurchaseEdges(spark, dir, ordered = false), rounds = 3)
+        .orderBy("node")
+    },
+
     "pagerank_parts" -> { (spark, dir) =>
       // Iterative graph analytics (beyond connected components):
       // 3 exact-integer PageRank rounds over the parts co-purchase
@@ -1010,6 +1023,24 @@ object RelationalQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
   }
 
+  /** One deterministic label-propagation round for the
+    * `label_propagation` oracle: votes = in-neighbors' round-(i−1)
+    * labels, adopt the most frequent (ties to smallest), keep the old
+    * label when no in-edges.
+    */
+  private def lpaRoundCte(i: Int): String = {
+    val prev = s"l${i - 1}"
+    s"""v$i AS (SELECT e.dst AS node, l.label, count(*) AS c
+       |      FROM e JOIN $prev l ON l.node = e.src GROUP BY 1, 2),
+       |a$i AS (SELECT node, label FROM (
+       |        SELECT node, label,
+       |               row_number() OVER (PARTITION BY node
+       |                 ORDER BY c DESC, label) AS rk FROM v$i)
+       |      WHERE rk = 1),
+       |l$i AS (SELECT p.node, coalesce(a$i.label, p.label) AS label
+       |      FROM $prev p LEFT JOIN a$i ON a$i.node = p.node)""".stripMargin
+  }
+
   /** One integer PageRank round for the pagerank_parts oracle. */
   private def pagerankRoundCte(i: Int): String = {
     val prev = s"r${i - 1}"
@@ -1061,6 +1092,17 @@ object RelationalQueries {
         |       JOIN s sc ON sc.i = d.consequent
         |       CROSS JOIN n
         |ORDER BY lift_micro DESC, antecedent, consequent""".stripMargin,
+
+    "label_propagation" ->
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |           FROM lineitem a JOIN lineitem b
+         |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |l0 AS (SELECT node, node AS label FROM n),
+         |${lpaRoundCte(1)},
+         |${lpaRoundCte(2)},
+         |${lpaRoundCte(3)}
+         |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
 
     "pagerank_parts" ->
       s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

@@ -2565,6 +2565,41 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
   }
 
+  test("labelPropagation: hand-traced rounds, ties to smallest, no-in-edge keep") {
+    import graft.ops.Graph
+    // bidirectional star 0–{1,2,3,4} plus the directed stub 9 → 10
+    val star = Seq(1L, 2L, 3L, 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val edges = (star :+ ((9L, 10L))).toDF("src", "dst")
+    // round 1: center sees labels {1,2,3,4} once each → tie → 1;
+    // leaves see {0} → 0; 9 has no in-edges → keeps 9; 10 adopts 9
+    val r1 = Graph.labelPropagation(edges, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      9L -> 9L, 10L -> 9L))
+    // round 2 (synchronous): center sees the leaves' round-1 labels
+    // {0,0,0,0} → 0; leaves see the center's round-1 label → 1 — the
+    // classic bipartite oscillation, which is exactly what makes the
+    // determinism observable
+    val r2 = Graph.labelPropagation(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      9L -> 9L, 10L -> 9L))
+    Graph.releaseCaches()
+    // two DISJOINT K3s converge to one label per community (the min
+    // member, by the tie rule) within 3 rounds — note a BRIDGED pair
+    // would legitimately leak labels across (ties at the bridge pick
+    // the smaller, foreign label), which is LPA behavior, not a bug
+    val k3a = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val k3b = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val und = (k3a ++ k3b)
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val got = Graph.labelPropagation(und, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L))
+    Graph.releaseCaches()
+  }
+
   test("cmsJoinSize: never undercounts, exact on single-key sketches, loud guards") {
     import graft.ops.Sketches
     // single shared key: every sketch row's dot is exactly fA·fB = 6 —
