@@ -217,6 +217,7 @@ object Bench {
       graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
       graft.ops.Associations.releaseCaches()
+      graft.ops.Commerce.releaseCaches()
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load

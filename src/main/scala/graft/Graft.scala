@@ -452,6 +452,13 @@ object Graft {
       p: Int = Hll.DefaultP, groupCols: Seq[String] = Nil): DataFrame =
     Hll.perRowRegisterCells(df, itemCol, p, groupCols)
 
+  /** Scale-correct RFM segmentation: quartile thresholds from the
+    * mergeable bucket histograms (error < width), never a global
+    * ntile sort; one scan of the orders table.
+    */
+  def rfmSegments(orders: DataFrame): DataFrame =
+    Commerce.rfmSegments(orders)
+
   // market-basket association mining
   def basketPairCounts(df: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 1024): DataFrame =

@@ -38,6 +38,7 @@ object Verify {
       graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
       graft.ops.Associations.releaseCaches()
+      graft.ops.Commerce.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

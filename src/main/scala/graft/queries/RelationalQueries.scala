@@ -934,6 +934,21 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    "rfm_segments" -> { (spark, dir) =>
+      // RFM segmentation the way it survives 100 TB: quartile
+      // thresholds come from the mergeable bucket histograms
+      // (Sketches.bucketedQuantiles — nearest-rank hi bounds by pure
+      // integer arithmetic), NEVER a global ntile sort; each
+      // customer's (recency, frequency, monetary) then scores 1–4 by
+      // three broadcast threshold comparisons. Threshold error < the
+      // bucket width, documented per metric (frequency width 1 is
+      // exact). Everything integer, so segments are cross-engine
+      // exact.
+      import spark.implicits._
+      graft.ops.Commerce.rfmSegments(Tables.orders(spark, dir))
+        .orderBy($"o_custkey")
+    },
+
     "label_propagation" -> { (spark, dir) =>
       // Community detection over the co-purchase graph: 3 synchronous
       // label-propagation rounds made DETERMINISTIC (most-frequent
@@ -1023,6 +1038,28 @@ object RelationalQueries {
       .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
   }
 
+  /** Quartile-threshold CTEs for one RFM metric over the `m` CTE —
+    * the DuckDB twin of `Sketches.bucketHistogram` +
+    * `bucketedQuantiles` (floor-div buckets, cumulative rank walk,
+    * nearest-rank hi bound), pivoted to one row p<tag>(25, 50, 75).
+    */
+  private def rfmThresholdCte(metric: String, width: Long, tag: String): String =
+    s"""h$tag AS (SELECT $metric // $width AS bucket, count(*) AS cnt
+       |          FROM m GROUP BY 1),
+       |c$tag AS (SELECT bucket, cnt, sum(cnt) OVER (ORDER BY bucket) AS cum
+       |          FROM h$tag),
+       |n$tag AS (SELECT sum(cnt) AS nt FROM h$tag),
+       |t$tag AS (SELECT q_num, q_den, min(bucket * $width + ${width - 1}) AS hi
+       |          FROM (VALUES (1, 4), (1, 2), (3, 4)) v(q_num, q_den)
+       |          CROSS JOIN n$tag JOIN c$tag
+       |            ON (cum - cnt) < ((q_num * nt + q_den - 1) // q_den)
+       |           AND ((q_num * nt + q_den - 1) // q_den) <= cum
+       |          GROUP BY q_num, q_den),
+       |p$tag AS (SELECT max(CASE WHEN q_num = 1 AND q_den = 4 THEN hi END) AS ${tag}25,
+       |                 max(CASE WHEN q_num = 1 AND q_den = 2 THEN hi END) AS ${tag}50,
+       |                 max(CASE WHEN q_num = 3 AND q_den = 4 THEN hi END) AS ${tag}75
+       |          FROM t$tag)""".stripMargin
+
   /** One deterministic label-propagation round for the
     * `label_propagation` oracle: votes = in-neighbors' round-(i−1)
     * labels, adopt the most frequent (ties to smallest), keep the old
@@ -1092,6 +1129,29 @@ object RelationalQueries {
         |       JOIN s sc ON sc.i = d.consequent
         |       CROSS JOIN n
         |ORDER BY lift_micro DESC, antecedent, consequent""".stripMargin,
+
+    "rfm_segments" ->
+      s"""WITH m AS (
+         |  SELECT o_custkey,
+         |         (SELECT max(epoch_us(o_orderdate) // 86400000000) FROM orders) -
+         |           max(epoch_us(o_orderdate) // 86400000000) AS recency_days,
+         |         count(*) AS n_orders,
+         |         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS monetary_cents
+         |  FROM orders GROUP BY o_custkey),
+         |${rfmThresholdCte("recency_days", 30L, "r")},
+         |${rfmThresholdCte("n_orders", 1L, "f")},
+         |${rfmThresholdCte("monetary_cents", 1000000L, "y")}
+         |SELECT *, (recency_q * 100 + frequency_q * 10 + monetary_q)::BIGINT AS segment
+         |FROM (
+         |  SELECT o_custkey, recency_days, n_orders, monetary_cents,
+         |         (1 + (recency_days > r25)::BIGINT + (recency_days > r50)::BIGINT +
+         |              (recency_days > r75)::BIGINT)::BIGINT AS recency_q,
+         |         (1 + (n_orders > f25)::BIGINT + (n_orders > f50)::BIGINT +
+         |              (n_orders > f75)::BIGINT)::BIGINT AS frequency_q,
+         |         (1 + (monetary_cents > y25)::BIGINT + (monetary_cents > y50)::BIGINT +
+         |              (monetary_cents > y75)::BIGINT)::BIGINT AS monetary_q
+         |  FROM m CROSS JOIN pr CROSS JOIN pf CROSS JOIN py)
+         |ORDER BY o_custkey""".stripMargin,
 
     "label_propagation" ->
       s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

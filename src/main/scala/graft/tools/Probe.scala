@@ -100,7 +100,9 @@ object Probe {
         graft.ops.TextOps.releaseCaches()
         graft.ops.Search.releaseCaches()
       graft.ops.Associations.releaseCaches()
+      graft.ops.Commerce.releaseCaches()
         graft.ops.Associations.releaseCaches()
+        graft.ops.Commerce.releaseCaches()
       }
     }
     spark.stop()

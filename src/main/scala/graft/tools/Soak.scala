@@ -243,6 +243,7 @@ object Soak {
       graft.ops.Graph.releaseCaches(); graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
       graft.ops.Associations.releaseCaches()
+      graft.ops.Commerce.releaseCaches()
       dt
     }
     times.min

@@ -39,7 +39,8 @@ class FacadeSpec extends AnyFunSuite {
     "Search" -> graft.ops.Search,
     "Sketches" -> graft.ops.Sketches,
     "Hll" -> graft.ops.Hll,
-    "Associations" -> graft.ops.Associations)
+    "Associations" -> graft.ops.Associations,
+    "Commerce" -> graft.ops.Commerce)
 
   /** Deliberately unfacaded: internals of a public op's pipeline
     * (callers go through the composed op), plus per-stage forms whose

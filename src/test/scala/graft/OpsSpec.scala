@@ -2565,6 +2565,28 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
   }
 
+  test("rfmSegments: width-1 thresholds are exact quartiles on a hand fixture") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    // 4 customers strictly ordered on every metric; width 1 on all
+    // three makes the histogram thresholds EXACT quartiles, so the
+    // expected segments are hand-computable: recency inverts (larger
+    // days = staler = higher q), frequency/monetary ascend
+    val orders = Seq(
+      (1L, 0L, 1.0), // 1 order, day 0, $1 total
+      (2L, 10L, 1.0), (2L, 10L, 1.0),
+      (3L, 20L, 1.0), (3L, 20L, 1.0), (3L, 20L, 1.0),
+      (4L, 30L, 1.0), (4L, 30L, 1.0), (4L, 30L, 1.0), (4L, 30L, 1.0))
+      .toDF("o_custkey", "day", "o_totalprice")
+      .select($"o_custkey",
+        timestamp_micros($"day" * 86400000000L).as("o_orderdate"),
+        $"o_totalprice")
+    val got = graft.ops.Commerce.rfmSegments(orders,
+        recencyWidthDays = 1L, monetaryWidthCents = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(got === Map(1L -> 411L, 2L -> 322L, 3L -> 233L, 4L -> 144L))
+    graft.ops.Commerce.releaseCaches()
+  }
+
   test("labelPropagation: hand-traced rounds, ties to smallest, no-in-edge keep") {
     import graft.ops.Graph
     // bidirectional star 0–{1,2,3,4} plus the directed stub 9 → 10

@@ -283,7 +283,8 @@ class PlanSpec extends SparkSpec {
       "basket_rules" -> 11,       // measured 11: cached distinct + basket/pair aggs + item-support agg + 1-row basket count (2) + 3 broadcasts + sort
       "doc_keywords" -> 9,        // measured 9: the doc_id<100 filter reaches the tf-side SCAN (below window AND aggregate) while df stays corpus-wide (2 aggs, broadcast); WindowGroupLimit partial+final around the per-doc exchange; + n_docs (2) + sort
       "window_funnel" -> 2,       // measured 2: ONE user-keyed exchange feeds all k running-max windows AND the per-user max (partitioning reuse); + presentation sort
-      "cms_join_size" -> 9)       // measured 9: two in-query counter folds (the canonical use reads PERSISTED tables — zero corpus passes) + canon/dot/min aggs over ≤ d·w rows + the exact witness (2)
+      "cms_join_size" -> 9,       // measured 9: two in-query counter folds (the canonical use reads PERSISTED tables — zero corpus passes) + canon/dot/min aggs over ≤ d·w rows + the exact witness (2)
+      "rfm_segments" -> 25)       // measured 25 static ids (cached-subtree reprints); EXECUTION scans orders once into the registered per-customer cache — every later exchange (3 histogram+quantile chains, scoring, sort) moves ≤ |customers| rows
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
@@ -292,6 +293,7 @@ class PlanSpec extends SparkSpec {
       graft.ops.Similarity.releaseCaches()
       graft.ops.Search.releaseCaches()
       graft.ops.Associations.releaseCaches()
+      graft.ops.Commerce.releaseCaches()
     }
   }
 
