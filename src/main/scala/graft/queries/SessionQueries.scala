@@ -257,6 +257,27 @@ object SessionQueries {
   /** Events up to the fixed mid-range boundary used by active-session tests. */
   private val BoundaryUs = 1705276800000000L // 2024-01-15 00:00:00 UTC
 
+  /** Shared by `window_funnel` and `streaming_funnel`: the DuckDB
+    * replay of the latest-start-dominates running-max windows — the
+    * streamed form's oracle is DELIBERATELY the batch form's (state ≡
+    * fold is the claim under test).
+    */
+  private val WindowFunnelOracle: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events),
+      |w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS r0 FROM e),
+      |w2 AS (SELECT *, max(CASE WHEN event_type = 'click' AND tus - r0 <= 3600000000 THEN r0 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS r1 FROM w1),
+      |w3 AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND tus - r1 <= 3600000000 THEN r1 END)
+      |         OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |               ROWS UNBOUNDED PRECEDING) AS r2 FROM w2)
+      |SELECT user_id,
+      |       max(CASE WHEN r2 IS NOT NULL THEN 3 WHEN r1 IS NOT NULL THEN 2
+      |                WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage
+      |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sessionize_counts" -> { (spark, dir) =>
       import spark.implicits._
@@ -771,6 +792,59 @@ object SessionQueries {
         .orderBy("user_id")
     },
 
+    "streaming_funnel" -> { (spark, dir) =>
+      // The windowFunnel fold as transformWithState STATE: per-user
+      // latest-chain-starts (k longs — never an event buffer) carried
+      // across micro-batches. Events stage as three time-ordered
+      // single-file chunks consumed at maxFilesPerTrigger = 1, so the
+      // state genuinely crosses batch boundaries; within-batch rows
+      // fold in (ts, event_id) order regardless of file order. Emitted
+      // stages are monotone, so max per user is the final answer — and
+      // the oracle is the BATCH funnel's oracle verbatim: state ≡ fold
+      // is the claim under test.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-sfun-q")
+      deleteRecursivelyOnExit(base)
+      val in = s"$base/in"
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"),
+          when($"event_type" === "view", 0)
+            .when($"event_type" === "click", 1)
+            .when($"event_type" === "purchase", 2)
+            .otherwise(-1).cast("int").as("step"),
+          $"event_id")
+      val b1 = 1704931200000000L // 2024-01-11 UTC
+      val b2 = 1705795200000000L // 2024-01-21 UTC
+      ev.filter($"ts_us" < b1).repartition(1)
+        .write.mode("append").parquet(in)
+      ev.filter($"ts_us" >= b1 && $"ts_us" < b2).repartition(1)
+        .write.mode("append").parquet(in)
+      ev.filter($"ts_us" >= b2).repartition(1)
+        .write.mode("append").parquet(in)
+      val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val schema = org.apache.spark.sql.Encoders
+        .product[graft.streaming.StreamingSessionize.FunnelEv].schema
+      StreamConfLock.synchronized {
+        val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+        val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try graft.streaming.StreamingJob.runFunnel(spark, schema, in, out,
+          ckpt, nSteps = 3, windowUs = 3600L * 1000000L)
+        finally {
+          spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+          if (prevProvider.isEmpty)
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+          else spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+        }
+      }
+      spark.read.parquet(out)
+        .groupBy($"user_id")
+        .agg(max($"funnel_stage").as("funnel_stage"))
+        .orderBy($"user_id")
+    },
+
     "sessionize_hour_job" -> { (spark, dir) =>
       // The reference's PRODUCTION JOB (SessionizationBuiltIn.scala:31-66
       // parity) under the driver's DuckDB oracle — not just its operator
@@ -1020,21 +1094,10 @@ object SessionQueries {
         |       SUM((t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click)::BIGINT)::BIGINT AS reached_purchase
         |FROM per""".stripMargin,
 
-    "window_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_type, event_id FROM events),
-        |w1 AS (SELECT *, max(CASE WHEN event_type = 'view' THEN tus END)
-        |         OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |               ROWS UNBOUNDED PRECEDING) AS r0 FROM e),
-        |w2 AS (SELECT *, max(CASE WHEN event_type = 'click' AND tus - r0 <= 3600000000 THEN r0 END)
-        |         OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |               ROWS UNBOUNDED PRECEDING) AS r1 FROM w1),
-        |w3 AS (SELECT *, max(CASE WHEN event_type = 'purchase' AND tus - r1 <= 3600000000 THEN r1 END)
-        |         OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |               ROWS UNBOUNDED PRECEDING) AS r2 FROM w2)
-        |SELECT user_id,
-        |       max(CASE WHEN r2 IS NOT NULL THEN 3 WHEN r1 IS NOT NULL THEN 2
-        |                WHEN r0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS funnel_stage
-        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "window_funnel" -> WindowFunnelOracle,
+
+    // the same oracle: streamed-with-state ≡ batch IS the claim
+    "streaming_funnel" -> WindowFunnelOracle,
 
     "weekly_cohorts" ->
       """WITH ev AS (

@@ -150,6 +150,32 @@ object StreamingJob {
     q.awaitTermination()
   }
 
+  /** transformWithState funnel job: parquet file source of
+    * (user_id, ts_us, step, event_id) rows →
+    * [[StreamingSessionize.FunnelProcessor]] → per-batch emitted
+    * stages. `maxFilesPerTrigger = 1` by default so a multi-file
+    * staging genuinely exercises the cross-batch state carry (the
+    * arrival contract: event-time-ordered batches — see the
+    * processor's scaladoc).
+    */
+  def runFunnel(spark: SparkSession, schema: StructType, inPath: String,
+      outPath: String, checkpointPath: String, nSteps: Int,
+      windowUs: Long, maxFilesPerTrigger: Int = 1): Unit = {
+    import spark.implicits._
+    val in = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inPath)
+      .as[StreamingSessionize.FunnelEv]
+    val q = StreamingSessionize.funnelStream(in, nSteps, windowUs).writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming CDC-upsert job — the foreachBatch merge sink (the
     * canonical streaming-upsert pattern for stores without native
     * MERGE): each micro-batch of change rows is folded into a

@@ -219,6 +219,65 @@ object StreamingSessionize {
         org.apache.spark.sql.Encoders.product[UserTotals])
   }
 
+  case class FunnelEv(user_id: Long, ts_us: Long, step: Int, event_id: Long)
+  case class FunnelStarts(starts: Seq[Long])
+  case class FunnelStage(user_id: Long, funnel_stage: Long)
+
+  /** Streaming [[graft.ops.Sessionize.windowFunnel]]: the per-user
+    * latest-chain-start fold carried as transformWithState state — the
+    * per-stage running maxes ARE the fold's whole state (k longs), so
+    * the stream never buffers events. Each batch's rows for a key are
+    * sorted by (ts, event_id) before folding (within-batch disorder is
+    * absorbed); ACROSS batches the fold is order-sensitive like any
+    * funnel, so the arrival contract is event-time-ordered batches
+    * (the log-stream reality; the batch job is the answer for
+    * re-sorting history). Emitted stages are MONOTONE — latestStart
+    * entries only ever increase — so max per user over the emitted
+    * rows is the final answer under any batch split that respects the
+    * contract.
+    */
+  class FunnelProcessor(nSteps: Int, windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEv, FunnelStage] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelStarts] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FunnelStarts]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelStarts],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[FunnelStage] = {
+      val starts =
+        if (st.exists()) st.get().starts.toArray
+        else Array.fill(nSteps)(Long.MinValue)
+      rows.toArray.sortBy(r => (r.ts_us, r.event_id)).foreach { r =>
+        val s = r.step
+        if (s == 0) {
+          if (r.ts_us > starts(0)) starts(0) = r.ts_us
+        } else if (s > 0 && s < nSteps && starts(s - 1) != Long.MinValue &&
+            r.ts_us - starts(s - 1) <= windowUs &&
+            starts(s - 1) > starts(s)) {
+          starts(s) = starts(s - 1)
+        }
+      }
+      st.update(FunnelStarts(starts.toSeq))
+      val stage = starts.lastIndexWhere(_ != Long.MinValue) + 1
+      Iterator.single(FunnelStage(key, stage.toLong))
+    }
+  }
+
+  def funnelStream(events: Dataset[FunnelEv], nSteps: Int,
+      windowUs: Long): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(nSteps, windowUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[FunnelStage])
+  }
+
   def sessionId(user: Long, startUs: Long): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(s"$user-$startUs".getBytes("UTF-8"))

@@ -367,6 +367,41 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState funnel: dominance chain spans the batch boundary") {
+    import graft.streaming.StreamingSessionize.{FunnelEv, FunnelStage}
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[FunnelEv]
+      val q = graft.streaming.StreamingSessionize
+        .funnelStream(input.toDS(), nSteps = 3, windowUs = 3600L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("funnel_out").start()
+      // batch 1 (deliberately SHUFFLED within the batch — the processor
+      // sorts): user 1's early AND late view; user 2 completes inside
+      val W = 3600L
+      input.addData(
+        FunnelEv(1L, 3000L, 0, 2L), FunnelEv(1L, 0L, 0, 1L),
+        FunnelEv(2L, 10L, 0, 1L), FunnelEv(2L, 20L, 1, 2L),
+        FunnelEv(2L, 30L, 2, 3L))
+      q.processAllAvailable()
+      // batch 2: user 1's click + purchase — the purchase is only inside
+      // the window of the LATER view (6500 − 3000 ≤ 3600 < 6500 − 0), so
+      // the cross-batch state must have kept the latest start, exactly
+      // the dominance case the batch spec pins
+      input.addData(FunnelEv(1L, 3500L, 1, 3L), FunnelEv(1L, 6500L, 2, 4L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("funnel_out").as[FunnelStage].collect()
+      val finals = rows.groupBy(_.user_id).map { case (u, rs) =>
+        u -> rs.map(_.funnel_stage).max }
+      assert(finals == Map(1L -> 3L, 2L -> 3L), rows.mkString(","))
+      // batch-1 emissions: user 1 at stage 1, user 2 already at 3
+      assert(rows.toSet.contains(FunnelStage(1L, 1L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
