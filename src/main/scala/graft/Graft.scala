@@ -545,6 +545,11 @@ object Graft {
     */
   def communities(edges: DataFrame, rounds: Int = 3): DataFrame =
     Graph.labelPropagation(edges, rounds)
+  /** Bounded degeneracy peel: (node, peeled_round), 0 = in the k-core
+    * (exact once a round removes nothing — idempotent past convergence).
+    */
+  def kCore(edges: DataFrame, k: Long, rounds: Int = 3): DataFrame =
+    Graph.kCorePeel(edges, k, rounds)
 
   // pipeline maintenance: CDC apply / incremental SCD2 / diff / checks
   def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],

@@ -249,4 +249,60 @@ object Graph {
     if (prevRdd != null) registerRdd(prevRdd)
     labels
   }
+
+  /** Bounded k-core peel (Seidman 1983 degeneracy peeling, unrolled):
+    * `rounds` synchronous rounds of "remove every node whose degree in
+    * the CURRENT subgraph is < k". Peeling is monotone and idempotent
+    * past convergence, so a fixed round count stays oracle-unrollable
+    * (no data-dependent early stop to desynchronize engines) — when a
+    * round removes nothing the remaining set IS the exact k-core, and
+    * extra rounds change nothing. Input edges are symmetrized and
+    * deduped (core degree is undirected). Output: (node, peeled_round)
+    * with 0 = survives all rounds, r = removed in round r — the
+    * "peel depth" a curation pipeline uses to rank how peripheral a
+    * node is. Each round is two alive-semijoins + one degree aggregate
+    * on node keys; the pageRank family's lineage-cut discipline.
+    */
+  def kCorePeel(edges: DataFrame, k: Long, rounds: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1, s"kCorePeel: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
+    val spark = edges.sparkSession
+    val dir0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = registerDf(dir0.unionAll(dir0.select(col("dst").as("src"),
+        col("src").as("dst"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodes = registerDf(e.select(col("src").as("node")).distinct().cache())
+    // peeled(node, peeled_round); alive = nodes minus peeled
+    var peeled = nodes.filter(lit(false))
+      .withColumn("peeled_round", lit(0L))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var iter = 0
+    while (iter < rounds) {
+      iter += 1
+      val alive = nodes.join(peeled.select(col("node")), Seq("node"),
+        "left_anti")
+      val deg = e
+        .join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      // below-k by current degree, PLUS alive nodes with no alive
+      // neighbors at all (absent from deg — degree 0)
+      val dropNow = alive.join(deg, Seq("node"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < k)
+        .select(col("node"), lit(iter.toLong).as("peeled_round"))
+      val next = peeled.unionAll(dropNow)
+      if (iter % CutEvery == 0 && iter < rounds) {
+        val rdd = next.rdd.cache()
+        rdd.count(): Unit // materialize (periodic lineage cut)
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        peeled = spark.createDataFrame(rdd, next.schema)
+        prevRdd = rdd
+      } else peeled = next
+    }
+    if (prevRdd != null) registerRdd(prevRdd)
+    nodes.join(peeled, Seq("node"), "left")
+      .select(col("node"), coalesce(col("peeled_round"), lit(0L))
+        .as("peeled_round"))
+  }
 }

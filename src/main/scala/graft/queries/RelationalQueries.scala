@@ -949,6 +949,19 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     },
 
+    "k_core" -> { (spark, dir) =>
+      // Degeneracy peeling on the co-purchase graph: 3 synchronous
+      // rounds of "remove nodes with current degree < 110", emitting
+      // each node's PEEL DEPTH (0 = survives — the dense core; r =
+      // round removed). Peeling is idempotent past convergence, so the
+      // fixed round count stays oracle-unrollable with no
+      // data-dependent early stop.
+      import spark.implicits._
+      graft.ops.Graph.kCorePeel(
+          coPurchaseEdges(spark, dir, ordered = false), k = 110L, rounds = 3)
+        .orderBy("node")
+    },
+
     "label_propagation" -> { (spark, dir) =>
       // Community detection over the co-purchase graph: 3 synchronous
       // label-propagation rounds made DETERMINISTIC (most-frequent
@@ -1060,6 +1073,21 @@ object RelationalQueries {
        |                 max(CASE WHEN q_num = 3 AND q_den = 4 THEN hi END) AS ${tag}75
        |          FROM t$tag)""".stripMargin
 
+  /** One k-core peel round for the `k_core` oracle: degree within the
+    * round-(i−1) alive set, keep deg ≥ k (nodes with NO alive
+    * neighbors vanish from the degree table and are peeled by the
+    * inner join).
+    */
+  private def kcoreRoundCte(i: Int, k: Long): String = {
+    val prev = s"a${i - 1}"
+    s"""d$i AS (SELECT e.src AS node, count(*) AS deg
+       |      FROM e JOIN $prev x ON x.node = e.src
+       |             JOIN $prev y ON y.node = e.dst
+       |      GROUP BY 1),
+       |a$i AS (SELECT p.node FROM $prev p JOIN d$i USING (node)
+       |      WHERE deg >= $k)""".stripMargin
+  }
+
   /** One deterministic label-propagation round for the
     * `label_propagation` oracle: votes = in-neighbors' round-(i−1)
     * labels, adopt the most frequent (ties to smallest), keep the old
@@ -1152,6 +1180,21 @@ object RelationalQueries {
          |              (monetary_cents > y75)::BIGINT)::BIGINT AS monetary_q
          |  FROM m CROSS JOIN pr CROSS JOIN pf CROSS JOIN py)
          |ORDER BY o_custkey""".stripMargin,
+
+    "k_core" ->
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |           FROM lineitem a JOIN lineitem b
+         |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |a0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |${kcoreRoundCte(1, 110L)},
+         |${kcoreRoundCte(2, 110L)},
+         |${kcoreRoundCte(3, 110L)}
+         |SELECT n.node,
+         |       (CASE WHEN n.node NOT IN (SELECT node FROM a1) THEN 1
+         |             WHEN n.node NOT IN (SELECT node FROM a2) THEN 2
+         |             WHEN n.node NOT IN (SELECT node FROM a3) THEN 3
+         |             ELSE 0 END)::BIGINT AS peeled_round
+         |FROM a0 n ORDER BY n.node""".stripMargin,
 
     "label_propagation" ->
       s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

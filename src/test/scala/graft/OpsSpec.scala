@@ -2565,6 +2565,26 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
   }
 
+  test("kCorePeel: peel depths on a K4 + pendant path; idempotent past convergence") {
+    import graft.ops.Graph
+    // K4 {1,2,3,4} with the pendant path 1–5–6; k = 2:
+    // round 1 peels 6 (deg 1); round 2 peels 5 (its only remaining
+    // neighbor is 1 → deg 1); the K4 (deg 3) survives forever
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((1L, 5L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.kCorePeel(edges, k = 2L, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      5L -> 2L, 6L -> 1L))
+    Graph.releaseCaches()
+    // extra rounds past convergence change nothing (the property that
+    // keeps the fixed round count oracle-safe)
+    val more = Graph.kCorePeel(edges, k = 2L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(more === got)
+    Graph.releaseCaches()
+  }
+
   test("rfmSegments: width-1 thresholds are exact quartiles on a hand fixture") {
     import org.apache.spark.sql.functions.timestamp_micros
     // 4 customers strictly ordered on every metric; width 1 on all
