@@ -425,6 +425,15 @@ object Graft {
   def histogramQuantiles(hist: DataFrame, width: Long,
       qs: Seq[(Int, Int)]): DataFrame =
     Sketches.bucketedQuantiles(hist, width, qs)
+  /** Per-group histogram + quantile bounds — groups spread across
+    * tasks (lifts the global form's single-partition walk).
+    */
+  def groupedValueHistogram(df: DataFrame, valueCol: String, width: Long,
+      groupCols: Seq[String]): DataFrame =
+    Sketches.groupedBucketHistogram(df, valueCol, width, groupCols)
+  def groupedHistogramQuantiles(hist: DataFrame, width: Long,
+      qs: Seq[(Int, Int)], groupCols: Seq[String]): DataFrame =
+    Sketches.groupedBucketedQuantiles(hist, width, qs, groupCols)
 
   /** Deterministic HyperLogLog distinct counting ([[graft.ops.Hll]]):
     * md5 register device + exact-integer raw estimator, so the sketch

@@ -359,6 +359,71 @@ object Sketches {
     * histogram — ≤ range/width rows by the fold's contract, never the
     * corpus.
     */
+  /** Per-GROUP histogram: (groupCols…, bucket, cnt) — the grouped form
+    * of [[bucketHistogram]], one map-side-combining fold whatever the
+    * group count. Feeds [[groupedBucketedQuantiles]].
+    */
+  def groupedBucketHistogram(df: DataFrame, valueCol: String,
+      width: Long, groupCols: Seq[String]): DataFrame = {
+    require(width > 0, "groupedBucketHistogram: width must be positive")
+    require(groupCols.nonEmpty,
+      "groupedBucketHistogram: no group columns — use bucketHistogram")
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        floorDiv(col(valueCol).cast("long"), width).as("bucket"): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-GROUP nearest-rank quantile BOUNDS — [[bucketedQuantiles]]
+    * partitioned by the group columns: for every (group, q = num/den)
+    * the row (groupCols…, q_num, q_den, n_total, rank, bucket, lo, hi)
+    * with the same integer-exact nearest-rank convention and
+    * error < `width`. The cumulative walk windows over each GROUP's
+    * histogram — ≤ range/width rows per group, so the sort is
+    * per-group histogram-sized, never corpus-sized, and groups spread
+    * across tasks (the global form's single-partition window is the
+    * one thing this lifts). The per-domain/per-language quantile
+    * budget read a curation pipeline wants.
+    */
+  def groupedBucketedQuantiles(hist: DataFrame, width: Long,
+      qs: Seq[(Int, Int)], groupCols: Seq[String]): DataFrame = {
+    require(width > 0, "groupedBucketedQuantiles: width must be positive")
+    require(groupCols.nonEmpty,
+      "groupedBucketedQuantiles: no group columns — use bucketedQuantiles")
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n > 0 && n <= d },
+      "groupedBucketedQuantiles: quantiles must be fractions in (0, 1]")
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("prev", col("cum") - col("cnt"))
+    val totals = hist.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("n_total"))
+    // aliased join: targets and cum share hist's lineage, so the group
+    // keys must be matched through qualified names, not raw attributes
+    val targets = totals
+      .crossJoin(broadcast(qs.toDF("q_num", "q_den")))
+      .withColumn("rank",
+        expr("(q_num * n_total + q_den - 1) DIV q_den"))
+      .alias("t")
+    val c = cum.alias("c")
+    targets
+      .join(c, groupCols.map(g =>
+          col(s"t.$g") === col(s"c.$g")).reduce(_ && _) &&
+        col("c.prev") < col("t.rank") && col("t.rank") <= col("c.cum"))
+      .select(groupCols.map(g => col(s"t.$g")) ++ Seq(
+        col("t.q_num"), col("t.q_den"), col("t.n_total"), col("t.rank"),
+        col("c.bucket"),
+        (col("c.bucket") * width).as("lo"),
+        (col("c.bucket") * width + width - 1).as("hi")): _*)
+  }
+
   def bucketedQuantiles(hist: DataFrame, width: Long,
       qs: Seq[(Int, Int)]): DataFrame = {
     require(width > 0, "bucketedQuantiles: width must be positive")

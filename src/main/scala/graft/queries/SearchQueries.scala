@@ -219,6 +219,22 @@ object SearchQueries {
         .orderBy($"n_occurrences".desc, $"item")
     },
 
+    "grouped_quantiles" -> { (spark, dir) =>
+      // Per-LANGUAGE quantile bounds without any corpus sort: one
+      // grouped histogram fold, then the cumulative rank walk windows
+      // over each group's ≤ range/width histogram rows — groups spread
+      // across tasks (the global form's single-partition window is
+      // what this lifts). Median and p90 of document length per lang,
+      // integer-exact bounds with error < 50 chars.
+      import spark.implicits._
+      import graft.ops.Sketches
+      val hist = Sketches.groupedBucketHistogram(
+        Tables.documents(spark, dir), "n_chars", 50L, Seq("lang"))
+      Sketches.groupedBucketedQuantiles(hist, 50L,
+          Seq((1, 2), (9, 10)), Seq("lang"))
+        .orderBy($"lang", $"q_den", $"q_num")
+    },
+
     "cms_join_size" -> { (spark, dir) =>
       // Optimizer-statistics from sketches: the CMS inner product
       // estimates an equi-join's cardinality from two d×w summaries —
@@ -382,6 +398,23 @@ object SearchQueries {
         |FROM b GROUP BY item
         |HAVING count(*) >= 30
         |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    "grouped_quantiles" ->
+      """WITH h AS (SELECT lang, n_chars // 50 AS bucket, count(*) AS cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket, cnt,
+        |             sum(cnt) OVER (PARTITION BY lang ORDER BY bucket) AS cum
+        |      FROM h),
+        |n AS (SELECT lang, sum(cnt) AS n_total FROM h GROUP BY 1),
+        |t AS (SELECT lang, q_num, q_den, n_total,
+        |             (q_num * n_total + q_den - 1) // q_den AS rank
+        |      FROM n CROSS JOIN (VALUES (1, 2), (9, 10)) v(q_num, q_den))
+        |SELECT t.lang, q_num, q_den, n_total::BIGINT AS n_total,
+        |       rank::BIGINT AS rank, bucket,
+        |       (bucket * 50)::BIGINT AS lo, (bucket * 50 + 49)::BIGINT AS hi
+        |FROM t JOIN c ON c.lang = t.lang
+        |   AND (c.cum - c.cnt) < t.rank AND t.rank <= c.cum
+        |ORDER BY t.lang, q_den, q_num""".stripMargin,
 
     "cms_join_size" ->
       """WITH u AS (SELECT user_id::VARCHAR AS item FROM events),

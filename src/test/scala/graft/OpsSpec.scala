@@ -2565,6 +2565,31 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
   }
 
+  test("grouped quantile bounds equal the global form run per group") {
+    import graft.ops.Sketches
+    val df = (Seq.tabulate(40)(i => ("a", (i * 3 + 1).toLong)) ++
+      Seq.tabulate(25)(i => ("b", (i * 11 + 5).toLong)))
+      .toDF("grp", "v")
+    val width = 10L
+    val qs = Seq((1, 4), (1, 2), (9, 10))
+    val grouped = Sketches.groupedBucketedQuantiles(
+        Sketches.groupedBucketHistogram(df, "v", width, Seq("grp")),
+        width, qs, Seq("grp"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    for (g <- Seq("a", "b")) {
+      val solo = Sketches.bucketedQuantiles(
+          Sketches.bucketHistogram(df.filter($"grp" === g), "v", width),
+          width, qs)
+        .collect().map(r => (g, r.getInt(0), r.getInt(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+        .toMap
+      solo.foreach { case (k, v) => assert(grouped(k) === v, s"$k") }
+    }
+    assert(grouped.size === 6)
+  }
+
   test("kCorePeel: peel depths on a K4 + pendant path; idempotent past convergence") {
     import graft.ops.Graph
     // K4 {1,2,3,4} with the pendant path 1–5–6; k = 2:
