@@ -993,6 +993,34 @@ class ScaleSpec extends SparkSpec {
     info(f"10^6-doc search family: ranked $secsRank%.1fs, phrase $secsPhrase%.1fs, cms-heavy $secsHh%.1fs")
   }
 
+  test("windowFunnel completes on a hot user (10^6 events in one partition)") {
+    import graft.ops.Sessionize
+    // the funnel's one concentration point is the per-user sort — a
+    // 10^6-event user lands in a single window partition (the
+    // sessionize-core spill story applies). Planted pattern: the chain
+    // completes only through the LAST view (every earlier view's
+    // window expires before the purchase) — the dominance fold must
+    // track the running max through all 10^6 rows.
+    val n = 1000000L
+    val w = 3600L
+    val events = spark.range(n).select(
+      lit(7L).as("user_id"),
+      org.apache.spark.sql.functions.timestamp_micros($"id" * 1000000L).as("ts"),
+      when($"id" === n - 3, "view")
+        .when($"id" === n - 2, "click")
+        .when($"id" === n - 1, "purchase")
+        .when(pmod($"id", lit(97L)) === 0, "view")
+        .otherwise("scroll").as("event_type"),
+      $"id".as("event_id"))
+    val t0 = System.nanoTime()
+    val got = Sessionize.windowFunnel(events,
+        Seq("view", "click", "purchase"), w)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"10^6-event hot-user funnel: $secs%.1fs")
+    assert(got.toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((7L, 3L)))
+  }
+
   test("HLL register fold stays 2^p-bounded on a 10^7-occurrence stream") {
     import graft.ops.Hll
     // the summary-bound claim at its extreme: 10^7 occurrences of 10^6
