@@ -223,6 +223,9 @@ object Graft {
   /** Top-k TF-IDF keywords per doc (fixed-point integer idf). */
   def docKeywords(docs: DataFrame, k: Int = 3): DataFrame =
     TextOps.docKeywords(docs, k)
+  /** Collocations by integer-exact PMI ratio (log-monotone ranking). */
+  def collocations(docs: DataFrame, minCount: Long = 5L): DataFrame =
+    TextOps.collocations(docs, minCount)
   /** Lowercase/strip/collapse text normalization (adds `text_norm`). */
   def normalizeText(docs: DataFrame): DataFrame = TextOps.normalize(docs)
   /** Regex-only PII scrub (email + long digit runs → placeholders) —

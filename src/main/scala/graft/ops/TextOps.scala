@@ -523,6 +523,58 @@ object TextOps {
         col("score_micro"), col("rk").cast("long").as("rk"))
   }
 
+  /** Collocation extraction (Church & Hanks 1990 pointwise mutual
+    * information, made integer-exact): adjacent token pairs scored by
+    * the PMI RATIO c(ab)·N / (c(a)·c(b)) — log is monotone in the
+    * ratio, so the ranking is the classic PMI one while every score
+    * stays cross-engine exact (micro-scaled through the shared decimal
+    * floor division; the doc-keywords / BM25-rarity trade). `minCount`
+    * is load-bearing twice: statistically (PMI explodes on hapax
+    * pairs) and numerically (the guard below — 10⁶·c(ab)·N/(c(a)c(b))
+    * exceeds int64 only for pairs far rarer than any sane minCount at
+    * any corpus size; it refuses loudly rather than truncating).
+    * Shape: one bigram aggregate + one unigram aggregate; the unigram
+    * table joins twice through ONE plan-identical subtree. Output:
+    * (token_a, token_b, n_pair, n_a, n_b, n_tokens, pmi_ratio_micro).
+    */
+  def collocations(df: DataFrame, minCount: Long = 5L,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount must be >= 1, got $minCount")
+    val dec = "decimal(38,0)"
+    val toks = df.select(explode(split(col(textCol), " ")).as("token"))
+    val unigrams = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val nTokens = toks.agg(count(lit(1)).as("n_tokens"))
+    val pairs = df
+      .select(split(col(textCol), " ").as("s"))
+      .filter(size(col("s")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(s) - 2), i -> struct(s[i] AS a, s[i + 1] AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val num = lit(1000000L).cast(dec) * col("n_pair").cast(dec) *
+      col("n_tokens").cast(dec)
+    val den = col("n_a").cast(dec) * col("n_b").cast(dec)
+    val qdec = (num - pmod(num, den)) / den // exact (Search.idiv device)
+    val score = when(qdec > lit(Long.MaxValue).cast(dec),
+        raise_error(concat(lit("collocations: pmi ratio for pair ("),
+          col("token_a"), lit(", "), col("token_b"),
+          lit(") exceeds 2^63 micro-units — the pair is far rarer than " +
+            "minCount should allow at this corpus size; raise minCount " +
+            "or drop the 10^6 scale"))))
+      .otherwise(qdec.cast("long"))
+    pairs
+      .join(unigrams, col("token") === col("token_a")).drop("token")
+      .withColumnRenamed("n_tok", "n_a")
+      .join(unigrams, col("token") === col("token_b")).drop("token")
+      .withColumnRenamed("n_tok", "n_b")
+      .crossJoin(broadcast(nTokens))
+      .select(col("token_a"), col("token_b"), col("n_pair"),
+        col("n_a"), col("n_b"), col("n_tokens"),
+        score.as("pmi_ratio_micro"))
+  }
+
   /** Text normalization for training corpora: lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim. Pure per-row
     * string ops (codegen'd, embarrassingly parallel).

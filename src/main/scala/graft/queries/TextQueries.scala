@@ -900,6 +900,17 @@ object TextQueries {
         .orderBy("doc_id", "token")
     },
 
+    "collocations" -> { (spark, dir) =>
+      // Collocation extraction: adjacent token pairs ranked by the
+      // integer-exact PMI ratio c(ab)·N/(c(a)·c(b)) (log is monotone,
+      // so this IS the PMI ranking), minCount 5 against hapax blowup.
+      // Even the ORDERING is cross-engine exact — top 40.
+      import spark.implicits._
+      TextOps.collocations(Tables.documents(spark, dir))
+        .orderBy($"pmi_ratio_micro".desc, $"token_a", $"token_b")
+        .limit(40)
+    },
+
     "doc_keywords" -> { (spark, dir) =>
       // Top-3 TF-IDF keywords per document with the fixed-point
       // integer idf (score = 10⁶·tf·N/df — ln is monotone in N/df, so
@@ -1603,6 +1614,25 @@ object TextQueries {
         |SELECT doc_id, token, tf, df, n_docs
         |FROM tf JOIN dfreq USING (token) CROSS JOIN n
         |ORDER BY doc_id, token""".stripMargin,
+
+    "collocations" ->
+      """WITH sp AS (SELECT string_split(text, ' ') AS s FROM documents),
+        |t AS (SELECT unnest(s) AS token FROM sp),
+        |u AS (SELECT token, count(*) AS n_tok FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_tokens FROM t),
+        |p AS (SELECT s[k] AS token_a, s[k + 1] AS token_b, count(*) AS n_pair
+        |      FROM (SELECT s, unnest(range(1, len(s))) AS k
+        |            FROM sp WHERE len(s) >= 2)
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT token_a, token_b, n_pair, ua.n_tok AS n_a, ub.n_tok AS n_b,
+        |       n_tokens::BIGINT AS n_tokens,
+        |       ((1000000::HUGEINT * n_pair * n_tokens) //
+        |        (ua.n_tok::HUGEINT * ub.n_tok))::BIGINT AS pmi_ratio_micro
+        |FROM p JOIN u ua ON ua.token = p.token_a
+        |       JOIN u ub ON ub.token = p.token_b
+        |       CROSS JOIN n
+        |ORDER BY pmi_ratio_micro DESC, token_a, token_b
+        |LIMIT 40""".stripMargin,
 
     "doc_keywords" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token

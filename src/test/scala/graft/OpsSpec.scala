@@ -2565,6 +2565,25 @@ class OpsSpec extends SparkSpec {
     assert(got(2L) == (0L, 0L))
   }
 
+  test("collocations: hand-computed PMI ratio on a tiny corpus") {
+    // tokens: a×3, b×3, c×1, N = 7; adjacent pairs (a,b)×3, (b,a)×1,
+    // (b,c)×1 — minCount 2 keeps only (a,b):
+    // ratio = 10⁶·3·7/(3·3) = 2,333,333 (floor)
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val got = graft.ops.TextOps.collocations(df, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got === Map(("a", "b") -> ((3L, 3L, 3L, 7L, 2333333L))))
+    // minCount 1 admits the hapax pairs with their exact ratios:
+    // (b,a): 10⁶·1·7/(3·3) = 777777; (b,c): 10⁶·1·7/(3·1) = 2333333
+    val all = graft.ops.TextOps.collocations(df, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(6))
+      .toMap
+    assert(all === Map(("a", "b") -> 2333333L, ("b", "a") -> 777777L,
+      ("b", "c") -> 2333333L))
+  }
+
   test("grouped quantile bounds equal the global form run per group") {
     import graft.ops.Sketches
     val df = (Seq.tabulate(40)(i => ("a", (i * 3 + 1).toLong)) ++
