@@ -272,35 +272,48 @@ object Graph {
     val e = registerDf(dir0.unionAll(dir0.select(col("dst").as("src"),
         col("src").as("dst"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val nodes = registerDf(e.select(col("src").as("node")).distinct().cache())
-    // peeled(node, peeled_round); alive = nodes minus peeled
-    var peeled = nodes.filter(lit(false))
-      .withColumn("peeled_round", lit(0L))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    var iter = 0
+    // DELTA peeling (the Matula–Beck shape): the full degree table is
+    // computed ONCE; each later round only touches edges incident to
+    // the nodes removed in the PREVIOUS round (decrement their
+    // neighbors' degrees) — round cost is proportional to the peel
+    // frontier, never the whole graph, which is what survives a 100 TB
+    // edge list. Synchronous-round semantics are unchanged: degree
+    // within alive_{r−1} = deg_{r−1} − (neighbors removed in round
+    // r−1), exactly.
+    var degAlive = registerDf(e.groupBy(col("src")).agg(count(lit(1))
+      .as("deg")).withColumnRenamed("src", "node").cache())
+    var removed = degAlive.filter(col("deg") < k)
+      .select(col("node"), lit(1L).as("peeled_round"))
+    var peeled = removed
+    var prevRdds: Seq[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = Nil
+    var iter = 1
     while (iter < rounds) {
       iter += 1
-      val alive = nodes.join(peeled.select(col("node")), Seq("node"),
+      degAlive = degAlive.join(removed.select(col("node")), Seq("node"),
         "left_anti")
-      val deg = e
-        .join(alive.withColumnRenamed("node", "src"), "src")
-        .join(alive.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      // below-k by current degree, PLUS alive nodes with no alive
-      // neighbors at all (absent from deg — degree 0)
-      val dropNow = alive.join(deg, Seq("node"), "left")
-        .filter(coalesce(col("deg"), lit(0L)) < k)
+      val dec = e.join(removed.select(col("node").as("dst")), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("ndec"))
+      val degNew = degAlive.join(dec, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("ndec"), lit(0L))).as("deg"))
+      removed = degNew.filter(col("deg") < k)
         .select(col("node"), lit(iter.toLong).as("peeled_round"))
-      val next = peeled.unionAll(dropNow)
+      degAlive = degNew
+      val nextPeeled = peeled.unionAll(removed)
       if (iter % CutEvery == 0 && iter < rounds) {
-        val rdd = next.rdd.cache()
-        rdd.count(): Unit // materialize (periodic lineage cut)
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        peeled = spark.createDataFrame(rdd, next.schema)
-        prevRdd = rdd
-      } else peeled = next
+        // cut BOTH iterated lineages (peeled labels + live degrees)
+        val rddP = nextPeeled.rdd.cache(); rddP.count(): Unit
+        val rddD = degAlive.rdd.cache(); rddD.count(): Unit
+        val rddR = removed.rdd.cache(); rddR.count(): Unit
+        prevRdds.foreach(_.unpersist(blocking = false))
+        peeled = spark.createDataFrame(rddP, nextPeeled.schema)
+        degAlive = spark.createDataFrame(rddD, degNew.schema)
+        removed = spark.createDataFrame(rddR, removed.schema)
+        prevRdds = Seq(rddP, rddD, rddR)
+      } else peeled = nextPeeled
     }
-    if (prevRdd != null) registerRdd(prevRdd)
+    prevRdds.foreach(registerRdd)
+    val nodes = e.select(col("src").as("node")).distinct()
     nodes.join(peeled, Seq("node"), "left")
       .select(col("node"), coalesce(col("peeled_round"), lit(0L))
         .as("peeled_round"))
