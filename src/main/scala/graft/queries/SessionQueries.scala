@@ -355,6 +355,20 @@ object SessionQueries {
         .orderBy($"user_id")
     },
 
+    "bounce_rate" -> { (spark, dir) =>
+      // Single-event-session fraction — the classic engagement KPI on
+      // the session core: one session window chain, one aggregate,
+      // rate as exact milli-units (integer cross-division).
+      import spark.implicits._
+      val s = Sessionize.withSessionNo(Tables.events(spark, dir))
+      s.groupBy($"user_id", $"session_no")
+        .agg(count(lit(1)).as("n_events"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(($"n_events" === 1).cast("long")).as("n_bounces"))
+        .select($"n_sessions", $"n_bounces",
+          expr("(1000 * n_bounces) DIV n_sessions").as("bounce_rate_milli"))
+    },
+
     "weekly_cohorts" -> { (spark, dir) =>
       // Cohort retention: users grouped by first-seen week, counted
       // distinct per (cohort, weeks-since) — day arithmetic on epoch
@@ -1098,6 +1112,22 @@ object SessionQueries {
 
     // the same oracle: streamed-with-state ≡ batch IS the claim
     "streaming_funnel" -> WindowFunnelOracle,
+
+    "bounce_rate" ->
+      """WITH d AS (
+        |  SELECT event_id, user_id, ts,
+        |         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM d),
+        |per AS (SELECT user_id, session_no, count(*) AS n_events
+        |        FROM s GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       SUM((n_events = 1)::BIGINT)::BIGINT AS n_bounces,
+        |       ((1000 * SUM((n_events = 1)::BIGINT)) // count(*))::BIGINT AS bounce_rate_milli
+        |FROM per""".stripMargin,
 
     "weekly_cohorts" ->
       """WITH ev AS (
