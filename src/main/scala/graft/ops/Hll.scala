@@ -143,15 +143,28 @@ object Hll {
     require(tables.nonEmpty, "Hll.mergeRegisters: no register tables")
     val cols = (groupCols ++ Seq("reg", "rho")).map(col)
     val all = tables.map(_.select(cols: _*)).reduce(_.unionAll(_))
-    val bad = all.filter(col("reg") < 0 || col("reg") >= m(p).toLong ||
-      col("rho") < 1L || col("rho") > 61L).count()
-    require(bad == 0L,
-      s"Hll.mergeRegisters: $bad register cells fall outside " +
-        s"reg ∈ [0, ${m(p)}) × rho ∈ [1, 61] — a table built with a " +
-        "LARGER p (or corrupt rows) is being merged at p = " + p +
-        "; note a SMALLER-p table is undetectable here — pin p in " +
-        "store meta (BuildHllStore) to guard that direction")
-    all.groupBy((groupCols :+ "reg").map(col): _*)
+    // IN-ROW range guard (the mergeCounters rule): an eager count would
+    // execute every input fold twice — once for the guard, once for
+    // the merge. The raise rides the merge; zero extra evaluation.
+    // the raise rides rho (aggregated), never reg (a grouping key —
+    // wrapping it would defeat partitioning reuse; the mergeCounters
+    // rule). Caveat shared with mergeCounters: a consumer that PRUNES
+    // the guarded column (a bare count of merged rows) skips the
+    // check — every production path materializes it (estimates read
+    // rho, probes read cnt, and store writes materialize all columns),
+    // and the stored form's meta gates are the primary guard anyway.
+    val guardedRho = when(col("reg") < 0 || col("reg") >= m(p).toLong ||
+        col("rho") < 1L || col("rho") > 61L,
+      raise_error(concat(lit("Hll.mergeRegisters: register cell (reg="),
+        col("reg").cast("string"), lit(", rho="), col("rho").cast("string"),
+        lit(s") falls outside reg ∈ [0, ${m(p)}) × rho ∈ [1, 61] — a " +
+          s"table built with a LARGER p (or corrupt rows) is being merged " +
+          s"at p = $p; note a SMALLER-p table is undetectable here — pin " +
+          "p in store meta (BuildHllStore) to guard that direction"))))
+      .otherwise(col("rho"))
+    all.select(groupCols.map(col) ++
+        Seq(col("reg"), guardedRho.as("rho")): _*)
+      .groupBy((groupCols :+ "reg").map(col): _*)
       .agg(max(col("rho")).as("rho"))
   }
 

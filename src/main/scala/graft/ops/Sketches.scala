@@ -104,12 +104,29 @@ object Sketches {
     require(tables.nonEmpty, "mergeCounters: no counter tables")
     val all = tables.map(_.select(col("row"), col("bucket"), col("cnt")))
       .reduce(_ unionByName _)
-    val bad = all.filter(col("row") >= depth || col("row") < 0 ||
-      col("bucket") >= width || col("bucket") < 0).count()
-    require(bad == 0L,
-      s"mergeCounters: $bad counter cells fall outside ${depth}x$width — " +
-        "the tables were built with a different geometry and cannot merge")
-    all.groupBy(col("row"), col("bucket"))
+    // IN-ROW range guard (was an eager count): the eager form EXECUTED
+    // every input once for the guard and again for the merge — when the
+    // inputs are freshly-computed folds (heavy_hitters_merged's two
+    // per-batch folds) that doubled the fold cost. The in-row raise
+    // rides the merge itself: zero extra evaluation, still loud at
+    // first touch of an out-of-range cell. It lives on the AGGREGATED
+    // column (cnt), never a grouping key — a when()-wrapped key is a
+    // computed column the optimizer can't prove partition-preserving,
+    // which costs an extra exchange. Caveat: a consumer that PRUNES
+    // cnt (a bare row count of the merged table) skips the check —
+    // every production path materializes it (probes read counts,
+    // store writes materialize all columns), and the stored form's
+    // meta gates are the primary guard.
+    val guardedCnt = when(col("row") >= depth || col("row") < 0 ||
+        col("bucket") >= width || col("bucket") < 0,
+      raise_error(concat(lit("mergeCounters: counter cell (row="),
+        col("row").cast("string"), lit(", bucket="),
+        col("bucket").cast("string"),
+        lit(s") falls outside ${depth}x$width — the tables were built " +
+          "with a different geometry and cannot merge"))))
+      .otherwise(col("cnt"))
+    all.select(col("row"), col("bucket"), guardedCnt.as("cnt"))
+      .groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
   }
 

@@ -145,10 +145,16 @@ class HllSpec extends SparkSpec {
 
   test("a wider-p register table refuses to merge at a narrower p") {
     val wide = Hll.registers(items(5000), "item", p = 12)
-    val e = intercept[IllegalArgumentException] {
-      Hll.mergeRegisters(Seq(wide), p = 8).count()
+    // in-row guard: fires at execution, riding the merge (no second
+    // evaluation of the input folds). It lives on the rho column, so
+    // the read must MATERIALIZE rho — which every production consumer
+    // does (estimates, probes, store writes); a bare count() would
+    // prune it away, the documented caveat
+    val e = intercept[Exception] {
+      Hll.mergeRegisters(Seq(wide), p = 8).collect()
     }
-    assert(e.getMessage.contains("fall outside"))
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("falls outside"))
   }
 
   test("p outside the exact-arithmetic window refuses loudly") {

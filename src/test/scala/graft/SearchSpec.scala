@@ -277,12 +277,17 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(viaRaw == direct,
       "raw-union counter tables must not inflate the exact counts")
-    // geometry mismatch refuses loudly instead of merging garbage
-    val e = intercept[IllegalArgumentException] {
+    // geometry mismatch refuses loudly instead of merging garbage —
+    // IN-ROW now (the guard rides the merge; an eager count would
+    // execute every input fold twice), so the refusal fires at
+    // execution
+    val e = intercept[Exception] {
       Sketches.mergeCounters(
         Seq(Sketches.cmsCounters(a, width = 4096), Sketches.cmsCounters(b)))
+        .collect()
     }
-    assert(e.getMessage.contains("geometry"), e.getMessage)
+    val eMsg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(eMsg.contains("geometry"), eMsg)
   }
 
   test("bucket histograms merge cell-wise; quantile bounds contain the exact nearest-rank value") {
