@@ -585,6 +585,38 @@ object BuildDedupIndex {
         .repartition(numFiles)
         .write.mode("overwrite").parquet(consol.toString)
     }
+    // tombstone file-count maintenance rides the consolidation pass
+    // (see [[compactTombstones]])
+    compactTombstones(spark, outPath)
+  }
+
+  /** Fold every tombstone batch directory into ONE compacted batch —
+    * [[BuildTextIndex.compactTombstones]]'s twin for the bucket store.
+    * Simpler than the text store's (no frozen dl to carry — the fold
+    * is a plain doc_id DISTINCT), same rationale: tombstones persist
+    * forever (delete wins over a later re-append of the same doc; the
+    * batches a consolidation didn't cover may still hold band rows),
+    * but the probe's anti-join and every future delete should pay ONE
+    * directory listing, not one per historical takedown batch. Crash
+    * between write and source deletion leaves duplicate tombstone rows
+    * the anti-join absorbs; the re-run converges (shared
+    * [[consolidateBatches]] protocol).
+    */
+  def compactTombstones(spark: SparkSession, outPath: String): Unit = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delRoot)) return
+    val batches = fs.listStatus(delRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).sorted
+    if (batches.size <= 1) return
+    consolidateBatches(spark, s"$outPath/deletes",
+        "BuildDedupIndex.compactTombstones", batches) { (srcDirs, consol) =>
+      spark.read.parquet(srcDirs: _*)
+        .select(col("doc_id")).distinct()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(consol.toString)
+    }
   }
 
   /** The ONE crash-safe consolidation protocol (scaladoc on

@@ -140,7 +140,13 @@ object BuildSampleStore {
       s"BuildSampleStore.compactStreamed: $bad streamed rows carry null, " +
         "negative, or > 2^47-1 weights — priorities would corrupt; " +
         "fix the ingest")
-    TextOps.withPriority(rows, "doc_id")
+    // distinct BEFORE the top-(k+1) cut: at-least-once streamed ingest
+    // can land the same (doc_id, w) row twice, and a duplicate would
+    // occupy two of the k+1 slots, evicting the genuine (k+1)-th
+    // candidate — the merged tau (and every est_w) would then silently
+    // diverge from the one-shot sample. consolidate and
+    // mergedCandidates already distinct(); this path must match.
+    TextOps.withPriority(rows.distinct(), "doc_id")
       .orderBy(col("priority").desc, col("doc_id"))
       .limit(k + 1)
       .select(col("doc_id"), col("w"))

@@ -506,6 +506,55 @@ object BuildTextIndex {
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(consol.toString)
     }
+    // tombstone file-count maintenance rides the consolidation pass:
+    // fold the delete batch directories into one (semantics-preserving
+    // — see compactTombstones; tombstones themselves must survive for
+    // the batches this consolidation didn't cover)
+    compactTombstones(spark, outPath)
+  }
+
+  /** Fold every tombstone batch directory into ONE compacted batch —
+    * the takedown lifecycle's file-count maintenance, mirroring what
+    * [[consolidate]] does for postings. Tombstones can never be
+    * RETIRED here (additive batch metas still count the deleted docs,
+    * so the recomputed decrement row needs every frozen dl forever;
+    * and delete-wins-over-later-re-add is part of the takedown
+    * contract), but they can be folded: a year of weekly takedown
+    * batches is ~50 directories that EVERY query's anti-join and EVERY
+    * deleteDocs recompute must list and read. After compaction both
+    * pay one directory.
+    *
+    * The fold is `groupBy(doc_id).agg(max(dl))` — exactly the
+    * canonicalization [[deleteDocs]]' decrement recompute applies
+    * (max ignores nulls ⇒ a doc tombstoned before indexing and again
+    * after keeps its frozen dl; an all-null doc keeps null and still
+    * suppresses matches), so the decrement row and every query result
+    * are byte-identical across the fold (JobsSpec pins both). Same
+    * crash protocol as [[consolidate]] (shared
+    * [[BuildDedupIndex.consolidateBatches]]): crash between write and
+    * source deletion leaves duplicate tombstone rows that the
+    * recompute's groupBy and the anti-join both absorb.
+    *
+    * [[consolidate]] calls this after its postings fold — tombstone
+    * compaction is takedown-sized, so it rides the maintenance pass
+    * for free — and it is callable standalone for stores that take
+    * deletes faster than they consolidate.
+    */
+  def compactTombstones(spark: SparkSession, outPath: String): Unit = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delRoot)) return
+    val batches = fs.listStatus(delRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).sorted
+    if (batches.size <= 1) return
+    BuildDedupIndex.consolidateBatches(spark, s"$outPath/deletes",
+        "BuildTextIndex.compactTombstones", batches) { (srcDirs, consol) =>
+      spark.read.parquet(srcDirs: _*)
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(consol.toString)
+    }
   }
 
   def main(args: Array[String]): Unit = {

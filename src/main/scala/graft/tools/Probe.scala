@@ -99,8 +99,6 @@ object Probe {
         graft.ops.Graph.releaseCaches()
         graft.ops.TextOps.releaseCaches()
         graft.ops.Search.releaseCaches()
-      graft.ops.Associations.releaseCaches()
-      graft.ops.Commerce.releaseCaches()
         graft.ops.Associations.releaseCaches()
         graft.ops.Commerce.releaseCaches()
       }

@@ -1685,6 +1685,116 @@ class JobsSpec extends SparkSpec {
       s"retry must heal the decrement row (ref docs $refDocs)")
   }
 
+  test("tombstone compaction: N delete batches fold to one; results + decrement byte-identical; crash absorbed") {
+    // The takedown lifecycle's scale hole (r11 verdict #1): every query
+    // anti-joins, and every deleteDocs recomputes from, ALL historical
+    // deletes/batch=* directories. compactTombstones folds them to ONE
+    // — this pins that the fold changes NOTHING observable: all four
+    // query shapes, the decrement row, idempotent re-runs, the crash
+    // window, and delete-wins-over-later-state semantics.
+    val base = Files.createTempDirectory("graft-tscomp").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val allP = s"$base/all"
+    docs.select($"doc_id", $"text").write.parquet(allP)
+    val out = s"$base/index"; val ref = s"$base/ref"
+    graft.jobs.BuildTextIndex.run(spark, allP, out)
+    val keepP = s"$base/keep"
+    docs.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 5 =!= 0)
+      .select($"doc_id", $"text").write.parquet(keepP)
+    graft.jobs.BuildTextIndex.run(spark, keepP, ref)
+    // three takedown batches, deliberately overlapping (%15 hits both)
+    Seq(3, 5, 15).zipWithIndex.foreach { case (m, i) =>
+      val p = s"$base/dels$m"
+      docs.filter($"doc_id" % m === 0).select($"doc_id").write.parquet(p)
+      graft.jobs.BuildTextIndex.deleteDocs(spark, p, out, s"td$i")
+    }
+    val terms = Seq("hash", "scan", "stream")
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(_.toSeq).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    val before = rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+    val decBefore = rows(spark.read.parquet(s"$out/meta/batch=deletes"))
+    def batchDirs(p: String) = {
+      val fs = new java.io.File(p).listFiles()
+      (if (fs == null) Array.empty[java.io.File] else fs)
+        .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    }
+    assert(batchDirs(s"$out/deletes").size == 3)
+    graft.jobs.BuildTextIndex.compactTombstones(spark, out)
+    assert(batchDirs(s"$out/deletes").size == 1,
+      "three tombstone batches must fold to one directory")
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == before, "compaction must not change ranked results")
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == rows(graft.jobs.BuildTextIndex.searchStored(spark, ref, terms, 15)),
+      "post-compaction store must still equal rebuild-without-docs")
+    assert(rows(spark.read.parquet(s"$out/meta/batch=deletes")) == decBefore,
+      "compaction must leave the decrement row untouched")
+    // a LATER delete recomputes the decrement from the compacted set +
+    // its own batch — the frozen dls must have survived the fold
+    val delAgain = s"$base/delsAgain"
+    docs.filter($"doc_id" % 5 === 0).select($"doc_id").write.parquet(delAgain)
+    graft.jobs.BuildTextIndex.deleteDocs(spark, delAgain, out, "tdAgain")
+    assert(rows(spark.read.parquet(s"$out/meta/batch=deletes")) == decBefore,
+      "overlapping post-compaction delete must recompute the identical decrement")
+    // idempotent: nothing to fold below two batches... but with the new
+    // tdAgain batch there are two again — fold converges, same results
+    graft.jobs.BuildTextIndex.compactTombstones(spark, out)
+    graft.jobs.BuildTextIndex.compactTombstones(spark, out) // no-op at 1 dir
+    assert(batchDirs(s"$out/deletes").size == 1)
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == before)
+    // crash window: compacted dir written COMPLETE, sources not yet
+    // deleted — duplicate tombstone rows must be absorbed by the
+    // anti-join and the decrement recompute
+    val delsDir = s"$out/deletes"
+    val compacted = batchDirs(delsDir).head
+    val copy = s"$delsDir/batch=crashleftover"
+    spark.read.parquet(s"$delsDir/$compacted")
+      .write.parquet(copy)
+    assert(rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+      == before, "duplicate tombstones (crash leftover) must not change results")
+    graft.jobs.BuildTextIndex.deleteDocs(spark, delAgain, out, "tdAgain")
+    assert(rows(spark.read.parquet(s"$out/meta/batch=deletes")) == decBefore,
+      "decrement recompute over duplicated tombstones must not double-count")
+    graft.jobs.BuildTextIndex.compactTombstones(spark, out)
+    assert(batchDirs(delsDir).size == 1 &&
+      rows(graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15))
+        == before, "re-fold over the crash leftover must converge")
+
+    // --- dedup-store twin: fold + probe unchanged ---
+    val seenP = s"$base/seen"; val batchP = s"$base/batch"
+    docs.filter($"doc_id" < 400).write.parquet(seenP)
+    docs.filter($"doc_id" >= 400).write.parquet(batchP)
+    val dout = s"$base/dindex"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, dout)
+    Seq(4, 6).zipWithIndex.foreach { case (m, i) =>
+      val p = s"$base/ddels$m"
+      docs.filter($"doc_id" < 400 && $"doc_id" % m === 0)
+        .select($"doc_id").write.parquet(p)
+      graft.jobs.BuildDedupIndex.deleteDocs(spark, p, dout, s"dtd$i")
+    }
+    // append with a FIXED batch id: the probe excludes its own batch
+    // directory from the seen side, so re-running it is byte-identical
+    // unless the visible store changed — exactly the invariant the
+    // tombstone fold must preserve
+    def probe() = {
+      val r = graft.jobs.BuildDedupIndex.append(spark, batchP, allP,
+          dout, batchId = "probeQ")
+        .select("doc_a", "doc_b", "inter", "uni")
+        .collect().map(_.toSeq).toSet
+      graft.ops.Dedup.releaseCaches(); r
+    }
+    val dBefore = probe()
+    assert(batchDirs(s"$dout/deletes").size == 2)
+    graft.jobs.BuildDedupIndex.compactTombstones(spark, dout)
+    assert(batchDirs(s"$dout/deletes").size == 1,
+      "dedup tombstone batches must fold to one directory")
+    assert(probe() == dBefore,
+      "dedup probe must be identical across the tombstone fold")
+  }
+
   test("dedup-store deletion: probe-after-delete == rebuild-without-docs; consolidation applies physically") {
     // A tombstoned doc must never resurface as somebody's
     // near-duplicate: the next append's probe over the post-delete

@@ -196,4 +196,25 @@ class SampleStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("negative"))
   }
+
+  test("duplicated streamed rows (at-least-once ingest) fold ≡ one-shot sample") {
+    val base = tmp("samp-dupstream")
+    val out = s"$base/store"
+    val all = docs(350)
+    BuildSampleStore.run(spark, write(all.limit(0), s"$base/e"), out, k = 15)
+    // the same cells landed twice — a re-ingested file under at-least-
+    // once delivery. Without the pre-cut distinct, each duplicated
+    // high-priority doc occupies two of the k+1 slots and evicts the
+    // genuine (k+1)-th candidate, so τ (and every est_w) diverges from
+    // the one-shot sample.
+    val cells = TextOps.sampleCells(all)
+    write(cells.unionAll(cells), s"$base/cells2x")
+    BuildSampleStore.compactStreamed(spark, s"$base/cells2x", out, "fold-dup")
+    assert(sampleRows(out) === directRows(all, 15),
+      "duplicated streamed rows must not distort the top-(k+1) cut")
+    // and the landed batch itself carries no duplicate candidates
+    val batch = spark.read.parquet(s"$out/candidates")
+      .filter($"batch".cast("string") === "fold-dup")
+    assert(batch.count() === batch.distinct().count())
+  }
 }

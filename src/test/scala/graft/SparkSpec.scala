@@ -13,6 +13,17 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  val Sf0001 = "/root/testdata/sf0.001"
-  val Sf001 = "/root/testdata/sf0.01"
+  /** Testdata root — the driver-generated tables in the dev container;
+    * CI points this at `tools/gen_testdata.py` output. Golden-value
+    * tests that pin numbers from the DRIVER dataset must gate on
+    * [[isDriverTestdata]] (generated data is schema-compatible but not
+    * byte-identical).
+    */
+  val TestdataRoot: String =
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata")
+  val Sf0001 = s"$TestdataRoot/sf0.001"
+  val Sf001 = s"$TestdataRoot/sf0.01"
+  def isDriverTestdata: Boolean =
+    TestdataRoot == "/root/testdata" &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(Sf001))
 }
