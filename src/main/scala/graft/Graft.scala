@@ -559,9 +559,13 @@ object Graft {
     Graph.labelPropagation(edges, rounds)
   /** Bounded degeneracy peel: (node, peeled_round), 0 = in the k-core
     * (exact once a round removes nothing — idempotent past convergence).
+    * `symmetric = true` vouches the edges are already symmetrized +
+    * deduped and skips the canonicalization shuffle (see
+    * [[Graph.kCorePeel]]).
     */
-  def kCore(edges: DataFrame, k: Long, rounds: Int = 3): DataFrame =
-    Graph.kCorePeel(edges, k, rounds)
+  def kCore(edges: DataFrame, k: Long, rounds: Int = 3,
+      symmetric: Boolean = false): DataFrame =
+    Graph.kCorePeel(edges, k, rounds, symmetric = symmetric)
 
   // pipeline maintenance: CDC apply / incremental SCD2 / diff / checks
   def applyChanges(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],

@@ -95,17 +95,31 @@ object Scheduler {
       throw new IllegalStateException(s"Scheduler: marker rename failed at $dst")
   }
 
-  /** Acquire the single-run lock, or throw if another run holds it. */
+  /** Acquire the single-run lock, or throw if another run holds it.
+    *
+    * Atomicity is per-scheme: on HDFS `create(overwrite = false)` is a
+    * single atomic NameNode op, but Hadoop's LOCAL filesystem
+    * implements it as exists-then-create — two schedulers racing the
+    * same stateDir (the real deployment hazard `max_active_runs=1`
+    * exists to prevent) could BOTH pass through that window. For
+    * `file:` URIs we therefore go through NIO's `Files.createFile`,
+    * which is O_CREAT|O_EXCL — atomic at the kernel across processes.
+    * JobsSpec red-tests the cross-session double-launch.
+    */
   private def lock(spark: SparkSession, stateDir: String): Path = {
     val p = new Path(s"$stateDir/running.lock")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    try fs.create(p, false).close()
-    catch { case _: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Scheduler: another run holds $p (max_active_runs=1); remove the " +
-          "lock only if that run is known dead")
-    }
+    def refuse() = throw new IllegalStateException(
+      s"Scheduler: another run holds $p (max_active_runs=1); remove the " +
+        "lock only if that run is known dead")
+    if (fs.getUri.getScheme == "file")
+      try java.nio.file.Files.createFile(java.nio.file.Paths.get(
+        p.toUri.getPath)): Unit
+      catch { case _: java.nio.file.FileAlreadyExistsException => refuse() }
+    else
+      try fs.create(p, false).close()
+      catch { case _: java.io.IOException => refuse() }
     p
   }
 

@@ -262,15 +262,28 @@ object Graph {
     * "peel depth" a curation pipeline uses to rank how peripheral a
     * node is. Each round is two alive-semijoins + one degree aggregate
     * on node keys; the pageRank family's lineage-cut discipline.
+    *
+    * `symmetric = true` is the pre-canonicalized contract: the caller
+    * vouches the edge list ALREADY holds each undirected edge exactly
+    * once per direction — (a,b) and (b,a) both present, no duplicate
+    * rows, no self-loops — so the symmetrize-union and the full-edge
+    * `distinct()` (one shuffle over 2|E| rows, the single largest
+    * constant in the peel at bench scale) are skipped. An edge list
+    * built by a groupBy over both ordered pairs (e.g. the co-purchase
+    * build) satisfies it by construction; when in doubt leave it
+    * false — a violated contract silently inflates degrees.
     */
   def kCorePeel(edges: DataFrame, k: Long, rounds: Int = 3,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      symmetric: Boolean = false): DataFrame = {
     require(k >= 1, s"kCorePeel: k must be >= 1, got $k")
     require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
     val dir0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = registerDf(dir0.unionAll(dir0.select(col("dst").as("src"),
+    val canon = if (symmetric) dir0
+      else dir0.unionAll(dir0.select(col("dst").as("src"),
         col("src").as("dst"))).distinct()
+    val e = registerDf(canon
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // DELTA peeling (the Matula–Beck shape): the full degree table is
     // computed ONCE; each later round only touches edges incident to

@@ -956,9 +956,15 @@ object RelationalQueries {
       // round removed). Peeling is idempotent past convergence, so the
       // fixed round count stays oracle-unrollable with no
       // data-dependent early stop.
+      // symmetric = true: coPurchaseEdges(ordered = false) emits both
+      // ordered directions of every pair, deduped by its groupBy, and
+      // bans self-pairs — the pre-canonicalized contract — so the peel
+      // skips its symmetrize-union + full-edge distinct (the largest
+      // constant in this query's wall-clock).
       import spark.implicits._
       graft.ops.Graph.kCorePeel(
-          coPurchaseEdges(spark, dir, ordered = false), k = 110L, rounds = 3)
+          coPurchaseEdges(spark, dir, ordered = false), k = 110L, rounds = 3,
+          symmetric = true)
         .orderBy("node")
     },
 

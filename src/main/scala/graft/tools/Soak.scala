@@ -249,7 +249,54 @@ object Soak {
     times.min
   }
 
+  /** Targeted growth curve for ONE query at arbitrary scale points —
+    * `Soak curve <srcDir> <workDir> <query> <factor>...` — for settling
+    * a specific suspect (r11: triangle_parts needed an e(10→30) point;
+    * the full soak's fixed 1×/3×/factor× grid can't add one without
+    * re-running every family). Prints per-span fitted exponents
+    * (t ∝ m^e). Generated corpora land under `<workDir>/sf_<f>x` and
+    * are rebuilt each run (overwrite), so a dirty prior run can't
+    * contaminate the measurement.
+    */
+  def curveMain(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: Soak curve <srcDir> <workDir> <query> <factor>...")
+    val Array(srcDir, workDir, query) = args.take(3)
+    val factors = args.drop(3).map(_.toInt).toSeq
+    require(factors == factors.sorted && factors.forall(_ >= 2),
+      s"factors must be ascending and >= 2: $factors")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val pts = ((1, srcDir) +: factors.map { f =>
+      val dir = s"$workDir/sf_${f}x"
+      println(s"[soak] generating ${f}x corpus at $dir")
+      generate(spark, srcDir, dir, f)
+      (f, dir)
+    }).map { case (f, dir) =>
+      val t = minTime(spark, query, dir, 2)
+      println(f"[soak] $query at ${f}%2dx: $t%7.2f s")
+      (f, t)
+    }
+    pts.sliding(2).foreach { case Seq((fa, ta), (fb, tb)) =>
+      val e = math.log(tb / ta) / math.log(fb.toDouble / fa)
+      println(f"[soak] curve $query e($fa-$fb) = $e%5.2f" +
+        (if (e > 1.3) "  ** RED FLAG (> 1.3)" else ""))
+    }
+    println(s"[soak] loadavg at finish: ${graft.Bench.loadAvg1m()}")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("curve")) return curveMain(args.drop(1))
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("target/soak/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)

@@ -144,6 +144,96 @@ class JobsSpec extends SparkSpec {
     Files.delete(java.nio.file.Paths.get(state, "running.lock"))
   }
 
+  test("cross-process writer exclusion: concurrent double-launch — one winner, store equals a single clean run") {
+    // The r11 verdict's deployment hazard: two schedulers racing one
+    // store. The reference serializes via Airflow max_active_runs=1
+    // (DAG:39); this engine claims the atomic lock file replaces it.
+    // Two parts: (a) DETERMINISTIC overlap — a second launch (its own
+    // SparkSession, the cross-process shape minus the JVM boundary)
+    // arriving while the first is INSIDE an hour must refuse loudly and
+    // leave zero trace; (b) a simultaneous-acquisition hammer — eight
+    // launches hitting the lock at the same instant (the O_EXCL window
+    // Hadoop's local exists-then-create would lose) must never run an
+    // hour concurrently.
+    val base = Files.createTempDirectory("graft-race").toString
+    val logs = s"$base/logs"; val sessions = s"$base/sessions"
+    val state = s"$base/state"
+    Ingest.run(spark, writeCsv(base), logs)
+    // reference: one clean sequential run
+    val refSessions = s"$base/refsessions"
+    graft.jobs.Scheduler.catchup(spark, logs, refSessions, s"$base/refstate",
+      "2019-10-01 10", "2019-10-01 12")
+
+    val sparkB = spark.newSession()
+    val inWork = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var winnerRan: Seq[String] = null
+    @volatile var winnerErr: Throwable = null
+    val winner = new Thread(() => {
+      try winnerRan = graft.jobs.Scheduler.catchupWith(spark, state,
+          "2019-10-01 10", "2019-10-01 12") { (d, hh) =>
+        inWork.countDown()
+        // hold the first hour open until the second launch has been
+        // refused — deterministic overlap, no sleep races
+        if (hh == "10")
+          assert(release.await(60, java.util.concurrent.TimeUnit.SECONDS),
+            "test harness: refusal never arrived")
+        graft.jobs.SessionizeHour.run(spark, logs, sessions, d, hh)
+      } catch { case e: Throwable => winnerErr = e; inWork.countDown() }
+    })
+    winner.start()
+    assert(inWork.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    assert(winnerErr == null, s"winner failed early: $winnerErr")
+    val e = intercept[IllegalStateException] {
+      graft.jobs.Scheduler.catchup(sparkB, logs, sessions, state,
+        "2019-10-01 10", "2019-10-01 12")
+    }
+    assert(e.getMessage.contains("max_active_runs=1"))
+    release.countDown()
+    winner.join(180000)
+    assert(!winner.isAlive && winnerErr == null, s"winner: $winnerErr")
+    assert(winnerRan == Seq("2019-10-01 10", "2019-10-01 11"))
+    // the refused launch left NO trace: byte-identical to the clean run
+    def all(p: String) = spark.read.schema(Schemas.session).parquet(p)
+      .collect().map(_.toSeq).toSet
+    assert(all(sessions) == all(refSessions),
+      "racing launch must not perturb the store")
+    assert(graft.jobs.Scheduler.readMarker(spark, state)
+      .contains("2019-10-01 11"))
+    // lock released: a relaunch succeeds (and has nothing due)
+    assert(graft.jobs.Scheduler.catchup(spark, logs, sessions, state,
+      "2019-10-01 10", "2019-10-01 12").isEmpty)
+
+    // (b) the hammer: 8 simultaneous acquisitions, occupancy never > 1
+    val state2 = s"$base/state2"
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val oks = new java.util.concurrent.atomic.AtomicInteger(0)
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val threads = (1 to 8).map { _ => new Thread(() => {
+      barrier.await()
+      try {
+        graft.jobs.Scheduler.catchupWith(spark, state2,
+            "2019-10-01 10", "2019-10-01 11") { (_, _) =>
+          val now = inside.incrementAndGet()
+          maxInside.getAndUpdate(m => math.max(m, now)): Unit
+          Thread.sleep(50)
+          inside.decrementAndGet(): Unit
+        }
+        oks.incrementAndGet(): Unit
+      } catch {
+        case _: IllegalStateException => refusals.incrementAndGet(): Unit
+      }
+    })}
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(threads.forall(!_.isAlive))
+    assert(oks.get + refusals.get == 8)
+    assert(oks.get >= 1, "at least one launch must win the lock")
+    assert(maxInside.get == 1,
+      s"two schedulers ran an hour concurrently (occupancy ${maxInside.get})")
+  }
+
   test("scheduler: 2-stage hour chain resumes byte-identical after a mid-chain failure") {
     // The marker-after-commit contract must compose BEYOND a single job
     // (r8 verdict #4): hour H's chain is sessionize → curate that

@@ -2627,6 +2627,14 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(more === got)
     Graph.releaseCaches()
+    // symmetric = true (the pre-canonicalized contract) must be
+    // result-identical when the input really is symmetrized + deduped
+    val sym = edges.unionAll(edges.select($"dst".as("src"), $"src".as("dst")))
+    val fast = Graph.kCorePeel(sym, k = 2L, rounds = 3, symmetric = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === got,
+      "symmetric=true on canonical input must equal the default path")
+    Graph.releaseCaches()
   }
 
   test("rfmSegments: width-1 thresholds are exact quartiles on a hand fixture") {

@@ -1047,4 +1047,129 @@ class ScaleSpec extends SparkSpec {
     info(f"10^7-occurrence HLL fold: $secsFold%.1fs, est=$est rel_err=$rel%.4f")
     assert(rel <= 0.049, f"estimate outside the 3-sigma band: $rel%.4f")
   }
+
+  test("takedown at boundary scale: 10^5 tombstones / 10^2 batches — delete, read, compact, read measured") {
+    // The r11 verdict's top task: deleteDocs recomputes its decrement
+    // row from the FULL tombstone set and every read anti-joins it, so
+    // the lifecycle's real boundary is tombstone-set size x directory
+    // count. This measures that boundary at 10^5 tombstones across
+    // 10^2 delete batches on BOTH stores, then shows compactTombstones
+    // collapsing the directory axis with byte-identical results.
+    // The row axis is irreducible by design (frozen dls must survive
+    // forever for the decrement; delete-wins-forever needs every id) —
+    // at 10^5 rows the anti-join side broadcasts; past broadcast size
+    // it becomes a doc_id-keyed shuffle of the already-pruned,
+    // query-term-sized postings, never a corpus pass.
+    val base = Files.createTempDirectory("graft-tsbound").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val docsP = s"$base/docs"
+    docs.select($"doc_id", $"text").write.parquet(docsP)
+    val out = s"$base/index"
+    graft.jobs.BuildTextIndex.run(spark, docsP, out)
+    // two REAL takedowns first (docs actually in the store — they set
+    // the decrement row the synthetic flood must never perturb)
+    val realDel = s"$base/realdel"
+    docs.filter($"doc_id" % 7 === 0).select($"doc_id").write.parquet(realDel)
+    graft.jobs.BuildTextIndex.deleteDocs(spark, realDel, out, "real0")
+    assert(spark.read.parquet(s"$out/meta/batch=deletes")
+      .head.getLong(0) == -docs.filter($"doc_id" % 7 === 0).count())
+    // the flood: 98 synthetic batches x ~1000 DISTINCT never-indexed
+    // ids (dl null — exactly what a takedown list of docs your store
+    // never ingested looks like), written directly as batch dirs (the
+    // layout deleteDocs produces; writing via 98 deleteDocs calls
+    // would measure 98 recomputes, not the boundary state)
+    val nBatch = 98; val perBatch = 1000
+    val tGen0 = System.nanoTime()
+    (0 until nBatch).foreach { i =>
+      spark.range(1000000L + i.toLong * perBatch,
+          1000000L + (i + 1).toLong * perBatch)
+        .select($"id".as("doc_id"), lit(null).cast("int").as("dl"))
+        .coalesce(1).write.parquet(s"$out/deletes/batch=syn$i")
+    }
+    val secsGen = (System.nanoTime() - tGen0) / 1e9
+    val terms = Seq("hash", "scan", "stream")
+    def search() = {
+      val r = graft.jobs.BuildTextIndex.searchStored(spark, out, terms, 15)
+        .collect().map(_.toSeq).toSeq
+      graft.ops.Search.releaseCaches(); r
+    }
+    // boundary DELETE: one real takedown with 10^2 dirs / 10^5 rows
+    // present — its decrement recompute reads the whole set
+    val realDel2 = s"$base/realdel2"
+    docs.filter($"doc_id" % 11 === 0).select($"doc_id").write.parquet(realDel2)
+    val tDel0 = System.nanoTime()
+    graft.jobs.BuildTextIndex.deleteDocs(spark, realDel2, out, "real1")
+    val secsDel = (System.nanoTime() - tDel0) / 1e9
+    // boundary READ: the anti-join pays the full 10^2-dir listing
+    val tRead0 = System.nanoTime()
+    val want = search()
+    val secsReadB = (System.nanoTime() - tRead0) / 1e9
+    val decAfter = spark.read.parquet(s"$out/meta/batch=deletes")
+      .collect().map(_.toSeq).toSeq
+    // COMPACT: 10^2 dirs -> 1, nothing observable changes
+    val tComp0 = System.nanoTime()
+    graft.jobs.BuildTextIndex.compactTombstones(spark, out)
+    val secsComp = (System.nanoTime() - tComp0) / 1e9
+    val tRead1 = System.nanoTime()
+    val got = search()
+    val secsReadA = (System.nanoTime() - tRead1) / 1e9
+    assert(got == want, "compaction changed search results")
+    assert(spark.read.parquet(s"$out/meta/batch=deletes")
+      .collect().map(_.toSeq).toSeq == decAfter,
+      "compaction must leave the decrement row untouched")
+    val dirs = new java.io.File(s"$out/deletes").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs.size == 1, s"expected one compacted dir, got ${dirs.size}")
+    // distinct accounting: the two real batches overlap on %77 docs,
+    // which the fold correctly collapses to one row each
+    assert(spark.read.parquet(s"$out/deletes").count() ==
+      nBatch.toLong * perBatch +
+        docs.filter($"doc_id" % 7 === 0 || $"doc_id" % 11 === 0).count(),
+      "every distinct tombstone must survive the fold exactly once")
+    // the synthetic dl-null flood never touches the decrement row:
+    // after real1 it counts exactly the union of the two REAL batches
+    // (every one of their docs was indexed, so each decrements once)
+    val nRealDocs = docs.filter($"doc_id" % 7 === 0 || $"doc_id" % 11 === 0)
+      .count()
+    assert(decAfter.head.head == -nRealDocs,
+      s"decrement n_docs must be -$nRealDocs (got ${decAfter.head.head}) — " +
+        "the dl-null flood must contribute zero")
+    // dedup-store twin at the same boundary
+    val dout = s"$base/dindex"
+    graft.jobs.BuildDedupIndex.run(spark, docsP, dout)
+    (0 until nBatch).foreach { i =>
+      spark.range(1000000L + i.toLong * perBatch,
+          1000000L + (i + 1).toLong * perBatch)
+        .select($"id".as("doc_id"))
+        .coalesce(1).write.parquet(s"$dout/deletes/batch=syn$i")
+    }
+    val batchP = s"$base/probebatch"
+    docs.filter($"doc_id" % 13 === 0).select($"doc_id", $"text")
+      .write.parquet(batchP)
+    def probe() = {
+      val r = graft.jobs.BuildDedupIndex.append(spark, batchP, docsP,
+          dout, batchId = "probeQ")
+        .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+      graft.ops.Dedup.releaseCaches(); r
+    }
+    val tProbe0 = System.nanoTime()
+    val dWant = probe()
+    val secsProbeB = (System.nanoTime() - tProbe0) / 1e9
+    val tDComp0 = System.nanoTime()
+    graft.jobs.BuildDedupIndex.compactTombstones(spark, dout)
+    val secsDComp = (System.nanoTime() - tDComp0) / 1e9
+    val tProbe1 = System.nanoTime()
+    assert(probe() == dWant, "dedup probe changed across the fold")
+    val secsProbeA = (System.nanoTime() - tProbe1) / 1e9
+    assert(new java.io.File(s"$dout/deletes").listFiles()
+      .count(_.getName.startsWith("batch=")) == 1)
+    // loose walls (shared host): the point is the MEASUREMENT + the
+    // invariants above, not a tight SLA
+    assert(secsDel < 120 && secsReadB < 120 && secsComp < 120, "boundary blowup")
+    info(f"text store @ 10^5/10^2: delete $secsDel%.1f s, read-before " +
+      f"$secsReadB%.1f s, compact $secsComp%.1f s, read-after $secsReadA%.1f s " +
+      f"(gen $secsGen%.1f s)")
+    info(f"dedup store @ 10^5/10^2: probe-before $secsProbeB%.1f s, " +
+      f"compact $secsDComp%.1f s, probe-after $secsProbeA%.1f s")
+  }
 }

@@ -173,6 +173,66 @@ class StreamingSpec extends SparkSpec {
       s"resumed output diverged from batch: ${got.length} vs ${batch.length} sessions")
   }
 
+  test("RocksDB state store: session-agg kill/resume still hash-matches batch") {
+    // The 100 TB configuration: at real state sizes the HDFS-backed
+    // default provider holds every key in executor heap; RocksDB is
+    // the provider a production deployment runs. transformWithState
+    // already runs on it (Spark 4 requires that); this pins the
+    // session_window AGG path — including a mid-stream kill + resume,
+    // so RocksDB's snapshot/changelog recovery is what's being
+    // trusted — to the same batch hash-match as the default-provider
+    // tests.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-stream-rocks").toString
+      val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+      val ev = Tables.events(spark, Sf0001).select($"user_id", $"ts", $"event_id")
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      val sentinel = Seq((-999L, new Timestamp(maxTs.getTime + 7200L * 1000L), -1L))
+        .toDF("user_id", "ts", "event_id")
+      // same staged event-time slices as the default-provider resume
+      // test (see its scaladoc for why mod-time order matters)
+      val sliced = ev.withColumn("slice", ntile(24).over(
+        org.apache.spark.sql.expressions.Window.orderBy("ts")))
+      (1 to 24).foreach { i =>
+        sliced.filter($"slice" === i).drop("slice")
+          .coalesce(1).write.mode("append").parquet(in)
+      }
+      sentinel.coalesce(1).write.mode("append").parquet(in)
+      val totalRows = ev.count() + 1
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = StreamingSessionize.sessionWindowAgg(stream).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q.isActive && System.nanoTime() < deadline &&
+        q.recentProgress.count(_.numInputRows > 0) < 1) Thread.sleep(50)
+      q.stop(); q.awaitTermination()
+      val rowsBeforeKill = q.recentProgress.map(_.numInputRows).sum
+      assert(rowsBeforeKill > 0 && rowsBeforeKill < totalRows,
+        s"kill was not mid-stream: $rowsBeforeKill of $totalRows rows")
+      graft.streaming.StreamingJob.run(spark, ev.schema, in, out, ckpt)
+      val cols = Seq("user_id", "session_start", "session_end",
+        "n_events", "first_event", "last_event")
+      val got = spark.read.parquet(out).filter($"user_id" =!= -999L)
+        .select(cols.map(col): _*).collect().map(_.toSeq)
+      val batch = StreamingSessionize.sessionWindowAgg(ev, withWatermarkCol = None)
+        .select(cols.map(col): _*).collect().map(_.toSeq)
+      assert(got.length == got.toSet.size,
+        "RocksDB resume must not duplicate sessions")
+      assert(got.toSet == batch.toSet,
+        s"RocksDB-provider output diverged from batch: " +
+          s"${got.length} vs ${batch.length} sessions")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("re-running the streaming job on the same checkpoint emits nothing new") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
