@@ -138,11 +138,23 @@ object Hll {
     * store pins (width, depth) ([[graft.jobs.BuildHllStore]]).
     */
   def mergeRegisters(tables: Seq[DataFrame], p: Int = DefaultP,
-      groupCols: Seq[String] = Nil): DataFrame = {
+      groupCols: Seq[String] = Nil, eagerCheck: Boolean = false): DataFrame = {
     requireP(p, "mergeRegisters")
     require(tables.nonEmpty, "Hll.mergeRegisters: no register tables")
     val cols = (groupCols ++ Seq("reg", "rho")).map(col)
     val all = tables.map(_.select(cols: _*)).reduce(_.unionAll(_))
+    // opt-in EAGER geometry check (the mergeCounters rule): for ad-hoc
+    // merges whose consumer may prune rho — the one path the in-row
+    // guard below cannot cover. Costs one extra evaluation of every
+    // input; leave false on hot paths, store meta is the primary guard.
+    if (eagerCheck) {
+      val bad = all.filter(col("reg") < 0 || col("reg") >= m(p).toLong ||
+        col("rho") < 1L || col("rho") > 61L).count()
+      require(bad == 0L,
+        s"Hll.mergeRegisters: $bad register cells fall outside " +
+          s"reg ∈ [0, ${m(p)}) × rho ∈ [1, 61] at p = $p — a table built " +
+          "with a different p (or corrupt rows) is being merged")
+    }
     // IN-ROW range guard (the mergeCounters rule): an eager count would
     // execute every input fold twice — once for the guard, once for
     // the merge. The raise rides the merge; zero extra evaluation.

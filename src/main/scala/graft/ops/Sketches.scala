@@ -100,10 +100,23 @@ object Sketches {
     * convention in meta for exactly this reason).
     */
   def mergeCounters(tables: Seq[DataFrame], width: Int = DefaultWidth,
-      depth: Int = DefaultDepth): DataFrame = {
+      depth: Int = DefaultDepth, eagerCheck: Boolean = false): DataFrame = {
     require(tables.nonEmpty, "mergeCounters: no counter tables")
     val all = tables.map(_.select(col("row"), col("bucket"), col("cnt")))
       .reduce(_ unionByName _)
+    // opt-in EAGER geometry check for ad-hoc merges whose consumer may
+    // prune cnt (the one path the in-row guard below cannot cover —
+    // r11 advice): one aggregate over the unioned cells, executed now.
+    // Leave false on hot paths — it evaluates every input an extra
+    // time, the cost the in-row form exists to avoid; store meta gates
+    // remain the primary guard for persisted tables.
+    if (eagerCheck) {
+      val bad = all.filter(col("row") >= depth || col("row") < 0 ||
+        col("bucket") >= width || col("bucket") < 0).count()
+      require(bad == 0L,
+        s"mergeCounters: $bad counter cells fall outside ${depth}x$width " +
+          "— the tables were built with a different geometry and cannot merge")
+    }
     // IN-ROW range guard (was an eager count): the eager form EXECUTED
     // every input once for the guard and again for the merge — when the
     // inputs are freshly-computed folds (heavy_hitters_merged's two

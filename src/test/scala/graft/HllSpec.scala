@@ -155,6 +155,17 @@ class HllSpec extends SparkSpec {
     }
     val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("falls outside"))
+    // the documented caveat closed for ad-hoc merges: eagerCheck=true
+    // refuses at CALL time, even when the consumer would prune rho
+    // (a bare count skips the in-row guard)
+    val e2 = intercept[IllegalArgumentException] {
+      Hll.mergeRegisters(Seq(wide), p = 8, eagerCheck = true)
+    }
+    assert(e2.getMessage.contains("fall outside"))
+    // and a legal eager merge is unchanged
+    val ok = Hll.registers(items(100), "item", p = 8)
+    assert(Hll.mergeRegisters(Seq(ok, ok), p = 8, eagerCheck = true)
+      .count() == ok.count())
   }
 
   test("p outside the exact-arithmetic window refuses loudly") {

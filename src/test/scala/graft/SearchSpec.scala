@@ -288,6 +288,22 @@ class SearchSpec extends SparkSpec {
     }
     val eMsg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(eMsg.contains("geometry"), eMsg)
+    // eagerCheck=true closes the prune caveat for ad-hoc merges: the
+    // refusal fires at CALL time, before any consumer could drop cnt
+    val e2 = intercept[IllegalArgumentException] {
+      Sketches.mergeCounters(
+        Seq(Sketches.cmsCounters(a, width = 4096), Sketches.cmsCounters(b)),
+        eagerCheck = true)
+    }
+    assert(e2.getMessage.contains("geometry"))
+    // and a legal eager merge equals the default-path merge
+    assert(Sketches.mergeCounters(
+        Seq(Sketches.cmsCounters(a), Sketches.cmsCounters(b)),
+        eagerCheck = true)
+      .collect().map(_.toSeq).toSet ==
+      Sketches.mergeCounters(
+        Seq(Sketches.cmsCounters(a), Sketches.cmsCounters(b)))
+      .collect().map(_.toSeq).toSet)
   }
 
   test("bucket histograms merge cell-wise; quantile bounds contain the exact nearest-rank value") {
