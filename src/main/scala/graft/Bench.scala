@@ -173,6 +173,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shared-microVM discipline (r11 verdict #4): the archived total
+    // must carry host load at start AND end, so a cross-round wall
+    // regression can be attributed to neighbors without re-adjudication
+    val loadStart = loadAvg1m()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -297,7 +301,8 @@ object Bench {
     // jobs, unlike the per-window task_failures map's nonzero subset).
     val nKilled = listener.killed
     val lifetimeFailures = listener.failuresAfter(-1)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg":$loadJson,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
+    val loadEnd = loadAvg1m()
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg":$loadJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1
@@ -305,7 +310,7 @@ object Bench {
     val round = graft.tools.Rounds.next("BENCH_r")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"queries_file":"bench_out.json"}"""
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries_file":"bench_out.json"}"""
     // The total line ALSO goes to a file: sbt prefixes stdout with
     // [info], which broke the driver's JSON parse of it in rounds 1–3.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")

@@ -603,12 +603,7 @@ object BuildDedupIndex {
     * [[consolidateBatches]] protocol).
     */
   def compactTombstones(spark: SparkSession, outPath: String): Unit = {
-    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
-    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(delRoot)) return
-    val batches = fs.listStatus(delRoot).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=")).sorted
+    val batches = tombstoneBatches(spark, outPath)
     if (batches.size <= 1) return
     consolidateBatches(spark, s"$outPath/deletes",
         "BuildDedupIndex.compactTombstones", batches) { (srcDirs, consol) =>
@@ -617,6 +612,22 @@ object BuildDedupIndex {
         .coalesce(1)
         .write.mode("overwrite").parquet(consol.toString)
     }
+  }
+
+  /** Tombstone batch directories under a store's `deletes/` root,
+    * sorted — ONE discovery implementation for both stores'
+    * compactTombstones (the consolidateBatches centralization rule:
+    * shared so the two stores' maintenance verbs cannot diverge on
+    * what counts as a foldable batch).
+    */
+  private[jobs] def tombstoneBatches(spark: SparkSession,
+      outPath: String): Seq[String] = {
+    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
+    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delRoot)) Seq.empty
+    else fs.listStatus(delRoot).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).sorted
   }
 
   /** The ONE crash-safe consolidation protocol (scaladoc on

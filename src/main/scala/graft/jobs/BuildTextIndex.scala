@@ -541,12 +541,7 @@ object BuildTextIndex {
     * deletes faster than they consolidate.
     */
   def compactTombstones(spark: SparkSession, outPath: String): Unit = {
-    val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
-    val fs = delRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(delRoot)) return
-    val batches = fs.listStatus(delRoot).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=")).sorted
+    val batches = BuildDedupIndex.tombstoneBatches(spark, outPath)
     if (batches.size <= 1) return
     BuildDedupIndex.consolidateBatches(spark, s"$outPath/deletes",
         "BuildTextIndex.compactTombstones", batches) { (srcDirs, consol) =>

@@ -143,13 +143,16 @@ object Hll {
     require(tables.nonEmpty, "Hll.mergeRegisters: no register tables")
     val cols = (groupCols ++ Seq("reg", "rho")).map(col)
     val all = tables.map(_.select(cols: _*)).reduce(_.unionAll(_))
+    // the ONE range predicate both guards share — eager and in-row
+    // forms must never drift apart on what "out of range" means
+    val outOfRange = col("reg") < 0 || col("reg") >= m(p).toLong ||
+      col("rho") < 1L || col("rho") > 61L
     // opt-in EAGER geometry check (the mergeCounters rule): for ad-hoc
     // merges whose consumer may prune rho — the one path the in-row
     // guard below cannot cover. Costs one extra evaluation of every
     // input; leave false on hot paths, store meta is the primary guard.
     if (eagerCheck) {
-      val bad = all.filter(col("reg") < 0 || col("reg") >= m(p).toLong ||
-        col("rho") < 1L || col("rho") > 61L).count()
+      val bad = all.filter(outOfRange).count()
       require(bad == 0L,
         s"Hll.mergeRegisters: $bad register cells fall outside " +
           s"reg ∈ [0, ${m(p)}) × rho ∈ [1, 61] at p = $p — a table built " +
@@ -165,8 +168,7 @@ object Hll {
     // check — every production path materializes it (estimates read
     // rho, probes read cnt, and store writes materialize all columns),
     // and the stored form's meta gates are the primary guard anyway.
-    val guardedRho = when(col("reg") < 0 || col("reg") >= m(p).toLong ||
-        col("rho") < 1L || col("rho") > 61L,
+    val guardedRho = when(outOfRange,
       raise_error(concat(lit("Hll.mergeRegisters: register cell (reg="),
         col("reg").cast("string"), lit(", rho="), col("rho").cast("string"),
         lit(s") falls outside reg ∈ [0, ${m(p)}) × rho ∈ [1, 61] — a " +

@@ -104,6 +104,10 @@ object Sketches {
     require(tables.nonEmpty, "mergeCounters: no counter tables")
     val all = tables.map(_.select(col("row"), col("bucket"), col("cnt")))
       .reduce(_ unionByName _)
+    // the ONE range predicate both guards share — eager and in-row
+    // forms must never drift apart on what "out of range" means
+    val outOfRange = col("row") >= depth || col("row") < 0 ||
+      col("bucket") >= width || col("bucket") < 0
     // opt-in EAGER geometry check for ad-hoc merges whose consumer may
     // prune cnt (the one path the in-row guard below cannot cover —
     // r11 advice): one aggregate over the unioned cells, executed now.
@@ -111,8 +115,7 @@ object Sketches {
     // time, the cost the in-row form exists to avoid; store meta gates
     // remain the primary guard for persisted tables.
     if (eagerCheck) {
-      val bad = all.filter(col("row") >= depth || col("row") < 0 ||
-        col("bucket") >= width || col("bucket") < 0).count()
+      val bad = all.filter(outOfRange).count()
       require(bad == 0L,
         s"mergeCounters: $bad counter cells fall outside ${depth}x$width " +
           "— the tables were built with a different geometry and cannot merge")
@@ -130,8 +133,7 @@ object Sketches {
     // every production path materializes it (probes read counts,
     // store writes materialize all columns), and the stored form's
     // meta gates are the primary guard.
-    val guardedCnt = when(col("row") >= depth || col("row") < 0 ||
-        col("bucket") >= width || col("bucket") < 0,
+    val guardedCnt = when(outOfRange,
       raise_error(concat(lit("mergeCounters: counter cell (row="),
         col("row").cast("string"), lit(", bucket="),
         col("bucket").cast("string"),

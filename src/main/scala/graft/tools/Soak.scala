@@ -258,13 +258,12 @@ object Soak {
     * are rebuilt each run (overwrite), so a dirty prior run can't
     * contaminate the measurement.
     */
-  def curveMain(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: Soak curve <srcDir> <workDir> <query> <factor>...")
-    val Array(srcDir, workDir, query) = args.take(3)
-    val factors = args.drop(3).map(_.toInt).toSeq
-    require(factors == factors.sorted && factors.forall(_ >= 2),
-      s"factors must be ascending and >= 2: $factors")
+  /** The one measurement session for both entry points — main and
+    * curveMain MUST run under identical confs or curve exponents stop
+    * being comparable to soak rows (nanosAsLong in particular is
+    * load-bearing for generate()'s raw reads).
+    */
+  private def buildSession(): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -276,6 +275,20 @@ object Soak {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def curveMain(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: Soak curve <srcDir> <workDir> <query> <factor>...")
+    val Array(srcDir, workDir, query) = args.take(3)
+    val factors = args.drop(3).map(_.toInt).toSeq
+    require(factors == factors.sorted && factors.forall(_ >= 2),
+      s"factors must be ascending and >= 2: $factors")
+    // fail on a typo BEFORE minutes of corpus generation, not after
+    require(graft.SparkEntry.queries.contains(query),
+      s"unknown query '$query' — see SparkEntry.queries")
+    val spark = buildSession()
     val pts = ((1, srcDir) +: factors.map { f =>
       val dir = s"$workDir/sf_${f}x"
       println(s"[soak] generating ${f}x corpus at $dir")
@@ -300,17 +313,7 @@ object Soak {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("target/soak/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = buildSession()
     println(s"[soak] generating ${factor}x corpus at $outDir")
     generate(spark, srcDir, outDir, factor)
 
