@@ -194,6 +194,32 @@ object BuildBloomStore {
       spark.read.parquet(seenPath), mBits, kProbes)
   }
 
+  /** Batch-granular takedown (OR is not invertible — a bit set by a
+    * deleted doc may also be set by survivors, so per-doc retraction
+    * cannot exist; the [[BuildHllStore.dropBatches]] rule). Dropping a
+    * batch removes its filter + meta dirs; callers re-append the
+    * dropped slice's SURVIVING docs. Until they do, the merged filter
+    * under-covers — probes report more "novel" docs, which the exact
+    * seen-corpus verify then filters, so the increment result stays
+    * CORRECT (the caller must also drop the docs from the seen corpus
+    * the verify reads — the store never held text). 'base' pins the
+    * store's geometry convention and is undroppable.
+    */
+  def dropBatches(spark: SparkSession, outPath: String,
+      ids: Seq[String]): Unit = {
+    require(!ids.contains("base"),
+      "BuildBloomStore.dropBatches: 'base' pins the store's geometry and " +
+        "cannot be dropped; rebuild with run if the base slice must go")
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.foreach { b =>
+      require(!b.contains("/") && !b.contains("="),
+        s"BuildBloomStore.dropBatches: '$b' must be a plain partition value")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/bloom/batch=$b"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BuildBloomStore <docsParquet> <outPath> [mBits] [kProbes]")

@@ -71,7 +71,12 @@ object Soak {
     "hll_distinct_tokens", "hll_stored",
     // r11 sample store: three TakeOrderedAndProject folds (top-(k+1)
     // each, never a full sort) + the tiny merged re-rank
-    "priority_sample_stored")
+    "priority_sample_stored",
+    // r12: the two r11 graph additions — k_core now runs the
+    // symmetric fast path (no canonicalization shuffle; growth must
+    // stay frontier-proportional), label_propagation is the min_by
+    // argmax whose map-side combine is the scale claim
+    "k_core", "label_propagation")
 
   /** The super-linear soakers (r9 verdict #4): one 10× point can't
     * distinguish m^1.2 from m^1.5 — for these two, the soak adds a 3×

@@ -2093,6 +2093,17 @@ class JobsSpec extends SparkSpec {
       spark, out, resubmit, shrunkP))
     assert(afterDelete.nonEmpty && afterDelete.values.forall(identity),
       "deleted docs' texts must be novel again despite stale bloom bits")
+    // batch-granular drop (bit hygiene after a mass takedown — stale
+    // bits are correctness-harmless but saturate the filter): dropping
+    // h1 leaves the merged filter bit-identical to the h0-only build
+    graft.jobs.BuildBloomStore.dropBatches(spark, out, Seq("h1"))
+    assert(bits(graft.jobs.BuildBloomStore.mergedFilter(spark, out))
+      == bits(Dedup.bloomTextFilter(docs.filter($"doc_id" < 250))),
+      "post-drop filter must equal a build from the remaining slice")
+    intercept[IllegalArgumentException] {
+      graft.jobs.BuildBloomStore.dropBatches(spark, out, Seq("base"))
+    }
+    graft.jobs.BuildBloomStore.dropBatches(spark, out, Seq("h1")) // idempotent
   }
 
   test("profile store: persisted histograms merge to the whole-column answer; bad width refuses by name") {

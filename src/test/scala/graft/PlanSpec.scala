@@ -284,7 +284,13 @@ class PlanSpec extends SparkSpec {
       "doc_keywords" -> 9,        // measured 9: the doc_id<100 filter reaches the tf-side SCAN (below window AND aggregate) while df stays corpus-wide (2 aggs, broadcast); WindowGroupLimit partial+final around the per-doc exchange; + n_docs (2) + sort
       "window_funnel" -> 2,       // measured 2: ONE user-keyed exchange feeds all k running-max windows AND the per-user max (partitioning reuse); + presentation sort
       "cms_join_size" -> 9,       // measured 9: two in-query counter folds (the canonical use reads PERSISTED tables — zero corpus passes) + canon/dot/min aggs over ≤ d·w rows + the exact witness (2)
-      "rfm_segments" -> 25)       // measured 25 static ids (cached-subtree reprints); EXECUTION scans orders once into the registered per-customer cache — every later exchange (3 histogram+quantile chains, scoring, sort) moves ≤ |customers| rows
+      "rfm_segments" -> 25,       // measured 25 static ids (cached-subtree reprints); EXECUTION scans orders once into the registered per-customer cache — every later exchange (3 histogram+quantile chains, scoring, sort) moves ≤ |customers| rows
+      // iterative graph queries: exchange count is ROUND-proportional
+      // (3 unrolled rounds), never data-proportional; the budgets pin
+      // the per-round shape (a lost broadcast or a re-introduced edge
+      // canonicalization shuffle would blow them)
+      "k_core" -> 24,             // measured 24 on the symmetric fast path (25 before — the skipped full-edge distinct): edge build (basket agg + pair explode) + degree agg, then per round dec agg + anti/left joins; final node distinct + sort
+      "label_propagation" -> 31)  // measured 29-30 (cached-subtree reprint variance, +1 slack): edge build + per-round min_by argmax agg chains (map-side combined) + final sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
