@@ -110,16 +110,40 @@ object Scheduler {
     val p = new Path(s"$stateDir/running.lock")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    def refuse() = throw new IllegalStateException(
-      s"Scheduler: another run holds $p (max_active_runs=1); remove the " +
-        "lock only if that run is known dead")
-    if (fs.getUri.getScheme == "file")
-      try java.nio.file.Files.createFile(java.nio.file.Paths.get(
-        p.toUri.getPath)): Unit
+    // holder identity INSIDE the lock file: the refusal tells the
+    // operator whose run to check before deciding the holder is dead —
+    // "remove the lock if dead" is only actionable with a who/when
+    val holder = s"pid=${ProcessHandle.current().pid()} " +
+      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"since=${java.time.Instant.now()}"
+    def refuse() = {
+      val held = try {
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](math.min(
+            fs.getFileStatus(p).getLen, 512L).toInt)
+          in.readFully(buf); new String(buf, "UTF-8").trim
+        } finally in.close()
+      } catch { case _: Throwable => "(holder info unreadable)" }
+      throw new IllegalStateException(
+        s"Scheduler: another run holds $p (max_active_runs=1) [$held]; " +
+          "remove the lock only if that run is known dead")
+    }
+    if (fs.getUri.getScheme == "file") {
+      // O_CREAT|O_EXCL via NIO — atomic at the kernel (Hadoop's local
+      // create(overwrite=false) is exists-then-create, a race window)
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
+        holder.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
       catch { case _: java.nio.file.FileAlreadyExistsException => refuse() }
-    else
-      try fs.create(p, false).close()
-      catch { case _: java.io.IOException => refuse() }
+    } else {
+      // HDFS: create(overwrite = false) is one atomic NameNode op; the
+      // holder line rides the same stream
+      try {
+        val out = fs.create(p, false)
+        try out.write(holder.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => refuse() }
+    }
     p
   }
 

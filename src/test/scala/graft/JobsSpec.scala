@@ -189,6 +189,9 @@ class JobsSpec extends SparkSpec {
         "2019-10-01 10", "2019-10-01 12")
     }
     assert(e.getMessage.contains("max_active_runs=1"))
+    // the refusal names the holder (pid/host/since from the lock file)
+    // so the operator can check the run before deciding it's dead
+    assert(e.getMessage.contains("pid="), e.getMessage)
     release.countDown()
     winner.join(180000)
     assert(!winner.isAlive && winnerErr == null, s"winner: $winnerErr")

@@ -480,6 +480,57 @@ class StreamingSpec extends SparkSpec {
     assert(got == data.map(_.event_id).sorted.toSeq) // each id exactly once
   }
 
+  test("RocksDB state store: streaming dedup and interval join match their default-provider results") {
+    // Completes the provider matrix: session-agg (kill/resume) and
+    // transformWithState already run on RocksDB; this covers the two
+    // remaining stateful shapes — dropDuplicates state and symmetric
+    // join state — whose 100 TB deployments also run RocksDB.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      // dedup: replayed events within the watermark drop exactly once
+      val input = MemoryStream[Ev]
+      val q = StreamingSessionize.dedupStream(input.toDF())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_rocks_out").start()
+      val data = evs(100)
+      input.addData(data.take(60)); q.processAllAvailable()
+      input.addData(data.slice(30, 100)); q.processAllAvailable()
+      input.addData(data); q.processAllAvailable()
+      val got = spark.table("dedup_rocks_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      q.stop()
+      assert(got == data.map(_.event_id).sorted.toSeq,
+        "RocksDB dedup state must keep each id exactly once")
+
+      // interval join: state bounded by both watermarks, equals batch
+      def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+      val impData = Seq((1L, ts(0)), (2L, ts(5)), (3L, ts(20)), (1L, ts(30)))
+      val clkData = Seq((1L, ts(3)), (2L, ts(18)), (3L, ts(25)), (1L, ts(31)))
+      val cond = "imp_ad = clk_ad AND clk_ts >= imp_ts AND clk_ts <= imp_ts + interval 10 minutes"
+      val imp = MemoryStream[(Long, Timestamp)]
+      val clk = MemoryStream[(Long, Timestamp)]
+      val joined = imp.toDS().toDF("imp_ad", "imp_ts")
+        .withWatermark("imp_ts", "10 seconds")
+        .join(clk.toDS().toDF("clk_ad", "clk_ts")
+          .withWatermark("clk_ts", "10 seconds"), expr(cond))
+      val qj = joined.writeStream.outputMode("append")
+        .format("memory").queryName("ssj_rocks_out").start()
+      imp.addData(impData); clk.addData(clkData); qj.processAllAvailable()
+      imp.addData(Seq((99L, ts(600)))); clk.addData(Seq((99L, ts(600))))
+      qj.processAllAvailable()
+      val gotJ = spark.table("ssj_rocks_out").filter($"imp_ad" =!= 99)
+        .collect().map(_.toSeq).toSet
+      qj.stop()
+      val batch = impData.toDF("imp_ad", "imp_ts")
+        .join(clkData.toDF("clk_ad", "clk_ts"), expr(cond))
+        .collect().map(_.toSeq).toSet
+      assert(gotJ == batch,
+        s"RocksDB join state diverged: stream=$gotJ batch=$batch")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("multi-batch file-source dedup keeps first occurrences older than a prior batch") {
     // The hazard runDedup's 90-day delay exists for: when the file
     // listing splits into several micro-batches (maxFilesPerTrigger, more
