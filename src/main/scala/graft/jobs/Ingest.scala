@@ -52,6 +52,35 @@ object Ingest {
       .parquet(outPath)
   }
 
+  /** JSONL corpus ingest — the interchange format LLM-pipeline corpora
+    * actually arrive in (one JSON object per line; crawl dumps,
+    * annotation exports, HF dataset drops). The schema is IMPOSED,
+    * never inferred: at 100 TB `inferSchema` is a full extra pass over
+    * the corpus before the real one, and a late malformed line would
+    * silently widen a column for every earlier file. Malformed lines
+    * follow `mode` (default PERMISSIVE: nulls + `_corrupt_record` when
+    * the caller's schema carries that column; FAILFAST to refuse
+    * loudly). Output is plain repartitioned parquet — downstream
+    * curation re-layouts as it needs.
+    */
+  def runJsonl(spark: SparkSession, jsonlPath: String, outPath: String,
+      schema: org.apache.spark.sql.types.StructType, numFiles: Int = 32,
+      mode: String = "PERMISSIVE"): Unit =
+    spark.read
+      .schema(schema)
+      .option("mode", mode)
+      .json(jsonlPath)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(outPath)
+
+  /** The inverse: export any DataFrame as a JSONL directory (one JSON
+    * object per line, Spark's json sink). Round-trip fidelity —
+    * unicode, quotes, newlines-in-strings, nulls — is oracled by the
+    * `jsonl_roundtrip` query (md5 text digests survive the trip).
+    */
+  def exportJsonl(df: DataFrame, outPath: String, numFiles: Int = 32): Unit =
+    df.repartition(numFiles).write.mode("overwrite").json(outPath)
+
   def main(args: Array[String]): Unit = {
     val Array(csvPath, outPath) = args
     val spark = SparkSession.builder()

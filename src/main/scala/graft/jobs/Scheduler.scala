@@ -124,26 +124,37 @@ object Scheduler {
             fs.getFileStatus(p).getLen, 512L).toInt)
           in.readFully(buf); new String(buf, "UTF-8").trim
         } finally in.close()
-      } catch { case _: Throwable => "(holder info unreadable)" }
+        // NonFatal only: an interrupt mid-read must cancel the
+        // scheduler, not degrade into an ordinary lock refusal
+      } catch { case scala.util.control.NonFatal(_) =>
+        "(holder info unreadable)" }
       throw new IllegalStateException(
         s"Scheduler: another run holds $p (max_active_runs=1) [$held]; " +
           "remove the lock only if that run is known dead")
     }
-    if (fs.getUri.getScheme == "file") {
+    // ACQUIRE first, with nothing but the atomic create in the try:
+    // only an already-exists outcome may map to refuse() — routing a
+    // write/close failure there would misreport our own fresh lock as
+    // another run's and leak it forever (lock() throwing means the
+    // caller's finally-delete never runs)
+    if (fs.getUri.getScheme == "file")
       // O_CREAT|O_EXCL via NIO — atomic at the kernel (Hadoop's local
       // create(overwrite=false) is exists-then-create, a race window)
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p.toUri.getPath),
-        holder.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+      try java.nio.file.Files.createFile(java.nio.file.Paths.get(
+        p.toUri.getPath)): Unit
       catch { case _: java.nio.file.FileAlreadyExistsException => refuse() }
-    } else {
-      // HDFS: create(overwrite = false) is one atomic NameNode op; the
-      // holder line rides the same stream
-      try {
-        val out = fs.create(p, false)
-        try out.write(holder.getBytes("UTF-8")) finally out.close()
-      } catch { case _: java.io.IOException => refuse() }
-    }
+    else
+      // HDFS: create(overwrite = false) is one atomic NameNode op
+      try fs.create(p, false).close()
+      catch { case _: java.io.IOException => refuse() }
+    // the lock is OURS from here; the holder line is best-effort
+    // DIAGNOSTICS into our own file (overwrite is safe — we hold it).
+    // A failed write degrades the refusal message to an empty holder,
+    // never the lock's correctness, so it must not propagate
+    try {
+      val out = fs.create(p, true)
+      try out.write(holder.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     p
   }
 

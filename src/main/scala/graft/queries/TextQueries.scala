@@ -169,6 +169,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "jsonl_roundtrip" -> { (spark, dir) =>
+      // JSONL corpus interchange (the format LLM corpora arrive and
+      // ship in): export documents as JSONL, re-ingest with the IMPOSED
+      // schema (never inference — that is a full extra corpus pass at
+      // 100 TB), aggregate off the ROUND-TRIPPED rows. The oracle
+      // computes the same aggregates over the original parquet, so any
+      // loss in the trip — escaping, unicode, nulls, dropped rows —
+      // breaks the md5 text digests or the counts. Digest mod a prime
+      // keeps the per-lang sum inside int64 at any corpus size.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      val docs = Tables.documents(spark, dir)
+      graft.jobs.Ingest.exportJsonl(docs, s"$base/jsonl")
+      graft.jobs.Ingest.runJsonl(spark, s"$base/jsonl", s"$base/parquet",
+        docs.schema)
+      spark.read.parquet(s"$base/parquet")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length($"text")).as("sum_chars"),
+          sum(conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
+            % 999999937L).as("sum_digest"),
+          sum($"doc_id").as("sum_ids"))
+        .orderBy("lang")
+    },
+
     "vocab_growth" -> { (spark, dir) =>
       // Heaps-law vocabulary growth curve: distinct-token vocabulary
       // size and total token volume over geometric id-prefixes of the
@@ -1436,6 +1461,13 @@ object TextQueries {
         |       (len(toks) >= 10 AND
         |        len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) * 20 < len(toks) * 7) AS keep
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       SUM(length(text))::BIGINT AS sum_chars,
+        |       SUM(('0x' || substr(md5(text), 1, 15))::BIGINT % 999999937)::BIGINT AS sum_digest,
+        |       SUM(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "repetition_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -237,6 +237,48 @@ class JobsSpec extends SparkSpec {
       s"two schedulers ran an hour concurrently (occupancy ${maxInside.get})")
   }
 
+  test("JSONL ingest/export round-trips hostile strings; malformed lines follow the mode") {
+    // The jsonl_roundtrip query oracles corpus-level digests; this
+    // pins the VALUE-level cases a digest mismatch would only hint at:
+    // embedded quotes/backslashes, literal newlines and tabs (escaped
+    // in JSONL, so one record stays one line), non-ASCII, and nulls
+    // (Spark's json sink drops null fields; the imposed schema reads
+    // them back as null).
+    val base = Files.createTempDirectory("graft-jsonl-unit").toString
+    val docs = Seq(
+      (0L, "plain ascii", "en"),
+      (1L, "quotes \" and \\ backslash", "en"),
+      (2L, "newline\nand\ttab", "en"),
+      (3L, "café 中文 😀", "ko"),
+      (4L, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    graft.jobs.Ingest.exportJsonl(docs, s"$base/jsonl", numFiles = 2)
+    graft.jobs.Ingest.runJsonl(spark, s"$base/jsonl", s"$base/pq",
+      docs.schema, numFiles = 2)
+    assert(spark.read.parquet(s"$base/pq").collect().map(_.toSeq).toSet
+      == docs.collect().map(_.toSeq).toSet,
+      "hostile strings must round-trip value-identical")
+    // malformed input line: PERMISSIVE lands a null row (the corpus
+    // keeps flowing; counts surface the damage), FAILFAST refuses
+    val badDir = s"$base/bad"
+    new java.io.File(badDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(badDir, "part-0.jsonl"),
+      """{"doc_id": 7, "text": "fine", "lang": "en"}
+        |{not json at all
+        |""".stripMargin)
+    graft.jobs.Ingest.runJsonl(spark, badDir, s"$base/badpq", docs.schema)
+    val rows = spark.read.parquet(s"$base/badpq").collect()
+    assert(rows.length == 2 &&
+      rows.count(_.isNullAt(0)) == 1 &&
+      rows.exists(r => !r.isNullAt(0) && r.getLong(0) == 7L),
+      "PERMISSIVE must keep the good row and null the malformed one")
+    intercept[org.apache.spark.SparkException] {
+      graft.jobs.Ingest.runJsonl(spark, badDir, s"$base/badpq2",
+        docs.schema, mode = "FAILFAST")
+    }
+  }
+
   test("scheduler: 2-stage hour chain resumes byte-identical after a mid-chain failure") {
     // The marker-after-commit contract must compose BEYOND a single job
     // (r8 verdict #4): hour H's chain is sessionize → curate that

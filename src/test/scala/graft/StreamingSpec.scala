@@ -487,11 +487,15 @@ class StreamingSpec extends SparkSpec {
     // join state — whose 100 TB deployments also run RocksDB.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // queries stop in the finally — a provider failure mid-test must
+    // not leak an active query into the suite's shared session
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var qj: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
       implicit val sqlCtx = spark.sqlContext
       // dedup: replayed events within the watermark drop exactly once
       val input = MemoryStream[Ev]
-      val q = StreamingSessionize.dedupStream(input.toDF())
+      q = StreamingSessionize.dedupStream(input.toDF())
         .writeStream.outputMode("append")
         .format("memory").queryName("dedup_rocks_out").start()
       val data = evs(100)
@@ -500,7 +504,6 @@ class StreamingSpec extends SparkSpec {
       input.addData(data); q.processAllAvailable()
       val got = spark.table("dedup_rocks_out").select("event_id")
         .collect().map(_.getLong(0)).sorted.toSeq
-      q.stop()
       assert(got == data.map(_.event_id).sorted.toSeq,
         "RocksDB dedup state must keep each id exactly once")
 
@@ -515,20 +518,25 @@ class StreamingSpec extends SparkSpec {
         .withWatermark("imp_ts", "10 seconds")
         .join(clk.toDS().toDF("clk_ad", "clk_ts")
           .withWatermark("clk_ts", "10 seconds"), expr(cond))
-      val qj = joined.writeStream.outputMode("append")
+      qj = joined.writeStream.outputMode("append")
         .format("memory").queryName("ssj_rocks_out").start()
       imp.addData(impData); clk.addData(clkData); qj.processAllAvailable()
       imp.addData(Seq((99L, ts(600)))); clk.addData(Seq((99L, ts(600))))
       qj.processAllAvailable()
       val gotJ = spark.table("ssj_rocks_out").filter($"imp_ad" =!= 99)
-        .collect().map(_.toSeq).toSet
-      qj.stop()
+        .collect().map(_.toSeq).toSeq
+      assert(gotJ.length == gotJ.toSet.size,
+        "RocksDB join state must not emit a matched pair twice")
       val batch = impData.toDF("imp_ad", "imp_ts")
         .join(clkData.toDF("clk_ad", "clk_ts"), expr(cond))
         .collect().map(_.toSeq).toSet
-      assert(gotJ == batch,
+      assert(gotJ.toSet == batch,
         s"RocksDB join state diverged: stream=$gotJ batch=$batch")
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      if (q != null) q.stop()
+      if (qj != null) qj.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("multi-batch file-source dedup keeps first occurrences older than a prior batch") {
