@@ -210,11 +210,15 @@ object BuildBloomStore {
     require(!ids.contains("base"),
       "BuildBloomStore.dropBatches: 'base' pins the store's geometry and " +
         "cannot be dropped; rebuild with run if the base slice must go")
-    val fs = new org.apache.hadoop.fs.Path(outPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // validate EVERY id before deleting ANY: a malformed late id must
+    // refuse the whole call, not abort a half-applied takedown
     ids.foreach { b =>
       require(!b.contains("/") && !b.contains("="),
         s"BuildBloomStore.dropBatches: '$b' must be a plain partition value")
+    }
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/bloom/batch=$b"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
     }

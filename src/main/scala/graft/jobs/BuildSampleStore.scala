@@ -318,11 +318,15 @@ object BuildSampleStore {
     require(!ids.contains("base"),
       "BuildSampleStore.dropBatches: 'base' pins the store's convention " +
         "and cannot be dropped; rebuild with run if the base slice must go")
-    val fs = new org.apache.hadoop.fs.Path(outPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // validate EVERY id before deleting ANY: a malformed late id must
+    // refuse the whole call, not abort a half-applied takedown
     ids.foreach { b =>
       require(!b.contains("/") && !b.contains("="),
         s"BuildSampleStore.dropBatches: '$b' must be a plain partition value")
+    }
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ids.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/candidates/batch=$b"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"), true)
     }

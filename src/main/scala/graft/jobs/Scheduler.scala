@@ -110,12 +110,6 @@ object Scheduler {
     val p = new Path(s"$stateDir/running.lock")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(p.getParent)
-    // holder identity INSIDE the lock file: the refusal tells the
-    // operator whose run to check before deciding the holder is dead —
-    // "remove the lock if dead" is only actionable with a who/when
-    val holder = s"pid=${ProcessHandle.current().pid()} " +
-      s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-      s"since=${java.time.Instant.now()}"
     def refuse() = {
       val held = try {
         val in = fs.open(p)
@@ -133,25 +127,44 @@ object Scheduler {
           "remove the lock only if that run is known dead")
     }
     // ACQUIRE first, with nothing but the atomic create in the try:
-    // only an already-exists outcome may map to refuse() — routing a
-    // write/close failure there would misreport our own fresh lock as
-    // another run's and leak it forever (lock() throwing means the
-    // caller's finally-delete never runs)
+    // only an ALREADY-EXISTS outcome may map to refuse() — routing any
+    // other failure there would misreport our own fresh lock (or an
+    // infrastructure error) as another run's and, because lock() runs
+    // before the caller's try/finally, leak the file forever
     if (fs.getUri.getScheme == "file")
       // O_CREAT|O_EXCL via NIO — atomic at the kernel (Hadoop's local
       // create(overwrite=false) is exists-then-create, a race window)
       try java.nio.file.Files.createFile(java.nio.file.Paths.get(
         p.toUri.getPath)): Unit
       catch { case _: java.nio.file.FileAlreadyExistsException => refuse() }
-    else
-      // HDFS: create(overwrite = false) is one atomic NameNode op
-      try fs.create(p, false).close()
-      catch { case _: java.io.IOException => refuse() }
-    // the lock is OURS from here; the holder line is best-effort
-    // DIAGNOSTICS into our own file (overwrite is safe — we hold it).
-    // A failed write degrades the refusal message to an empty holder,
-    // never the lock's correctness, so it must not propagate
+    else {
+      // HDFS: create(overwrite = false) is one atomic NameNode op and
+      // signals contention with the TYPED already-exists exception; a
+      // generic IOException is an infrastructure error and propagates.
+      // A close() failure after a successful create means the lock
+      // file exists and is OURS — best-effort delete before rethrowing
+      // so the failed launch doesn't wedge every later one
+      val out = try fs.create(p, false)
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          refuse() }
+      try out.close()
+      catch { case e: java.io.IOException =>
+        try fs.delete(p, false): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+      }
+    }
+    // the lock is OURS from here; the holder line (pid/host/since — the
+    // refusal tells the operator whose run to check before deciding the
+    // holder is dead) is best-effort DIAGNOSTICS into our own file
+    // (overwrite is safe — we hold it). Built only now: on a
+    // misconfigured-DNS host getLocalHost can stall, and the acquire /
+    // refuse paths must stay minimal. A failed write degrades the
+    // refusal message to an empty holder, never the lock's correctness
     try {
+      val holder = s"pid=${ProcessHandle.current().pid()} " +
+        s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"since=${java.time.Instant.now()}"
       val out = fs.create(p, true)
       try out.write(holder.getBytes("UTF-8")) finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -184,7 +184,7 @@ object TextQueries {
       graft.jobs.Ingest.exportJsonl(docs, s"$base/jsonl")
       graft.jobs.Ingest.runJsonl(spark, s"$base/jsonl", s"$base/parquet",
         docs.schema)
-      spark.read.parquet(s"$base/parquet")
+      val agg = spark.read.parquet(s"$base/parquet")
         .groupBy($"lang")
         .agg(count(lit(1)).as("n_docs"),
           sum(length($"text")).as("sum_chars"),
@@ -192,6 +192,15 @@ object TextQueries {
             % 999999937L).as("sum_digest"),
           sum($"doc_id").as("sum_ids"))
         .orderBy("lang")
+      // the result is |langs| rows: materialize it and DELETE the two
+      // corpus-sized temp copies the trip produced — bench re-invokes
+      // this closure per pass, and leaking 2 corpora per pass fills
+      // the disk the bench output shares
+      val rows = agg.collect()
+      val out = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), agg.schema)
+      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+      out
     },
 
     "vocab_growth" -> { (spark, dir) =>

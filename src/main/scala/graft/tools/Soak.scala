@@ -254,15 +254,6 @@ object Soak {
     times.min
   }
 
-  /** Targeted growth curve for ONE query at arbitrary scale points —
-    * `Soak curve <srcDir> <workDir> <query> <factor>...` — for settling
-    * a specific suspect (r11: triangle_parts needed an e(10→30) point;
-    * the full soak's fixed 1×/3×/factor× grid can't add one without
-    * re-running every family). Prints per-span fitted exponents
-    * (t ∝ m^e). Generated corpora land under `<workDir>/sf_<f>x` and
-    * are rebuilt each run (overwrite), so a dirty prior run can't
-    * contaminate the measurement.
-    */
   /** The one measurement session for both entry points — main and
     * curveMain MUST run under identical confs or curve exponents stop
     * being comparable to soak rows (nanosAsLong in particular is
@@ -283,6 +274,15 @@ object Soak {
     spark
   }
 
+  /** Targeted growth curve for ONE query at arbitrary scale points —
+    * `Soak curve <srcDir> <workDir> <query> <factor>...` — for settling
+    * a specific suspect (r11: triangle_parts needed an e(10→30) point;
+    * the full soak's fixed 1×/3×/factor× grid can't add one without
+    * re-running every family). Prints per-span fitted exponents
+    * (t ∝ m^e). Generated corpora land under `<workDir>/sf_<f>x` and
+    * are rebuilt each run (overwrite), so a dirty prior run can't
+    * contaminate the measurement.
+    */
   def curveMain(args: Array[String]): Unit = {
     require(args.length >= 4,
       "usage: Soak curve <srcDir> <workDir> <query> <factor>...")
