@@ -42,6 +42,63 @@ private[jobs] object AdditiveStore {
   private def manifestDir(outPath: String) =
     new org.apache.hadoop.fs.Path(s"$outPath/consolidated")
 
+  /** Order-independent digest of a batch table's CONTENT: md5 over
+    * (row count, decimal sum of per-row xxhash64 across all columns).
+    * The decimal(38,0) sum is overflow-proof under ANSI mode and
+    * multiset-sensitive (unlike a bit_xor fold, duplicate rows cannot
+    * cancel), and summation commutes — the same rows in any partition
+    * order digest identically, so a crash-retry of a deterministic
+    * fold always reproduces its digest. One tiny aggregate over the
+    * (bounded) fold table; callers persist the fold first so the
+    * digest pass never re-scans the batch input.
+    */
+  def contentDigest(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    val agg = df
+      .select(xxhash64(df.columns.toSeq.map(c => col(c)): _*)
+        .cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
+      .head()
+    val s = if (agg.isNullAt(1)) "0" else agg.getDecimal(1).toBigInteger.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${agg.getLong(0)}:$s".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  /** The batch-id collision guard (r12 verdict #1): a caller re-using
+    * a committed batch id with DIFFERENT content would silently
+    * replace the earlier batch — data loss indistinguishable from the
+    * intended idempotent crash-retry of identical content. Each batch
+    * meta row carries the fold's [[contentDigest]]; before overwriting
+    * anything, the writer compares the NEW fold's digest against the
+    * committed one and refuses on mismatch, stays silent on match (the
+    * clean-retry shape) or when no committed meta exists (fresh id, or
+    * a crash landed the fold but not its meta — the retry must heal).
+    * Meta rows from pre-digest stores (no `content_digest` column) are
+    * unknowable and pass — collision safety starts at the first
+    * digest-bearing write.
+    */
+  def requireDigestCompatible(spark: SparkSession, outPath: String,
+      id: String, digest: String, op: String): Unit = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$id")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP)) return
+    val meta = spark.read.parquet(metaP.toString)
+    if (!meta.columns.contains("content_digest")) return
+    meta.select(meta("content_digest"))
+      .head(1).headOption.map(_.getString(0)).filter(_ != null)
+      .foreach { committed =>
+        if (committed != digest)
+          throw new IllegalStateException(
+            s"$op: batch id '$id' is already committed with content digest " +
+              s"$committed, but this fold digests to $digest — re-using an id " +
+              "with DIFFERENT content would silently replace the earlier " +
+              "batch. Pick a fresh batch id (or drop/retract the old batch " +
+              "first); an identical-content retry is accepted as the " +
+              "idempotent re-run it is.")
+      }
+  }
+
   /** (label, sources) for every committed consolidation manifest. */
   def manifests(fs: org.apache.hadoop.fs.FileSystem,
       outPath: String): Seq[(String, Set[String])] = {
@@ -152,9 +209,15 @@ private[jobs] object AdditiveStore {
             "the sources or rebuild")
       // inert until the manifest lands — readers ignore an uncommitted
       // consol batch, so these overwrites are safe to crash anywhere
-      merge(batches.map(b => tablePath(b).toString))
-        .write.mode("overwrite").parquet(tablePath(label).toString)
-      metaRow.write.mode("overwrite").parquet(metaPath(label).toString)
+      val merged = merge(batches.map(b => tablePath(b).toString)).persist()
+      try {
+        val digest = contentDigest(merged)
+        merged.write.mode("overwrite").parquet(tablePath(label).toString)
+        metaRow
+          .withColumn("content_digest",
+            org.apache.spark.sql.functions.lit(digest))
+          .write.mode("overwrite").parquet(metaPath(label).toString)
+      } finally { merged.unpersist(); () }
       // THE commit point
       val out = fs.create(manifest, true)
       try out.write((batches.mkString("\n") + "\n").getBytes("UTF-8"))

@@ -83,10 +83,17 @@ object BuildBloomStore {
     // filter before meta — a bloom dir without a meta row refuses
     // LOUDLY at merge; a meta row without its fold would silently
     // drop the batch's bits and mint false "novel" verdicts
-    Dedup.bloomTextFilter(docs, mBits, kProbes)
-      .write.mode("overwrite").parquet(s"$outPath/bloom/batch=$id")
-    Seq((mBits, kProbes, HashDevice)).toDF("m_bits", "k_probes", "hash_device")
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val filter = Dedup.bloomTextFilter(docs, mBits, kProbes).persist()
+    try {
+      // digest BEFORE any overwrite (batch-id collision guard)
+      val digest = AdditiveStore.contentDigest(filter)
+      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
+        "BuildBloomStore")
+      filter.write.mode("overwrite").parquet(s"$outPath/bloom/batch=$id")
+      Seq((mBits, kProbes, HashDevice)).toDF("m_bits", "k_probes", "hash_device")
+        .withColumn("content_digest", lit(digest))
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    } finally { filter.unpersist(); () }
   }
 
   /** The store's pinned (mBits, kProbes), from the base meta row. */
@@ -215,6 +222,11 @@ object BuildBloomStore {
     ids.foreach { b =>
       require(!b.contains("/") && !b.contains("="),
         s"BuildBloomStore.dropBatches: '$b' must be a plain partition value")
+      require(!b.startsWith("consol-"),
+        s"BuildBloomStore.dropBatches: '$b' is a committed consolidation — " +
+          "its sources are already retired, so deleting it wedges every " +
+          "read ('consolidated tables are gone'); re-fold the surviving " +
+          "slices with run/append instead")
     }
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

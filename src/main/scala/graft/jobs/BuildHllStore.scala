@@ -98,6 +98,10 @@ object BuildHllStore {
     require(id != "base",
       "BuildHllStore.append: batchId 'base' is reserved for the initial " +
         "build (appending under it would overwrite the base registers)")
+    require(!id.startsWith("consol-"),
+      "BuildHllStore.append: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(itemsPath), outPath, id, itemCol, p)
   }
 
@@ -106,10 +110,18 @@ object BuildHllStore {
     // registers before meta: a register directory without a meta row is
     // a LOUD state ([[mergedRegisters]] refuses it), so a crash between
     // the writes can never silently count; the retry overwrites both
-    Hll.registers(items, itemCol, p)
-      .write.mode("overwrite").parquet(s"$outPath/registers/batch=$id")
-    metaRow(spark, p)
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val regs = Hll.registers(items, itemCol, p).persist()
+    try {
+      // digest BEFORE any overwrite (batch-id collision guard) — the
+      // max-fold absorbs overlapping CONTENT, but a re-used ID with
+      // different content still loses the earlier batch's registers
+      val digest = AdditiveStore.contentDigest(regs)
+      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
+        "BuildHllStore")
+      regs.write.mode("overwrite").parquet(s"$outPath/registers/batch=$id")
+      metaRow(spark, p).withColumn("content_digest", lit(digest))
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    } finally { regs.unpersist(); () }
   }
 
   /** Fold a streaming cell-ingest directory
@@ -311,6 +323,11 @@ object BuildHllStore {
     ids.foreach { b =>
       require(!b.contains("/") && !b.contains("="),
         s"BuildHllStore.dropBatches: '$b' must be a plain partition value")
+      require(!b.startsWith("consol-"),
+        s"BuildHllStore.dropBatches: '$b' is a committed consolidation — " +
+          "its sources are already retired, so deleting it wedges every " +
+          "read ('consolidated tables are gone'); re-fold the surviving " +
+          "slices with run/append instead")
     }
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

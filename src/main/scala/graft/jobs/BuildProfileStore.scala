@@ -79,11 +79,19 @@ object BuildProfileStore {
     // histogram before meta — same ordering argument as the sketch
     // store: a histogram dir without a meta row refuses LOUDLY at
     // merge, a meta row without its fold would under-count silently
-    val hist = Sketches.bucketHistogram(values, valueCol, width)
-    (if (negate) hist.withColumn("cnt", -col("cnt")) else hist)
-      .write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
-    Seq((width, Device)).toDF("bucket_width", "device")
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val base = Sketches.bucketHistogram(values, valueCol, width)
+    val hist =
+      (if (negate) base.withColumn("cnt", -col("cnt")) else base).persist()
+    try {
+      // digest BEFORE any overwrite (batch-id collision guard)
+      val digest = AdditiveStore.contentDigest(hist)
+      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
+        "BuildProfileStore")
+      hist.write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
+      Seq((width, Device)).toDF("bucket_width", "device")
+        .withColumn("content_digest", lit(digest))
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    } finally { hist.unpersist(); () }
   }
 
   /** The takedown verb: RETRACT a previously-folded slice by appending

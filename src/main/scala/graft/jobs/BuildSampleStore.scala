@@ -98,6 +98,10 @@ object BuildSampleStore {
     require(id != "base",
       "BuildSampleStore.append: batchId 'base' is reserved for the initial " +
         "build (appending under it would overwrite the base candidates)")
+    require(!id.startsWith("consol-"),
+      "BuildSampleStore.append: batchId prefix 'consol-' is reserved for committed " +
+        "consolidations — the manifest-aware readers would treat this " +
+        "batch as an uncommitted leftover and silently IGNORE it")
     writeBatch(spark, spark.read.parquet(docsPath), outPath, id,
       k, weightCol, idCol)
   }
@@ -107,11 +111,20 @@ object BuildSampleStore {
       idCol: String): Unit = {
     // candidates before meta: a candidate dir without a meta row is a
     // LOUD state; the reverse order would under-cover silently
-    TextOps.priorityCandidates(docs, k, weightCol, idCol)
+    val cands = TextOps.priorityCandidates(docs, k, weightCol, idCol)
       .select(col(idCol).as("doc_id"), col("w"))
-      .write.mode("overwrite").parquet(s"$outPath/candidates/batch=$id")
-    metaRow(spark, k)
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+      .persist()
+    try {
+      // digest BEFORE any overwrite (batch-id collision guard) — the
+      // md5-derived priorities are deterministic, so a clean retry of
+      // the same corpus slice always reproduces its digest
+      val digest = AdditiveStore.contentDigest(cands)
+      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
+        "BuildSampleStore")
+      cands.write.mode("overwrite").parquet(s"$outPath/candidates/batch=$id")
+      metaRow(spark, k).withColumn("content_digest", lit(digest))
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    } finally { cands.unpersist(); () }
   }
 
   /** Fold a streaming (doc_id, w) ingest directory
@@ -323,6 +336,11 @@ object BuildSampleStore {
     ids.foreach { b =>
       require(!b.contains("/") && !b.contains("="),
         s"BuildSampleStore.dropBatches: '$b' must be a plain partition value")
+      require(!b.startsWith("consol-"),
+        s"BuildSampleStore.dropBatches: '$b' is a committed consolidation — " +
+          "its sources are already retired, so deleting it wedges every " +
+          "read ('consolidated tables are gone'); re-fold the surviving " +
+          "slices with run/append instead")
     }
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -109,11 +109,19 @@ object BuildSketchStore {
     // the two writes can never silently count — the retry overwrites
     // both. The reverse order would leave a meta row claiming a fold
     // that doesn't exist: the merge would under-count without a trace.
-    val counters = Sketches.cmsCounters(items, itemCol, width, depth)
-    (if (negate) counters.withColumn("cnt", -col("cnt")) else counters)
-      .write.mode("overwrite").parquet(s"$outPath/counters/batch=$id")
-    metaRow(spark, width, depth)
-      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    val base = Sketches.cmsCounters(items, itemCol, width, depth)
+    val counters =
+      (if (negate) base.withColumn("cnt", -col("cnt")) else base).persist()
+    try {
+      // digest BEFORE any overwrite (batch-id collision guard) — the
+      // persist keeps the digest pass from re-scanning the batch input
+      val digest = AdditiveStore.contentDigest(counters)
+      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
+        "BuildSketchStore")
+      counters.write.mode("overwrite").parquet(s"$outPath/counters/batch=$id")
+      metaRow(spark, width, depth).withColumn("content_digest", lit(digest))
+        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
+    } finally { counters.unpersist(); () }
   }
 
   /** The takedown verb: RETRACT a previously-folded slice of the

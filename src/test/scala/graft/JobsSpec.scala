@@ -2052,6 +2052,182 @@ class JobsSpec extends SparkSpec {
       == stored)
   }
 
+  test("batch-id collision guard: re-used id + different content refuses on every store; identical retry passes") {
+    // The r12 gap: append(batchId) with DIFFERENT content silently
+    // replaced the earlier batch — data loss indistinguishable from
+    // the intended idempotent crash-retry. Each store now digests its
+    // fold into the batch meta row and refuses a mismatched re-use
+    // BEFORE touching the committed directories.
+    val base = Files.createTempDirectory("graft-digest").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def slice(lo: Int, hi: Int) = docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+    def toks(lo: Int, hi: Int, p: String): String = {
+      slice(lo, hi).select(explode(split($"text", " ")).as("item"))
+        .write.mode("overwrite").parquet(p); p
+    }
+    def lens(lo: Int, hi: Int, p: String): String = {
+      slice(lo, hi).select(size(split($"text", " ")).cast("long").as("doc_len"))
+        .write.mode("overwrite").parquet(p); p
+    }
+    def corp(lo: Int, hi: Int, p: String): String = {
+      slice(lo, hi).select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(p); p
+    }
+    def wts(lo: Int, hi: Int, p: String): String = {
+      slice(lo, hi).select($"doc_id", $"n_chars")
+        .write.mode("overwrite").parquet(p); p
+    }
+    // the HLL case needs DISJOINT item sets: registers are a max-fold
+    // over the DISTINCT items, and every doc slice shares the same
+    // synthetic vocabulary — token slices fold to the same registers
+    // (identical content, rightly accepted); doc_id items are disjoint
+    def ids(lo: Int, hi: Int, p: String): String = {
+      slice(lo, hi).select($"doc_id".cast("string").as("item"))
+        .write.mode("overwrite").parquet(p); p
+    }
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // (name, build base + append(b, sliceA), retry append(b, sliceA),
+    //  collide append(b, sliceB), merged-read for the unchanged check).
+    // The collide slice is a DIFFERENT SIZE (250 docs vs 100): the
+    // guard digests the FOLD, and two equal-sized slices can
+    // legitimately fold to the same summary (e.g. two 100-doc length
+    // histograms coinciding bucket-for-bucket) — that is an
+    // identical-content re-append, which the guard rightly accepts;
+    // a different total count forces every store's fold to differ.
+    val stores: Seq[(String, () => Unit, () => Unit, () => Unit,
+        () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("sketch",
+        () => { graft.jobs.BuildSketchStore.run(spark,
+            toks(0, 100, s"$base/sk0"), s"$base/sketch")
+          graft.jobs.BuildSketchStore.append(spark,
+            toks(100, 200, s"$base/ska"), s"$base/sketch", "b") },
+        () => graft.jobs.BuildSketchStore.append(spark, s"$base/ska",
+          s"$base/sketch", "b"),
+        () => graft.jobs.BuildSketchStore.append(spark,
+          toks(200, 450, s"$base/skb"), s"$base/sketch", "b"),
+        () => graft.jobs.BuildSketchStore.mergedCounters(spark, s"$base/sketch")),
+      ("profile",
+        () => { graft.jobs.BuildProfileStore.run(spark,
+            lens(0, 100, s"$base/pr0"), s"$base/profile", "doc_len", 16L)
+          graft.jobs.BuildProfileStore.append(spark,
+            lens(100, 200, s"$base/pra"), s"$base/profile", "b", "doc_len") },
+        () => graft.jobs.BuildProfileStore.append(spark, s"$base/pra",
+          s"$base/profile", "b", "doc_len"),
+        () => graft.jobs.BuildProfileStore.append(spark,
+          lens(200, 450, s"$base/prb"), s"$base/profile", "b", "doc_len"),
+        () => graft.jobs.BuildProfileStore.mergedHistogram(spark, s"$base/profile")),
+      ("bloom",
+        () => { graft.jobs.BuildBloomStore.run(spark,
+            corp(0, 100, s"$base/bl0"), s"$base/bloom")
+          graft.jobs.BuildBloomStore.append(spark,
+            corp(100, 200, s"$base/bla"), s"$base/bloom", "b") },
+        () => graft.jobs.BuildBloomStore.append(spark, s"$base/bla",
+          s"$base/bloom", "b"),
+        () => graft.jobs.BuildBloomStore.append(spark,
+          corp(200, 450, s"$base/blb"), s"$base/bloom", "b"),
+        () => graft.jobs.BuildBloomStore.mergedFilter(spark, s"$base/bloom")),
+      ("hll",
+        () => { graft.jobs.BuildHllStore.run(spark,
+            ids(0, 100, s"$base/hl0"), s"$base/hll")
+          graft.jobs.BuildHllStore.append(spark,
+            ids(100, 200, s"$base/hla"), s"$base/hll", "b") },
+        () => graft.jobs.BuildHllStore.append(spark, s"$base/hla",
+          s"$base/hll", "b"),
+        () => graft.jobs.BuildHllStore.append(spark,
+          ids(200, 450, s"$base/hlb"), s"$base/hll", "b"),
+        () => graft.jobs.BuildHllStore.mergedRegisters(spark, s"$base/hll")),
+      ("sample",
+        () => { graft.jobs.BuildSampleStore.run(spark,
+            wts(0, 100, s"$base/sa0"), s"$base/sample", k = 10)
+          graft.jobs.BuildSampleStore.append(spark,
+            wts(100, 200, s"$base/saa"), s"$base/sample", "b") },
+        () => graft.jobs.BuildSampleStore.append(spark, s"$base/saa",
+          s"$base/sample", "b"),
+        () => graft.jobs.BuildSampleStore.append(spark,
+          wts(200, 450, s"$base/sab"), s"$base/sample", "b"),
+        () => graft.jobs.BuildSampleStore.mergedCandidates(spark, s"$base/sample")))
+    stores.foreach { case (name, build, retry, collide, merged) =>
+      build()
+      val committed = sorted(merged())
+      // the clean crash-retry: same id, same content — accepted, and
+      // the merged view does not move by a row
+      retry()
+      assert(sorted(merged()) == committed,
+        s"$name: an identical-content retry must not change the store")
+      // the collision: same id, DIFFERENT content — refuses loudly
+      // and leaves the committed batch untouched
+      val e = try { collide(); fail(s"$name: collide did not throw") }
+        catch { case ex: IllegalStateException => ex }
+      assert(e.getMessage.contains("DIFFERENT content"),
+        s"$name: ${e.getMessage}")
+      assert(sorted(merged()) == committed,
+        s"$name: a refused collision must leave the store untouched")
+    }
+    // retract shares writeBatch and the guard: re-using a retract id
+    // with different content refuses the same way
+    graft.jobs.BuildSketchStore.retract(spark, s"$base/ska",
+      s"$base/sketch", "rm1")
+    val afterRetract = sorted(
+      graft.jobs.BuildSketchStore.mergedCounters(spark, s"$base/sketch"))
+    val er = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.retract(spark, s"$base/sk0",
+        s"$base/sketch", "rm1")
+    }
+    assert(er.getMessage.contains("DIFFERENT content"), er.getMessage)
+    assert(sorted(graft.jobs.BuildSketchStore.mergedCounters(
+      spark, s"$base/sketch")) == afterRetract,
+      "a refused retract collision must leave the store untouched")
+  }
+
+  test("dropBatches refuses committed consolidations; consol- ids refuse on append everywhere") {
+    // ADVICE r12: deleting a consol-* batch orphans its manifest —
+    // every later read throws 'consolidated tables are gone' and the
+    // store is wedged until a full rebuild. The takedown verb must
+    // point at rebuild/re-fold instead.
+    val base = Files.createTempDirectory("graft-consol-guard").toString
+    val docs = Tables.documents(spark, Sf0001)
+    val items = s"$base/items"
+    docs.filter($"doc_id" < 100)
+      .select(explode(split($"text", " ")).as("item")).write.parquet(items)
+    val weights = s"$base/weights"
+    docs.filter($"doc_id" < 100).select($"doc_id", $"n_chars")
+      .write.parquet(weights)
+    val corpus = s"$base/corpus"
+    docs.filter($"doc_id" < 100).select($"doc_id", $"text")
+      .write.parquet(corpus)
+    graft.jobs.BuildBloomStore.run(spark, corpus, s"$base/bloom")
+    graft.jobs.BuildHllStore.run(spark, items, s"$base/hll")
+    graft.jobs.BuildSampleStore.run(spark, weights, s"$base/sample", k = 5)
+    val eb = intercept[IllegalArgumentException] {
+      graft.jobs.BuildBloomStore.dropBatches(spark, s"$base/bloom",
+        Seq("consol-deadbeef0000"))
+    }
+    assert(eb.getMessage.contains("committed consolidation"), eb.getMessage)
+    val eh = intercept[IllegalArgumentException] {
+      graft.jobs.BuildHllStore.dropBatches(spark, s"$base/hll",
+        Seq("consol-deadbeef0000"))
+    }
+    assert(eh.getMessage.contains("committed consolidation"), eh.getMessage)
+    val es = intercept[IllegalArgumentException] {
+      graft.jobs.BuildSampleStore.dropBatches(spark, s"$base/sample",
+        Seq("consol-deadbeef0000"))
+    }
+    assert(es.getMessage.contains("committed consolidation"), es.getMessage)
+    // and the append-side reservation now holds on the max-fold and
+    // order-statistic stores too (it already did on the additive three)
+    val ea = intercept[IllegalArgumentException] {
+      graft.jobs.BuildHllStore.append(spark, items, s"$base/hll",
+        "consol-deadbeef0000")
+    }
+    assert(ea.getMessage.contains("reserved"), ea.getMessage)
+    val ep = intercept[IllegalArgumentException] {
+      graft.jobs.BuildSampleStore.append(spark, weights, s"$base/sample",
+        "consol-deadbeef0000")
+    }
+    assert(ep.getMessage.contains("reserved"), ep.getMessage)
+  }
+
   test("bloom store: merged slice filters == whole-corpus filter bit-for-bit; stored probe == in-memory") {
     import graft.ops.Dedup
     val base = Files.createTempDirectory("graft-bloom").toString
