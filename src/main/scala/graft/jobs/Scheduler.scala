@@ -104,11 +104,21 @@ object Scheduler {
     * exists to prevent) could BOTH pass through that window. For
     * `file:` URIs we therefore go through NIO's `Files.createFile`,
     * which is O_CREAT|O_EXCL — atomic at the kernel across processes.
-    * JobsSpec red-tests the cross-session double-launch.
+    * JobsSpec red-tests the double-launch twice: same-JVM (two
+    * SparkSessions, deterministic overlap + an 8-way acquisition
+    * hammer) and against a genuinely SPAWNED second JVM racing
+    * [[main]] on the same state dir.
     */
   private def lock(spark: SparkSession, stateDir: String): Path = {
-    val p = new Path(s"$stateDir/running.lock")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new Path(s"$stateDir/running.lock")
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify ONCE before the scheme branch: for a relative stateDir
+    // the NIO acquire below resolves against the JVM cwd while
+    // Hadoop's delete resolves against the FS working directory —
+    // if a caller ever moves the latter, the created and deleted
+    // paths diverge and the lock wedges permanently. makeQualified
+    // pins both to the same absolute URI.
+    val p = fs.makeQualified(raw)
     fs.mkdirs(p.getParent)
     def refuse() = {
       val held = try {

@@ -180,27 +180,30 @@ object TextQueries {
       // keeps the per-lang sum inside int64 at any corpus size.
       import spark.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft-jsonl")
-      val docs = Tables.documents(spark, dir)
-      graft.jobs.Ingest.exportJsonl(docs, s"$base/jsonl")
-      graft.jobs.Ingest.runJsonl(spark, s"$base/jsonl", s"$base/parquet",
-        docs.schema)
-      val agg = spark.read.parquet(s"$base/parquet")
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length($"text")).as("sum_chars"),
-          sum(conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
-            % 999999937L).as("sum_digest"),
-          sum($"doc_id").as("sum_ids"))
-        .orderBy("lang")
-      // the result is |langs| rows: materialize it and DELETE the two
-      // corpus-sized temp copies the trip produced — bench re-invokes
-      // this closure per pass, and leaking 2 corpora per pass fills
-      // the disk the bench output shares
-      val rows = agg.collect()
-      val out = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), agg.schema)
-      org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
-      out
+      // try/finally around the WHOLE trip: bench re-invokes this
+      // closure per pass, and a mid-pass failure (export, ingest, or
+      // collect) would otherwise leak two corpus-sized temp copies per
+      // attempt — the exact disk-fill the deletion exists to prevent
+      try {
+        val docs = Tables.documents(spark, dir)
+        graft.jobs.Ingest.exportJsonl(docs, s"$base/jsonl")
+        graft.jobs.Ingest.runJsonl(spark, s"$base/jsonl", s"$base/parquet",
+          docs.schema)
+        val agg = spark.read.parquet(s"$base/parquet")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length($"text")).as("sum_chars"),
+            sum(conv(substring(md5($"text"), 1, 15), 16, 10).cast("long")
+              % 999999937L).as("sum_digest"),
+            sum($"doc_id").as("sum_ids"))
+          .orderBy("lang")
+        // the result is |langs| rows: materialize it so the temp
+        // copies are safe to delete before returning
+        val rows = agg.collect()
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteQuietly(base.toFile): Unit
+      }
     },
 
     "vocab_growth" -> { (spark, dir) =>

@@ -103,6 +103,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.size > 1000) // sf0.01 is non-trivial: thousands of sessions
   }
 
+  /** Start a query and kill it right after its FIRST committed data
+    * batch, via a StreamingQueryListener. The old 50 ms poll loop
+    * could lose the race on a fast machine — AvailableNow can drain
+    * all 25 single-file batches before the first poll tick, making
+    * the "kill was not mid-stream" assertion flaky. The listener's
+    * stop fires off the first progress event (posted right after that
+    * batch commits), so the remaining 24 commits would all have to
+    * outrun one stop() for the kill to miss. Returns the terminated
+    * query so callers can read recentProgress.
+    */
+  private def runUntilFirstProgress(
+      build: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    @volatile var qRef: org.apache.spark.sql.streaming.StreamingQuery = null
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit = {
+        val q = qRef
+        // stop from a fresh thread: stop() joins the stream-execution
+        // thread, and blocking the listener bus would stall every
+        // later event behind us
+        if (q != null && event.progress.id == q.id &&
+            event.progress.numInputRows > 0)
+          new Thread(() => q.stop()).start()
+      }
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = build
+      qRef = q
+      // terminates via the listener's stop; the timeout + manual stop
+      // is the harness failsafe, not the expected path
+      q.awaitTermination(180000)
+      q.stop(); q.awaitTermination()
+      q
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("killed mid-stream and restarted from the checkpoint, the job still matches batch") {
     // The restart-RESUME contract (r7 verdict item 7): every prior
     // streaming test ran AvailableNow to completion. Here the query is
@@ -140,17 +180,14 @@ class StreamingSpec extends SparkSpec {
 
     val stream = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
-    val q = StreamingSessionize.sessionWindowAgg(stream).writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-    while (q.isActive && System.nanoTime() < deadline &&
-      q.recentProgress.count(_.numInputRows > 0) < 1) Thread.sleep(50)
-    q.stop(); q.awaitTermination()
+    val q = runUntilFirstProgress(
+      StreamingSessionize.sessionWindowAgg(stream).writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
     val rowsBeforeKill = q.recentProgress.map(_.numInputRows).sum
     // the kill genuinely happened mid-stream: only part of the input
     // had been consumed (24 single-file batches staged, stopped after
@@ -204,17 +241,14 @@ class StreamingSpec extends SparkSpec {
       val totalRows = ev.count() + 1
       val stream = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(in)
-      val q = StreamingSessionize.sessionWindowAgg(stream).writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (q.isActive && System.nanoTime() < deadline &&
-        q.recentProgress.count(_.numInputRows > 0) < 1) Thread.sleep(50)
-      q.stop(); q.awaitTermination()
+      val q = runUntilFirstProgress(
+        StreamingSessionize.sessionWindowAgg(stream).writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       val rowsBeforeKill = q.recentProgress.map(_.numInputRows).sum
       assert(rowsBeforeKill > 0 && rowsBeforeKill < totalRows,
         s"kill was not mid-stream: $rowsBeforeKill of $totalRows rows")

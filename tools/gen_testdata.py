@@ -95,10 +95,14 @@ def main():
         "o_orderdate": pa.array(o_date, pa.timestamp("us")),
         "o_orderpriority": [PRIORITIES[i] for i in rng.integers(0, 5, n_ord)]}))
 
-    ship = (o_date[rng.integers(0, n_ord, n_li)]
-            + rng.integers(1, 122, n_li) * day_us)
+    # shipdate follows the row's OWN order's date (o_date indexed by
+    # the generated l_orderkey), like the driver dataset — sampling a
+    # random order's date instead let shipdate precede o_orderdate,
+    # giving date-lag-shaped queries degenerate negative lags here
+    l_ok = np.sort(rng.integers(0, n_ord, n_li))
+    ship = o_date[l_ok] + rng.integers(1, 122, n_li) * day_us
     write(out_dir, "lineitem", pa.table({
-        "l_orderkey": pa.array(np.sort(rng.integers(0, n_ord, n_li)), pa.int64()),
+        "l_orderkey": pa.array(l_ok, pa.int64()),
         "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
         "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
