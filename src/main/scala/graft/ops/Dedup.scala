@@ -126,30 +126,57 @@ object Dedup {
     require(thresholdNum > 0 && thresholdDen > thresholdNum)
     val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     val arrays = registerDf(shingleArrays(spread, idCol, textCol).cache())
-    val rows = arrays.select(col(idCol), explode(col("shingles")).as("shingle"))
+    // carry the per-doc shingle count on every posting row: the prefix
+    // length is a pure function of n, so deriving it inline removes
+    // the join-back to `arrays` (and its exchange pair) the first
+    // formulation paid — one int per posting row buys one fewer
+    // shuffle of the whole corpus's arrays
+    val rows = arrays.select(col(idCol), size(col("shingles")).as("__n"),
+      explode(col("shingles")).as("shingle"))
     val dfreq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
     // L = n − ⌈t·n⌉ + 1, integer ceil
-    val n = size(col("shingles"))
-    val prefixLen = (n - floor((n.cast("long") * thresholdNum + thresholdDen - 1)
-      / thresholdDen) + 1).cast("int")
+    val prefixLen = (col("__n") - floor((col("__n").cast("long") * thresholdNum
+      + thresholdDen - 1) / thresholdDen) + 1).cast("int")
     val prefix = rows.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(w))
-      .join(arrays.select(col(idCol), prefixLen.as("__plen")), Seq(idCol))
-      .filter(col("__rk") <= col("__plen"))
-      .select(col(idCol), col("shingle"))
-    val cand = prefix.select(col(idCol).as("doc_a"), col("shingle"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("__rk") <= prefixLen)
+      .select(col(idCol), col("shingle"), col("__n"))
+    // Bayardo's length filter at CANDIDATE time: a pair whose sizes
+    // alone cap Jaccard at ≤ t can never verify (inter ≤ min, uni ≥
+    // max), so drop it on the posting join — before the distinct pays
+    // a shuffle row for it. Carrying __n costs one int per posting.
+    val cand = prefix.select(col(idCol).as("doc_a"), col("shingle"),
+        col("__n").as("__na"))
+      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
+        col("__n").as("__nb")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("__na"), col("__nb")) * thresholdDen >
+          greatest(col("__na"), col("__nb")) * thresholdNum)
       .select(col("doc_a"), col("doc_b")).distinct()
-    cand
-      .join(arrays.select(col(idCol).as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(arrays.select(col(idCol).as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      // necessary condition on sizes alone (inter ≤ min, uni ≥ max):
-      // skips the expensive intersect for size-mismatched candidates —
-      // the same cheap gate verifyJaccard/ngramJaccardPairs use
-      .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
-        greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
+    // attach BOTH arrays with ONE join against the cached shingle
+    // table: melt each pair to (role, doc) rows, join on doc, fold
+    // back — `arrays` crosses one exchange instead of two, and the
+    // fold's shuffle carries the same sh_a+sh_b bytes the second
+    // join-attach used to. first(ignoreNulls) is exact here: each
+    // (pair, role) group holds exactly one non-null array.
+    val melted = cand.select(col("doc_a"), col("doc_b"),
+      explode(array(
+        struct(lit("a").as("role"), col("doc_a").as("__doc")),
+        struct(lit("b").as("role"), col("doc_b").as("__doc")))).as("m"))
+      .select(col("doc_a"), col("doc_b"),
+        col("m.role").as("role"), col("m.__doc").as("__doc"))
+    melted
+      .join(arrays.select(col(idCol).as("__doc"), col("shingles")), "__doc")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("role") === "a", col("shingles")), ignoreNulls = true)
+          .as("sh_a"),
+        first(when(col("role") === "b", col("shingles")), ignoreNulls = true)
+          .as("sh_b"))
+      // (the size gate verifyJaccard/ngramJaccardPairs apply here was
+      // already enforced per-candidate above, before the distinct —
+      // every surviving pair is size-compatible by construction)
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)

@@ -76,7 +76,12 @@ object Soak {
     // symmetric fast path (no canonicalization shuffle; growth must
     // stay frontier-proportional), label_propagation is the min_by
     // argmax whose map-side combine is the scale claim
-    "k_core", "label_propagation")
+    "k_core", "label_propagation",
+    // r13: the store-lifecycle family's RETRACTION shape — build,
+    // retract one slice (a negated fold of the DELETED items only),
+    // merge; growth must follow the deleted slice's fold plus the
+    // summary-bounded merge, never a history re-scan
+    "heavy_hitters_retracted")
 
   /** The super-linear soakers (r9 verdict #4): one 10× point can't
     * distinguish m^1.2 from m^1.5 — for these two, the soak adds a 3×

@@ -221,7 +221,7 @@ class PlanSpec extends SparkSpec {
       "pii_redact" -> 1,      // pure per-row regex + sort
       "incremental_agg" -> 3, // measured 3: two partial aggs + merge agg (sort rides the merge partitioning)
       "semantic_dedup" -> 7,  // measured 7 with the cached assignment (was 10 uncached: three consumers re-derived it)
-      "dedup_jaccard_prefix" -> 18, // measured 16 (+2 AQE slack): df agg + join-back + per-doc rank + prefix self-join + two array attach joins + candidate dedup + sort, over the cached shingle table
+      "dedup_jaccard_prefix" -> 13, // measured 11 (+2 AQE slack): df agg + join-back + per-doc rank + length-filtered prefix self-join + candidate dedup + ONE melted array-attach join + pair fold + sort (r13: inline __n dropped the plen join-back, melt halved the attach joins; was 16)
       "rolling_outliers" -> 2, // measured 2: ONE user-key window exchange + final sort
       "ann_recall_report" -> 20, // measured 19 (+1): two cached corpus rankings (window each) + hit/rr/report joins — every post-ranking exchange carries |queries|·k ≈ 30 rows
       "boilerplate_strip" -> 9, // measured 8 (+1): df agg + flagged join-back + covered distinct + anti-join + per-doc reassembly agg + outer join + sort
