@@ -275,11 +275,24 @@ class JobsSpec extends SparkSpec {
     // the genuine second process: own JVM, own SparkContext, same
     // state dir. retries=0 so the refusal surfaces immediately.
     val cp = new java.io.File("target/scala-2.13/classes").getAbsolutePath +
-      ":/opt/spark/jars/*"
-    val pb = new ProcessBuilder("java", "-Xmx2g",
+      ":" + sys.env.getOrElse("SPARK_JARS_DIR", "/opt/spark/jars") + "/*"
+    // the same JDK-17 add-opens build.sbt forks tests with: this child
+    // is a grandchild of sbt and inherits none of them, and a CI
+    // runner's JDK refuses Spark reflection without them
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq("java", "-Xmx2g") ++ addOpens ++ Seq(
       "-Dspark.master=local[2]", "-Dspark.ui.enabled=false",
       "-cp", cp, "graft.jobs.Scheduler", logs, sessions, state,
       "2019-10-01 10", "2019-10-01 12", "0")
+    val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val proc = pb.start()
     // drain to EOF (= child exit) before waitFor — avoids pipe-buffer
@@ -2377,9 +2390,15 @@ class JobsSpec extends SparkSpec {
     // match. Cost, never correctness — the takedown story the other
     // stores need tombstones for, this one gets from its own shape.
     val shrunkP = s"$base/seen-shrunk"
-    docs.filter($"doc_id" % 10 =!= 0).select($"doc_id", $"text")
-      .write.parquet(shrunkP)
+    val survivors = docs.filter($"doc_id" % 10 =!= 0)
+    survivors.select($"doc_id", $"text").write.parquet(shrunkP)
+    // resubmit only deleted docs whose TEXT no longer exists in the
+    // shrunk corpus: a text duplicated under a surviving doc_id is
+    // LEGITIMATELY still seen (the generated CI corpus has ~5%
+    // duplicate texts; the driver corpus none) — the novelty claim is
+    // about texts the takedown actually removed
     val resubmit = docs.filter($"doc_id" % 10 === 0)
+      .join(survivors.select($"text"), Seq("text"), "left_anti")
       .select(($"doc_id" + 3000000L).as("doc_id"), $"text")
     val afterDelete = novel(graft.jobs.BuildBloomStore.novelDocuments(
       spark, out, resubmit, shrunkP))
