@@ -48,55 +48,106 @@ private[jobs] object AdditiveStore {
     * multiset-sensitive (unlike a bit_xor fold, duplicate rows cannot
     * cancel), and summation commutes — the same rows in any partition
     * order digest identically, so a crash-retry of a deterministic
-    * fold always reproduces its digest. One tiny aggregate over the
-    * (bounded) fold table; callers persist the fold first so the
-    * digest pass never re-scans the batch input.
+    * fold always reproduces its digest — and the observed form inside
+    * [[guardedWrite]] (same aggregates riding the write) produces the
+    * same string as this standalone pass.
     */
-  def contentDigest(df: DataFrame): String = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
-    val agg = df
-      .select(xxhash64(df.columns.toSeq.map(c => col(c)): _*)
-        .cast("decimal(38,0)").as("h"))
-      .agg(count(lit(1)).as("n"), sum(col("h")).as("s"))
-      .head()
-    val s = if (agg.isNullAt(1)) "0" else agg.getDecimal(1).toBigInteger.toString
+  private def finishDigest(n: Long, s: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${agg.getLong(0)}:$s".getBytes("UTF-8"))
+      .digest(s"$n:$s".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
+
+  // the two digest aggregates; hash columns in NAME order, not
+  // projection order, so a fold read back from disk (partition columns
+  // re-ordered last) digests identically to the in-memory fold
+  private def digestAggs(df: DataFrame) = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    Seq(count(lit(1)).as("__dg_n"),
+      sum(xxhash64(df.columns.sorted.toSeq.map(c => col(c)): _*)
+        .cast("decimal(38,0)")).as("__dg_s"))
   }
 
-  /** The batch-id collision guard (r12 verdict #1): a caller re-using
-    * a committed batch id with DIFFERENT content would silently
-    * replace the earlier batch — data loss indistinguishable from the
-    * intended idempotent crash-retry of identical content. Each batch
-    * meta row carries the fold's [[contentDigest]]; before overwriting
-    * anything, the writer compares the NEW fold's digest against the
-    * committed one and refuses on mismatch, stays silent on match (the
-    * clean-retry shape) or when no committed meta exists (fresh id, or
-    * a crash landed the fold but not its meta — the retry must heal).
-    * Meta rows from pre-digest stores (no `content_digest` column) are
-    * unknowable and pass — collision safety starts at the first
-    * digest-bearing write.
+  def contentDigest(df: DataFrame): String = {
+    val aggs = digestAggs(df)
+    val agg = df.agg(aggs.head, aggs.tail: _*).head()
+    val s = if (agg.isNullAt(1)) "0" else agg.getDecimal(1).toBigInteger.toString
+    finishDigest(agg.getLong(0), s)
+  }
+
+  /** Write one batch fold under the collision guard, paying for the
+    * digest in the cheapest way the situation allows. `committed` is
+    * the digest already recorded for this batch id (None = fresh id,
+    * or a pre-digest batch whose content is unknowable):
+    *
+    *  - fresh: nothing to collide with — the digest aggregates RIDE
+    *    the caller's write via `Dataset.observe` (zero extra pass over
+    *    a corpus-slice-sized fold; [[contentDigest]] and the observed
+    *    form share one aggregate definition so they cannot drift);
+    *  - committed: the new fold persists, digests, and compares
+    *    BEFORE the overwrite — a mismatch refuses with the committed
+    *    batch untouched, a match proceeds as the idempotent retry.
+    *
+    * Returns the digest for the caller's meta row / sidecar.
     */
-  def requireDigestCompatible(spark: SparkSession, outPath: String,
-      id: String, digest: String, op: String): Unit = {
-    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$id")
-    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(metaP)) return
-    val meta = spark.read.parquet(metaP.toString)
-    if (!meta.columns.contains("content_digest")) return
-    meta.select(meta("content_digest"))
-      .head(1).headOption.map(_.getString(0)).filter(_ != null)
-      .foreach { committed =>
-        if (committed != digest)
+  def guardedWrite(outPath: String, id: String, fold: DataFrame,
+      committed: Option[String], op: String)(
+      write: DataFrame => Unit): String = committed match {
+    case Some(old) =>
+      val p = fold.persist()
+      try {
+        val digest = contentDigest(p)
+        if (digest != old)
           throw new IllegalStateException(
             s"$op: batch id '$id' is already committed with content digest " +
-              s"$committed, but this fold digests to $digest — re-using an id " +
+              s"$old, but this fold digests to $digest — re-using an id " +
               "with DIFFERENT content would silently replace the earlier " +
               "batch. Pick a fresh batch id (or drop/retract the old batch " +
               "first); an identical-content retry is accepted as the " +
               "idempotent re-run it is.")
-      }
+        write(p)
+        digest
+      } finally { p.unpersist(); () }
+    case None =>
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = digestAggs(fold)
+      write(fold.observe(obs, aggs.head, aggs.tail: _*))
+      val row = obs.get
+      val s = Option(row("__dg_s"))
+        .map(_.asInstanceOf[java.math.BigDecimal].toBigInteger.toString)
+        .getOrElse("0")
+      finishDigest(row("__dg_n").asInstanceOf[Long], s)
+  }
+
+  /** The digest committed for a batch id in its meta row, if any. */
+  def committedMetaDigest(spark: SparkSession, outPath: String,
+      id: String): Option[String] = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$id")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaP)) return None
+    val meta = spark.read.parquet(metaP.toString)
+    if (!meta.columns.contains("content_digest")) None
+    else meta.select(meta("content_digest"))
+      .head(1).headOption.map(_.getString(0)).filter(_ != null)
+  }
+
+  /** The digest committed for a batch id in a `digests/<id>` sidecar
+    * (stores whose batches carry no meta row), if any.
+    */
+  def committedFileDigest(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String, id: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outPath/digests/$id")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    Some(s).filter(_.nonEmpty)
+  }
+
+  def writeDigestFile(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String, id: String, digest: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$outPath/digests/$id"), true)
+    try out.write((digest + "\n").getBytes("UTF-8")) finally out.close()
   }
 
   /** (label, sources) for every committed consolidation manifest. */

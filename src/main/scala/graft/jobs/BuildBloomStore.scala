@@ -83,17 +83,18 @@ object BuildBloomStore {
     // filter before meta — a bloom dir without a meta row refuses
     // LOUDLY at merge; a meta row without its fold would silently
     // drop the batch's bits and mint false "novel" verdicts
-    val filter = Dedup.bloomTextFilter(docs, mBits, kProbes).persist()
-    try {
-      // digest BEFORE any overwrite (batch-id collision guard)
-      val digest = AdditiveStore.contentDigest(filter)
-      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
-        "BuildBloomStore")
-      filter.write.mode("overwrite").parquet(s"$outPath/bloom/batch=$id")
-      Seq((mBits, kProbes, HashDevice)).toDF("m_bits", "k_probes", "hash_device")
-        .withColumn("content_digest", lit(digest))
-        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
-    } finally { filter.unpersist(); () }
+    // batch-id collision guard ([[AdditiveStore.guardedWrite]]): fresh
+    // ids ride the digest on the write itself, a committed id compares
+    // BEFORE any overwrite
+    val digest = AdditiveStore.guardedWrite(outPath, id,
+        Dedup.bloomTextFilter(docs, mBits, kProbes),
+        AdditiveStore.committedMetaDigest(spark, outPath, id),
+        "BuildBloomStore") { df =>
+      df.write.mode("overwrite").parquet(s"$outPath/bloom/batch=$id")
+    }
+    Seq((mBits, kProbes, HashDevice)).toDF("m_bits", "k_probes", "hash_device")
+      .withColumn("content_digest", lit(digest))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 
   /** The store's pinned (mBits, kProbes), from the base meta row. */

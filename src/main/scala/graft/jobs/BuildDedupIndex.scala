@@ -289,6 +289,10 @@ object BuildDedupIndex {
     // doc that reuses a deleted id
     val delRoot = new org.apache.hadoop.fs.Path(s"$outPath/deletes")
     if (fs.exists(delRoot)) fs.delete(delRoot, true)
+    // nor its batch digest sidecars — they claim content of batches
+    // the rebuild just erased and would refuse fresh appends by id
+    val digRoot = new org.apache.hadoop.fs.Path(s"$outPath/digests")
+    if (fs.exists(digRoot)) fs.delete(digRoot, true)
     val docs = spark.read.parquet(docsPath)
     bandTable(docs, bands, rowsPerBand)
       .write.mode("overwrite").parquet(s"$outPath/buckets/batch=base")
@@ -387,6 +391,24 @@ object BuildDedupIndex {
     // whole signature pipeline ran twice per hourly append)
     val newBands = Dedup.registerDf(
       bandTable(newDocs, bands, rowsPerBand).cache())
+    // batch-id collision guard (the summary stores' contract, here via
+    // a digests/<id> sidecar — bucket batches carry no meta row): a
+    // re-used id with DIFFERENT content refuses BEFORE the probe and
+    // before anything is overwritten; the digest pass reads the band
+    // rows just cached, so it is one cheap cached aggregate
+    val hfs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bandDigest = AdditiveStore.contentDigest(newBands)
+    AdditiveStore.committedFileDigest(hfs, outPath, id).foreach { old =>
+      if (old != bandDigest)
+        throw new IllegalStateException(
+          s"BuildDedupIndex.append: batch id '$id' is already committed " +
+            s"with content digest $old, but this fold digests to " +
+            s"$bandDigest — re-using an id with DIFFERENT content would " +
+            "silently replace the earlier batch. Pick a fresh batch id; " +
+            "an identical-content retry is accepted as the idempotent " +
+            "re-run it is.")
+    }
     // a RETRY probes against a store that already holds this batch's
     // own band rows (the crashed attempt committed them) — exclude the
     // batch's own directory from the seen side so the probe is
@@ -407,6 +429,9 @@ object BuildDedupIndex {
     pairs.cache().count(): Unit
     Dedup.registerDf(pairs)
     newBands.write.mode("overwrite").parquet(s"$outPath/buckets/batch=$id")
+    // digest AFTER the batch: a crash between the two leaves the
+    // digest missing (= unknowable, retry heals), never a false claim
+    AdditiveStore.writeDigestFile(hfs, outPath, id, bandDigest)
     pairs
   }
 
@@ -584,6 +609,14 @@ object BuildDedupIndex {
         .map(d => src.join(d, Seq("doc_id"), "left_anti")).getOrElse(src)
         .repartition(numFiles)
         .write.mode("overwrite").parquet(consol.toString)
+    }
+    // retire the consolidated sources' digest sidecars with them: a
+    // lingering digests/<id> would refuse a later legitimate re-use of
+    // the id against a content that is no longer there to lose
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batches.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/digests/$b"), false): Unit
     }
     // tombstone file-count maintenance rides the consolidation pass
     // (see [[compactTombstones]])

@@ -110,18 +110,17 @@ object BuildHllStore {
     // registers before meta: a register directory without a meta row is
     // a LOUD state ([[mergedRegisters]] refuses it), so a crash between
     // the writes can never silently count; the retry overwrites both
-    val regs = Hll.registers(items, itemCol, p).persist()
-    try {
-      // digest BEFORE any overwrite (batch-id collision guard) — the
-      // max-fold absorbs overlapping CONTENT, but a re-used ID with
-      // different content still loses the earlier batch's registers
-      val digest = AdditiveStore.contentDigest(regs)
-      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
-        "BuildHllStore")
-      regs.write.mode("overwrite").parquet(s"$outPath/registers/batch=$id")
-      metaRow(spark, p).withColumn("content_digest", lit(digest))
-        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
-    } finally { regs.unpersist(); () }
+    // batch-id collision guard ([[AdditiveStore.guardedWrite]]) — the
+    // max-fold absorbs overlapping CONTENT, but a re-used ID with
+    // different content still loses the earlier batch's registers
+    val digest = AdditiveStore.guardedWrite(outPath, id,
+        Hll.registers(items, itemCol, p),
+        AdditiveStore.committedMetaDigest(spark, outPath, id),
+        "BuildHllStore") { df =>
+      df.write.mode("overwrite").parquet(s"$outPath/registers/batch=$id")
+    }
+    metaRow(spark, p).withColumn("content_digest", lit(digest))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 
   /** Fold a streaming cell-ingest directory

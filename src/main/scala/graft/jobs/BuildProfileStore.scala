@@ -80,18 +80,18 @@ object BuildProfileStore {
     // store: a histogram dir without a meta row refuses LOUDLY at
     // merge, a meta row without its fold would under-count silently
     val base = Sketches.bucketHistogram(values, valueCol, width)
-    val hist =
-      (if (negate) base.withColumn("cnt", -col("cnt")) else base).persist()
-    try {
-      // digest BEFORE any overwrite (batch-id collision guard)
-      val digest = AdditiveStore.contentDigest(hist)
-      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
-        "BuildProfileStore")
-      hist.write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
-      Seq((width, Device)).toDF("bucket_width", "device")
-        .withColumn("content_digest", lit(digest))
-        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
-    } finally { hist.unpersist(); () }
+    val hist = if (negate) base.withColumn("cnt", -col("cnt")) else base
+    // batch-id collision guard ([[AdditiveStore.guardedWrite]]): fresh
+    // ids ride the digest on the write itself, a committed id compares
+    // BEFORE any overwrite
+    val digest = AdditiveStore.guardedWrite(outPath, id, hist,
+        AdditiveStore.committedMetaDigest(spark, outPath, id),
+        "BuildProfileStore") { df =>
+      df.write.mode("overwrite").parquet(s"$outPath/hist/batch=$id")
+    }
+    Seq((width, Device)).toDF("bucket_width", "device")
+      .withColumn("content_digest", lit(digest))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 
   /** The takedown verb: RETRACT a previously-folded slice by appending

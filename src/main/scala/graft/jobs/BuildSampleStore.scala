@@ -111,20 +111,18 @@ object BuildSampleStore {
       idCol: String): Unit = {
     // candidates before meta: a candidate dir without a meta row is a
     // LOUD state; the reverse order would under-cover silently
-    val cands = TextOps.priorityCandidates(docs, k, weightCol, idCol)
-      .select(col(idCol).as("doc_id"), col("w"))
-      .persist()
-    try {
-      // digest BEFORE any overwrite (batch-id collision guard) — the
-      // md5-derived priorities are deterministic, so a clean retry of
-      // the same corpus slice always reproduces its digest
-      val digest = AdditiveStore.contentDigest(cands)
-      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
-        "BuildSampleStore")
-      cands.write.mode("overwrite").parquet(s"$outPath/candidates/batch=$id")
-      metaRow(spark, k).withColumn("content_digest", lit(digest))
-        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
-    } finally { cands.unpersist(); () }
+    // batch-id collision guard ([[AdditiveStore.guardedWrite]]) — the
+    // md5-derived priorities are deterministic, so a clean retry of
+    // the same corpus slice always reproduces its digest
+    val digest = AdditiveStore.guardedWrite(outPath, id,
+        TextOps.priorityCandidates(docs, k, weightCol, idCol)
+          .select(col(idCol).as("doc_id"), col("w")),
+        AdditiveStore.committedMetaDigest(spark, outPath, id),
+        "BuildSampleStore") { df =>
+      df.write.mode("overwrite").parquet(s"$outPath/candidates/batch=$id")
+    }
+    metaRow(spark, k).withColumn("content_digest", lit(digest))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 
   /** Fold a streaming (doc_id, w) ingest directory

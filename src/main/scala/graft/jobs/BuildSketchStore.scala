@@ -110,18 +110,17 @@ object BuildSketchStore {
     // both. The reverse order would leave a meta row claiming a fold
     // that doesn't exist: the merge would under-count without a trace.
     val base = Sketches.cmsCounters(items, itemCol, width, depth)
-    val counters =
-      (if (negate) base.withColumn("cnt", -col("cnt")) else base).persist()
-    try {
-      // digest BEFORE any overwrite (batch-id collision guard) — the
-      // persist keeps the digest pass from re-scanning the batch input
-      val digest = AdditiveStore.contentDigest(counters)
-      AdditiveStore.requireDigestCompatible(spark, outPath, id, digest,
-        "BuildSketchStore")
-      counters.write.mode("overwrite").parquet(s"$outPath/counters/batch=$id")
-      metaRow(spark, width, depth).withColumn("content_digest", lit(digest))
-        .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
-    } finally { counters.unpersist(); () }
+    val counters = if (negate) base.withColumn("cnt", -col("cnt")) else base
+    // batch-id collision guard ([[AdditiveStore.guardedWrite]]): fresh
+    // ids ride the digest on the write itself, a committed id compares
+    // BEFORE any overwrite
+    val digest = AdditiveStore.guardedWrite(outPath, id, counters,
+        AdditiveStore.committedMetaDigest(spark, outPath, id),
+        "BuildSketchStore") { df =>
+      df.write.mode("overwrite").parquet(s"$outPath/counters/batch=$id")
+    }
+    metaRow(spark, width, depth).withColumn("content_digest", lit(digest))
+      .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 
   /** The takedown verb: RETRACT a previously-folded slice of the

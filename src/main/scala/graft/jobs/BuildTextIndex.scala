@@ -121,10 +121,20 @@ object BuildTextIndex {
   }
 
   private def writeBatch(docs: DataFrame, outPath: String, id: String): Unit = {
-    postingsTable(docs)
-      .write.mode("overwrite").partitionBy("tbucket")
-      .parquet(s"$outPath/postings/batch=$id")
-    statsTable(docs)
+    // batch-id collision guard ([[AdditiveStore.guardedWrite]]): the
+    // digest rides the batch's meta row; postings are CORPUS-SLICE-
+    // sized, so the fresh-id path matters here — the digest aggregates
+    // observe the write itself (zero extra pass), and only genuine id
+    // re-use pays a persist to compare BEFORE the overwrite
+    val spark = docs.sparkSession
+    val digest = AdditiveStore.guardedWrite(outPath, id,
+        postingsTable(docs),
+        AdditiveStore.committedMetaDigest(spark, outPath, id),
+        "BuildTextIndex") { df =>
+      df.write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$outPath/postings/batch=$id")
+    }
+    statsTable(docs).withColumn("content_digest", lit(digest))
       .write.mode("overwrite").parquet(s"$outPath/meta/batch=$id")
   }
 

@@ -2264,6 +2264,79 @@ class JobsSpec extends SparkSpec {
       "a refused retract collision must leave the store untouched")
   }
 
+  test("batch-id collision guard covers the dedup and text indexes too; consolidation retires dedup sidecars") {
+    // The two remaining batchId-accepting stores: text batches carry
+    // the digest in their per-batch meta row (the summary-store
+    // contract), dedup bucket batches in a digests/<id> sidecar (they
+    // have no meta row).
+    val base = Files.createTempDirectory("graft-digest-idx").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def corp(lo: Int, hi: Int, p: String): String = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select($"doc_id", $"text").write.mode("overwrite").parquet(p); p
+    }
+    val seenP = corp(0, 100, s"$base/seen")
+    val sliceA = corp(100, 200, s"$base/a")
+    val sliceB = corp(200, 450, s"$base/bb")
+    val fullP = corp(0, 450, s"$base/full")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // text index
+    val text = s"$base/text"
+    graft.jobs.BuildTextIndex.run(spark, seenP, text)
+    graft.jobs.BuildTextIndex.append(spark, sliceA, text, "b")
+    val textMeta = sorted(spark.read.parquet(s"$text/meta"))
+    graft.jobs.BuildTextIndex.append(spark, sliceA, text, "b") // retry: ok
+    assert(sorted(spark.read.parquet(s"$text/meta")) == textMeta,
+      "text: an identical-content retry must not change the meta rows")
+    val et = intercept[IllegalStateException] {
+      graft.jobs.BuildTextIndex.append(spark, sliceB, text, "b")
+    }
+    assert(et.getMessage.contains("DIFFERENT content"), et.getMessage)
+    assert(sorted(spark.read.parquet(s"$text/meta")) == textMeta,
+      "text: a refused collision must leave the store untouched")
+
+    // dedup index
+    val dedup = s"$base/dedup"
+    graft.jobs.BuildDedupIndex.run(spark, seenP, dedup)
+    graft.jobs.BuildDedupIndex.append(spark, sliceA, fullP, dedup, "b")
+      .collect()
+    graft.ops.Dedup.releaseCaches()
+    val buckets = sorted(spark.read.parquet(s"$dedup/buckets")
+      .select($"doc_id", $"band"))
+    graft.jobs.BuildDedupIndex.append(spark, sliceA, fullP, dedup, "b")
+      .collect() // retry: ok
+    graft.ops.Dedup.releaseCaches()
+    assert(sorted(spark.read.parquet(s"$dedup/buckets")
+      .select($"doc_id", $"band")) == buckets,
+      "dedup: an identical-content retry must not change the buckets")
+    val ed = intercept[IllegalStateException] {
+      graft.jobs.BuildDedupIndex.append(spark, sliceB, fullP, dedup, "b")
+    }
+    graft.ops.Dedup.releaseCaches()
+    assert(ed.getMessage.contains("DIFFERENT content"), ed.getMessage)
+    assert(sorted(spark.read.parquet(s"$dedup/buckets")
+      .select($"doc_id", $"band")) == buckets,
+      "dedup: a refused collision must leave the store untouched")
+
+    // consolidating a dedup batch retires its digest sidecar: the id
+    // becomes reusable (its old content lives on under the consol
+    // label, so nothing is lost by the overwrite the guard exists to
+    // prevent)
+    graft.jobs.BuildDedupIndex.append(spark, sliceB, fullP, dedup, "c")
+      .collect()
+    graft.ops.Dedup.releaseCaches()
+    graft.jobs.BuildDedupIndex.consolidate(spark, dedup, Seq("b", "c"))
+    val hfs = new org.apache.hadoop.fs.Path(dedup)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dedup/digests/b")),
+      "consolidation must retire the sources' digest sidecars")
+    graft.jobs.BuildDedupIndex.append(spark, sliceB, fullP, dedup, "b")
+      .collect() // re-use after consolidation: allowed
+    graft.ops.Dedup.releaseCaches()
+  }
+
   test("dropBatches refuses committed consolidations; consol- ids refuse on append everywhere") {
     // ADVICE r12: deleting a consol-* batch orphans its manifest —
     // every later read throws 'consolidated tables are gone' and the
