@@ -20,6 +20,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("explain")) return explainMain(args.drop(1))
     if (args.headOption.contains("time")) return timeMain(args.drop(1))
+    if (args.headOption.contains("tasktime")) return taskTimeMain(args.drop(1))
     if (args.headOption.contains("cc")) return ccMain()
     if (args.headOption.contains("exchanges")) return exchangesMain(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -71,6 +72,68 @@ object Probe {
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     time("cc synthetic")(println(Dedup.connectedComponents(edges).count()))
     time("cc synthetic 2nd")(println(Dedup.connectedComponents(edges).count()))
+    spark.stop()
+  }
+
+  /** `Probe tasktime <sfDir> <query>...` — the NOISE-IMMUNE probe:
+    * wall-clock on a contended host swings 3–10× pass to pass, but the
+    * work a plan schedules does not. Sums executor task time, shuffle
+    * write records/bytes, and task count over each run via a
+    * SparkListener (2 runs per query; caches released between runs so
+    * run 2 measures the plan, not a cache read). Use this, not `time`,
+    * to adjudicate a plan change when loadavg or IO wait is unstable.
+    */
+  def taskTimeMain(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: Probe tasktime <sfDir> <query>...")
+      return
+    }
+    val sfDir = args.head
+    val names = args.tail
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val shufRecs = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    val nTasks = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          taskNanos.addAndGet(m.executorRunTime * 1000000L): Unit
+          shufRecs.addAndGet(m.shuffleWriteMetrics.recordsWritten): Unit
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+          nTasks.incrementAndGet(): Unit
+        }
+      }
+    })
+    spark.range(1000000L).selectExpr("sum(id)").collect(): Unit // warm codegen
+    names.foreach { q =>
+      (1 to 2).foreach { i =>
+        taskNanos.set(0); shufRecs.set(0); shufBytes.set(0); nTasks.set(0)
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener events are posted async (listenerBus is private[spark]);
+        // a short settle keeps the counters honest without the internal API
+        Thread.sleep(300)
+        println(f"[tasktime] $q#$i rows=$n wall=$wall%.2fs " +
+          f"taskTime=${taskNanos.get / 1e9}%.2fs tasks=${nTasks.get} " +
+          f"shufRecs=${shufRecs.get} shufMB=${shufBytes.get / 1e6}%.1f")
+        graft.ops.Dedup.releaseCaches()
+        graft.ops.Similarity.releaseCaches()
+        graft.ops.Graph.releaseCaches()
+        graft.ops.TextOps.releaseCaches()
+        graft.ops.Search.releaseCaches()
+        graft.ops.Associations.releaseCaches()
+        graft.ops.Commerce.releaseCaches()
+      }
+    }
     spark.stop()
   }
 
