@@ -195,6 +195,103 @@ private[jobs] object AdditiveStore {
     present -- covered -- (present.filter(_.startsWith("consol-")) -- committed)
   }
 
+  private def snapshotDir(outPath: String) =
+    new org.apache.hadoop.fs.Path(s"$outPath/snapshots")
+
+  /** Pin the store's CURRENT active batch frontier under a name — the
+    * reproducibility verb: a training run records `snapshot("run-42")`
+    * once, and [[resolveAsOf]] re-reads exactly that corpus state
+    * months later, surviving any consolidations in between. The pin is
+    * IMMUTABLE: re-pinning the same name is a no-op when the frontier
+    * is unchanged (crash-retry idempotence) and refuses when it moved —
+    * silently redefining a snapshot would rewrite what "the data my
+    * model trained on" means. Cost: one `snapshots/<name>` file listing
+    * the ids — no data is copied; the pin is only as durable as the
+    * batches behind it (see [[resolveAsOf]] for the expiry contract).
+    */
+  def writeSnapshot(spark: SparkSession, outPath: String, tableDir: String,
+      name: String, op: String): Set[String] = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains("="),
+      s"$op: snapshot name '$name' must be a plain file name")
+    val fs = snapshotDir(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = activeBatchIds(fs, outPath, tableDir, op)
+    val p = new org.apache.hadoop.fs.Path(snapshotDir(outPath), name)
+    if (fs.exists(p)) {
+      val old = Folds.readSidecar(fs, p)
+      if (old != ids)
+        throw new IllegalStateException(
+          s"$op: snapshot '$name' already pins batches " +
+            s"${old.toSeq.sorted.mkString(", ")} but the store's frontier " +
+            s"is now ${ids.toSeq.sorted.mkString(", ")} — a snapshot is an " +
+            "immutable pin; pick a fresh name for the new frontier")
+      return ids
+    }
+    fs.mkdirs(snapshotDir(outPath)): Unit
+    // create(overwrite=false): two concurrent pins of one name cannot
+    // interleave into a half-written file that parses as a frontier
+    val out = fs.create(p, false)
+    try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    ids
+  }
+
+  /** Resolve a pinned snapshot against the CURRENT store: the returned
+    * ids are PRESENT batch directories whose cells sum to exactly the
+    * pinned frontier's content. Consolidation is transparent — a
+    * committed manifest substitutes for its sources whenever its FULL
+    * source set lies inside the frontier (cells sum, so the merged
+    * table IS the sources; applies generation over generation for
+    * consol-of-consols). Two states refuse, both loudly: a pinned
+    * batch was dropped (its cells are gone — takedown outranks
+    * reproducibility by design), or a consolidation BLENDED pinned and
+    * unpinned batches (the merged cells cannot be split back apart).
+    * That second refusal is the snapshot-expiry contract: maintenance
+    * that consolidates across a live snapshot's frontier expires it —
+    * consolidate either whole snapshots or batches newer than every
+    * pin that must stay readable.
+    */
+  def resolveAsOf(fs: org.apache.hadoop.fs.FileSystem, outPath: String,
+      tableDir: String, name: String, op: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(snapshotDir(outPath), name)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"$op: no snapshot named '$name' under $outPath/snapshots")
+    val pinned = Folds.readSidecar(fs, p)
+    val root = new org.apache.hadoop.fs.Path(s"$outPath/$tableDir")
+    val present = (if (fs.exists(root)) fs.listStatus(root).toSeq
+      else Seq.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=")).toSet
+    val ms = manifests(fs, outPath)
+    // fixed point: each manifest fires at most once (its sources leave
+    // `need` when it fires, and no two committed manifests share a
+    // source — consolidate refuses covered-elsewhere batches), so the
+    // loop is linear in manifests and confluent whatever the order
+    var need = pinned
+    var progress = true
+    while (progress) {
+      progress = false
+      ms.foreach { case (label, sources) =>
+        if (!need(label) && sources.nonEmpty && sources.subsetOf(need)) {
+          need = need -- sources + label
+          progress = true
+        }
+      }
+    }
+    val missing = need -- present
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$op: snapshot '$name' is no longer reconstructible — batches " +
+          s"${missing.toSeq.sorted.mkString(", ")} are not on disk and no " +
+          "committed consolidation covers them from INSIDE the snapshot. " +
+          "Either they were dropped (their cells are gone), or a " +
+          "consolidation blended them with batches outside the snapshot " +
+          "(merged cells cannot be split back apart). The pin has " +
+          "expired; re-pin the current frontier under a new name")
+    need
+  }
+
   /** Drop a fold's supersession sidecar, turning it into a normal
     * batch eligible for consolidation. ONLY after the streamed
     * directory that produced it has been retired — with the sidecar

@@ -257,16 +257,26 @@ object BuildSketchStore {
     * the merged (row, bucket, cnt) table; cost is one aggregate over
     * ≤ batches·d·w rows.
     */
-  def mergedCounters(spark: SparkSession, outPath: String): DataFrame = {
+  def mergedCounters(spark: SparkSession, outPath: String,
+      asOf: Option[String] = None): DataFrame = {
     val op = "BuildSketchStore.mergedCounters"
     val (width, depth) = storeGeometry(spark, outPath, "mergedCounters")
     val fs = new org.apache.hadoop.fs.Path(s"$outPath/meta")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // manifest-aware activity ([[AdditiveStore]]): consolidated sources
     // and uncommitted consol leftovers are invisible, so every
-    // consolidation crash window reads single-counted
-    val counterIds = AdditiveStore.activeBatchIds(fs, outPath, "counters", op)
-    val metaIds = AdditiveStore.activeBatchIds(fs, outPath, "meta", op)
+    // consolidation crash window reads single-counted. With `asOf`, the
+    // id set is the PINNED frontier resolved through any later
+    // consolidations instead of the live one — same merge from there on
+    val (counterIds, metaIds) = asOf match {
+      case None =>
+        (AdditiveStore.activeBatchIds(fs, outPath, "counters", op),
+          AdditiveStore.activeBatchIds(fs, outPath, "meta", op))
+      case Some(name) =>
+        val ids = AdditiveStore.resolveAsOf(fs, outPath, "counters", name, op)
+        (ids, ids.filter(b => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"))))
+    }
     val meta = spark.read.option("basePath", s"$outPath/meta")
       .parquet(metaIds.toSeq.map(b => s"$outPath/meta/batch=$b"): _*)
       .select(col("batch").cast("string").as("batch"),
@@ -349,18 +359,34 @@ object BuildSketchStore {
   def sealFold(spark: SparkSession, outPath: String, id: String): Unit =
     AdditiveStore.seal(spark, outPath, id, "BuildSketchStore.sealFold")
 
+  /** Pin the store's current batch frontier under `name` for later
+    * [[mergedCounters]]/[[heavyHitters]] `asOf` reads — the
+    * reproducible-training verb ([[AdditiveStore.writeSnapshot]]:
+    * immutable pin, consolidation-transparent resolution, loud expiry
+    * when a drop or a frontier-crossing consolidation makes the pinned
+    * cells unrecoverable).
+    */
+  def snapshot(spark: SparkSession, outPath: String,
+      name: String): Set[String] =
+    AdditiveStore.writeSnapshot(spark, outPath, "counters", name,
+      "BuildSketchStore.snapshot")
+
   /** EXACT heavy hitters over the full occurrence stream the store's
     * batches cover, using the persisted folds — byte-identical to
     * `GROUP BY item HAVING count(*) >= threshold` over `items`
     * ([[Sketches.cmsHeavyHittersWithCounters]]' contract). `items`
     * must be the union of every folded batch's occurrences: the sketch
     * prunes, the exact verify still needs each survivor's occurrences.
+    * With `asOf`, both the counters AND `items` must describe the
+    * pinned frontier — the caller replays the occurrence slices the
+    * snapshot covered (the store holds counters, never occurrences).
     */
   def heavyHitters(spark: SparkSession, outPath: String, items: DataFrame,
-      threshold: Long, itemCol: String = "item"): DataFrame = {
+      threshold: Long, itemCol: String = "item",
+      asOf: Option[String] = None): DataFrame = {
     val (width, depth) = storeGeometry(spark, outPath, "heavyHitters")
     Sketches.cmsHeavyHittersWithCounters(items,
-      mergedCounters(spark, outPath), threshold, itemCol, width, depth)
+      mergedCounters(spark, outPath, asOf), threshold, itemCol, width, depth)
   }
 
   def main(args: Array[String]): Unit = {

@@ -19,6 +19,19 @@ object SearchQueries {
   /** The one query-term set the ranked/boolean examples share. */
   private val Terms = Seq("join", "vector", "spark")
 
+  private def deleteRecursivelyOnExit(p: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.Files
+      import scala.util.Try
+      Try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Try(Files.delete(f)); () })
+        finally walk.close()
+      }
+      ()
+    }))
+
   /** Token-bigram item stream — the heavy-hitter unit (916 distinct
     * bigrams at sf0.01 vs the ~30-word unigram vocabulary where
     * everything is heavy; bigrams actually exercise the CMS width-256
@@ -193,6 +206,39 @@ object SearchQueries {
         slice(350, Int.MaxValue, s"$base/h2"), out, "h2")
       graft.jobs.BuildSketchStore.heavyHitters(spark, out,
           bigrams(docs), threshold = 35L)
+        .orderBy($"n_occurrences".desc, $"item")
+    },
+
+    "heavy_hitters_asof" -> { (spark, dir) =>
+      // The REPRODUCIBILITY form: pin the store's batch frontier with
+      // snapshot("train") after two slices, then keep maintaining the
+      // store — a third slice lands AND a consolidation retires a
+      // pinned batch into a consol table — and read AS OF the pin.
+      // The as-of resolution must ignore the later slice and substitute
+      // the consolidation for its retired source (cells sum, so the
+      // merged table IS the source); the oracle is GROUP BY HAVING over
+      // exactly the pinned slices, so a resolution that leaks the later
+      // batch, loses the consolidated one, or double-counts it
+      // hash-mismatches.
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft-asof-q")
+      deleteRecursivelyOnExit(base)
+      val docs = Tables.documents(spark, dir)
+      val out = s"$base/store"
+      def slice(lo: Int, hi: Int, p: String): String = {
+        bigrams(docs.filter($"doc_id" >= lo && $"doc_id" < hi))
+          .write.mode("overwrite").parquet(p); p
+      }
+      graft.jobs.BuildSketchStore.run(spark, slice(0, 200, s"$base/h0"), out)
+      graft.jobs.BuildSketchStore.append(spark,
+        slice(200, 350, s"$base/h1"), out, "h1")
+      graft.jobs.BuildSketchStore.snapshot(spark, out, "train"): Unit
+      graft.jobs.BuildSketchStore.append(spark,
+        slice(350, Int.MaxValue, s"$base/h2"), out, "h2")
+      graft.jobs.BuildSketchStore.consolidate(spark, out, Seq("h1"))
+      graft.jobs.BuildSketchStore.heavyHitters(spark, out,
+          bigrams(docs.filter($"doc_id" < 350)), threshold = 20L,
+          asOf = Some("train"))
         .orderBy($"n_occurrences".desc, $"item")
     },
 
@@ -389,6 +435,16 @@ object SearchQueries {
          |FROM b GROUP BY item
          |HAVING count(*) >= 35
          |ORDER BY n_occurrences DESC, item""".stripMargin,
+
+    // the pinned frontier = the first two slices only
+    "heavy_hitters_asof" ->
+      """WITH b AS (SELECT unnest([s[k] || ' ' || s[k+1] for k in range(1, len(s))]) AS item
+        |           FROM (SELECT string_split(text, ' ') AS s FROM documents
+        |                 WHERE doc_id < 350))
+        |SELECT item, count(*) AS n_occurrences
+        |FROM b GROUP BY item
+        |HAVING count(*) >= 20
+        |ORDER BY n_occurrences DESC, item""".stripMargin,
 
     "heavy_hitters_retracted" ->
       """WITH b AS (SELECT unnest([s[k] || ' ' || s[k+1] for k in range(1, len(s))]) AS item

@@ -2264,6 +2264,76 @@ class JobsSpec extends SparkSpec {
       "a refused retract collision must leave the store untouched")
   }
 
+  test("snapshot pins a frontier: as-of reads survive appends and consolidation, expire on a crossing consolidation") {
+    // The reproducibility verb: snapshot("train") pins the active batch
+    // set; mergedCounters(asOf) must read EXACTLY that state later —
+    // ignoring newer appends, resolving THROUGH a consolidation that
+    // retired pinned batches (cells sum, so the consol table IS its
+    // sources) — and must refuse loudly once a consolidation blends
+    // pinned with unpinned cells (merged cells cannot be split apart).
+    val base = Files.createTempDirectory("graft-asof").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def toks(lo: Int, hi: Int, p: String): String = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select(explode(split($"text", " ")).as("item"))
+        .write.mode("overwrite").parquet(p); p
+    }
+    val out = s"$base/st"
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    graft.jobs.BuildSketchStore.run(spark, toks(0, 100, s"$base/t0"), out)
+    graft.jobs.BuildSketchStore.append(spark, toks(100, 200, s"$base/ta"), out, "a")
+    graft.jobs.BuildSketchStore.append(spark, toks(200, 300, s"$base/tb"), out, "b")
+    val pinned = graft.jobs.BuildSketchStore.snapshot(spark, out, "train")
+    assert(pinned == Set("base", "a", "b"))
+    // idempotent re-pin of the unchanged frontier
+    assert(graft.jobs.BuildSketchStore.snapshot(spark, out, "train") == pinned)
+    val atPin = sorted(graft.jobs.BuildSketchStore.mergedCounters(spark, out))
+
+    // a newer append must be invisible to the pin (and visible live)
+    graft.jobs.BuildSketchStore.append(spark, toks(300, 400, s"$base/tc"), out, "c")
+    assert(sorted(graft.jobs.BuildSketchStore.mergedCounters(spark, out,
+      asOf = Some("train"))) == atPin)
+    assert(sorted(graft.jobs.BuildSketchStore.mergedCounters(spark, out)) != atPin)
+    // the frontier moved: re-pinning the same name must refuse
+    val eMoved = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.snapshot(spark, out, "train")
+    }
+    assert(eMoved.getMessage.contains("immutable pin"), eMoved.getMessage)
+
+    // consolidation INSIDE the pin: {a, b} retire into one consol
+    // batch; resolution substitutes it and the read stays value-equal
+    graft.jobs.BuildSketchStore.consolidate(spark, out, Seq("a", "b"))
+    val hfs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$out/counters/batch=a")),
+      "consolidation should have retired source a")
+    assert(sorted(graft.jobs.BuildSketchStore.mergedCounters(spark, out,
+      asOf = Some("train"))) == atPin)
+
+    // consolidation ACROSS the pin: the {a,b} consol blends with the
+    // unpinned c — from here the pinned cells live only inside a table
+    // that also holds c's, so the pin is expired and must say so
+    val consolLabel = hfs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$out/counters"))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .find(_.startsWith("consol-")).get
+    graft.jobs.BuildSketchStore.consolidate(spark, out, Seq(consolLabel, "c"))
+    val eExpired = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out, asOf = Some("train"))
+    }
+    assert(eExpired.getMessage.contains("expired"), eExpired.getMessage)
+    // unknown snapshot name and path-shaped names refuse plainly
+    val eNone = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out, asOf = Some("nope"))
+    }
+    assert(eNone.getMessage.contains("no snapshot named"), eNone.getMessage)
+    val eName = intercept[IllegalArgumentException] {
+      graft.jobs.BuildSketchStore.snapshot(spark, out, "bad/name")
+    }
+    assert(eName.getMessage.contains("plain file name"), eName.getMessage)
+  }
+
   test("batch-id collision guard covers the dedup and text indexes too; consolidation retires dedup sidecars") {
     // The two remaining batchId-accepting stores: text batches carry
     // the digest in their per-batch meta row (the summary-store
