@@ -122,16 +122,25 @@ object BuildBloomStore {
     * the loud per-batch geometry gate (scaladoc above). ≤ mBits/64
     * rows — the broadcast side of every probe.
     */
-  def mergedFilter(spark: SparkSession, outPath: String): DataFrame = {
+  def mergedFilter(spark: SparkSession, outPath: String,
+      asOf: Option[String] = None): DataFrame = {
     val op = "BuildBloomStore.mergedFilter"
     val (mBits, kProbes) = storeGeometry(spark, outPath, "mergedFilter")
     val fs = new org.apache.hadoop.fs.Path(s"$outPath/meta")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // manifest-aware activity ([[AdditiveStore]]): OR would actually
     // absorb a double-counted source, but the shared protocol keeps
-    // all three summary stores on one consolidation contract
-    val bloomIds = AdditiveStore.activeBatchIds(fs, outPath, "bloom", op)
-    val metaIds = AdditiveStore.activeBatchIds(fs, outPath, "meta", op)
+    // all three summary stores on one consolidation contract. `asOf`
+    // reads a [[snapshot]]-pinned frontier instead of the live one
+    val (bloomIds, metaIds) = asOf match {
+      case None =>
+        (AdditiveStore.activeBatchIds(fs, outPath, "bloom", op),
+          AdditiveStore.activeBatchIds(fs, outPath, "meta", op))
+      case Some(name) =>
+        val ids = AdditiveStore.resolveAsOf(fs, outPath, "bloom", name, op)
+        (ids, ids.filter(b => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"))))
+    }
     val meta = spark.read.option("basePath", s"$outPath/meta")
       .parquet(metaIds.toSeq.map(b => s"$outPath/meta/batch=$b"): _*)
       .select(col("batch").cast("string").as("batch"),
@@ -166,6 +175,14 @@ object BuildBloomStore {
       .parquet(bloomIds.toSeq.map(b => s"$outPath/bloom/batch=$b"): _*)
       .groupBy(col("word")).agg(bit_or(col("bits")).as("bits"))
   }
+
+  /** Pin the current batch frontier under `name` for later
+    * [[mergedFilter]] `asOf` reads ([[AdditiveStore.writeSnapshot]]).
+    */
+  def snapshot(spark: SparkSession, outPath: String,
+      name: String): Set[String] =
+    AdditiveStore.writeSnapshot(spark, outPath, "bloom", name,
+      "BuildBloomStore.snapshot")
 
   /** Fold many filter batch directories into ONE — the fan-in step,
     * under [[AdditiveStore]]'s manifest-commit protocol for uniformity

@@ -194,15 +194,24 @@ object BuildProfileStore {
   /** Every persisted batch merged to one histogram, behind the loud
     * per-batch width/device gate (scaladoc above).
     */
-  def mergedHistogram(spark: SparkSession, outPath: String): DataFrame = {
+  def mergedHistogram(spark: SparkSession, outPath: String,
+      asOf: Option[String] = None): DataFrame = {
     val op = "BuildProfileStore.mergedHistogram"
     val width = storeWidth(spark, outPath, "mergedHistogram")
     val fs = new org.apache.hadoop.fs.Path(s"$outPath/meta")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // manifest-aware activity ([[AdditiveStore]]) — see the sketch
-    // store's mergedCounters for the single-counted-window argument
-    val histIds = AdditiveStore.activeBatchIds(fs, outPath, "hist", op)
-    val metaIds = AdditiveStore.activeBatchIds(fs, outPath, "meta", op)
+    // store's mergedCounters for the single-counted-window argument.
+    // `asOf` reads a [[snapshot]]-pinned frontier instead of the live one
+    val (histIds, metaIds) = asOf match {
+      case None =>
+        (AdditiveStore.activeBatchIds(fs, outPath, "hist", op),
+          AdditiveStore.activeBatchIds(fs, outPath, "meta", op))
+      case Some(name) =>
+        val ids = AdditiveStore.resolveAsOf(fs, outPath, "hist", name, op)
+        (ids, ids.filter(b => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$outPath/meta/batch=$b"))))
+    }
     val meta = spark.read.option("basePath", s"$outPath/meta")
       .parquet(metaIds.toSeq.map(b => s"$outPath/meta/batch=$b"): _*)
       .select(col("batch").cast("string").as("batch"),
@@ -267,6 +276,14 @@ object BuildProfileStore {
         .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
     }
   }
+
+  /** Pin the current batch frontier under `name` for later
+    * [[mergedHistogram]] `asOf` reads ([[AdditiveStore.writeSnapshot]]).
+    */
+  def snapshot(spark: SparkSession, outPath: String,
+      name: String): Set[String] =
+    AdditiveStore.writeSnapshot(spark, outPath, "hist", name,
+      "BuildProfileStore.snapshot")
 
   /** Drop a fold's supersession sidecar so it can consolidate — ONLY
     * after its streamed directory is retired ([[AdditiveStore.seal]]).

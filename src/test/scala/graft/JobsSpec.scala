@@ -2332,6 +2332,40 @@ class JobsSpec extends SparkSpec {
       graft.jobs.BuildSketchStore.snapshot(spark, out, "bad/name")
     }
     assert(eName.getMessage.contains("plain file name"), eName.getMessage)
+
+    // the manifest-protocol twins adopt the same verb: pin, then a
+    // newer append is invisible to the pin and visible live
+    def corp(lo: Int, hi: Int, p: String): String = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi).select($"doc_id", $"text")
+        .write.mode("overwrite").parquet(p); p
+    }
+    def lens(lo: Int, hi: Int, p: String): String = {
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select(size(split($"text", " ")).cast("long").as("doc_len"))
+        .write.mode("overwrite").parquet(p); p
+    }
+    val bl = s"$base/bloom"
+    graft.jobs.BuildBloomStore.run(spark, corp(0, 100, s"$base/b0"), bl)
+    graft.jobs.BuildBloomStore.append(spark, corp(100, 200, s"$base/b1"), bl, "a")
+    graft.jobs.BuildBloomStore.snapshot(spark, bl, "train"): Unit
+    val blPin = sorted(graft.jobs.BuildBloomStore.mergedFilter(spark, bl))
+    graft.jobs.BuildBloomStore.append(spark, corp(200, 300, s"$base/b2"), bl, "c")
+    assert(sorted(graft.jobs.BuildBloomStore.mergedFilter(spark, bl,
+      asOf = Some("train"))) == blPin)
+    assert(sorted(graft.jobs.BuildBloomStore.mergedFilter(spark, bl)) != blPin)
+    val pr = s"$base/profile"
+    graft.jobs.BuildProfileStore.run(spark, lens(0, 100, s"$base/p0"), pr,
+      "doc_len", 16L)
+    graft.jobs.BuildProfileStore.append(spark, lens(100, 200, s"$base/p1"),
+      pr, "a", "doc_len")
+    graft.jobs.BuildProfileStore.snapshot(spark, pr, "train"): Unit
+    val prPin = sorted(graft.jobs.BuildProfileStore.mergedHistogram(spark, pr))
+    graft.jobs.BuildProfileStore.append(spark, lens(200, 300, s"$base/p2"),
+      pr, "c", "doc_len")
+    assert(sorted(graft.jobs.BuildProfileStore.mergedHistogram(spark, pr,
+      asOf = Some("train"))) == prPin)
+    assert(sorted(graft.jobs.BuildProfileStore.mergedHistogram(spark, pr))
+      != prPin)
   }
 
   test("batch-id collision guard covers the dedup and text indexes too; consolidation retires dedup sidecars") {
