@@ -228,11 +228,29 @@ private[jobs] object AdditiveStore {
       return ids
     }
     fs.mkdirs(snapshotDir(outPath)): Unit
-    // create(overwrite=false): two concurrent pins of one name cannot
-    // interleave into a half-written file that parses as a frontier
-    val out = fs.create(p, false)
+    // temp + rename, not a direct create: a direct create exposes a
+    // half-written pin to a concurrent reader as an EMPTY frontier,
+    // while rename makes the complete content visible atomically.
+    // No-clobber: sequential redefinition is caught by the exists
+    // branch above on every FS; for two CONCURRENT pins of one name,
+    // HDFS rename refuses an existing destination (handled below) but
+    // local rename(2) is last-writer-wins — acceptable for an
+    // operator-action verb where the racing contents are the same
+    // frontier unless an append interleaved the two pins
+    val tmp = new org.apache.hadoop.fs.Path(snapshotDir(outPath),
+      s".$name.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
     try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false): Unit
+      val old = Folds.readSidecar(fs, p)
+      if (old != ids)
+        throw new IllegalStateException(
+          s"$op: snapshot '$name' was pinned concurrently with batches " +
+            s"${old.toSeq.sorted.mkString(", ")}, not this frontier " +
+            s"${ids.toSeq.sorted.mkString(", ")} — pick a fresh name")
+    }
     ids
   }
 
