@@ -312,7 +312,14 @@ object Graph {
     val canon = if (symmetric) dir0
       else dir0.unionAll(dir0.select(col("dst").as("src"),
         col("src").as("dst"))).distinct()
-    val e = registerDf(canon
+    // cache the (symmetric) edge list hash-partitioned on src: the
+    // degree build (groupBy src), EVERY round's decrement join (probe
+    // on src — see below), and the final node distinct all consume
+    // that one layout from the cache, so no round ever re-shuffles the
+    // edge list (the bfsHops lesson: at 10x the removal frontier
+    // outgrows the broadcast threshold and each round would otherwise
+    // pay a full-edge exchange)
+    val e = registerDf(canon.repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // DELTA peeling (the Matula–Beck shape): the full degree table is
     // computed ONCE; each later round only touches edges incident to
@@ -333,8 +340,15 @@ object Graph {
       iter += 1
       degAlive = degAlive.join(removed.select(col("node")), Seq("node"),
         "left_anti")
-      val dec = e.join(removed.select(col("node").as("dst")), "dst")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("ndec"))
+      // probe on SRC, not dst: the list is symmetric (both branches
+      // above guarantee it), so "edges whose dst was removed,
+      // decrement src" ≡ "edges whose src was removed, decrement dst"
+      // — and the src probe reuses the cached partitioning. The hash
+      // hint keeps the round sort-free (the removal set builds the
+      // hash table; cached partitions carry no sort order)
+      val dec = e.join(removed.select(col("node").as("src"))
+          .hint("SHUFFLE_HASH"), "src")
+        .groupBy(col("dst").as("node")).agg(count(lit(1)).as("ndec"))
       val degNew = degAlive.join(dec, Seq("node"), "left")
         .select(col("node"),
           (col("deg") - coalesce(col("ndec"), lit(0L))).as("deg"))

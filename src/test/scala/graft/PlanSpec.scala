@@ -289,7 +289,7 @@ class PlanSpec extends SparkSpec {
       // (3 unrolled rounds), never data-proportional; the budgets pin
       // the per-round shape (a lost broadcast or a re-introduced edge
       // canonicalization shuffle would blow them)
-      "k_core" -> 24,             // measured 24 on the symmetric fast path (25 before — the skipped full-edge distinct): edge build (basket agg + pair explode) + degree agg, then per round dec agg + anti/left joins; final node distinct + sort
+      "k_core" -> 31,             // measured 29 (+2 slack) since the src-partitioned edge cache: +1 repartition node and the rounds' frontier-side SHUFFLE_HASH exchanges now count as nodes where broadcasts didn't — but the VOLUME metric this trades for dropped 59% (183.7M -> 75.6M shuffle records at the 10x soak corpus; growth now linear). Budget counts plan nodes, Probe tasktime adjudicates volume.
       "label_propagation" -> 31)  // measured 29-30 (cached-subtree reprint variance, +1 slack): edge build + per-round min_by argmax agg chains (map-side combined) + final sort
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
