@@ -196,13 +196,20 @@ object Graph {
     val nodes = registerDf(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache())
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))
-    // the per-round probe layout, built once: (src, dst, w, wsum)
-    val eo = registerDf(e.join(outw, "src").cache())
+    // the per-round probe layout, built once: (src, dst, w, wsum) —
+    // cached HASH-PARTITIONED on src (when outw broadcasts, the join
+    // output would otherwise inherit the scan's arbitrary layout), so
+    // every round's rank join consumes the cache's partitioning and
+    // the edge layout is never re-shuffled, whatever size the rank
+    // table grows to (the bfsHops/kCorePeel lesson: rank tables
+    // outgrow the broadcast threshold long before 100 TB)
+    val eo = registerDf(e.join(outw, "src").repartition(col("src")).cache())
     var ranks = nodes.withColumn("rank", lit(1000000L))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var iter = 0
     while (iter < iters) {
-      val inc = eo.join(ranks.withColumnRenamed("node", "src"), "src")
+      val inc = eo.join(ranks.withColumnRenamed("node", "src")
+          .hint("SHUFFLE_HASH"), "src")
         .select(col("dst").as("node"), expr("(rank * w) div wsum").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("inc"))
       val next = nodes.join(inc, Seq("node"), "left")
@@ -243,8 +250,11 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     require(rounds >= 1, s"labelPropagation: rounds must be >= 1, got $rounds")
     val spark = edges.sparkSession
+    // cached hash-partitioned on src (distinct leaves (src, dst)
+    // partitioning): every round's label join reuses the layout — same
+    // rationale as pageRank's eo
     val e = registerDf(edges.select(col(srcCol).as("src"),
-        col(dstCol).as("dst")).distinct()
+        col(dstCol).as("dst")).distinct().repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nodes = registerDf(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache())
@@ -253,7 +263,8 @@ object Graph {
     var iter = 0
     while (iter < rounds) {
       // votes: each in-neighbor's CURRENT label, counted per (dst, label)
-      val votes = e.join(labels.withColumnRenamed("node", "src"), "src")
+      val votes = e.join(labels.withColumnRenamed("node", "src")
+          .hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
       // argmax with the smallest-label tie-break, as ONE max_by over an

@@ -203,10 +203,10 @@ class PlanSpec extends SparkSpec {
       "kmeans_assign" -> 4,         // measured 4: trained-centroid repack agg + argmin window + final sort (training rounds ran eagerly inside the op)
       "image_near_dup" -> 3,        // measured 3: chunk self-join + candidate distinct + final sort (decode is per-row)
       "audio_near_dup" -> 3,        // same machinery over the PCM envelope hash
-      "pagerank_parts" -> 16,       // measured 15: 3 uncut rounds × (rank join + contribution agg) over the cached edge layout + node build + final sort (the periodic cut fires only past round 5)
+      "pagerank_parts" -> 18,       // measured 16-17 (reprint variance, +1 slack): 3 uncut rounds × (rank join + contribution agg) over the cached edge layout + node build + final sort + the r13 deterministic repartition(src) (collapses when the out-weight join already shuffles on src; survives when that join broadcasts — the insurance that rounds never re-shuffle edges once the rank table outgrows broadcast)
       "triangle_parts" -> 9,        // measured 8: canonical edge build (cached once) + adjacency agg + two probe joins + contribution agg + sort
       "bfs_parts" -> 26,            // measured 25: 3 uncut rounds × (frontier join + union min-fold) + seed distinct + final sort
-      "pagerank_weighted" -> 16,    // identical shape to pagerank_parts — the weight rides the same cross-multiply
+      "pagerank_weighted" -> 18,    // measured 17 (+1 slack): pagerank_parts' shape + the r13 deterministic repartition(src) on the cached edge layout (it collapses as redundant when the out-weight join already shuffles on src, but survives in this variant's plan — the node is the insurance that rounds never re-shuffle edges once the rank table outgrows broadcast)
       // round-8 additions
       "cdc_apply" -> 3,       // measured 3: latest-change window (shared by snapshot + batch sides) + key join + sort
       "scd2_merge" -> 4,      // measured 4: prefix scd2 chain + (open ∪ batch) rebuild chain + union + sort — closed intervals add NO shuffle
@@ -290,7 +290,7 @@ class PlanSpec extends SparkSpec {
       // the per-round shape (a lost broadcast or a re-introduced edge
       // canonicalization shuffle would blow them)
       "k_core" -> 31,             // measured 29 (+2 slack) since the src-partitioned edge cache: +1 repartition node and the rounds' frontier-side SHUFFLE_HASH exchanges now count as nodes where broadcasts didn't — but the VOLUME metric this trades for dropped 59% (183.7M -> 75.6M shuffle records at the 10x soak corpus; growth now linear). Budget counts plan nodes, Probe tasktime adjudicates volume.
-      "label_propagation" -> 31)  // measured 29-30 (cached-subtree reprint variance, +1 slack): edge build + per-round min_by argmax agg chains (map-side combined) + final sort
+      "label_propagation" -> 36)  // measured 30-34 (cached-subtree reprint variance, +2 slack): edge build + the r13 repartition(src) on the cached layout + per-round min_by argmax agg chains (map-side combined, the label side now an explicit SHUFFLE_HASH node) + final sort — node count up, but the rounds can no longer re-shuffle the edge list once the label table outgrows broadcast
     budgets.foreach { case (q, n) =>
       val df = SparkEntry.queries(q)(spark, Sf0001)
       val (ex, _) = graft.tools.Probe.distinctExchanges(df)
