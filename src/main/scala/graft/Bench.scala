@@ -26,9 +26,24 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
   private val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
   private val perJob =
     new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+  // Work metrics per job — the NOISE-IMMUNE complement to wall time
+  // (guide §1 / r13 verdict #1): wall-clock on this shared host swings
+  // 3–10× on identical code, but the shuffle records a plan schedules
+  // are bit-stable pass to pass, so a plan regression in ANY query is
+  // visible as record growth even when wall time is pure noise.
+  private val perJobRecords =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+  private val perJobTasks =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
   private val maxJob = new java.util.concurrent.atomic.AtomicInteger(-1)
   private val unownedN = new java.util.concurrent.atomic.AtomicLong(0)
   private val killedN = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def bump(
+      m: java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong],
+      job: Int, by: Long): Unit =
+    m.computeIfAbsent(job, _ => new java.util.concurrent.atomic.AtomicLong(0))
+      .addAndGet(by): Unit
 
   override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
     // FIRST owner wins: a later job's stageIds include stages it will
@@ -42,7 +57,17 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
     maxJob.updateAndGet(m => math.max(m, e.jobId)): Unit
   }
 
-  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    // work accounting for EVERY task end (success, failure, kill): the
+    // job-ownership scheme gives each measurement window exactly the
+    // records its own jobs wrote, however late the event posts
+    val owner = stageToJob.getOrDefault(e.stageId, -1)
+    if (owner >= 0) {
+      val m = e.taskMetrics
+      if (m != null)
+        bump(perJobRecords, owner, m.shuffleWriteMetrics.recordsWritten)
+      bump(perJobTasks, owner, 1L)
+    }
     e.reason match {
       case org.apache.spark.Success => ()
       case _: org.apache.spark.TaskKilled =>
@@ -58,6 +83,7 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
           .computeIfAbsent(job, _ => new java.util.concurrent.atomic.AtomicLong(0))
           .incrementAndGet(): Unit
     }
+  }
 
   /** Highest job id seen so far — snapshot at window open. */
   def highWaterMark: Int = maxJob.get
@@ -66,6 +92,20 @@ final class TaskFailureListener extends org.apache.spark.scheduler.SparkListener
   def failuresAfter(mark: Int): Long = {
     var total = 0L
     perJob.forEach((job, n) => if (job > mark) total += n.get)
+    total
+  }
+
+  /** Shuffle-write records charged to jobs started after `mark`. */
+  def recordsAfter(mark: Int): Long = {
+    var total = 0L
+    perJobRecords.forEach((job, n) => if (job > mark) total += n.get)
+    total
+  }
+
+  /** Task ends charged to jobs started after `mark`. */
+  def tasksAfter(mark: Int): Long = {
+    var total = 0L
+    perJobTasks.forEach((job, n) => if (job > mark) total += n.get)
     total
   }
 
@@ -147,7 +187,10 @@ object Bench {
 
   /** One timed, instrumented run of `f`: returns (elapsed seconds or
     * -1.0 if it threw, genuine task failures attributable to this run,
-    * load average sampled at start). Attribution is by JOB OWNERSHIP,
+    * load average sampled at start, shuffle-write records, task count —
+    * the last two are the wall-clock-immune WORK metrics the r13 round
+    * proved adjudicate plans where wall time cannot).
+    * Attribution is by JOB OWNERSHIP,
     * not by event arrival time: the window owns exactly the jobs whose
     * id exceeds the high-water mark taken at open, so a killed-sibling
     * TaskEnd posted after the close drain can never be charged to the
@@ -158,7 +201,7 @@ object Bench {
     * so BenchSpec can prove attribution with a deliberately flaky query.
     */
   def measure(spark: SparkSession, listener: TaskFailureListener)(
-      f: => Unit): (Double, Long, Double) = {
+      f: => Unit): (Double, Long, Double, Long, Long) = {
     val sc = spark.sparkContext
     quiesce(sc)
     val mark = listener.highWaterMark
@@ -167,7 +210,8 @@ object Bench {
     val ok = try { f; true } catch { case _: Throwable => false }
     val dt = (System.nanoTime() - t0) / 1e9
     quiesce(sc)
-    (if (ok) dt else -1.0, listener.failuresAfter(mark), load)
+    (if (ok) dt else -1.0, listener.failuresAfter(mark), load,
+      listener.recordsAfter(mark), listener.tasksAfter(mark))
   }
 
   def main(args: Array[String]): Unit = {
@@ -211,10 +255,14 @@ object Bench {
     // the task failures inside its drained window (r6 verdict item 2 —
     // the anonymous FileFormatWriter retry stack) and the loadavg at its
     // start (item 6 — contention archaeology).
+    val recs = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    val tasks = scala.collection.mutable.Map.empty[String, Vector[Long]]
     def addPass(n: String): Unit = {
-      val (dt, failed, load) = measure(spark, listener) {
+      spark.sparkContext.setJobDescription(n)
+      val (dt, failed, load, rec, ntask) = measure(spark, listener) {
         byName(n)(spark, sfDir).count(): Unit
       }
+      spark.sparkContext.setJobDescription(null)
       graft.ops.Dedup.releaseCaches() // keep the session's cache bounded
       graft.ops.Similarity.releaseCaches()
       graft.ops.Graph.releaseCaches()
@@ -225,6 +273,8 @@ object Bench {
       passes(n) = passes.getOrElse(n, Vector.empty) :+ dt
       failures(n) = failures.getOrElse(n, 0L) + failed
       loads(n) = loads.getOrElse(n, Vector.empty) :+ load
+      recs(n) = recs.getOrElse(n, Vector.empty) :+ rec
+      tasks(n) = tasks.getOrElse(n, Vector.empty) :+ ntask
     }
     // min over SUCCESSFUL passes; -1.0 only when every pass failed
     def minOk(n: String): Double = {
@@ -287,6 +337,26 @@ object Bench {
     val loadJson = ordered.map { case (k, _) =>
       s"\"" + k + "\":[" + loads(k).map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // Per-query WORK metrics (r13 verdict #1, guide §1): shuffle-write
+    // records and task count attributed to each query's cleanest pass
+    // (min over successful passes — a retried task inflates its own
+    // pass, and the per-pass arrays below carry the evidence). Records
+    // are bit-stable on identical code, so a cross-round diff of this
+    // map adjudicates plan changes that wall time cannot.
+    def minOver(m: scala.collection.mutable.Map[String, Vector[Long]],
+        n: String): Long = {
+      val ok = m(n).zip(passes(n)).collect { case (v, t) if t >= 0 => v }
+      if (ok.isEmpty) -1L else ok.min
+    }
+    val recJson = ordered.map { case (k, _) =>
+      s"\"" + k + "\":" + minOver(recs, k)
+    }.mkString("{", ",", "}")
+    val recPassJson = ordered.map { case (k, _) =>
+      s"\"" + k + "\":[" + recs(k).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val taskJson = ordered.map { case (k, _) =>
+      s"\"" + k + "\":" + minOver(tasks, k)
+    }.mkString("{", ",", "}")
     // failed queries (−1 sentinels) must not subtract from the total
     val total = results.map(_._2).filter(_ >= 0).sum
     val retimed = ordered.count { case (n, _) => passes(n).size > 2 }
@@ -302,7 +372,7 @@ object Bench {
     val nKilled = listener.killed
     val lifetimeFailures = listener.failuresAfter(-1)
     val loadEnd = loadAvg1m()
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg":$loadJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passJson,"shuffle_records":$recJson,"shuffle_records_passes":$recPassJson,"tasks":$taskJson,"task_failures":$failJson,"unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg":$loadJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"errors":$errJson,"retimed":$retimed,"sf":"$sfDir"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), full + "\n")
     // Archive per round so cross-round per-query diffs survive the next
     // overwrite; round N = latest driver BENCH_r{N-1} artifact + 1

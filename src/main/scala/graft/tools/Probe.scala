@@ -19,6 +19,7 @@ object Probe {
     */
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("explain")) return explainMain(args.drop(1))
+    if (args.headOption.contains("explains")) return explainsMain(args.drop(1))
     if (args.headOption.contains("time")) return timeMain(args.drop(1))
     if (args.headOption.contains("tasktime")) return taskTimeMain(args.drop(1))
     if (args.headOption.contains("cc")) return ccMain()
@@ -214,6 +215,58 @@ object Probe {
       graft.ops.Graph.releaseCaches()
       graft.ops.TextOps.releaseCaches()
       graft.ops.Search.releaseCaches()
+    }
+    spark.stop()
+  }
+
+  private def releaseAll(): Unit = {
+    graft.ops.Dedup.releaseCaches()
+    graft.ops.Similarity.releaseCaches()
+    graft.ops.Graph.releaseCaches()
+    graft.ops.TextOps.releaseCaches()
+    graft.ops.Search.releaseCaches()
+    graft.ops.Associations.releaseCaches()
+    graft.ops.Commerce.releaseCaches()
+  }
+
+  /** `Probe explains <outDir> <suffix> <sfDir> <query>...` — write each
+    * query's formatted physical plan to `<outDir>/<query>_<suffix>.txt`
+    * (the round's plans/ evidence files), under the BENCH session shape
+    * (local[32], 32 shuffle partitions, AQE, Graft extensions) so the
+    * captured plan is the one the bench actually times. Also prints the
+    * distinct-exchange count per query.
+    */
+  def explainsMain(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: Probe explains <outDir> <suffix> <sfDir> <query>...")
+      return
+    }
+    val outDir = args(0); val suffix = args(1); val sfDir = args(2)
+    val names = args.drop(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir)): Unit
+    names.foreach { q =>
+      try {
+        val df = graft.SparkEntry.queries(q)(spark, sfDir)
+        val s = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val (ex, reused) = distinctExchanges(df)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${q}_$suffix.txt"),
+          s"== $q ($sfDir, bench session shape) ==\n" +
+            s"distinct exchanges: $ex (+$reused reused)\n\n$s")
+        println(s"[explains] $q exchanges=$ex reused=$reused")
+      } catch {
+        case e: Throwable => println(s"[explains] $q FAILED: ${e.getMessage}")
+      }
+      releaseAll()
     }
     spark.stop()
   }
