@@ -124,7 +124,7 @@ object Dedup {
       thresholdDen: Int = 10, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > thresholdNum)
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
     val arrays = registerDf(shingleArrays(spread, idCol, textCol).cache())
     // carry the per-doc shingle count on every posting row: the prefix
     // length is a pure function of n, so deriving it inline removes
@@ -138,22 +138,54 @@ object Dedup {
     // L = n − ⌈t·n⌉ + 1, integer ceil
     val prefixLen = (col("__n") - floor((col("__n").cast("long") * thresholdNum
       + thresholdDen - 1) / thresholdDen) + 1).cast("int")
-    val prefix = rows.join(dfreq, "shingle")
+    // The prefix table feeds BOTH sides of the candidate self-join —
+    // cache it (registered, freed by releaseCaches) so the dfreq join +
+    // per-doc ranking window run once, not once per side. Carrying the
+    // rank __rk costs one int per posting row and buys the positional
+    // filter below.
+    val prefix = registerDf(rows.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= prefixLen)
-      .select(col(idCol), col("shingle"), col("__n"))
+      .select(col(idCol), col("shingle"), col("__n"), col("__rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Bayardo's length filter at CANDIDATE time: a pair whose sizes
     // alone cap Jaccard at ≤ t can never verify (inter ≤ min, uni ≥
-    // max), so drop it on the posting join — before the distinct pays
+    // max), so drop it on the posting join — before the aggregate pays
     // a shuffle row for it. Carrying __n costs one int per posting.
-    val cand = prefix.select(col(idCol).as("doc_a"), col("shingle"),
-        col("__n").as("__na"))
+    //
+    // PPJoin POSITIONAL filter (Xiao, Wang, Lin & Yu, WWW'08 §3.2),
+    // aggregated: the former `.distinct()` is a groupBy computing an
+    // EXACT overlap upper bound per pair. A doc's prefix is a DOWN-SET
+    // of its shingles under the global (df, shingle) order, so every
+    // shared shingle ordered ≤ the pair's LAST shared prefix shingle is
+    // itself a shared prefix shingle (counted in c = the match count),
+    // and every shared shingle ordered after it ranks past (imax, jmax)
+    // on both sides — at most min(na − imax, nb − jmax) of those exist.
+    // Hence inter ≤ ub = c + min(na − imax, nb − jmax), exactly; pairs
+    // whose ub already fails the Jaccard inequality can never verify
+    // and are dropped BEFORE the array attach (the expensive stage —
+    // measured 596k candidates vs 256 true pairs at sf0.1 without this
+    // filter; the attach + per-pair intersect dominated the query).
+    val matches = prefix.select(col(idCol).as("doc_a"), col("shingle"),
+        col("__n").as("__na"), col("__rk").as("__ra"))
       .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
-        col("__n").as("__nb")), Seq("shingle"))
+        col("__n").as("__nb"), col("__rk").as("__rb")), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("__na"), col("__nb")) * thresholdDen >
           greatest(col("__na"), col("__nb")) * thresholdNum)
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = matches
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("__c"), max(col("__ra")).as("__imax"),
+        max(col("__rb")).as("__jmax"), max(col("__na")).as("__na"),
+        max(col("__nb")).as("__nb"))
+      .withColumn("__ub", (col("__c") + least(col("__na") - col("__imax"),
+        col("__nb") - col("__jmax"))).cast("long"))
+      // the verify's own inequality, applied to the bound: inter·den >
+      // (na + nb − inter)·num is strictly increasing in inter, so a
+      // pair failing it at inter = ub fails at every feasible inter
+      .filter(col("__ub") * thresholdDen >
+        ((col("__na") + col("__nb")).cast("long") - col("__ub")) * thresholdNum)
+      .select(col("doc_a"), col("doc_b"))
     // attach BOTH arrays with ONE join against the cached shingle
     // table: melt each pair to (role, doc) rows, join on doc, fold
     // back — `arrays` crosses one exchange instead of two, and the
@@ -913,7 +945,7 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
     val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
     val cand = registerDf(
       lshCandidates(sig, idCol, maxBandSize = maxBandSize).cache())
@@ -980,7 +1012,7 @@ object Dedup {
       cacheShingles: Boolean = true): DataFrame = {
     val bucketWidth = 2 * maxLenDiff
     val bkt = floor(col(lenCol) / bucketWidth)
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
     val shPlain = shingleArrays(spread, idCol, textCol)
       .join(spread.select(col(idCol), col(langCol), col(lenCol)), Seq(idCol))
     val sh = if (cacheShingles) registerDf(shPlain.cache()) else shPlain
@@ -1213,7 +1245,7 @@ object Dedup {
   def minhashPairsIncremental(df: DataFrame, newFromId: Long,
       idCol: String = "doc_id", textCol: String = "text",
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
     val sig = minhashSignatureRows(shingleRows(spread, idCol, textCol), idCol)
     val cand = registerDf(lshCandidates(sig, idCol, maxBandSize = maxBandSize)
       .filter(col("doc_b") >= newFromId)
@@ -1353,7 +1385,7 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bits: Int = 32): DataFrame = {
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
     val toks = spread.select(col(idCol),
       explode(array_distinct(split(col(textCol), " "))).as("__tok"))
     val h = conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long")

@@ -402,8 +402,7 @@ object TextOps {
       k: Int = 8, w: Int = 4, withSet: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = length(col(textCol))
-    val grams = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val grams = Layout.spreadIfNarrow(df)
       .select(col(idCol), col(textCol),
         explode(when(n >= k, sequence(lit(1), n - (k - 1)))).as("__i"))
       .select(col(idCol), col("__i"),
@@ -610,8 +609,7 @@ object TextOps {
       k: Int = 3, profileSize: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = length(col(textCol))
-    val grams = df
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val grams = Layout.spreadIfNarrow(df)
       .select(col(idCol), col(labelCol), col(textCol),
         explode(when(n >= k, sequence(lit(1), n - (k - 1)))).as("__i"))
       .select(col(idCol), col(labelCol),
@@ -643,7 +641,7 @@ object TextOps {
     // would be interpreted per element), each md5 runs exactly once, and
     // the groupBy partial-aggregates before its shuffle — scales to any
     // corpus. Docs shorter than k chars are restored with a left join.
-    val spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
     val agg = spread
       .select(col(idCol), col(textCol),
         // `when` guard: sequence(1, x<1) counts DOWN in Spark; null → dropped

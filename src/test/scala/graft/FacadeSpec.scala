@@ -56,6 +56,10 @@ class FacadeSpec extends AnyFunSuite {
     // shared census→(empty|InSet|join) assembly behind lshCandidates
     // and BuildDedupIndex.probeBands — both composed forms are facaded
     "cappedPairsFromCensus",
+    // layout guard at the head of the facaded dedup/text pipelines —
+    // "repartition only a narrow input" is plumbing those ops compose
+    // through, not an analytics verb a caller reaches for (r14)
+    "spreadIfNarrow",
     // shared scoring/phrase/proximity bodies behind Search.* and the
     // BuildTextIndex stored read paths — both composed forms of each
     // are facaded (searchRanked/searchPhrase/searchProximity; the
