@@ -314,12 +314,19 @@ object BuildSketchStore {
         .parquet(counterIds.toSeq.map(b => s"$outPath/counters/batch=$b"): _*)
         .select(col("row"), col("bucket"), col("cnt"))),
       width, depth)
+    // Pull the merged cells ONCE (≤ d·w rows, bounded broadcastable by
+    // the perRowCells guard) and re-plant them as a local relation: the
+    // former lazy return re-scanned every batch directory once for the
+    // negative-cell count below and AGAIN per consumer execution (the
+    // heavy-hitter probe's d broadcast builds each re-ran the whole
+    // merge — d+1 store scans per read). One store scan now serves the
+    // sanity check (driver-side, no extra job) and every consumer.
+    val rows = merged.collect()
     // retraction sanity: counters are linear, so a NEGATIVE merged cell
     // proves a retract removed occurrences that were never folded —
     // every estimate would silently under-count from here on (the one
-    // way the ≥-true guarantee can break), so refuse loudly. One
-    // aggregate over ≤ d·w rows.
-    val negs = merged.filter(col("cnt") < 0).count()
+    // way the ≥-true guarantee can break), so refuse loudly.
+    val negs = rows.count(_.getLong(2) < 0)
     if (negs > 0)
       throw new IllegalStateException(
         s"BuildSketchStore.mergedCounters: $negs merged cells are negative " +
@@ -330,7 +337,10 @@ object BuildSketchStore {
     // drop exactly-cancelled cells: a 0-count cell estimates identically
     // to an absent one (the probe coalesces missing to 0), but must not
     // survive as a spurious row for cell-compare consumers
-    merged.filter(col("cnt") > 0)
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows.filter(_.getLong(2) > 0): _*)),
+      merged.schema)
   }
 
   /** Fold many counter batch directories into ONE — the fan-in

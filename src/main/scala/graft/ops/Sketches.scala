@@ -250,7 +250,25 @@ object Sketches {
     */
   private def estimated(rows: DataFrame, counters: DataFrame,
       itemCol: String, width: Int, depth: Int): DataFrame = {
-    val b = broadcast(counters)
+    // Execute the counter subplan ONCE (guide §2.4): each of the d
+    // per-row probe joins broadcasts a filtered view of `counters`, and
+    // a LAZY counter plan — a store merge, or a whole-corpus fold —
+    // re-executes under every one of those broadcasts (the stored
+    // heavy-hitter plans carried d identical merge subtrees; the
+    // merged form re-FOLDED the corpus d times). A broadcast build
+    // pulls its rows to the driver anyway, and counters are bounded
+    // broadcastable (≤ 16M cells, the perRowCells guard), so one
+    // explicit pull re-planted as a local relation costs exactly what
+    // one broadcast build already cost and drops d−1 executions of
+    // the fold/merge. AtFraction's driver-pull precedent, generalized
+    // to every probe path.
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val pulled = counters
+      .select(col("row").cast("int"), col("bucket").cast("long"),
+        col("cnt").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = broadcast(pulled.toDF("row", "bucket", "cnt"))
     val joined = (0 until depth).foldLeft(rows) { (acc, i) =>
       acc.join(b.filter(col("row") === i)
           .select(col("bucket").as(s"__b$i"), col("cnt").as(s"__c$i")),
