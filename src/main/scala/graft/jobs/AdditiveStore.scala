@@ -250,8 +250,63 @@ private[jobs] object AdditiveStore {
           s"$op: snapshot '$name' was pinned concurrently with batches " +
             s"${old.toSeq.sorted.mkString(", ")}, not this frontier " +
             s"${ids.toSeq.sorted.mkString(", ")} — pick a fresh name")
+    } else {
+      // local rename(2) CLOBBERS and returns true, so a successful
+      // rename is not yet proof this caller's frontier is the one on
+      // disk — two concurrent pins of one name are last-writer-wins on
+      // a local FS (r13 advice). One extra readSidecar makes the check
+      // filesystem-independent: re-read and raise the same refusal if
+      // another writer's content won.
+      val won = Folds.readSidecar(fs, p)
+      if (won != ids)
+        throw new IllegalStateException(
+          s"$op: snapshot '$name' was pinned concurrently with batches " +
+            s"${won.toSeq.sorted.mkString(", ")}, not this frontier " +
+            s"${ids.toSeq.sorted.mkString(", ")} — pick a fresh name")
     }
     ids
+  }
+
+  /** Names of snapshots whose pinned frontier contains `id`. */
+  def snapshotsPinning(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String, id: String): Seq[String] = {
+    val dir = snapshotDir(outPath)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("."))
+      .collect { case s if Folds.readSidecar(fs, s.getPath)(id) =>
+        s.getPath.getName }
+  }
+
+  /** Refuse an in-place SAME-ID re-fold that would rewrite content a
+    * snapshot pins (r13 advice, medium): snapshots pin batch IDS, not
+    * content, and a grown-stream `compactStreamed` under the same
+    * explicit label overwrites the pinned batch directory in place —
+    * `Folds.superseded` skips b == id, so nothing else guards the path
+    * and `resolveAsOf` would silently return different content than at
+    * pin time, breaking the "re-reads exactly that corpus state"
+    * contract. The identical-file-set crash retry stays allowed (the
+    * fold sidecar, written before the table, records the set); any
+    * other same-id re-fold of a pinned batch refuses loudly.
+    */
+  def refusePinnedRefold(fs: org.apache.hadoop.fs.FileSystem,
+      outPath: String, tableDir: String, id: String, files: Set[String],
+      op: String): Unit = {
+    val pinned = snapshotsPinning(fs, outPath, id)
+    if (pinned.isEmpty) return
+    val prior = Folds.sidecarPath(outPath, id)
+    val sameRetry = fs.exists(prior) && Folds.readSidecar(fs, prior) == files
+    val tableExists =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outPath/$tableDir/batch=$id"))
+    if (!sameRetry && tableExists)
+      throw new IllegalStateException(
+        s"$op: batch '$id' is pinned by snapshot(s) " +
+          s"${pinned.sorted.mkString(", ")} and this fold covers a " +
+          "DIFFERENT streamed file set than the committed one — " +
+          "re-folding in place would silently change what the snapshot " +
+          "re-reads. Fold under a fresh label (supersession will retire " +
+          "this one only if unpinned), or re-pin the new frontier under " +
+          "a new snapshot name first")
   }
 
   /** Resolve a pinned snapshot against the CURRENT store: the returned

@@ -154,6 +154,8 @@ object BuildProfileStore {
       "BuildProfileStore.compactStreamed: batchId prefix 'consol-' is reserved for committed " +
         "consolidations — the manifest-aware readers would treat this " +
         "batch as an uncommitted leftover and silently IGNORE it")
+    AdditiveStore.refusePinnedRefold(fs, outPath, "hist", id,
+      files.toSet, "BuildProfileStore.compactStreamed")
     val superseded = Folds.superseded(fs, outPath, id, files.toSet,
       "BuildProfileStore.compactStreamed")
     Folds.writeSidecar(fs, outPath, id, files)

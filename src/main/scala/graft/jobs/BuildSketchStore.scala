@@ -197,6 +197,8 @@ object BuildSketchStore {
       "BuildSketchStore.compactStreamed: batchId prefix 'consol-' is reserved for committed " +
         "consolidations — the manifest-aware readers would treat this " +
         "batch as an uncommitted leftover and silently IGNORE it")
+    AdditiveStore.refusePinnedRefold(fs, outPath, "counters", id,
+      files.toSet, "BuildSketchStore.compactStreamed")
     val superseded = Folds.superseded(fs, outPath, id, files.toSet,
       "BuildSketchStore.compactStreamed")
     Folds.writeSidecar(fs, outPath, id, files)

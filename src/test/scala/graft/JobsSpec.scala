@@ -2368,6 +2368,63 @@ class JobsSpec extends SparkSpec {
       != prPin)
   }
 
+  test("a pinned batch refuses an in-place same-label re-fold; identical-set retry and unpinned re-fold stay allowed") {
+    // r13 advice (medium): snapshots pin batch IDS, not content — a
+    // grown-stream compactStreamed under the same explicit label used
+    // to overwrite the pinned batch directory in place (superseded
+    // skips b == id), silently changing what resolveAsOf re-reads.
+    val base = Files.createTempDirectory("graft-pin-refold").toString
+    val docs = Tables.documents(spark, Sf0001)
+    def cells(lo: Int, hi: Int) = graft.ops.Sketches.perRowCells(
+      docs.filter($"doc_id" >= lo && $"doc_id" < hi)
+        .select(explode(split($"text", " ")).as("item")))
+    val out = s"$base/st"; val streamed = s"$base/streamed"
+    val empty = s"$base/empty"
+    docs.limit(0).select($"text".as("item")).write.parquet(empty)
+    graft.jobs.BuildSketchStore.run(spark, empty, out)
+    cells(0, 100).write.mode("append").parquet(streamed)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out, "f1")
+    // identical-file-set retry BEFORE the pin: plain idempotence
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out, "f1")
+    val pinned = graft.jobs.BuildSketchStore.snapshot(spark, out, "train")
+    assert(pinned.contains("f1"))
+    val atPin = graft.jobs.BuildSketchStore
+      .mergedCounters(spark, out, asOf = Some("train"))
+      .collect().map(_.toString).sorted.toSeq
+    // identical-file-set retry AFTER the pin: still allowed (crash-retry
+    // reproduces the same content, the pin's contract holds)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out, "f1")
+    assert(graft.jobs.BuildSketchStore
+      .mergedCounters(spark, out, asOf = Some("train"))
+      .collect().map(_.toString).sorted.toSeq == atPin)
+    // the stream GROWS and the same label re-folds: refuse, store intact
+    cells(100, 200).write.mode("append").parquet(streamed)
+    val e = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out, "f1")
+    }
+    assert(e.getMessage.contains("pinned by snapshot"), e.getMessage)
+    assert(graft.jobs.BuildSketchStore
+      .mergedCounters(spark, out, asOf = Some("train"))
+      .collect().map(_.toString).sorted.toSeq == atPin,
+      "the refused re-fold must leave the pinned content untouched")
+    // a FRESH label still folds the grown stream (supersession retires
+    // f1 — and the pin then reports itself unreconstructible, loudly,
+    // which is the documented expiry contract, not a silent change)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out, "f2")
+    val eGone = intercept[IllegalStateException] {
+      graft.jobs.BuildSketchStore.mergedCounters(spark, out, asOf = Some("train"))
+    }
+    assert(eGone.getMessage.contains("expired") ||
+      eGone.getMessage.contains("no longer reconstructible"), eGone.getMessage)
+    // …and on a store with NO snapshot, the grown same-label re-fold
+    // keeps today's semantics (allowed, supersedes in place)
+    val out2 = s"$base/st2"
+    graft.jobs.BuildSketchStore.run(spark, empty, out2)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out2, "g1")
+    cells(200, 300).write.mode("append").parquet(streamed)
+    graft.jobs.BuildSketchStore.compactStreamed(spark, streamed, out2, "g1")
+  }
+
   test("batch-id collision guard covers the dedup and text indexes too; consolidation retires dedup sidecars") {
     // The two remaining batchId-accepting stores: text batches carry
     // the digest in their per-batch meta row (the summary-store
