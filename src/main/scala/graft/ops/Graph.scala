@@ -69,7 +69,19 @@ object Graph {
       dstCol: String = "dst"): DataFrame = {
     // the canonical edge list feeds the adjacency build AND two probe
     // arms — materialize once (MEMORY_AND_DISK: an edge list can
-    // exceed memory; spilling beats recomputing its lineage)
+    // exceed memory; spilling beats recomputing its lineage).
+    //
+    // Deliberately NOT hash-partitioned on `a` (the r13 bfs/k-core
+    // insurance pattern): r14 measured both repartition placements and
+    // each was strictly worse — the per-edge intersect work (∝ the
+    // endpoint degrees) piles onto the hub vertices' partitions under
+    // hash(a), 46 s → 271–866 s task time at sf0.1 for +0.5M shuffle
+    // records, while the distinct's (a, b) hash keeps that work evenly
+    // spread. The broadcast-flip cost this declines to insure (one
+    // extra edge exchange when `adj` outgrows the broadcast threshold,
+    // SOAK_r13's 19.5x-records-at-10x point, linear past the flip) is
+    // the cheaper side of the trade on a skewed-degree graph: records
+    // are a constant 2x, CPU balance is not.
     val und = registerDf(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -149,7 +161,16 @@ object Graph {
       // over the (small) frontier probes the edges with NO sort — the
       // default sort-merge would re-sort the full cached edge
       // partitions every round (sort order, unlike partitioning, is
-      // not preserved by the cache)
+      // not preserved by the cache). MEMORY TRADE (r13 advice): the
+      // hash build holds one partition of the frontier in memory, and
+      // on a dense graph the frontier after hop 1 can be graph-sized —
+      // a build partition that outgrows execution memory fails where
+      // sort-merge would spill. Accepted deliberately: the frontier is
+      // |V|-bounded (node, hops) rows — narrow — while the per-round
+      // re-sort SMJ would pay covers the |E|-sized edge cache; size
+      // the shuffle partition count so |V|/partitions fits, and drop
+      // the hint (accepting the re-sort) only if a deployment sees
+      // build-side OOMs here.
       val expanded = e.join(dist.filter(col("hops") === lit(round.toLong))
           .withColumnRenamed("node", "src").hint("SHUFFLE_HASH"), "src")
         .select(col("dst").as("node"), (col("hops") + lit(1L)).as("hops"))
