@@ -12,6 +12,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked runner's stdout must reach the invoking process RAW: the
+// default LoggedOutput strategy prefixes every line with "[info] ",
+// which breaks any consumer that parses the bench/verify one-line JSON
+// from stdout (the driver's bench parse failed on exactly this in every
+// round — BENCH_r*.json "parsed": null). StdoutOutput makes the forked
+// JVM inherit sbt's own stdout/stderr, so println lands unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 scalacOptions ++= Seq("-deprecation", "-feature")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -380,9 +380,18 @@ object Bench {
     val round = graft.tools.Rounds.next("BENCH_r")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(f"bench_out_r$round%02d.json"), full + "\n")
-    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries_file":"bench_out.json"}"""
-    // The total line ALSO goes to a file: sbt prefixes stdout with
-    // [info], which broke the driver's JSON parse of it in rounds 1–3.
+    // The stdout contract line carries the PER-QUERY maps inline (r14
+    // verdict #2): the driver parses "queries" (and now
+    // "shuffle_records") from this one line — the queries_file pointer
+    // alone left PERF's per_query table empty two rounds running. All
+    // previous keys are kept; the line is ~14 KB at 264 queries, well
+    // inside what a full-stdout line parser handles (the old truncation
+    // risk was the per-pass arrays, which stay in bench_out.json).
+    val totalLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"n_task_failures":${failures.values.sum},"n_unowned_task_failures":${listener.unowned},"n_killed_tasks":$nKilled,"lifetime_task_failures":$lifetimeFailures,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"shuffle_records":$recJson,"queries_file":"bench_out.json"}"""
+    // The total line ALSO goes to a file: sbt used to prefix stdout
+    // with [info] (fixed by build.sbt's run/outputStrategy :=
+    // StdoutOutput, which lets the forked JVM inherit sbt's stdout raw),
+    // and the file survives any remaining log interleaving.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_total.json"), totalLine + "\n")
     println(totalLine)
     spark.stop()
