@@ -118,7 +118,27 @@ object Dedup {
     * arrays → per-shingle df (groupBy, partial-agg) → join-back (the
     * dupShingleFraction inverted-index shape, no window-on-shingle) →
     * per-DOC window ranks tokens (docs are bounded, never hot) →
-    * prefix self-join → verify candidates against the full arrays.
+    * size-ordered asymmetric prefix join (probe × shorter index
+    * prefix) → ℓ-match + positional filters at the pair aggregate →
+    * verify survivors against the full arrays. Measured at sf0.1
+    * (r15): the ℓ = 3 match rule cut the attach input from 308,570
+    * candidates (the r14 positional-bound survivors — 596k pre-bound)
+    * to 825 for 256 true pairs, and the asymmetric index prefix cut
+    * the match join's output 642k → 536k rows even with the ℓ
+    * extension; query task time fell ~265 s → ~105 s cold / 8–24 s
+    * JIT-warm.
+    *
+    * Join strategy is deliberately LEFT TO THE PLANNER (no hint): a
+    * SHUFFLE_HASH hint on the index side was measured and REJECTED —
+    * at 1×/10× it defeats both the prefix cache's broadcast AND the
+    * doc-partitioned partial aggregation (10× soak: 2.29M → 11.1M
+    * shuffle records, task time +30%), and at 30× — past the
+    * broadcast flip — the planner's own choice already produces the
+    * identical, bit-stable 33,293,598 records with or without the
+    * hint (4 independent-JVM runs; r14's 37.1M/44.9M flip variance is
+    * gone with the smaller asymmetric join). At 100 TB the prefix
+    * table can never broadcast and the planner lands on the shuffled
+    * join deterministically, as the 30× point shows.
     */
   def jaccardPrefixPairs(df: DataFrame, thresholdNum: Int = 3,
       thresholdDen: Int = 10, idCol: String = "doc_id",
@@ -135,13 +155,41 @@ object Dedup {
       explode(col("shingles")).as("shingle"))
     val dfreq = rows.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__df"), col("shingle"))
-    // L = n − ⌈t·n⌉ + 1, integer ceil
+    // ℓ-EXTENDED prefixes (AdaptJoin, Wang, Li & Feng, SIGMOD'12): the
+    // classic 1-prefix guarantees ONE collision for a qualifying pair,
+    // and measured at sf0.1 that is exactly what the candidate stream
+    // looks like — 596k candidate pairs averaging 1.08 matches each for
+    // 256 true pairs, so the single rare shared shingle IS the false-
+    // candidate mechanism and the array attach downstream pays for it.
+    // Extending every prefix by ℓ−1 tokens buys the ℓ-match rule: if
+    // inter ≥ α (the pair's minimum qualifying overlap), the k-th
+    // smallest shared shingle s_k has at most α − k shared shingles
+    // after it, so rank(s_k) ≤ n − α + k ≤ n − α + ℓ on BOTH sides —
+    // a qualifying pair must collide ≥ min(α, ℓ) times inside the
+    // extended prefixes, and pairs with fewer matches drop before the
+    // attach. The join grows by the extension (~(L+ℓ−1)²/L² per
+    // posting list); the aggregate's c ≥ min(α, ℓ) filter removes the
+    // single-collision candidate mass.
+    val ell = 3
+    // probe prefix: L_p = n − ⌈t·n⌉ + ℓ (integer ceil)
     val prefixLen = (col("__n") - floor((col("__n").cast("long") * thresholdNum
-      + thresholdDen - 1) / thresholdDen) + 1).cast("int")
+      + thresholdDen - 1) / thresholdDen) + ell).cast("int")
+    // index prefix: L_i = n − ⌈n·2t/(1+t)⌉ + ℓ — the SHORTER indexing
+    // prefix of the size-ordered self-join (Xiao, Wang, Lin & Yu,
+    // WWW'08 §4): processing each pair as (probe = larger set x,
+    // index = smaller y, ties by id), a qualifying pair's overlap
+    // α = ⌈(t/(1+t))(nx+ny)⌉ satisfies α ≥ ⌈(2t/(1+t))·ny⌉ because
+    // nx ≥ ny, so the indexed side only exposes its first
+    // ny − ⌈(2t/(1+t))·ny⌉ + ℓ tokens (≈ 0.54·n at t = 0.3 vs the
+    // probe's 0.7·n) and the posting join shrinks by the ratio.
+    val indexLen = (col("__n") - floor((col("__n").cast("long") * (2 * thresholdNum)
+      + (thresholdDen + thresholdNum) - 1) / (thresholdDen + thresholdNum))
+      + ell).cast("int")
     // The prefix table feeds BOTH sides of the candidate self-join —
     // cache it (registered, freed by releaseCaches) so the dfreq join +
-    // per-doc ranking window run once, not once per side. Carrying the
-    // rank __rk costs one int per posting row and buys the positional
+    // per-doc ranking window run once, not once per side; the index
+    // side is a pure filter over the same cache. Carrying the rank
+    // __rk costs one int per posting row and buys the positional
     // filter below.
     val prefix = registerDf(rows.join(dfreq, "shingle")
       .withColumn("__rk", row_number().over(w))
@@ -151,68 +199,82 @@ object Dedup {
     // Bayardo's length filter at CANDIDATE time: a pair whose sizes
     // alone cap Jaccard at ≤ t can never verify (inter ≤ min, uni ≥
     // max), so drop it on the posting join — before the aggregate pays
-    // a shuffle row for it. Carrying __n costs one int per posting.
+    // a shuffle row for it. With the size-ordered roles the filter is
+    // one-sided: ny·den > nx·num. Carrying __n costs one int per
+    // posting.
     //
     // PPJoin POSITIONAL filter (Xiao, Wang, Lin & Yu, WWW'08 §3.2),
-    // aggregated: the former `.distinct()` is a groupBy computing an
-    // EXACT overlap upper bound per pair. A doc's prefix is a DOWN-SET
-    // of its shingles under the global (df, shingle) order, so every
+    // aggregated: the groupBy computes an EXACT overlap upper bound per
+    // pair. A doc's prefix is a DOWN-SET of its shingles under the
+    // global (df, shingle) order — whatever its length — so every
     // shared shingle ordered ≤ the pair's LAST shared prefix shingle is
     // itself a shared prefix shingle (counted in c = the match count),
     // and every shared shingle ordered after it ranks past (imax, jmax)
-    // on both sides — at most min(na − imax, nb − jmax) of those exist.
-    // Hence inter ≤ ub = c + min(na − imax, nb − jmax), exactly; pairs
+    // on both sides — at most min(nx − imax, ny − jmax) of those exist.
+    // Hence inter ≤ ub = c + min(nx − imax, ny − jmax), exactly; pairs
     // whose ub already fails the Jaccard inequality can never verify
-    // and are dropped BEFORE the array attach (the expensive stage —
-    // measured 596k candidates vs 256 true pairs at sf0.1 without this
-    // filter; the attach + per-pair intersect dominated the query).
-    val matches = prefix.select(col(idCol).as("doc_a"), col("shingle"),
-        col("__n").as("__na"), col("__rk").as("__ra"))
-      .join(prefix.select(col(idCol).as("doc_b"), col("shingle"),
-        col("__n").as("__nb"), col("__rk").as("__rb")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("__na"), col("__nb")) * thresholdDen >
-          greatest(col("__na"), col("__nb")) * thresholdNum)
+    // and are dropped BEFORE the array attach (the expensive stage).
+    val matches = prefix.select(col(idCol).as("__dx"), col("shingle"),
+        col("__n").as("__nx"), col("__rk").as("__rx"))
+      .join(prefix.filter(col("__rk") <= indexLen)
+        .select(col(idCol).as("__dy"), col("shingle"),
+          col("__n").as("__ny"), col("__rk").as("__ry")), Seq("shingle"))
+      .filter((col("__ny") < col("__nx")) ||
+        (col("__ny") === col("__nx") && col("__dy") < col("__dx")))
+      .filter(col("__ny") * thresholdDen > col("__nx") * thresholdNum)
     val cand = matches
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("__c"), max(col("__ra")).as("__imax"),
-        max(col("__rb")).as("__jmax"), max(col("__na")).as("__na"),
-        max(col("__nb")).as("__nb"))
-      .withColumn("__ub", (col("__c") + least(col("__na") - col("__imax"),
-        col("__nb") - col("__jmax"))).cast("long"))
+      .groupBy(col("__dx"), col("__dy"))
+      .agg(count(lit(1)).as("__c"), max(col("__rx")).as("__imax"),
+        max(col("__ry")).as("__jmax"), max(col("__nx")).as("__nx"),
+        max(col("__ny")).as("__ny"))
+      // the ℓ-match rule: α = ⌊(nx+ny)·t/(1+t)⌋ + 1 is the smallest
+      // inter with J > t (strict — J > t ⟺ inter·(den+num) >
+      // (nx+ny)·num), and a qualifying pair carries ≥ min(α, ℓ)
+      // matches inside the extended prefixes; min caps the requirement
+      // for tiny documents whose qualifying overlap is below ℓ.
+      .filter(col("__c") >= least(
+        floor(((col("__nx") + col("__ny")).cast("long") * thresholdNum)
+          / (thresholdDen + thresholdNum)) + 1, lit(ell.toLong)))
+      .withColumn("__ub", (col("__c") + least(col("__nx") - col("__imax"),
+        col("__ny") - col("__jmax"))).cast("long"))
       // the verify's own inequality, applied to the bound: inter·den >
-      // (na + nb − inter)·num is strictly increasing in inter, so a
+      // (nx + ny − inter)·num is strictly increasing in inter, so a
       // pair failing it at inter = ub fails at every feasible inter
       .filter(col("__ub") * thresholdDen >
-        ((col("__na") + col("__nb")).cast("long") - col("__ub")) * thresholdNum)
-      .select(col("doc_a"), col("doc_b"))
+        ((col("__nx") + col("__ny")).cast("long") - col("__ub")) * thresholdNum)
+      .select(col("__dx"), col("__dy"))
     // attach BOTH arrays with ONE join against the cached shingle
     // table: melt each pair to (role, doc) rows, join on doc, fold
     // back — `arrays` crosses one exchange instead of two, and the
-    // fold's shuffle carries the same sh_a+sh_b bytes the second
-    // join-attach used to. first(ignoreNulls) is exact here: each
-    // (pair, role) group holds exactly one non-null array.
-    val melted = cand.select(col("doc_a"), col("doc_b"),
+    // fold's shuffle carries the same sh_x+sh_y bytes the second
+    // join-attach used to. The pair stays keyed (__dx, __dy) through
+    // the fold so its groupBy REUSES the candidate aggregate's
+    // partitioning (inter/uni are pair-symmetric); the declared
+    // id-ordered (doc_a, doc_b) orientation is restored in the final
+    // select. first(ignoreNulls) is exact here: each (pair, role)
+    // group holds exactly one non-null array.
+    val melted = cand.select(col("__dx"), col("__dy"),
       explode(array(
-        struct(lit("a").as("role"), col("doc_a").as("__doc")),
-        struct(lit("b").as("role"), col("doc_b").as("__doc")))).as("m"))
-      .select(col("doc_a"), col("doc_b"),
+        struct(lit("x").as("role"), col("__dx").as("__doc")),
+        struct(lit("y").as("role"), col("__dy").as("__doc")))).as("m"))
+      .select(col("__dx"), col("__dy"),
         col("m.role").as("role"), col("m.__doc").as("__doc"))
     melted
       .join(arrays.select(col(idCol).as("__doc"), col("shingles")), "__doc")
-      .groupBy(col("doc_a"), col("doc_b"))
+      .groupBy(col("__dx"), col("__dy"))
       .agg(
-        first(when(col("role") === "a", col("shingles")), ignoreNulls = true)
-          .as("sh_a"),
-        first(when(col("role") === "b", col("shingles")), ignoreNulls = true)
-          .as("sh_b"))
+        first(when(col("role") === "x", col("shingles")), ignoreNulls = true)
+          .as("sh_x"),
+        first(when(col("role") === "y", col("shingles")), ignoreNulls = true)
+          .as("sh_y"))
       // (the size gate verifyJaccard/ngramJaccardPairs apply here was
-      // already enforced per-candidate above, before the distinct —
-      // every surviving pair is size-compatible by construction)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      // already enforced per-candidate above — every surviving pair is
+      // size-compatible by construction)
+      .withColumn("inter", size(array_intersect(col("sh_x"), col("sh_y"))))
+      .withColumn("uni", size(col("sh_x")) + size(col("sh_y")) - col("inter"))
       .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
-      .select(col("doc_a"), col("doc_b"),
+      .select(least(col("__dx"), col("__dy")).as("doc_a"),
+        greatest(col("__dx"), col("__dy")).as("doc_b"),
         col("inter").cast("long").as("inter"), col("uni").cast("long").as("uni"))
   }
 

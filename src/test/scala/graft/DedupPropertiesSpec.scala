@@ -176,6 +176,26 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(at14.contains((4L, 5L)))
   }
 
+  test("prefix-filter jaccard join: tiny docs below the ℓ-match overlap are still complete") {
+    // r15 ℓ-extended prefixes require min(α, ℓ) matches per candidate;
+    // α = ⌊(nx+ny)·t/(1+t)⌋ + 1 is BELOW ℓ = 3 for these tiny docs
+    // (1–2 shingles), so the α cap — not the raw ℓ — must gate them.
+    val df = Seq(
+      (1L, "a b c"),            // 1 shingle; identical to 2 → J = 1
+      (2L, "a b c"),
+      (3L, "a b c d"),          // 2 shingles; shares 1 of 2 with 4 → J = 1/3 at den 3
+      (4L, "a b c e"),
+      (5L, "z y x")             // disjoint singleton
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardPrefixPairs(df, 3, 10)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)))   // α = 1 < ℓ: one match must suffice
+    assert(out.contains((3L, 4L)))   // inter=1, uni=3: J = 1/3 > 3/10
+    assert(!out.exists(p => p._1 == 5L || p._2 == 5L))
+    // cross-size containment-ish pair: J = 1/2 > 3/10, sizes differ
+    assert(out.contains((1L, 3L)) && out.contains((2L, 3L)))
+  }
+
   test("minhash pipeline finds every planted near-dup and only those") {
     val samples = (1 to 8).flatMap(i => corpusGen.apply(Gen.Parameters.default, Seed(7L + i)))
     assert(samples.size >= 6)
