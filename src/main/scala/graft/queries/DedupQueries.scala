@@ -75,11 +75,14 @@ object DedupQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-bloom-store")
       val docs = Tables.documents(spark, dir)
       val seenP = s"$base/seen"
-      docs.select($"doc_id", $"text").write.mode("overwrite").parquet(seenP)
-      docs.filter($"doc_id" < 250).select($"doc_id", $"text")
-        .write.mode("overwrite").parquet(s"$base/h0")
-      docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
-        .write.mode("overwrite").parquet(s"$base/h1")
+      // three independent staging writes — overlap them (guide §2.6)
+      graft.jobs.Overlap.all(
+        () => docs.select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(seenP),
+        () => docs.filter($"doc_id" < 250).select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(s"$base/h0"),
+        () => docs.filter($"doc_id" >= 250).select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(s"$base/h1"))
       val out = s"$base/store"
       graft.jobs.BuildBloomStore.run(spark, s"$base/h0", out)
       graft.jobs.BuildBloomStore.append(spark, s"$base/h1", out, "h1")

@@ -174,12 +174,16 @@ object EventQueries {
         cents.filter(f).select($"cents").write.mode("overwrite").parquet(p); p
       }
       val out = s"$base/store"
-      graft.jobs.BuildProfileStore.run(spark,
-        slice(s"$base/h0", $"event_id" % 3 === 0), out, "cents", 100L)
-      graft.jobs.BuildProfileStore.append(spark,
-        slice(s"$base/h1", $"event_id" % 3 === 1), out, "h1", "cents")
-      graft.jobs.BuildProfileStore.append(spark,
-        slice(s"$base/h2", $"event_id" % 3 === 2), out, "h2", "cents")
+      // overlap the independent slice stagings and the disjoint-batch
+      // appends (guide §2.6); run-before-append stays ordered
+      graft.jobs.Overlap.all(
+        () => slice(s"$base/h0", $"event_id" % 3 === 0): Unit,
+        () => slice(s"$base/h1", $"event_id" % 3 === 1): Unit,
+        () => slice(s"$base/h2", $"event_id" % 3 === 2): Unit)
+      graft.jobs.BuildProfileStore.run(spark, s"$base/h0", out, "cents", 100L)
+      graft.jobs.Overlap.all(
+        () => graft.jobs.BuildProfileStore.append(spark, s"$base/h1", out, "h1", "cents"),
+        () => graft.jobs.BuildProfileStore.append(spark, s"$base/h2", out, "h2", "cents"))
       graft.jobs.BuildProfileStore.quantiles(spark, out,
           Seq((1, 2), (9, 10), (99, 100), (999, 1000)))
         .orderBy("rank", "q_den")

@@ -150,9 +150,16 @@ object HllQueries {
           .write.mode("overwrite").parquet(p); p
       }
       val out = s"$base/store"
-      graft.jobs.BuildHllStore.run(spark, slice(Seq(0, 1), s"$base/s0"), out)
-      graft.jobs.BuildHllStore.append(spark, slice(Seq(1, 2), s"$base/s1"), out, "b")
-      graft.jobs.BuildHllStore.append(spark, slice(Seq(2, 0), s"$base/s2"), out, "c")
+      // overlap the independent slice stagings and the disjoint-batch
+      // appends (guide §2.6); run-before-append stays ordered
+      graft.jobs.Overlap.all(
+        () => slice(Seq(0, 1), s"$base/s0"): Unit,
+        () => slice(Seq(1, 2), s"$base/s1"): Unit,
+        () => slice(Seq(2, 0), s"$base/s2"): Unit)
+      graft.jobs.BuildHllStore.run(spark, s"$base/s0", out)
+      graft.jobs.Overlap.all(
+        () => graft.jobs.BuildHllStore.append(spark, s"$base/s1", out, "b"),
+        () => graft.jobs.BuildHllStore.append(spark, s"$base/s2", out, "c"))
       graft.jobs.BuildHllStore.estimate(spark, out)
         .select($"est_distinct", $"n_zero_regs")
     },

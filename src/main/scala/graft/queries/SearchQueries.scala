@@ -172,9 +172,12 @@ object SearchQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-del-store")
       val docs = Tables.documents(spark, dir)
       val allP = s"$base/all"; val delP = s"$base/dels"
-      docs.select($"doc_id", $"text").write.mode("overwrite").parquet(allP)
-      docs.filter($"doc_id" % 5 === 0).select($"doc_id")
-        .write.mode("overwrite").parquet(delP)
+      // two independent staging writes — overlap them (guide §2.6)
+      graft.jobs.Overlap.all(
+        () => docs.select($"doc_id", $"text")
+          .write.mode("overwrite").parquet(allP),
+        () => docs.filter($"doc_id" % 5 === 0).select($"doc_id")
+          .write.mode("overwrite").parquet(delP))
       val out = s"$base/index"
       graft.jobs.BuildTextIndex.run(spark, allP, out)
       graft.jobs.BuildTextIndex.deleteDocs(spark, delP, out, "takedown")
@@ -198,12 +201,18 @@ object SearchQueries {
         bigrams(docs.filter($"doc_id" >= lo && $"doc_id" < hi))
           .write.mode("overwrite").parquet(p); p
       }
-      graft.jobs.BuildSketchStore.run(spark,
-        slice(0, 200, s"$base/h0"), out)
-      graft.jobs.BuildSketchStore.append(spark,
-        slice(200, 350, s"$base/h1"), out, "h1")
-      graft.jobs.BuildSketchStore.append(spark,
-        slice(350, Int.MaxValue, s"$base/h2"), out, "h2")
+      // the three slice stagings are independent writes, and the two
+      // appends land DISJOINT batch directories after the base exists —
+      // overlap each group (guide §2.6); the store's ordered windows
+      // (run-before-append, counters-before-meta) stay sequential
+      graft.jobs.Overlap.all(
+        () => slice(0, 200, s"$base/h0"): Unit,
+        () => slice(200, 350, s"$base/h1"): Unit,
+        () => slice(350, Int.MaxValue, s"$base/h2"): Unit)
+      graft.jobs.BuildSketchStore.run(spark, s"$base/h0", out)
+      graft.jobs.Overlap.all(
+        () => graft.jobs.BuildSketchStore.append(spark, s"$base/h1", out, "h1"),
+        () => graft.jobs.BuildSketchStore.append(spark, s"$base/h2", out, "h2"))
       graft.jobs.BuildSketchStore.heavyHitters(spark, out,
           bigrams(docs), threshold = 35L)
         .orderBy($"n_occurrences".desc, $"item")
@@ -229,12 +238,17 @@ object SearchQueries {
         bigrams(docs.filter($"doc_id" >= lo && $"doc_id" < hi))
           .write.mode("overwrite").parquet(p); p
       }
-      graft.jobs.BuildSketchStore.run(spark, slice(0, 200, s"$base/h0"), out)
-      graft.jobs.BuildSketchStore.append(spark,
-        slice(200, 350, s"$base/h1"), out, "h1")
+      // overlap the independent slice stagings (guide §2.6); the
+      // lifecycle tail stays strictly ordered — the snapshot must pin
+      // exactly {base, h1}, so h2 cannot land before it
+      graft.jobs.Overlap.all(
+        () => slice(0, 200, s"$base/h0"): Unit,
+        () => slice(200, 350, s"$base/h1"): Unit,
+        () => slice(350, Int.MaxValue, s"$base/h2"): Unit)
+      graft.jobs.BuildSketchStore.run(spark, s"$base/h0", out)
+      graft.jobs.BuildSketchStore.append(spark, s"$base/h1", out, "h1")
       graft.jobs.BuildSketchStore.snapshot(spark, out, "train"): Unit
-      graft.jobs.BuildSketchStore.append(spark,
-        slice(350, Int.MaxValue, s"$base/h2"), out, "h2")
+      graft.jobs.BuildSketchStore.append(spark, s"$base/h2", out, "h2")
       graft.jobs.BuildSketchStore.consolidate(spark, out, Seq("h1"))
       graft.jobs.BuildSketchStore.heavyHitters(spark, out,
           bigrams(docs.filter($"doc_id" < 350)), threshold = 20L,
@@ -254,9 +268,11 @@ object SearchQueries {
       val base = java.nio.file.Files.createTempDirectory("graft-retract-q")
       val docs = Tables.documents(spark, dir)
       val all = s"$base/all"; val deleted = s"$base/deleted"
-      bigrams(docs).write.mode("overwrite").parquet(all)
-      bigrams(docs.filter($"doc_id" % 5 === 0))
-        .write.mode("overwrite").parquet(deleted)
+      // two independent staging writes — overlap them (guide §2.6)
+      graft.jobs.Overlap.all(
+        () => bigrams(docs).write.mode("overwrite").parquet(all),
+        () => bigrams(docs.filter($"doc_id" % 5 === 0))
+          .write.mode("overwrite").parquet(deleted))
       val out = s"$base/store"
       graft.jobs.BuildSketchStore.run(spark, all, out)
       graft.jobs.BuildSketchStore.retract(spark, deleted, out, "takedown")

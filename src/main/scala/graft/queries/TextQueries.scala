@@ -696,12 +696,16 @@ object TextQueries {
           .write.mode("overwrite").parquet(p); p
       }
       val out = s"$base/store"
-      graft.jobs.BuildSampleStore.run(spark,
-        slice($"doc_id" % 3 === 0, s"$base/s0"), out, k = 25)
-      graft.jobs.BuildSampleStore.append(spark,
-        slice($"doc_id" % 3 <= 1, s"$base/s1"), out, "b")
-      graft.jobs.BuildSampleStore.append(spark,
-        slice($"doc_id" % 3 === 2, s"$base/s2"), out, "c")
+      // overlap the independent slice stagings and the disjoint-batch
+      // appends (guide §2.6); run-before-append stays ordered
+      graft.jobs.Overlap.all(
+        () => slice($"doc_id" % 3 === 0, s"$base/s0"): Unit,
+        () => slice($"doc_id" % 3 <= 1, s"$base/s1"): Unit,
+        () => slice($"doc_id" % 3 === 2, s"$base/s2"): Unit)
+      graft.jobs.BuildSampleStore.run(spark, s"$base/s0", out, k = 25)
+      graft.jobs.Overlap.all(
+        () => graft.jobs.BuildSampleStore.append(spark, s"$base/s1", out, "b"),
+        () => graft.jobs.BuildSampleStore.append(spark, s"$base/s2", out, "c"))
       graft.jobs.BuildSampleStore.sample(spark, out).orderBy("rk")
     },
 
