@@ -323,12 +323,28 @@ object BuildSketchStore {
     // heavy-hitter probe's d broadcast builds each re-ran the whole
     // merge — d+1 store scans per read). One store scan now serves the
     // sanity check (driver-side, no extra job) and every consumer.
-    val rows = merged.collect()
+    // NOTE (callers): this makes mergedCounters EAGER — constructing
+    // the returned DataFrame executes the store merge as Spark jobs.
+    // The pull lands as PRIMITIVE tuples, not boxed GenericRows (r14
+    // advice): at the 16M-cell guard limit the boxed form held several
+    // GB of driver heap where the tuple array holds ~380 MB.
+    // A null cell is impossible from the store's own folds (perRowCells
+    // drops null occurrences; mergeCounters' sum preserves non-null),
+    // so a null here is a tampered batch table — refuse loudly instead
+    // of NPEing in a primitive getter.
+    val rows = merged.collect().map { r =>
+      if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+        throw new IllegalStateException(
+          "BuildSketchStore.mergedCounters: a merged counter cell has a " +
+            "NULL row/bucket/cnt — no store fold produces null cells, so " +
+            "a raw table was tampered into the store; rebuild the batch")
+      (r.getInt(0), r.getLong(1), r.getLong(2))
+    }
     // retraction sanity: counters are linear, so a NEGATIVE merged cell
     // proves a retract removed occurrences that were never folded —
     // every estimate would silently under-count from here on (the one
     // way the ≥-true guarantee can break), so refuse loudly.
-    val negs = rows.count(_.getLong(2) < 0)
+    val negs = rows.count(_._3 < 0)
     if (negs > 0)
       throw new IllegalStateException(
         s"BuildSketchStore.mergedCounters: $negs merged cells are negative " +
@@ -339,10 +355,8 @@ object BuildSketchStore {
     // drop exactly-cancelled cells: a 0-count cell estimates identically
     // to an absent one (the probe coalesces missing to 0), but must not
     // survive as a spurious row for cell-compare consumers
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(rows.filter(_.getLong(2) > 0): _*)),
-      merged.schema)
+    import spark.implicits._
+    rows.filter(_._3 > 0).toSeq.toDF("row", "bucket", "cnt")
   }
 
   /** Fold many counter batch directories into ONE — the fan-in

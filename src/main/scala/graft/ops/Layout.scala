@@ -94,11 +94,19 @@ object Layout {
       case Some(r: Repartition) if !r.shuffle =>
         wideEnough(r.child, math.min(cap, r.numPartitions))
       case Some(_) =>
-        // shuffle below: it lands at spark.sql.shuffle.partitions
-        // (sized to parallelism), so the coalesce caps decide — and
-        // the `.rdd` probe is NOT safe (it would execute those stages
-        // at plan-construction time)
-        cap >= parallelism
+        // shuffle below: it lands at spark.sql.shuffle.partitions —
+        // which is a CONFIG, not necessarily sized to the parallelism
+        // (r14 advice) — so the landing width joins the coalesce caps
+        // in the running min; the `.rdd` probe is NOT safe here (it
+        // would execute those stages at plan-construction time).
+        // Deployment note: AQE may still coalesce the landing below
+        // this number at runtime, but only when the data is small
+        // enough that a spread would be pointless anyway.
+        val landing = df.sparkSession.conf
+          .getOption("spark.sql.shuffle.partitions")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .getOrElse(parallelism)
+        math.min(cap, landing) >= parallelism
       case None =>
         // narrow remainder (scan + filters/projects): `.rdd` builds
         // lazily from file splits without running jobs — the probe is

@@ -33,6 +33,34 @@ object Sketches {
   val DefaultWidth = 256
   val DefaultDepth = 3
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Saturation alarm threshold (r14 verdict #5, measurement-only): a
+    * probe warns when, in EVERY sketch row, more than this fraction of
+    * the width carries a count at or past the prune threshold — an
+    * item passes the prune only when all d of its cells do, so the
+    * smallest per-row saturated fraction bounds the prune's best case.
+    * Past ~50 % the sketch can no longer prove most items light and
+    * the exact verify absorbs the stream (the 10×-soak collapse:
+    * 56× shuffle records at heavy_hitters_stored). Answers stay exact
+    * at ANY saturation — the verify trims — this only flags the lost
+    * prune efficiency, loudly, without touching stored content or any
+    * estimate an oracle sees.
+    */
+  val SaturationWarnFraction = 0.5
+
+  /** The alarm's statistic: the SMALLEST per-row fraction of `width`
+    * buckets whose count is at or past `threshold`. An item survives
+    * the prune only when all d of its cells pass, so this is an upper
+    * bound on how saturated the prune's best case is; package-visible
+    * for the unit test.
+    */
+  private[graft] def saturatedFraction(pulled: Seq[(Int, Long, Long)],
+      width: Int, depth: Int, threshold: Long): Double =
+    (0 until depth).map { i =>
+      pulled.count(c => c._1 == i && c._3 >= threshold).toDouble / width
+    }.foldLeft(1.0)(math.min)
+
   /** Row-i bucket of an item: first 15 md5 nibbles (sign bit clear in
     * both engines) of `i:item`, mod the width. The ONE definition the
     * counter fold, the estimate probe, and every oracle share.
@@ -232,7 +260,9 @@ object Sketches {
     * audit queries; [[cmsHeavyHitters]] is the production composition.
     * NOTE this does aggregate the full universe (it reports every
     * distinct item) — use it on bounded-cardinality audits, not as the
-    * pruning path.
+    * pruning path. Construction is EAGER: the counter subplan executes
+    * once at call time (the r14 driver-pull — see [[estimated]]), so
+    * merely building this DataFrame runs the fold/merge jobs.
     */
   def cmsEstimates(items: DataFrame, counters: DataFrame,
       itemCol: String = "item", width: Int = DefaultWidth,
@@ -249,7 +279,8 @@ object Sketches {
     * estimate as 0 (a never-seen item's true historical count).
     */
   private def estimated(rows: DataFrame, counters: DataFrame,
-      itemCol: String, width: Int, depth: Int): DataFrame = {
+      itemCol: String, width: Int, depth: Int,
+      pruneThreshold: Option[Long] = None): DataFrame = {
     // Execute the counter subplan ONCE (guide §2.4): each of the d
     // per-row probe joins broadcasts a filtered view of `counters`, and
     // a LAZY counter plan — a store merge, or a whole-corpus fold —
@@ -262,12 +293,42 @@ object Sketches {
     // one broadcast build already cost and drops d−1 executions of
     // the fold/merge. AtFraction's driver-pull precedent, generalized
     // to every probe path.
+    // NOTE: the pull makes every probe-path DataFrame construction
+    // EAGER — building a cmsEstimates/cmsHeavyHitters query executes
+    // the counter fold/merge as Spark jobs at call time (documented
+    // trade: d−1 fewer executions of the fold per probe). A null cell
+    // is impossible from this module's folds (perRowCells drops null
+    // occurrences); refuse loudly instead of NPEing on a tampered
+    // counter table.
     val spark = rows.sparkSession
     import spark.implicits._
     val pulled = counters
       .select(col("row").cast("int"), col("bucket").cast("long"),
         col("cnt").cast("long"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect().map { r =>
+        if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalStateException(
+            "Sketches.estimated: a counter cell has a NULL " +
+              "row/bucket/cnt — no sketch fold produces null cells; the " +
+              "counter table was built outside this module or tampered")
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }.toSeq
+    // saturation alarm (r14 verdict #5) — free on the pulled rows: the
+    // per-row fraction of buckets at/past the threshold bounds what the
+    // prune can still prove light. Measurement-only: no stored content,
+    // no estimate, no query result changes; the warning names the
+    // geometry fix (width growth) that IS a semantic store change.
+    pruneThreshold.foreach { th =>
+      val minSat = saturatedFraction(pulled, width, depth, th)
+      if (minSat > SaturationWarnFraction)
+        log.warn(f"CMS sketch is SATURATED for threshold $th: even the " +
+          f"emptiest of the $depth rows has ${minSat * 100}%.1f%% of its " +
+          f"$width buckets at or past the threshold, so the prune can " +
+          "prove almost nothing light and the exact verify absorbs the " +
+          "stream. Answers remain exact; to restore prune efficiency " +
+          "grow the sketch width (a stored-geometry change — re-fold " +
+          "the store) or raise the threshold.")
+    }
     val b = broadcast(pulled.toDF("row", "bucket", "cnt"))
     val joined = (0 until depth).foldLeft(rows) { (acc, i) =>
       acc.join(b.filter(col("row") === i)
@@ -287,6 +348,8 @@ object Sketches {
     * not prove light. Two passes over the occurrence stream (the
     * sketch fold, then the probe+filter) — at 100 TB that trade, two
     * scans for no universe-wide shuffle, is the entire point.
+    * Construction is EAGER: the fold executes at call time (the
+    * driver-pull in [[estimated]] that keeps the probe to one pass).
     */
   def cmsHeavyHitters(items: DataFrame, threshold: Long,
       itemCol: String = "item", width: Int = DefaultWidth,
@@ -323,7 +386,7 @@ object Sketches {
 
   private def pruneAndVerify(items: DataFrame, counters: DataFrame,
       threshold: Long, itemCol: String, width: Int, depth: Int): DataFrame =
-    estimated(items, counters, itemCol, width, depth)
+    estimated(items, counters, itemCol, width, depth, Some(threshold))
       .filter(col("est") >= threshold)
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("n_occurrences"))

@@ -2740,6 +2740,22 @@ class OpsSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("astronomically")))
   }
 
+  test("cms saturation statistic: min per-row saturated fraction, silent/loud split") {
+    import graft.ops.Sketches
+    // width 4, depth 2: row 0 has 3 of 4 buckets >= 10, row 1 has 1 of
+    // 4 — the statistic is the MINIMUM (an item must pass every row),
+    // so 0.25, below the 0.5 alarm line
+    val cells = Seq((0, 0L, 12L), (0, 1L, 10L), (0, 2L, 11L), (0, 3L, 2L),
+      (1, 0L, 10L), (1, 1L, 3L), (1, 2L, 4L))
+    assert(Sketches.saturatedFraction(cells, 4, 2, 10L) === 0.25)
+    // raise every row-1 bucket past the threshold -> 0.75, alarm-loud
+    val sat = cells.map { case (r, b, c) => (r, b, if (r == 1) 100L else c) }
+    assert(Sketches.saturatedFraction(sat, 4, 2, 10L) === 0.75)
+    // absent cells count as unsaturated (they estimate 0)
+    assert(Sketches.saturatedFraction(Seq.empty, 4, 2, 10L) === 0.0)
+    assert(Sketches.SaturationWarnFraction === 0.5)
+  }
+
   test("association rules: hand-computed fixture, dedup, both directions") {
     // b1:{1,2,3} (item 1 repeated — must dedup), b2:{1,2}, b3:{1,2},
     // b4:{2,4}. Pairs: (1,2)=3, (1,3)=1, (2,3)=1, (2,4)=1.
