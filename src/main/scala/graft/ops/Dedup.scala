@@ -1038,60 +1038,74 @@ object Dedup {
     * `maxLenDiff` chars, Jaccard > thresholdNum/thresholdDen over distinct
     * 3-token shingles. Output: (doc_a, doc_b, lang, inter, uni).
     *
-    * The block self-join key is (lang × 2·maxLenDiff-char length
-    * bucket): side B carries its bucket, side A explodes to
-    * {b−1, b, b+1}, so every |Δlen| ≤ maxLenDiff pair matches exactly
-    * once and the key has lang×bucket cardinality (lang alone would
-    * serialize the probe). SHUFFLE join, deliberately not broadcast —
-    * the sides carry shingle arrays, O(corpus) bytes.
+    * Default formulation (r15): [[jaccardPrefixPairs]] — the exact
+    * corpus-wide similarity join under the ℓ-extended asymmetric
+    * prefix filter — restricted to the block predicates afterwards.
+    * The blocked answer is BY DEFINITION the global J > t pair set
+    * filtered to same-lang and |Δlen| ≤ maxLenDiff (both computations
+    * use the same distinct 3-shingle sets and the same strict
+    * inequality), so the two formulations are result-identical; the
+    * cost model is not. The block self-join's candidate volume is
+    * Σ_blocks n_b² — QUADRATIC in block population. Measured on the
+    * 10× soak corpus (each block ~10× denser): block join 3,013–3,253 s
+    * task time — more than every other query in the suite combined —
+    * vs ~115 s for the prefix join, whose candidates are collision-
+    * bounded, not block-bounded (sf0.1: 825 candidates survive the
+    * ℓ-match + positional filters for 256 global pairs). At 1× the two
+    * are comparable (~30 s task each); the quadratic is why the r6
+    * three-way measurement that installed the block join had to be
+    * re-opened once the prefix machinery existed. The lang/length
+    * predicates are applied by joining the tiny (id, lang, len) meta
+    * projection to the PAIR list (pairs ≪ corpus, so the planner
+    * broadcasts the pair side; the meta side never shuffles).
     *
-    * The shingle-array table feeds both join sides and is CACHED by
-    * default — a deliberate, measured choice among three formulations at
-    * sf0.1 (local[32]):
-    *   - cached one-pass block join: 3.9 s;
-    *   - same plan uncached (`cacheShingles = false`): 34 s — the
-    *     explode+collect_set pipeline re-executes per side (the two
-    *     sides' pruned projections defeat exchange reuse);
-    *   - minhash-style pruned re-scan (metadata-only candidates, then
-    *     shingle only candidate docs): 13 s — length-blocking prunes no
-    *     DOCS (every doc has near-length neighbours, so the semi-join
-    *     keeps the whole corpus) while pair volume is Σ_blocks n_b² ≫
-    *     docs, so attaching arrays to pairs costs two pair-sized wide
-    *     shuffles instead of one block join. Re-scan pruning pays off
-    *     only when candidates are RARE (LSH collisions); block
-    *     candidates are dense by construction.
-    * The cache is partitioned (never driver-concentrated), spills under
-    * the default MEMORY_AND_DISK level, and is freed by
-    * [[releaseCaches]] as soon as the query completes — at 100 TB its
-    * footprint is one corpus of shingle arrays across the cluster's
-    * storage fraction, the price of not paying the shingle pipeline
-    * twice.
+    * `cacheShingles = false` keeps the original CACHE-FREE block join
+    * (one pass, no corpus-sized persisted state) for callers that must
+    * not hold caches — the prefix path necessarily registers its
+    * shingle-array and prefix-posting caches (freed by
+    * [[releaseCaches]], the jaccardPrefixPairs discipline). Historical
+    * r6 measurement, kept for the record: cached block join 3.9 s /
+    * uncached 34 s / pruned re-scan 13 s at sf0.1.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", langCol: String = "lang",
       lenCol: String = "n_chars", maxLenDiff: Int = 32,
       thresholdNum: Int = 3, thresholdDen: Int = 10,
       cacheShingles: Boolean = true): DataFrame = {
-    val bucketWidth = 2 * maxLenDiff
-    val bkt = floor(col(lenCol) / bucketWidth)
-    val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
-    val shPlain = shingleArrays(spread, idCol, textCol)
-      .join(spread.select(col(idCol), col(langCol), col(lenCol)), Seq(idCol))
-    val sh = if (cacheShingles) registerDf(shPlain.cache()) else shPlain
-    val a = sh.select(col(idCol).as("doc_a"), col(langCol),
-      col(lenCol).as("__nc_a"), col("shingles").as("sh_a"),
-      explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
-    val b = sh.select(col(idCol).as("doc_b"), col(langCol),
-      col(lenCol).as("__nc_b"), col("shingles").as("sh_b"), bkt.as("__bucket"))
-    b.join(a, Seq(langCol, "__bucket"))
-      .filter(col("doc_a") < col("doc_b") &&
-        abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
-      .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
-        greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
-      .select(col("doc_a"), col("doc_b"), col(langCol), col("inter"), col("uni"))
+    if (cacheShingles) {
+      val pairs = jaccardPrefixPairs(df, thresholdNum, thresholdDen,
+        idCol, textCol)
+      val meta = df.select(col(idCol), col(langCol), col(lenCol))
+      pairs
+        .join(meta.select(col(idCol).as("doc_a"), col(langCol).as("__lang_a"),
+          col(lenCol).as("__nc_a")), Seq("doc_a"))
+        .join(meta.select(col(idCol).as("doc_b"), col(langCol).as("__lang_b"),
+          col(lenCol).as("__nc_b")), Seq("doc_b"))
+        .filter(col("__lang_a") === col("__lang_b") &&
+          abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
+        .select(col("doc_a"), col("doc_b"), col("__lang_a").as(langCol),
+          col("inter").cast("int").as("inter"), col("uni").cast("int").as("uni"))
+    } else {
+      val bucketWidth = 2 * maxLenDiff
+      val bkt = floor(col(lenCol) / bucketWidth)
+      val spread = Layout.spreadIfNarrow(df) // corpus exchange only when the input is narrow (guide §2.4)
+      val sh = shingleArrays(spread, idCol, textCol)
+        .join(spread.select(col(idCol), col(langCol), col(lenCol)), Seq(idCol))
+      val a = sh.select(col(idCol).as("doc_a"), col(langCol),
+        col(lenCol).as("__nc_a"), col("shingles").as("sh_a"),
+        explode(array(bkt - 1, bkt, bkt + 1)).as("__bucket"))
+      val b = sh.select(col(idCol).as("doc_b"), col(langCol),
+        col(lenCol).as("__nc_b"), col("shingles").as("sh_b"), bkt.as("__bucket"))
+      b.join(a, Seq(langCol, "__bucket"))
+        .filter(col("doc_a") < col("doc_b") &&
+          abs(col("__nc_a") - col("__nc_b")) <= maxLenDiff)
+        .filter(least(size(col("sh_a")), size(col("sh_b"))) * thresholdDen >
+          greatest(size(col("sh_a")), size(col("sh_b"))) * thresholdNum)
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("inter") * thresholdDen > col("uni") * thresholdNum)
+        .select(col("doc_a"), col("doc_b"), col(langCol), col("inter"), col("uni"))
+    }
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxDist`, found

@@ -158,9 +158,14 @@ class PlanSpec extends SparkSpec {
                                 // final sort
       // the dedup/text heavy tail (round-4 verdict item 8): a shuffle
       // regression in these pipelines fails here before it costs bench
-      "dedup_ngram_jaccard" -> 8,  // measured 6: (lang,len-bucket) block
-                                   // self-join over the cached shingle
-                                   // table + verify + sort
+      "dedup_ngram_jaccard" -> 13, // measured 11 (+2 AQE slack): the
+                                   // r15 prefix-join formulation (the
+                                   // jaccardPrefixPairs chain) + two
+                                   // broadcast meta joins for the
+                                   // lang/len block predicates + sort —
+                                   // was 6 as a block self-join, whose
+                                   // Σn_b² candidate volume cost 3,000 s
+                                   // task time at the 10× soak
       "simhash_near_dup" -> 7,     // measured 5 (+2): signature + pigeonhole band join + verify
       "dedup_incremental" -> 18,   // measured 16: batch-vs-historical LSH + pruned re-scan
       "lang_id_chargram" -> 9,     // gram explode + profile top-N + score join
