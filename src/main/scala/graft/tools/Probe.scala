@@ -22,6 +22,7 @@ object Probe {
     if (args.headOption.contains("explains")) return explainsMain(args.drop(1))
     if (args.headOption.contains("time")) return timeMain(args.drop(1))
     if (args.headOption.contains("tasktime")) return taskTimeMain(args.drop(1))
+    if (args.headOption.contains("spot")) return spotMain(args.drop(1))
     if (args.headOption.contains("cc")) return ccMain()
     if (args.headOption.contains("exchanges")) return exchangesMain(args.drop(1))
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -133,6 +134,53 @@ object Probe {
         graft.ops.Search.releaseCaches()
         graft.ops.Associations.releaseCaches()
         graft.ops.Commerce.releaseCaches()
+      }
+    }
+    spark.stop()
+  }
+
+  /** `Probe spot <cpus> <sfDir> <query>...` — timed queries at an
+    * EXPLICIT core count (master local[cpus], shuffle.partitions =
+    * cpus, 2 runs each, wall + summed task time): the parallel-
+    * throughput spot check (r14 verdict #6). At sf0.1 most queries are
+    * planning-floor-bound and c8 ≈ c32; run this against a staged soak
+    * corpus (Soak.generate 10×) where compute-bound queries separate —
+    * a wall ratio ≫ 1 across core counts means real parallel compute,
+    * ratio ≤ 1 means the query is scheduling/lifecycle-bound
+    * (SOAK_r15.md records the r15 table).
+    */
+  def spotMain(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println("usage: Probe spot <cpus> <sfDir> <query>...")
+      return
+    }
+    val cpus = args(0).toInt
+    val sfDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskNanos.addAndGet(m.executorRunTime * 1000000L): Unit
+      }
+    })
+    spark.range(1000000L).selectExpr("sum(id)").collect(): Unit
+    args.drop(2).foreach { q =>
+      (1 to 2).foreach { i =>
+        taskNanos.set(0)
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(300) // listener events post async; settle before reading
+        println(f"[spot] cpus=$cpus $q#$i rows=$n wall=$wall%.2fs task=${taskNanos.get / 1e9}%.2fs")
+        releaseAll()
       }
     }
     spark.stop()
